@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.KAnonymity
+import graft.queries.{AnonymityQueries, RelationalQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the per-area registries; every entry that is
+  * SQL-expressible has a DuckDB oracle in `oracleSql` with identical column
+  * names and ordering.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's E1 pipeline shape (k-anonymity suppression
+    * then group-size audit) on sf0.001 orders. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    KAnonymity.groupSizes(
+      KAnonymity.suppress(o, Seq("o_orderstatus", "o_orderpriority"), 3),
+      Seq("o_orderstatus", "o_orderpriority"))
+  }
+
+  private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (AnonymityQueries.queries, AnonymityQueries.oracles))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    registries.map(_._2).reduce(_ ++ _)
 }

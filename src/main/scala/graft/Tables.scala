@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (see TESTDATA.md).
+  *
+  * All queries take the scale-factor directory as a runtime parameter so the
+  * same plan runs unchanged from sf0.001 to a 100 TB lake: the parquet scans
+  * are lazy, Catalyst pushes filters/projections into them, and nothing here
+  * materializes on the driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long (legacy conf) and surface `ts` as a proper
+    * TimestampType column (microsecond precision — Spark's native unit).
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  def region(s: SparkSession, dir: String): DataFrame     = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame     = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame   = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame   = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame       = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame     = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame   = load(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame     = eventsRaw(s, dir)
+  def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+}

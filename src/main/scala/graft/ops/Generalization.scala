@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generalization operators: binning and range rendering.
+  *
+  * Reference: equal-width data-driven binning `pd.cut(col, bins=n,
+  * labels=False)` (t-closeness.py:36,39-40), explicit-edge labeled binning
+  * (Archived/data-anonymity.py:79-83), and per-cluster min-max range
+  * generalization (clustering-anon.py:51).
+  *
+  * Equal-width binning is two-phase: a single min/max aggregate (one cheap
+  * all-to-one reduce — bytes of state regardless of table size) fixes the
+  * edges on the driver, then the bin id is a pure arithmetic expression that
+  * stays inside whole-stage codegen. We intentionally do NOT replicate
+  * pandas' 0.1% left-edge widening (SURVEY §2.8 F1); edges are exactly
+  * [min, max] with the top edge clamped into the last bin.
+  */
+object Generalization {
+
+  /** Bin ids 0..n-1 by equal-width splits of [min(col), max(col)].
+    * Returns the input with `outCol` appended.
+    */
+  def equalWidthBin(df: DataFrame, c: String, n: Int, outCol: String): DataFrame = {
+    val Array(mn, mx) = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    df.withColumn(outCol, equalWidthBinExpr(col(c), mn, mx, n))
+  }
+
+  /** The pure-expression form, usable once min/max are known. Degenerate
+    * range (min == max) puts everything in bin 0, matching pd.cut on a
+    * constant column yielding a single interval.
+    */
+  def equalWidthBinExpr(c: Column, mn: Double, mx: Double, n: Int): Column =
+    if (mx == mn) lit(0L)
+    else least(floor((c.cast("double") - lit(mn)) / (lit(mx) - lit(mn)) * lit(n)), lit(n - 1L)).cast("long")
+
+  /** Explicit-edge binning with string labels, as a codegen-friendly CASE
+    * chain. `edges` has length labels.size + 1; intervals are
+    * (edges(i), edges(i+1)] like pd.cut's default right-closed intervals.
+    */
+  def labeledBin(c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+    require(edges.size == labels.size + 1, "need one more edge than labels")
+    val first = when(c <= edges(1) && c > edges.head, labels.head)
+    labels.indices.tail.foldLeft(first) { (acc, i) =>
+      acc.when(c <= edges(i + 1) && c > edges(i), labels(i))
+    }
+  }
+
+  /** Per-group min-max generalization: every QI value replaced by the
+    * "min-max" range string of its group (clustering-anon.py:51). One
+    * aggregate per group (single shuffle) then a broadcast join back — the
+    * group table is |groups| rows, tiny relative to the input.
+    */
+  def minMaxRanges(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: cols.map(c =>
+        concat_ws("-", col(s"__min_$c").cast("string"), col(s"__max_$c").cast("string")).as(c)): _*)
+  }
+
+  /** Replace each row's QI values with its group's range strings. */
+  def generalize(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    val ranges = minMaxRanges(df, groupCol, cols)
+      .select(col(groupCol) +: cols.map(c => col(c).as(s"__gen_$c")): _*)
+    val joined = df.join(broadcast(ranges), Seq(groupCol))
+    val keep = df.columns.filterNot(cols.contains).map(col)
+    joined.select(keep ++ cols.map(c => col(s"__gen_$c").as(c)): _*)
+  }
+}

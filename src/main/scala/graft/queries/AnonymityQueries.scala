@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{KAnonymity, TCloseness}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The anonymization surface (SURVEY §2 A/P/J operators composed into the
+  * reference's pipelines) run against the `orders` table as microdata:
+  * QI = (o_custkey, o_orderstatus) — fine-grained enough that suppression at
+  * k=3 actually suppresses — and sensitive attribute = the order-value
+  * bucket. Each query has an exact DuckDB oracle; the EMD computation uses
+  * the same closed-form cumsum on both sides.
+  */
+object AnonymityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val qis = Seq("o_custkey", "o_orderstatus")
+  private val K = 3
+
+  /** Sensitive-position column: order value bucketed by fixed edges. */
+  private def withSbin(o: DataFrame): DataFrame =
+    o.withColumn("sbin",
+      when(col("o_totalprice") <= 50000, 0L)
+        .when(col("o_totalprice") <= 150000, 1L)
+        .when(col("o_totalprice") <= 300000, 2L)
+        .otherwise(3L))
+
+  private val sbinSql =
+    "CASE WHEN o_totalprice <= 50000 THEN 0 WHEN o_totalprice <= 150000 THEN 1 WHEN o_totalprice <= 300000 THEN 2 ELSE 3 END"
+
+  val queries: Map[String, Q] = Map(
+    // E1 core: k-anonymity suppression (window-count formulation, 1 shuffle).
+    "q20_kanon_suppress" -> ((s, dir) => {
+      KAnonymity.suppress(Tables.orders(s, dir), qis, K)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // Same semantics via agg + broadcast semi-join — must agree with q20.
+    "q21_kanon_semijoin" -> ((s, dir) => {
+      KAnonymity.suppressSemiJoin(Tables.orders(s, dir), qis, K)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // The printed metric block as one row: sizes, k-range, risk, rates.
+    "q22_kanon_metrics" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val gs = KAnonymity.groupSizes(o, qis)
+      val kept = gs.filter(col("grp_cnt") >= K)
+      val keptAgg = kept.agg(
+        sum("grp_cnt").as("anon_rows"),
+        count(lit(1)).as("n_groups"),
+        min("grp_cnt").as("k_min"),
+        max("grp_cnt").as("k_max"))
+      val origAgg = o.agg(count(lit(1)).as("orig_rows"))
+      keptAgg.crossJoin(origAgg).select(
+        col("orig_rows"), col("anon_rows"), col("n_groups"), col("k_min"), col("k_max"),
+        round(col("n_groups") / col("anon_rows"), 6).as("reid_risk"),
+        round((col("orig_rows") - col("anon_rows")) / col("orig_rows"), 6).as("suppression_rate"))
+    }),
+
+    // NCP: per-QI distinct-value loss between original and suppressed.
+    "q23_ncp" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val anon = KAnonymity.suppress(o, qis, K)
+      val od = o.agg(
+        countDistinct("o_custkey").as("od_cust"),
+        countDistinct("o_orderstatus").as("od_status"))
+      val ad = anon.agg(
+        countDistinct("o_custkey").as("ad_cust"),
+        countDistinct("o_orderstatus").as("ad_status"))
+      od.crossJoin(ad).select(
+        col("od_cust"), col("ad_cust"), col("od_status"), col("ad_status"),
+        round(((col("od_cust") - col("ad_cust")) / col("od_cust")
+          + (col("od_status") - col("ad_status")) / col("od_status")) / 2, 6).as("ncp"))
+    }),
+
+    // Audit mode (Archived/data-anonymity.py:70): rows in at-risk groups
+    // with the group's k attached — a true inner join with payload.
+    "q24_vulnerable_records" -> ((s, dir) => {
+      KAnonymity.vulnerableRecords(Tables.orders(s, dir), qis, K)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("grp_cnt"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Intended t-closeness semantics: per-group 1-D EMD of the sensitive
+    // bucket distribution vs. the global one (closed-form cumsum — the
+    // reference's per-group Python loop collapsed into one plan).
+    "q25_tcloseness_emd" -> ((s, dir) => {
+      val o = withSbin(Tables.orders(s, dir))
+      TCloseness.groupEmd(o, Seq("o_orderstatus", "o_orderpriority"), "sbin")
+        .select(col("o_orderstatus"), col("o_orderpriority"), round(col("emd"), 6).as("emd"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // Full E3 pipeline: k-anonymity then t-closeness suppression.
+    "q26_tcloseness_filter" -> ((s, dir) => {
+      val o = withSbin(Tables.orders(s, dir))
+      TCloseness.filter(o, Seq("o_orderstatus", "o_orderpriority"), "sbin", K, 0.02)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // M1 parity: alphabetical label encoding (sklearn LabelEncoder order)
+    // as a broadcast dictionary join — no global window at scale.
+    "q27_label_encode" -> ((s, dir) => {
+      TCloseness.ordinal(Tables.events(s, dir), "event_type", "event_type_idx")
+        .select("event_id", "event_type", "event_type_idx")
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q20_kanon_suppress" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM (SELECT o_orderkey, o_custkey, o_orderstatus, count(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS gc FROM orders) t WHERE gc >= $K ORDER BY o_orderkey""",
+    "q21_kanon_semijoin" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM (SELECT o_orderkey, o_custkey, o_orderstatus, count(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS gc FROM orders) t WHERE gc >= $K ORDER BY o_orderkey""",
+    "q22_kanon_metrics" ->
+      s"""WITH gs AS (SELECT o_custkey, o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1, 2), kept AS (SELECT * FROM gs WHERE cnt >= $K), ka AS (SELECT CAST(sum(cnt) AS BIGINT) AS anon_rows, count(*) AS n_groups, min(cnt) AS k_min, max(cnt) AS k_max FROM kept), oa AS (SELECT count(*) AS orig_rows FROM orders) SELECT orig_rows, anon_rows, n_groups, k_min, k_max, round(n_groups * 1.0 / anon_rows, 6) AS reid_risk, round((orig_rows - anon_rows) * 1.0 / orig_rows, 6) AS suppression_rate FROM ka, oa""",
+    "q23_ncp" ->
+      s"""WITH anon AS (SELECT o_custkey, o_orderstatus FROM (SELECT o_custkey, o_orderstatus, count(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS gc FROM orders) t WHERE gc >= $K), od AS (SELECT count(DISTINCT o_custkey) AS od_cust, count(DISTINCT o_orderstatus) AS od_status FROM orders), ad AS (SELECT count(DISTINCT o_custkey) AS ad_cust, count(DISTINCT o_orderstatus) AS ad_status FROM anon) SELECT od_cust, ad_cust, od_status, ad_status, round(((od_cust - ad_cust) * 1.0 / od_cust + (od_status - ad_status) * 1.0 / od_status) / 2, 6) AS ncp FROM od, ad""",
+    "q24_vulnerable_records" ->
+      s"""WITH gs AS (SELECT o_custkey, o_orderstatus, count(*) AS grp_cnt FROM orders GROUP BY 1, 2) SELECT o_orderkey, o.o_custkey, o.o_orderstatus, grp_cnt FROM orders o JOIN gs ON o.o_custkey = gs.o_custkey AND o.o_orderstatus = gs.o_orderstatus WHERE grp_cnt < $K ORDER BY o_orderkey""",
+    "q25_tcloseness_emd" ->
+      s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""",
+    "q26_tcloseness_filter" ->
+      s"""WITH b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), kanon AS (SELECT * FROM (SELECT b.*, count(*) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS gc FROM b) t WHERE gc >= $K), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM kanon GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM kanon), gl AS (SELECT sbin, count(*) AS gcnt FROM kanon GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq), emd AS (SELECT o_orderstatus, o_orderpriority, sum(abs(cp - cq) * (nxt - sbin)) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY 1, 2), pass AS (SELECT o_orderstatus, o_orderpriority FROM emd WHERE emd <= 0.02) SELECT o_orderkey, k.o_orderstatus, k.o_orderpriority FROM kanon k JOIN pass p ON k.o_orderstatus = p.o_orderstatus AND k.o_orderpriority = p.o_orderpriority ORDER BY o_orderkey""",
+    "q27_label_encode" ->
+      """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""")
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational parity operators (SURVEY §2.1-§2.8) expressed over the
+  * driver-provided TPC-H-ish tables, each paired with a DuckDB oracle.
+  *
+  * Conventions shared with the oracles (driver hashes values after sorting
+  * columns by name, so names AND values must line up):
+  *  - every computed column is aliased identically on both sides;
+  *  - every result is totally ordered by a unique key so row order can never
+  *    matter;
+  *  - computed doubles are rounded (sums to 2dp, ratios to 6dp) so binary FP
+  *    summation-order differences between engines can't flip a hash;
+  *  - computed integers are cast to long (DuckDB aggregates are BIGINT).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1/A2: hash aggregate with partial (map-side) combine — TPC-H Q1 shape.
+    "q01_group_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1/P3: filter + projection; both push into the parquet scan
+    // (PushedFilters + ReadSchema visible in .explain).
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45 && col("l_discount") > 0.08)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Multi-way inner join + aggregate; nation/customer are broadcast-sized.
+    "q03_join_agg" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // J1/J2: left-semi join (the reference's merge-with-dedup'd-keys idiom).
+    "q04_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Anti join — complement of q04 (NOT EXISTS).
+    "q05_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J4: broadcast hash join of a small dimension into the fact scan.
+    "q06_broadcast_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // Ranking window with deterministic tiebreak: top 3 orders per priority.
+    "q07_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // A5: normalized value-frequency distribution.
+    "q08_distribution" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("share",
+          round(col("cnt") / sum("cnt").over(Window.partitionBy()), 6))
+        .orderBy("event_type")
+    }),
+
+    // O3: frequency-descending top-k with key tiebreak.
+    "q09_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // U1: union-all of disjoint filtered slices.
+    "q10_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val hi = o.filter(col("o_totalprice") > 400000)
+      val lo = o.filter(col("o_totalprice") < 10000)
+      hi.unionByName(lo)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // O1: distinct + canonical ordering.
+    "q11_distinct_sort" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // F1: two-phase equal-width binning (min/max reduce, then pure
+    // arithmetic — stays in whole-stage codegen).
+    "q12_binning_equiwidth" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      graft.ops.Generalization.equalWidthBin(c, "c_acctbal", 5, "bin")
+        .select("c_custkey", "c_acctbal", "bin")
+        .orderBy("c_custkey")
+    }),
+
+    // F2: explicit-edge labeled binning as a CASE chain.
+    "q13_binning_labeled" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("bucket",
+          when(col("o_totalprice") <= 50000, "xs")
+            .when(col("o_totalprice") <= 150000, "s")
+            .when(col("o_totalprice") <= 300000, "m")
+            .otherwise("l"))
+        .select("o_orderkey", "bucket")
+        .orderBy("o_orderkey")
+    }),
+
+    // A9/F3: per-group min-max range rendering (decimal-formatted so the
+    // double->string rendering is engine-independent).
+    "q14_range_render" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws("-",
+          min("o_totalprice").cast("decimal(18,2)").cast("string"),
+          max("o_totalprice").cast("decimal(18,2)").cast("string")).as("price_range"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // P6: cast coercion — regexp extract + cast, failures become null.
+    "q15_try_cast" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("try_cast(regexp_extract(props, '\\\\d+', 0) AS BIGINT)").as("k_val"),
+          expr("try_cast(event_type AS DOUBLE)").as("bad_cast"))
+        .orderBy("event_id")
+    }),
+
+    // P4/A4: per-row group size via window over the QI partition.
+    "q16_groupsize_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"), col("o_orderpriority"))
+      Tables.orders(s, dir)
+        .withColumn("grp_cnt", count(lit(1)).over(w))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "grp_cnt")
+        .orderBy("o_orderkey")
+    }),
+
+    // A3/A8: one-pass multi-column distinct counts + cardinality.
+    "q17_count_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir).agg(
+        countDistinct(col("o_custkey")).as("nd_cust"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        countDistinct(col("o_orderpriority")).as("nd_prio"),
+        count(lit(1)).as("n_rows"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_group_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(avg(l_discount),6) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.08 ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "q06_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand""",
+    "q07_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn""",
+    "q08_distribution" ->
+      """SELECT event_type, count(*) AS cnt, round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share FROM events GROUP BY event_type ORDER BY event_type""",
+    "q09_topk" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10""",
+    "q10_union" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000 UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 10000 ORDER BY o_orderkey""",
+    "q11_distinct_sort" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority""",
+    "q12_binning_equiwidth" ->
+      """SELECT c_custkey, c_acctbal, CAST(LEAST(FLOOR((c_acctbal - mn) / (mx - mn) * 5), 4) AS BIGINT) AS bin FROM customer, (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer) ORDER BY c_custkey""",
+    "q13_binning_labeled" ->
+      """SELECT o_orderkey, CASE WHEN o_totalprice <= 50000 THEN 'xs' WHEN o_totalprice <= 150000 THEN 's' WHEN o_totalprice <= 300000 THEN 'm' ELSE 'l' END AS bucket FROM orders ORDER BY o_orderkey""",
+    "q14_range_render" ->
+      """SELECT o_orderpriority, CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) || '-' || CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS price_range FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q15_try_cast" ->
+      """SELECT event_id, TRY_CAST(regexp_extract(props, '\d+', 0) AS BIGINT) AS k_val, TRY_CAST(event_type AS DOUBLE) AS bad_cast FROM events ORDER BY event_id""",
+    "q16_groupsize_window" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, count(*) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS grp_cnt FROM orders ORDER BY o_orderkey""",
+    "q17_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS nd_cust, count(DISTINCT o_orderstatus) AS nd_status, count(DISTINCT o_orderpriority) AS nd_prio, count(*) AS n_rows FROM orders""")
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeneralizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equalWidthBin: 0..10 into 5 bins, max value clamped into last bin") {
+    val df = (0 to 10).map(_.toDouble).toDF("x")
+    val out = Generalization.equalWidthBin(df, "x", 5, "bin")
+      .select("x", "bin").as[(Double, Long)].collect().toMap
+    assert(out(0.0) == 0L && out(1.0) == 0L)
+    assert(out(2.0) == 1L)
+    assert(out(9.0) == 4L)
+    assert(out(10.0) == 4L) // clamped
+  }
+
+  test("equalWidthBin: constant column -> all bin 0") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("x")
+    val bins = Generalization.equalWidthBin(df, "x", 3, "bin")
+      .select("bin").as[Long].collect().toSet
+    assert(bins == Set(0L))
+  }
+
+  test("labeledBin matches pd.cut right-closed intervals") {
+    val df = Seq(10.0, 25.0, 26.0, 60.0, 99.0, 150.0).toDF("age")
+    val out = df.withColumn("lbl",
+      Generalization.labeledBin(col("age"), Seq(0, 25, 40, 60, 100), Seq("0-25", "26-40", "41-60", "61-100")))
+      .select("age", "lbl").as[(Double, String)].collect().toMap
+    assert(out(10.0) == "0-25")
+    assert(out(25.0) == "0-25") // right-closed
+    assert(out(26.0) == "26-40")
+    assert(out(60.0) == "41-60")
+    assert(out(99.0) == "61-100")
+    assert(out(150.0) == null) // out of range -> null like pd.cut NaN
+  }
+
+  test("generalize replaces QI values with group min-max ranges") {
+    val df = Seq(
+      (1, 10, 100), (1, 20, 200),
+      (2, 5, 50)
+    ).toDF("cluster", "a", "b")
+    val out = Generalization.generalize(df, "cluster", Seq("a", "b"))
+      .select("cluster", "a", "b").as[(Int, String, String)].collect().toSet
+    assert(out == Set((1, "10-20", "100-200"), (1, "10-20", "100-200"), (2, "5-5", "50-50")))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TClosenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupEmd: group identical to global has EMD 0") {
+    // Two groups with identical 50/50 distributions over positions {0,1}.
+    val df = Seq(
+      ("g1", 0.0), ("g1", 1.0),
+      ("g2", 0.0), ("g2", 1.0)
+    ).toDF("g", "pos")
+    val emd = TCloseness.groupEmd(df, Seq("g"), "pos")
+      .select("emd").as[Double].collect()
+    assert(emd.forall(math.abs(_) < 1e-12))
+  }
+
+  test("groupEmd: disjoint point masses = distance between positions") {
+    // global = {0: 1/2, 3: 1/2}; group g0 all at 0, g3 all at 3.
+    // EMD(point at 0 vs global) = |1 - 0.5| * (3-0) = 1.5; same for g3.
+    val df = Seq(
+      ("g0", 0.0), ("g0", 0.0),
+      ("g3", 3.0), ("g3", 3.0)
+    ).toDF("g", "pos")
+    val emd = TCloseness.groupEmd(df, Seq("g"), "pos")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("emd")).toMap
+    assert(math.abs(emd("g0") - 1.5) < 1e-12)
+    assert(math.abs(emd("g3") - 1.5) < 1e-12)
+  }
+
+  test("filter applies k then t; violationCount is 0 on surviving rows") {
+    // skew: small group with extreme distribution + big balanced group
+    val rows =
+      (1 to 10).map(i => ("big", if (i <= 5) 0.0 else 1.0)) ++
+        (1 to 4).map(_ => ("odd", 1.0)) ++
+        Seq(("tiny", 0.0)) // killed by k
+    val df = rows.toDF("g", "pos")
+    val out = TCloseness.filter(df, Seq("g"), "pos", k = 2, t = 0.3).cache()
+    val gs = out.select("g").distinct().as[String].collect().toSet
+    assert(gs == Set("big")) // odd fails t (EMD vs global > 0.3), tiny fails k
+    assert(TCloseness.violationCount(out, Seq("g"), "pos", 0.5) == 0)
+    out.unpersist()
+  }
+
+  test("ordinal encodes alphabetically from 0") {
+    val df = Seq("carrot", "apple", "banana", "apple").toDF("v")
+    val enc = TCloseness.ordinal(df, "v", "idx")
+      .select("v", "idx").as[(String, Long)].collect().toSet
+    assert(enc == Set(("apple", 0L), ("banana", 1L), ("carrot", 2L)))
+  }
+}
