@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.KAnonymity
-import graft.queries.{AnonymityQueries, RelationalQueries}
+import graft.queries.{AnonymityQueries, RelationalQueries, TextQueries, VectorEventQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,7 +26,9 @@ object SparkEntry {
   private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
-      (AnonymityQueries.queries, AnonymityQueries.oracles))
+      (AnonymityQueries.queries, AnonymityQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (VectorEventQueries.queries, VectorEventQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.functions.PortableHash.{P, phash, phashMod}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Extension surface per SURVEY §7.2 step 7
+  * (the reference itself has no dedup — its pipeline is census microdata).
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup groups on a 60-bit text hash, never the full text, so the
+  *    shuffle key is 8 bytes/row regardless of document size.
+  *  - MinHash signatures are computed per-row with higher-order array
+  *    expressions (no explode, no shuffle, codegen'd); only the tiny
+  *    (doc_id, band_hash) pairs shuffle for the LSH bucket join. Candidate
+  *    verification joins token SETS only for candidate pairs — the classic
+  *    generate-candidates-then-verify topology that keeps the pairwise
+  *    stage O(candidates), not O(n²).
+  *  - SimHash is likewise per-row; near-dup pairing buckets on bit-bands.
+  *  - All hashes are portable (md5-derived, see PortableHash) so DuckDB
+  *    oracles can replay every stage exactly.
+  */
+object Dedup {
+
+  /** Keep one representative (min id) per exact text duplicate class. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(phash(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__h")
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Universal-hash family h_j(x) = (a_j * x + b_j) mod P over [0, P).
+    * Coefficients are fixed odd constants (shared with the oracle SQL). */
+  val NumHashes = 16
+  val BandRows = 4 // 4 bands x 4 rows
+  val HashA: Seq[Long] = (0 until NumHashes).map(j => 2L * j + 1001L)
+  val HashB: Seq[Long] = (0 until NumHashes).map(j => 3L * j + 17L)
+
+  /** MinHash signature (array of NumHashes longs) of an element-set array
+    * column, computed per-row: sig[j] = min over elements of
+    * h_j(phash(elem)). Pure expression tree — no shuffle.
+    *
+    * Callers pass word n-gram shingles, NOT unigram token sets: over a
+    * small vocabulary every document covers most unigrams, so unigram
+    * MinHash collides on everything and the LSH candidate set degenerates
+    * to O(n²). Shingle space grows as vocab^n and keeps unrelated
+    * documents apart. */
+  def minhashSignature(elems: Column): Column = {
+    val aArr = array(HashA.map(lit): _*)
+    val bArr = array(HashB.map(lit): _*)
+    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
+      array_min(transform(elems, t =>
+        pmod(element_at(aArr, j + 1) * phashMod(t) + element_at(bArr, j + 1), lit(P)))))
+  }
+
+  /** Explode a signature into (band_idx, band_key) rows: band key = md5 of
+    * the comma-joined band slice. Docs sharing any band key are candidates. */
+  def bands(sig: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes / BandRows - 1)), b =>
+      struct(b.as("band_idx"),
+        md5(concat_ws(",", slice(sig, b * BandRows + 1, lit(BandRows)))).as("band_key")))
+
+  /** Exact Jaccard similarity of two token-set arrays (both distinct). */
+  def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double")
+      / size(array_union(a, b)).cast("double"), 6)
+
+  /** MinHash+LSH near-duplicate pairs: docs sharing >= 1 LSH band, verified
+    * with exact token-set Jaccard >= threshold. Output (id_a, id_b, jaccard)
+    * with id_a < id_b.
+    *
+    * Topology: per-row signature -> explode 4 band rows/doc -> self-join on
+    * (band_idx, band_key) -> distinct candidate pairs -> verify. The band
+    * join is the only O(data) shuffle; verification touches candidates only.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"),
+        shingles(col(textCol), shingleN).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__sig", minhashSignature(col("__toks")))
+    val banded = docs.select(col("__id"), col("__toks"),
+        explode(bands(col("__sig"))).as("__band"))
+      .select(col("__id"), col("__toks"),
+        col("__band.band_idx").as("__bidx"), col("__band.band_key").as("__bkey"))
+    val l = banded.select(col("__bidx"), col("__bkey"),
+      col("__id").as("id_a"), col("__toks").as("__toks_a"))
+    val r = banded.select(col("__bidx"), col("__bkey"),
+      col("__id").as("id_b"), col("__toks").as("__toks_b"))
+    l.join(r, Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  val SimHashBits = 32
+
+  /** 32-bit SimHash of the token multiset: bit k is 1 iff the sum over
+    * tokens of ±1 (sign of bit k of the token's 60-bit hash) is positive.
+    * Nested higher-order aggregate — per-row, no shuffle. */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    aggregate(
+      transform(sequence(lit(0), lit(SimHashBits - 1)), k =>
+        when(aggregate(toks, lit(0L), (acc, t) =>
+          acc + call_function("shiftright", phash(t), k).bitwiseAND(lit(1L)) * 2L - 1L) > 0,
+          call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, bucketed on
+    * byte-bands (pigeonhole: dist <= 3 over 4 bands means >= 1 equal band). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val banded = sh.select(col("__id"), col("__sh"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("bidx"),
+          call_function("shiftright", col("__sh"), b * 8).bitwiseAND(lit(255L)).as("bkey")))).as("__b"))
+      .select(col("__id"), col("__sh"),
+        col("__b.bidx").as("__bidx"), col("__b.bkey").as("__bkey"))
+    val l = banded.select(col("__bidx"), col("__bkey"),
+      col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val r = banded.select(col("__bidx"), col("__bkey"),
+      col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    l.join(r, Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("__sh_a"), col("__sh_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- n-gram Jaccard ---------------------------------------------------
+
+  /** Word n-gram shingles (distinct, sorted) of a document; empty array
+    * when the document has fewer than n tokens (a bare `sequence(1, 0)`
+    * would count DOWN in Spark and feed slice() an invalid start). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      array_sort(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", slice(toks, i, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold via a shared-shingle inverted
+    * index: explode shingles -> self-join on shingle -> count shared ->
+    * jaccard = shared / (|A| + |B| - shared). Only docs sharing >= 1
+    * shingle ever meet — the index join replaces the O(n²) cross join.
+    *
+    * `partitionCols` further scopes pairing (e.g. same crawl shard /
+    * source): at 100 TB an unscoped shingle join on a small shingle
+    * domain degenerates quadratically; scoping by a natural partition
+    * bounds each join group. Pass Nil for a global join when the shingle
+    * domain is large (e.g. 5-gram shingles of real text). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        partitionCols: Seq[String] = Nil): DataFrame = {
+    val sh = df.select((col(idCol).as("__id") +: partitionCols.map(col)) :+
+        shingles(col(textCol), n).as("__sh"): _*)
+      .withColumn("__n", size(col("__sh")))
+    val inv = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
+      explode(col("__sh")).as("__s"): _*)
+    val keys = "__s" +: partitionCols
+    val l = inv.select(keys.map(col) :+ col("__id").as("id_a") :+ col("__n").as("__na"): _*)
+    val r = inv.select(keys.map(col) :+ col("__id").as("id_b") :+ col("__n").as("__nb"): _*)
+    l.join(r, keys)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__shared"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__shared") / (col("__na") + col("__nb") - col("__shared"))
+          .cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting. The reference has no text surface (its
+  * documents are census rows), so these extend SURVEY §7.2 step 7 over the
+  * driver's `documents` table.
+  *
+  * Every operator is pure per-row column arithmetic (split / regexp /
+  * length / md5) — no shuffle, no UDF, fully inside WholeStageCodegen —
+  * so at 100 TB each executor streams its parquet splits through codegen'd
+  * expressions with zero exchange. All formulas are deliberately portable
+  * (same result computable in ANSI-ish SQL) so the DuckDB oracle can
+  * hash-match them.
+  */
+object TextAnalysis {
+
+  /** Fixed English stopword list shared with the oracle SQL. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Whitespace tokens of lower-cased trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct sorted token set — canonical vocabulary of a document. */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Whitespace token count (the fast pre-filter before real BPE). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of alternating letter/digit/punct runs,
+    * the regex analogue of a byte-pair pre-tokenizer's word splitter. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(trim(text)), "[^a-z0-9]+"), t => length(t) > 0))
+
+  /** Ratio of stopword tokens to all tokens, 6dp. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    round(
+      size(filter(tokens(text), t => array_contains(stops, t)))
+        / tokenCount(text).cast("double"), 6)
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters to all characters. */
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      / length(text).cast("double"), 6)
+
+  /** Mean token length (characters of non-space content / token count). */
+  def meanTokenLength(text: Column): Column =
+    round(length(regexp_replace(trim(text), "\\s+", ""))
+      / tokenCount(text).cast("double"), 6)
+
+  /** Composite quality score in [0,1]: long-enough docs with low
+    * punctuation noise and a natural-language stopword share score high.
+    * Weights are fixed constants shared with the oracle. */
+  def qualityScore(text: Column, nChars: Column): Column = round(
+    least(nChars.cast("double") / lit(500.0), lit(1.0)) * lit(0.4)
+      + (lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))) * lit(0.3)
+      + least(stopwordRatio(text) * lit(10.0), lit(1.0)) * lit(0.3), 6)
+
+  /** Character-bigram occurrence count: how often `bg` appears in text
+    * (overlapping), via the length-delta idiom so it is portable SQL. */
+  def bigramCount(text: Column, bg: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(bg), "")))
+      ./(lit(bg.length))
+
+  /** Marker character-bigrams per language for the n-gram heuristic.
+    * A real language-ID model would use trained trigram profiles; the
+    * operator shape (per-row argmax over n-gram profile scores) is what
+    * scales — swap the profile table without touching the plan. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ng"),
+    "de" -> Seq("er", "ch", "ei"),
+    "es" -> Seq("la", "os", "el"),
+    "fr" -> Seq("le", "ou", "es"))
+
+  /** Heuristic language ID: score = Σ marker-bigram occurrences per
+    * language; predict the argmax, ties broken by language-code order,
+    * docs with an all-zero profile → "und". */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, bgs) =>
+      lang -> bgs.map(bigramCount(text, _)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lang).otherwise(els)
+    }
+  }
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token
+    * set — robust to token order and repetition (bag-of-words identity).
+    * The 60-bit numeric twin (`PortableHash.phash`) feeds dedup bucketing. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokenSet(text)))
+
+  /** All per-document text features in one pass. */
+  def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("n_uniq_tokens", size(tokenSet(t)).cast("long"))
+      .withColumn("mean_tok_len", meanTokenLength(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

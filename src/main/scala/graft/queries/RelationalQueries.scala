@@ -94,13 +94,17 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "rn")
     }),
 
-    // A5: normalized value-frequency distribution.
+    // A5: normalized value-frequency distribution. The global total comes
+    // from a scalar-aggregate broadcast cross join, NOT an empty-partition
+    // window (which would funnel every row through one task at scale).
     "q08_distribution" -> ((s, dir) => {
-      Tables.events(s, dir)
+      val counts = Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("share",
-          round(col("cnt") / sum("cnt").over(Window.partitionBy()), 6))
+      val total = counts.agg(sum("cnt").as("__total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share", round(col("cnt") / col("__total"), 6))
+        .drop("__total")
         .orderBy("event_type")
     }),
 

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication queries over `documents`, each with an
+  * exact DuckDB oracle (portable md5-based hashing throughout — see
+  * PortableHash).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared DuckDB fragments (tokens / token set / shingles). */
+  private val tokSql = """string_split_regex(lower(trim(text)), '\s+')"""
+  private val tokSetSql = s"list_sort(list_distinct($tokSql))"
+  // 1-based inclusive list slicing; bigram shingles of the token array.
+  private val shingleSql =
+    s"list_sort(list_distinct(list_transform(range(len($tokSql) - 1), i -> $tokSql[i+1] || ' ' || $tokSql[i+2])))"
+  private val phashSql = (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+    // Token statistics — per-row codegen'd expressions, no shuffle.
+    "q30_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        size(TextAnalysis.tokenSet(t)).cast("long").as("n_uniq_tokens"),
+        TextAnalysis.meanTokenLength(t).as("mean_tok_len"),
+        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram-heuristic language ID (argmax over marker-bigram profiles).
+    "q31_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Composite quality score from length/punct/stopword signals.
+    "q32_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Bag-of-words fingerprint (md5 of sorted distinct tokens).
+    "q33_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup over a union with re-keyed copies of the even-id docs:
+    // each copy must collapse onto its original (min id wins). Groups on
+    // the 60-bit text hash, not the text — 8-byte shuffle keys.
+    "q34_exact_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.exact(d.unionByName(copies), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Exact bigram-shingle Jaccard near-dup pairs, scoped per source
+    // (inverted-index join, no cross join).
+    "q35_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.3, partitionCols = Seq("source"))
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash(16) + LSH(4x4) candidate generation over bigram shingles,
+    // verified with exact Jaccard — the scale path for near-dup detection.
+    "q36_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 32-bit SimHash per document (portable bit arithmetic).
+    "q37_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }))
+
+  private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  private val langScoreSql: String = {
+    // Mirrors TextAnalysis.langId: Σ occurrences of each marker bigram,
+    // occurrences via the length-delta idiom; first-listed language wins ties.
+    def cnt(bg: String) = s"(length(text) - length(replace(text, '$bg', ''))) / 2"
+    val scores = TextAnalysis.LangMarkers.map { case (lang, bgs) =>
+      lang -> bgs.map(cnt).mkString("(", " + ", ")")
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val cases = scores.map { case (lang, s) =>
+      s"WHEN $s = __best AND __best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"(SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred FROM (SELECT doc_id, lang, text, $best AS __best FROM documents))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" ->
+      s"""SELECT doc_id, n_tokens, n_uniq_tokens,
+          round(n_nospace * 1.0 / n_tokens, 6) AS mean_tok_len,
+          round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+          round((length(text) - n_clean) * 1.0 / length(text), 6) AS punct_ratio
+          FROM (SELECT doc_id, text,
+            CAST(len($tokSql) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct($tokSql)) AS BIGINT) AS n_uniq_tokens,
+            length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nospace,
+            len(list_filter($tokSql, t -> t IN ($stopList))) AS n_stop,
+            length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_clean
+          FROM documents) ORDER BY doc_id""",
+    "q31_langid" ->
+      s"""SELECT doc_id, lang, lang_pred FROM $langScoreSql ORDER BY doc_id""",
+    "q32_quality" ->
+      s"""SELECT doc_id, round(
+            least(n_chars / 500.0, 1.0) * 0.4
+            + (1.0 - least(round((length(text) - n_clean) * 1.0 / length(text), 6) * 5.0, 1.0)) * 0.3
+            + least(round(n_stop * 1.0 / len($tokSql), 6) * 10.0, 1.0) * 0.3, 6) AS quality
+          FROM (SELECT doc_id, n_chars, text,
+            len(list_filter($tokSql, t -> t IN ($stopList))) AS n_stop,
+            length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_clean
+          FROM documents) ORDER BY doc_id""",
+    "q33_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string($tokSetSql, ' ')) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q34_exact_dedup" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0)
+          SELECT min(doc_id) AS doc_id FROM u GROUP BY ${phashSql("text")} ORDER BY doc_id""",
+    "q35_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, source, $shingleSql AS s FROM documents),
+          inv AS (SELECT doc_id, source, len(s) AS n, unnest(s) AS g FROM sh),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                       any_value(a.n) AS na, any_value(b.n) AS nb
+                FROM inv a JOIN inv b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+          FROM p WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.3
+          ORDER BY id_a, id_b""",
+    "q36_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
+          th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+          j AS (SELECT id_a, id_b,
+                  round(len(list_intersect(x.s, y.s)) * 1.0
+                        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+                FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    "q37_simhash" ->
+      s"""WITH th AS (SELECT doc_id, ${phashSql("t")} AS h
+                 FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)),
+          bits AS (SELECT doc_id, k, sum(((h >> k) & 1) * 2 - 1) AS s
+                   FROM th CROSS JOIN (SELECT unnest(range(32)) AS k) GROUP BY doc_id, k)
+          SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id ORDER BY doc_id""")
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different words about spark engines here"),
+    (5L, "another unrelated document with its own vocabulary entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per duplicate class") {
+    val ids = Dedup.exact(docs, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("shingles builds sorted distinct word n-grams") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles($"text", 2)).as[Seq[String]].head()
+    assert(sh.contains("quick brown") && sh.contains("lazy dog"))
+    assert(sh == sh.sorted && sh.distinct.size == sh.size)
+    // 9 tokens -> 8 bigrams, one ("the quick"/"the lazy" both start "the ") all distinct here
+    assert(sh.size == 8)
+  }
+
+  test("shingles of a single-token doc is empty") {
+    val sh = Seq((9L, "word")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 2)).as[Seq[String]].head()
+    assert(sh.isEmpty)
+  }
+
+  test("minhashLsh finds exact dups, skips unrelated, orders pairs") {
+    val rows = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 2, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    // identical docs share every band deterministically
+    assert(pairs.contains((1L, 2L)))
+    assert(rows.find(r => (r._1, r._2) == ((1L, 2L))).get._3 == 1.0)
+    // docs 4/5 share no shingles with anything -> can never be candidates
+    assert(!pairs.exists { case (a, b) => a >= 4L || b >= 4L })
+    assert(pairs.forall { case (a, b) => a < b })
+    // NOTE: the (1,3) near-dup at J=0.6 may legitimately escape 4x4-band
+    // LSH (detect prob ~0.43); exact-vs-LSH agreement is covered by the
+    // q35/q36 oracle queries instead.
+  }
+
+  test("minhash signature of identical texts is identical") {
+    val sigs = docs.filter($"doc_id".isin(1L, 2L))
+      .select(Dedup.minhashSignature(Dedup.shingles($"text", 2)))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == Dedup.NumHashes)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on candidate pairs") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got((1L, 2L)) == 1.0)
+    // doc1 vs doc3: 8 bigrams each; differ in "the sleepy"/"sleepy dog" vs
+    // "the lazy"/"lazy dog" -> shared 6, union 10 -> 0.6
+    assert(math.abs(got((1L, 3L)) - 0.6) < 1e-9)
+    assert(!got.contains((1L, 4L)))
+  }
+
+  test("simhash: identical texts equal, near texts close, disjoint far") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(near < far, s"near=$near far=$far")
+    // 32-bit domain
+    assert(sh.values.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
+  test("simhashPairs pairs the duplicate class at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+  }
+}

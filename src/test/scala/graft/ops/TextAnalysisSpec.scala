@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats on a known sentence") {
+    val df = Seq("The quick fox the fox").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      size(TextAnalysis.tokenSet($"text")).as("u"),
+      TextAnalysis.meanTokenLength($"text").as("m"))
+      .as[(Int, Int, Double)].head()
+    assert(r._1 == 5 && r._2 == 3) // {the, quick, fox}
+    assert(r._3 == 3.4)            // 17 non-space chars / 5 tokens
+  }
+
+  test("stopword and punct ratios") {
+    val df = Seq("the cat, the hat!").toDF("text")
+    val r = df.select(
+      TextAnalysis.stopwordRatio($"text").as("s"),
+      TextAnalysis.punctRatio($"text").as("p"))
+      .as[(Double, Double)].head()
+    assert(r._1 == 0.5)       // 2 of 4 tokens are "the"
+    assert(r._2 == 0.117647)  // 2 punct chars / 17
+  }
+
+  test("langId picks the dominant marker profile, und when all zero") {
+    val df = Seq(
+      ("a", "thth hehe ngng"),   // en markers only
+      ("b", "erer chch eiei"),   // de markers only
+      ("c", "zz qq xx")          // no markers
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text")).as[(String, String)]
+      .collect().toMap
+    assert(got("a") == "en" && got("b") == "de" && got("c") == "und")
+  }
+
+  test("fingerprint is order- and repetition-invariant") {
+    val df = Seq(("x", "alpha beta gamma"), ("y", "gamma beta alpha alpha"))
+      .toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("qualityScore bounded in [0,1] and favors clean prose") {
+    val df = Seq(
+      ("clean", "the cat sat on the mat and it is a fine day for all of us", 400L),
+      ("noisy", "@@## $$%% ^^&& ||~~ ``{{", 24L)
+    ).toDF("id", "text", "n_chars")
+    val got = df.select($"id",
+      TextAnalysis.qualityScore($"text", $"n_chars")).as[(String, Double)]
+      .collect().toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got("clean") > got("noisy"))
+  }
+}
