@@ -1,0 +1,230 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hot path.
+  *
+  * Why native: Spark's higher-order functions (transform/aggregate/filter)
+  * are CodegenFallback — every lambda element evaluation is interpreted,
+  * and any non-attribute child of a lambda is re-evaluated per element.
+  * The MinHash/SimHash kernels are tight per-row loops over ~100-element
+  * arrays; as interpreted lambdas they cost ~10M expression evals per 5k
+  * documents (measured ~19 s at sf0.1), as compiled kernels they are
+  * sub-second. Each expression implements doGenCode (a static call into
+  * the compiled kernel), so the surrounding projection stays inside
+  * WholeStageCodegen.
+  *
+  * Semantics are IDENTICAL to the declarative formulations in
+  * graft.ops.Dedup (the DuckDB oracles validate this end-to-end): the
+  * portable 60-bit md5 hash (PortableHash), (a*h+b) mod P MinHash, and
+  * the ±1 bit-vote SimHash.
+  */
+object TextHashImpl {
+  final val P: Long = PortableHash.P
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit portable hash of a UTF8String: value of the first 15 hex chars
+    * of md5 = (big-endian first 8 digest bytes) >>> 4. Matches
+    * conv(substring(md5(s),1,15),16,10). */
+  def phash(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Per-element 60-bit phash of a string array. */
+  def phashArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = phash(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-element phash reduced mod P (the universal-hash domain). */
+  def phashModArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = phash(arr.getUTF8String(i)) % P; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct word n-gram shingles of a token array; empty when
+    * fewer than n tokens. Matches shinglesOfTokens (array_sort uses
+    * UTF8String binary order = TreeSet natural order). */
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i + n <= len) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      set.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size())))
+  }
+
+  /** MinHash signature over pre-hashed (mod P) elements; null for empty
+    * input (callers filter empties — mirrors array_min's null). */
+  def minhashSig(hashes: ArrayData): ArrayData = {
+    val m = hashes.numElements()
+    if (m == 0) return null
+    val k = Dedup16.NumHashes
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = Dedup16.HashA(j); val b = Dedup16.HashB(j)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < m) {
+        val v = (a * hashes.getLong(i) + b) % P
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(j) = mn; j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash over pre-hashed (60-bit) token hashes. */
+  def simhash(hashes: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val m = hashes.numElements()
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var k = 0
+      while (k < 32) {
+        if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var k = 0
+    while (k < 32) { if (votes(k) > 0) r |= (1L << k); k += 1 }
+    r
+  }
+
+  /** MinHash constants mirrored from Dedup (kept here so the compiled
+    * kernel has no Column-world dependency). */
+  object Dedup16 {
+    val NumHashes = 16
+    val HashA: Array[Long] = Array.tabulate(NumHashes)(j => 2L * j + 1001L)
+    val HashB: Array[Long] = Array.tabulate(NumHashes)(j => 3L * j + 17L)
+  }
+}
+
+case class GraftPHashArray(child: Expression, modP: Boolean)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    if (modP) TextHashImpl.phashModArray(input.asInstanceOf[ArrayData])
+    else TextHashImpl.phashArray(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (modP) s"graft.functions.TextHashImpl.phashModArray($c)"
+      else s"graft.functions.TextHashImpl.phashArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftPHashArray =
+    copy(child = newChild)
+}
+
+case class GraftShingles(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    TextHashImpl.shingles(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextHashImpl.shingles($t, $n)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+case class GraftMinHashSig(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // minhashSig returns null (not a null element) for empty arrays
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.minhashSig(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextHashImpl.minhashSig($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+    code
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftMinHashSig =
+    copy(child = newChild)
+}
+
+case class GraftSimHash(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftSimHash =
+    copy(child = newChild)
+}
+
+/** Registration: either imperatively (`GraftFunctions.ensureRegistered`)
+  * on a live session, or declaratively via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_phash_array" -> (args => GraftPHashArray(args.head, modP = false)),
+    "graft_phash_mod_array" -> (args => GraftPHashArray(args.head, modP = true)),
+    "graft_shingles" -> (args => GraftShingles(args(0), args(1))),
+    "graft_minhash_sig" -> (args => GraftMinHashSig(args.head)),
+    "graft_simhash" -> (args => GraftSimHash(args.head)))
+
+  /** Idempotently register the native functions on a session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  // Column-level sugar (requires ensureRegistered on the session).
+  def phashArr(toks: Column): Column = call_function("graft_phash_array", toks)
+  def phashModArr(toks: Column): Column = call_function("graft_phash_mod_array", toks)
+  def shinglesNative(toks: Column, n: Column): Column = call_function("graft_shingles", toks, n)
+  def minhashSigNative(hashes: Column): Column = call_function("graft_minhash_sig", hashes)
+  def simhashNative(hashes: Column): Column = call_function("graft_simhash", hashes)
+}
+
+/** SparkSessionExtensions injection point (spark.sql.extensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftExpressions", name), builder))
+    }
+}

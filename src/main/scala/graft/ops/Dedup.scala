@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import graft.functions.PortableHash.{P, phash, phashMod}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -47,12 +48,20 @@ object Dedup {
     * MinHash collides on everything and the LSH candidate set degenerates
     * to O(n²). Shingle space grows as vocab^n and keeps unrelated
     * documents apart. */
-  def minhashSignature(elems: Column): Column = {
+  def minhashSignature(elems: Column): Column =
+    minhashFromHashes(transform(elems, t => phashMod(t)))
+
+  /** Signature from pre-hashed elements (arithmetic only — md5 already
+    * paid once). IMPORTANT for performance: pass an ATTRIBUTE (a column
+    * materialized by an earlier projection), not an inline expression —
+    * higher-order lambdas are interpreted, and any non-attribute child is
+    * re-evaluated once per outer-lambda element (16× here). */
+  def minhashFromHashes(hashes: Column): Column = {
     val aArr = array(HashA.map(lit): _*)
     val bArr = array(HashB.map(lit): _*)
     transform(sequence(lit(0), lit(NumHashes - 1)), j =>
-      array_min(transform(elems, t =>
-        pmod(element_at(aArr, j + 1) * phashMod(t) + element_at(bArr, j + 1), lit(P)))))
+      array_min(transform(hashes, h =>
+        pmod(element_at(aArr, j + 1) * h + element_at(bArr, j + 1), lit(P)))))
   }
 
   /** Explode a signature into (band_idx, band_key) rows: band key = md5 of
@@ -77,10 +86,19 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, threshold: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("__id"),
-        shingles(col(textCol), shingleN).as("__toks"))
+    // Staged projections: tokens -> shingles -> element hashes -> signature.
+    // Each stage materializes a column so the next stage's lambdas read an
+    // attribute; collapsing them into one expression would re-split the
+    // text once per shingle and re-md5 every shingle 16 times (measured
+    // 60s -> ~2s at sf0.1).
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val docs = df
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__toks", GraftFunctions.shinglesNative(col("__tk"), lit(shingleN)))
       .filter(size(col("__toks")) > 0)
-      .withColumn("__sig", minhashSignature(col("__toks")))
+      .withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
+      .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
+      .select(col(idCol).as("__id"), col("__toks"), col("__sig"))
     val banded = docs.select(col("__id"), col("__toks"),
         explode(bands(col("__sig"))).as("__band"))
       .select(col("__id"), col("__toks"),
@@ -104,14 +122,28 @@ object Dedup {
   /** 32-bit SimHash of the token multiset: bit k is 1 iff the sum over
     * tokens of ±1 (sign of bit k of the token's 60-bit hash) is positive.
     * Nested higher-order aggregate — per-row, no shuffle. */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), t => phash(t)))
+
+  /** SimHash from pre-hashed tokens — pass an attribute column (see
+    * minhashFromHashes note): the md5 is paid once per token instead of
+    * once per (token, bit). */
+  def simhashFromHashes(hashes: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(SimHashBits - 1)), k =>
-        when(aggregate(toks, lit(0L), (acc, t) =>
-          acc + call_function("shiftright", phash(t), k).bitwiseAND(lit(1L)) * 2L - 1L) > 0,
+        when(aggregate(hashes, lit(0L), (acc, h) =>
+          acc + call_function("shiftright", h, k).bitwiseAND(lit(1L)) * 2L - 1L) > 0,
           call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
+
+  /** Staged-projection simhash over a whole table (the scale path:
+    * native compiled kernels, one md5 per token). */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__th", GraftFunctions.phashArr(col("__tk")))
+      .withColumn(out, GraftFunctions.simhashNative(col("__th")))
+      .drop("__tk", "__th")
   }
 
   /** Hamming distance between two simhash values. */
@@ -121,7 +153,8 @@ object Dedup {
     * byte-bands (pigeonhole: dist <= 3 over 4 bands means >= 1 equal band). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val sh = withSimhash(df, textCol, "__simhash")
+      .select(col(idCol).as("__id"), col("__simhash").as("__sh"))
     val banded = sh.select(col("__id"), col("__sh"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         struct(b.as("bidx"),
@@ -145,14 +178,17 @@ object Dedup {
   /** Word n-gram shingles (distinct, sorted) of a document; empty array
     * when the document has fewer than n tokens (a bare `sequence(1, 0)`
     * would count DOWN in Spark and feed slice() an invalid start). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), n)
+
+  /** Shingles from an existing token-array column. Pass an attribute when
+    * the doc is large — see minhashFromHashes note on lambda re-evaluation. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_sort(array_distinct(
         transform(sequence(lit(1), size(toks) - (n - 1)), i =>
           concat_ws(" ", slice(toks, i, lit(n)))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** All-pairs n-gram Jaccard >= threshold via a shared-shingle inverted
     * index: explode shingles -> self-join on shingle -> count shared ->
@@ -167,8 +203,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         partitionCols: Seq[String] = Nil): DataFrame = {
-    val sh = df.select((col(idCol).as("__id") +: partitionCols.map(col)) :+
-        shingles(col(textCol), n).as("__sh"): _*)
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val sh = df
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__shc", GraftFunctions.shinglesNative(col("__tk"), lit(n)))
+      .select((col(idCol).as("__id") +: partitionCols.map(col)) :+
+        col("__shc").as("__sh"): _*)
       .withColumn("__n", size(col("__sh")))
     val inv = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
       explode(col("__sh")).as("__s"): _*)

@@ -21,16 +21,22 @@ object TextQueries {
   private val phashSql = (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
   val queries: Map[String, Q] = Map(
-    // Token statistics — per-row codegen'd expressions, no shuffle.
+    // Token statistics — per-row expressions over a staged token column
+    // (split runs once per row; the stats read the attribute).
     "q30_text_stats" -> ((s, dir) => {
       val t = col("text")
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-        size(TextAnalysis.tokenSet(t)).cast("long").as("n_uniq_tokens"),
-        TextAnalysis.meanTokenLength(t).as("mean_tok_len"),
-        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
-        TextAnalysis.punctRatio(t).as("punct_ratio"))
+      val stops = array(TextAnalysis.Stopwords.map(lit): _*)
+      Tables.documents(s, dir)
+        .withColumn("__tk", TextAnalysis.tokens(t))
+        .select(
+          col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__tk"))).cast("long").as("n_uniq_tokens"),
+          round(length(regexp_replace(trim(t), "\\s+", ""))
+            / size(col("__tk")).cast("double"), 6).as("mean_tok_len"),
+          round(size(filter(col("__tk"), tk => array_contains(stops, tk)))
+            / size(col("__tk")).cast("double"), 6).as("stopword_ratio"),
+          TextAnalysis.punctRatio(t).as("punct_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -42,11 +48,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Composite quality score from length/punct/stopword signals.
+    // Composite quality score from length/punct/stopword signals (same
+    // arithmetic as TextAnalysis.qualityScore, over a staged token column).
     "q32_quality" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+      val t = col("text")
+      val stops = array(TextAnalysis.Stopwords.map(lit): _*)
+      Tables.documents(s, dir)
+        .withColumn("__tk", TextAnalysis.tokens(t))
+        .withColumn("__stop", round(
+          size(filter(col("__tk"), tk => array_contains(stops, tk)))
+            / size(col("__tk")).cast("double"), 6))
+        .select(
+          col("doc_id"),
+          round(
+            least(col("n_chars").cast("double") / lit(500.0), lit(1.0)) * lit(0.4)
+              + (lit(1.0) - least(TextAnalysis.punctRatio(t) * lit(5.0), lit(1.0))) * lit(0.3)
+              + least(col("__stop") * lit(10.0), lit(1.0)) * lit(0.3), 6).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -86,11 +103,11 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // 32-bit SimHash per document (portable bit arithmetic).
+    // 32-bit SimHash per document (portable bit arithmetic, staged
+    // projections so each token is md5'd once, not once per bit).
     "q37_simhash" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash"))
+      Dedup.withSimhash(Tables.documents(s, dir), "text", "simhash")
+        .select("doc_id", "simhash")
         .orderBy("doc_id")
     }))
 

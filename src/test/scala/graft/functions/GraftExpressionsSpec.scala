@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The native compiled kernels must agree exactly with the declarative
+  * higher-order formulations they replace (which in turn are validated
+  * against the DuckDB oracle).
+  */
+class GraftExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    GraftFunctions.ensureRegistered(spark)
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark streams shuffle partitions across big clusters"),
+      (3L, "word"),
+      (4L, "a b a b a")
+    ).toDF("doc_id", "text")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+  }
+
+  test("native phash matches conv(substring(md5))") {
+    val rows = docs.select(
+      GraftFunctions.phashArr(col("__tk")).as("native"),
+      transform(col("__tk"), t => PortableHash.phash(t)).as("decl"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, d) => assert(n == d) }
+  }
+
+  test("native phash mod P matches declarative") {
+    val rows = docs.select(
+      GraftFunctions.phashModArr(col("__tk")).as("native"),
+      transform(col("__tk"), t => PortableHash.phashMod(t)).as("decl"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, d) => assert(n == d) }
+  }
+
+  test("native shingles match declarative incl. short-doc empty case") {
+    val rows = docs.select(
+      GraftFunctions.shinglesNative(col("__tk"), lit(2)).as("native"),
+      Dedup.shinglesOfTokens(col("__tk"), 2).as("decl"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, d) => assert(n == d) }
+  }
+
+  test("native minhash signature matches declarative") {
+    val staged = docs
+      .withColumn("__sh", GraftFunctions.shinglesNative(col("__tk"), lit(2)))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__h", GraftFunctions.phashModArr(col("__sh")))
+    val rows = staged.select(
+      GraftFunctions.minhashSigNative(col("__h")).as("native"),
+      Dedup.minhashFromHashes(col("__h")).as("decl"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, d) => assert(n == d) }
+  }
+
+  test("native simhash matches declarative") {
+    val staged = docs.withColumn("__h", GraftFunctions.phashArr(col("__tk")))
+    val rows = staged.select(
+      GraftFunctions.simhashNative(col("__h")).as("native"),
+      Dedup.simhashFromHashes(col("__h")).as("decl"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, d) => assert(n == d) }
+  }
+
+  test("kernels run inside whole-stage codegen (no fallback in plan)") {
+    // A local relation would be constant-folded away; go through parquet so
+    // the executed plan is the real scan + projection pipeline.
+    val dir = java.nio.file.Files.createTempDirectory("graft_codegen").toString
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .withColumn("__sh", GraftFunctions.shinglesNative(col("__tk"), lit(2)))
+      .withColumn("__h", GraftFunctions.phashModArr(col("__sh")))
+      .select(GraftFunctions.minhashSigNative(col("__h")).as("sig"))
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage.
+    assert(plan.contains("*(1) Project"), plan)
+    assert(fromDisk.count() == 4)
+  }
+}
