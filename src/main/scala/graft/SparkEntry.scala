@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.KAnonymity
-import graft.queries.{AnonymityQueries, RelationalQueries, TextQueries, VectorEventQueries}
+import graft.queries.{AnonymityQueries, MlQueries, RelationalQueries, TextQueries, VectorEventQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,7 +28,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (AnonymityQueries.queries, AnonymityQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
-      (VectorEventQueries.queries, VectorEventQueries.oracles))
+      (VectorEventQueries.queries, VectorEventQueries.oracles),
+      (MlQueries.queries, MlQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,62 @@
+package graft.ml
+
+import graft.ops.Generalization
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's E2 pipeline (clustering-anon.py:37-51) as a spark.ml
+  * Pipeline: label-encode categorical QIs (M1, alphabetAsc for sklearn
+  * LabelEncoder parity), assemble + standardize features (M2), KMeans into
+  * k anonymization groups (M3, seed fixed), then per-cluster min-max
+  * generalization (A9/F3 via Generalization.generalize).
+  *
+  * Cluster ASSIGNMENTS are not bit-comparable with sklearn (different
+  * init/rounding; SURVEY §7.4) — tests assert invariants (k clusters,
+  * generalized QI domain = cluster ranges), never label equality.
+  *
+  * Scale: KMeans is driver-coordinated Lloyd iterations — one pass over
+  * the data per iteration, centroid state is k×dims doubles broadcast each
+  * step; generalization adds one groupBy(cluster) + broadcast join. Both
+  * hold at 100 TB (cost is the iteration scans, trivially parallel).
+  */
+final case class ClusteringResult(
+    clustered: DataFrame,   // input + `cluster` column
+    generalized: DataFrame) // QI values replaced by cluster min-max ranges
+
+object ClusteringAnonymizer {
+
+  /** Cluster on (numericCols ++ label-encoded categoricalCols), then
+    * generalize `generalizeCols` (default: the numeric QIs) to per-cluster
+    * ranges. */
+  def anonymize(df: DataFrame, numericCols: Seq[String],
+                categoricalCols: Seq[String], nClusters: Int,
+                seed: Long = 42L,
+                generalizeColsOpt: Option[Seq[String]] = None): ClusteringResult = {
+    val indexers = categoricalCols.map { c =>
+      new StringIndexer()
+        .setInputCol(c).setOutputCol(s"__idx_$c")
+        .setStringOrderType("alphabetAsc") // sklearn LabelEncoder order (M1)
+        .setHandleInvalid("keep")
+    }
+    val features = numericCols ++ categoricalCols.map(c => s"__idx_$c")
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("__features_raw")
+    val scaler = new StandardScaler()
+      .setInputCol("__features_raw").setOutputCol("__features")
+      .setWithMean(true).setWithStd(true) // sklearn StandardScaler defaults (M2)
+    val kmeans = new KMeans()
+      .setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+    val pipeline = new Pipeline().setStages((indexers :+ assembler :+ scaler :+ kmeans).toArray)
+
+    val model = pipeline.fit(df)
+    val clustered = model.transform(df)
+      .drop((categoricalCols.map(c => s"__idx_$c") :+ "__features_raw" :+ "__features"): _*)
+    val genCols = generalizeColsOpt.getOrElse(numericCols)
+    ClusteringResult(clustered,
+      Generalization.generalize(clustered, "cluster", genCols))
+  }
+}
