@@ -192,6 +192,54 @@ object RelationalQueries {
         countDistinct(col("o_orderstatus")).as("nd_status"),
         countDistinct(col("o_orderpriority")).as("nd_prio"),
         count(lit(1)).as("n_rows"))
+    }),
+
+    // S1/S5: CSV round-trip with the reference's exact read semantics
+    // (declared schema, '?'-null, leading-space strip). Writes a CSV copy
+    // of an orders slice, reads it back, and must reproduce the parquet
+    // truth bit-for-bit.
+    "q18_csv_roundtrip" -> ((s, dir) => {
+      val slice = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val path = s"/tmp/graft_csv_roundtrip_${dir.hashCode.toHexString}"
+      graft.sources.CsvSource.write(slice, path)
+      graft.sources.CsvSource.read(s, path, slice.schema)
+        .orderBy("o_orderkey")
+    }),
+
+    // JSON extraction from the events props column (semi-structured path).
+    "q19_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // Hierarchical aggregate: ROLLUP over (status, priority) — partial
+    // aggregation handles the super-aggregate rows in the same shuffle.
+    "q47_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Set intersection: customers appearing in both price extremes.
+    "q48_set_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_totalprice") > 300000).select("o_custkey")
+        .intersect(o.filter(col("o_totalprice") < 50000).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // Left outer join with zero-fill: order counts for ALL customers.
+    "q49_left_join_zero" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val oc = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__n"))
+      c.join(oc, c("c_custkey") === oc("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("__n"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +276,15 @@ object RelationalQueries {
     "q16_groupsize_window" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, count(*) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS grp_cnt FROM orders ORDER BY o_orderkey""",
     "q17_count_distinct" ->
-      """SELECT count(DISTINCT o_custkey) AS nd_cust, count(DISTINCT o_orderstatus) AS nd_status, count(DISTINCT o_orderpriority) AS nd_prio, count(*) AS n_rows FROM orders""")
+      """SELECT count(DISTINCT o_custkey) AS nd_cust, count(DISTINCT o_orderstatus) AS nd_status, count(DISTINCT o_orderpriority) AS nd_prio, count(*) AS n_rows FROM orders""",
+    "q18_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders ORDER BY o_orderkey""",
+    "q19_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id""",
+    "q47_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q48_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000 INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000 ORDER BY o_custkey""",
+    "q49_left_join_zero" ->
+      """SELECT c_custkey, coalesce(n, 0) AS n_orders FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o ON c_custkey = o_custkey ORDER BY c_custkey""")
 }
