@@ -34,8 +34,15 @@ object TCloseness {
     * Broadcast-joins a tiny dictionary; no global window at scale.
     */
   def ordinal(df: DataFrame, c: String, outCol: String): DataFrame = {
-    val dict = df.select(col(c)).distinct()
-      .withColumn(outCol, (dense_rank().over(Window.orderBy(col(c))) - 1).cast("long"))
+    // Sensitive-attribute domains are tiny by assumption (the reference's
+    // is 2 values): collect the sorted domain and broadcast a dictionary.
+    // A dense_rank over a global window would funnel through one task.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(col(c).cast("string")).distinct()
+      .orderBy(col(c)).as[String].collect()
+    val dict = values.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toSeq
+      .toDF(c, outCol)
     df.join(broadcast(dict), Seq(c))
   }
 
@@ -46,9 +53,11 @@ object TCloseness {
     val qiCols = qis.map(col)
     // per-(group, position) counts — the only full shuffle in the operator
     val cell = df.groupBy(qiCols :+ col(posCol): _*).agg(count(lit(1)).as("__cnt"))
-    // global distribution over positions (broadcast-sized: |domain| rows)
-    val glob = df.groupBy(col(posCol)).agg(count(lit(1)).as("__gcnt"))
-      .withColumn("__q", col("__gcnt") / sum("__gcnt").over(Window.partitionBy()))
+    // global distribution over positions (broadcast-sized: |domain| rows);
+    // total via scalar-agg cross join, not an empty-partition window
+    val globCnt = df.groupBy(col(posCol)).agg(count(lit(1)).as("__gcnt"))
+    val glob = globCnt.crossJoin(broadcast(globCnt.agg(sum("__gcnt").as("__tot"))))
+      .withColumn("__q", col("__gcnt") / col("__tot"))
       .select(col(posCol), col("__q"))
     // densify: every group gets a row for every global position
     val groups = cell.select(qiCols: _*).distinct()
