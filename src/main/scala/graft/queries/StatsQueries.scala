@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical / scalar-function completeness batch: exact percentiles,
+  * moment aggregates, string distance, event-time part extraction. Each
+  * with a DuckDB oracle.
+  */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact linear-interpolation percentiles per group. (At lake scale the
+    // approx_percentile sketch replaces this one-liner; exact here so the
+    // oracle can hash-match.)
+    "q50_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Moment aggregates: correlation, sample stddev/variance, skew proxy.
+    "q51_moment_aggs" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(corr(col("value"), col("user_id")), 6).as("corr_vu"),
+          round(stddev_samp(col("value")), 6).as("sd_value"),
+          round(var_samp(col("value")), 6).as("var_value"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // String functions: edit distance of each region name to a probe,
+    // case/substring manipulation.
+    "q52_string_funcs" -> ((s, dir) => {
+      Tables.nation(s, dir)
+        .select(
+          col("n_nationkey"),
+          upper(col("n_name")).as("upper_name"),
+          substring(col("n_name"), 1, 3).as("prefix3"),
+          length(col("n_name")).cast("long").as("name_len"),
+          levenshtein(lower(col("n_name")), lit("united states")).cast("long").as("lev_us"))
+        .orderBy("n_nationkey")
+    }),
+
+    // Event-time part extraction + per-part aggregation (dow normalized to
+    // 0=Sunday, matching DuckDB's extract(dow)).
+    "q53_date_parts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+        .withColumn("hour", hour(col("ts")).cast("long"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+        .orderBy("dow", "hour")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q50_percentiles" ->
+      """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),6) AS p50, round(quantile_cont(o_totalprice, 0.9),6) AS p90, round(quantile_cont(o_totalprice, 0.99),6) AS p99 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q51_moment_aggs" ->
+      """SELECT event_type, round(corr(value, user_id),6) AS corr_vu, round(stddev_samp(value),6) AS sd_value, round(var_samp(value),6) AS var_value, round(avg(value),6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "q52_string_funcs" ->
+      """SELECT n_nationkey, upper(n_name) AS upper_name, substr(n_name, 1, 3) AS prefix3, CAST(length(n_name) AS BIGINT) AS name_len, CAST(levenshtein(lower(n_name), 'united states') AS BIGINT) AS lev_us FROM nation ORDER BY n_nationkey""",
+    "q53_date_parts" ->
+      """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(avg(value),6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""")
+}
