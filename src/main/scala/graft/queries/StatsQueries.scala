@@ -50,6 +50,15 @@ object StatsQueries {
         .orderBy("n_nationkey")
     }),
 
+    // Skew-mitigation: salted two-stage aggregation must equal the plain
+    // group-by (the oracle computes it directly).
+    "q54_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAgg(Tables.lineitem(s, dir),
+        keys = Seq("l_returnflag"), spreadCol = "l_orderkey",
+        sumCol = "l_extendedprice", saltBuckets = 16)
+        .orderBy("l_returnflag")
+    }),
+
     // Event-time part extraction + per-part aggregation (dow normalized to
     // 0=Sunday, matching DuckDB's extract(dow)).
     "q53_date_parts" -> ((s, dir) => {
@@ -69,5 +78,7 @@ object StatsQueries {
     "q52_string_funcs" ->
       """SELECT n_nationkey, upper(n_name) AS upper_name, substr(n_name, 1, 3) AS prefix3, CAST(length(n_name) AS BIGINT) AS name_len, CAST(levenshtein(lower(n_name), 'united states') AS BIGINT) AS lev_us FROM nation ORDER BY n_nationkey""",
     "q53_date_parts" ->
-      """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(avg(value),6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""")
+      """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(avg(value),6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
+    "q54_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
