@@ -204,11 +204,15 @@ object Dedup {
                         n: Int, threshold: Double,
                         partitionCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
+    // The index carries 60-bit shingle HASHES, not shingle strings: the
+    // exploded rows and the join keys are 8 bytes instead of ~15-char
+    // strings, and the oracle computes the identical hash, so equality
+    // semantics (including any collision) match exactly.
     val sh = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .withColumn("__shc", GraftFunctions.shinglesNative(col("__tk"), lit(n)))
       .select((col(idCol).as("__id") +: partitionCols.map(col)) :+
-        col("__shc").as("__sh"): _*)
+        GraftFunctions.phashArr(col("__shc")).as("__sh"): _*)
       .withColumn("__n", size(col("__sh")))
     val inv = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
       explode(col("__sh")).as("__s"): _*)

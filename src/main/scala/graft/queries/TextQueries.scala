@@ -159,7 +159,8 @@ object TextQueries {
           SELECT min(doc_id) AS doc_id FROM u GROUP BY ${phashSql("text")} ORDER BY doc_id""",
     "q35_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, source, $shingleSql AS s FROM documents),
-          inv AS (SELECT doc_id, source, len(s) AS n, unnest(s) AS g FROM sh),
+          inv AS (SELECT doc_id, source, n, ${phashSql("g")} AS g
+                  FROM (SELECT doc_id, source, len(s) AS n, unnest(s) AS g FROM sh)),
           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
                        any_value(a.n) AS na, any_value(b.n) AS nb
                 FROM inv a JOIN inv b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
