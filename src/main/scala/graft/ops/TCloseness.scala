@@ -76,6 +76,29 @@ object TCloseness {
       .agg(sum(abs(col("__cp") - col("__cq")) * (col("__nxt") - col(posCol))).as("emd"))
   }
 
+  /** [[groupEmd]] via the typed [[graft.functions.EmdAggregator]]: ONE
+    * shuffle for all groups (map-side partial maps of position->count),
+    * EMD computed in finish() against the driver-collected global
+    * distribution. Preferred over the window formulation when group count
+    * is huge. Bit-identical output (same sequential sum order over sorted
+    * positions — q55's oracle is the proof). */
+  def groupEmdAgg(df: DataFrame, qis: Seq[String], posCol: String): DataFrame = {
+    val rows = df.groupBy(col(posCol)).agg(count(lit(1)).as("__c")).collect()
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val global = rows.map(r => Row2Pos(r.get(0)) -> r.getLong(1) / total).toMap
+    val emdFn = graft.functions.EmdAggregator.emd(global)
+    df.groupBy(qis.map(col): _*)
+      .agg(emdFn(col(posCol).cast("double")).as("emd"))
+  }
+
+  /** Numeric position extraction for the collected global domain. */
+  private def Row2Pos(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case other => other.toString.toDouble
+  }
+
   /** k-anonymity + t-closeness suppression: rows whose group both has >= k
     * members and sits within EMD <= t of the global distribution.
     * Returns the surviving rows with original columns.

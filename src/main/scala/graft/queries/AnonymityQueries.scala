@@ -104,6 +104,16 @@ object AnonymityQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q25 recomputed through the typed EmdAggregator (custom-UDAF path):
+    // one shuffle, map-side partial count-maps, closed-form EMD in
+    // finish(). Must hash-match the same SQL oracle as q25.
+    "q55_tcloseness_emd_agg" -> ((s, dir) => {
+      val o = withSbin(Tables.orders(s, dir))
+      TCloseness.groupEmdAgg(o, Seq("o_orderstatus", "o_orderpriority"), "sbin")
+        .select(col("o_orderstatus"), col("o_orderpriority"), round(col("emd"), 6).as("emd"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // M1 parity: alphabetical label encoding (sklearn LabelEncoder order)
     // as a broadcast dictionary join — no global window at scale.
     "q27_label_encode" -> ((s, dir) => {
@@ -127,6 +137,10 @@ object AnonymityQueries {
       s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""",
     "q26_tcloseness_filter" ->
       s"""WITH b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), kanon AS (SELECT * FROM (SELECT b.*, count(*) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS gc FROM b) t WHERE gc >= $K), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM kanon GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM kanon), gl AS (SELECT sbin, count(*) AS gcnt FROM kanon GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq), emd AS (SELECT o_orderstatus, o_orderpriority, sum(abs(cp - cq) * (nxt - sbin)) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY 1, 2), pass AS (SELECT o_orderstatus, o_orderpriority FROM emd WHERE emd <= 0.02) SELECT o_orderkey, k.o_orderstatus, k.o_orderpriority FROM kanon k JOIN pass p ON k.o_orderstatus = p.o_orderstatus AND k.o_orderpriority = p.o_orderpriority ORDER BY o_orderkey""",
+    "q55_tcloseness_emd_agg" ->
+      s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""",
     "q27_label_encode" ->
-      """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""")
+      """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""",
+    "q55_tcloseness_emd_agg" ->
+      s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""")
 }
