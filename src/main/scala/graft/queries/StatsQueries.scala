@@ -50,6 +50,27 @@ object StatsQueries {
         .orderBy("n_nationkey")
     }),
 
+    // CUBE: all grouping-set combinations in one pass.
+    "q57_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Partitioned-lake round-trip: write orders partitioned by status to a
+    // tmp dir (hive-style layout), read back, reproduce the parquet truth.
+    // PartitionPruningSpec proves filters prune to single partitions.
+    "q59_partitioned_roundtrip" -> ((s, dir) => {
+      val slice = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val path = s"/tmp/graft_part_orders_${dir.hashCode.toHexString}"
+      slice.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // Skew-mitigation: salted two-stage aggregation must equal the plain
     // group-by (the oracle computes it directly).
     "q54_salted_agg" -> ((s, dir) => {
@@ -80,5 +101,9 @@ object StatsQueries {
     "q53_date_parts" ->
       """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(avg(value),6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     "q54_salted_agg" ->
-      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q57_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q59_partitioned_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders ORDER BY o_orderkey""")
 }

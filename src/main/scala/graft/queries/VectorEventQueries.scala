@@ -33,6 +33,15 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Embedding-cosine near-duplicate pairs, cell-bucketed by label (the
+    // O(n²)-avoiding shape; threshold tuned to the synthetic data's
+    // similarity ceiling so the check is value-bearing at every sf).
+    "q56_cosine_near_dup" -> ((s, dir) => {
+      Similarity.cosineNearDup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", threshold = 0.44)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Gap-based sessionization (30-min inactivity gap).
     "q40_sessionize" -> ((s, dir) => {
       TimeSeries.sessionize(Tables.events(s, dir), gapMinutes = 30)
@@ -104,6 +113,11 @@ object VectorEventQueries {
                  FROM best b JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    "q56_cosine_near_dup" ->
+      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+              FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b, sim FROM p WHERE sim >= 0.44 ORDER BY id_a, id_b""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

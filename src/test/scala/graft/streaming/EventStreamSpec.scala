@@ -41,6 +41,24 @@ class EventStreamSpec extends SparkSpec {
     assert(streamRows.contains(("10:00", "click", 3L, 7.0)))
   }
 
+  test("windowedCounts runs against a real parquet file stream source") {
+    import spark.implicits._
+    // Stream from a directory of parquet files (the production shape),
+    // using the driver-provided events table as the payload.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    batch.limit(200).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = EventStream.windowedCounts(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val total = spark.table("file_win").agg(sum($"n_events")).as[Long].head()
+    assert(total == 200L)
+  }
+
   test("sessionizeStream assigns gap-based sessions statefully across batches") {
     implicit val sq = spark.sqlContext
     implicit val ss = spark
