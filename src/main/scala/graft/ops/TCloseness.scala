@@ -49,13 +49,20 @@ object TCloseness {
   /** One row per group: QI columns + `emd` (double). `posCol` is the numeric
     * sensitive-position column.
     */
-  def groupEmd(df: DataFrame, qis: Seq[String], posCol: String): DataFrame = {
+  def groupEmd(df: DataFrame, qis: Seq[String], posCol: String): DataFrame =
+    emdFromCells(
+      df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt")),
+      qis, posCol)
+
+  /** EMD from a pre-aggregated (qis..., pos, __cnt) cell table. The ONLY
+    * pass over the raw data is the cell aggregation the caller performed;
+    * the global distribution, densification, cumsums, and the closed form
+    * all run over the |groups|×|domain| cell table. */
+  private[ops] def emdFromCells(cell: DataFrame, qis: Seq[String], posCol: String): DataFrame = {
     val qiCols = qis.map(col)
-    // per-(group, position) counts — the only full shuffle in the operator
-    val cell = df.groupBy(qiCols :+ col(posCol): _*).agg(count(lit(1)).as("__cnt"))
-    // global distribution over positions (broadcast-sized: |domain| rows);
+    // global distribution derived from the cells (no raw-table rescan);
     // total via scalar-agg cross join, not an empty-partition window
-    val globCnt = df.groupBy(col(posCol)).agg(count(lit(1)).as("__gcnt"))
+    val globCnt = cell.groupBy(col(posCol)).agg(sum("__cnt").as("__gcnt"))
     val glob = globCnt.crossJoin(broadcast(globCnt.agg(sum("__gcnt").as("__tot"))))
       .withColumn("__q", col("__gcnt") / col("__tot"))
       .select(col(posCol), col("__q"))
@@ -104,9 +111,19 @@ object TCloseness {
     * Returns the surviving rows with original columns.
     */
   def filter(df: DataFrame, qis: Seq[String], posCol: String, k: Int, t: Double): DataFrame = {
-    val kanon = KAnonymity.suppress(df, qis, k)
-    val passing = groupEmd(kanon, qis, posCol).filter(col("emd") <= t).select(qis.map(col): _*)
-    kanon.join(passing, qis, "left_semi")
+    // One shuffle over the raw data (the cell aggregation); k-filtering,
+    // the global distribution, and the EMD all derive from the small cell
+    // table, so the raw table is scanned exactly twice (cells + the final
+    // semi-join probe). The naive formulation — suppress() then
+    // groupEmd() then a semi-join — recomputes the window suppression
+    // three times.
+    val cell = df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt"))
+    val keep = cell.groupBy(qis.map(col): _*).agg(sum("__cnt").as("__grp"))
+      .filter(col("__grp") >= k).select(qis.map(col): _*)
+    val kanonCell = cell.join(broadcast(keep), qis, "left_semi")
+    val passing = emdFromCells(kanonCell, qis, posCol)
+      .filter(col("emd") <= t).select(qis.map(col): _*)
+    df.join(broadcast(passing), qis, "left_semi")
   }
 
   /** Count of groups violating t (the reference's double-check pattern,
