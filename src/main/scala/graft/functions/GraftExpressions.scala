@@ -127,6 +127,24 @@ object TextHashImpl {
     r
   }
 
+  /** Cosine similarity with index-ordered double accumulation — the same
+    * arithmetic (and therefore bit-identical result) as the declarative
+    * zip_with/aggregate formulation in Similarity.cosineDeclarative.
+    * `aFloat`/`bFloat` select the element reader (array<float> embeddings
+    * vs array<double> centroids). */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** MinHash constants mirrored from Dedup (kept here so the compiled
     * kernel has no Column-world dependency). */
   object Dedup16 {
@@ -192,6 +210,23 @@ case class GraftSimHash(child: Expression)
     copy(child = newChild)
 }
 
+case class GraftCosine(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  private lazy val leftFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  private lazy val rightFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.cosine(a.asInstanceOf[ArrayData], leftFloat,
+      b.asInstanceOf[ArrayData], rightFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashImpl.cosine($a, $leftFloat, $b, $rightFloat)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: either imperatively (`GraftFunctions.ensureRegistered`)
   * on a live session, or declaratively via
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -202,7 +237,8 @@ object GraftFunctions {
     "graft_phash_mod_array" -> (args => GraftPHashArray(args.head, modP = true)),
     "graft_shingles" -> (args => GraftShingles(args(0), args(1))),
     "graft_minhash_sig" -> (args => GraftMinHashSig(args.head)),
-    "graft_simhash" -> (args => GraftSimHash(args.head)))
+    "graft_simhash" -> (args => GraftSimHash(args.head)),
+    "graft_cosine" -> (args => GraftCosine(args(0), args(1))))
 
   /** Idempotently register the native functions on a session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -218,6 +254,7 @@ object GraftFunctions {
   def shinglesNative(toks: Column, n: Column): Column = call_function("graft_shingles", toks, n)
   def minhashSigNative(hashes: Column): Column = call_function("graft_minhash_sig", hashes)
   def simhashNative(hashes: Column): Column = call_function("graft_simhash", hashes)
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 }
 
 /** SparkSessionExtensions injection point (spark.sql.extensions). */

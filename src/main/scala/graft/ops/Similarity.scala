@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,10 +21,12 @@ import org.apache.spark.sql.functions._
   *    cells only. Scan cost drops by ~nlist/nprobe; the cell assignment
   *    is a broadcast join against the tiny centroid table.
   *
-  * All arithmetic is index-ordered double accumulation (zip_with +
-  * aggregate) so an external SQL oracle reproduces results bit-for-bit
-  * before rounding; similarities are rounded to 6dp BEFORE ranking so
-  * cross-engine last-ulp differences can never flip an ordering.
+  * All arithmetic is index-ordered double accumulation (the native
+  * GraftCosine kernel; the declarative zip_with/aggregate twin is kept as
+  * its cross-check) so an external SQL oracle reproduces results
+  * bit-for-bit before rounding; similarities are rounded to 6dp BEFORE
+  * ranking so cross-engine last-ulp differences can never flip an
+  * ordering.
   */
 object Similarity {
 
@@ -35,14 +38,24 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity rounded to 6dp (rank-stable across engines). */
-  def cosine(a: Column, b: Column): Column =
+  /** Declarative cosine (zip_with + aggregate). Interpreted lambdas —
+    * kept as the cross-check reference for the native kernel; ops use
+    * [[cosine]] which compiles to GraftCosine. */
+  def cosineDeclarative(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Cosine similarity rounded to 6dp (rank-stable across engines),
+    * computed by the native compiled kernel (bit-identical to
+    * [[cosineDeclarative]] — same index-ordered double accumulation).
+    * Requires GraftFunctions.ensureRegistered on the session. */
+  def cosine(a: Column, b: Column): Column =
+    round(GraftFunctions.cosineNative(a, b), 6)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be broadcast-small; output (qid, rank, vec_id, sim). */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
@@ -70,6 +83,7 @@ object Similarity {
     * then exact top-k within that cell only. Output as knnBruteForce. */
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, cellCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val cents = centroids(corpus, cellCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val routed = q.join(broadcast(cents))
@@ -97,6 +111,7 @@ object Similarity {
     * would use random-hyperplane LSH cells). */
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                     cellCol: String, threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
       col(vecCol).as("__va"))
     val r = corpus.select(col(cellCol).as("cell"), col(idCol).as("id_b"),

@@ -68,6 +68,24 @@ class GraftExpressionsSpec extends SparkSpec {
     rows.foreach { case (n, d) => assert(n == d) }
   }
 
+  test("native cosine matches declarative on float and double arrays") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.5f)),
+      (Array(0.1f, 0.0f, -0.7f), Array(0.1f, 0.0f, -0.7f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+    GraftFunctions.ensureRegistered(spark)
+    val rows = vecs.select(
+      GraftFunctions.cosineNative(col("a"), col("b")).as("native"),
+      (graft.ops.Similarity.dot(col("a"), col("b"))
+        / (sqrt(graft.ops.Similarity.dot(col("a"), col("a")))
+          * sqrt(graft.ops.Similarity.dot(col("b"), col("b"))))).as("decl"),
+      GraftFunctions.cosineNative(
+        transform(col("a"), x => x.cast("double")), col("b")).as("mixed"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (n, d, m) => assert(n == d && m == d) }
+  }
+
   test("kernels run inside whole-stage codegen (no fallback in plan)") {
     // A local relation would be constant-folded away; go through parquet so
     // the executed plan is the real scan + projection pipeline.
