@@ -232,6 +232,21 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // SQL-text entry path: the engine accepts ANSI SQL over registered
+    // views (correlated EXISTS + scalar subquery), parsed by Catalyst into
+    // the same plans the DataFrame API builds.
+    "q60_sql_text" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")
+    }),
+
     // Left outer join with zero-fill: order counts for ALL customers.
     "q49_left_join_zero" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -286,5 +301,7 @@ object RelationalQueries {
     "q48_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000 INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000 ORDER BY o_custkey""",
     "q49_left_join_zero" ->
-      """SELECT c_custkey, coalesce(n, 0) AS n_orders FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o ON c_custkey = o_custkey ORDER BY c_custkey""")
+      """SELECT c_custkey, coalesce(n, 0) AS n_orders FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o ON c_custkey = o_custkey ORDER BY c_custkey""",
+    "q60_sql_text" ->
+      """SELECT c_custkey, c_name, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) ORDER BY c_custkey""")
 }
