@@ -27,9 +27,18 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // DROP TABLE clears the (per-JVM, in-memory) catalog but not a stale
+    // warehouse dir left by a previous test JVM — remove both.
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    }
     orders.write.bucketBy(4, "ckey").sortBy("ckey").saveAsTable("b_orders")
     Seq((10L, "alice"), (11L, "bob"), (12L, "carol"), (13L, "dave"))
       .toDF("ckey", "name")
