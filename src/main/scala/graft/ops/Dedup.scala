@@ -221,6 +221,14 @@ object Dedup {
     val r = inv.select(keys.map(col) :+ col("__id").as("id_b") :+ col("__n").as("__nb"): _*)
     l.join(r, keys)
       .filter(col("id_a") < col("id_b"))
+      // PPJoin-style length filter: J <= min(|A|,|B|)/max(|A|,|B|), so a
+      // size ratio below the threshold can never qualify — prune those
+      // pairs before the expensive pair-count aggregation. Pure pruning
+      // (the final jaccard filter would reject them anyway); the 1e-6
+      // slack keeps pairs whose 6dp-ROUNDED jaccard could still tie the
+      // threshold, so the oracle (which has no length filter) agrees.
+      .filter(least(col("__na"), col("__nb")).cast("double")
+        >= greatest(col("__na"), col("__nb")) * (threshold - 1e-6))
       .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .agg(count(lit(1)).as("__shared"))
       .select(col("id_a"), col("id_b"),
