@@ -28,7 +28,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashImpl {
   final val P: Long = PortableHash.P
-  private val HexDigits = "0123456789abcdef".toCharArray
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

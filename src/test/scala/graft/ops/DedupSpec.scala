@@ -81,6 +81,30 @@ class DedupSpec extends SparkSpec {
     assert(sh.values.forall(v => v >= 0L && v < (1L << 32)))
   }
 
+  test("property: LSH pairs are a subset of exact pairs with equal jaccard") {
+    // Random docs from a tiny vocab at several seeds: every pair MinHash+LSH
+    // surfaces must also be found by the exact inverted-index join, with the
+    // identical jaccard value (LSH may miss pairs - recall < 1 - but must
+    // never invent or mis-score one).
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val gen = (1 to 120).map { i =>
+      val base = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, base.mkString(" "))
+    }
+    val df = gen.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val lsh = Dedup.minhashLsh(df, "doc_id", "text", 2, 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty) // small vocab guarantees some near-dups
+    lsh.foreach { case (a, b, j) =>
+      assert(exact.contains((a, b)), s"LSH invented pair ($a,$b)")
+      assert(exact((a, b)) == j, s"jaccard mismatch for ($a,$b)")
+    }
+  }
+
   test("simhashPairs pairs the duplicate class at distance 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
