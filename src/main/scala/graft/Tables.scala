@@ -23,8 +23,11 @@ object Tables {
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division — `/` would promote the nano epoch to double, whose
+    // 2^53 mantissa cannot hold ~1.7e18 ns exactly (up to ±128 ns drift,
+    // enough to flip a micro/second boundary vs. the oracle's exact trunc)
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def region(s: SparkSession, dir: String): DataFrame     = load(s, dir, "region")

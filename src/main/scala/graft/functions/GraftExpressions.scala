@@ -133,6 +133,8 @@ object TextHashImpl {
     * vs array<double> centroids). */
   def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine: dimension mismatch ${n} vs ${b.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -212,10 +214,17 @@ case class GraftSimHash(child: Expression)
 case class GraftCosine(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  private lazy val leftFloat: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
-  private lazy val rightFloat: Boolean =
-    right.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  // fail loudly on unsupported element types instead of reading garbage
+  // bytes through the wrong-width ArrayData accessor
+  private def isFloatArr(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case org.apache.spark.sql.types.FloatType => true
+      case org.apache.spark.sql.types.DoubleType => false
+      case other => throw new IllegalArgumentException(
+        s"graft_cosine expects array<float|double>, got array<$other>")
+    }
+  private lazy val leftFloat: Boolean = isFloatArr(left)
+  private lazy val rightFloat: Boolean = isFloatArr(right)
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHashImpl.cosine(a.asInstanceOf[ArrayData], leftFloat,
       b.asInstanceOf[ArrayData], rightFloat)

@@ -24,20 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Keep one representative (min id) per exact text duplicate class. */
+  /** Keep one representative (min id) per exact text duplicate class.
+    * Groups on the full 128-bit md5 (16-byte shuffle key): at
+    * billions-of-docs scale a 60-bit key would see birthday collisions
+    * (~n²/2⁶¹) and silently drop distinct documents; 128 bits keep the
+    * collision probability negligible at any realistic corpus size. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(phash(col(textCol)).as("__h"))
+    df.groupBy(md5(col(textCol).cast("string")).as("__h"))
       .agg(min(col(idCol)).as(idCol))
       .drop("__h")
 
   // ---- MinHash ----------------------------------------------------------
 
   /** Universal-hash family h_j(x) = (a_j * x + b_j) mod P over [0, P).
-    * Coefficients are fixed odd constants (shared with the oracle SQL). */
-  val NumHashes = 16
+    * Single source of truth is the compiled kernel's constants
+    * (TextHashImpl.Dedup16) — the declarative and native paths MUST agree
+    * or the LSH join silently produces wrong candidates. */
+  val NumHashes: Int = graft.functions.TextHashImpl.Dedup16.NumHashes
   val BandRows = 4 // 4 bands x 4 rows
-  val HashA: Seq[Long] = (0 until NumHashes).map(j => 2L * j + 1001L)
-  val HashB: Seq[Long] = (0 until NumHashes).map(j => 3L * j + 17L)
+  val HashA: Seq[Long] = graft.functions.TextHashImpl.Dedup16.HashA.toSeq
+  val HashB: Seq[Long] = graft.functions.TextHashImpl.Dedup16.HashB.toSeq
 
   /** MinHash signature (array of NumHashes longs) of an element-set array
     * column, computed per-row: sig[j] = min over elements of
@@ -150,9 +156,13 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, bucketed on
-    * byte-bands (pigeonhole: dist <= 3 over 4 bands means >= 1 equal band). */
+    * byte-bands (pigeonhole: dist <= 3 over 4 bands means >= 1 equal band;
+    * maxDist >= 4 would need more/narrower bands, so it is rejected rather
+    * than silently losing recall). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashPairs guarantees candidates only for hamming <= 3 with 4 byte-bands; got $maxDist")
     val sh = withSimhash(df, textCol, "__simhash")
       .select(col(idCol).as("__id"), col("__simhash").as("__sh"))
     val banded = sh.select(col("__id"), col("__sh"),

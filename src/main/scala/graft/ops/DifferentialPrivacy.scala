@@ -41,16 +41,28 @@ object DifferentialPrivacy {
     value + lapFromU(puniform(concat_ws("|", key, lit(seed))),
       lit(sensitivity / epsilon))
 
-  /** Random Laplace noise (production path). */
+  /** Random Laplace noise (production path). rand() is clamped into
+    * (0,1): u = 0.0 exactly would send the inverse CDF to -Infinity. */
   def laplace(value: Column, sensitivity: Double, epsilon: Double,
-              seed: Long): Column =
-    value + lapFromU(rand(seed), lit(sensitivity / epsilon))
+              seed: Long): Column = {
+    val eps = 1e-12
+    val u = greatest(least(rand(seed), lit(1.0 - eps)), lit(eps))
+    value + lapFromU(u, lit(sensitivity / epsilon))
+  }
+
+  /** Collision-free noise key: separator + null sentinel, so distinct
+    * groups like ("a","bc")/("ab","c") or ("a",null)/("a","") never share
+    * a Laplace draw (concat_ws alone both skips nulls and erases column
+    * boundaries). */
+  private def noiseKey(groupCols: Seq[String]): Column =
+    concat_ws("|", groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
 
   /** DP count per group: count + Lap(1/ε) (count has sensitivity 1),
     * deterministic mode. */
   def dpCount(df: DataFrame, groupCols: Seq[String], epsilon: Double,
               seed: Long): DataFrame = {
-    val key = concat_ws("", groupCols.map(col): _*)
+    val key = noiseKey(groupCols)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__true_count"))
       .select(groupCols.map(col) :+
@@ -62,7 +74,7 @@ object DifferentialPrivacy {
     * max(|lo|, |hi|)), deterministic mode. */
   def dpSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
             lo: Double, hi: Double, epsilon: Double, seed: Long): DataFrame = {
-    val key = concat_ws("", groupCols.map(col): _*)
+    val key = noiseKey(groupCols)
     val clipped = greatest(least(col(valueCol), lit(hi)), lit(lo))
     df.groupBy(groupCols.map(col): _*)
       .agg(sum(clipped).as("__true_sum"))

@@ -42,7 +42,10 @@ object KAnonymity {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= k)
       .drop("__cnt")
-    df.join(broadcast(frequent), qis, "left_semi")
+    // no forced broadcast: the frequent-key set is data-dependent (for
+    // fine-grained QIs it approaches the group count); Catalyst/AQE
+    // auto-broadcasts when it fits under the threshold
+    df.join(frequent, qis, "left_semi")
   }
 
   /** Equivalence-class sizes: one row per distinct QI combination. */
@@ -58,5 +61,8 @@ object KAnonymity {
     * Archived/data-anonymity.py:70).
     */
   def vulnerableRecords(df: DataFrame, qis: Seq[String], k: Int): DataFrame =
-    df.join(broadcast(atRiskGroups(df, qis, k)), qis, "inner")
+    // at-risk groups are MOST groups when QIs are fine-grained (the
+    // audit's common case) — forcing a broadcast would OOM the driver;
+    // let the planner choose
+    df.join(atRiskGroups(df, qis, k), qis, "inner")
 }

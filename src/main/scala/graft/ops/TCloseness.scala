@@ -120,10 +120,12 @@ object TCloseness {
     val cell = df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt"))
     val keep = cell.groupBy(qis.map(col): _*).agg(sum("__cnt").as("__grp"))
       .filter(col("__grp") >= k).select(qis.map(col): _*)
-    val kanonCell = cell.join(broadcast(keep), qis, "left_semi")
+    val kanonCell = cell.join(keep, qis, "left_semi")
     val passing = emdFromCells(kanonCell, qis, posCol)
       .filter(col("emd") <= t).select(qis.map(col): _*)
-    df.join(broadcast(passing), qis, "left_semi")
+    // passing is bounded by the group count — data-dependent, so no
+    // forced broadcast (AQE picks one when it fits)
+    df.join(passing, qis, "left_semi")
   }
 
   /** Count of groups violating t (the reference's double-check pattern,

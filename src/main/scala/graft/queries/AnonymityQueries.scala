@@ -140,7 +140,5 @@ object AnonymityQueries {
     "q55_tcloseness_emd_agg" ->
       s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""",
     "q27_label_encode" ->
-      """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""",
-    "q55_tcloseness_emd_agg" ->
-      s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""")
+      """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""")
 }

@@ -156,7 +156,7 @@ object TextQueries {
     "q34_exact_dedup" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0)
-          SELECT min(doc_id) AS doc_id FROM u GROUP BY ${phashSql("text")} ORDER BY doc_id""",
+          SELECT min(doc_id) AS doc_id FROM u GROUP BY md5(text) ORDER BY doc_id""",
     "q35_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, source, $shingleSql AS s FROM documents),
           inv AS (SELECT doc_id, source, n, ${phashSql("g")} AS g
