@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * (the reference itself has no dedup — its pipeline is census microdata).
   *
   * Scale design (the 100 TB story):
-  *  - Exact dedup groups on a 60-bit text hash, never the full text, so the
-  *    shuffle key is 8 bytes/row regardless of document size.
+  *  - Exact dedup groups on the 128-bit md5 of the text, never the full
+  *    text, so the shuffle key is 16 bytes/row regardless of document size
+  *    (128 bits, not 60 — see [[exact]] for the collision rationale).
   *  - MinHash signatures are computed per-row with higher-order array
   *    expressions (no explode, no shuffle, codegen'd); only the tiny
   *    (doc_id, band_hash) pairs shuffle for the LSH bucket join. Candidate
@@ -87,8 +88,12 @@ object Dedup {
     * with id_a < id_b.
     *
     * Topology: per-row signature -> explode 4 band rows/doc -> self-join on
-    * (band_idx, band_key) -> distinct candidate pairs -> verify. The band
-    * join is the only O(data) shuffle; verification touches candidates only.
+    * (band_idx, band_key) carrying ONLY (band_idx, band_key, id) -> distinct
+    * candidate pairs -> join BACK to the shingle relation to fetch both
+    * token sets -> verify once per pair. The band join is the only O(data)
+    * shuffle and its rows are ~40 bytes regardless of document size; token
+    * arrays enter a shuffle only on the candidate side, once per id, never
+    * replicated per band.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, threshold: Double): DataFrame = {
@@ -98,26 +103,33 @@ object Dedup {
     // text once per shingle and re-md5 every shingle 16 times (measured
     // 60s -> ~2s at sf0.1).
     GraftFunctions.ensureRegistered(df.sparkSession)
-    val docs = df
+    // Shingle relation (id, token set) — banding consumes it to build
+    // signatures; the verification join-backs re-read it (recomputing only
+    // tokenize+shingle, never the signature) so the band join itself stays
+    // payload-free.
+    val toks = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .withColumn("__toks", GraftFunctions.shinglesNative(col("__tk"), lit(shingleN)))
       .filter(size(col("__toks")) > 0)
+      .select(col(idCol).as("__id"), col("__toks"))
+    val sigs = toks
       .withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
       .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
-      .select(col(idCol).as("__id"), col("__toks"), col("__sig"))
-    val banded = docs.select(col("__id"), col("__toks"),
-        explode(bands(col("__sig"))).as("__band"))
-      .select(col("__id"), col("__toks"),
+      .select(col("__id"), col("__sig"))
+    val banded = sigs.select(col("__id"), explode(bands(col("__sig"))).as("__band"))
+      .select(col("__id"),
         col("__band.band_idx").as("__bidx"), col("__band.band_key").as("__bkey"))
-    val l = banded.select(col("__bidx"), col("__bkey"),
-      col("__id").as("id_a"), col("__toks").as("__toks_a"))
-    val r = banded.select(col("__bidx"), col("__bkey"),
-      col("__id").as("id_b"), col("__toks").as("__toks_b"))
-    l.join(r, Seq("__bidx", "__bkey"))
+    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__bidx", "__bkey"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -200,30 +212,59 @@ object Dedup {
           concat_ws(" ", slice(toks, i, lit(n)))))))
       .otherwise(array().cast("array<string>"))
 
-  /** All-pairs n-gram Jaccard >= threshold via a shared-shingle inverted
-    * index: explode shingles -> self-join on shingle -> count shared ->
-    * jaccard = shared / (|A| + |B| - shared). Only docs sharing >= 1
-    * shingle ever meet — the index join replaces the O(n²) cross join.
+  /** Threshold at which [[ngramJaccardPairs]] switches from the
+    * count-based full inverted index to the prefix-filtered candidate
+    * topology. Below it the prefix keeps >= half of every set, so the
+    * index join shrinks little while verification adds two array
+    * join-backs (measured net loss at t=0.3); above it the prefix prunes
+    * most index rows and candidates are few. */
+  val PrefixStrategyMinThreshold = 0.5
+
+  /** All-pairs n-gram Jaccard >= threshold. Dispatches on the threshold:
+    * high thresholds use the PPJoin prefix-filtered candidate topology
+    * ([[ngramJaccardPairsPrefix]] — bounds heavy-hitter shingles), low
+    * thresholds the count-based full inverted index
+    * ([[ngramJaccardPairsCount]]). Both produce identical results
+    * (property-tested); only the plan differs.
     *
-    * `partitionCols` further scopes pairing (e.g. same crawl shard /
-    * source): at 100 TB an unscoped shingle join on a small shingle
-    * domain degenerates quadratically; scoping by a natural partition
-    * bounds each join group. Pass Nil for a global join when the shingle
-    * domain is large (e.g. 5-gram shingles of real text). */
+    * `partitionCols` scopes pairing (e.g. same crawl shard / source): at
+    * 100 TB an unscoped shingle join on a small shingle domain degenerates
+    * quadratically; scoping by a natural partition bounds each join group.
+    * Pass Nil for a global join when the shingle domain is large (e.g.
+    * 5-gram shingles of real text). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        partitionCols: Seq[String] = Nil): DataFrame = {
+                        partitionCols: Seq[String] = Nil): DataFrame =
+    if (threshold >= PrefixStrategyMinThreshold)
+      ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold, partitionCols)
+    else
+      ngramJaccardPairsCount(df, idCol, textCol, n, threshold, partitionCols)
+
+  /** Per-doc sorted 60-bit shingle-hash arrays: (__id, partitionCols...,
+    * __sh sorted ascending, __n = |set|). Hashes, not shingle strings —
+    * 8-byte join keys, and the oracle computes the identical hash so
+    * equality semantics (including any collision) match exactly. The
+    * ascending sort is the global total order prefix filtering needs. */
+  private def sortedShingleHashes(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int, partitionCols: Seq[String]): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
-    // The index carries 60-bit shingle HASHES, not shingle strings: the
-    // exploded rows and the join keys are 8 bytes instead of ~15-char
-    // strings, and the oracle computes the identical hash, so equality
-    // semantics (including any collision) match exactly.
-    val sh = df
-      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+    df.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .withColumn("__shc", GraftFunctions.shinglesNative(col("__tk"), lit(n)))
       .select((col(idCol).as("__id") +: partitionCols.map(col)) :+
-        GraftFunctions.phashArr(col("__shc")).as("__sh"): _*)
+        array_sort(GraftFunctions.phashArr(col("__shc"))).as("__sh"): _*)
       .withColumn("__n", size(col("__sh")))
+      .filter(col("__n") > 0)
+  }
+
+  /** Count-based formulation: explode ALL shingle hashes -> self-join on
+    * hash -> count shared per pair -> jaccard = shared/(|A|+|B|-shared).
+    * Every joined row is ~24 bytes and the shared-count aggregation is
+    * map-side partial, so this wins when the threshold is low (prefixes
+    * would keep most of each set anyway) or sets overlap densely. */
+  def ngramJaccardPairsCount(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, threshold: Double,
+                             partitionCols: Seq[String] = Nil): DataFrame = {
+    val sh = sortedShingleHashes(df, idCol, textCol, n, partitionCols)
     val inv = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
       explode(col("__sh")).as("__s"): _*)
     val keys = "__s" +: partitionCols
@@ -241,6 +282,79 @@ object Dedup {
         >= greatest(col("__na"), col("__nb")) * (threshold - 1e-6))
       .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .agg(count(lit(1)).as("__shared"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__shared") / (col("__na") + col("__nb") - col("__shared"))
+          .cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** PREFIX-FILTERED formulation (All-Pairs / PPJoin, Xiao et al.): sort
+    * each set by ASCENDING DOCUMENT FREQUENCY (ties by hash — the
+    * literature's canonical total order), index only the first
+    * |S| - ceil(t·|S|) + 1 elements, self-join the prefix index, derive
+    * distinct candidate pairs, then verify by joining back the full hash
+    * arrays. Candidate-complete for ANY consistent total order: a pair
+    * with J >= t shares its order-smallest common element, which has
+    * >= ceil(t·|S|) - 1 intersection elements above it in each set, so
+    * its position is at most |S| - ceil(t·|S|) + 1 in both.
+    *
+    * The frequency order is what bounds heavy-hitter shingles at scale:
+    * prefixes hold each doc's RAREST shingles, so join groups are keyed
+    * on rare values with small doc counts — a shingle shared by f docs
+    * lands in a prefix only when few rarer shingles exist in that doc.
+    * (Ordering by raw hash value instead concentrates every doc's prefix
+    * on the globally-smallest hashes — measured 13 s vs 1 s at sf0.1.)
+    * The win grows with the threshold; below
+    * [[PrefixStrategyMinThreshold]] use the count-based path. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double,
+                              partitionCols: Seq[String] = Nil): DataFrame = {
+    val sh = sortedShingleHashes(df, idCol, textCol, n, partitionCols)
+    // 1e-6 slack below the threshold covers the 6dp rounding of the final
+    // jaccard (a true J of t - 5e-7 rounds up to t and must be kept); the
+    // same slack appears in the length filter below.
+    val tSlack = threshold - 1e-6
+    val keys = "__s" +: partitionCols
+    val exploded = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
+      explode(col("__sh")).as("__s"): _*)
+    // Document frequency per shingle (scoped like the join itself): tiny
+    // rows, map-side partial aggregation.
+    val freq = exploded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__f"))
+    // Rank each doc's shingles by (frequency, hash); the prefix is the
+    // first |S| - ceil(t·|S|) + 1 under that order.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
+    val prefIdx = exploded.join(freq, keys)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <=
+        (col("__n") - ceil(col("__n") * lit(tSlack)) + 1).cast("int"))
+    val l = prefIdx.select(keys.map(col) :+ col("__id").as("id_a")
+      :+ col("__n").as("__na") :+ col("__rk").as("__rka"): _*)
+    val r = prefIdx.select(keys.map(col) :+ col("__id").as("id_b")
+      :+ col("__n").as("__nb") :+ col("__rk").as("__rkb"): _*)
+    val cand = l.join(r, keys)
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")).cast("double")
+        >= greatest(col("__na"), col("__nb")) * tSlack)
+      // PPJoin positional filter: J >= t needs shared >= ceil(t/(1+t) *
+      // (|A|+|B|)); every common element sits at or after this row's
+      // positions in both sets, so the overlap can't exceed
+      // min(|A|-pa, |B|-pb) + 1. A qualifying pair always survives via
+      // its order-smallest common element (maximal remaining suffixes),
+      // so pruning rows that can't reach the bound loses no pair.
+      .filter(lit(1) + least(col("__na") - col("__rka"), col("__nb") - col("__rkb"))
+        >= ceil((col("__na") + col("__nb")) * lit(tSlack / (1 + tSlack))))
+      .select("id_a", "id_b")
+      .distinct()
+    // Verify once per candidate pair on the full sorted hash arrays:
+    // |A ∩ B| via array_intersect (arrays are per-doc distinct, so the
+    // intersect size equals the oracle's shared-hash join count).
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__shared", size(array_intersect(col("__sha"), col("__shb"))))
       .select(col("id_a"), col("id_b"),
         round(col("__shared") / (col("__na") + col("__nb") - col("__shared"))
           .cast("double"), 6).as("jaccard"))

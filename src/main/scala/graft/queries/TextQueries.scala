@@ -77,7 +77,7 @@ object TextQueries {
 
     // Exact dedup over a union with re-keyed copies of the even-id docs:
     // each copy must collapse onto its original (min id wins). Groups on
-    // the 60-bit text hash, not the text — 8-byte shuffle keys.
+    // the 128-bit text md5, not the text — 16-byte shuffle keys.
     "q34_exact_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val copies = d.filter(col("doc_id") % 2 === 0)
@@ -100,6 +100,18 @@ object TextQueries {
     "q36_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 2, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // High-threshold near-dup pairs via the PPJoin PREFIX-filtered index
+    // (global scope, no partition column): only the first
+    // |S|-ceil(0.8|S|)+1 sorted shingle hashes per doc are indexed, then
+    // distinct candidates are verified against the full hash arrays. The
+    // scale path for strict dedup (J >= 0.8) over an unscoped corpus.
+    "q64_ngram_prefix" -> ((s, dir) => {
+      Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
 
@@ -167,6 +179,15 @@ object TextQueries {
                 GROUP BY 1, 2)
           SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
           FROM p WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.3
+          ORDER BY id_a, id_b""",
+    "q64_ngram_prefix" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) > 0)
+          SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+          FROM p WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.8
           ORDER BY id_a, id_b""",
     "q36_minhash_lsh" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),

@@ -105,6 +105,74 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashLsh band-join exchanges carry no array payloads") {
+    // The 100 TB contract: only (band_idx, band_key, id) rows enter the
+    // LSH band self-join; token-set arrays reach a shuffle only on the
+    // per-id verification join-backs, never replicated per band.
+    withPlainExchanges {
+      val plan = Dedup.minhashLsh(docs, "doc_id", "text", 2, 0.3)
+        .queryExecution.executedPlan
+      val bandEx = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+          if e.output.exists(_.name == "__bkey") => e
+      }
+      assert(bandEx.nonEmpty, "expected exchanges keyed on the band key")
+      bandEx.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"band-join exchange carries an array payload: ${e.output.map(a => s"${a.name}:${a.dataType}")}")
+      }
+    }
+  }
+
+  test("ngramJaccardPairsPrefix index exchanges carry no array payloads") {
+    withPlainExchanges {
+      val plan = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 0.5)
+        .queryExecution.executedPlan
+      val idxEx = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+          if e.output.exists(_.name == "__s") => e
+      }
+      assert(idxEx.nonEmpty, "expected exchanges keyed on the prefix shingle hash")
+      idxEx.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"prefix-index exchange carries an array payload: ${e.output.map(a => s"${a.name}:${a.dataType}")}")
+      }
+    }
+  }
+
+  /** Run `body` with AQE and broadcast joins disabled so every join
+    * materializes a plain ShuffleExchange the plan assertions can inspect. */
+  private def withPlainExchanges[T](body: => T): T = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
+  test("property: prefix and count n-gram strategies agree exactly") {
+    // Random docs from a tiny vocab: the PPJoin prefix-filtered candidate
+    // topology must produce the identical pair set and jaccard values as
+    // the count-based full inverted index at the same threshold.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val gen = (1 to 100).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = gen.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val cnt = Dedup.ngramJaccardPairsCount(df, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val pref = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 2, t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(pref == cnt, s"strategy mismatch at t=$t")
+    }
+  }
+
   test("simhashPairs pairs the duplicate class at distance 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
