@@ -106,7 +106,12 @@ object Dedup {
     // Shingle relation (id, token set) — banding consumes it to build
     // signatures; the verification join-backs re-read it (recomputing only
     // tokenize+shingle, never the signature) so the band join itself stays
-    // payload-free.
+    // payload-free. That is a deliberate recompute-for-shuffle trade: the
+    // lineage is evaluated up to three times, so callers whose input is
+    // not already materialized (or whose tokenization dominates) should
+    // .persist()/checkpoint the input DataFrame before calling — the
+    // operator does not cache internally because it cannot know when the
+    // returned (lazy) result is done being consumed.
     val toks = df
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .withColumn("__toks", GraftFunctions.shinglesNative(col("__tk"), lit(shingleN)))
@@ -240,18 +245,20 @@ object Dedup {
     else
       ngramJaccardPairsCount(df, idCol, textCol, n, threshold, partitionCols)
 
-  /** Per-doc sorted 60-bit shingle-hash arrays: (__id, partitionCols...,
-    * __sh sorted ascending, __n = |set|). Hashes, not shingle strings —
-    * 8-byte join keys, and the oracle computes the identical hash so
-    * equality semantics (including any collision) match exactly. The
-    * ascending sort is the global total order prefix filtering needs. */
-  private def sortedShingleHashes(df: DataFrame, idCol: String, textCol: String,
-                                  n: Int, partitionCols: Seq[String]): DataFrame = {
+  /** Per-doc 60-bit shingle-hash arrays: (__id, partitionCols..., __sh,
+    * __n = |set|). Hashes, not shingle strings — 8-byte join keys, and the
+    * hash-based oracles (q35) compute the identical hash so equality
+    * semantics (including any collision) match exactly. No array-level
+    * sort: the prefix total order lives entirely in the (frequency, hash)
+    * row_number window, and verification's array_intersect is
+    * order-insensitive, so sorting here would be per-doc dead work. */
+  private[ops] def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int, partitionCols: Seq[String]): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     df.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
       .withColumn("__shc", GraftFunctions.shinglesNative(col("__tk"), lit(n)))
       .select((col(idCol).as("__id") +: partitionCols.map(col)) :+
-        array_sort(GraftFunctions.phashArr(col("__shc"))).as("__sh"): _*)
+        GraftFunctions.phashArr(col("__shc")).as("__sh"): _*)
       .withColumn("__n", size(col("__sh")))
       .filter(col("__n") > 0)
   }
@@ -263,8 +270,12 @@ object Dedup {
     * would keep most of each set anyway) or sets overlap densely. */
   def ngramJaccardPairsCount(df: DataFrame, idCol: String, textCol: String,
                              n: Int, threshold: Double,
-                             partitionCols: Seq[String] = Nil): DataFrame = {
-    val sh = sortedShingleHashes(df, idCol, textCol, n, partitionCols)
+                             partitionCols: Seq[String] = Nil): DataFrame =
+    countTopology(shingleHashes(df, idCol, textCol, n, partitionCols),
+      threshold, partitionCols)
+
+  private[ops] def countTopology(sh: DataFrame, threshold: Double,
+                                 partitionCols: Seq[String]): DataFrame = {
     val inv = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
       explode(col("__sh")).as("__s"): _*)
     val keys = "__s" +: partitionCols
@@ -303,13 +314,51 @@ object Dedup {
     * on rare values with small doc counts — a shingle shared by f docs
     * lands in a prefix only when few rarer shingles exist in that doc.
     * (Ordering by raw hash value instead concentrates every doc's prefix
-    * on the globally-smallest hashes — measured 13 s vs 1 s at sf0.1.)
-    * The win grows with the threshold; below
-    * [[PrefixStrategyMinThreshold]] use the count-based path. */
+    * on the globally-smallest hashes and degenerates.) The win grows with
+    * the threshold; below [[PrefixStrategyMinThreshold]] use the
+    * count-based path.
+    *
+    * DEGENERATE-REGIME GUARD: prefix filtering only prunes when a doc's
+    * rarest shingles are actually rare. On a small shingle domain (e.g.
+    * bigrams over a tiny vocabulary) EVERY shingle is a heavy hitter, the
+    * prefix index joins on fat keys, and the candidate set degenerates
+    * toward all-pairs — measured at sf0.1 with bigrams: 931 distinct
+    * shingles across 5,000 docs → 4.45M candidate pairs (36% of all
+    * possible), 36 s. This method therefore runs a cheap one-pass stats
+    * job first (posting count + HLL distinct over the exploded shingles —
+    * map-side partials, scalar result) and falls back to the count-based
+    * topology when the mean posting-list length exceeds
+    * [[MaxMeanPostingFreq]]. The stats pass costs one extra scan of the
+    * shingle relation — negligible insurance against a quadratic join.
+    * Both topologies produce identical results (property-tested). */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double,
                               partitionCols: Seq[String] = Nil): DataFrame = {
-    val sh = sortedShingleHashes(df, idCol, textCol, n, partitionCols)
+    val sh = shingleHashes(df, idCol, textCol, n, partitionCols)
+    val stats = sh.select(explode(col("__sh")).as("__s"))
+      .agg(count(lit(1)).as("__p"), approx_count_distinct(col("__s")).as("__d"))
+      .head()
+    val postings = stats.getLong(0)
+    val distinctSh = stats.getLong(1)
+    if (distinctSh == 0L || postings.toDouble / distinctSh > MaxMeanPostingFreq)
+      countTopology(sh, threshold, partitionCols)
+    else
+      prefixTopology(sh, threshold, partitionCols)
+  }
+
+  /** Mean shingle document-frequency (postings / distinct shingles) above
+    * which [[ngramJaccardPairsPrefix]] refuses the prefix topology and
+    * falls back to the count-based inverted index: when the AVERAGE
+    * shingle already occurs in this many documents, frequency-ordered
+    * prefixes cannot land on rare keys and the candidate join degenerates
+    * quadratically. 32 splits the measured regimes by an order of
+    * magnitude each way (sf0.1 documents: bigrams 275, trigrams 9.6). */
+  val MaxMeanPostingFreq = 32.0
+
+  /** The raw prefix-filtered topology, no stats guard — callers must know
+    * their shingle domain is large (see [[ngramJaccardPairsPrefix]]). */
+  private[ops] def prefixTopology(sh: DataFrame, threshold: Double,
+                                  partitionCols: Seq[String]): DataFrame = {
     // 1e-6 slack below the threshold covers the 6dp rounding of the final
     // jaccard (a true J of t - 5e-7 rounds up to t and must be kept); the
     // same slack appears in the length filter below.

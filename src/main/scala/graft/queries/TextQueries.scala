@@ -15,9 +15,12 @@ object TextQueries {
   /** Shared DuckDB fragments (tokens / token set / shingles). */
   private val tokSql = """string_split_regex(lower(trim(text)), '\s+')"""
   private val tokSetSql = s"list_sort(list_distinct($tokSql))"
-  // 1-based inclusive list slicing; bigram shingles of the token array.
-  private val shingleSql =
-    s"list_sort(list_distinct(list_transform(range(len($tokSql) - 1), i -> $tokSql[i+1] || ' ' || $tokSql[i+2])))"
+  // 1-based inclusive list indexing; word n-gram shingles of the token array.
+  private def shingleSqlN(n: Int): String = {
+    val parts = (1 to n).map(j => s"$tokSql[i+$j]").mkString(" || ' ' || ")
+    s"list_sort(list_distinct(list_transform(range(len($tokSql) - ${n - 1}), i -> $parts)))"
+  }
+  private val shingleSql = shingleSqlN(2)
   private val phashSql = (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
   val queries: Map[String, Q] = Map(
@@ -104,13 +107,18 @@ object TextQueries {
     }),
 
     // High-threshold near-dup pairs via the PPJoin PREFIX-filtered index
-    // (global scope, no partition column): only the first
-    // |S|-ceil(0.8|S|)+1 sorted shingle hashes per doc are indexed, then
-    // distinct candidates are verified against the full hash arrays. The
-    // scale path for strict dedup (J >= 0.8) over an unscoped corpus.
+    // (global scope, no partition column): only each doc's
+    // |S|-ceil(0.8|S|)+1 rarest shingle hashes are indexed, then distinct
+    // candidates are verified against the full hash arrays. The scale
+    // path for strict dedup (J >= 0.8) over an unscoped corpus. TRIGRAM
+    // shingles: the domain grows as vocab^n, so n=3 keeps the mean
+    // posting-list length small (9.6 at sf0.1 vs 275 for bigrams) — the
+    // regime prefix filtering is designed for; the operator's stats guard
+    // verifies this and would fall back to the count topology otherwise.
+    // The J >= 0.8 pair set is identical for n in 2..4 on this corpus.
     "q64_ngram_prefix" -> ((s, dir) => {
       Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
-        n = 2, threshold = 0.8)
+        n = 3, threshold = 0.8)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
@@ -180,8 +188,11 @@ object TextQueries {
           SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
           FROM p WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.3
           ORDER BY id_a, id_b""",
+    // Shingles hashed with the same portable 60-bit phash as the Spark
+    // path, so intersection semantics (including any hash collision)
+    // match exactly — same contract as q35's oracle.
     "q64_ngram_prefix" ->
-      s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents),
+      s"""WITH sh AS (SELECT doc_id, list_transform(${shingleSqlN(3)}, g -> ${phashSql("g")}) AS s FROM documents),
           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id

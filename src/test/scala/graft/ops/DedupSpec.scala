@@ -126,7 +126,9 @@ class DedupSpec extends SparkSpec {
 
   test("ngramJaccardPairsPrefix index exchanges carry no array payloads") {
     withPlainExchanges {
-      val plan = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 0.5)
+      // raw topology (no stats guard) — this test pins the prefix plan shape
+      val plan = Dedup.prefixTopology(
+        Dedup.shingleHashes(docs, "doc_id", "text", 2, Nil), 0.5, Nil)
         .queryExecution.executedPlan
       val idxEx = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange
@@ -167,10 +169,43 @@ class DedupSpec extends SparkSpec {
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val cnt = Dedup.ngramJaccardPairsCount(df, "doc_id", "text", 2, t)
         .as[(Long, Long, Double)].collect().sorted.toSeq
-      val pref = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 2, t)
+      // raw topology, bypassing the stats guard: this must hold even in
+      // regimes where the guard would choose the count path
+      val pref = Dedup.prefixTopology(
+        Dedup.shingleHashes(df, "doc_id", "text", 2, Nil), t, Nil)
         .as[(Long, Long, Double)].collect().sorted.toSeq
       assert(pref == cnt, s"strategy mismatch at t=$t")
     }
+  }
+
+  test("stats guard: degenerate shingle domain falls back to count topology") {
+    // 200 docs over a 3-word vocab: at most 9 distinct bigrams, mean
+    // posting-list length ~200 >> MaxMeanPostingFreq. The public prefix
+    // entry point must refuse the prefix topology (whose plan contains
+    // the row_number Window) and produce count-path results.
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("aa", "bb", "cc")
+    val df = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val guarded = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 2, 0.8)
+    val hasWindow = guarded.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+    assert(!hasWindow, "degenerate regime must not build the prefix window plan")
+    val cnt = Dedup.ngramJaccardPairsCount(df, "doc_id", "text", 2, 0.8)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(guarded.as[(Long, Long, Double)].collect().sorted.toSeq == cnt)
+  }
+
+  test("stats guard: healthy shingle domain keeps the prefix topology") {
+    // The 5-doc fixture has ~unique bigrams per doc (mean frequency ~1):
+    // the guard must keep the prefix plan (row_number Window present).
+    val guarded = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 0.8)
+    val hasWindow = guarded.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+    assert(hasWindow, "healthy regime must use the prefix window plan")
   }
 
   test("simhashPairs pairs the duplicate class at distance 0") {
