@@ -1,9 +1,12 @@
 package graft.ops
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TextHashImpl}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Extension surface per SURVEY §7.2 step 7.
@@ -79,12 +82,69 @@ object Similarity {
       // the mean can never shift downstream routing decisions
       .select(col("cell"), transform(col("__pm"), s => round(s.getField("__m"), 6)).as("centroid"))
 
-  /** IVF search with nprobe=1: route each query to its nearest centroid,
-    * then exact top-k within that cell only. Output as knnBruteForce. */
+  /** IVF search: route each query to its `nprobe` nearest coarse
+    * centroids, then exact top-k within those cells only. Scan cost drops
+    * by ~nlist/nprobe vs brute force; raising nprobe trades scan for
+    * recall. Output as knnBruteForce. */
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, cellCol: String, k: Int): DataFrame = {
-    GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val cents = centroids(corpus, cellCol, vecCol)
+             vecCol: String, cellCol: String, k: Int,
+             nprobe: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+      col(cellCol).as("cell"))
+    ivfSearch(c, queries, idCol, vecCol,
+      centroids(corpus, cellCol, vecCol), k, nprobe)
+  }
+
+  /** Trained IVF index: cell assignments for the full corpus plus the
+    * coarse-centroid table. Both are plain DataFrames — a production
+    * deployment writes them to parquet once (the "persisted index") and
+    * every subsequent query reads them instead of re-training; at 100 TB
+    * the assignment table is the only large artifact and it partitions by
+    * cell, exactly the layout [[knnIvfTrained]]'s cell-pruned scan wants. */
+  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
+
+  /** Train a coarse quantizer: KMeans (fixed seed) on a sample of the
+    * corpus, then assign every corpus vector to its nearest centroid.
+    * `sampleFraction < 1` keeps the Lloyd iterations O(sample) while the
+    * single assignment pass stays O(corpus) — the standard IVF build. */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+               seed: Long = 42L, sampleFraction: Double = 1.0): IvfIndex = {
+    val vecs = corpus.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
+    val train = if (sampleFraction < 1.0)
+      vecs.sample(withReplacement = false, sampleFraction, seed) else vecs
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+      .fit(train)
+    val assignments = model.transform(vecs)
+      .select(col(idCol), col("__cell").cast("int").as("cell"))
+    // centroid elements rounded to 6dp before any routing comparison —
+    // same rank-stability contract as [[centroids]]
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(x => math.rint(x * 1e6) / 1e6).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    IvfIndex(assignments, cents)
+  }
+
+  /** IVF search against a trained (or loaded) index. */
+  def knnIvfTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, index: IvfIndex, k: Int,
+                    nprobe: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(index.assignments.select(col(idCol).as("vec_id"), col("cell")), Seq("vec_id"))
+    ivfSearch(c, queries, idCol, vecCol, index.centroids, k, nprobe)
+  }
+
+  /** Shared IVF core: broadcast the tiny centroid table to rank cells per
+    * query, keep the top `nprobe`, then scan only those cells (corpus join
+    * on the broadcast (qid, cell) routing table — each probed cell's
+    * partition is read once, everything else is pruned). */
+  private def ivfSearch(c: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, cents: DataFrame, k: Int,
+                        nprobe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(c.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val routed = q.join(broadcast(cents))
       .select(col("qid"), col("__qv"), col("cell"),
@@ -92,10 +152,8 @@ object Similarity {
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("__csim").desc, col("cell"))
     val best = routed.withColumn("__r", row_number().over(wq))
-      .filter(col("__r") === 1)
+      .filter(col("__r") <= nprobe)
       .select(col("qid"), col("__qv"), col("cell"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
-      col(cellCol).as("cell"))
     val scored = c.join(broadcast(best), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), cosine(col("__qv"), col("__cv")).as("sim"))
@@ -106,9 +164,79 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  /** 2^59 — maps the 60-bit portable hash onto [0, 2) so `h/2^59 - 1`
+    * is a deterministic uniform in [-1, 1). Exactly representable as a
+    * double, so the division is a single correctly-rounded IEEE op in
+    * every engine. */
+  private val HalfHashDomain = 576460752303423488.0
+
+  /** Deterministic random hyperplanes, derived from the portable 60-bit
+    * md5 hash of "tag|table|plane|dim-index" — no RNG state, so an
+    * external SQL engine regenerates the identical planes (DuckDB:
+    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)/2^59 - 1`) and the cell
+    * assignment is oracle-checkable end to end. */
+  def hyperplanes(tag: String, nTables: Int, nPlanes: Int,
+                  dim: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
+    IndexedSeq.tabulate(nTables)(t => IndexedSeq.tabulate(nPlanes)(b =>
+      Array.tabulate(dim)(j =>
+        TextHashImpl.phash(UTF8String.fromString(s"$tag|$t|$b|$j"))
+          / HalfHashDomain - 1.0)))
+
+  /** Embedding near-duplicate pairs via random-hyperplane (SimHash-style)
+    * LSH — the scale path when no natural bucketing column exists.
+    *
+    * Each of `nTables` tables assigns every vector an `nPlanes`-bit cell:
+    * bit b is the sign of the cosine against hyperplane (t, b) (sign of
+    * the cosine = sign of the dot product; using the 6dp-rounded cosine
+    * keeps the bit decision on the same value the oracle computes). A
+    * pair at angle θ collides in one table with prob (1-θ/π)^nPlanes and
+    * is a candidate if ANY table collides — OR-amplification, so recall
+    * rises with nTables while nPlanes controls per-table selectivity.
+    *
+    * Topology mirrors [[graft.ops.Dedup.minhashLsh]]: the cell self-join
+    * exchanges only (table, cell, id) — 20 bytes/row, no vector payload —
+    * then distinct candidates join back to the vectors once for exact
+    * verification. Per-cell pair count is governed by nPlanes (cell count
+    * 2^nPlanes per table scales with the corpus when planes split it
+    * evenly), unlike bucketing on a fixed-cardinality data label whose
+    * cells grow quadratically with data volume ([[cosineNearDup]] is kept
+    * as the exact small-scale/labeled variant). */
+  def cosineNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, threshold: Double, nPlanes: Int = 8,
+                       nTables: Int = 8,
+                       tag: String = "graft-lsh"): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val planes = hyperplanes(tag, nTables, nPlanes, dim)
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // one struct per table: cell = Σ_b 2^b · [cos(v, w_tb) ≥ 0]
+    val tableCells = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { b =>
+        when(cosine(col("__v"), typedLit(planes(t)(b).toSeq)) >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("__t"), bits.as("__cell"))
+    }
+    val cells = base
+      .select(col("__id"), explode(array(tableCells: _*)).as("__tc"))
+      .select(col("__id"), col("__tc.__t").as("__t"), col("__tc.__cell").as("__cell"))
+    val cand = cells.select(col("__t"), col("__cell"), col("__id").as("id_a"))
+      .join(cells.select(col("__t"), col("__cell"), col("__id").as("id_b")),
+        Seq("__t", "__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs within the same cell
-    * (cell-bucketed to avoid the O(n²) cross join; a production variant
-    * would use random-hyperplane LSH cells). */
+    * (cell-bucketed to avoid the O(n²) cross join). Exact within a
+    * LABELED corpus — for an unlabeled corpus at scale use
+    * [[cosineNearDupLsh]], whose cell count grows with the data instead
+    * of being fixed by the label domain. */
   def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                     cellCol: String, threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)

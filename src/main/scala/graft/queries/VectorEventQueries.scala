@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.PortableHash
 import graft.ops.{DifferentialPrivacy, Multimodal, Similarity, TimeSeries}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search, event-time, differential-privacy, and multimodal
@@ -15,6 +16,32 @@ object VectorEventQueries {
 
   private val K = 5
   private val NQueries = 8 // query set: vec_id < 8 (broadcast-small)
+
+  private val NPlanted = 50      // perturbed near-dup copies planted for q65
+  private val PlantedIdOff = 100000L
+  private val PertAmp = 0.04     // per-component noise → planted cos ≈ 0.98
+  private val LshThreshold = 0.95
+
+  /** embeddings ∪ deterministically-perturbed copies of the first
+    * [[NPlanted]] vectors (ids shifted by [[PlantedIdOff]]): component j
+    * gains PertAmp · (phash("pert|id|j")/2^59 − 1) — hash-derived noise,
+    * so a SQL oracle regenerates the identical corpus. The planted pairs
+    * sit at cosine ≈ 0.98, far above the natural similarity ceiling
+    * (~0.47), making the LSH query's output value-bearing at every sf. */
+  private def lshCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val noise = (x: Column, i: Column) => x + lit(PertAmp) *
+      (PortableHash.phash(concat_ws("|", lit("pert"), col("vec_id").cast("string"),
+        i.cast("string"))).cast("double") / lit(576460752303423488.0) - lit(1.0))
+    // two-step select: Spark 4 lateral column aliases would otherwise
+    // resolve the noise lambda's vec_id to the SHIFTED alias in the same
+    // projection, silently keying the noise off id+offset
+    val pert = e.filter(col("vec_id") < NPlanted)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), noise).as("embedding"))
+      .select((col("vec_id") + PlantedIdOff).as("vec_id"), col("embedding"))
+    base.unionByName(pert)
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k: broadcast query set, one corpus pass.
@@ -40,6 +67,39 @@ object VectorEventQueries {
       Similarity.cosineNearDup(Tables.embeddings(s, dir),
         "vec_id", "embedding", "label", threshold = 0.44)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Random-hyperplane LSH near-dup over an UNLABELED corpus (the 100 TB
+    // path: cells from data-independent hashed hyperplanes, band exchange
+    // carries no vectors). Corpus = embeddings + 50 planted perturbed
+    // copies; the oracle regenerates planes, cells, candidates, and
+    // verification, so a cell-assignment divergence in either engine
+    // surfaces as a row mismatch.
+    "q65_cosine_lsh_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupLsh(lshCorpus(Tables.embeddings(s, dir)),
+        "vec_id", "embedding", dim = 64, threshold = LshThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // IVF at nprobe=2: top-2 cells per query are scanned — the recall
+    // knob the nprobe=1 variant (q39) lacks.
+    "q66_knn_ivf_probe2" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnIvf(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", "label", K, nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
+
+    // Trained IVF: KMeans coarse quantizer (fixed seed) + nprobe=2 search.
+    // Centroids are not oracle-replayable (Lloyd init differs per engine),
+    // so this entry is rows-only checked; SimilaritySpec bands its
+    // recall@k against brute force.
+    "q67_knn_ivf_trained" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L)
+      Similarity.knnIvfTrained(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", idx, K, nprobe = 2)
+        .orderBy("qid", "rank")
     }),
 
     // Gap-based sessionization (30-min inactivity gap).
@@ -113,6 +173,49 @@ object VectorEventQueries {
                  FROM best b JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    "q66_knn_ivf_probe2" ->
+      s"""WITH cent AS (SELECT label, list(round(m, 6) ORDER BY p) AS centroid FROM (
+            SELECT label, p, avg(v) AS m FROM (
+              SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) AS p
+              FROM embeddings) GROUP BY label, p) GROUP BY label),
+          $knnCore,
+          routed AS (SELECT qid, qv, label, round(list_cosine_similarity(qv, centroid), 6) AS csim
+                     FROM q CROSS JOIN cent),
+          best AS (SELECT qid, qv, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, label) AS r FROM routed) WHERE r <= 2),
+          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM best b JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid),
+          r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    "q65_cosine_lsh_neardup" ->
+      s"""WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT oid + $PlantedIdOff AS vec_id,
+                   list(x + CAST($PertAmp AS DOUBLE) *
+                        (CAST('0x' || substr(md5('pert|' || oid || '|' || (j - 1)), 1, 15) AS BIGINT)
+                         / 576460752303423488.0 - 1.0) ORDER BY j) AS v
+            FROM (SELECT vec_id AS oid, CAST(unnest(embedding) AS DOUBLE) AS x,
+                         generate_subscripts(embedding, 1) AS j
+                  FROM embeddings WHERE vec_id < $NPlanted)
+            GROUP BY oid),
+          planes AS (
+            SELECT t, b, list(w ORDER BY j) AS w FROM (
+              SELECT t.range AS t, b.range AS b, j.range AS j,
+                     CAST('0x' || substr(md5('graft-lsh|' || t.range || '|' || b.range || '|' || j.range), 1, 15) AS BIGINT)
+                       / 576460752303423488.0 - 1.0 AS w
+              FROM range(8) t, range(8) b, range(64) j)
+            GROUP BY t, b),
+          cells AS (
+            SELECT c.vec_id, p.t,
+                   CAST(sum(CASE WHEN round(list_cosine_similarity(c.v, p.w), 6) >= 0
+                                 THEN CAST(1 AS BIGINT) << p.b ELSE 0 END) AS BIGINT) AS cell
+            FROM corpus c CROSS JOIN planes p GROUP BY c.vec_id, p.t),
+          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM cells a JOIN cells b ON a.t = b.t AND a.cell = b.cell AND a.vec_id < b.vec_id),
+          sc AS (SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 6) AS sim
+                 FROM cand JOIN corpus x ON x.vec_id = cand.id_a JOIN corpus y ON y.vec_id = cand.id_b)
+          SELECT id_a, id_b, sim FROM sc WHERE sim >= $LshThreshold ORDER BY id_a, id_b""",
     "q56_cosine_near_dup" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  graft.functions.GraftFunctions.ensureRegistered(spark)
+
   // Two tight clusters on orthogonal axes + one diagonal outlier.
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f), 0),
@@ -53,6 +55,75 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     // query 0 routes to label-0 centroid; only cell-0 members (minus self)
     assert(got == Set(1L, 2L))
+  }
+
+  test("knnIvf nprobe=2 scans the second-best cell too") {
+    val q = vecs.filter($"vec_id" === 5) // diagonal: near both clusters
+    val p1 = Similarity.knnIvf(vecs, q, "vec_id", "embedding", "label", 5)
+      .select("vec_id").as[Long].collect().toSet
+    val p2 = Similarity.knnIvf(vecs, q, "vec_id", "embedding", "label", 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // nprobe=1 sees only the query's own cell; nprobe=2 adds the other
+    assert(p1 == Set(3L, 4L))
+    assert(p2 == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("trainIvf builds a full assignment table and nlist centroids") {
+    val idx = Similarity.trainIvf(vecs, "vec_id", "embedding", nlist = 2, seed = 7L)
+    assert(idx.assignments.count() == 6)
+    assert(idx.centroids.count() == 2)
+    // the two tight clusters must land in distinct cells
+    val cellOf = idx.assignments.as[(Long, Int)].collect().toMap
+    assert(cellOf(0L) == cellOf(1L) && cellOf(1L) == cellOf(2L))
+    assert(cellOf(3L) == cellOf(4L))
+    assert(cellOf(0L) != cellOf(3L))
+  }
+
+  test("knnIvfTrained at nprobe=2 recovers brute-force top-k on clustered data") {
+    val idx = Similarity.trainIvf(vecs, "vec_id", "embedding", nlist = 2, seed = 7L)
+    for (qid <- Seq(0L, 3L, 5L)) {
+      val q = vecs.filter($"vec_id" === qid)
+      val exact = Similarity.knnBruteForce(vecs, q, "vec_id", "embedding", 3)
+        .select("vec_id").as[Long].collect().toSet
+      val ivf = Similarity.knnIvfTrained(vecs, q, "vec_id", "embedding", idx, 3, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      // nprobe = nlist = 2 probes every cell → recall@k must be exact
+      assert(ivf == exact, s"qid=$qid: ivf=$ivf exact=$exact")
+    }
+  }
+
+  test("hyperplanes are deterministic, in [-1,1), and tag-sensitive") {
+    val a = Similarity.hyperplanes("t", 2, 3, 4)
+    val b = Similarity.hyperplanes("t", 2, 3, 4)
+    val c = Similarity.hyperplanes("u", 2, 3, 4)
+    assert(a.flatten.flatten == b.flatten.flatten)
+    assert(a.flatten.flatten != c.flatten.flatten)
+    assert(a.flatten.flatten.forall(w => w >= -1.0 && w < 1.0))
+  }
+
+  test("cosineNearDupLsh matches exact all-pairs on planted near-dups") {
+    // 8 well-separated base vectors + a perturbed copy of each: planted
+    // pairs sit at cosine ≈ 0.999, everything else far below 0.95.
+    val rnd = new scala.util.Random(11)
+    val bases = Seq.tabulate(8) { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat); (i.toLong, v)
+    }
+    val corpus = (bases ++ bases.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }).toDF("vec_id", "embedding")
+    val exact = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("sim"))
+      .filter($"sim" >= 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupLsh(corpus, "vec_id", "embedding",
+        dim = 16, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 8, s"fixture must plant exactly 8 pairs, got $exact")
+    // no false positives by construction (exact verification step) and —
+    // deterministically, for this fixture — full recall via 8 OR-ed tables
+    assert(lsh == exact)
   }
 
   test("cosineNearDup emits only same-cell pairs above threshold") {
