@@ -54,15 +54,33 @@ object TCloseness {
       df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt")),
       qis, posCol)
 
+  /** [[groupEmd]] with the REFERENCE distribution taken from a separate
+    * table: each group's sensitive distribution is compared against
+    * `referenceDf`'s, not `df`'s own. This is what a post-suppression
+    * self-check needs — suppression shifts the surviving table's global
+    * distribution, so rechecking filtered output against itself can
+    * report spurious boundary violations that the filter (correctly,
+    * against its own fixed basis) admitted. */
+  def groupEmdAgainst(df: DataFrame, referenceDf: DataFrame, qis: Seq[String],
+                      posCol: String): DataFrame =
+    emdFromCells(
+      df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt")),
+      qis, posCol,
+      Some(referenceDf.groupBy(col(posCol)).agg(count(lit(1)).as("__gcnt"))))
+
   /** EMD from a pre-aggregated (qis..., pos, __cnt) cell table. The ONLY
     * pass over the raw data is the cell aggregation the caller performed;
     * the global distribution, densification, cumsums, and the closed form
-    * all run over the |groups|×|domain| cell table. */
-  private[ops] def emdFromCells(cell: DataFrame, qis: Seq[String], posCol: String): DataFrame = {
+    * all run over the |groups|×|domain| cell table. `globalPosCounts`
+    * (posCol, __gcnt) overrides the reference distribution; by default it
+    * derives from the cells themselves. */
+  private[ops] def emdFromCells(cell: DataFrame, qis: Seq[String], posCol: String,
+                                globalPosCounts: Option[DataFrame] = None): DataFrame = {
     val qiCols = qis.map(col)
     // global distribution derived from the cells (no raw-table rescan);
     // total via scalar-agg cross join, not an empty-partition window
-    val globCnt = cell.groupBy(col(posCol)).agg(sum("__cnt").as("__gcnt"))
+    val globCnt = globalPosCounts.getOrElse(
+      cell.groupBy(col(posCol)).agg(sum("__cnt").as("__gcnt")))
     val glob = globCnt.crossJoin(broadcast(globCnt.agg(sum("__gcnt").as("__tot"))))
       .withColumn("__q", col("__gcnt") / col("__tot"))
       .select(col(posCol), col("__q"))
@@ -129,8 +147,20 @@ object TCloseness {
   }
 
   /** Count of groups violating t (the reference's double-check pattern,
-    * t-closeness.py:187-208).
+    * t-closeness.py:187-208 — note its per-group t_closeness_check
+    * degenerates to comparing each group with itself, so it always prints
+    * 0; this is the intended check). `reference` fixes the global
+    * distribution basis — pass the table the filter measured against
+    * (the k-anonymized input) for a structurally-zero recheck; default is
+    * df's own distribution. `reference` must contain every sensitive
+    * position occurring in df (true whenever df ⊆ reference).
     */
-  def violationCount(df: DataFrame, qis: Seq[String], posCol: String, t: Double): Long =
-    groupEmd(df, qis, posCol).filter(col("emd") > t).count()
+  def violationCount(df: DataFrame, qis: Seq[String], posCol: String, t: Double,
+                     reference: Option[DataFrame] = None): Long = {
+    val emds = reference match {
+      case Some(ref) => groupEmdAgainst(df, ref, qis, posCol)
+      case None => groupEmd(df, qis, posCol)
+    }
+    emds.filter(col("emd") > t).count()
+  }
 }

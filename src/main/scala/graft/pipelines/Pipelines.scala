@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * metric aggregates don't recompute the suppression (SURVEY §4 "metric
   * fan-out recomputation").
   */
+/** `emdBasis` (E3 only): the table whose sensitive distribution the
+  * t-closeness filter measured groups against — the k-anonymized binned
+  * input. The violation recheck must reuse it: suppression shifts the
+  * surviving table's own distribution, so rechecking against the OUTPUT's
+  * distribution can flag boundary groups the filter correctly admitted. */
 final case class AnonymizationResult(
     anonymized: DataFrame,
     report: PrivacyReport,
-    ncp: Double)
+    ncp: Double,
+    emdBasis: Option[DataFrame] = None)
 
 object NaiveSuppressionPipeline {
   /** E1 (naive-suppresion.py): k-anonymity by record suppression over the
@@ -60,12 +66,15 @@ object TClosenessPipeline {
     val anonymized = TCloseness.filter(binned, qis, sensitiveOrdinal, k, t).cache()
     val report = PrivacyMetrics.report(binned, anonymized, qis, k)
     val ncp = PrivacyMetrics.ncp(binned, anonymized, qis)
-    AnonymizationResult(anonymized, report, ncp)
+    AnonymizationResult(anonymized, report, ncp,
+      emdBasis = Some(KAnonymity.suppress(binned, qis, k)))
   }
 
   /** The reference's own self-check (t-closeness.py:134-143): after the
-    * filter, zero groups may violate t. */
+    * filter, zero groups may violate t — against the SAME distribution
+    * basis the filter used (see [[AnonymizationResult.emdBasis]]). */
   def violations(result: AnonymizationResult, qis: Seq[String],
                  sensitiveOrdinal: String, t: Double): Long =
-    TCloseness.violationCount(result.anonymized, qis, sensitiveOrdinal, t)
+    TCloseness.violationCount(result.anonymized, qis, sensitiveOrdinal, t,
+      reference = result.emdBasis)
 }
