@@ -32,34 +32,66 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  final case class SessionState(lastTsMicros: Long, sessionSeq: Long)
-  final case class SessionEvent(event_id: Long, user_id: Long, tsMicros: Long)
-  final case class SessionAssignment(event_id: Long, user_id: Long, session_seq: Long)
+  final case class SessionState(lastTsMicros: Long, sessionSeq: Long,
+                                sessionStartMicros: Long)
+  // `ts` stays in the projection so the watermark attribute survives up to
+  // the stateful operator (EventTimeTimeout requires it on the input).
+  final case class SessionEvent(event_id: Long, user_id: Long,
+                                ts: java.sql.Timestamp, tsMicros: Long)
+  final case class SessionAssignment(event_id: Long, user_id: Long,
+                                     session_seq: Long, session_start_micros: Long)
 
   /** Stateful gap-based sessionization over a stream of events. Assumes
     * per-user event-time order within each batch (enforce upstream with a
     * watermark + sort, or accept micro-batch-order semantics). State is
-    * (last timestamp, session ordinal) per user. */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int)
+    * (last timestamp, session ordinal, session start) per user.
+    *
+    * State EVICTION: once the event-time watermark passes a user's
+    * last-event time + gap, the session can no longer be extended (any
+    * in-watermark event would start a new session anyway), so the state
+    * record is dropped via EventTimeTimeout. Without this, one state row
+    * per ever-seen user accumulates forever and the state store OOMs on
+    * an unbounded user population. After eviction a returning user's
+    * `session_seq` restarts at 1 — `(user_id, session_start_micros)` is
+    * the eviction-stable session key; `session_seq` is a per-state-
+    * lifetime ordinal only. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermark: String = "2 hours")
                       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     events
+      .withWatermark("ts", watermark)
       .select(col("event_id").cast("long"), col("user_id").cast("long"),
-        unix_micros(col("ts")).as("tsMicros"))
+        col("ts"), unix_micros(col("ts")).as("tsMicros"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = batch.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
-            val newSession = st.lastTsMicros == Long.MinValue ||
-              e.tsMicros - st.lastTsMicros > gapMicros
-            st = SessionState(e.tsMicros, if (newSession) st.sessionSeq + 1 else st.sessionSeq)
-            SessionAssignment(e.event_id, userId, st.sessionSeq)
+          if (state.hasTimedOut) {
+            // Watermark passed lastTs + gap: session closed, evict.
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, Long.MinValue))
+            val out = batch.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+              val newSession = st.lastTsMicros == Long.MinValue ||
+                e.tsMicros - st.lastTsMicros > gapMicros
+              st = SessionState(e.tsMicros,
+                if (newSession) st.sessionSeq + 1 else st.sessionSeq,
+                if (newSession) e.tsMicros else st.sessionStartMicros)
+              SessionAssignment(e.event_id, userId, st.sessionSeq, st.sessionStartMicros)
+            }
+            state.update(st)
+            // Evict when the watermark passes the session-close instant.
+            // Spark requires the timeout to sit beyond the current
+            // watermark; a late straggler batch could otherwise set one
+            // behind it.
+            state.setTimeoutTimestamp(math.max(
+              st.lastTsMicros / 1000L + gapMinutes * 60L * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
       .toDF()
   }

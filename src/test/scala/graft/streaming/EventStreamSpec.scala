@@ -77,5 +77,46 @@ class EventStreamSpec extends SparkSpec {
     val got = spark.table("sess")
       .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 2L)
+
+    // session_start_micros is the eviction-stable session key: same for
+    // events 1-2 (one session), different for event 3.
+    val starts = spark.table("sess")
+      .select("event_id", "session_start_micros").as[(Long, Long)].collect().toMap
+    assert(starts(1L) == starts(2L) && starts(1L) != starts(3L))
+  }
+
+  test("sessionizeStream evicts idle-user state once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    // Tight watermark so advancing event time quickly closes old sessions.
+    val q = EventStream.sessionizeStream(mem.toDF(), gapMinutes = 30,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(data.take(2): _*) // user 7 at 10:00/10:10
+      q.processAllAvailable()
+      val afterFirst = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(afterFirst == 1L, s"expected one state row for user 7, got $afterFirst")
+
+      // User 8 far in the future: batch end advances the watermark to
+      // 19:50, far past user 7's close instant (10:10 + 30m).
+      mem.addData(Ev(10L, ts("2024-01-01 20:00:00"), 8L, "click", 1.0))
+      q.processAllAvailable()
+      // Timeouts fire in a batch AFTER the watermark advance is visible.
+      mem.addData(Ev(11L, ts("2024-01-01 20:05:00"), 8L, "click", 1.0))
+      q.processAllAvailable()
+
+      val afterEvict = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(afterEvict == 1L,
+        s"expected user 7's state evicted (1 row for user 8 left), got $afterEvict")
+    } finally q.stop()
+
+    // Output before eviction is untouched.
+    val got = spark.table("sess_evict")
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L)
   }
 }
