@@ -53,9 +53,13 @@ object ClusteringAnonymizer {
     val pipeline = new Pipeline().setStages((indexers :+ assembler :+ scaler :+ kmeans).toArray)
 
     val model = pipeline.fit(df)
-    val clustered = model.transform(df)
-      .drop((categoricalCols.map(c => s"__idx_$c") :+ "__features_raw" :+ "__features"): _*)
     val genCols = generalizeColsOpt.getOrElse(numericCols)
+    // Encoded-categorical columns survive when they are themselves being
+    // generalized (clustering-anon.py:51 generalizes EVERY QI, encoded
+    // categoricals included — their cluster range is over the label codes).
+    val dropCols = categoricalCols.map(c => s"__idx_$c")
+      .filterNot(genCols.contains) :+ "__features_raw" :+ "__features"
+    val clustered = model.transform(df).drop(dropCols: _*)
     ClusteringResult(clustered,
       Generalization.generalize(clustered, "cluster", genCols))
   }

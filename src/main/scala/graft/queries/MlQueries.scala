@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ml.{ClusteringAnonymizer, UtilityMetrics}
+import graft.ops.Generalization
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +37,43 @@ object MlQueries {
       import spark.implicits._
       Seq((r.accuracy, r.trainRows, r.testRows))
         .toDF("accuracy", "train_rows", "test_rows")
+    }),
+
+    // The reference's headline utility output: original-vs-anonymized RF
+    // accuracy (naive-suppresion.py:115-118). Anonymization here is E2-style
+    // resolution loss — the price feature coarsened to 5 equal-width bins.
+    // Trained on a fixed 20% sample (~= the reference's 30k-row scale);
+    // the utility estimate doesn't need the full table, training does not
+    // get cheaper at 100 TB, and the sample is seed-pinned.
+    "q68_accuracy_drop" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("high_value", (col("o_totalprice") > 200000).cast("string"))
+        .sample(withReplacement = false, 0.2, 7L)
+      val anon = Generalization
+        .equalWidthBin(o, "o_totalprice", 3, "__bin")
+        .withColumn("o_totalprice", col("__bin").cast("double")).drop("__bin")
+      val (orig, anonR, drop) = UtilityMetrics.accuracyDrop(o, anon,
+        "high_value", Seq("o_totalprice", "o_orderstatus"), numTrees = 20)
+      val spark = s
+      import spark.implicits._
+      Seq((orig.accuracy, anonR.accuracy, drop))
+        .toDF("orig_accuracy", "anon_accuracy", "accuracy_drop")
+    }),
+
+    // E2 with EVERY QI generalized (clustering-anon.py:51): the numeric QI
+    // and the label-encoded categorical QI are both replaced by their
+    // cluster's min-max range.
+    "q69_multicol_generalize" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      ClusteringAnonymizer.anonymize(c,
+        numericCols = Seq("c_acctbal"),
+        categoricalCols = Seq("c_mktsegment"),
+        nClusters = 10,
+        generalizeColsOpt = Some(Seq("c_acctbal", "__idx_c_mktsegment")))
+        .generalized
+        .select(col("c_custkey"), col("cluster"), col("c_acctbal"),
+          col("__idx_c_mktsegment").as("mktsegment_range"))
+        .orderBy("c_custkey")
     }))
 
   val oracles: Map[String, String] = Map.empty

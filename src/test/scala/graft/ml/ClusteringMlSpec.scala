@@ -68,6 +68,25 @@ class ClusteringMlSpec extends SparkSpec {
     assert(r1.trainRows + r1.testRows == 60)
   }
 
+  test("generalizing every QI covers encoded categoricals too (q69 shape)") {
+    val res = ClusteringAnonymizer.anonymize(data, Seq("amount"), Seq("color"),
+      nClusters = 3, seed = 42L,
+      generalizeColsOpt = Some(Seq("amount", "__idx_color")))
+    val gen = res.generalized
+    assert(gen.schema("amount").dataType.typeName == "string")
+    assert(gen.schema("__idx_color").dataType.typeName == "string")
+    // exactly one (amount range, code range) pair per cluster
+    val perCluster = gen.select("cluster", "amount", "__idx_color").distinct()
+    assert(perCluster.count() == gen.select("cluster").distinct().count())
+    // categorical ranges are over the label codes: lo-hi, 0 <= lo <= hi
+    perCluster.collect().foreach { r =>
+      val Array(lo, hi) = r.getString(2).split("-", 2)
+      assert(lo.toDouble >= 0 && lo.toDouble <= hi.toDouble)
+    }
+    // the original string column is untouched
+    assert(gen.select("color").distinct().count() == 2)
+  }
+
   test("accuracyDrop compares original vs generalized utility") {
     val res = ClusteringAnonymizer.anonymize(data, Seq("amount"), Seq("color"),
       nClusters = 2, seed = 42L)
