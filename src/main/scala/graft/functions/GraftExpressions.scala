@@ -47,8 +47,23 @@ object TextHashImpl {
     v >>> 4
   }
 
-  /** Per-element 60-bit phash of a string array. */
+  /** True iff any element is null. All kernels PROPAGATE NULL when the
+    * input array contains a null element (Spark's null-propagation idiom;
+    * reading through a primitive ArrayData accessor would silently yield
+    * garbage, and getUTF8String would NPE). The arrays the kernels
+    * THEMSELVES produce never contain nulls, so output containsNull stays
+    * false. */
+  private def hasNullElement(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  /** Per-element 60-bit phash of a string array; null if any element is
+    * null. */
   def phashArray(arr: ArrayData): ArrayData = {
+    if (hasNullElement(arr)) return null
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -56,8 +71,10 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
-  /** Per-element phash reduced mod P (the universal-hash domain). */
+  /** Per-element phash reduced mod P (the universal-hash domain); null if
+    * any element is null. */
   def phashModArray(arr: ArrayData): ArrayData = {
+    if (hasNullElement(arr)) return null
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -66,9 +83,11 @@ object TextHashImpl {
   }
 
   /** Sorted distinct word n-gram shingles of a token array; empty when
-    * fewer than n tokens. Matches shinglesOfTokens (array_sort uses
-    * UTF8String binary order = TreeSet natural order). */
+    * fewer than n tokens, null if any token is null. Matches
+    * shinglesOfTokens (array_sort uses UTF8String binary order = TreeSet
+    * natural order). */
   def shingles(arr: ArrayData, n: Int): ArrayData = {
+    if (hasNullElement(arr)) return null
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.TreeSet[UTF8String]()
@@ -85,8 +104,10 @@ object TextHashImpl {
   }
 
   /** MinHash signature over pre-hashed (mod P) elements; null for empty
-    * input (callers filter empties — mirrors array_min's null). */
+    * input (callers filter empties — mirrors array_min's null) and for
+    * arrays containing null elements. */
   def minhashSig(hashes: ArrayData): ArrayData = {
+    if (hasNullElement(hashes)) return null
     val m = hashes.numElements()
     if (m == 0) return null
     val k = Dedup16.NumHashes
@@ -106,8 +127,10 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
-  /** 32-bit SimHash over pre-hashed (60-bit) token hashes. */
-  def simhash(hashes: ArrayData): Long = {
+  /** 32-bit SimHash over pre-hashed (60-bit) token hashes; null (boxed)
+    * if any element is null. */
+  def simhash(hashes: ArrayData): java.lang.Long = {
+    if (hasNullElement(hashes)) return null
     val votes = new Array[Int](32)
     val m = hashes.numElements()
     var i = 0
@@ -123,18 +146,21 @@ object TextHashImpl {
     var r = 0L
     var k = 0
     while (k < 32) { if (votes(k) > 0) r |= (1L << k); k += 1 }
-    r
+    java.lang.Long.valueOf(r)
   }
 
   /** Cosine similarity with index-ordered double accumulation — the same
     * arithmetic (and therefore bit-identical result) as the declarative
     * zip_with/aggregate formulation in Similarity.cosineDeclarative.
     * `aFloat`/`bFloat` select the element reader (array<float> embeddings
-    * vs array<double> centroids). */
-  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    * vs array<double> centroids). Null (boxed) if either array contains a
+    * null element; dimension mismatch still throws (a wrong-shape corpus
+    * is a data bug, not missing data). */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"cosine: dimension mismatch ${n} vs ${b.numElements()}")
+    if (hasNullElement(a) || hasNullElement(b)) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -143,7 +169,7 @@ object TextHashImpl {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** MinHash constants mirrored from Dedup (kept here so the compiled
@@ -158,13 +184,19 @@ object TextHashImpl {
 case class GraftPHashArray(child: Expression, modP: Boolean)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null result when the input array contains null elements
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     if (modP) TextHashImpl.phashModArray(input.asInstanceOf[ArrayData])
     else TextHashImpl.phashArray(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      if (modP) s"graft.functions.TextHashImpl.phashModArray($c)"
-      else s"graft.functions.TextHashImpl.phashArray($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val fn = if (modP) "phashModArray" else "phashArray"
+      s"""
+         |${ev.value} = graft.functions.TextHashImpl.$fn($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): GraftPHashArray =
     copy(child = newChild)
 }
@@ -172,10 +204,16 @@ case class GraftPHashArray(child: Expression, modP: Boolean)
 case class GraftShingles(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null result when the token array contains null elements
+  override def nullable: Boolean = true
   override def nullSafeEval(toks: Any, n: Any): Any =
     TextHashImpl.shingles(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextHashImpl.shingles($t, $n)")
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"""
+         |${ev.value} = graft.functions.TextHashImpl.shingles($t, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftShingles =
     copy(left = newLeft, right = newRight)
 }
@@ -203,10 +241,19 @@ case class GraftMinHashSig(child: Expression)
 case class GraftSimHash(child: Expression)
   extends UnaryExpression {
   override def dataType: DataType = LongType
+  // null result when the hash array contains null elements
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     TextHashImpl.simhash(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.TextHashImpl.simhash($c);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): GraftSimHash =
     copy(child = newChild)
 }
@@ -225,12 +272,20 @@ case class GraftCosine(left: Expression, right: Expression)
     }
   private lazy val leftFloat: Boolean = isFloatArr(left)
   private lazy val rightFloat: Boolean = isFloatArr(right)
+  // null result when either array contains null elements
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHashImpl.cosine(a.asInstanceOf[ArrayData], leftFloat,
       b.asInstanceOf[ArrayData], rightFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.TextHashImpl.cosine($a, $leftFloat, $b, $rightFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.TextHashImpl.cosine($a, $leftFloat, $b, $rightFloat);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? Double.NaN : $boxed.doubleValue();
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftCosine =
     copy(left = newLeft, right = newRight)
 }

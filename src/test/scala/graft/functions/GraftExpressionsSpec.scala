@@ -86,6 +86,42 @@ class GraftExpressionsSpec extends SparkSpec {
     rows.foreach { case (n, d, m) => assert(n == d && m == d) }
   }
 
+  test("null array elements propagate to a null result (SQL surface)") {
+    GraftFunctions.ensureRegistered(spark)
+    // Arbitrary SQL can hand any array<...> with null elements to the
+    // registered functions; they must return null, not NPE / read garbage.
+    val sql = spark.sql(
+      """SELECT
+        |  graft_phash_array(array('a', cast(null as string))) AS p,
+        |  graft_phash_mod_array(array(cast(null as string))) AS pm,
+        |  graft_shingles(array('a', null, 'b'), 2) AS sh,
+        |  graft_minhash_sig(array(1L, null)) AS mh,
+        |  graft_simhash(array(null, 2L)) AS sim,
+        |  graft_cosine(array(cast(1.0 as double), null),
+        |               array(cast(1.0 as double), cast(2.0 as double))) AS cos
+        |""".stripMargin)
+    val r = sql.head()
+    assert((0 until 6).forall(r.isNullAt), r.toString)
+
+    // The same expressions through the interpreted path (eval without
+    // codegen) — exercised via a driver-side literal eval.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val withNull = new GenericArrayData(Array[Any](UTF8String.fromString("a"), null))
+    assert(TextHashImpl.phashArray(withNull) == null)
+    assert(TextHashImpl.shingles(withNull, 2) == null)
+    val longsWithNull = new GenericArrayData(Array[Any](1L, null))
+    assert(TextHashImpl.minhashSig(longsWithNull) == null)
+    assert(TextHashImpl.simhash(longsWithNull) == null)
+    val dblsWithNull = new GenericArrayData(Array[Any](1.0, null))
+    val dbls = new GenericArrayData(Array[Any](1.0, 2.0))
+    assert(TextHashImpl.cosine(dblsWithNull, false, dbls, false) == null)
+
+    // Null-free inputs are unaffected.
+    val ok = spark.sql("SELECT graft_simhash(graft_phash_array(array('a','b'))) AS s").head()
+    assert(!ok.isNullAt(0))
+  }
+
   test("kernels run inside whole-stage codegen (no fallback in plan)") {
     // A local relation would be constant-folded away; go through parquet so
     // the executed plan is the real scan + projection pipeline.
