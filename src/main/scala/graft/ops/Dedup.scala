@@ -236,7 +236,11 @@ object Dedup {
     * 100 TB an unscoped shingle join on a small shingle domain degenerates
     * quadratically; scoping by a natural partition bounds each join group.
     * Pass Nil for a global join when the shingle domain is large (e.g.
-    * 5-gram shingles of real text). */
+    * 5-gram shingles of real text).
+    *
+    * EAGER for t >= [[PrefixStrategyMinThreshold]]: the prefix path runs
+    * its degenerate-regime stats job (one Spark action) at construction
+    * time — see [[ngramJaccardPairsPrefix]]. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         partitionCols: Seq[String] = Nil): DataFrame =
@@ -330,20 +334,32 @@ object Dedup {
     * topology when the mean posting-list length exceeds
     * [[MaxMeanPostingFreq]]. The stats pass costs one extra scan of the
     * shingle relation — negligible insurance against a quadratic join.
-    * Both topologies produce identical results (property-tested). */
+    * Both topologies produce identical results (property-tested).
+    *
+    * NOTE this guard makes the call EAGER: it runs the stats job (one
+    * Spark action) at DataFrame-CONSTRUCTION time, unlike most operators
+    * here which stay lazy until the caller acts. When `partitionCols` is
+    * non-empty the guard statistic is the MAX over scopes of
+    * postings/distinct — the topology choice is global, so one degenerate
+    * scope routes the whole join to the count path rather than letting
+    * that scope go quadratic. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double,
                               partitionCols: Seq[String] = Nil): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, n, partitionCols)
-    val stats = sh.select(explode(col("__sh")).as("__s"))
+    val perScope = sh
+      .select(partitionCols.map(col) :+ explode(col("__sh")).as("__s"): _*)
+      .groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("__p"), approx_count_distinct(col("__s")).as("__d"))
-      .head()
-    val postings = stats.getLong(0)
-    val distinctSh = stats.getLong(1)
-    if (distinctSh == 0L || postings.toDouble / distinctSh > MaxMeanPostingFreq)
-      countTopology(sh, threshold, partitionCols)
-    else
-      prefixTopology(sh, threshold, partitionCols)
+    val maxRatio = perScope
+      .agg(max(col("__p").cast("double") / col("__d")))
+      .head().getAs[Any](0)
+    maxRatio match {
+      case null => countTopology(sh, threshold, partitionCols) // no shingles at all
+      case r: Double if r > MaxMeanPostingFreq =>
+        countTopology(sh, threshold, partitionCols)
+      case _ => prefixTopology(sh, threshold, partitionCols)
+    }
   }
 
   /** Mean shingle document-frequency (postings / distinct shingles) above
@@ -395,7 +411,7 @@ object Dedup {
         >= ceil((col("__na") + col("__nb")) * lit(tSlack / (1 + tSlack))))
       .select("id_a", "id_b")
       .distinct()
-    // Verify once per candidate pair on the full sorted hash arrays:
+    // Verify once per candidate pair on the full hash arrays:
     // |A ∩ B| via array_intersect (arrays are per-doc distinct, so the
     // intersect size equals the oracle's shared-hash join count).
     cand

@@ -119,11 +119,14 @@ object Similarity {
     val assignments = model.transform(vecs)
       .select(col(idCol), col("__cell").cast("int").as("cell"))
     // centroid elements rounded to 6dp before any routing comparison —
-    // same rank-stability contract as [[centroids]]
+    // same rank-stability contract AND the same HALF_UP rounding as
+    // [[centroids]]'s round(), so an oracle replaying trained centroids
+    // agrees on exact midpoints (math.rint would round half-to-even)
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(x => math.rint(x * 1e6) / 1e6).toSeq) }
+      .map { case (v, i) => (i, v.toArray.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq) }
       .toSeq.toDF("cell", "centroid")
     IvfIndex(assignments, cents)
   }

@@ -62,11 +62,23 @@ object TCloseness {
     * report spurious boundary violations that the filter (correctly,
     * against its own fixed basis) admitted. */
   def groupEmdAgainst(df: DataFrame, referenceDf: DataFrame, qis: Seq[String],
-                      posCol: String): DataFrame =
-    emdFromCells(
-      df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt")),
-      qis, posCol,
-      Some(referenceDf.groupBy(col(posCol)).agg(count(lit(1)).as("__gcnt"))))
+                      posCol: String): DataFrame = {
+    val cells = df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt"))
+    val refCounts = referenceDf.groupBy(col(posCol)).agg(count(lit(1)).as("__gcnt"))
+    // Runtime guard (EAGER — one small Spark action at construction time):
+    // a position in df but absent from the reference would be silently
+    // dropped by the densify join, renormalizing the group distribution
+    // and understating EMD. Requires df's positions ⊆ reference's —
+    // guaranteed when df ⊆ referenceDf (the post-suppression self-check).
+    val orphans = cells.select(col(posCol)).distinct()
+      .join(broadcast(refCounts.select(col(posCol))), Seq(posCol), "left_anti")
+      .take(5)
+    require(orphans.isEmpty,
+      s"groupEmdAgainst: sensitive positions ${orphans.map(_.get(0)).mkString(", ")} " +
+        s"occur in df but not in referenceDf — the reference distribution must " +
+        s"cover every position in df (is df a subset of the reference table?)")
+    emdFromCells(cells, qis, posCol, Some(refCounts))
+  }
 
   /** EMD from a pre-aggregated (qis..., pos, __cnt) cell table. The ONLY
     * pass over the raw data is the cell aggregation the caller performed;

@@ -44,6 +44,19 @@ class TClosenessSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("groupEmdAgainst rejects positions outside the reference domain") {
+    val df = Seq(("g1", 0.0), ("g1", 2.0)).toDF("g", "pos")
+    val ref = Seq(("x", 0.0), ("x", 1.0)).toDF("g", "pos") // no pos=2
+    val e = intercept[IllegalArgumentException] {
+      TCloseness.groupEmdAgainst(df, ref, Seq("g"), "pos")
+    }
+    assert(e.getMessage.contains("not in referenceDf"), e.getMessage)
+    // and the subset case still works: df ⊆ ref basis
+    val ok = TCloseness.groupEmdAgainst(
+      df.filter(col("pos") === 0.0), df, Seq("g"), "pos")
+    assert(ok.count() == 1)
+  }
+
   test("ordinal encodes alphabetically from 0") {
     val df = Seq("carrot", "apple", "banana", "apple").toDF("v")
     val enc = TCloseness.ordinal(df, "v", "idx")
