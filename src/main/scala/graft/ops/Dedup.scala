@@ -342,11 +342,21 @@ object Dedup {
     * non-empty the guard statistic is the MAX over scopes of
     * postings/distinct — the topology choice is global, so one degenerate
     * scope routes the whole join to the count path rather than letting
-    * that scope go quadratic. */
+    * that scope go quadratic.
+    *
+    * The shingle-hash staging table is persisted (MEMORY_AND_DISK) before
+    * the stats action materializes it: the downstream topology reads it
+    * four times (document frequencies, prefix index, two verification
+    * join-backs), and without the persist each read would re-run the
+    * tokenize+shingle+hash kernel chain over the full corpus (measured
+    * 2.3× end-to-end at sf0.1). Lineage is kept, so lost/evicted blocks
+    * recompute — safe on a real cluster — and the cache is LRU-evictable;
+    * a session running many dedup builds can `spark.catalog.clearCache()`. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double,
                               partitionCols: Seq[String] = Nil): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, n, partitionCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perScope = sh
       .select(partitionCols.map(col) :+ explode(col("__sh")).as("__s"): _*)
       .groupBy(partitionCols.map(col): _*)
