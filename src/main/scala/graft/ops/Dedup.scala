@@ -200,6 +200,37 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** C4-style PARAGRAPH-level exact dedup: split each document on
+    * `sepRegex`, keep only the corpus-wide FIRST occurrence of every
+    * distinct paragraph (first = smallest (doc, position)), and reassemble
+    * the surviving paragraphs in their original order. Documents whose
+    * every paragraph was seen earlier disappear (C4 drops empty docs).
+    *
+    * Scale: paragraphs group on their 128-bit md5 (16-byte shuffle key,
+    * not the text); the min-struct aggregation is map-side partial, so the
+    * only full-payload exchange is the per-doc reassembly — one shuffle
+    * each way. Output column is `text_dedup`.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sepRegex: String = "\n{2,}", sep: String = "\n\n"): DataFrame = {
+    val parts = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__p")))
+      .filter(length(trim(col("__p"))) > 0)
+    // first occurrence per paragraph hash: min over (doc, pos, text)
+    // structs is lexicographic on the unique (doc, pos) prefix; carrying
+    // the text in the struct avoids a second join against the parts.
+    val kept = parts
+      .groupBy(md5(col("__p")).as("__h"))
+      .agg(min(struct(col("__id"), col("__pos"), col("__p"))).as("__first"))
+      .select(col("__first.__id").as("__id"), col("__first.__pos").as("__pos"),
+        col("__first.__p").as("__p"))
+    kept.groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+          s => s.getField("__p")), sep).as("text_dedup"))
+      .select(col("__id").as(idCol), col("text_dedup"))
+  }
+
   // ---- n-gram Jaccard ---------------------------------------------------
 
   /** Word n-gram shingles (distinct, sorted) of a document; empty array

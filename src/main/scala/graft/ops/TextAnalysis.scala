@@ -81,7 +81,8 @@ object TextAnalysis {
     "fr" -> Seq("le", "ou", "es"))
 
   /** Heuristic language ID: score = Σ marker-bigram occurrences per
-    * language; predict the argmax, ties broken by language-code order,
+    * language; predict the argmax, ties broken by FIRST-LISTED order in
+    * [[LangMarkers]] (the oracle's CASE chain mirrors the same order),
     * docs with an all-zero profile → "und". */
   def langId(text: Column): Column = {
     val scores = LangMarkers.map { case (lang, bgs) =>
@@ -98,6 +99,45 @@ object TextAnalysis {
     * The 60-bit numeric twin (`PortableHash.phash`) feeds dedup bucketing. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenSet(text)))
+
+  /** PII masking rules, applied IN ORDER (URL before EMAIL so an address
+    * inside a URL masks as part of the URL; IP before PHONE so dotted
+    * quads never half-match a phone rule). Patterns are deliberately in
+    * the common RE2/Java subset (no lookaround) so the identical rule
+    * list replays in external engines — this is the scrubbing pass a
+    * training-data pipeline runs before anything else sees the text.
+    * Conservative recall (plain international/US-ish phones, dotted-quad
+    * IPs): extend the list per corpus; the operator shape — a folded
+    * chain of codegen'd regexp_replace, zero shuffle — is what scales. */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "https?://[^ ]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{4}" -> "<PHONE>")
+
+  /** Mask emails / URLs / IPv4s / phone-shaped numbers with typed tags. */
+  def maskPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** C4/Gopher-style corpus quality filter: keep documents inside the
+    * token-count band, the mean-token-length band, under the punctuation
+    * ceiling, and over the stopword floor (the classic "is this natural
+    * language" rules). Pure per-row predicates — the filter pushes into
+    * the scan side of whatever pipeline follows, zero shuffle. Returns
+    * the surviving rows unchanged.
+    */
+  def corpusFilter(docs: DataFrame, textCol: String = "text",
+                   minTokens: Int = 20, maxTokens: Int = 10000,
+                   minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+                   maxPunctRatio: Double = 0.2,
+                   minStopwordRatio: Double = 0.01): DataFrame = {
+    val t = col(textCol)
+    docs
+      .filter(tokenCount(t).between(minTokens, maxTokens))
+      .filter(meanTokenLength(t).between(minMeanTokLen, maxMeanTokLen))
+      .filter(punctRatio(t) <= maxPunctRatio)
+      .filter(stopwordRatio(t) >= minStopwordRatio)
+  }
 
   /** All per-document text features in one pass. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -129,6 +129,48 @@ object TextQueries {
       Dedup.withSimhash(Tables.documents(s, dir), "text", "simhash")
         .select("doc_id", "simhash")
         .orderBy("doc_id")
+    }),
+
+    // PII scrubbing (emails/URLs/IPs/phones -> typed tags). The synthetic
+    // corpus carries no PII, so the query PLANTS deterministic doc-keyed
+    // PII by construction — both engines build the identical augmented
+    // text, so a masking divergence in either rule chain hash-mismatches.
+    "q70_pii_mask" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com via https://ex.com/d/"),
+        col("doc_id"), lit(" or +1 555-0100 from 10.2.3.4"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.maskPii(aug).as("masked"))
+        .orderBy("doc_id")
+    }),
+
+    // C4-style paragraph-level dedup. Two-paragraph docs built by
+    // construction (own text + the text of doc_id % 100): the second
+    // paragraph of every doc >= 100 is a corpus-wide duplicate and must
+    // drop; docs < 100 self-pair and collapse to one paragraph.
+    "q71_paragraph_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val b = d.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("__bid"), col("text").as("__btext"))
+      val aug = d.join(broadcast(b), col("doc_id") % 100 === col("__bid"))
+        .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__btext")).as("text"))
+      Dedup.paragraphDedup(aug, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // C4/Gopher-style corpus quality filter (token-count band, mean token
+    // length band, punctuation ceiling, stopword floor) — thresholds set
+    // so the filter bites (~40% of the synthetic corpus fails).
+    "q72_corpus_filter" -> ((s, dir) => {
+      val t = col("text")
+      TextAnalysis.corpusFilter(Tables.documents(s, dir), "text",
+        minTokens = 20, maxTokens = 70, minMeanTokLen = 3.0, maxMeanTokLen = 5.0,
+        maxPunctRatio = 0.05, minStopwordRatio = 0.02)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+          TextAnalysis.meanTokenLength(t).as("mean_tok_len"),
+          TextAnalysis.stopwordRatio(t).as("stopword_ratio"))
+        .orderBy("doc_id")
     }))
 
   private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -216,6 +258,38 @@ object TextQueries {
                         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
                 FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    "q70_pii_mask" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || doc_id || '@example.com via https://ex.com/d/'
+                  || doc_id || ' or +1 555-0100 from 10.2.3.4',
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,2}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS masked
+         FROM documents ORDER BY doc_id""",
+    "q71_paragraph_dedup" ->
+      """WITH aug AS (SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+                      FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 100),
+          lsts AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS lst FROM aug),
+          parts0 AS (SELECT doc_id, lst, unnest(range(len(lst))) AS pos FROM lsts),
+          parts AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, lst[CAST(pos AS INT) + 1] AS p
+                    FROM parts0 WHERE length(trim(lst[CAST(pos AS INT) + 1])) > 0),
+          kept AS (SELECT doc_id, pos, p FROM (
+            SELECT doc_id, pos, p,
+                   row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, pos) AS rn
+            FROM parts) WHERE rn = 1)
+          SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10) || chr(10)) AS text_dedup
+          FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q72_corpus_filter" ->
+      s"""SELECT doc_id, nt AS n_tokens, mtl AS mean_tok_len, sw AS stopword_ratio FROM (
+            SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS nt,
+              round(length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len($tokSql), 6) AS mtl,
+              round(len(list_filter($tokSql, t -> t IN ($stopList))) * 1.0 / len($tokSql), 6) AS sw,
+              round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text), 6) AS pr
+            FROM documents)
+          WHERE nt BETWEEN 20 AND 70 AND mtl BETWEEN 3.0 AND 5.0 AND pr <= 0.05 AND sw >= 0.02
+          ORDER BY doc_id""",
     "q37_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${phashSql("t")} AS h
                  FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)),

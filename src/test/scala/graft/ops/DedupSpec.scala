@@ -213,4 +213,23 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
   }
+
+  test("paragraphDedup keeps first occurrence corpus-wide and reassembles in order") {
+    val df = Seq(
+      (1L, "alpha\n\nbeta\n\ngamma"),
+      (2L, "beta\n\ndelta"),        // beta already in doc 1 -> drops
+      (3L, "alpha\n\nbeta"),        // everything duplicate -> doc vanishes
+      (4L, "epsilon\n\n\n\nzeta")   // empty paragraph from \n{4} ignored
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "alpha\n\nbeta\n\ngamma")
+    assert(got(2L) == "delta")
+    assert(!got.contains(3L))
+    assert(got(4L) == "epsilon\n\nzeta")
+    // within-doc repetition also collapses to the first position
+    val rep = Seq((7L, "x\n\nx\n\ny")).toDF("doc_id", "text")
+    val g2 = Dedup.paragraphDedup(rep, "doc_id", "text").as[(Long, String)].collect().toMap
+    assert(g2(7L) == "x\n\ny")
+  }
 }

@@ -45,6 +45,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("maskPii masks emails, URLs, IPs, and phones; leaves prose alone") {
+    val df = Seq(
+      ("e", "mail me at jane.doe+spam@corp.example.org today"),
+      ("u", "see https://example.com/a?b=c#d and more"),
+      ("uem", "profile http://ex.com/u/bob@corp.com trailing"), // @ inside URL -> URL
+      ("ip", "server at 192.168.0.1 responded"),
+      ("ph", "call +1 555-0100 now"),
+      ("clean", "no personal data in this sentence")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.maskPii($"text")).as[(String, String)]
+      .collect().toMap
+    assert(got("e") == "mail me at <EMAIL> today")
+    assert(got("u") == "see <URL> and more")
+    assert(got("uem") == "profile <URL> trailing")
+    assert(got("ip") == "server at <IP> responded")
+    assert(got("ph") == "call <PHONE> now")
+    assert(got("clean") == "no personal data in this sentence")
+  }
+
+  test("corpusFilter applies the C4/Gopher rule set") {
+    val stop = "the a of to in" // guaranteed stopword content
+    val df = Seq(
+      ("keep", s"$stop one two three four five six seven eight nine ten " +
+        s"alpha beta gamma delta epsilon"),               // 20 tokens, clean
+      ("short", "too short"),                             // fails minTokens
+      ("nostop", "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"), // no stopwords
+      ("noisy", s"$stop @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) {{{{ " +
+        "}}}} [[[[ ]]]] ;;;; :::: '''' \"\"\"\" <<<< >>>>")  // punct ceiling
+    ).toDF("id", "text")
+    val kept = TextAnalysis.corpusFilter(df, minTokens = 15, maxTokens = 100,
+      minMeanTokLen = 1.0, maxMeanTokLen = 10.0,
+      maxPunctRatio = 0.2, minStopwordRatio = 0.05)
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("keep"))
+  }
+
   test("qualityScore bounded in [0,1] and favors clean prose") {
     val df = Seq(
       ("clean", "the cat sat on the mat and it is a fine day for all of us", 400L),
