@@ -185,6 +185,43 @@ object Similarity {
         TextHashImpl.phash(UTF8String.fromString(s"$tag|$t|$b|$j"))
           / HalfHashDomain - 1.0)))
 
+  /** Symmetric per-vector int8 quantization of an embedding column:
+    * q_i = round(x_i · 127 / max|x|) ∈ [-127, 127]. The 4× (vs float32)
+    * storage cut is what makes a 100 TB ANN index fit executor memory /
+    * page cache; cosine is scale-invariant, so quantized search needs no
+    * dequantization at all — [[knnQuantized]] ranks on the int vectors
+    * directly. `max_abs` (6dp) is kept for reconstruction (x̂ = q·mx/127).
+    *
+    * Arithmetic is (x·127)/mx in that association with round() half-up —
+    * both replayable in external SQL, so the quantized index itself is
+    * oracle-checkable. The transform lambdas are interpreted, which is
+    * fine for this one-time index-BUILD pass; the search hot path runs
+    * the compiled GraftCosine kernel. */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    corpus
+      .withColumn("__mx", mx)
+      .withColumn("qvec",
+        when(col("__mx") > 0,
+          transform(col(vecCol),
+            x => round(x.cast("double") * lit(127.0) / col("__mx")).cast("int")))
+          .otherwise(transform(col(vecCol), _ => lit(0))))
+      .select(col(idCol), col("qvec"), round(col("__mx"), 6).as("max_abs"))
+  }
+
+  /** Exact brute-force top-k over the int8-quantized corpus — the
+    * memory-bound variant of [[knnBruteForce]]. Ranks differ from the
+    * float path only where quantization noise crosses a similarity gap;
+    * SimilaritySpec bands the recall. */
+  def knnQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val qc = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol), col("qvec").cast("array<double>").as("__qv8"))
+    val qq = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol), col("qvec").cast("array<double>").as("__qv8"))
+    knnBruteForce(qc, qq, idCol, "__qv8", k)
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane (SimHash-style)
     * LSH — the scale path when no natural bucketing column exists.
     *

@@ -102,6 +102,18 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Int8-quantized brute-force top-k: the corpus is symmetrically
+    // quantized per vector (4x memory cut — how a 100 TB ANN index fits
+    // in executor memory) and ranked on the int vectors directly (cosine
+    // is scale-invariant). Quantization arithmetic is portable, so the
+    // whole path — quantize, score, rank — replays in the oracle.
+    "q73_knn_quantized" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnQuantized(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K)
+        .orderBy("qid", "rank")
+    }),
+
     // Gap-based sessionization (30-min inactivity gap).
     "q40_sessionize" -> ((s, dir) => {
       TimeSeries.sessionize(Tables.events(s, dir), gapMinutes = 30)
@@ -221,6 +233,20 @@ object VectorEventQueries {
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
               FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
           SELECT id_a, id_b, sim FROM p WHERE sim >= 0.44 ORDER BY id_a, id_b""",
+    "q73_knn_quantized" ->
+      s"""WITH qn AS (
+            SELECT vec_id,
+                   CASE WHEN mx > 0
+                        THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127 / mx))
+                        ELSE list_transform(embedding, x -> 0.0) END AS qvec
+            FROM (SELECT vec_id, embedding,
+                         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+                  FROM embeddings)),
+          q AS (SELECT vec_id AS qid, qvec AS qv FROM qn WHERE vec_id < $NQueries),
+          sc AS (SELECT qid, c.vec_id, round(list_cosine_similarity(qv, c.qvec), 6) AS sim
+                 FROM q CROSS JOIN qn c WHERE c.vec_id <> qid),
+          r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

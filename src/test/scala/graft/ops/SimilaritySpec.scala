@@ -126,6 +126,32 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("quantizeInt8 bounds values, preserves direction, reconstructs within a half-step") {
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select($"vec_id", $"qvec", $"max_abs").as[(Long, Seq[Int], Double)].collect()
+    assert(q.length == 6)
+    q.foreach { case (id, qv, mx) =>
+      assert(qv.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      assert(qv.exists(_.abs == 127), s"vec $id: max component must hit 127")
+      // reconstruction error bounded by half a quantization step
+      val orig = vecs.filter($"vec_id" === id).select($"embedding")
+        .as[Seq[Float]].head()
+      orig.zip(qv).foreach { case (x, v) =>
+        assert(math.abs(x - v * mx / 127.0) <= mx / 254.0 + 1e-6)
+      }
+    }
+  }
+
+  test("knnQuantized recovers the float top-k on well-separated data") {
+    val q = vecs.filter($"vec_id" === 0)
+    val exact = Similarity.knnBruteForce(vecs, q, "vec_id", "embedding", 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val quant = Similarity.knnQuantized(vecs, q, "vec_id", "embedding", 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    // gaps between neighbors (~.02+) dwarf int8 noise (~1/254)
+    assert(quant.sameElements(exact), s"quant ${quant.toSeq} vs exact ${exact.toSeq}")
+  }
+
   test("cosineNearDup emits only same-cell pairs above threshold") {
     val pairs = Similarity.cosineNearDup(vecs, "vec_id", "embedding", "label", 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
