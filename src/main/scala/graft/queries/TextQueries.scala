@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -158,6 +158,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sampling + split: per-language keep
+    // fractions (rebalancing an en-heavy corpus) and an 80/10/10
+    // train/val/test assignment, both pure functions of the doc key via
+    // the portable hash — reproducible on any engine, any partitioning.
+    "q74_hash_split_sample" -> ((s, dir) => {
+      val sampled = Sampling.stratifiedHashSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        fractions = Map("en" -> 0.5, "zh" -> 0.8),
+        defaultFraction = 0.65)
+      Sampling.hashSplit(sampled, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: whole docs into ~512-token bins per source shard,
+    // packing order = doc_id (deterministic); bin = floor(exclusive token
+    // prefix-sum / budget) — one window, one shuffle on the shard.
+    "q75_pack_sequences" -> ((s, dir) => {
+      val withTokens = Tables.documents(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Packing.packSequences(withTokens, "doc_id", "n_tokens", "source", budget = 512)
+        .select("doc_id", "source", "n_tokens", "bin")
+        .orderBy("doc_id")
+    }),
+
     // C4/Gopher-style corpus quality filter (token-count band, mean token
     // length band, punctuation ceiling, stopword floor) — thresholds set
     // so the filter bites (~40% of the synthetic corpus fails).
@@ -281,6 +307,20 @@ object TextQueries {
             FROM parts) WHERE rn = 1)
           SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10) || chr(10)) AS text_dedup
           FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q75_pack_sequences" ->
+      s"""SELECT doc_id, source, nt AS n_tokens,
+            CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt) / 512.0) AS BIGINT) AS bin
+          FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS nt FROM documents)
+          ORDER BY doc_id""",
+    "q74_hash_split_sample" ->
+      """SELECT doc_id, lang,
+           CASE WHEN sb < 800000 THEN 'train' WHEN sb < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+                 CAST('0x' || substr(md5('graft-sample|' || doc_id), 1, 15) AS BIGINT) % 1000000 AS kb,
+                 CAST('0x' || substr(md5('graft-split|' || doc_id), 1, 15) AS BIGINT) % 1000000 AS sb
+               FROM documents)
+         WHERE kb < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 800000 ELSE 650000 END
+         ORDER BY doc_id""",
     "q72_corpus_filter" ->
       s"""SELECT doc_id, nt AS n_tokens, mtl AS mean_tok_len, sw AS stopword_ratio FROM (
             SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS nt,

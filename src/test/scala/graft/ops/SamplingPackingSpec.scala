@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val keys = (1L to 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+    .toDF("id", "lang")
+
+  test("hashSample is deterministic, partition-independent, and proportional") {
+    val a = Sampling.hashSample(keys, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(keys.repartition(13), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "membership must not depend on partitioning")
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.04, s"kept ${a.size}/2000")
+    // a larger fraction with the same salt is a superset (bucket < cut)
+    val c = Sampling.hashSample(keys, "id", 0.5).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(c))
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions with default") {
+    val got = Sampling.stratifiedHashSample(keys, "id", "lang",
+      fractions = Map("en" -> 0.8), defaultFraction = 0.1)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("en") / 500.0 - 0.8) < 0.08, got.toString)
+    assert(math.abs(got("de") / 1500.0 - 0.1) < 0.05, got.toString)
+  }
+
+  test("hashSplit labels every row with stable proportions") {
+    val split = Sampling.hashSplit(keys, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.04, counts.toString)
+    // deterministic under repartitioning
+    val again = Sampling.hashSplit(keys.repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("id", "split").as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("hashSplit rejects weights that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(keys, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("packSequences bins by exclusive prefix sum within each shard") {
+    val docs = Seq(
+      (1L, "s1", 300L), (2L, "s1", 300L), (3L, "s1", 300L),
+      (4L, "s2", 600L), (5L, "s2", 100L)
+    ).toDF("id", "shard", "nt")
+    val got = Packing.packSequences(docs, "id", "nt", "shard", budget = 512)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // s1: exclusive cumsum 0,300,600 -> bins 0,0,1
+    assert(got(1L) == 0L && got(2L) == 0L && got(3L) == 1L)
+    // s2: 0,600 -> bins 0,1 (first doc overflows its bin; never split)
+    assert(got(4L) == 0L && got(5L) == 1L)
+  }
+}
