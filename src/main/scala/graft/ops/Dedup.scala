@@ -200,6 +200,57 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over a near-duplicate PAIR list: every document
+    * in a pair gets a `cluster` label = the smallest doc id transitively
+    * reachable through pairs. This is the canonicalization step after
+    * [[minhashLsh]]/[[ngramJaccardPairs]] — "keep one doc per near-dup
+    * cluster" means keep the rows where id == cluster.
+    *
+    * Algorithm: min-label propagation (each round every node takes the
+    * min of its own and its neighbors' labels) until fixpoint. Rounds
+    * needed = graph diameter; near-dup graphs are dense clumps with tiny
+    * diameters, so this converges in a handful of rounds (for adversarial
+    * long-chain graphs, the large-star/small-star CC algorithm halves the
+    * diameter per round — swap in if chains ever dominate). Each round is
+    * one shuffle join + map-side-partial min aggregation; labels are
+    * localCheckpointed per round to truncate the growing lineage (the
+    * label table is |nodes-in-pairs| rows — small relative to the corpus).
+    * EAGER: runs the iteration loop (one small job per round) at call
+    * time. Output: (id, cluster) for documents appearing in >= 1 pair;
+    * absent documents are implicitly their own singleton cluster.
+    */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                    maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("__nl").as("__nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+        .filter(col("label") =!= col("__old"))
+        .take(1).nonEmpty
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    require(converged, s"dedupClusters did not converge in $maxIterations rounds — " +
+      "pathological chain graph; use a doubling CC algorithm (large-star/small-star)")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** C4-style PARAGRAPH-level exact dedup: split each document on
     * `sepRegex`, keep only the corpus-wide FIRST occurrence of every
     * distinct paragraph (first = smallest (doc, position)), and reassemble

@@ -131,6 +131,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Canonicalization after LSH: connected components over the q36 pair
+    // set; cluster = min transitively-reachable doc id ("keep one doc per
+    // near-dup cluster" = keep rows where id == cluster). Min-label
+    // propagation, one shuffle per round, rounds = cluster diameter.
+    "q76_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+      Dedup.dedupClusters(pairs)
+        .orderBy("id")
+    }),
+
     // PII scrubbing (emails/URLs/IPs/phones -> typed tags). The synthetic
     // corpus carries no PII, so the query PLANTS deterministic doc-keyed
     // PII by construction — both engines build the identical augmented
@@ -201,6 +212,25 @@ object TextQueries {
 
   private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** q36's MinHash-LSH candidate+verify pipeline as a reusable CTE chain
+    * (ends at `j` = verified pairs with exact jaccard); shared by the q36
+    * and q76 oracles so both replay the identical pair set. */
+  private val minhashPairsCte =
+    s"""sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
+          th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+          j AS (SELECT id_a, id_b,
+                  round(len(list_intersect(x.s, y.s)) * 1.0
+                        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+                FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)"""
+
   private val langScoreSql: String = {
     // Mirrors TextAnalysis.langId: Σ occurrences of each marker bigram,
     // occurrences via the length-delta idiom; first-listed language wins ties.
@@ -269,21 +299,19 @@ object TextQueries {
           FROM p WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.8
           ORDER BY id_a, id_b""",
     "q36_minhash_lsh" ->
-      s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
-          th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
-                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
-          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
-                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
-          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
-          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
-                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
-          j AS (SELECT id_a, id_b,
-                  round(len(list_intersect(x.s, y.s)) * 1.0
-                        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
-                FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      s"""WITH $minhashPairsCte
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    // Transitive closure of the q36 pair set via a recursive CTE, then
+    // cluster = min reachable id — the oracle for min-label propagation.
+    "q76_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+          p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                    UNION SELECT id_b, id_a FROM p),
+          reach AS (SELECT src AS id, dst AS r FROM edges
+                    UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+          SELECT id, CAST(cluster AS BIGINT) AS cluster FROM lab ORDER BY id""",
     "q70_pii_mask" ->
       """SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(

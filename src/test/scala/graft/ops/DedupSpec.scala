@@ -214,6 +214,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
   }
 
+  test("dedupClusters labels components with the min reachable id") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; pair order irrelevant
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // canonical-keep composition: one survivor per cluster
+    val survivors = got.filter { case (id, c) => id == c }.keySet
+    assert(survivors == Set(1L, 5L))
+  }
+
   test("paragraphDedup keeps first occurrence corpus-wide and reassembles in order") {
     val df = Seq(
       (1L, "alpha\n\nbeta\n\ngamma"),
