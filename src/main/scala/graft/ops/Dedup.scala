@@ -200,6 +200,49 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Ids of training documents sharing at least one word n-gram with the
+    * benchmark/eval set — the industry-standard contamination test (run
+    * with n ≈ 13 on real corpora; any collision flags the doc).
+    *
+    * Scale: the benchmark side is tiny relative to a 100 TB train set, so
+    * its distinct shingle hashes BROADCAST; contamination is then a
+    * broadcast semi-join against each train partition's exploded shingles
+    * — one pass over train, no train-side shuffle before the distinct on
+    * the (small) flagged-id set. */
+  def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int): DataFrame = {
+    val t = shingleHashes(train, idCol, textCol, n, Nil)
+      .select(col("__id"), explode(col("__sh")).as("__s"))
+    val b = shingleHashes(bench, idCol, textCol, n, Nil)
+      .select(explode(col("__sh")).as("__s")).distinct()
+    t.join(broadcast(b), Seq("__s"))
+      .select(col("__id").as(idCol)).distinct()
+  }
+
+  /** [[contaminatedIds]] complement: the train set with every document
+    * that collides with the benchmark set removed (anti-join on id). */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame =
+    train.join(contaminatedIds(train, bench, idCol, textCol, n),
+      Seq(idCol), "left_anti")
+
+  /** Incremental ingest dedup: accept only the documents of `batch` whose
+    * content is neither already in `corpus` nor earlier (smaller id) in
+    * the batch itself — the daily-crawl append pattern. Content identity
+    * is the 128-bit md5, same rationale as [[exact]]. At 100 TB the seen
+    * set is the corpus' (md5) projection — 16 bytes/doc, shuffled once on
+    * the hash; production keeps that projection as a bucketed table so
+    * each ingest joins co-located. Returns the accepted batch rows. */
+  def ingestDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol).cast("string")).as("__h")).distinct()
+    val fresh = batch.withColumn("__h", md5(col(textCol).cast("string")))
+      .join(seen, Seq("__h"), "left_anti")
+    val firsts = fresh.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    fresh.join(firsts, Seq(idCol), "left_semi").drop("__h")
+  }
+
   /** Connected components over a near-duplicate PAIR list: every document
     * in a pair gets a `cluster` label = the smallest doc id transitively
     * reachable through pairs. This is the canonicalization step after

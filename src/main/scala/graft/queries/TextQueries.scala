@@ -131,6 +131,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: train docs sharing any word 8-gram with
+    // the (deterministic) benchmark slice doc_id % 50 == 0. Benchmark
+    // shingle hashes broadcast; contamination = one broadcast semi-join
+    // pass over train.
+    "q77_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.contaminatedIds(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Incremental ingest dedup (daily-crawl append): a constructed batch
+    // of genuinely-new docs (+1000000), re-keyed corpus duplicates
+    // (+2000000, must all reject), and an in-batch second copy of the new
+    // docs (+3000000, later id, must all reject) — only the +1000000 ids
+    // are accepted.
+    "q78_ingest_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = d.filter(col("doc_id") % 5 === 0)
+      val batch = newDocs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(newDocs.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Dedup.ingestDedup(batch, corpus, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Canonicalization after LSH: connected components over the q36 pair
     // set; cluster = min transitively-reachable doc id ("keep one doc per
     // near-dup cluster" = keep rows where id == cluster). Min-label
@@ -335,6 +365,20 @@ object TextQueries {
             FROM parts) WHERE rn = 1)
           SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10) || chr(10)) AS text_dedup
           FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q77_decontaminate" ->
+      s"""WITH tr AS (SELECT doc_id, ${shingleSqlN(8)} AS s FROM documents WHERE doc_id % 50 <> 0),
+          ti AS (SELECT doc_id, ${phashSql("g")} AS g FROM (SELECT doc_id, unnest(s) AS g FROM tr)),
+          be AS (SELECT DISTINCT ${phashSql("g")} AS g
+                 FROM (SELECT unnest(${shingleSqlN(8)}) AS g FROM documents WHERE doc_id % 50 = 0))
+          SELECT DISTINCT doc_id FROM ti JOIN be USING (g) ORDER BY doc_id""",
+    "q78_ingest_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+          b AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+                UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 5 = 0),
+          fresh AS (SELECT doc_id, md5(text) AS h FROM b
+                    WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus))
+          SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM fresh GROUP BY h ORDER BY doc_id""",
     "q75_pack_sequences" ->
       s"""SELECT doc_id, source, nt AS n_tokens,
             CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt) / 512.0) AS BIGINT) AS bin

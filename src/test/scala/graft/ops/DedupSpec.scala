@@ -214,6 +214,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
   }
 
+  test("contaminatedIds flags exactly the train docs sharing an n-gram with bench") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),      // shares 3-gram "alpha beta gamma"
+      (2L, "epsilon zeta eta theta"),      // clean
+      (3L, "iota alpha beta gamma")        // shares the same 3-gram mid-doc
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedIds(train, bench, "doc_id", "text", n = 3)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L, 3L))
+    val clean = Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("ingestDedup rejects corpus-seen and in-batch-later content") {
+    val corpus = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "brand new"),   // accept
+      (11L, "old doc one"), // in corpus -> reject
+      (12L, "brand new"),   // in-batch dup of 10 -> reject
+      (13L, "also new")     // accept
+    ).toDF("doc_id", "text")
+    val accepted = Dedup.ingestDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(10L, 13L))
+  }
+
   test("dedupClusters labels components with the min reachable id") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; pair order irrelevant
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
