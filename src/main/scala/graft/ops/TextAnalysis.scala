@@ -139,6 +139,53 @@ object TextAnalysis {
       .filter(stopwordRatio(t) >= minStopwordRatio)
   }
 
+  /** Intra-document repetition stats (the Gopher repetition rules): the
+    * share of tokens covered by the single most-frequent token, and the
+    * share of bigram occurrences covered by the most-frequent bigram
+    * (null when a doc has < 2 tokens). High values mark boilerplate/spam
+    * (nav bars, keyword stuffing).
+    *
+    * Shape: explode → two-level groupBy with map-side partial counts —
+    * NOT a nested higher-order filter-per-distinct-token lambda, which
+    * would be interpreted AND quadratic per document. The (doc, token)
+    * partial aggregation keeps the shuffle at distinct-pairs volume. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(max("__c") / sum("__c").cast("double"), 6).as("top_token_share"))
+    val tkArr = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+    val big = tkArr.select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__tk")) - 1),
+          i => concat_ws(" ", element_at(col("__tk"), i),
+            element_at(col("__tk"), i + 1)))).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(max("__c") / sum("__c").cast("double"), 6).as("top_bigram_share"))
+    tok.join(big, Seq(idCol), "left")
+  }
+
+  /** Data-driven quality score: mean log-probability of a document's
+    * tokens under the corpus' own unigram distribution — the cheap
+    * stand-in for LM-perplexity filtering (gibberish and off-vocabulary
+    * noise score low; every token is in-vocab by construction, so no
+    * smoothing term). Two shuffles: the corpus vocabulary (map-side
+    * partial counts; broadcast back), then the per-doc mean. Per-token
+    * log-probs round to 6dp BEFORE the mean so the oracle's sum order
+    * can't flip the 6dp-rounded result. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val vocab = tk.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val withTotal = vocab.crossJoin(broadcast(vocab.agg(sum("__c").as("__tot"))))
+      .select(col("__t"), round(log(col("__c") / col("__tot").cast("double")), 6).as("__lp"))
+    tk.join(broadcast(withTotal), Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(round(avg("__lp"), 6).as("mean_logprob"))
+  }
+
   /** All per-document text features in one pass. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -131,6 +131,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher repetition rules: share of tokens held by the top token and
+    // share of bigram occurrences held by the top bigram, per doc.
+    "q79_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // LM-perplexity stand-in: mean log-prob of each doc's tokens under
+    // the corpus' own unigram distribution.
+    "q80_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: train docs sharing any word 8-gram with
     // the (deterministic) benchmark slice doc_id % 50 == 0. Benchmark
     // shingle hashes broadcast; contamination = one broadcast semi-join
@@ -365,6 +379,26 @@ object TextQueries {
             FROM parts) WHERE rn = 1)
           SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10) || chr(10)) AS text_dedup
           FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q79_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_share
+                       FROM (SELECT doc_id, t, count(*) AS c
+                             FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
+                             GROUP BY doc_id, t) GROUP BY doc_id),
+          bg AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_share
+                 FROM (SELECT doc_id, g, count(*) AS c
+                       FROM (SELECT doc_id,
+                               unnest(list_transform(range(len($tokSql) - 1),
+                                 i -> $tokSql[i+1] || ' ' || $tokSql[i+2])) AS g
+                             FROM documents WHERE len($tokSql) >= 2)
+                       GROUP BY doc_id, g) GROUP BY doc_id)
+          SELECT tok.doc_id, top_token_share, top_bigram_share
+          FROM tok LEFT JOIN bg ON tok.doc_id = bg.doc_id ORDER BY tok.doc_id""",
+    "q80_unigram_logprob" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+          v AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+          lp AS (SELECT t, round(ln(c * 1.0 / (SELECT sum(c) FROM v)), 6) AS lp FROM v)
+          SELECT doc_id, round(avg(lp), 6) AS mean_logprob
+          FROM tk JOIN lp USING (t) GROUP BY doc_id ORDER BY doc_id""",
     "q77_decontaminate" ->
       s"""WITH tr AS (SELECT doc_id, ${shingleSqlN(8)} AS s FROM documents WHERE doc_id % 50 <> 0),
           ti AS (SELECT doc_id, ${phashSql("g")} AS g FROM (SELECT doc_id, unnest(s) AS g FROM tr)),

@@ -82,6 +82,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set("keep"))
   }
 
+  test("repetitionStats computes top token/bigram shares") {
+    val df = Seq(
+      (1L, "spam spam spam ham"),   // top token 3/4; top bigram "spam spam" 2/3
+      (2L, "one two three four"),   // all shares 1/n
+      (3L, "solo")                  // < 2 tokens -> null bigram share
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == (0.75, Some(0.666667)))
+    assert(got(2L) == (0.25, Some(0.333333)))
+    assert(got(3L) == (1.0, None))
+  }
+
+  test("unigramLogProb scores common-token docs higher than rare-token docs") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id")
+      .as[(Long, Double)].collect().toMap
+    // p(common)=6/8, p(rare)=1/8; doc 1 all-common scores higher
+    assert(got(1L) > got(2L))
+    assert(math.abs(got(1L) - math.round(math.log(6.0 / 8.0) * 1e6) / 1e6) < 1e-6)
+  }
+
   test("qualityScore bounded in [0,1] and favors clean prose") {
     val df = Seq(
       ("clean", "the cat sat on the mat and it is a fine day for all of us", 400L),
