@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
@@ -79,4 +79,35 @@ object Multimodal {
       col("media_type"),
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
+
+  /** Video-style frame sampling plumbing: slice each payload into
+    * `nFrames` equal byte chunks ("frames") and keep every `stride`-th —
+    * one output row per sampled frame, fingerprinted. All codegen'd
+    * byte/substring arithmetic (the real frame DECODE would slot in where
+    * the md5 fingerprint sits); the explode multiplies rows BEFORE any
+    * shuffle, so downstream stages see fixed-size frame records, never
+    * whole payloads. Deterministic → oracle-checkable. */
+  def frameSample(media: DataFrame, nFrames: Int = 8, stride: Int = 2): DataFrame = {
+    val flen = ceil(length(col("payload")).cast("double") / nFrames).cast("int")
+    media
+      .withColumn("__flen", flen)
+      .select(col("doc_id"), col("media_type"), posexplode(
+        transform(sequence(lit(0), lit(nFrames - 1), lit(stride)),
+          k => col("payload").substr(k * col("__flen") + 1, col("__flen"))))
+        .as(Seq("__i", "__frame")))
+      .filter(length(col("__frame")) > 0)
+      .select(col("doc_id"), col("media_type"),
+        (col("__i") * stride).cast("long").as("frame_idx"),
+        length(col("__frame")).cast("long").as("frame_bytes"),
+        md5(col("__frame")).as("frame_md5"))
+  }
+
+  /** Fit (width, height) inside a `box`×`box` square preserving aspect
+    * ratio, never upscaling — the resize-metadata step that runs BEFORE
+    * the (stubbed) pixel resize so oversized payloads can be routed to a
+    * heavier executor pool by metadata alone. Pure per-row arithmetic. */
+  def fitWithin(width: Column, height: Column, box: Int): (Column, Column) = {
+    val scale = least(lit(box.toDouble) / width, lit(box.toDouble) / height, lit(1.0))
+    (floor(width * scale).cast("int"), floor(height * scale).cast("int"))
+  }
 }

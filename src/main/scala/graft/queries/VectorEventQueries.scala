@@ -152,6 +152,14 @@ object VectorEventQueries {
     "q44_media_stats" -> ((s, dir) => {
       Multimodal.mediaStats(Multimodal.asMediaTable(Tables.documents(s, dir)))
         .orderBy("doc_id")
+    }),
+
+    // Frame sampling: every 2nd of 8 equal byte chunks per payload, one
+    // fingerprinted row per sampled frame (explode before shuffle, fixed-
+    // size frame records downstream).
+    "q81_frame_sample" -> ((s, dir) => {
+      Multimodal.frameSample(Multimodal.asMediaTable(Tables.documents(s, dir)))
+        .orderBy("doc_id", "frame_idx")
     }))
 
   private def lapSql(value: String, key: String, scale: String) =
@@ -274,5 +282,16 @@ object VectorEventQueries {
                 (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS payload_md5
-          FROM documents ORDER BY doc_id""")
+          FROM documents ORDER BY doc_id""",
+    // ASCII corpus: char and byte offsets coincide (same equivalence q44
+    // relies on for md5(text) vs md5 of the utf-8 payload).
+    "q81_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+                  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+                  text, CAST(ceil(length(text) / 8.0) AS INT) AS flen FROM documents),
+          f AS (SELECT doc_id, media_type, k, substr(text, k * flen + 1, flen) AS frame
+                FROM m, (SELECT unnest([0, 2, 4, 6]) AS k))
+          SELECT doc_id, media_type, CAST(k AS BIGINT) AS frame_idx,
+                 CAST(length(frame) AS BIGINT) AS frame_bytes, md5(frame) AS frame_md5
+          FROM f WHERE length(frame) > 0 ORDER BY doc_id, frame_idx""")
 }

@@ -32,6 +32,29 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).feature.sameElements(f0.feature))
   }
 
+  test("frameSample slices payloads into strided fingerprinted chunks") {
+    val frames = Multimodal.frameSample(Multimodal.asMediaTable(docs))
+      .filter($"doc_id" === 0)
+      .select("frame_idx", "frame_bytes", "frame_md5")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // payload "an image payload" = 16 bytes, flen = 2, frames 0/2/4/6
+    assert(frames.map(_._1).sameElements(Array(0L, 2L, 4L, 6L)))
+    assert(frames.forall(_._2 == 2L))
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("an".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames(0)._3 == expected) // frame 0 = bytes [0,2) = "an"
+  }
+
+  test("fitWithin shrinks preserving aspect, never upscales") {
+    val df = Seq((640, 480), (100, 400), (20, 10)).toDF("w", "h")
+    val (nw, nh) = Multimodal.fitWithin($"w", $"h", box = 224)
+    val got = df.select($"w", nw.as("nw"), nh.as("nh"))
+      .as[(Int, Int, Int)].collect().sortBy(_._1)
+    assert(got.contains((640, 224, 168)))  // scale 0.35
+    assert(got.contains((100, 56, 224)))   // scale 0.56
+    assert(got.contains((20, 20, 10)))     // no upscale
+  }
+
   test("mediaStats exposes byte length and md5 of the payload") {
     val r = Multimodal.mediaStats(Multimodal.asMediaTable(docs))
       .filter($"doc_id" === 0)
