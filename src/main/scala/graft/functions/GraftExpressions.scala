@@ -301,7 +301,10 @@ object GraftFunctions {
     "graft_shingles" -> (args => GraftShingles(args(0), args(1))),
     "graft_minhash_sig" -> (args => GraftMinHashSig(args.head)),
     "graft_simhash" -> (args => GraftSimHash(args.head)),
-    "graft_cosine" -> (args => GraftCosine(args(0), args(1))))
+    "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
+    // aggregate: the analyzer wraps AggregateFunction builders in an
+    // AggregateExpression automatically
+    "graft_topk" -> (args => TopKPairs(args(0), args(1), args(2))))
 
   /** Idempotently register the native functions on a session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -318,6 +321,8 @@ object GraftFunctions {
   def minhashSigNative(hashes: Column): Column = call_function("graft_minhash_sig", hashes)
   def simhashNative(hashes: Column): Column = call_function("graft_simhash", hashes)
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def topKNative(sim: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
 }
 
 /** SparkSessionExtensions injection point (spark.sql.extensions). */

@@ -185,6 +185,28 @@ object Similarity {
         TextHashImpl.phash(UTF8String.fromString(s"$tag|$t|$b|$j"))
           / HalfHashDomain - 1.0)))
 
+  /** [[knnBruteForce]] with the ranking done by the native bounded-heap
+    * aggregate (graft_topk) instead of a row_number window. Identical
+    * output; radically different exchange: the window shuffles EVERY
+    * scored (qid, vec_id, sim) row and sorts each qid group, while the
+    * heap aggregate reduces each map task's slice to <= k pairs per qid
+    * BEFORE the shuffle (partial aggregation), so the exchange carries
+    * O(k · maps) rows per query instead of O(corpus). The preferred form
+    * once the corpus outgrows one partition per query. */
+  def knnBruteForceAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+    c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.topKNative(col("sim"), col("vec_id"), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")).as(Seq("__r", "__p")))
+      .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
+        col("__p.vec_id").as("vec_id"), col("__p.sim").as("sim"))
+  }
+
   /** Symmetric per-vector int8 quantization of an embedding column:
     * q_i = round(x_i · 127 / max|x|) ∈ [-127, 127]. The 4× (vs float32)
     * storage cut is what makes a 100 TB ANN index fit executor memory /

@@ -102,6 +102,16 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // q38's ranking via the native bounded-heap aggregate: map-side
+    // partial top-k per query, O(k·maps)-row exchange instead of the
+    // window's full-corpus shuffle+sort. Same output, same oracle as q38.
+    "q82_knn_topk_agg" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnBruteForceAgg(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K)
+        .orderBy("qid", "rank")
+    }),
+
     // Int8-quantized brute-force top-k: the corpus is symmetrically
     // quantized per vector (4x memory cut — how a 100 TB ANN index fits
     // in executor memory) and ranked on the int vectors directly (cosine
@@ -174,6 +184,12 @@ object VectorEventQueries {
 
   val oracles: Map[String, String] = Map(
     "q38_knn_bruteforce" ->
+      s"""WITH $knnCore,
+          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+          r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    "q82_knn_topk_agg" ->
       s"""WITH $knnCore,
           sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),

@@ -126,6 +126,27 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("knnBruteForceAgg matches the window formulation exactly") {
+    val q = vecs.filter($"vec_id" < 3)
+    val win = Similarity.knnBruteForce(vecs, q, "vec_id", "embedding", 4)
+      .select("qid", "rank", "vec_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val agg = Similarity.knnBruteForceAgg(vecs, q, "vec_id", "embedding", 4)
+      .select("qid", "rank", "vec_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(agg == win)
+  }
+
+  test("knnBruteForceAgg aggregates with a map-side partial stage (no window sort)") {
+    val q = vecs.filter($"vec_id" === 0)
+    val plan = Similarity.knnBruteForceAgg(vecs, q, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate appears twice: partial (before the exchange)
+    // and final — the map-side-combine shape the window plan cannot have.
+    assert(plan.split("\n").count(_.contains("ObjectHashAggregate")) >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("quantizeInt8 bounds values, preserves direction, reconstructs within a half-step") {
     val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
       .select($"vec_id", $"qvec", $"max_abs").as[(Long, Seq[Int], Double)].collect()
