@@ -160,11 +160,15 @@ object Similarity {
     val scored = c.join(broadcast(best), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), cosine(col("__qv"), col("__cv")).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
+    // rank via the bounded-heap aggregate: map-side partial top-k per
+    // query, so the exchange carries <= k rows per (map, query) instead
+    // of every scored row (see knnBruteForceAgg; identical ordering
+    // contract, proven by the q39/q66 oracles).
+    scored.groupBy(col("qid"))
+      .agg(GraftFunctions.topKNative(col("sim"), col("vec_id"), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")).as(Seq("__r", "__p")))
+      .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
+        col("__p.vec_id").as("vec_id"), col("__p.sim").as("sim"))
   }
 
   /** 2^59 — maps the 60-bit portable hash onto [0, 2) so `h/2^59 - 1`

@@ -122,6 +122,25 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(!ok.isNullAt(0))
   }
 
+  test("graft_topk works from SQL text and keeps (sim desc, id asc) order") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      """SELECT g, graft_topk(s, i, 2) AS tk
+        |FROM VALUES ('a', 1.0D, 1L), ('a', 3.0D, 3L), ('a', 3.0D, 2L),
+        |            ('a', 0.5D, 9L), ('b', 2.0D, 7L)
+        |     AS t(g, s, i)
+        |GROUP BY g""".stripMargin)
+      .as[(String, Seq[(Long, Double)])].collect().toMap
+    // ties broken by smaller id; k=2 evicts the rest
+    assert(rows("a") == Seq((2L, 3.0), (3L, 3.0)))
+    assert(rows("b") == Seq((7L, 2.0)))
+    // null sims are skipped, not ranked
+    val withNull = spark.sql(
+      "SELECT graft_topk(s, i, 3) FROM VALUES (CAST(NULL AS DOUBLE), 1L), (1.0D, 2L) AS t(s, i)")
+      .as[Seq[(Long, Double)]].head()
+    assert(withNull == Seq((2L, 1.0)))
+  }
+
   test("kernels run inside whole-stage codegen (no fallback in plan)") {
     // A local relation would be constant-folded away; go through parquet so
     // the executed plan is the real scan + projection pipeline.
