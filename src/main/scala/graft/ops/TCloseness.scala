@@ -37,13 +37,17 @@ object TCloseness {
     // Sensitive-attribute domains are tiny by assumption (the reference's
     // is 2 values): collect the sorted domain and broadcast a dictionary.
     // A dense_rank over a global window would funnel through one task.
+    // Ordering happens on the column's NATIVE type (sorting the casted
+    // string would ordinal-sort numerics lexicographically: 10 < 2);
+    // the join key is the string rendering, matching Spark's own cast.
     val spark = df.sparkSession
     import spark.implicits._
-    val values = df.select(col(c).cast("string")).distinct()
-      .orderBy(col(c)).as[String].collect()
+    val values = df.select(col(c)).distinct().orderBy(col(c))
+      .select(col(c).cast("string")).as[String].collect()
     val dict = values.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toSeq
-      .toDF(c, outCol)
-    df.join(broadcast(dict), Seq(c))
+      .toDF("__ord_k", outCol)
+    df.join(broadcast(dict), col(c).cast("string") === col("__ord_k"))
+      .drop("__ord_k")
   }
 
   /** One row per group: QI columns + `emd` (double). `posCol` is the numeric

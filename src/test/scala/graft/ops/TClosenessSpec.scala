@@ -63,4 +63,11 @@ class TClosenessSpec extends SparkSpec {
       .select("v", "idx").as[(String, Long)].collect().toSet
     assert(enc == Set(("apple", 0L), ("banana", 1L), ("carrot", 2L)))
   }
+
+  test("ordinal orders numeric domains numerically, not lexicographically") {
+    val df = Seq(10, 2, 100, 2).toDF("v")
+    val enc = TCloseness.ordinal(df, "v", "idx")
+      .select("v", "idx").as[(Int, Long)].collect().toSet
+    assert(enc == Set((2, 0L), (10, 1L), (100, 2L))) // lexicographic would rank 10 < 2
+  }
 }
