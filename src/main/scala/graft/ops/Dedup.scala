@@ -243,6 +243,35 @@ object Dedup {
     fresh.join(firsts, Seq(idCol), "left_semi").drop("__h")
   }
 
+  /** [[ingestDedup]] with a Bloom-filter pre-pass: a compact sketch of
+    * the corpus' content hashes broadcasts to every executor, and only
+    * batch rows the sketch says MIGHT be seen pay the exact anti-join —
+    * definite-negatives (the vast majority of a typical crawl batch)
+    * skip it entirely. False positives are resolved by the exact join,
+    * so the result is IDENTICAL to [[ingestDedup]] (spec-asserted); the
+    * sketch only routes. `expectedItems`/`fpp` size the sketch (~1.2 GB
+    * per 10^9 docs at 1% fpp — broadcastable where the corpus itself
+    * never is). EAGER: building the sketch is one aggregation job.
+    * The membership probe is a Scala UDF by necessity: Spark's native
+    * bloom expressions (BloomFilterMightContain) are internal-only, and
+    * the probe is a cheap per-row bit test off the hot codegen path. */
+  def ingestDedupBloom(batch: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String, expectedItems: Long,
+                       fpp: Double = 0.01): DataFrame = {
+    val bloom = corpus.stat.bloomFilter(md5(col(textCol).cast("string")), expectedItems, fpp)
+    val spark = batch.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightBeSeen = udf((h: String) => bloomBc.value.mightContainString(h))
+    val hashed = batch.withColumn("__h", md5(col(textCol).cast("string")))
+    val definiteNew = hashed.filter(!mightBeSeen(col("__h")))
+    val residual = hashed.filter(mightBeSeen(col("__h")))
+      .join(corpus.select(md5(col(textCol).cast("string")).as("__h")).distinct(),
+        Seq("__h"), "left_anti")
+    val fresh = definiteNew.unionByName(residual)
+    val firsts = fresh.groupBy(col("__h")).agg(min(col(idCol)).as(idCol)).select(idCol)
+    fresh.join(firsts, Seq(idCol), "left_semi").drop("__h")
+  }
+
   /** Connected components over a near-duplicate PAIR list: every document
     * in a pair gets a `cluster` label = the smallest doc id transitively
     * reachable through pairs. This is the canonicalization step after

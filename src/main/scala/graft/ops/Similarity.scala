@@ -245,7 +245,7 @@ object Similarity {
       .select(col(idCol), col("qvec").cast("array<double>").as("__qv8"))
     val qq = quantizeInt8(queries, idCol, vecCol)
       .select(col(idCol), col("qvec").cast("array<double>").as("__qv8"))
-    knnBruteForce(qc, qq, idCol, "__qv8", k)
+    knnBruteForceAgg(qc, qq, idCol, "__qv8", k)
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane (SimHash-style)

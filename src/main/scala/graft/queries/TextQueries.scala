@@ -131,6 +131,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // JSONL round-trip (the training-corpus interchange format): write
+    // one JSON object per line, read back with a PINNED schema (no
+    // inference pass), content must survive exactly.
+    "q83_jsonl_roundtrip" -> ((s, dir) => {
+      val slice = Tables.documents(s, dir)
+        .select("doc_id", "source", "lang", "n_chars", "text")
+      val path = s"/tmp/graft_jsonl_roundtrip_${dir.hashCode.toHexString}"
+      graft.sources.JsonlSource.write(slice, path)
+      graft.sources.JsonlSource.read(s, path, slice.schema)
+        .orderBy("doc_id")
+    }),
+
     // Gopher repetition rules: share of tokens held by the top token and
     // share of bigram occurrences held by the top bigram, per doc.
     "q79_repetition" -> ((s, dir) => {
@@ -379,6 +391,8 @@ object TextQueries {
             FROM parts) WHERE rn = 1)
           SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10) || chr(10)) AS text_dedup
           FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q83_jsonl_roundtrip" ->
+      """SELECT doc_id, source, lang, n_chars, text FROM documents ORDER BY doc_id""",
     "q79_repetition" ->
       s"""WITH tok AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_share
                        FROM (SELECT doc_id, t, count(*) AS c

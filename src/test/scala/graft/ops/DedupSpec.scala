@@ -242,6 +242,20 @@ class DedupSpec extends SparkSpec {
     assert(accepted == Set(10L, 13L))
   }
 
+  test("ingestDedupBloom routes through the sketch but matches ingestDedup exactly") {
+    val corpus = (1L to 200L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+    val batch = ((1000L to 1050L).map(i => (i, s"new doc $i")) ++
+      (1L to 20L).map(i => (i + 2000L, s"corpus doc $i")) ++    // corpus dups
+      Seq((3000L, "new doc 1000"))).toDF("doc_id", "text")      // in-batch dup
+    val exact = Dedup.ingestDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.ingestDedupBloom(batch, corpus, "doc_id", "text",
+      expectedItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == exact)
+    assert(exact == (1000L to 1050L).toSet)
+  }
+
   test("dedupClusters labels components with the min reachable id") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; pair order irrelevant
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
