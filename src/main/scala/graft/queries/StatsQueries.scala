@@ -51,6 +51,21 @@ object StatsQueries {
     }),
 
     // CUBE: all grouping-set combinations in one pass.
+    // PIVOT with an explicit value list (never the inferred-domain form,
+    // which needs an extra distinct pass and breaks column determinism
+    // at scale). CASE-based oracle: same result, portable SQL.
+    "q84_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q57_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -104,6 +119,12 @@ object StatsQueries {
       """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q57_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q84_pivot" ->
+      """SELECT o_orderpriority,
+            count(*) FILTER (o_orderstatus = 'F') AS n_f,
+            count(*) FILTER (o_orderstatus = 'O') AS n_o,
+            count(*) FILTER (o_orderstatus = 'P') AS n_p
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q59_partitioned_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders ORDER BY o_orderkey""")
 }
