@@ -41,6 +41,44 @@ object TimeSeries {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** As-of join: for each left row, attach the LATEST right row with the
+    * same key and right ts <= left ts (inclusive) — point-in-time feature
+    * lookup / attribution, the example custom operator Spark lacks.
+    *
+    * NOT implemented as a range join (which explodes to O(|L|·|R|) per
+    * key before filtering): both sides union into one stream tagged
+    * right-before-left at equal timestamps, and a single running
+    * `last(payload, ignoreNulls)` window carries the newest right payload
+    * forward onto each left row. ONE shuffle on the key, linear work —
+    * the merge-join shape a native as-of operator would use.
+    *
+    * Determinism: among right rows tied on (key, ts), the largest
+    * `rightTieCol` wins (the window order's last). Left rows with no
+    * prior right row get nulls. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightPayload: Seq[String], rightTieCol: String,
+               prefix: String = "asof_"): DataFrame = {
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val pType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
+    val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(1).as("__m"), lit(-1L).as("__tie"),
+      struct(left.columns.map(col): _*).as("__lrow"),
+      lit(null).cast(pType).as("__p"))
+    val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(0).as("__m"), col(rightTieCol).cast("long").as("__tie"),
+      lit(null).cast(lType).as("__lrow"),
+      struct(rightPayload.map(col): _*).as("__p"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__m"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__pf", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__m") === 1)
+      .select(col("__lrow.*") +:
+        rightPayload.map(c => col(s"__pf.$c").as(prefix + c)): _*)
+  }
+
   /** Per-session rollup: bounds, event count, value sum. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)

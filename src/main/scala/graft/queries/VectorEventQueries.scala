@@ -124,6 +124,23 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // As-of join (click attribution): each view event picks up the same
+    // user's latest click at-or-before it — union-tag + running last()
+    // window, one shuffle, no range-join explosion.
+    "q85_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_event_id"), col("value").as("click_value"))
+      TimeSeries.asofJoin(views, clicks, "user_id", "ts",
+        rightPayload = Seq("click_event_id", "click_value"),
+        rightTieCol = "click_event_id")
+        .select("event_id", "user_id", "asof_click_event_id", "asof_click_value")
+        .orderBy("event_id")
+    }),
+
     // Gap-based sessionization (30-min inactivity gap).
     "q40_sessionize" -> ((s, dir) => {
       TimeSeries.sessionize(Tables.events(s, dir), gapMinutes = 30)
@@ -271,6 +288,21 @@ object VectorEventQueries {
                  FROM q CROSS JOIN qn c WHERE c.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    "q85_asof_join" ->
+      """WITH u AS (
+            SELECT user_id AS k, ts, 1 AS m, -1 AS tie, event_id,
+                   NULL::BIGINT AS p_eid, NULL::DOUBLE AS p_val
+            FROM events WHERE event_type = 'view'
+            UNION ALL
+            SELECT user_id, ts, 0, event_id, NULL, event_id, value
+            FROM events WHERE event_type = 'click'),
+          f AS (SELECT *,
+                  last_value(p_eid IGNORE NULLS) OVER win AS asof_click_event_id,
+                  last_value(p_val IGNORE NULLS) OVER win AS asof_click_value
+                FROM u
+                WINDOW win AS (PARTITION BY k ORDER BY ts, m, tie ROWS UNBOUNDED PRECEDING))
+          SELECT event_id, k AS user_id, asof_click_event_id, asof_click_value
+          FROM f WHERE m = 1 ORDER BY event_id""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

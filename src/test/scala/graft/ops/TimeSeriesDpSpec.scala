@@ -39,6 +39,35 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(got.contains(("11:00", "view", 1L)))
   }
 
+  test("asofJoin attaches the latest right row at-or-before each left ts") {
+    val views = events.filter($"event_type" === "view")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("cid"), $"value".as("cv"))
+    val got = TimeSeries.asofJoin(views, clicks, "user_id", "ts",
+      rightPayload = Seq("cid", "cv"), rightTieCol = "cid")
+      .select("event_id", "asof_cid", "asof_cv")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    // view 3 (user 7 @11:00): latest click is 2 (@10:10)
+    assert(got(3L) == Some((2L, 2.0)))
+    // view 5 (user 8 @12:00): latest click is 4 (@10:05)
+    assert(got(5L) == Some((4L, 4.0)))
+    // inclusive tie + tiebreak: a view exactly at a click's ts sees it,
+    // and ties on ts pick the larger tie id
+    val v2 = Seq((100L, 7L, ts("2024-01-01 10:10:00"))).toDF("event_id", "user_id", "ts")
+    val c2 = Seq((7L, ts("2024-01-01 10:10:00"), 50L, 5.0),
+      (7L, ts("2024-01-01 10:10:00"), 51L, 6.0))
+      .toDF("user_id", "ts", "cid", "cv")
+    val tied = TimeSeries.asofJoin(v2, c2, "user_id", "ts", Seq("cid", "cv"), "cid")
+      .select("asof_cid").as[Long].head()
+    assert(tied == 51L)
+    // no prior right row -> nulls
+    val early = Seq((200L, 7L, ts("2024-01-01 09:00:00"))).toDF("event_id", "user_id", "ts")
+    val none = TimeSeries.asofJoin(early, clicks, "user_id", "ts", Seq("cid", "cv"), "cid")
+    assert(none.filter($"asof_cid".isNull).count() == 1)
+  }
+
   test("dp noise is deterministic for fixed seed, differs across seeds") {
     val a = DifferentialPrivacy.dpCount(events, Seq("event_type"), 1.0, 42L)
       .as[(String, Double)].collect().toMap
