@@ -36,6 +36,27 @@ object Generalization {
     if (mx == mn) lit(0L)
     else least(floor((c.cast("double") - lit(mn)) / (lit(mx) - lit(mn)) * lit(n)), lit(n - 1L)).cast("long")
 
+  /** Equal-DEPTH (quantile) binning — the pd.qcut analogue the reference
+    * lacks: bin ids 0..n-1 with ~equal row counts. NOT an `ntile` global
+    * window (one-task bottleneck at scale): a single exact-percentile
+    * aggregate fixes the n-1 edges on the driver, then the bin id is a
+    * codegen'd chain of comparisons (count of edges below the value), so
+    * the data passes are one tiny all-to-one reduce plus one scan.
+    * Right-closed intervals (a value equal to an edge stays in the lower
+    * bin, qcut's convention); edges round to 6dp so an external engine's
+    * last-ulp interpolation differences cannot flip a bin. */
+  def equalDepthBin(df: DataFrame, c: String, n: Int, outCol: String): DataFrame = {
+    require(n >= 2, "need at least 2 bins")
+    val qs = (1 until n).map(i => i.toDouble / n)
+    val edges = df.agg(expr(
+      s"percentile($c, array(${qs.mkString(", ")}))")).head()
+      .getSeq[Double](0)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    df.withColumn(outCol, edges.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(col(c).cast("double") > e, 1L).otherwise(0L)
+    })
+  }
+
   /** Explicit-edge binning with string labels, as a codegen-friendly CASE
     * chain. `edges` has length labels.size + 1; intervals are
     * (edges(i), edges(i+1)] like pd.cut's default right-closed intervals.

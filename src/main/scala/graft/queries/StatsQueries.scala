@@ -51,6 +51,17 @@ object StatsQueries {
     }),
 
     // CUBE: all grouping-set combinations in one pass.
+    // Equal-depth (quantile) binning: quartile edges from one exact-
+    // percentile reduce, then codegen'd comparisons — no global ntile
+    // window. Counts per bin prove ~equal depth.
+    "q86_equidepth_bin" -> ((s, dir) => {
+      graft.ops.Generalization
+        .equalDepthBin(Tables.orders(s, dir), "o_totalprice", 4, "depth_bin")
+        .groupBy(col("depth_bin"))
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("depth_bin")
+    }),
+
     // PIVOT with an explicit value list (never the inferred-domain form,
     // which needs an extra distinct pass and breaks column determinism
     // at scale). CASE-based oracle: same result, portable SQL.
@@ -119,6 +130,15 @@ object StatsQueries {
       """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q57_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q86_equidepth_bin" ->
+      """WITH e AS (SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS e1,
+                          round(quantile_cont(o_totalprice, 0.50), 6) AS e2,
+                          round(quantile_cont(o_totalprice, 0.75), 6) AS e3 FROM orders)
+          SELECT depth_bin, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price FROM (
+            SELECT CAST((o_totalprice > e1)::INT + (o_totalprice > e2)::INT + (o_totalprice > e3)::INT AS BIGINT) AS depth_bin,
+                   o_totalprice
+            FROM orders, e)
+          GROUP BY depth_bin ORDER BY depth_bin""",
     "q84_pivot" ->
       """SELECT o_orderpriority,
             count(*) FILTER (o_orderstatus = 'F') AS n_f,

@@ -45,4 +45,21 @@ class GeneralizationSpec extends SparkSpec {
       .select("cluster", "a", "b").as[(Int, String, String)].collect().toSet
     assert(out == Set((1, "10-20", "100-200"), (1, "10-20", "100-200"), (2, "5-5", "50-50")))
   }
+
+  test("equalDepthBin yields ~equal counts; values at an edge stay in the lower bin") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val binned = Generalization.equalDepthBin(df, "v", 4, "b")
+    val counts = binned.groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == Set(0L, 1L, 2L, 3L))
+    assert(counts.values.forall(c => c >= 24 && c <= 26), counts.toString)
+    // edges for 1..100 are 25.75 / 50.5 / 75.25: 25 -> bin 0, 26 -> bin 1
+    val got = binned.filter($"v".isin(25.0, 26.0, 50.0, 51.0))
+      .select("v", "b").as[(Double, Long)].collect().toMap
+    assert(got == Map(25.0 -> 0L, 26.0 -> 1L, 50.0 -> 1L, 51.0 -> 2L))
+    // right-closed: a value exactly equal to an edge stays below it
+    val edgeDf = Seq(1.0, 2.0, 2.0, 3.0).toDF("v") // median = 2.0 = a data value
+    val eb = Generalization.equalDepthBin(edgeDf, "v", 2, "b")
+      .filter($"v" === 2.0).select("b").as[Long].collect()
+    assert(eb.forall(_ == 0L))
+  }
 }
