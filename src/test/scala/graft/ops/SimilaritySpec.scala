@@ -137,6 +137,30 @@ class SimilaritySpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("property: graft_topk equals the window top-k on random data, any partitioning") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(7)
+      // duplicate sims on purpose so the id tiebreak is exercised
+      val rows = (1 to n).map(i =>
+        (rnd.nextInt(5).toLong, math.floor(rnd.nextDouble() * 20) / 20.0, i.toLong))
+      val df = rows.toDF("g", "sim", "id").repartition(1 + rnd.nextInt(16))
+      val win = df.withColumn("r",
+          row_number().over(W.partitionBy($"g").orderBy($"sim".desc, $"id")))
+        .filter($"r" <= k).select($"g", $"r".cast("long").as("r"), $"id", $"sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val agg = df.groupBy($"g")
+        .agg(GraftFunctions.topKNative($"sim", $"id", k).as("tk"))
+        .select($"g", posexplode($"tk").as(Seq("p", "s")))
+        .select($"g", ($"p" + 1).cast("long").as("r"), $"s.vec_id".as("id"), $"s.sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(agg == win, s"trial $trial (n=$n k=$k) diverged")
+    }
+  }
+
   test("knnBruteForceAgg aggregates with a map-side partial stage (no window sort)") {
     val q = vecs.filter($"vec_id" === 0)
     val plan = Similarity.knnBruteForceAgg(vecs, q, "vec_id", "embedding", 3)

@@ -36,6 +36,32 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text operators run unchanged on a stream (batch/stream transparency)") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val mem = MemoryStream[Doc]
+    // corpusFilter + maskPii are pure per-row predicates/projections, so
+    // the SAME operator code runs under readStream with no changes —
+    // the design property that makes the batch pipeline streamable.
+    val cleaned = TextAnalysis.corpusFilter(
+      mem.toDF(), minTokens = 3, maxTokens = 100,
+      minMeanTokLen = 1.0, maxMeanTokLen = 20.0,
+      maxPunctRatio = 0.5, minStopwordRatio = 0.0)
+      .select($"doc_id", TextAnalysis.maskPii($"text").as("masked"))
+    val q = cleaned.writeStream.format("memory").queryName("stream_clean")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), "mail me at a@b.co today"),
+        Doc(2L, ts("2024-01-01 10:01:00"), "no"))  // fails minTokens
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_clean")
+      .select("doc_id", "masked").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "mail me at <EMAIL> today"))
+  }
+
   test("dedupStream evicts expired keys; post-eviction duplicates re-emit (documented trade)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
