@@ -181,6 +181,32 @@ object TextHashImpl {
   }
 }
 
+/** Unicode text canonicalization kernel: NFC-normalize, replace
+  * ASCII control chars with spaces, collapse whitespace runs, trim,
+  * ROOT-locale lowercase — IN THAT ORDER (the oracle replays the same
+  * chain as nfc_normalize + regexp_replace + trim + lower). The compiled
+  * pattern instances are shared per JVM; the kernel is a static call so
+  * the surrounding projection stays in WholeStageCodegen. */
+object TextNormImpl {
+  private val Ctrl = java.util.regex.Pattern.compile("[\\x00-\\x1f\\x7f]")
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  def normalize(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val collapsed = Ws.matcher(Ctrl.matcher(nfc).replaceAll(" ")).replaceAll(" ").trim
+    UTF8String.fromString(collapsed.toLowerCase(java.util.Locale.ROOT))
+  }
+}
+
+case class GraftNormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextNormImpl.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNormImpl.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftNormalizeText =
+    copy(child = newChild)
+}
+
 case class GraftPHashArray(child: Expression, modP: Boolean)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -302,6 +328,7 @@ object GraftFunctions {
     "graft_minhash_sig" -> (args => GraftMinHashSig(args.head)),
     "graft_simhash" -> (args => GraftSimHash(args.head)),
     "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
+    "graft_normalize_text" -> (args => GraftNormalizeText(args.head)),
     // aggregate: the analyzer wraps AggregateFunction builders in an
     // AggregateExpression automatically
     "graft_topk" -> (args => TopKPairs(args(0), args(1), args(2))))
@@ -323,6 +350,8 @@ object GraftFunctions {
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def topKNative(sim: Column, id: Column, k: Int): Column =
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
+  def normalizeTextNative(text: Column): Column =
+    call_function("graft_normalize_text", text)
 }
 
 /** SparkSessionExtensions injection point (spark.sql.extensions). */

@@ -119,6 +119,15 @@ object TextAnalysis {
   def maskPii(text: Column): Column =
     PiiRules.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
 
+  /** Unicode canonicalization (the first pass of every text pipeline):
+    * NFC-normalize (composed accents — "Cafe"+U+0301 and "Café" become
+    * one byte sequence, so dedup/fingerprinting see one document),
+    * control chars → space, whitespace collapsed, trimmed, lowercased.
+    * Native compiled kernel (Spark has no built-in NFC); requires
+    * GraftFunctions.ensureRegistered. */
+  def normalizeText(text: Column): Column =
+    graft.functions.GraftFunctions.normalizeTextNative(text)
+
   /** C4/Gopher-style corpus quality filter: keep documents inside the
     * token-count band, the mean-token-length band, under the punctuation
     * ceiling, and over the stopword floor (the classic "is this natural

@@ -131,6 +131,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode canonicalization: planted decomposed accents / control
+    // chars / whitespace runs (the synthetic corpus is pure ASCII) must
+    // normalize identically in both engines — NFC, control strip,
+    // whitespace collapse, trim, lowercase, in that order.
+    "q87_normalize_text" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val aug = concat(col("text"), lit("  CAFE"), lit("\u0301"), lit("\t"),
+        lit("Mixed   SPACE "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.normalizeText(aug).as("normalized"))
+        .orderBy("doc_id")
+    }),
+
     // JSONL round-trip (the training-corpus interchange format): write
     // one JSON object per line, read back with a PINNED schema (no
     // inference pass), content must survive exactly.
@@ -393,6 +406,12 @@ object TextQueries {
           FROM kept GROUP BY doc_id ORDER BY doc_id""",
     "q83_jsonl_roundtrip" ->
       """SELECT doc_id, source, lang, n_chars, text FROM documents ORDER BY doc_id""",
+    "q87_normalize_text" ->
+      """SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || '  CAFE' || chr(769) || chr(9) || 'Mixed   SPACE '),
+             '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS normalized
+         FROM documents ORDER BY doc_id""",
     "q79_repetition" ->
       s"""WITH tok AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_share
                        FROM (SELECT doc_id, t, count(*) AS c
