@@ -131,6 +131,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The composed end-to-end corpus pipeline (normalize → quality →
+    // exact dedup → LSH near-dup canonicalization → decontaminate →
+    // split → pack). Every stage is an operator with its own oracle
+    // query; the composition is rows-only checked here and
+    // stage-asserted in CorpusPipelineSpec.
+    "q88_corpus_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val res = graft.pipelines.CorpusPipeline.run(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0))
+      res.corpus.select("doc_id", "source", "split", "n_tokens", "bin")
+        .orderBy("doc_id")
+    }),
+
     // Unicode canonicalization: planted decomposed accents / control
     // chars / whitespace runs (the synthetic corpus is pure ASCII) must
     // normalize identically in both engines — NFC, control strip,

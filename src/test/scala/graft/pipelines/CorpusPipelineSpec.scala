@@ -1,0 +1,48 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("corpus pipeline stages shrink monotonically and compose correctly") {
+    val d = graft.Tables.documents(spark, sfDir)
+    val train = d.filter($"doc_id" % 50 =!= 0)
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val res = CorpusPipeline.run(train, bench)
+    val c = res.counts
+
+    // monotone: each stage can only remove documents
+    assert(c.input >= c.quality && c.quality >= c.exactDedup &&
+      c.exactDedup >= c.nearDedup && c.nearDedup >= c.decontaminated,
+      c.toString)
+    assert(c.decontaminated > 0, "pipeline must not empty the corpus")
+
+    val out = res.corpus
+    // output rows = decontaminated survivors; packing/splitting drop none
+    assert(out.count() == c.decontaminated)
+    // every survivor carries a split label and a non-negative bin
+    assert(out.filter(!$"split".isin("train", "val", "test")).count() == 0)
+    assert(out.filter($"bin" < 0).count() == 0)
+
+    // no exact duplicates survive (on the normalized text the pipeline used)
+    val survivorsTexts = train
+      .join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("text", graft.ops.TextAnalysis.normalizeText($"text"))
+    assert(Dedup.exact(survivorsTexts, "doc_id", "text").count() == out.count())
+
+    // no survivor shares an 8-gram with the (normalized) benchmark set
+    val contaminated = Dedup.contaminatedIds(
+      survivorsTexts,
+      bench.withColumn("text", graft.ops.TextAnalysis.normalizeText($"text")),
+      "doc_id", "text", n = 8)
+    assert(contaminated.join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+      .count() == 0)
+
+    res.corpus.unpersist()
+  }
+}
