@@ -58,29 +58,39 @@ object DifferentialPrivacy {
     concat_ws("|", groupCols.map(c =>
       coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
 
+  /** Noise an already-aggregated value keyed on its group columns — the
+    * composition point for pipelines that aggregate elsewhere (e.g. a
+    * watermarked streaming window agg) and only need the release step.
+    * Pure per-row expression over the aggregate, so it is streaming-safe:
+    * no extra shuffle, no state. The hash-keyed draw means re-releasing
+    * the same group (batch replay, complete-mode re-emit) repeats the
+    * SAME noise instead of averaging it away — repeated observation of
+    * one release leaks nothing beyond that release. */
+  def noisyRelease(value: Column, groupCols: Seq[String], sensitivity: Double,
+                   epsilon: Double, seed: Long): Column =
+    round(laplaceDeterministic(value, noiseKey(groupCols), sensitivity,
+      epsilon, seed), 6)
+
   /** DP count per group: count + Lap(1/ε) (count has sensitivity 1),
     * deterministic mode. */
   def dpCount(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-              seed: Long): DataFrame = {
-    val key = noiseKey(groupCols)
+              seed: Long): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__true_count"))
       .select(groupCols.map(col) :+
-        round(laplaceDeterministic(col("__true_count"), key, 1.0, epsilon, seed), 6)
+        noisyRelease(col("__true_count"), groupCols, 1.0, epsilon, seed)
           .as("dp_count"): _*)
-  }
 
   /** DP sum per group with values clipped to [lo, hi] (sensitivity =
     * max(|lo|, |hi|)), deterministic mode. */
   def dpSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
             lo: Double, hi: Double, epsilon: Double, seed: Long): DataFrame = {
-    val key = noiseKey(groupCols)
     val clipped = greatest(least(col(valueCol), lit(hi)), lit(lo))
     df.groupBy(groupCols.map(col): _*)
       .agg(sum(clipped).as("__true_sum"))
       .select(groupCols.map(col) :+
-        round(laplaceDeterministic(col("__true_sum"), key,
-          math.max(math.abs(lo), math.abs(hi)), epsilon, seed), 6)
+        noisyRelease(col("__true_sum"), groupCols,
+          math.max(math.abs(lo), math.abs(hi)), epsilon, seed)
           .as("dp_sum"): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.TimeSeries
+import graft.ops.DifferentialPrivacy
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
@@ -31,6 +31,24 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** DP release of the windowed counts: the same watermarked aggregate
+    * with Laplace noise applied per released statistic. In append mode
+    * each (window_start, event_type) group is emitted exactly once, when
+    * the watermark finalizes it — one noise draw per release, so the
+    * driver-side `PrivacyBudget` charges ε once per query, independent of
+    * how many micro-batches fed the window. The noise is a per-row
+    * expression over the aggregate (no extra shuffle, no extra state),
+    * and the hash-keyed draw makes replays repeat the same value rather
+    * than spend fresh budget (see DifferentialPrivacy.noisyRelease). */
+  def dpWindowedCounts(events: DataFrame, epsilon: Double, seed: Long,
+                       every: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    windowedCounts(events, every, watermark)
+      .select(col("window_start"), col("event_type"),
+        DifferentialPrivacy.noisyRelease(col("n_events"),
+          Seq("window_start", "event_type"), 1.0, epsilon, seed)
+          .as("dp_n_events"))
 
   final case class SessionState(lastTsMicros: Long, sessionSeq: Long,
                                 sessionStartMicros: Long)

@@ -59,6 +59,39 @@ class EventStreamSpec extends SparkSpec {
     assert(total == 200L)
   }
 
+  test("dpWindowedCounts noises each released window identically to the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.DifferentialPrivacy
+    val mem = MemoryStream[Ev]
+    mem.addData(data: _*)
+    val q = EventStream.dpWindowedCounts(mem.toDF(), epsilon = 0.5, seed = 7L)
+      .writeStream.format("memory").queryName("dp_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamRows = spark.table("dp_win")
+      .select(date_format($"window_start", "HH:mm"), $"event_type", $"dp_n_events")
+      .as[(String, String, Double)].collect().toSet
+
+    // Batch twin: same aggregate, same hash-keyed release — exact match.
+    val batchRows = TimeSeries.windowAgg(data.toDF(), "1 hour")
+      .select(date_format($"window_start", "HH:mm"), $"event_type",
+        DifferentialPrivacy.noisyRelease(col("n_events"),
+          Seq("window_start", "event_type"), 1.0, 0.5, 7L).as("dp_n_events"))
+      .as[(String, String, Double)].collect().toSet
+    assert(streamRows == batchRows)
+
+    // Noise actually applied: no released count equals its true value,
+    // and distinct groups get distinct draws (hash-keyed, not shared).
+    val trueCounts = Map(("10:00", "click") -> 3L, ("11:00", "view") -> 1L)
+    streamRows.foreach { case (w, t, noisy) =>
+      assert(noisy != trueCounts((w, t)).toDouble, s"no noise on ($w,$t)")
+    }
+    val draws = streamRows.toSeq.map { case (w, t, noisy) => noisy - trueCounts((w, t)) }
+    assert(draws.distinct.size == draws.size)
+  }
+
   test("sessionizeStream assigns gap-based sessions statefully across batches") {
     implicit val sq = spark.sqlContext
     implicit val ss = spark
