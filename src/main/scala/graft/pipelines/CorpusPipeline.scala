@@ -23,16 +23,27 @@ import org.apache.spark.sql.functions._
   * verifies (q87, q72, q34, q36/q76, q77, q74, q75) — the pipeline adds
   * composition, not new semantics.
   *
-  * Returns the packed corpus plus per-stage surviving-row counts (the
-  * run report a pipeline owner actually monitors). Counting forces each
-  * cached stage once; the per-stage DataFrames are cached only while
-  * counted, and the returned corpus is left cached for the caller.
+  * Per-stage surviving-row counts (the run report a pipeline owner
+  * monitors) are OPT-IN via `collectCounts`: counting forces every cached
+  * stage eagerly, which at corpus scale means several full materializations
+  * bought purely for the report. With `collectCounts = false` (the
+  * default) only the connected-components stage runs eagerly (its driver
+  * loop is inherent to the algorithm); everything downstream of it stays
+  * lazy until the caller acts on `corpus`.
   */
 final case class CorpusStageCounts(input: Long, normalized: Long,
                                    quality: Long, exactDedup: Long,
                                    nearDedup: Long, decontaminated: Long)
 
-final case class CorpusResult(corpus: DataFrame, counts: CorpusStageCounts)
+/** `counts` is Some iff the pipeline ran with `collectCounts = true`.
+  * `cachedStages` are upstream stages the lazy `corpus` plan still reads
+  * from; call [[unpersist]] when done with the result.
+  */
+final case class CorpusResult(corpus: DataFrame,
+                              counts: Option[CorpusStageCounts],
+                              cachedStages: Seq[DataFrame] = Nil) {
+  def unpersist(): Unit = (corpus +: cachedStages).foreach(_.unpersist())
+}
 
 object CorpusPipeline {
 
@@ -41,39 +52,51 @@ object CorpusPipeline {
           minTokens: Int = 5, shingleN: Int = 2, nearDupThreshold: Double = 0.8,
           decontamN: Int = 8, tokenBudget: Int = 512,
           splitWeights: Seq[(String, Double)] =
-            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): CorpusResult = {
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+          collectCounts: Boolean = false): CorpusResult = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val inputN = docs.count()
+    val inputN = if (collectCounts) Some(docs.count()) else None
 
-    // 1-2: per-row stages, no shuffle
+    // 1-2: per-row stages, no shuffle. `quality` feeds both sides of the
+    // exact-dedup semi-join, so it is cached in both modes.
     val normalized = docs.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
     val quality = TextAnalysis.corpusFilter(normalized, textCol,
       minTokens = minTokens, maxTokens = 100000,
       minMeanTokLen = 1.0, maxMeanTokLen = 20.0,
       maxPunctRatio = 0.5, minStopwordRatio = 0.0).cache()
-    val qualityN = quality.count()
+    val qualityN = if (collectCounts) Some(quality.count()) else None
 
-    // 3: exact dedup (content-hash argmin), keep full rows via semi-join
+    // 3: exact dedup (content-hash argmin), keep full rows via semi-join.
+    // Cached in both modes: the LSH pair generation (eagerly driven by the
+    // CC loop below) and the later anti-join both scan it.
     val exact = quality.join(
       Dedup.exact(quality, idCol, textCol), Seq(idCol), "left_semi").cache()
-    val exactN = exact.count()
+    val exactN = if (collectCounts) Some(exact.count()) else None
 
-    // 4: near-dup canonicalization — LSH pairs, CC labels, keep min-id
+    // 4: near-dup canonicalization — LSH pairs, CC labels, keep min-id.
+    // dedupClusters is an eager driver loop; computing the pairs populates
+    // the `exact` cache even in lazy mode.
     val pairs = Dedup.minhashLsh(exact, idCol, textCol, shingleN, nearDupThreshold)
     val clusters = Dedup.dedupClusters(pairs)
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    val near = exact.join(losers, Seq(idCol), "left_anti").cache()
-    val nearN = near.count()
-    exact.unpersist()
+    val near = exact.join(losers, Seq(idCol), "left_anti")
+    // exact is materialized by the CC loop above, so quality's cache has
+    // served its one purpose and can go in both modes.
+    quality.unpersist()
 
     // 5: benchmark decontamination — bench normalized the same way so
     // n-gram collision happens in the same canonical text space
     val benchNorm = bench.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
-    val clean = Dedup.decontaminate(near, benchNorm, idCol, textCol, decontamN).cache()
-    val cleanN = clean.count()
-    near.unpersist()
-    quality.unpersist()
+    val clean = Dedup.decontaminate(near, benchNorm, idCol, textCol, decontamN)
+    val (nearN, cleanN) =
+      if (collectCounts) {
+        val nN = Some(near.count())
+        val cN = Some(clean.cache().count())
+        // clean is now materialized; nothing downstream re-reads exact.
+        exact.unpersist()
+        (nN, cN)
+      } else (None, None)
 
     // 6-7: split labels + sequence packing
     val split = Sampling.hashSplit(clean, idCol, splitWeights)
@@ -82,7 +105,13 @@ object CorpusPipeline {
       idCol, "__nt", shardCol, tokenBudget)
       .withColumnRenamed("__nt", "n_tokens")
 
-    CorpusResult(packed.cache(),
-      CorpusStageCounts(inputN, inputN, qualityN, exactN, nearN, cleanN))
+    val counts = for {
+      i <- inputN; q <- qualityN; e <- exactN; n <- nearN; c <- cleanN
+    } yield CorpusStageCounts(i, i, q, e, n, c)
+    // In counting mode the corpus is cached for the caller's metric fan-out;
+    // in lazy mode a one-shot consumer shouldn't pay the cache write.
+    val corpus = if (collectCounts) packed.cache() else packed
+    val cached = if (collectCounts) Seq(clean) else Seq(exact)
+    CorpusResult(corpus, counts, cachedStages = cached)
   }
 }
