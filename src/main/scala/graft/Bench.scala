@@ -6,42 +6,55 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/session once so the first timed query doesn't pay
-    // codegen/classloading startup.
-    spark.read.parquet(s"$sfDir/orders.parquet").count()
+    // Warm the JVM/session so the first timed queries don't pay codegen/
+    // classloading/page-cache startup: touch every table family the bench
+    // queries read (relational, events, documents, embeddings), not just
+    // orders — a cold documents.parquet made round-6's q30-q45 block read
+    // 5-31x slower than the identical code one round earlier.
+    Seq("orders", "lineitem", "events", "documents", "embeddings").foreach { t =>
+      Try(spark.read.parquet(s"$sfDir/$t.parquet").count())
+    }
     // Each query runs `reps` times and reports the MEDIAN, so a one-off
     // JIT/GC/IO hiccup can't masquerade as a regression between rounds. A
     // query that throws is listed in `failed` and contributes no timing —
     // timing the exception path would report a crash as a fast success.
+    // Per-rep times are emitted too ("reps_sec"), so a phantom regression
+    // (one slow rep from an environment event) is visibly an outlier in
+    // the JSON instead of a silently shifted median.
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // Execute the query's own physical plan (all output columns
         // materialized). A bare .count() would let Catalyst prune every
         // per-row projection and time an empty scan instead.
-        Try(fn(spark, sfDir).queryExecution.toRdd.count()) match {
+        val r = Try(fn(spark, sfDir).queryExecution.toRdd.count()) match {
           case Success(_) => Some((System.nanoTime() - t0) / 1e9)
           case Failure(e) =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
             None
         }
+        QueryCleanup.drain() // release caches the query handed over (untimed)
+        r
       }
       val ok = runs.flatten.sorted
-      name -> (if (ok.size == reps) Some(ok(ok.size / 2)) else None)
+      (name, if (ok.size == reps) Some(ok(ok.size / 2)) else None, runs)
     }
-    val medians = timed.collect { case (k, Some(v)) => k -> v }
-    val failed = timed.collect { case (k, None) => k }
+    val medians = timed.collect { case (k, Some(v), _) => k -> v }
+    val failed = timed.collect { case (k, None, _) => k }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rs = timed.map { case (k, _, runs) =>
+      "\"" + k + "\":" + runs.map(_.fold("null")(_.toString)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$rs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

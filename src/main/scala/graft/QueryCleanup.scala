@@ -1,0 +1,26 @@
+package graft
+
+import scala.util.Try
+
+/** Post-consumption cleanup hooks for `SparkEntry.queries` entries.
+  *
+  * A query function returns a lazy DataFrame, so a query that caches
+  * upstream stages (q88's corpus pipeline) cannot unpersist them itself —
+  * the caller has not materialized the plan yet. Instead the query
+  * registers a hook here and the harness (Verify after writing each
+  * result, Bench after each timed rep, specs directly) drains the
+  * registry once the result has been fully consumed. Dropping a hook is
+  * never a correctness issue — an unpersisted cache merely recomputes —
+  * so drain() swallows hook failures.
+  */
+object QueryCleanup {
+  private val hooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  def register(f: () => Unit): Unit = synchronized { hooks += f }
+
+  /** Run and clear all registered hooks (idempotent when empty). */
+  def drain(): Unit = synchronized {
+    hooks.foreach(f => Try(f()))
+    hooks.clear()
+  }
+}

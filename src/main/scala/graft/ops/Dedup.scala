@@ -278,21 +278,41 @@ object Dedup {
     * [[minhashLsh]]/[[ngramJaccardPairs]] — "keep one doc per near-dup
     * cluster" means keep the rows where id == cluster.
     *
-    * Algorithm: min-label propagation (each round every node takes the
-    * min of its own and its neighbors' labels) until fixpoint. Rounds
-    * needed = graph diameter; near-dup graphs are dense clumps with tiny
-    * diameters, so this converges in a handful of rounds (for adversarial
-    * long-chain graphs, the large-star/small-star CC algorithm halves the
-    * diameter per round — swap in if chains ever dominate). Each round is
-    * one shuffle join + map-side-partial min aggregation; labels are
-    * localCheckpointed per round to truncate the growing lineage (the
-    * label table is |nodes-in-pairs| rows — small relative to the corpus).
+    * Algorithm: min-label propagation with POINTER JUMPING (the
+    * shortcutting step of Shiloach-Vishkin CC, 1982): each round every
+    * node takes the min of (its label, its neighbors' labels), then
+    * composes the label table with itself — label(v) <- label(label(v)).
+    * The shortcut roughly doubles the distance a min has travelled per
+    * round, so convergence is O(log diameter) instead of O(diameter):
+    * a 200-node chain converges in ~10 rounds where plain propagation
+    * needs 199. Every label value is always the id of some node in the
+    * same component (self, a neighbor's label, or a component member's
+    * label), labels only decrease, and at fixpoint labels are constant
+    * per component — so the shortcut changes the round count, never the
+    * result. Each round is two shuffle joins on the (small) label table
+    * plus a map-side-partial min aggregation; labels are eagerly
+    * localCheckpointed per round to truncate the growing lineage, and
+    * each superseded checkpoint is unpersisted as soon as its successor
+    * is materialized — a run holds at most two label tables at once.
     * EAGER: runs the iteration loop (one small job per round) at call
     * time. Output: (id, cluster) for documents appearing in >= 1 pair;
     * absent documents are implicitly their own singleton cluster.
+    *
+    * The RETURNED DataFrame is backed by the final checkpoint's storage;
+    * it is released by the driver's ContextCleaner once the result is
+    * unreferenced. Callers needing deterministic release (long-lived
+    * sessions, pipelines) use [[dedupClustersReleasable]].
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                    maxIterations: Int = 20): DataFrame = {
+                    maxIterations: Int = 20): DataFrame =
+    dedupClustersReleasable(pairs, idA, idB, maxIterations)._1
+
+  /** [[dedupClusters]] plus a release thunk that unpersists the final
+    * label checkpoint — call it once the labels (and every plan derived
+    * from them) have been fully consumed. */
+  def dedupClustersReleasable(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxIterations: Int = 20): (DataFrame, () => Unit) = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -306,22 +326,47 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("__nl").as("__nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val hooked = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
+      // shortcut: label(v) <- min(label(v), label(label(v))). Left join —
+      // every label value is a node id present in the table, but the
+      // coalesce keeps the plan total rather than proving it to Catalyst.
+      val next = hooked.join(
+          hooked.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = next
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old"))
         .take(1).nonEmpty
+      unpersistCheckpoint(labels) // superseded; next is materialized
       labels = next
       converged = !changed
       i += 1
     }
-    require(converged, s"dedupClusters did not converge in $maxIterations rounds — " +
-      "pathological chain graph; use a doubling CC algorithm (large-star/small-star)")
-    labels.select(col("id"), col("label").as("cluster"))
+    unpersistCheckpoint(edges)
+    if (!converged) {
+      unpersistCheckpoint(labels)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIterations pointer-jumping " +
+          "rounds (covers diameters ~2^rounds) — raise maxIterations")
+    }
+    (labels.select(col("id"), col("label").as("cluster")),
+      () => unpersistCheckpoint(labels))
   }
+
+  /** Unpersist the storage behind an eager localCheckpoint: the
+    * checkpointed RDD sits in the plan as a LogicalRDD leaf and is NOT
+    * released by DataFrame.unpersist (which only consults the SQL cache
+    * manager). No-op on plans without checkpoint leaves. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** C4-style PARAGRAPH-level exact dedup: split each document on
     * `sepRegex`, keep only the corpus-wide FIRST occurrence of every
@@ -493,10 +538,13 @@ object Dedup {
     * NOTE this guard makes the call EAGER: it runs the stats job (one
     * Spark action) at DataFrame-CONSTRUCTION time, unlike most operators
     * here which stay lazy until the caller acts. When `partitionCols` is
-    * non-empty the guard statistic is the MAX over scopes of
-    * postings/distinct — the topology choice is global, so one degenerate
-    * scope routes the whole join to the count path rather than letting
-    * that scope go quadratic.
+    * non-empty the statistic is computed PER SCOPE and the topology is
+    * chosen per scope: degenerate scopes (small shingle domains) route to
+    * the count-based index, healthy scopes keep the prefix topology, and
+    * the two halves union. One hot crawl shard can no longer demote every
+    * other shard's join, and a healthy shard can never go quadratic. The
+    * per-scope stats land on the driver — one row per scope, the same
+    * cardinality as the scoped join's planning metadata.
     *
     * The shingle-hash staging table is persisted (MEMORY_AND_DISK) before
     * the stats action materializes it: the downstream topology reads it
@@ -514,15 +562,34 @@ object Dedup {
     val perScope = sh
       .select(partitionCols.map(col) :+ explode(col("__sh")).as("__s"): _*)
       .groupBy(partitionCols.map(col): _*)
-      .agg(count(lit(1)).as("__p"), approx_count_distinct(col("__s")).as("__d"))
-    val maxRatio = perScope
-      .agg(max(col("__p").cast("double") / col("__d")))
-      .head().getAs[Any](0)
-    maxRatio match {
-      case null => countTopology(sh, threshold, partitionCols) // no shingles at all
-      case r: Double if r > MaxMeanPostingFreq =>
-        countTopology(sh, threshold, partitionCols)
-      case _ => prefixTopology(sh, threshold, partitionCols)
+      .agg((count(lit(1)).cast("double") / approx_count_distinct(col("__s")))
+        .as("__ratio"))
+    if (partitionCols.isEmpty) {
+      // unscoped: one global statistic, one topology
+      perScope.head().getAs[Any](0) match {
+        case null => countTopology(sh, threshold, partitionCols) // no shingles
+        case r: Double if r > MaxMeanPostingFreq =>
+          countTopology(sh, threshold, partitionCols)
+        case _ => prefixTopology(sh, threshold, partitionCols)
+      }
+    } else {
+      // scoped: route each scope independently. The stats rows are one
+      // per scope (driver-small); scopes absent from sh have no shingles
+      // and thus no pairs, so they need no route at all.
+      val degenerate = perScope
+        .filter(col("__ratio") > MaxMeanPostingFreq)
+        .select(partitionCols.map(col): _*)
+        .collect()
+      if (degenerate.isEmpty) prefixTopology(sh, threshold, partitionCols)
+      else {
+        val isDegen = degenerate.map { row =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(row.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        countTopology(sh.filter(isDegen), threshold, partitionCols)
+          .unionByName(prefixTopology(sh.filter(!isDegen), threshold, partitionCols))
+      }
     }
   }
 

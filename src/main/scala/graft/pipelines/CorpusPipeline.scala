@@ -37,12 +37,18 @@ final case class CorpusStageCounts(input: Long, normalized: Long,
 
 /** `counts` is Some iff the pipeline ran with `collectCounts = true`.
   * `cachedStages` are upstream stages the lazy `corpus` plan still reads
-  * from; call [[unpersist]] when done with the result.
+  * from; `releases` free storage DataFrame.unpersist can't reach (the
+  * connected-components label checkpoint). Call [[unpersist]] when done
+  * with the result — it releases everything the pipeline allocated.
   */
 final case class CorpusResult(corpus: DataFrame,
                               counts: Option[CorpusStageCounts],
-                              cachedStages: Seq[DataFrame] = Nil) {
-  def unpersist(): Unit = (corpus +: cachedStages).foreach(_.unpersist())
+                              cachedStages: Seq[DataFrame] = Nil,
+                              releases: Seq[() => Unit] = Nil) {
+  def unpersist(): Unit = {
+    (corpus +: cachedStages).foreach(_.unpersist())
+    releases.foreach(_())
+  }
 }
 
 object CorpusPipeline {
@@ -77,7 +83,7 @@ object CorpusPipeline {
     // dedupClusters is an eager driver loop; computing the pairs populates
     // the `exact` cache even in lazy mode.
     val pairs = Dedup.minhashLsh(exact, idCol, textCol, shingleN, nearDupThreshold)
-    val clusters = Dedup.dedupClusters(pairs)
+    val (clusters, releaseClusters) = Dedup.dedupClustersReleasable(pairs)
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     val near = exact.join(losers, Seq(idCol), "left_anti")
@@ -91,10 +97,16 @@ object CorpusPipeline {
     val clean = Dedup.decontaminate(near, benchNorm, idCol, textCol, decontamN)
     val (nearN, cleanN) =
       if (collectCounts) {
+        // cache near so its anti-join is paid once: near.count() fills the
+        // cache, clean's scan reads it (CacheManager matches the plan).
+        near.cache()
         val nN = Some(near.count())
         val cN = Some(clean.cache().count())
-        // clean is now materialized; nothing downstream re-reads exact.
+        // clean is now materialized; nothing downstream re-reads
+        // near/exact/clusters.
+        near.unpersist()
         exact.unpersist()
+        releaseClusters()
         (nN, cN)
       } else (None, None)
 
@@ -112,6 +124,9 @@ object CorpusPipeline {
     // in lazy mode a one-shot consumer shouldn't pay the cache write.
     val corpus = if (collectCounts) packed.cache() else packed
     val cached = if (collectCounts) Seq(clean) else Seq(exact)
-    CorpusResult(corpus, counts, cachedStages = cached)
+    // lazy mode: the corpus plan still reads the CC labels — hand their
+    // release to the result (counting mode released them above)
+    val rel = if (collectCounts) Nil else Seq(releaseClusters)
+    CorpusResult(corpus, counts, cachedStages = cached, releases = rel)
   }
 }

@@ -43,12 +43,14 @@ object MlQueries {
     // accuracy (naive-suppresion.py:115-118). Anonymization here is E2-style
     // resolution loss — the price feature coarsened to 5 equal-width bins.
     // Trained on a fixed 20% sample (~= the reference's 30k-row scale);
-    // the utility estimate doesn't need the full table, training does not
-    // get cheaper at 100 TB, and the sample is seed-pinned.
+    // the utility estimate doesn't need the full table and training does
+    // not get cheaper at 100 TB. Sampled by key HASH, not df.sample —
+    // the engine's own reproducibility contract (Sampling.scala): same
+    // keys in, same sample out, independent of partitioning.
     "q68_accuracy_drop" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
+      val o = graft.ops.Sampling.hashSample(
+        Tables.orders(s, dir), "o_orderkey", 0.2)
         .withColumn("high_value", (col("o_totalprice") > 200000).cast("string"))
-        .sample(withReplacement = false, 0.2, 7L)
       val anon = Generalization
         .equalWidthBin(o, "o_totalprice", 3, "__bin")
         .withColumn("o_totalprice", col("__bin").cast("double")).drop("__bin")

@@ -141,6 +141,9 @@ object TextQueries {
       val res = graft.pipelines.CorpusPipeline.run(
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0))
+      // lazy mode keeps the exact-dedup stage cached for the single
+      // materialization; the harness releases it after consuming the rows
+      graft.QueryCleanup.register(() => res.unpersist())
       res.corpus.select("doc_id", "source", "split", "n_tokens", "bin")
         .orderBy("doc_id")
     }),
@@ -217,12 +220,13 @@ object TextQueries {
     // Canonicalization after LSH: connected components over the q36 pair
     // set; cluster = min transitively-reachable doc id ("keep one doc per
     // near-dup cluster" = keep rows where id == cluster). Min-label
-    // propagation, one shuffle per round, rounds = cluster diameter.
+    // propagation with pointer jumping — rounds = O(log diameter).
     "q76_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 2, threshold = 0.3)
-      Dedup.dedupClusters(pairs)
-        .orderBy("id")
+      val (clusters, release) = Dedup.dedupClustersReleasable(pairs)
+      graft.QueryCleanup.register(release)
+      clusters.orderBy("id")
     }),
 
     // PII scrubbing (emails/URLs/IPs/phones -> typed tags). The synthetic

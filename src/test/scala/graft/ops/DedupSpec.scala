@@ -208,6 +208,34 @@ class DedupSpec extends SparkSpec {
     assert(hasWindow, "healthy regime must use the prefix window plan")
   }
 
+  test("stats guard: scoped call routes each scope's topology independently") {
+    // scope "deg": 60 docs over a 3-word vocab (degenerate — mean posting
+    // frequency >> MaxMeanPostingFreq); scope "ok": the healthy 5-doc
+    // fixture (~unique bigrams). The guard must send "deg" to the count
+    // topology and KEEP the prefix topology for "ok" (union plan), not
+    // demote the healthy scope globally.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc")
+    val degen = (101 to 160).map { i =>
+      (i.toLong, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "deg")
+    }.toDF("doc_id", "text", "src")
+    val healthy = docs.withColumn("src", lit("ok"))
+    val df = degen.unionByName(healthy)
+    val guarded = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 2, 0.8,
+      partitionCols = Seq("src"))
+    val plan = guarded.queryExecution.optimizedPlan
+    val hasUnion = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.nonEmpty
+    val hasWindow = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty
+    assert(hasUnion, "mixed regimes must split into a per-scope union plan")
+    assert(hasWindow, "the healthy scope must keep the prefix window plan")
+    val cnt = Dedup.ngramJaccardPairsCount(df, "doc_id", "text", 2, 0.8,
+      partitionCols = Seq("src"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(guarded.as[(Long, Long, Double)].collect().sorted.toSeq == cnt)
+  }
+
   test("simhashPairs pairs the duplicate class at distance 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
@@ -264,6 +292,25 @@ class DedupSpec extends SparkSpec {
     // canonical-keep composition: one survivor per cluster
     val survivors = got.filter { case (id, c) => id == c }.keySet
     assert(survivors == Set(1L, 5L))
+  }
+
+  test("dedupClusters converges on a 200-node chain (diameter 199) within the round cap") {
+    // plain min-label propagation needs diameter rounds (199 > the cap of
+    // 20); pointer jumping must converge in ~log2(199) ~ 8-10 rounds
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(chain).as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 1L), "every chain node must label to the min id 1")
+  }
+
+  test("dedupClustersReleasable frees every checkpoint it created") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val (clusters, release) = Dedup.dedupClustersReleasable(pairs)
+    assert(clusters.count() == 5)
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"CC leaked persisted RDD ids: $leaked")
   }
 
   test("paragraphDedup keeps first occurrence corpus-wide and reassembles in order") {

@@ -32,6 +32,49 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).feature.sameElements(f0.feature))
   }
 
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decode reads a real PNG: true dimensions and luminance-grid features") {
+    // left half black, right half white, 20x12
+    val png = pngBytes(20, 12)((x, _) => if (x < 10) 0x000000 else 0xFFFFFF)
+    assert(Multimodal.looksLikeImage(png))
+    val (w, h, feat) = Multimodal.decode(png)
+    assert(w == 20 && h == 12)
+    assert(feat.length == Multimodal.FeatureDim)
+    // 4x2 grid: cells 0,1 (left cols) black; cells 2,3 (right cols) white
+    assert(feat(0) == 0f && feat(1) == 0f && feat(4) == 0f && feat(5) == 0f)
+    assert(feat(2) == 1f && feat(3) == 1f && feat(6) == 1f && feat(7) == 1f)
+  }
+
+  test("extractFeatures routes real image payloads through ImageIO in the Spark stage") {
+    implicit val s = spark
+    val png = pngBytes(33, 17)((x, y) => if ((x + y) % 2 == 0) 0xFF0000 else 0x00FF00)
+    val media = Seq((100L, png, "image"), (101L, "not an image".getBytes("UTF-8"), "audio"))
+      .toDF("doc_id", "payload", "media_type")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(0).width == 33 && feats(0).height == 17) // true PNG dims
+    // the audio payload still takes the deterministic stub path
+    val (sw, sh, sf) = Multimodal.decodeStub("not an image".getBytes("UTF-8"))
+    assert(feats(1).width == sw && feats(1).height == sh)
+    assert(feats(1).feature.sameElements(sf))
+  }
+
+  test("decode degrades to the stub on truncated image bytes") {
+    val png = pngBytes(8, 8)((_, _) => 0xFFFFFF)
+    val truncated = png.take(12) // valid signature, unreadable body
+    assert(Multimodal.looksLikeImage(truncated))
+    val (w, h, f) = Multimodal.decode(truncated)
+    val (sw, sh, sf) = Multimodal.decodeStub(truncated)
+    assert(w == sw && h == sh && f.sameElements(sf))
+  }
+
   test("frameSample slices payloads into strided fingerprinted chunks") {
     val frames = Multimodal.frameSample(Multimodal.asMediaTable(docs))
       .filter($"doc_id" === 0)

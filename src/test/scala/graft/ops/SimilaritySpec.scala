@@ -161,6 +161,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnIvf plan: corpus side joins broadcast, top-k partial-aggregates, no sort-merge") {
+    val q = vecs.filter($"vec_id" === 0)
+    val plan = Similarity.knnIvf(vecs, q, "vec_id", "embedding", "label", 3)
+      .queryExecution.executedPlan.toString
+    // the routing table joins the corpus via broadcast — the corpus is
+    // never shuffled for the join (the scale contract of IVF: cells are
+    // pruned by a broadcast probe table, not a corpus-wide exchange)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the final top-k runs as the bounded-heap aggregate with a map-side
+    // partial stage (ObjectHashAggregate partial + final), not a window
+    // sort over every scored row
+    assert(plan.split("\n").count(_.contains("ObjectHashAggregate")) >= 2, plan)
+  }
+
   test("knnBruteForceAgg aggregates with a map-side partial stage (no window sort)") {
     val q = vecs.filter($"vec_id" === 0)
     val plan = Similarity.knnBruteForceAgg(vecs, q, "vec_id", "embedding", 3)

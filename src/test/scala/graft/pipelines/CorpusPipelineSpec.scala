@@ -13,8 +13,9 @@ class CorpusPipelineSpec extends SparkSpec {
     val d = graft.Tables.documents(spark, sfDir)
     val train = d.filter($"doc_id" % 50 =!= 0)
     val bench = d.filter($"doc_id" % 50 === 0)
-    val res = CorpusPipeline.run(train, bench)
-    val c = res.counts
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val res = CorpusPipeline.run(train, bench, collectCounts = true)
+    val c = res.counts.get
 
     // monotone: each stage can only remove documents
     assert(c.input >= c.quality && c.quality >= c.exactDedup &&
@@ -43,6 +44,11 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(contaminated.join(out.select("doc_id"), Seq("doc_id"), "left_semi")
       .count() == 0)
 
-    res.corpus.unpersist()
+    res.unpersist()
+    // the result owns every cache the pipeline created: unpersist() must
+    // leave no new persisted RDDs behind (diffed, not global — the test
+    // session is shared across suites)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"pipeline leaked cached RDD ids: $leaked")
   }
 }
