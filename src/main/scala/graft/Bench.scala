@@ -48,13 +48,32 @@ object Bench {
     }
     val medians = timed.collect { case (k, Some(v), _) => k -> v }
     val failed = timed.collect { case (k, None, _) => k }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = medians.map(_._2).sum
+    // Full-fidelity report (long names, full-precision medians, per-rep
+    // arrays) goes to a FILE: the harness that collects stdout keeps only
+    // the last ~2000 characters, and an 88-query JSON line with long keys
+    // blows past that — every earlier round's report arrived decapitated
+    // (BENCH_r0{1..7}.json "parsed": null, tail starting mid-line).
+    val qsFull = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rs = timed.map { case (k, _, runs) =>
       "\"" + k + "\":" + runs.map(_.fold("null")(_.toString)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$rs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_sec":$rs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] full per-rep detail written to ${detailPath.toAbsolutePath}")
+    // The ONE stdout JSON line must fit the 2000-char tail with room for
+    // the build tool's trailing success banner, so it uses the unambiguous
+    // qNN prefix of each query name (queries are named qNN_description;
+    // the full names are in bench_detail.json and SparkEntry.queries) and
+    // millisecond precision. ~1.2 KB for 88 queries.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = medians.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val fsShort = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fsShort,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -329,6 +329,8 @@ object GraftFunctions {
     "graft_simhash" -> (args => GraftSimHash(args.head)),
     "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
     "graft_normalize_text" -> (args => GraftNormalizeText(args.head)),
+    "graft_bpe_count" -> (args => GraftBpeCount(args.head)),
+    "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
     // aggregate: the analyzer wraps AggregateFunction builders in an
     // AggregateExpression automatically
     "graft_topk" -> (args => TopKPairs(args(0), args(1), args(2))))
@@ -352,6 +354,8 @@ object GraftFunctions {
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
   def normalizeTextNative(text: Column): Column =
     call_function("graft_normalize_text", text)
+  def bpeCountNative(text: Column): Column = call_function("graft_bpe_count", text)
+  def bpeTokensNative(text: Column): Column = call_function("graft_bpe_tokens", text)
 }
 
 /** SparkSessionExtensions injection point (spark.sql.extensions). */

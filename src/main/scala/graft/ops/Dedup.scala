@@ -289,11 +289,15 @@ object Dedup {
     * same component (self, a neighbor's label, or a component member's
     * label), labels only decrease, and at fixpoint labels are constant
     * per component — so the shortcut changes the round count, never the
-    * result. Each round is two shuffle joins on the (small) label table
-    * plus a map-side-partial min aggregation; labels are eagerly
-    * localCheckpointed per round to truncate the growing lineage, and
-    * each superseded checkpoint is unpersisted as soon as its successor
-    * is materialized — a run holds at most two label tables at once.
+    * result. Each round runs three shuffle joins on the (small) label
+    * table — edges⋈labels for the neighbor min, labels⋈nbrMin for the
+    * hook, and the shortcut self-join — plus a map-side-partial min
+    * aggregation; the hooked table is checkpointed before the self-join
+    * so both sides read materialized storage instead of recomputing the
+    * hook. Labels are eagerly localCheckpointed per round to truncate
+    * the growing lineage, and each superseded checkpoint is unpersisted
+    * as soon as its successor is materialized — a run holds at most
+    * three label-sized tables at once.
     * EAGER: runs the iteration loop (one small job per round) at call
     * time. Output: (id, cluster) for documents appearing in >= 1 pair;
     * absent documents are implicitly their own singleton cluster.
@@ -326,9 +330,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("__nl").as("__nmin"))
+      // Materialized per round: the shortcut self-joins this table, and
+      // joining the un-checkpointed plan would recompute the
+      // labels-join-nbrMin-least work on BOTH sides of the self-join —
+      // one extra small checkpoint per round buys half the round's work.
       val hooked = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
       // shortcut: label(v) <- min(label(v), label(label(v))). Left join —
       // every label value is a node id present in the table, but the
       // coalesce keeps the plan total rather than proving it to Catalyst.
@@ -338,6 +347,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpoint(true)
+      unpersistCheckpoint(hooked) // round-local; next is materialized
       val changed = next
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old"))
@@ -543,8 +553,9 @@ object Dedup {
     * the count-based index, healthy scopes keep the prefix topology, and
     * the two halves union. One hot crawl shard can no longer demote every
     * other shard's join, and a healthy shard can never go quadratic. The
-    * per-scope stats land on the driver — one row per scope, the same
-    * cardinality as the scoped join's planning metadata.
+    * degenerate-key set stays distributed (broadcast semi/anti join
+    * routing); the driver sees only a one-row existence probe, so scope
+    * cardinality never limits the operator.
     *
     * The shingle-hash staging table is persisted (MEMORY_AND_DISK) before
     * the stats action materializes it: the downstream topology reads it
@@ -573,22 +584,31 @@ object Dedup {
         case _ => prefixTopology(sh, threshold, partitionCols)
       }
     } else {
-      // scoped: route each scope independently. The stats rows are one
-      // per scope (driver-small); scopes absent from sh have no shingles
-      // and thus no pairs, so they need no route at all.
-      val degenerate = perScope
+      // scoped: route each scope independently. Scopes absent from sh
+      // have no shingles and thus no pairs, so they need no route at all.
+      // The degenerate-key set is routed via a null-safe BROADCAST
+      // semi/anti join, never collected into a literal predicate: with
+      // high-cardinality partitionCols (per-domain scoping at 100 TB) a
+      // collect-and-OR would OOM the driver or hand Catalyst a
+      // multi-thousand-node expression tree. Only an existence probe
+      // (one row) runs eagerly here; the key set itself stays
+      // distributed and is checkpointed driver-free so the two joins
+      // below don't each re-run the stats aggregation.
+      val degenKeys = perScope
         .filter(col("__ratio") > MaxMeanPostingFreq)
         .select(partitionCols.map(col): _*)
-        .collect()
-      if (degenerate.isEmpty) prefixTopology(sh, threshold, partitionCols)
-      else {
-        val isDegen = degenerate.map { row =>
-          partitionCols.zipWithIndex
-            .map { case (c, i) => col(c) <=> lit(row.get(i)) }
-            .reduce(_ && _)
-        }.reduce(_ || _)
-        countTopology(sh.filter(isDegen), threshold, partitionCols)
-          .unionByName(prefixTopology(sh.filter(!isDegen), threshold, partitionCols))
+        .localCheckpoint(true)
+      if (degenKeys.isEmpty) {
+        unpersistCheckpoint(degenKeys) // empty; nothing routes through it
+        prefixTopology(sh, threshold, partitionCols)
+      } else {
+        val dk = broadcast(
+          degenKeys.select(partitionCols.map(c => col(c).as(s"__dk_$c")): _*))
+        // <=> so a scope keyed by NULL still routes (plain = would drop it)
+        val cond = partitionCols.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ && _)
+        countTopology(sh.join(dk, cond, "left_semi"), threshold, partitionCols)
+          .unionByName(
+            prefixTopology(sh.join(dk, cond, "left_anti"), threshold, partitionCols))
       }
     }
   }

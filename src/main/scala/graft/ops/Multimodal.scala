@@ -50,17 +50,42 @@ object Multimodal {
       (b(0) == 'B' && b(1) == 'M')
     }
 
+  /** Decoded images larger than this (width*height) degrade to the stub:
+    * a single adversarial payload (a tiny PNG/JPEG declaring enormous
+    * dimensions — a "decompression bomb") must not allocate executor
+    * memory proportional to the CLAIMED size and kill the stage. 64 MPx
+    * covers every realistic training image. */
+  val MaxDecodedPixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode via the JDK's ImageIO: true width/height plus an
-    * 8-dim feature = mean luminance over a 4x2 grid (deterministic — pixel
-    * data in, same floats out). None when the bytes aren't a decodable
-    * image; exceptions from truncated/corrupt files degrade to None so a
-    * bad payload can never kill a 100 TB decode stage. */
+    * 8-dim feature = mean luminance over a 4x2 grid. DETERMINISM: pixel
+    * data in, same floats out — which for LOSSLESS formats (PNG, GIF,
+    * BMP) makes features replayable across platforms, but JPEG decoders
+    * may produce slightly different pixels across JDK/ImageIO versions,
+    * so JPEG features are deterministic only per-environment (tests pin
+    * PNG fixtures for this reason). None when the bytes aren't a
+    * decodable image; NonFatal throwables from truncated/corrupt files
+    * degrade to None and oversized declared dimensions are rejected
+    * before pixels are read, so a bad payload can never kill a 100 TB
+    * decode stage. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     if (!looksLikeImage(payload)) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
+      // Read declared dimensions from the header FIRST; only then decode
+      // pixels. ImageIO.read on a decompression bomb would allocate the
+      // full claimed raster before any size check could run.
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val dw = reader.getWidth(0).toLong
+        val dh = reader.getHeight(0).toLong
+        if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodedPixels) return None
+        val img = reader.read(0)
+        if (img == null) return None
         val w = img.getWidth
         val h = img.getHeight
         val sums = new Array[Double](FeatureDim)
@@ -82,8 +107,11 @@ object Multimodal {
         val feat = Array.tabulate(FeatureDim)(i =>
           if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
         Some((w, h, feat))
+      } finally {
+        reader.dispose()
+        iis.close()
       }
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder — stands in for the audio/video codecs the JDK lacks.
     * Deterministic: dimensions and features derive from the payload bytes

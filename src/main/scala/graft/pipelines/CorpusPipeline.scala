@@ -59,7 +59,8 @@ object CorpusPipeline {
           decontamN: Int = 8, tokenBudget: Int = 512,
           splitWeights: Seq[(String, Double)] =
             Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-          collectCounts: Boolean = false): CorpusResult = {
+          collectCounts: Boolean = false,
+          packOnBpe: Boolean = false): CorpusResult = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val inputN = if (collectCounts) Some(docs.count()) else None
 
@@ -110,10 +111,17 @@ object CorpusPipeline {
         (nN, cN)
       } else (None, None)
 
-    // 6-7: split labels + sequence packing
+    // 6-7: split labels + sequence packing. `packOnBpe` bins on REAL
+    // byte-pair-encoding counts (the graft_bpe_count kernel over the
+    // shipped merges table) instead of the whitespace proxy — what a
+    // production pipeline packs on; both are per-row codegen'd kernels,
+    // so the plan shape (one window shuffle) is identical.
+    val tokenCount =
+      if (packOnBpe) graft.functions.GraftFunctions.bpeCountNative(col(textCol))
+      else TextAnalysis.tokenCount(col(textCol)).cast("long")
     val split = Sampling.hashSplit(clean, idCol, splitWeights)
     val packed = Packing.packSequences(
-      split.withColumn("__nt", TextAnalysis.tokenCount(col(textCol)).cast("long")),
+      split.withColumn("__nt", tokenCount),
       idCol, "__nt", shardCol, tokenBudget)
       .withColumnRenamed("__nt", "n_tokens")
 

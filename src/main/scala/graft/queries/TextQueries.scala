@@ -282,6 +282,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing on REAL BPE token counts (the production variant
+    // of q75): the graft_bpe_count native kernel runs the merges-table
+    // loop per row inside WholeStageCodegen, then the same one-window
+    // packing assigns bins. No SQL oracle — BPE's iterative merge loop
+    // isn't expressible in DuckDB SQL; BpeSpec pins exact counts on
+    // fixed strings instead.
+    "q89_bpe_pack" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val withTokens = Tables.documents(s, dir)
+        .withColumn("n_bpe",
+          graft.functions.GraftFunctions.bpeCountNative(col("text")))
+      Packing.packSequences(withTokens, "doc_id", "n_bpe", "source", budget = 2048)
+        .select("doc_id", "source", "n_bpe", "bin")
+        .orderBy("doc_id")
+    }),
+
     // C4/Gopher-style corpus quality filter (token-count band, mean token
     // length band, punctuation ceiling, stopword floor) — thresholds set
     // so the filter bites (~40% of the synthetic corpus fails).

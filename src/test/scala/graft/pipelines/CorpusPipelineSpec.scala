@@ -51,4 +51,31 @@ class CorpusPipelineSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"pipeline leaked cached RDD ids: $leaked")
   }
+
+  test("packOnBpe bins on real BPE counts, same survivors and plan shape") {
+    val d = graft.Tables.documents(spark, sfDir).filter($"doc_id" < 200)
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val train = d.filter($"doc_id" % 50 =!= 0)
+    val ws = CorpusPipeline.run(train, bench)
+    val bpe = CorpusPipeline.run(train, bench, packOnBpe = true)
+    val wsOut = ws.corpus.select($"doc_id", $"n_tokens").cache()
+    val bpeOut = bpe.corpus.select($"doc_id", $"n_tokens", $"text").cache()
+    try {
+      // identical survivor sets — the counter only affects packing
+      assert(wsOut.select("doc_id").except(bpeOut.select("doc_id")).isEmpty)
+      assert(bpeOut.select("doc_id").except(wsOut.select("doc_id")).isEmpty)
+      // n_tokens IS the kernel's BPE count of the pipeline-normalized text
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val mismatch = bpeOut.filter($"n_tokens" =!=
+        graft.functions.GraftFunctions.bpeCountNative($"text"))
+      assert(mismatch.isEmpty, mismatch.take(3).mkString(","))
+      // BPE splits words into subwords: counts can only grow
+      val joined = bpeOut.select($"doc_id", $"n_tokens".as("nb"))
+        .join(wsOut.select($"doc_id", $"n_tokens".as("nw")), "doc_id")
+      assert(joined.filter($"nb" < $"nw").isEmpty)
+    } finally {
+      wsOut.unpersist(); bpeOut.unpersist()
+      ws.unpersist(); bpe.unpersist()
+    }
+  }
 }
