@@ -31,4 +31,30 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum("__pc").as("n_rows"), round(sum("__ps"), 2).as("sum_value"))
   }
+
+  /** Salted inner JOIN for a shuffle join whose key distribution is
+    * heavy-hitter skewed: the big side derives a deterministic salt from
+    * `spreadCol`, the small side replicates into ALL `saltBuckets` salt
+    * values, and the join runs on (keys, salt) — a heavy key's rows now
+    * land on `saltBuckets` reducers instead of one straggler.
+    *
+    * Semantics are identical to `big.join(small, keys)` for any inputs
+    * (every big row meets every matching small row exactly once, in the
+    * shard its salt selects); q91's plain-join oracle proves it. Cost:
+    * the small side shuffles `saltBuckets`× — size the bucket count to
+    * the skew factor, not higher. Spark's own AQE skew-join split is
+    * preferred when it applies (sort-merge joins it can re-plan at
+    * runtime); this is the explicit fallback for plans AQE can't split
+    * or engines where runtime re-planning is off.
+    *
+    * `keys` must name columns present on BOTH sides (rename upstream). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 spreadCol: String, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(hash(col(spreadCol)), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, (keys :+ "__salt").toSeq).drop("__salt")
+  }
 }

@@ -79,6 +79,40 @@ object TimeSeries {
         rightPayload.map(c => col(s"__pf.$c").as(prefix + c)): _*)
   }
 
+  /** Range join: attach to each point row (`points.tsCol`) every interval
+    * row whose [startCol, endCol] contains it (inclusive), matching on
+    * `keyCols`. Spark plans a raw `BETWEEN` join predicate as a
+    * sort-merge/nested-loop with a post-filter — per key it materializes
+    * O(|points|·|intervals|) candidates. This operator makes it an
+    * EQUI-join: points map to time bucket floor(epoch/`bucketSeconds`),
+    * intervals EXPLODE into the buckets they span, and the join runs on
+    * (keys, bucket) with the exact BETWEEN as a cheap post-filter.
+    *
+    * Each point lives in exactly one bucket and a covering interval
+    * contributes that bucket exactly once, so no duplicates and no
+    * misses — no distinct needed. Replication factor = interval length /
+    * bucketSeconds + 1: pick a bucket near the TYPICAL interval length
+    * (24 h intervals + 24 h buckets → ≤ 2 copies). One hash-partitioned
+    * shuffle on (keys, bucket); at 100 TB the bucket key also spreads a
+    * hot join key across time.
+    *
+    * Column-name collisions between the two sides (beyond `keyCols`) are
+    * the caller's responsibility — pre-select/rename as needed. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                tsCol: String, startCol: String, endCol: String,
+                bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val pB = points.withColumn("__bk",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds.toDouble))
+    val iB = intervals.withColumn("__bk",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSeconds.toDouble),
+        floor(unix_timestamp(col(endCol)) / bucketSeconds.toDouble))))
+    pB.join(iB, (keyCols :+ "__bk").toSeq)
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bk")
+  }
+
   /** Per-session rollup: bounds, event count, value sum. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)

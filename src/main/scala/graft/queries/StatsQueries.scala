@@ -106,6 +106,21 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Skew-mitigation: salted inner JOIN (big side salted, small side
+    // replicated into every salt shard) must equal the plain join — the
+    // oracle computes the plain join directly. Spread lineitem's hot
+    // partkeys over 8 reducers.
+    "q91_salted_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).withColumnRenamed("p_partkey", "l_partkey")
+      graft.ops.Skew.saltedJoin(l, p, keys = Seq("l_partkey"),
+          spreadCol = "l_orderkey", saltBuckets = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("p_brand")
+    }),
+
     // Event-time part extraction + per-part aggregation (dow normalized to
     // 0=Sunday, matching DuckDB's extract(dow)).
     "q53_date_parts" -> ((s, dir) => {
@@ -128,6 +143,8 @@ object StatsQueries {
       """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(avg(value),6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     "q54_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q91_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice),2) AS sum_price FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand""",
     "q57_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q86_equidepth_bin" ->

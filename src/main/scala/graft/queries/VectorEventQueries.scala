@@ -141,6 +141,26 @@ object VectorEventQueries {
         .orderBy("event_id")
     }),
 
+    // Range join (purchase attribution): clicks landing in the 24 h
+    // window after each same-user purchase. Bucketed equi-join on
+    // (user, day-bucket) — intervals explode into <= 2 buckets — instead
+    // of the O(|clicks|x|purchases|) BETWEEN-predicate join Spark would
+    // otherwise plan.
+    "q90_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 24 HOURS")).as("win_end"))
+      TimeSeries.rangeJoin(clicks, purchases, Seq("user_id"),
+          "ts", "win_start", "win_end", bucketSeconds = 86400L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"), min("click_id").as("first_click_id"))
+        .orderBy("purchase_id")
+    }),
+
     // Gap-based sessionization (30-min inactivity gap).
     "q40_sessionize" -> ((s, dir) => {
       TimeSeries.sessionize(Tables.events(s, dir), gapMinutes = 30)
@@ -303,6 +323,14 @@ object VectorEventQueries {
                 WINDOW win AS (PARTITION BY k ORDER BY ts, m, tie ROWS UNBOUNDED PRECEDING))
           SELECT event_id, k AS user_id, asof_click_event_id, asof_click_value
           FROM f WHERE m = 1 ORDER BY event_id""",
+    "q90_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+                min(c.event_id) AS first_click_id
+          FROM events p JOIN events c
+            ON c.user_id = p.user_id
+           AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOURS
+          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          GROUP BY 1 ORDER BY 1""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

@@ -114,6 +114,41 @@ object EventStream {
       .toDF()
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * `TimeSeries.rangeJoin`: each point row joins every interval row with
+    * the same key whose [start, end] contains its timestamp (inclusive).
+    *
+    * State BOUNDING is the whole design: a stream-stream join buffers
+    * both sides in the state store, and Spark can only evict buffered
+    * rows when the join condition relates the two WATERMARKED time
+    * columns. `ts BETWEEN start AND end` alone does not (end is
+    * unbounded relative to start), so the join adds the conjunct
+    * `ts <= start + maxIntervalSeconds` — the caller's guarantee that no
+    * interval is longer than the cap. With it, Spark derives both state
+    * watermarks: points older than (interval watermark + cap) and
+    * intervals whose start is older than the point watermark + cap are
+    * dropped from state. Intervals LONGER than the cap would lose their
+    * tail matches — size it to the true maximum, it costs only state
+    * retention, not compute.
+    *
+    * The key columns must be named DIFFERENTLY on the two sides (a
+    * stream-stream join can't disambiguate same-named columns from
+    * unresolved inputs; rename upstream, e.g. `i_user_id`). */
+  def streamRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pointKey: String, intervalKey: String,
+                      tsCol: String, startCol: String, endCol: String,
+                      maxIntervalSeconds: Long,
+                      pointWatermark: String = "1 hour",
+                      intervalWatermark: String = "1 hour"): DataFrame = {
+    require(maxIntervalSeconds > 0, "maxIntervalSeconds must be positive")
+    val p = points.withWatermark(tsCol, pointWatermark)
+    val i = intervals.withWatermark(startCol, intervalWatermark)
+    p.join(i,
+      col(pointKey) === col(intervalKey) &&
+        col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol) &&
+        col(tsCol) <= col(startCol) + expr(s"INTERVAL $maxIntervalSeconds SECONDS"))
+  }
+
   /** Convenience writer: append stream to an in-memory table for tests /
     * interactive inspection. */
   def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =

@@ -96,4 +96,47 @@ class TimeSeriesDpSpec extends SparkSpec {
     intercept[IllegalArgumentException](b.charge(0.1))
     intercept[IllegalArgumentException](new PrivacyBudget(1.0).charge(-1.0))
   }
+
+  test("rangeJoin equals the naive BETWEEN join, including bucket edges") {
+    val points = events.select($"user_id", $"ts", $"event_id".as("pid"))
+    // intervals deliberately straddle bucket boundaries at several widths
+    val intervals = Seq(
+      (7L, 10L, ts("2024-01-01 09:30:00"), ts("2024-01-01 10:05:00")),
+      (7L, 11L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:10:00")), // zero-length, exact hit
+      (8L, 12L, ts("2024-01-01 00:00:00"), ts("2024-01-01 23:59:59")), // spans many buckets
+      (9L, 13L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))  // key with no points
+    ).toDF("user_id", "iid", "win_start", "win_end")
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter($"ts" >= $"win_start" && $"ts" <= $"win_end")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (width <- Seq(60L, 3600L, 86400L)) {
+      val got = TimeSeries.rangeJoin(points, intervals, Seq("user_id"),
+          "ts", "win_start", "win_end", bucketSeconds = width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"width=$width")
+    }
+  }
+
+  test("rangeJoin plans an equi-join, not a nested-loop/cartesian") {
+    val points = events.select($"user_id", $"ts", $"event_id".as("pid"))
+    val intervals = Seq((7L, 10L, ts("2024-01-01 09:30:00"), ts("2024-01-01 10:05:00")))
+      .toDF("user_id", "iid", "win_start", "win_end")
+    val plan = TimeSeries.rangeJoin(points, intervals, Seq("user_id"),
+      "ts", "win_start", "win_end", 3600L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("saltedJoin equals the plain inner join") {
+    val big = events.select($"event_id", $"user_id", $"value")
+    val dim = Seq((7L, "gold"), (8L, "basic"), (9L, "unmatched"))
+      .toDF("user_id", "tier")
+    val expected = big.join(dim, Seq("user_id"))
+      .select("event_id", "tier").as[(Long, String)].collect().toSet
+    val got = Skew.saltedJoin(big, dim, Seq("user_id"), "event_id", 4)
+      .select("event_id", "tier").as[(Long, String)].collect().toSet
+    assert(got == expected)
+    // every big row matched exactly once (no salt-induced duplicates)
+    assert(Skew.saltedJoin(big, dim, Seq("user_id"), "event_id", 4).count() ==
+      big.join(dim, Seq("user_id")).count())
+  }
 }

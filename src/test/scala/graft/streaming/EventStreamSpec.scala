@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 // Top-level so Spark can build an Encoder without an outer-scope instance.
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
+case class Iv(iid: Long, i_user_id: Long, win_start: Timestamp, win_end: Timestamp)
 
 class EventStreamSpec extends SparkSpec {
 
@@ -151,5 +152,44 @@ class EventStreamSpec extends SparkSpec {
     val got = spark.table("sess_evict")
       .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
     assert(got(1L) == 1L && got(2L) == 1L)
+  }
+
+  test("streamRangeJoin matches the batch rangeJoin on the same data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val intervals = Seq(
+      Iv(10L, 7L, ts("2024-01-01 09:30:00"), ts("2024-01-01 10:05:00")),
+      Iv(11L, 7L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:10:00")),
+      Iv(12L, 8L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+    val pMem = MemoryStream[Ev]
+    val iMem = MemoryStream[Iv]
+    val joined = EventStream.streamRangeJoin(
+      pMem.toDF(), iMem.toDF(),
+      pointKey = "user_id", intervalKey = "i_user_id",
+      tsCol = "ts", startCol = "win_start", endCol = "win_end",
+      maxIntervalSeconds = 3600L,
+      pointWatermark = "10 minutes", intervalWatermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("srj")
+      .outputMode("append").start()
+    try {
+      iMem.addData(intervals: _*)
+      pMem.addData(data: _*)
+      q.processAllAvailable()
+      // join is stateful across micro-batches: a late point still meets
+      // the buffered interval
+      pMem.addData(Ev(6L, ts("2024-01-01 10:04:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamPairs = spark.table("srj")
+      .select("event_id", "iid").as[(Long, Long)].collect().toSet
+    val batchPairs = TimeSeries.rangeJoin(
+        data.toDF().union(Seq(Ev(6L, ts("2024-01-01 10:04:00"), 7L, "click", 1.0)).toDF()),
+        intervals.toDF().withColumnRenamed("i_user_id", "user_id"),
+        Seq("user_id"), "ts", "win_start", "win_end", bucketSeconds = 60L)
+      .select("event_id", "iid").as[(Long, Long)].collect().toSet
+    assert(streamPairs == batchPairs)
+    assert(streamPairs.contains((1L, 10L)) && streamPairs.contains((6L, 10L)))
+    assert(streamPairs.contains((2L, 11L)) && streamPairs.contains((4L, 12L)))
   }
 }
