@@ -49,6 +49,56 @@ object Sampling {
       .drop("__frac", "__keep")
   }
 
+  /** x^alpha with bit-exact routing for the common exponents: sqrt (and
+    * the identity) are correctly-rounded IEEE ops in every engine, so an
+    * external oracle replays them exactly; general `pow` is libm-bound
+    * (last-ulp differences across platforms are possible). */
+  private def powExact(x: Column, alpha: Double): Column =
+    if (alpha == 0.5) sqrt(x)
+    else if (alpha == 1.0) x
+    else pow(x, alpha)
+
+  /** Temperature-flattened stratified sampling — the multilingual-corpus
+    * rebalancing rule of XLM/XLM-R (Conneau & Lample 2019, Conneau et al.
+    * 2020): a stratum (language) with share p_l is resampled toward the
+    * flattened target share q_l ∝ p_l^alpha, so `alpha = 1` preserves the
+    * natural distribution, `alpha → 0` approaches uniform, and the usual
+    * `alpha ∈ [0.3, 0.7]` up-weights low-resource strata. Per-stratum keep
+    * rate: r_l = min(1, targetFraction · N · q_l / n_l), with membership
+    * decided by the deterministic key hash ([[bucket]]) — reproducible
+    * under repartitioning and replayable by an external engine.
+    *
+    * q_l is computed as n_l^alpha / Σ n_l^alpha (the N^alpha factor
+    * cancels, avoiding an extra division). Rates round to 1e-6 before
+    * thresholding so a last-ulp difference in the stratum-sum cannot
+    * flip a membership decision except exactly on a rounding boundary.
+    *
+    * Scale: one count aggregation over the corpus (map-side combined,
+    * |strata| output rows), a broadcast join of the tiny rate table, and
+    * a scan-side hash predicate — no corpus shuffle. The window below
+    * runs single-partition over the RATE TABLE (|strata| rows), never
+    * over data. */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                        alpha: Double, targetFraction: Double,
+                        salt: String = "graft-temp"): DataFrame = {
+    require(alpha > 0, s"alpha $alpha must be positive")
+    require(targetFraction >= 0 && targetFraction <= 1,
+      s"targetFraction $targetFraction outside [0,1]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val counts = df.groupBy(stratumCol)
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val rates = counts
+      .withColumn("__q", powExact(col("__n"), alpha)
+        / sum(powExact(col("__n"), alpha)).over(w))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFraction) * sum(col("__n")).over(w) * col("__q") / col("__n")))
+      .select(col(stratumCol),
+        round(col("__rate") * Buckets, 0).cast("long").as("__thr"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket(col(keyCol), salt) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic train/val/test-style split: label each row by which
     * cumulative-weight interval its hash bucket falls in. Weights must
     * sum to 1 (±1e-9). Same key + salt → same split, forever, on any

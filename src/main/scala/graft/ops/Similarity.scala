@@ -298,6 +298,29 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): group embeddings into cells (a precomputed
+    * clustering label — [[trainIvf]]'s assignments, an LSH cell, or any
+    * data label), then within each cell DROP every document that has a
+    * smaller-id neighbor at cosine ≥ `threshold`. Exactly one
+    * representative (the minimum id) of each near-duplicate chain
+    * survives, and no vectors are ever compared across cells — the
+    * clustering bounds pairwise work to O(Σ|cell|²) instead of O(n²),
+    * which is the whole point of the method at 100 TB.
+    *
+    * Scale: pair generation is [[cosineNearDup]]'s cell-bucketed
+    * self-join (one exchange keyed on the cell); the drop-set is
+    * distinct ids only (no vectors); the final LEFT ANTI join streams
+    * the corpus against the (typically tiny) drop-set — broadcast by
+    * AQE when it fits. Deterministic: same ids + vectors in, same
+    * survivors out, independent of partitioning. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, threshold: Double): DataFrame = {
+    val dropped = cosineNearDup(corpus, idCol, vecCol, cellCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs within the same cell
     * (cell-bucketed to avoid the O(n²) cross join). Exact within a
     * LABELED corpus — for an unlabeled corpus at scale use

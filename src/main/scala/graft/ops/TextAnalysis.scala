@@ -39,6 +39,33 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(filter(split(lower(trim(text)), "[^a-z0-9]+"), t => length(t) > 0))
 
+  /** Sliding-window character chunking — the retrieval/context-window
+    * fan-out of a RAG or long-context pipeline. Chunk i of a document
+    * covers characters [i·stride, i·stride + size), i ∈ [0,
+    * ceil(len/stride)), so every character is covered and consecutive
+    * chunks overlap by `size - stride` characters. Zero-length documents
+    * produce no chunks. Output: (id, idxCol, outCol) — one row per chunk.
+    *
+    * Scale: pure per-row `transform` + `posexplode`, zero shuffle — each
+    * executor fans its documents out to chunks locally, and downstream
+    * operators see a chunk-grained table whose partitioning is inherited
+    * from the scan. Deterministic and engine-portable (substring
+    * arithmetic only), so an external SQL oracle replays it exactly. */
+  def chunk(df: DataFrame, idCol: String, textCol: String, size: Int,
+            stride: Int, idxCol: String = "chunk_idx",
+            outCol: String = "chunk"): DataFrame = {
+    require(size > 0, s"size $size must be positive")
+    require(stride > 0 && stride <= size,
+      s"stride $stride must be in [1, size=$size]")
+    val t = col(textCol)
+    // n >= 1 whenever len >= 1 (the filter guarantees it), so the
+    // sequence below is always ascending.
+    val n = ceil(length(t).cast("double") / stride).cast("int")
+    df.filter(length(t) > 0)
+      .select(col(idCol), posexplode(transform(sequence(lit(0), n - 1),
+        i => t.substr(i * stride + 1, lit(size)))).as(Seq(idxCol, outCol)))
+  }
+
   /** Ratio of stopword tokens to all tokens, 6dp. */
   def stopwordRatio(text: Column): Column = {
     val stops = array(Stopwords.map(lit): _*)

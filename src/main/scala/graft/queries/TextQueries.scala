@@ -298,6 +298,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature-flattened multilingual resampling (alpha = 0.5 routes
+    // through the correctly-rounded sqrt, so the oracle replays the rate
+    // table bit-for-bit): low-resource languages keep a higher fraction,
+    // the dominant one is squeezed, expected total ≈ half the corpus.
+    "q93_temperature_sample" -> ((s, dir) => {
+      Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang",
+        alpha = 0.5, targetFraction = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Sliding-window character chunking (size 256, stride 192 → 64-char
+    // overlap): the RAG/long-context fan-out. Pure per-row explode —
+    // the oracle replays the substring arithmetic exactly.
+    "q94_chunk_docs" -> ((s, dir) => {
+      TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text",
+        size = 256, stride = 192)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // C4/Gopher-style corpus quality filter (token-count band, mean token
     // length band, punctuation ceiling, stopword floor) — thresholds set
     // so the filter bites (~40% of the synthetic corpus fails).
@@ -494,6 +515,22 @@ object TextQueries {
                FROM documents)
          WHERE kb < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 800000 ELSE 650000 END
          ORDER BY doc_id""",
+    "q93_temperature_sample" ->
+      """WITH st AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+         r AS (SELECT lang,
+                 CAST(round(least(1.0,
+                        0.5 * sum(n) OVER () * (sqrt(n) / sum(sqrt(n)) OVER ()) / n)
+                      * 1000000, 0) AS BIGINT) AS thr
+               FROM st)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE CAST('0x' || substr(md5('graft-temp|' || d.doc_id), 1, 15) AS BIGINT) % 1000000 < r.thr
+         ORDER BY d.doc_id""",
+    "q94_chunk_docs" ->
+      """SELECT doc_id, chunk_idx, substr(text, CAST(chunk_idx * 192 + 1 AS INT), 256) AS chunk
+         FROM (SELECT doc_id, text,
+                 unnest(range(CAST(ceil(length(text) / 192.0) AS BIGINT))) AS chunk_idx
+               FROM documents WHERE length(text) > 0)
+         ORDER BY doc_id, chunk_idx""",
     "q72_corpus_filter" ->
       s"""SELECT doc_id, nt AS n_tokens, mtl AS mean_tok_len, sw AS stopword_ratio FROM (
             SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS nt,

@@ -17,7 +17,8 @@ object VectorEventQueries {
   private val K = 5
   private val NQueries = 8 // query set: vec_id < 8 (broadcast-small)
 
-  private val NPlanted = 50      // perturbed near-dup copies planted for q65
+  private val NPlanted = 50      // perturbed near-dup copies planted for q65/q92
+  private val SemThreshold = 0.9 // q92 drop threshold: planted ≈0.98, natural ≲0.47
   private val PlantedIdOff = 100000L
   private val PertAmp = 0.04     // per-component noise → planted cos ≈ 0.98
   private val LshThreshold = 0.95
@@ -29,17 +30,20 @@ object VectorEventQueries {
     * sit at cosine ≈ 0.98, far above the natural similarity ceiling
     * (~0.47), making the LSH query's output value-bearing at every sf. */
   private def lshCorpus(e: DataFrame): DataFrame = {
-    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val base = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("embedding"))
     val noise = (x: Column, i: Column) => x + lit(PertAmp) *
       (PortableHash.phash(concat_ws("|", lit("pert"), col("vec_id").cast("string"),
         i.cast("string"))).cast("double") / lit(576460752303423488.0) - lit(1.0))
     // two-step select: Spark 4 lateral column aliases would otherwise
     // resolve the noise lambda's vec_id to the SHIFTED alias in the same
-    // projection, silently keying the noise off id+offset
+    // projection, silently keying the noise off id+offset. Planted copies
+    // inherit the original's label (they are near-identical vectors, so
+    // any cell assignment would agree) — q92's cell-scoped dedup needs it.
     val pert = e.filter(col("vec_id") < NPlanted)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         transform(col("embedding").cast("array<double>"), noise).as("embedding"))
-      .select((col("vec_id") + PlantedIdOff).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + PlantedIdOff).as("vec_id"), col("label"), col("embedding"))
     base.unionByName(pert)
   }
 
@@ -79,6 +83,19 @@ object VectorEventQueries {
       Similarity.cosineNearDupLsh(lshCorpus(Tables.embeddings(s, dir)),
         "vec_id", "embedding", dim = 64, threshold = LshThreshold)
         .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup semantic dedup over the planted corpus: the 50 planted
+    // near-copies (cos ≈ 0.98 to their originals, same label cell) are
+    // dropped; the 500 originals survive (natural same-label ceiling
+    // ~0.47 << 0.9). The oracle rebuilds the corpus and replays the
+    // drop rule as NOT EXISTS, so a survivor-set divergence in either
+    // engine surfaces as a row mismatch.
+    "q92_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(lshCorpus(Tables.embeddings(s, dir)),
+        "vec_id", "embedding", "label", threshold = SemThreshold)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }),
 
     // IVF at nprobe=2: top-2 cells per query are scanned — the recall
@@ -260,6 +277,24 @@ object VectorEventQueries {
                  FROM best b JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    "q92_semantic_dedup" ->
+      s"""WITH corpus AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT oid + $PlantedIdOff AS vec_id, label,
+                   list(x + CAST($PertAmp AS DOUBLE) *
+                        (CAST('0x' || substr(md5('pert|' || oid || '|' || (j - 1)), 1, 15) AS BIGINT)
+                         / 576460752303423488.0 - 1.0) ORDER BY j) AS v
+            FROM (SELECT vec_id AS oid, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                         generate_subscripts(embedding, 1) AS j
+                  FROM embeddings WHERE vec_id < $NPlanted)
+            GROUP BY oid, label)
+          SELECT c.vec_id, c.label FROM corpus c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM corpus o
+            WHERE o.label = c.label AND o.vec_id < c.vec_id
+              AND round(list_cosine_similarity(o.v, c.v), 6) >= $SemThreshold)
+          ORDER BY vec_id""",
     "q65_cosine_lsh_neardup" ->
       s"""WITH corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -48,6 +48,43 @@ class SamplingPackingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample at alpha=1 degenerates to plain hash sampling") {
+    // q_l = p_l at alpha 1, so every stratum's rate is targetFraction and
+    // membership reduces to hashSample under the same salt.
+    val t = Sampling.temperatureSample(keys, "id", "lang", alpha = 1.0,
+      targetFraction = 0.3).select("id").as[Long].collect().toSet
+    val h = Sampling.hashSample(keys, "id", 0.3, salt = "graft-temp")
+      .select("id").as[Long].collect().toSet
+    assert(t == h)
+  }
+
+  test("temperatureSample up-weights the rare stratum and caps rates at 1") {
+    // 1500 de / 500 en. alpha=.5: q_de = sqrt(3)/(sqrt(3)+1) ≈ .634.
+    // f=.4 → rate_de = .4*2000*.634/1500 ≈ .338, rate_en = .4*2000*.366/500
+    // ≈ .586 — the rare stratum keeps a ~1.7x higher fraction.
+    val skewed = (1L to 2000L).map(i => (i, if (i <= 1500) "de" else "en"))
+      .toDF("id", "lang")
+    val kept = Sampling.temperatureSample(skewed, "id", "lang", alpha = 0.5,
+      targetFraction = 0.4)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val rDe = byLang("de") / 1500.0
+    val rEn = byLang("en") / 500.0
+    assert(rEn > rDe, s"rare stratum rate $rEn must exceed dominant $rDe")
+    assert(math.abs(rDe - 0.338) < 0.05 && math.abs(rEn - 0.586) < 0.08)
+    // f=.9 pushes the rare stratum's raw rate past 1 → capped: ALL en kept
+    val capped = Sampling.temperatureSample(skewed, "id", "lang", alpha = 0.5,
+      targetFraction = 0.9)
+    assert(capped.filter($"lang" === "en").count() == 500L)
+  }
+
+  test("temperatureSample is deterministic and partition-independent") {
+    val a = Sampling.temperatureSample(keys, "id", "lang", 0.5, 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(keys.repartition(17), "id", "lang", 0.5, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("packSequences bins by exclusive prefix sum within each shard") {
     val docs = Seq(
       (1L, "s1", 300L), (2L, "s1", 300L), (3L, "s1", 300L),

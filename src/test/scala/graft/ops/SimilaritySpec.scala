@@ -221,4 +221,28 @@ class SimilaritySpec extends SparkSpec {
     // cross-cell pair (2,3) can never appear even if similar
     assert(!pairs.contains((2L, 3L)))
   }
+
+  test("semanticDedup keeps the min-id representative of each near-dup chain") {
+    // label 0 sims: (0,1)=.9939, (1,2)=.9958, (0,2)=.9701 — at t=0.97 all
+    // three pair up, so 1 and 2 both have a smaller similar neighbor and
+    // only 0 survives. label 1: (3,4)=.9939 drops 4; 5 is far from both.
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding", "label", 0.97)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 5L))
+  }
+
+  test("semanticDedup never compares across cells and is partition-stable") {
+    // identical vectors in DIFFERENT cells both survive: dedup is cell-scoped
+    val c = Seq(
+      (10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(1.0f, 0.0f), 1),
+      (12L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(c, "vec_id", "embedding", "label", 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L))
+    val repart = Similarity.semanticDedup(c.repartition(7), "vec_id", "embedding",
+      "label", 0.99).select("vec_id").as[Long].collect().toSet
+    assert(repart == kept)
+  }
 }
