@@ -97,6 +97,43 @@ object StatsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Bucketed co-located join: both sides written hash-bucketed on the
+    // join key (the one-time ingest shuffle), then join + aggregate run
+    // with ZERO exchanges — the 100 TB layout for repeatedly-joined fact
+    // tables. BucketingSpec asserts the exchange-free plan; the oracle
+    // checks the result equals a plain join.
+    "q95_bucketed_join" -> ((s, dir) => {
+      val suf = dir.hashCode.toHexString
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.sources.Bucketing.writeBucketed(o, s"graft_bkt_orders_$suf",
+        s"/tmp/graft_bkt_orders_$suf", "custkey", 8)
+      graft.sources.Bucketing.writeBucketed(c, s"graft_bkt_customer_$suf",
+        s"/tmp/graft_bkt_customer_$suf", "custkey", 8)
+      graft.sources.Bucketing.bucketedEquiJoin(s,
+        s"graft_bkt_orders_$suf", s"graft_bkt_customer_$suf", "custkey")
+        .groupBy("custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("custkey")
+    }),
+
+    // Small-file compaction roundtrip: 64 tiny fragments rewritten into
+    // range-clustered target-size files; content must survive bit-exact.
+    "q96_compact_roundtrip" -> ((s, dir) => {
+      val suf = dir.hashCode.toHexString
+      val frag = s"/tmp/graft_frag_docs_$suf"
+      val comp = s"/tmp/graft_compact_docs_$suf"
+      Tables.documents(s, dir).repartition(64).write.mode("overwrite").parquet(frag)
+      graft.sources.Compaction.compact(s, frag, comp, "doc_id",
+        targetBytes = 128L * 1024 * 1024)
+      s.read.parquet(comp)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Skew-mitigation: salted two-stage aggregation must equal the plain
     // group-by (the oracle computes it directly).
     "q54_salted_agg" -> ((s, dir) => {
@@ -163,5 +200,12 @@ object StatsQueries {
             count(*) FILTER (o_orderstatus = 'P') AS n_p
           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q59_partitioned_roundtrip" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders ORDER BY o_orderkey""")
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders ORDER BY o_orderkey""",
+    "q95_bucketed_join" ->
+      """SELECT o_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY custkey""",
+    "q96_compact_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""")
 }

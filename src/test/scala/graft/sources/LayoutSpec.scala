@@ -49,4 +49,57 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(joined.count() == 6)
   }
+
+  test("Bucketing: join AND aggregate on the bucket key stay exchange-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    spark.sql("DROP TABLE IF EXISTS g_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS g_bkt_customer")
+    Bucketing.writeBucketed(orders, "g_bkt_orders", s"$dir/o", "ckey", 4)
+    Bucketing.writeBucketed(
+      Seq((10L, "A"), (11L, "B"), (12L, "A"), (13L, "B")).toDF("ckey", "seg"),
+      "g_bkt_customer", s"$dir/c", "ckey", 4)
+    val agg = Bucketing.bucketedEquiJoin(spark, "g_bkt_orders", "g_bkt_customer", "ckey")
+      .groupBy("ckey", "seg").agg(sum("price").as("rev"))
+    val rows = agg.collect() // materialize so the adaptive plan finalizes
+    val plan = agg.queryExecution.executedPlan.toString
+    // the scans' HashPartitioning satisfies BOTH the join and the agg
+    // distribution: scan -> merge join -> hash agg with zero exchanges
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    val got = rows.map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got((10L, "A")) == 500.0 && got((11L, "B")) == 800.0)
+  }
+
+  test("Compaction rewrites fragments into range-clustered files of the target size") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = (1L to 1000L).map(i => (i, s"doc-$i-${"x" * 50}")).toDF("id", "text")
+    rows.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    val fragFiles = new java.io.File(s"$base/frag").listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(fragFiles == 32)
+    // target ~1/4 of the input -> expect 4 output files (and n reported = 4)
+    val inBytes = spark.read.parquet(s"$base/frag")
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val n = Compaction.compact(spark, s"$base/frag", s"$base/out", "id",
+      targetBytes = (inBytes + 3) / 4)
+    val outFiles = new java.io.File(s"$base/out").listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(n == 4 && outFiles.length == n, s"n=$n files=${outFiles.length}")
+    // content survives exactly
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == 1000)
+    assert(back.select("id", "text").except(rows).isEmpty &&
+      rows.except(back.select("id", "text")).isEmpty)
+    // range clustering: per-file id ranges are pairwise disjoint, so parquet
+    // min/max footer stats can prune whole files for range predicates
+    val ranges = outFiles.map { f =>
+      val one = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("id"), max("id")).head()
+      (one.getLong(0), one.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, ranges.toSeq.toString)
+  }
 }
