@@ -368,6 +368,105 @@ object Dedup {
       () => unpersistCheckpoint(labels))
   }
 
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR — the
+    * diameter-independent alternative to [[dedupClusters]]'s pointer
+    * jumping, after Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond" (ACM SoCC 2014).
+    * Same contract as [[dedupClusters]]: input is a near-dup pair list,
+    * output is (id, cluster) with cluster = the component's smallest id.
+    *
+    * Each round rewires the edge list toward local minima:
+    *
+    *  - LARGE-STAR: every node u connects each strictly LARGER neighbor
+    *    v to m = min(neighborhood(u) + u) — emit (v, m) for v > u;
+    *  - SMALL-STAR: on the canonical hi->lo orientation, every node
+    *    connects its smaller neighbors and itself to the min of that set.
+    *
+    * Both steps preserve connectivity exactly (a rewired edge stays in
+    * the component; the dropped edge is implied by the two-hop path
+    * through m) and never emit self-loops, so the fixpoint — reached in
+    * O(log^2 n) rounds worst case, ~2 log2 n observed, INDEPENDENT of
+    * graph diameter — is a forest of min-rooted stars: the edge list IS
+    * the label table. Pointer jumping needs O(log diameter) rounds of
+    * three label-table joins; a star round is one map-side-partial min
+    * aggregation plus one join on the (monotonically tightening) edge
+    * list. Prefer this form when components may be deep chains or when
+    * maxIterations blow-ups are unacceptable; prefer pointer jumping
+    * when the pair graph is known shallow (LSH near-dup graphs usually
+    * are — q76 vs q97 run both against the same oracle).
+    *
+    * Scale: every exchange carries 8-byte id pairs, no payloads. The
+    * known hazard is late-round skew — a component's minimum accumulates
+    * the whole component as direct neighbors — which the map-side
+    * partial min absorbs on the aggregation side and AQE skew-join
+    * splitting absorbs on the join side. Checkpoint discipline matches
+    * [[dedupClustersReleasable]]: the edge list is re-materialized per
+    * round, superseded checkpoints are unpersisted immediately, and a
+    * run holds at most two edge tables at once.
+    */
+  def dedupClustersStar(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b",
+                        maxIterations: Int = 50): DataFrame =
+    dedupClustersStarReleasable(pairs, idA, idB, maxIterations)._1
+
+  /** [[dedupClustersStar]] plus a release thunk for the final checkpoint
+    * — call it once the labels have been fully consumed. */
+  def dedupClustersStarReleasable(pairs: DataFrame, idA: String = "id_a",
+                                  idB: String = "id_b",
+                                  maxIterations: Int = 50): (DataFrame, () => Unit) = {
+    // canonical hi -> lo orientation, self-pairs dropped
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("hi"),
+        least(col(idA), col(idB)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // large-star over both orientations; m <= u < v keeps the output
+      // canonical and loop-free by construction
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val large = nbrs.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star on the canonical orientation: per hi, every smaller
+      // neighbor and hi itself link to the smallest neighbor
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      val small = large.join(smins, Seq("hi"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .unionByName(smins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+      unpersistCheckpoint(large) // round-local; small is materialized
+      // fixpoint = the round rewired nothing: same distinct-set size and
+      // an empty one-sided difference imply set equality
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).take(1).isEmpty
+      unpersistCheckpoint(edges)
+      edges = small
+      i += 1
+    }
+    if (!converged) {
+      unpersistCheckpoint(edges)
+      throw new IllegalStateException(
+        s"dedupClustersStar did not converge in $maxIterations alternating " +
+          "star rounds (worst case O(log^2 n)) — raise maxIterations")
+    }
+    // star forest: non-roots appear exactly once on the hi side pointing
+    // at the component min; roots appear only on the lo side
+    val labels = edges.select(col("hi").as("id"), col("lo").as("cluster"))
+      .unionByName(
+        edges.select(col("lo").as("id"), col("lo").as("cluster")).distinct())
+    (labels, () => unpersistCheckpoint(edges))
+  }
+
   /** Unpersist the storage behind an eager localCheckpoint: the
     * checkpointed RDD sits in the plan as a LogicalRDD leaf and is NOT
     * released by DataFrame.unpersist (which only consults the SQL cache

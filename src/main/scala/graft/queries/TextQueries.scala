@@ -229,6 +229,18 @@ object TextQueries {
       clusters.orderBy("id")
     }),
 
+    // Same connected-components problem as q76, solved with the
+    // alternating large-star/small-star algorithm instead of pointer
+    // jumping — identical oracle, so any divergence between the two CC
+    // formulations hash-mismatches against the recursive-CTE ground truth.
+    "q97_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+      val (clusters, release) = Dedup.dedupClustersStarReleasable(pairs)
+      graft.QueryCleanup.register(release)
+      clusters.orderBy("id")
+    }),
+
     // PII scrubbing (emails/URLs/IPs/phones -> typed tags). The synthetic
     // corpus carries no PII, so the query PLANTS deterministic doc-keyed
     // PII by construction — both engines build the identical augmented
@@ -428,6 +440,18 @@ object TextQueries {
     // Transitive closure of the q36 pair set via a recursive CTE, then
     // cluster = min reachable id — the oracle for min-label propagation.
     "q76_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+          p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                    UNION SELECT id_b, id_a FROM p),
+          reach AS (SELECT src AS id, dst AS r FROM edges
+                    UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+          SELECT id, CAST(cluster AS BIGINT) AS cluster FROM lab ORDER BY id""",
+    // q97 solves the exact problem q76 solves (different distributed
+    // algorithm, same semantics) — the ground truth is the same
+    // recursive-CTE transitive closure.
+    "q97_dedup_clusters_star" ->
       s"""WITH RECURSIVE $minhashPairsCte,
           p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
           edges AS (SELECT id_a AS src, id_b AS dst FROM p

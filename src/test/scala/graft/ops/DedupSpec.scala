@@ -303,6 +303,37 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L), "every chain node must label to the min id 1")
   }
 
+  test("dedupClustersStar matches pointer jumping on components, chains, and random graphs") {
+    // small multi-component graph
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val star = Dedup.dedupClustersStar(pairs).as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // 300-node chain: diameter 299, where per-round label propagation
+    // would need 299 rounds — alternation must finish inside the cap
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotChain = Dedup.dedupClustersStar(chain).as[(Long, Long)].collect()
+    assert(gotChain.length == 300 && gotChain.forall(_._2 == 1L))
+    // deterministic pseudo-random graph: star and pointer jumping must
+    // produce the identical label table
+    val rnd = (1 to 400).map { i =>
+      val a = (i * 7919L) % 97; val b = (i * 104729L) % 97
+      (a + 1, b + 1)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val viaStar = Dedup.dedupClustersStar(rnd).as[(Long, Long)].collect().toMap
+    val viaJump = Dedup.dedupClusters(rnd).as[(Long, Long)].collect().toMap
+    assert(viaStar == viaJump)
+  }
+
+  test("dedupClustersStarReleasable frees every checkpoint it created") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val (clusters, release) = Dedup.dedupClustersStarReleasable(pairs)
+    assert(clusters.count() == 5)
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"star CC leaked persisted RDD ids: $leaked")
+  }
+
   test("dedupClustersReleasable frees every checkpoint it created") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Seq((2L, 3L), (1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
