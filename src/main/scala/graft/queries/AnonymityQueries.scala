@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{KAnonymity, TCloseness}
+import graft.ops.{KAnonymity, LDiversity, TCloseness}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -104,6 +104,29 @@ object AnonymityQueries {
         .orderBy("o_orderkey")
     }),
 
+    // l-diversity audit (homogeneity-attack surface): per coarse class,
+    // size, distinct sensitive values, and in-class sensitive entropy —
+    // the two-level aggregation reduces to one row per (class, sbin)
+    // before the class-level regroup.
+    "q98_ldiv_audit" -> ((s, dir) => {
+      LDiversity.groupDiversity(withSbin(Tables.orders(s, dir)),
+          Seq("o_orderstatus", "o_orderpriority"), "sbin")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("grp_cnt"), col("l_distinct"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // Distinct l-diversity suppression on the FINE-grained QI (classes of
+    // 1-3 rows, so l=2 genuinely suppresses): keep rows whose class shows
+    // >= 2 distinct sensitive buckets.
+    "q99_ldiv_suppress" -> ((s, dir) => {
+      LDiversity.suppress(withSbin(Tables.orders(s, dir)),
+          qis, "sbin", l = 2)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // q25 recomputed through the typed EmdAggregator (custom-UDAF path):
     // one shuffle, map-side partial count-maps, closed-form EMD in
     // finish(). Must hash-match the same SQL oracle as q25.
@@ -140,5 +163,20 @@ object AnonymityQueries {
     "q55_tcloseness_emd_agg" ->
       s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""",
     "q27_label_encode" ->
-      """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""")
+      """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""",
+    "q98_ldiv_audit" ->
+      s"""WITH cells AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin, count(*) AS c
+                         FROM orders GROUP BY 1, 2, 3)
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(sum(c) AS BIGINT) AS grp_cnt,
+                 count(*) AS l_distinct,
+                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+          FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q99_ldiv_suppress" ->
+      s"""WITH div AS (SELECT o_custkey, o_orderstatus FROM
+                         (SELECT o_custkey, o_orderstatus, $sbinSql AS sbin FROM orders)
+                       GROUP BY 1, 2 HAVING count(DISTINCT sbin) >= 2)
+          SELECT o_orderkey, o_custkey, o_orderstatus
+          FROM orders JOIN div USING (o_custkey, o_orderstatus)
+          ORDER BY o_orderkey""")
 }
