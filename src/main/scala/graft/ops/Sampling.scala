@@ -99,6 +99,49 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Efraimidis–Spirakis priority key for weighted sampling WITHOUT
+    * replacement ("Weighted random sampling with a reservoir", Inf.
+    * Process. Lett. 2006): key = u^(1/w) with u the row key's
+    * deterministic hash-uniform — the k largest keys are distributed
+    * exactly as k weight-proportional draws without replacement. The key
+    * is rounded to 1e-9 before ranking (ties then break on the row key)
+    * so a last-ulp `pow` difference between engines cannot reorder the
+    * selection boundary — same guard as [[temperatureSample]]'s rate
+    * rounding. */
+  private def esKey(key: Column, weight: Column, salt: String): Column =
+    round(pow(PortableHash.puniform(
+      concat_ws("|", lit(salt), key.cast("string"))), lit(1.0) / weight), 9)
+
+  /** k-item weighted sample without replacement, deterministic in
+    * (key, salt). Zero or negative weights never win (u^(1/w) -> 0).
+    *
+    * Scale: order-by-limit compiles to TakeOrderedAndProject — every
+    * partition keeps a local k-heap and only k rows per partition reach
+    * the driver-side merge; no global sort, no full shuffle. This is the
+    * distributed form of the reservoir algorithm the paper describes
+    * (the heap IS the reservoir; hash-uniforms replace the RNG). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
+                     salt: String = "graft-wsample"): DataFrame =
+    df.withColumn("__wk", esKey(col(keyCol), col(weightCol), salt))
+      .orderBy(col("__wk").desc, col(keyCol))
+      .limit(k)
+      .drop("__wk")
+
+  /** Per-stratum k-item weighted sample without replacement: one shuffle
+    * on the stratum key feeding a windowed row_number — the reservoir
+    * runs once per stratum. */
+  def weightedSampleStratified(df: DataFrame, keyCol: String, weightCol: String,
+                               stratumCol: String, k: Int,
+                               salt: String = "graft-wsample"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col("__wk").desc, col(keyCol))
+    df.withColumn("__wk", esKey(col(keyCol), col(weightCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__wk", "__rn")
+  }
+
   /** Deterministic train/val/test-style split: label each row by which
     * cumulative-weight interval its hash bucket falls in. Weights must
     * sum to 1 (±1e-9). Same key + salt → same split, forever, on any

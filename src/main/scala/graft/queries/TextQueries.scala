@@ -283,6 +283,48 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top-3 salient terms per document: token explode reduces to
+    // (doc, term) counts, idf joins back co-partitioned on the term key,
+    // per-doc top-k is one windowed row_number over 1e-9-rounded scores.
+    "q102_tfidf_terms" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", topK = 3)
+        .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // BM25 retrieval against a fixed query-term set: top-20 docs by Okapi
+    // score (k1=1.2, b=0.75), query-term filter applied before any
+    // aggregation so tf tables stay |query|-bounded per doc.
+    "q103_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(Tables.documents(s, dir), "doc_id",
+          queryTerms = Seq("join", "hash", "vector"), topK = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis priority
+    // keys over the portable hash-uniform): 100 docs drawn proportional
+    // to length — longer docs more likely, selection deterministic and
+    // engine-replayable. Compiles to TakeOrderedAndProject (per-partition
+    // k-heaps, no global sort).
+    "q100_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(
+          Tables.documents(s, dir).withColumn("w", length(col("text"))),
+          "doc_id", "w", k = 100)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Per-language variant: 20 docs per stratum, one shuffle on the
+    // stratum key, the reservoir ranking windowed per language.
+    "q101_weighted_stratified" -> ((s, dir) => {
+      Sampling.weightedSampleStratified(
+          Tables.documents(s, dir).withColumn("w", length(col("text"))),
+          "doc_id", "w", "lang", k = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: whole docs into ~512-token bins per source shard,
     // packing order = doc_id (deterministic); bin = floor(exclusive token
     // prefix-sum / budget) — one window, one shuffle on the shard.
@@ -539,6 +581,50 @@ object TextQueries {
                FROM documents)
          WHERE kb < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 800000 ELSE 650000 END
          ORDER BY doc_id""",
+    "q102_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          sc AS (SELECT doc_id, term, round(tf * ln(n * 1.0 / dfr), 9) AS score
+                 FROM tf JOIN dfq USING (term) CROSS JOIN n),
+          rk AS (SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                 FROM sc)
+          SELECT doc_id, term, round(score, 6) AS score FROM rk WHERE rn <= 3
+          ORDER BY doc_id, term""",
+    "q103_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+          t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+          dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+          st AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+          qtf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+                  WHERE term IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*) AS dfr FROM qtf GROUP BY 1),
+          idf AS (SELECT term, ln(1 + (n - dfr + 0.5) / (dfr + 0.5)) AS idf
+                  FROM dfq CROSS JOIN st),
+          sc AS (SELECT q.doc_id,
+                   round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 9) AS s
+                 FROM qtf q JOIN idf USING (term) JOIN dl ON dl.doc_id = q.doc_id
+                 CROSS JOIN st GROUP BY q.doc_id)
+          SELECT doc_id, round(s, 6) AS score
+          FROM (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 20)
+          ORDER BY doc_id""",
+    "q100_weighted_sample" ->
+      s"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+              round(pow((${phashSql("'graft-wsample|' || doc_id")} % 1000000 + 0.5) / 1000000.0,
+                        1.0 / len(text)), 9) AS wk
+            FROM documents ORDER BY wk DESC, doc_id LIMIT 100)
+          ORDER BY doc_id""",
+    "q101_weighted_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang ORDER BY
+                round(pow((${phashSql("'graft-wsample|' || doc_id")} % 1000000 + 0.5) / 1000000.0,
+                          1.0 / len(text)), 9) DESC, doc_id) AS rn
+            FROM documents)
+          WHERE rn <= 20 ORDER BY doc_id""",
     "q93_temperature_sample" ->
       """WITH st AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
          r AS (SELECT lang,

@@ -85,6 +85,40 @@ class SamplingPackingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("weightedSample draws k without replacement, weight-proportionally, deterministically") {
+    val weighted = keys.withColumn("w",
+      when(col("id") <= 100, 1000.0).otherwise(1.0)) // 100 heavy keys
+    val got = Sampling.weightedSample(weighted, "id", "w", k = 120)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 120)
+    // heavy keys are ~1000x likelier: with 100 heavy among 2000 and
+    // k=120, essentially all heavy keys must be drawn
+    assert((1L to 100L).count(got) >= 95, s"only ${(1L to 100L).count(got)} heavy keys drawn")
+    // deterministic and partition-independent
+    val again = Sampling.weightedSample(weighted.repartition(11), "id", "w", k = 120)
+      .select("id").as[Long].collect().toSet
+    assert(got == again)
+    // plan must be a partial top-k (TakeOrderedAndProject), not a global sort
+    val plan = Sampling.weightedSample(weighted, "id", "w", k = 120)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("weightedSampleStratified keeps k per stratum and agrees with the global ranking") {
+    val weighted = keys.withColumn("w", lit(1.0) + (col("id") % 7))
+    val got = Sampling.weightedSampleStratified(weighted, "id", "w", "lang", k = 30)
+      .select("lang", "id").as[(String, Long)].collect()
+    val perLang = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang == Map("en" -> 30, "de" -> 30), perLang.toString)
+    // stratified with one stratum == global top-k over that stratum
+    val en = weighted.filter(col("lang") === "en")
+    val viaGlobal = Sampling.weightedSample(en, "id", "w", k = 30)
+      .select("id").as[Long].collect().toSet
+    val viaStrat = Sampling.weightedSampleStratified(en, "id", "w", "lang", k = 30)
+      .select("id").as[Long].collect().toSet
+    assert(viaGlobal == viaStrat)
+  }
+
   test("packSequences bins by exclusive prefix sum within each shard") {
     val docs = Seq(
       (1L, "s1", 300L), (2L, "s1", 300L), (3L, "s1", 300L),
