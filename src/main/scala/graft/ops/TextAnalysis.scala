@@ -225,6 +225,71 @@ object TextAnalysis {
       .agg(round(avg("__lp"), 6).as("mean_logprob"))
   }
 
+  /** Top-k TF-IDF terms per document — the classic salience ranking
+    * (tf · ln(N/df), raw counts, no smoothing: every term scored has
+    * df >= 1 by construction). The workhorse behind keyword extraction
+    * and cheap topic tagging over a web-scale corpus.
+    *
+    * Scale: tokens reduce to one row per (doc, term) on the first
+    * shuffle (map-side partial counts); document frequency is a second
+    * aggregation over those already-reduced rows, keyed by term — so the
+    * idf join back onto tf is co-partitioned on the term key (no extra
+    * exchange). N arrives as a broadcast 1-row crossjoin, and the final
+    * per-doc top-k is one windowed row_number. Ranking uses the score
+    * rounded to 1e-9 with a term tiebreak, so a last-ulp ln() difference
+    * between engines cannot reorder the cut.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String = "text",
+                    topK: Int = 3): DataFrame = {
+    val tk = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tk.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("__df")), 9))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col(idCol), col("term"), col("score"))
+  }
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson & Zaragoza 2009, the Okapi formulation): per query term,
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturates via
+    * tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)). Returns the topK docs.
+    *
+    * Scale: the token stream filters to the QUERY terms before any
+    * aggregation — the tf table holds at most |query| rows per doc, and
+    * the idf table (|query| rows) broadcasts. Document length is its own
+    * doc-keyed aggregation, co-partitioned with the per-doc score sum.
+    * The final top-k compiles to TakeOrderedAndProject (per-partition
+    * heaps), not a global sort.
+    */
+  def bm25(docs: DataFrame, idCol: String, queryTerms: Seq[String],
+           textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    val tk = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val dlen = tk.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val qtf = tk.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val stats = dlen.agg(avg("__dl").as("__avgdl"), count(lit(1)).as("__n"))
+    val idf = qtf.groupBy("term").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))).as("__idf"),
+        col("__avgdl"))
+    val scored = qtf.join(broadcast(idf), Seq("term"))
+      .join(dlen, Seq(idCol))
+      .withColumn("__s", col("__idf") * col("__tf") * (k1 + 1) /
+        (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol)).agg(round(sum("__s"), 9).as("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
   /** All per-document text features in one pass. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
