@@ -231,22 +231,26 @@ object TextAnalysis {
     * and cheap topic tagging over a web-scale corpus.
     *
     * Scale: tokens reduce to one row per (doc, term) on the first
-    * shuffle (map-side partial counts); document frequency is a second
-    * aggregation over those already-reduced rows, keyed by term — so the
-    * idf join back onto tf is co-partitioned on the term key (no extra
-    * exchange). N arrives as a broadcast 1-row crossjoin, and the final
-    * per-doc top-k is one windowed row_number. Ranking uses the score
-    * rounded to 1e-9 with a term tiebreak, so a last-ulp ln() difference
-    * between engines cannot reorder the cut.
+    * exchange (map-side partial counts). Document frequency is a
+    * windowed count over the term key on that REDUCED table — not a join
+    * against a vocabulary-sized aggregate, which would either assume the
+    * vocabulary broadcasts (it does not at web scale) or re-exchange
+    * both join sides. N arrives as a broadcast 1-row crossjoin, and the
+    * per-doc top-k is one windowed row_number. Three exchanges of the
+    * reduced table total — (doc, term), term, doc — and nothing larger
+    * than a row ever broadcasts. Ranking uses the score rounded to 1e-9
+    * with a term tiebreak, so a last-ulp ln() difference between engines
+    * cannot reorder the cut.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String = "text",
                     topK: Int = 3): DataFrame = {
     val tk = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val tf = tk.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+    val scored = tf.withColumn("__df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("__n").cast("double") / col("__df")), 9))
     val w = org.apache.spark.sql.expressions.Window
