@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture maintenance for an incrementally refreshed corpus:
+  * MERGE-INTO semantics (upsert + tombstone delete) expressed as plain
+  * relational algebra, so it runs on raw parquet snapshots without a
+  * table format. This is how a 100 TB training corpus absorbs a days'
+  * crawl: base snapshot ∪ change batch, latest version per key wins,
+  * tombstones drop out.
+  *
+  * Scale: one exchange — the union hash-partitions on the key for a
+  * windowed row_number; no join, and the change batch never needs to
+  * broadcast. The window sorts only within each key's handful of
+  * versions. Callers must guarantee (key, version) is unique across the
+  * union (monotone batch versions do this naturally); otherwise the
+  * winner among peers is undefined.
+  */
+object Cdc {
+
+  /** Latest-wins merge of a live `base` snapshot with a `changes` batch.
+    * Both sides carry `versionCol`; `changes` additionally carries
+    * boolean `deletedCol` (tombstones). Base rows are implicitly live.
+    * Output schema = base schema (version retained, tombstone flag
+    * dropped). */
+  def snapshotMerge(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                    versionCol: String, deletedCol: String): DataFrame =
+    compact(base.withColumn(deletedCol, lit(false)).unionByName(changes),
+      keyCols, versionCol, deletedCol)
+
+  /** Compact a changelog (or merged snapshot) to the live latest row per
+    * key: row_number over version-descending, tombstones filtered after
+    * the rank so a delete also suppresses every older version. */
+  def compact(changelog: DataFrame, keyCols: Seq[String], versionCol: String,
+              deletedCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    changelog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(deletedCol))
+      .drop("__rn", deletedCol)
+  }
+}

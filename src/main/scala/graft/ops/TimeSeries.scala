@@ -41,6 +41,30 @@ object TimeSeries {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** Per-key trailing-window aggregate: for every event, the count and
+    * mean of `valueCol` over the same key's events in the preceding
+    * `windowMicros` microseconds (inclusive of the current row and its
+    * timestamp peers — RANGE frame semantics). The batch form of a
+    * sliding-window feature (rolling rate, trailing spend).
+    *
+    * The frame orders on integer epoch-MICROseconds, not a casted
+    * timestamp (cast-to-long truncates to seconds) and not a double, so
+    * an external engine replays the exact same frame boundaries.
+    *
+    * Scale: one exchange on the key; each partition then sorts its keys'
+    * events once and slides the frame linearly. No self-join — the
+    * naive events⋈events formulation is O(n·window) per key and
+    * dominates at 100 TB. */
+  def movingAggregate(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    events
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("avg_value", round(avg(col(valueCol)).over(w), 6))
+  }
+
   /** As-of join: for each left row, attach the LATEST right row with the
     * same key and right ts <= left ts (inclusive) — point-in-time feature
     * lookup / attribution, the example custom operator Spark lacks.

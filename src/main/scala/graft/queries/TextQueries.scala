@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.ops.{Cdc, Dedup, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,30 @@ object TextQueries {
       Sampling.hashSplit(sampled, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    }),
+
+    // Incremental corpus refresh (MERGE INTO semantics on raw parquet):
+    // base snapshot v1 absorbs a deterministic change batch v2 — updates
+    // (doc_id % 7 = 0 get a "rev2" prefix), tombstones (doc_id % 11 = 3,
+    // minus the update set: (key, version) must be unique across the
+    // batch), inserts (doc_id % 19 = 5 cloned to doc_id + 1000000).
+    // Latest version wins in ONE key-partitioned window pass, no join.
+    "q104_snapshot_merge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val base = d.withColumn("version", lit(1L))
+      val changes = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(lit("rev2 "), col("text")).as("text"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+        .unionByName(d.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text"), lit(2L).as("version"),
+            lit(true).as("deleted")))
+        .unionByName(d.filter(col("doc_id") % 19 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit(2L).as("version"), lit(false).as("deleted")))
+      Cdc.snapshotMerge(base, changes, Seq("doc_id"), "version", "deleted")
+        .select(col("doc_id"), col("version"),
+          length(col("text")).cast("long").as("text_len"))
         .orderBy("doc_id")
     }),
 
@@ -581,6 +605,21 @@ object TextQueries {
                FROM documents)
          WHERE kb < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 800000 ELSE 650000 END
          ORDER BY doc_id""",
+    "q104_snapshot_merge" ->
+      """WITH base AS (SELECT doc_id, text, 1 AS version, false AS deleted FROM documents),
+          ch AS (SELECT doc_id, 'rev2 ' || text AS text, 2 AS version, false AS deleted
+                 FROM documents WHERE doc_id % 7 = 0
+                 UNION ALL
+                 SELECT doc_id, text, 2, true FROM documents WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0
+                 UNION ALL
+                 SELECT doc_id + 1000000, text, 2, false FROM documents WHERE doc_id % 19 = 5),
+          u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+          r AS (SELECT doc_id, text, version, deleted,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+                FROM u)
+          SELECT doc_id, CAST(version AS BIGINT) AS version,
+                 CAST(len(text) AS BIGINT) AS text_len
+          FROM r WHERE rn = 1 AND NOT deleted ORDER BY doc_id""",
     "q102_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),

@@ -179,6 +179,16 @@ object VectorEventQueries {
     }),
 
     // Gap-based sessionization (30-min inactivity gap).
+    // Trailing 10-minute per-user moving aggregate: RANGE frame over
+    // integer epoch-micros — one exchange on the user key, linear frame
+    // slide, no self-join.
+    "q105_moving_agg" -> ((s, dir) => {
+      TimeSeries.movingAggregate(Tables.events(s, dir), "user_id", "ts",
+          "value", windowMicros = 600000000L)
+        .select("event_id", "user_id", "n_window", "avg_value")
+        .orderBy("event_id")
+    }),
+
     "q40_sessionize" -> ((s, dir) => {
       TimeSeries.sessionize(Tables.events(s, dir), gapMinutes = 30)
         .select("event_id", "user_id", "session_seq")
@@ -366,6 +376,14 @@ object VectorEventQueries {
            AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOURS
           WHERE p.event_type = 'purchase' AND c.event_type = 'click'
           GROUP BY 1 ORDER BY 1""",
+    "q105_moving_agg" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_window,
+           round(avg(value) OVER w, 6) AS avg_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotMerge applies updates, tombstones, and inserts in one pass") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("id", "payload").withColumn("version", org.apache.spark.sql.functions.lit(1L))
+    val changes = Seq(
+      (2L, "two-v2", 2L, false), // update
+      (3L, "ignored", 2L, true), // tombstone
+      (9L, "nine", 2L, false)    // insert
+    ).toDF("id", "payload", "version", "deleted")
+    val got = Cdc.snapshotMerge(base, changes, Seq("id"), "version", "deleted")
+      .select("id", "payload", "version").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "one", 1L), (2L, "two-v2", 2L), (9L, "nine", 2L)))
+  }
+
+  test("compact keeps the latest live row and lets a tombstone suppress history") {
+    val log = Seq(
+      (1L, "a1", 1L, false), (1L, "a3", 3L, false), (1L, "a2", 2L, false),
+      (2L, "b1", 1L, false), (2L, "gone", 2L, true)
+    ).toDF("id", "payload", "version", "deleted")
+    val got = Cdc.compact(log, Seq("id"), "version", "deleted")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a3")))
+  }
+}

@@ -68,6 +68,27 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(none.filter($"asof_cid".isNull).count() == 1)
   }
 
+  test("movingAggregate slides a trailing range frame per key, peers included") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "c", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "c", 2.0),
+      (3L, ts("2024-01-01 10:09:00"), 7L, "c", 3.0),
+      (4L, ts("2024-01-01 10:20:00"), 7L, "c", 4.0),  // 11m after e3: alone
+      (5L, ts("2024-01-01 10:20:00"), 7L, "c", 6.0),  // peer ts: shares frame with e4
+      (6L, ts("2024-01-01 10:01:00"), 8L, "c", 9.0)   // other user untouched
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TimeSeries.movingAggregate(e, "user_id", "ts", "value",
+        windowMicros = 600000000L) // 10 minutes
+      .select("event_id", "n_window", "avg_value")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (1L, 1.0))
+    assert(got(2L) == (2L, 1.5))
+    assert(got(3L) == (3L, 2.0))
+    // RANGE frame: equal timestamps are peers — both rows see both
+    assert(got(4L) == (2L, 5.0) && got(5L) == (2L, 5.0))
+    assert(got(6L) == (1L, 9.0))
+  }
+
   test("dp noise is deterministic for fixed seed, differs across seeds") {
     val a = DifferentialPrivacy.dpCount(events, Seq("event_type"), 1.0, 42L)
       .as[(String, Double)].collect().toMap
