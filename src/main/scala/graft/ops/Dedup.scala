@@ -775,4 +775,50 @@ object Dedup {
           .cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT-substring duplication audit via sliding token windows — the
+    * distributed approximation of suffix-array substring dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022: their single-machine suffix array finds >= 50-token
+    * repeats; a stride-1 window of n tokens finds exactly the repeats of
+    * length >= n, at the cost of one hashed row per token). Every
+    * document emits one 60-bit hash per n-token window; a window
+    * instance is DUPLICATE when the same window content occurs at a
+    * smaller (doc, pos) — first occurrence wins, like [[paragraphDedup]].
+    * Output: one row per document with at least one duplicated window:
+    * (id, n_windows, n_dup_windows) — the redaction-decision input (drop
+    * doc / cut span / keep).
+    *
+    * Scale: the window table is ~one 24-byte (hash, encoded-pos) row per
+    * corpus TOKEN — the honest cost of exact-substring detection; it
+    * exchanges once on the window hash for the first-occurrence argmin
+    * (map-side partial min), once more joining instances to firsts
+    * (co-partitioned build side: the argmin output is already
+    * hash-keyed), then reduces per doc. Positions encode as
+    * doc·2^20 + pos so the argmin is a plain long min, not a struct
+    * comparison, and an external engine replays it with integer
+    * arithmetic.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 10): DataFrame = {
+    require(n >= 2, s"window of $n tokens is below the useful minimum")
+    require(n < (1 << 20), "positions encode in 20 bits")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val wins = df
+      .select(col(idCol).as("__id"), toks.as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col("__id"), explode(
+        transform(sequence(lit(0), size(col("__tk")) - n), i =>
+          struct(i.as("pos"),
+            phash(concat_ws(" ", slice(col("__tk"), i + 1, lit(n)))).as("h"))))
+        .as("__w"))
+      .select(col("__id"), col("__w.pos").as("__pos"), col("__w.h").as("__h"),
+        (col("__id") * (1 << 20) + col("__w.pos")).as("__k"))
+    val firsts = wins.groupBy("__h").agg(min("__k").as("__first"))
+    wins.join(firsts, Seq("__h"))
+      .groupBy(col("__id").as("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__k") > col("__first"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Dedup, Packing, Sampling, TextAnalysis}
+import graft.ops.{Cdc, Dedup, Packing, Sampling, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -281,6 +281,29 @@ object TextQueries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")
+    }),
+
+    // Count-min sketch heavy hitters: the exact top-20 terms with their
+    // portable-CMS estimates attached (d=4, w=1024 — the sketch is 4096
+    // cells no matter the corpus size; estimates overestimate only).
+    "q107_cms_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val exact = tok.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("term")).limit(20)
+      val sketch = Sketches.cmsBuild(tok, "term")
+      top.join(Sketches.cmsEstimate(top.select("term"), sketch, "term"), Seq("term"))
+        .select("term", "n_exact", "cms_est")
+        .orderBy("term")
+    }),
+
+    // Exact-substring duplication audit (the windowed form of
+    // suffix-array substring dedup): docs sharing any 10-token window
+    // with an earlier (doc, pos), with window/duplicate counts.
+    "q106_substring_dedup" -> ((s, dir) => {
+      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", n = 10)
+        .orderBy("id")
     }),
 
     // Incremental corpus refresh (MERGE INTO semantics on raw parquet):
@@ -605,6 +628,32 @@ object TextQueries {
                FROM documents)
          WHERE kb < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 800000 ELSE 650000 END
          ORDER BY doc_id""",
+    "q107_cms_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($tokSql) AS term FROM documents),
+          t2 AS (SELECT term FROM tok WHERE term <> ''),
+          ex AS (SELECT term, count(*) AS n_exact FROM t2 GROUP BY 1),
+          top AS (SELECT term, n_exact FROM ex ORDER BY n_exact DESC, term LIMIT 20),
+          sk AS (SELECT r, ${phashSql("'graft-cms|' || r || '|' || term")} % 1024 AS bucket,
+                   CAST(sum(n_exact) AS BIGINT) AS cnt
+                 FROM ex CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2),
+          addr AS (SELECT t.term, rr.r,
+                     ${phashSql("'graft-cms|' || rr.r || '|' || t.term")} % 1024 AS bucket
+                   FROM top t CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+          est AS (SELECT term, min(coalesce(cnt, 0)) AS cms_est
+                  FROM addr LEFT JOIN sk USING (r, bucket) GROUP BY term)
+          SELECT t.term, t.n_exact, e.cms_est
+          FROM top t JOIN est e USING (term) ORDER BY t.term""",
+    "q106_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+          w AS (SELECT doc_id, i AS pos,
+                  ${phashSql("array_to_string(tk[i+1:i+10], ' ')")} AS h,
+                  doc_id * 1048576 + i AS k
+                FROM t, unnest(range(greatest(len(tk) - 9, 0))) AS u(i)),
+          f AS (SELECT h, min(k) AS first FROM w GROUP BY h)
+          SELECT doc_id AS id, count(*) AS n_windows,
+                 CAST(sum(CASE WHEN k > first THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+          FROM w JOIN f USING (h) GROUP BY doc_id HAVING n_dup_windows > 0
+          ORDER BY id""",
     "q104_snapshot_merge" ->
       """WITH base AS (SELECT doc_id, text, 1 AS version, false AS deleted FROM documents),
           ch AS (SELECT doc_id, 'rev2 ' || text AS text, 2 AS version, false AS deleted

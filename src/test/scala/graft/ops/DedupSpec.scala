@@ -303,6 +303,24 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L), "every chain node must label to the min id 1")
   }
 
+  test("duplicateSpans flags docs repeating an n-token window, first occurrence exempt") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),          // source of the window
+      (2L, "x y a b c d e z"),          // shares 5-gram "a b c d e" -> dup
+      (3L, "p q r s t u v w"),          // unique -> absent from output
+      (4L, "m n m n m n m n m n"),      // self-repetition: "m n m n m" at 0,2,4,6
+      (5L, "a b c")                     // shorter than the window -> no rows
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(1L), "first occurrence must not be flagged")
+    assert(!got.contains(3L) && !got.contains(5L))
+    // doc 2: windows at pos 0..3; only "a b c d e" (pos 2) repeats doc 1's
+    assert(got(2L) == (4L, 1L))
+    // doc 4: 6 windows, alternating content -> positions 2..5 repeat 0/1
+    assert(got(4L) == (6L, 4L))
+  }
+
   test("dedupClustersStar matches pointer jumping on components, chains, and random graphs") {
     // small multi-component graph
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipfish stream: key k appears 200/k times, k in 1..50
+  private lazy val stream = (1 to 50).flatMap(k => Seq.fill(200 / k)(s"key$k"))
+    .toDF("k")
+
+  test("cms estimates dominate exact counts and are exact absent collisions") {
+    val sketch = Sketches.cmsBuild(stream, "k")
+    val exact = stream.groupBy("k").agg(count(lit(1)).as("n"))
+    val joined = Sketches.cmsEstimate(exact.select("k"), sketch, "k")
+      .join(exact, Seq("k"))
+      .select("k", "cms_est", "n").as[(String, Long, Long)].collect()
+    assert(joined.length == 50)
+    assert(joined.forall { case (_, est, n) => est >= n },
+      "CMS must never underestimate")
+    // 50 keys in 4x1024 cells: some row of the 4 is collision-free for
+    // every key with overwhelming probability -> min equals exact
+    assert(joined.forall { case (_, est, n) => est == n },
+      joined.filter { case (_, e, n) => e != n }.mkString(","))
+  }
+
+  test("cms is deterministic under repartitioning and mergeable by construction") {
+    val a = Sketches.cmsBuild(stream, "k").orderBy("r", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    val b = Sketches.cmsBuild(stream.repartition(17), "k").orderBy("r", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(a == b)
+    // sketch of a union == cell-wise sum of the parts' sketches
+    val half1 = stream.limit(300)
+    val half2 = stream.exceptAll(half1)
+    val merged = Sketches.cmsBuild(half1, "k")
+      .unionByName(Sketches.cmsBuild(half2, "k"))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("r", "bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(merged == a)
+  }
+
+  test("cms estimate for an absent key is zero when its cells are empty") {
+    val tiny = Seq("a", "a", "b").toDF("k")
+    val sketch = Sketches.cmsBuild(tiny, "k")
+    val est = Sketches.cmsEstimate(Seq("zzz-absent").toDF("k"), sketch, "k")
+      .as[(String, Long)].collect().head._2
+    // 3 occupied cells out of 4096: the absent key hits an empty cell in
+    // at least one of its 4 rows, so the min is 0
+    assert(est == 0L)
+  }
+}
