@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations over a table: each check reduces to ONE row
+  * (check_name, n_bad, n_total, bad_rate) so a validation suite is a
+  * union of tiny aggregates — the admission gate a corpus or fact table
+  * passes before entering a 100 TB pipeline.
+  *
+  * Scale: every check is a single map-side-combined aggregation (or one
+  * key-hashed aggregation for uniqueness, one join for referential
+  * integrity); checks over the same table share its scan when unioned in
+  * one plan. Nothing collects to the driver — the report IS a DataFrame.
+  */
+object DataQuality {
+
+  private def one(df: DataFrame, name: String, bad: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_total"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_bad"))
+      .select(lit(name).as("check_name"), col("n_bad"), col("n_total"),
+        round(col("n_bad") / col("n_total"), 6).as("bad_rate"))
+
+  /** Rows where `c` is null. */
+  def nullCheck(df: DataFrame, c: String): DataFrame =
+    one(df, s"null:$c", col(c).isNull)
+
+  /** Rows where `c` falls outside [lo, hi] (nulls count as violations). */
+  def rangeCheck(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
+    one(df, s"range:$c", !col(c).between(lo, hi) || col(c).isNull)
+
+  /** Rows whose key occurs more than once (every member of a colliding
+    * group counts, matching "rows you could not primary-key"). */
+  def uniqueCheck(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val name = s"unique:${keys.mkString(",")}"
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum("__c").as("n_total"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("n_bad"))
+      .select(lit(name).as("check_name"), col("n_bad"), col("n_total"),
+        round(col("n_bad") / col("n_total"), 6).as("bad_rate"))
+  }
+
+  /** Child rows whose key has no match in the parent (referential
+    * integrity). The parent side reduces to its distinct keys before the
+    * join, so the build side is key-cardinality-sized. */
+  def referenceCheck(child: DataFrame, parent: DataFrame,
+                     childKey: String, parentKey: String): DataFrame = {
+    val p = parent.select(col(parentKey).as(childKey)).distinct()
+      .withColumn("__hit", lit(1))
+    one(child.join(p, Seq(childKey), "left"),
+      s"ref:$childKey->$parentKey", col("__hit").isNull)
+  }
+}

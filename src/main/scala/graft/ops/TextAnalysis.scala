@@ -294,6 +294,33 @@ object TextAnalysis {
     scored.orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** Deflate compressibility: compressed/raw UTF-8 byte ratio at zlib
+    * level 6, rounded to 1e-6. Templated boilerplate and repeated spam
+    * compress far below natural prose, making the ratio a cheap
+    * corpus-quality signal alongside [[qualityScore]] (low ratio =
+    * repetitive; near/above 1 = high-entropy noise). A Scala UDF — zlib
+    * is not expressible in Catalyst — so the column breaks
+    * WholeStageCodegen; acceptable for a per-row CPU kernel with no
+    * shuffle. Deterministic for a fixed zlib, but NOT replayable in an
+    * external SQL engine → rows-only correctness, spec-pinned bounds.
+    */
+  def compressionRatio(text: Column): Column = compressionRatioUdf(text)
+
+  private lazy val compressionRatioUdf =
+    udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val raw = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6)
+        try {
+          val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+          val dos = new java.util.zip.DeflaterOutputStream(bos, d)
+          dos.write(raw); dos.close()
+          math.round(bos.size.toDouble / raw.length * 1e6) / 1e6
+        } finally d.end() // free the native zlib buffer deterministically
+      }
+    }
+
   /** All per-document text features in one pass. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.DataQuality
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,6 +24,20 @@ object StatsQueries {
           round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Data-quality expectations report: four checks, each one tiny
+    // aggregate row — null rate, out-of-range rate, key uniqueness,
+    // referential integrity orders->customer.
+    "q108_dq_report" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      DataQuality.nullCheck(o, "o_orderpriority")
+        .unionByName(DataQuality.rangeCheck(o, "o_totalprice", 1000.0, 300000.0))
+        .unionByName(DataQuality.uniqueCheck(o, Seq("o_orderkey")))
+        .unionByName(DataQuality.uniqueCheck(o, Seq("o_custkey")))
+        .unionByName(DataQuality.referenceCheck(o, Tables.customer(s, dir),
+          "o_custkey", "c_custkey"))
+        .orderBy("check_name")
     }),
 
     // Moment aggregates: correlation, sample stddev/variance, skew proxy.
@@ -170,6 +185,34 @@ object StatsQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q108_dq_report" ->
+      """WITH nullc AS (SELECT 'null:o_orderpriority' AS check_name,
+              CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+              count(*) AS n_total FROM orders),
+          rangec AS (SELECT 'range:o_totalprice',
+              CAST(sum(CASE WHEN o_totalprice IS NULL
+                             OR o_totalprice NOT BETWEEN 1000.0 AND 300000.0
+                            THEN 1 ELSE 0 END) AS BIGINT),
+              count(*) FROM orders),
+          uok AS (SELECT 'unique:o_orderkey',
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+              CAST(sum(c) AS BIGINT)
+              FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+          uck AS (SELECT 'unique:o_custkey',
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+              CAST(sum(c) AS BIGINT)
+              FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)),
+          refc AS (SELECT 'ref:o_custkey->c_custkey',
+              CAST(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              count(*)
+              FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                ON o.o_custkey = p.c_custkey),
+          u AS (SELECT * FROM nullc UNION ALL SELECT * FROM rangec
+                UNION ALL SELECT * FROM uok UNION ALL SELECT * FROM uck
+                UNION ALL SELECT * FROM refc)
+          SELECT check_name, n_bad, n_total,
+                 round(n_bad * 1.0 / n_total, 6) AS bad_rate
+          FROM u ORDER BY check_name""",
     "q50_percentiles" ->
       """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),6) AS p50, round(quantile_cont(o_totalprice, 0.9),6) AS p90, round(quantile_cont(o_totalprice, 0.99),6) AS p99 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q51_moment_aggs" ->

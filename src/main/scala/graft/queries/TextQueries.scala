@@ -283,6 +283,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deflate-compressibility quality signal (rows-only: zlib output is
+    // deterministic for a fixed library but not SQL-expressible —
+    // TextAnalysisSpec pins bounds and the repetitive<prose ordering).
+    "q109_compress_ratio" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.compressionRatio(col("text")).as("deflate_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min sketch heavy hitters: the exact top-20 terms with their
     // portable-CMS estimates attached (d=4, w=1024 — the sketch is 4096
     // cells no matter the corpus size; estimates overestimate only).
