@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: ordered funnels, cohort retention, and
+  * statistical outlier flagging — the product-analytics surface over the
+  * same events table the sessionization/windowing operators read.
+  *
+  * Scale: every operator here is one exchange on the user (or type) key.
+  * The funnel CHAINS window aggregates over the same partitioning —
+  * Catalyst plans consecutive same-key Window nodes over a single
+  * exchange, so an s-stage funnel is still one shuffle, not s.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel depth per user: depth d means the user performed
+    * stages(0..d-1) in timestamp order (each stage strictly after the
+    * previous stage's FIRST qualifying event — the standard "first touch"
+    * funnel). Output: (userCol, funnel_depth). */
+  def funnelDepth(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val cond = if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage && col(tsCol) > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    // ascending fold leaves the DEEPEST stage's check outermost:
+    // when(t_last, n)...otherwise(when(t_0, 1).otherwise(0))
+    val depth = stages.indices.foldLeft(lit(0)) { (els, i) =>
+      when(col(s"__t$i").isNotNull, i + 1).otherwise(els)
+    }
+    // the depth is constant per user, so this groupBy reuses the window's
+    // user-key partitioning — no second exchange (a distinct() on
+    // (user, depth) would re-hash on the composite key)
+    staged.groupBy(col(userCol))
+      .agg(max(depth.cast("long")).as("funnel_depth"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; one row per (cohort_week, week_offset) counting the cohort's
+    * users active in that later week. Two aggregations — per-user first
+    * event (map-side combined), then the (cohort, offset) distinct-user
+    * count — plus the cohort join back onto per-user-week activity,
+    * co-partitioned on the user key. */
+  def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events.select(col(userCol),
+      date_trunc("week", col(tsCol)).as("__aw")).distinct()
+    active.join(firsts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("__aw"), col("cohort_week")) / 7).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+
+  /** Per-group z-score outliers: events whose value deviates from the
+    * group mean by more than `zThreshold` sample standard deviations.
+    * Mean/stddev are full-partition window aggregates over the group key
+    * (one exchange); the flag compares on the 1e-6-ROUNDED z so an
+    * engine's summation order cannot flip a boundary case. */
+  def zScoreOutliers(events: DataFrame, groupCol: String, valueCol: String,
+                     zThreshold: Double): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    events
+      .withColumn("__z", round(
+        (col(valueCol) - avg(col(valueCol)).over(w)) /
+          stddev_samp(col(valueCol)).over(w), 6))
+      .filter(abs(col("__z")) > zThreshold)
+      .withColumnRenamed("__z", "z")
+  }
+}

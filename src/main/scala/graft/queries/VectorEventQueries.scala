@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.PortableHash
-import graft.ops.{DifferentialPrivacy, Multimodal, Similarity, TimeSeries}
+import graft.ops.{DifferentialPrivacy, EventAnalytics, Multimodal, Similarity, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,34 @@ object VectorEventQueries {
     }),
 
     // Gap-based sessionization (30-min inactivity gap).
+    // Ordered funnel view -> click -> purchase: per-user stage depth via
+    // chained same-partition window minima (one exchange for all three
+    // stages), then the cumulative per-depth user counts.
+    "q110_funnel" -> ((s, dir) => {
+      val d = EventAnalytics.funnelDepth(Tables.events(s, dir), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase"))
+      d.agg(
+        sum(when(col("funnel_depth") >= 1, 1L).otherwise(0L)).as("n_stage1"),
+        sum(when(col("funnel_depth") >= 2, 1L).otherwise(0L)).as("n_stage2"),
+        sum(when(col("funnel_depth") >= 3, 1L).otherwise(0L)).as("n_stage3"))
+    }),
+
+    // Weekly cohort retention: first-event week x week offset, distinct
+    // active users.
+    "q111_retention" -> ((s, dir) => {
+      EventAnalytics.weeklyRetention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Per-type z-score outliers at |z| > 2.5 (flag compares the rounded z
+    // so summation order can't flip a boundary).
+    "q112_outliers" -> ((s, dir) => {
+      EventAnalytics.zScoreOutliers(Tables.events(s, dir), "event_type",
+          "value", zThreshold = 2.5)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    }),
+
     // Trailing 10-minute per-user moving aggregate: RANGE frame over
     // integer epoch-micros — one exchange on the user key, linear frame
     // slide, no self-join.
@@ -376,6 +404,36 @@ object VectorEventQueries {
            AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOURS
           WHERE p.event_type = 'purchase' AND c.event_type = 'click'
           GROUP BY 1 ORDER BY 1""",
+    "q110_funnel" ->
+      """WITH s1 AS (SELECT user_id,
+              min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+            FROM events GROUP BY user_id),
+          s2 AS (SELECT e.user_id, s1.t1,
+              min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+            FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t1),
+          s3 AS (SELECT e.user_id, s2.t1, s2.t2,
+              min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+            FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id, s2.t1, s2.t2)
+          SELECT CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stage1,
+                 CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stage2,
+                 CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stage3
+          FROM s3""",
+    "q111_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                    FROM events GROUP BY user_id),
+          a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+          SELECT cohort_week,
+                 CAST(floor(date_diff('day', cohort_week, aw) / 7) AS BIGINT) AS week_offset,
+                 count(DISTINCT user_id) AS n_active
+          FROM a JOIN f USING (user_id)
+          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    "q112_outliers" ->
+      """SELECT event_id, event_type, value, z FROM (
+            SELECT event_id, event_type, value,
+              round((value - avg(value) OVER (PARTITION BY event_type))
+                    / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+            FROM events)
+          WHERE abs(z) > 2.5 ORDER BY event_id""",
     "q105_moving_agg" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS n_window,

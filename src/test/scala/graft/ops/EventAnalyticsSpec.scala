@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnelDepth requires stage order, first-touch anchoring") {
+    val e = Seq(
+      // user 1: view -> click -> purchase in order: depth 3
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: click BEFORE first view -> click doesn't count: depth 1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // user 3: purchase before click: depth 2 (view, click; purchase too early)
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:01:00"), "purchase"),
+      (3L, ts("2024-01-01 10:02:00"), "click"),
+      // user 4: never viewed: depth 0
+      (4L, ts("2024-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelDepth(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
+  test("weeklyRetention buckets users by first-event week and offset") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort W0 (2024-01-01 is a Monday)
+      (1L, ts("2024-01-09 10:00:00")), // active W1
+      (1L, ts("2024-01-16 10:00:00")), // active W2
+      (2L, ts("2024-01-02 10:00:00")), // cohort W0
+      (2L, ts("2024-01-03 10:00:00")), // still W0 -> one offset-0 row
+      (3L, ts("2024-01-10 10:00:00"))  // cohort W1
+    ).toDF("user_id", "ts").withColumn("event_type", lit("x"))
+    val got = EventAnalytics.weeklyRetention(e, "user_id", "ts")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("w"),
+        col("week_offset"), col("n_active"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("zScoreOutliers flags per-group deviants only") {
+    val vals = Seq.fill(20)(10.0) ++ Seq(100.0) // one huge outlier in group a
+    val e = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .++(Seq((100L, "b", 1e9))) // singleton group: stddev null -> no flag
+      .toDF("event_id", "event_type", "value")
+    val got = EventAnalytics.zScoreOutliers(e, "event_type", "value", 2.5)
+      .select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(20L))
+  }
+}
