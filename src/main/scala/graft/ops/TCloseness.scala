@@ -84,6 +84,36 @@ object TCloseness {
     emdFromCells(cells, qis, posCol, Some(refCounts))
   }
 
+  /** t-closeness for CATEGORICAL sensitive attributes: per-group TOTAL
+    * VARIATION distance (the t-closeness paper's "equal distance" ground
+    * metric for nominal attributes, where EMD degenerates to
+    * TV = ½ Σ_v |p_v − q_v|) against the dataset-wide distribution. No
+    * ordinal encoding required — values never need an order.
+    *
+    * Scale: identical topology to [[groupEmd]] minus the cumsum windows —
+    * one cell aggregation over the raw table, then the global
+    * distribution, densify, and the absolute-difference sum all run over
+    * the |groups|×|domain| cell table with the tiny domain broadcast.
+    */
+  def groupTv(df: DataFrame, qis: Seq[String], sensitiveCol: String): DataFrame = {
+    val qiCols = qis.map(col)
+    val cell = df.groupBy(qiCols :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val globCnt = cell.groupBy(col(sensitiveCol)).agg(sum("__cnt").as("__gcnt"))
+    val glob = globCnt.crossJoin(broadcast(globCnt.agg(sum("__gcnt").as("__tot"))))
+      .withColumn("__q", col("__gcnt") / col("__tot"))
+      .select(col(sensitiveCol), col("__q"))
+    val groups = cell.select(qiCols: _*).distinct()
+    val dense = groups.crossJoin(broadcast(glob))
+      .join(cell, qis :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("__cnt"))
+    val wg = Window.partitionBy(qiCols: _*)
+    dense
+      .withColumn("__p", col("__cnt") / sum("__cnt").over(wg))
+      .groupBy(qiCols: _*)
+      .agg((sum(abs(col("__p") - col("__q"))) / 2).as("tv"))
+  }
+
   /** EMD from a pre-aggregated (qis..., pos, __cnt) cell table. The ONLY
     * pass over the raw data is the cell aggregation the caller performed;
     * the global distribution, densification, cumsums, and the closed form

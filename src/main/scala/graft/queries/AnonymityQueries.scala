@@ -104,6 +104,19 @@ object AnonymityQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Categorical t-closeness: per-class total-variation distance of the
+    // o_orderpriority distribution vs the global one, classes = 50
+    // custkey buckets x status — the nominal-attribute form where EMD
+    // degenerates to TV and no ordinal encoding exists.
+    "q113_tcloseness_tv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("cust_bucket", pmod(col("o_custkey"), lit(50)))
+      TCloseness.groupTv(o, Seq("cust_bucket", "o_orderstatus"), "o_orderpriority")
+        .select(col("cust_bucket"), col("o_orderstatus"),
+          round(col("tv"), 6).as("tv"))
+        .orderBy("cust_bucket", "o_orderstatus")
+    }),
+
     // l-diversity audit (homogeneity-attack surface): per coarse class,
     // size, distinct sensitive values, and in-class sensitive entropy —
     // the two-level aggregation reduces to one row per (class, sbin)
@@ -164,6 +177,24 @@ object AnonymityQueries {
       s"""WITH b AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin FROM orders), cell AS (SELECT o_orderstatus, o_orderpriority, sbin, count(*) AS cnt FROM b GROUP BY 1, 2, 3), grps AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM b), gl AS (SELECT sbin, count(*) AS gcnt FROM b GROUP BY 1), gl2 AS (SELECT sbin, gcnt * 1.0 / sum(gcnt) OVER () AS q FROM gl), dense AS (SELECT g.o_orderstatus, g.o_orderpriority, s.sbin, s.q, COALESCE(c.cnt, 0) AS cnt FROM grps g CROSS JOIN gl2 s LEFT JOIN cell c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = g.o_orderpriority AND c.sbin = s.sbin), pq AS (SELECT o_orderstatus, o_orderpriority, sbin, q, cnt * 1.0 / sum(cnt) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS p FROM dense), cm AS (SELECT o_orderstatus, o_orderpriority, sbin, sum(p) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cp, sum(q) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS cq, lead(sbin) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY sbin) AS nxt FROM pq) SELECT o_orderstatus, o_orderpriority, round(sum(abs(cp - cq) * (nxt - sbin)), 6) AS emd FROM cm WHERE nxt IS NOT NULL GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""",
     "q27_label_encode" ->
       """SELECT event_id, event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS event_type_idx FROM events ORDER BY event_id""",
+    "q113_tcloseness_tv" ->
+      """WITH b AS (SELECT o_custkey % 50 AS cust_bucket, o_orderstatus, o_orderpriority FROM orders),
+          cell AS (SELECT cust_bucket, o_orderstatus, o_orderpriority, count(*) AS c
+                   FROM b GROUP BY 1, 2, 3),
+          gl AS (SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS g FROM cell GROUP BY 1),
+          gq AS (SELECT o_orderpriority, g * 1.0 / sum(g) OVER () AS q FROM gl),
+          grp AS (SELECT DISTINCT cust_bucket, o_orderstatus FROM cell),
+          dense AS (SELECT grp.cust_bucket, grp.o_orderstatus, gq.o_orderpriority, gq.q,
+                      COALESCE(cell.c, 0) AS c
+                    FROM grp CROSS JOIN gq
+                    LEFT JOIN cell ON cell.cust_bucket = grp.cust_bucket
+                      AND cell.o_orderstatus = grp.o_orderstatus
+                      AND cell.o_orderpriority = gq.o_orderpriority),
+          p AS (SELECT cust_bucket, o_orderstatus, q,
+                  c * 1.0 / sum(c) OVER (PARTITION BY cust_bucket, o_orderstatus) AS p
+                FROM dense)
+          SELECT cust_bucket, o_orderstatus, round(sum(abs(p - q)) / 2, 6) AS tv
+          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "q98_ldiv_audit" ->
       s"""WITH cells AS (SELECT o_orderstatus, o_orderpriority, $sbinSql AS sbin, count(*) AS c
                          FROM orders GROUP BY 1, 2, 3)

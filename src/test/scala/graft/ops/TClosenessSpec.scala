@@ -30,6 +30,26 @@ class TClosenessSpec extends SparkSpec {
     assert(math.abs(emd("g3") - 1.5) < 1e-12)
   }
 
+  test("groupTv: categorical total variation, hand-computed") {
+    // global over {a, b, c}: a=3/6, b=2/6, c=1/6
+    // g1 = {a,a,b}: p=(2/3, 1/3, 0)   -> TV = (|2/3-1/2|+|1/3-1/3|+|0-1/6|)/2 = 1/6
+    // g2 = {a,b,c}: p=(1/3, 1/3, 1/3) -> TV = (|1/3-1/2|+0+|1/3-1/6|)/2 = 1/6
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "b"), ("g2", "c")
+    ).toDF("g", "s")
+    val tv = TCloseness.groupTv(df, Seq("g"), "s")
+      .select("g", "tv").as[(String, Double)].collect().toMap
+    assert(math.abs(tv("g1") - 1.0 / 6) < 1e-12, tv.toString)
+    assert(math.abs(tv("g2") - 1.0 / 6) < 1e-12, tv.toString)
+    // a group matching the global distribution exactly has TV 0
+    val uniform = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"))
+      .toDF("g", "s")
+    val tv0 = TCloseness.groupTv(uniform, Seq("g"), "s")
+      .select("tv").as[Double].collect()
+    assert(tv0.forall(math.abs(_) < 1e-12))
+  }
+
   test("filter applies k then t; violationCount is 0 on surviving rows") {
     // skew: small group with extreme distribution + big balanced group
     val rows =
