@@ -248,6 +248,130 @@ object Similarity {
     knnBruteForceAgg(qc, qq, idCol, "__qv8", k)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids of
+    * `subDim` = dim/m floats each. The whole structure is m·ksub·subDim
+    * doubles — kilobytes — so it lives on the driver and enters plans as
+    * a LITERAL, never a join side. */
+  final case class PqIndex(codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                           m: Int, ksub: Int, subDim: Int)
+
+  /** Train a product quantizer (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * vector into `m` subspaces and KMeans each independently (fixed
+    * seed). PQ compresses a 64-dim float vector to m bytes — 32× beyond
+    * [[quantizeInt8]]'s 4× — the memory scale path when even int8
+    * residency is too large.
+    *
+    * Training runs m small KMeans fits (offline, like [[trainIvf]]);
+    * centroid elements round to 6dp so an external engine replaying the
+    * codebooks computes the identical codes. `ksub` is an UPPER bound —
+    * MLlib returns fewer centers when a subspace has fewer distinct
+    * points (e.g. a constant dimension collapses to one centroid); every
+    * consumer here sizes itself from the actual codebook. */
+  def trainPq(corpus: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
+              seed: Long = 42L): PqIndex = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { j =>
+      val slices = corpus.select(array_to_vector(
+        slice(col(vecCol), j * subDim + 1, subDim).cast("array<double>")).as("__fv"))
+      val model = new KMeans().setK(ksub).setSeed(seed + j)
+        .setFeaturesCol("__fv").setPredictionCol("__c")
+        .fit(slices)
+      model.clusterCenters.map(_.toArray.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toIndexedSeq).toIndexedSeq
+    }
+    PqIndex(books, m, ksub, subDim)
+  }
+
+  /** Squared L2 between a sliced subvector and a literal centroid. */
+  private def subDist2(vec: Column, j: Int, centroid: Seq[Double], subDim: Int): Column = {
+    val s = slice(vec, j * subDim + 1, subDim).cast("array<double>")
+    aggregate(zip_with(s, typedLit(centroid), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Encode every vector as `m` centroid codes: per subspace, the argmin
+    * over the LITERAL codebook — per-row expressions only, entirely
+    * inside codegen, no join and no shuffle. */
+  def encodePq(corpus: DataFrame, idCol: String, vecCol: String,
+               index: PqIndex): DataFrame = {
+    val codes = (0 until index.m).map { j =>
+      val dists = array(index.codebooks(j).map(c =>
+        round(subDist2(col(vecCol), j, c, index.subDim), 9)): _*)
+      // round to 1e-9 before the argmin so a last-ulp sum difference in
+      // a replaying engine picks the same code; ties break to the
+      // SMALLEST code via array_position's first-match contract
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    corpus.select(col(idCol), array(codes: _*).as("pq_codes"))
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes: each query builds an
+    * m×ksub lookup table of exact subspace distances to every centroid
+    * (per-row expressions over the literal codebooks), then every corpus
+    * row's distance is m table lookups summed — no vector arithmetic in
+    * the corpus pass at all.
+    *
+    * Scale: the query side (queries × LUTs) broadcasts; the corpus side
+    * carries m-byte codes, not vectors; ranking reuses the bounded-heap
+    * top-k aggregate, so the exchange is k rows per (partition, query). */
+  def knnPq(encodedCorpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, index: PqIndex, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(encodedCorpus.sparkSession)
+    val lut = array((0 until index.m).map { j =>
+      array(index.codebooks(j).map(c =>
+        round(subDist2(col(vecCol), j, c, index.subDim), 9)): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("qid"), lut.as("__lut"))
+    val scored = encodedCorpus.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("vec_id"),
+        aggregate(zip_with(col("pq_codes"), col("__lut"),
+          (c, l) => element_at(l, c + 1)), lit(0.0), (acc, x) => acc + x)
+          .as("__d2"))
+    // heap aggregate keeps the LARGEST scores: negate the distance, emit
+    // the positive distance back, rank 1 = nearest
+    scored
+      .withColumn("__neg", round(-col("__d2"), 9))
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.topKNative(col("__neg"), col("vec_id"), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")).as(Seq("__r", "__p")))
+      .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
+        col("__p.vec_id").as("vec_id"),
+        round(-col("__p.sim"), 6).as("adc_dist"))
+  }
+
+  /** PQ search with exact REFINEMENT (the ADC+refine shape production PQ
+    * systems run): ADC shortlists `shortlist` candidates per query from
+    * the code scan, then ONLY those rows join back to their float
+    * vectors for exact L2 re-ranking. The corpus pass still never
+    * touches a vector; the refine join reads |queries|·shortlist vectors
+    * — query-bounded, not corpus-bounded. */
+  def knnPqRefined(encodedCorpus: DataFrame, corpus: DataFrame,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   index: PqIndex, k: Int, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 8 * k
+    val cand = knnPq(encodedCorpus, queries, idCol, vecCol, index, sl)
+      .select(col("qid"), col("vec_id"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val exact = cand
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv")), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(zip_with(col("__qv").cast("array<double>"),
+            col("__cv").cast("array<double>"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 9).as("__d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__d2"), col("vec_id"))
+    exact.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("qid"), col("__r").cast("long").as("rank"),
+        col("vec_id"), round(col("__d2"), 6).as("l2_dist"))
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane (SimHash-style)
     * LSH — the scale path when no natural bucketing column exists.
     *

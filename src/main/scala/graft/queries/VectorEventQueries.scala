@@ -119,6 +119,20 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Product-quantization ADC + exact refine (rows-only: the m KMeans
+    // codebooks are MLlib-internal; SimilaritySpec covers cluster
+    // containment and determinism): 64-dim floats compressed to 8
+    // byte-codes, the corpus pass scans codes with an m x ksub lookup
+    // table, then only the ADC shortlist rereads float vectors.
+    "q114_knn_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L)
+      val codes = Similarity.encodePq(e, "vec_id", "embedding", idx)
+      Similarity.knnPqRefined(codes, e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", idx, K, shortlist = 8 * K)
+        .orderBy("qid", "rank")
+    }),
+
     // q38's ranking via the native bounded-heap aggregate: map-side
     // partial top-k per query, O(k·maps)-row exchange instead of the
     // window's full-corpus shuffle+sort. Same output, same oracle as q38.

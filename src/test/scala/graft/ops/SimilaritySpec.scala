@@ -212,6 +212,54 @@ class SimilaritySpec extends SparkSpec {
     assert(quant.sameElements(exact), s"quant ${quant.toSeq} vs exact ${exact.toSeq}")
   }
 
+  test("PQ: encode is bounded and deterministic; ADC search stays in the query's cluster") {
+    // 3 well-separated clusters in 8-dim: center one-hot * 10, members
+    // offset by deterministic small perturbations
+    val clustered = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 10.0f
+      base((c * 2 + 1) % 8) += (i / 3) * 0.1f // distinct intra-cluster offsets
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Similarity.trainPq(clustered, "embedding", m = 4, ksub = 4, seed = 7L)
+    // ksub is an upper bound: the constant subspace (dims 6-7 are always
+    // 0) collapses to a single centroid
+    assert(idx.codebooks.length == 4 &&
+      idx.codebooks.forall(b => b.length >= 1 && b.length <= 4))
+    val codes = Similarity.encodePq(clustered, "vec_id", "embedding", idx)
+    val codeRows = codes.select("vec_id", "pq_codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codeRows.values.forall(cs => cs.length == 4 &&
+      cs.zipWithIndex.forall { case (c, j) => c >= 0 && c < idx.codebooks(j).length }))
+    // deterministic under repartitioning
+    val again = Similarity.encodePq(clustered.repartition(7), "vec_id", "embedding", idx)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Int])].collect().toMap
+    assert(again == codeRows)
+    // every neighbor ADC returns for a cluster-0 query is in cluster 0
+    val got = Similarity.knnPq(codes, clustered.filter($"vec_id" === 0L),
+      "vec_id", "embedding", idx, k = 5)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 5)
+    assert(got.forall(_ % 3 == 0), s"cross-cluster neighbor in ${got.toSeq}")
+    // ADC distance to a same-codes vector is not larger than to any
+    // other-cluster vector
+    val dists = Similarity.knnPq(codes, clustered.filter($"vec_id" === 0L),
+      "vec_id", "embedding", idx, k = 29)
+      .select("vec_id", "adc_dist").as[(Long, Double)].collect().toMap
+    val sameCluster = dists.filterKeys(_ % 3 == 0).values.max
+    val otherCluster = dists.filterKeys(_ % 3 != 0).values.min
+    assert(sameCluster < otherCluster,
+      s"cluster separation lost: same<=$sameCluster other>=$otherCluster")
+    // ADC + exact refine recovers the TRUE top-k: distinct intra-cluster
+    // offsets make vec 0's exact L2 neighbors 3, 6, 9 (offsets .1,.2,.3)
+    val refined = Similarity.knnPqRefined(codes, clustered,
+      clustered.filter($"vec_id" === 0L), "vec_id", "embedding", idx,
+      k = 3, shortlist = 10)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(refined.sameElements(Array(3L, 6L, 9L)), refined.toSeq.toString)
+  }
+
   test("cosineNearDup emits only same-cell pairs above threshold") {
     val pairs = Similarity.cosineNearDup(vecs, "vec_id", "embedding", "label", 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
