@@ -776,6 +776,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-1 similarity self-join via DELETION NEIGHBORHOODS
+    * (the SymSpell blocking scheme): every distinct string emits itself
+    * plus each single-character deletion as candidate keys; two strings
+    * within edit distance 1 ALWAYS share a key (equal → the string
+    * itself; substitution → the deletion at that position; insert/delete
+    * → the longer one's deletion equals the shorter), so the blocking is
+    * LOSSLESS for ed <= 1 and candidates are verified with one exact
+    * levenshtein call. Output: (name_a, name_b, dist), name_a < name_b.
+    *
+    * Scale: the naive formulation is an O(n²) cross join with
+    * levenshtein on every pair (the oracle runs exactly that at test
+    * scale); this one exchanges ~|s|+1 short keys per DISTINCT string,
+    * groups them hash-wise, and runs the quadratic verification only
+    * inside same-key groups — the standard spell-correction join
+    * topology. ed <= 2 would need recursive deletions (neighborhood
+    * size ~|s|²); not implemented, the parameter exists to make the
+    * contract explicit. */
+  def editDistancePairs(df: DataFrame, strCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1,
+      "deletion-neighborhood blocking implemented for maxDist = 1 only")
+    val s = col("__s")
+    val names = df.select(col(strCol).as("__s")).distinct()
+    val dels = transform(sequence(lit(0), length(s) - 1), i =>
+      concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
+    val keyed = names.select(s, explode(array_union(array(s), dels)).as("__k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__s") < col("b.__s"))
+      .select(col("a.__s").as("name_a"), col("b.__s").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** EXACT-substring duplication audit via sliding token windows — the
     * distributed approximation of suffix-array substring dedup (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",

@@ -22,6 +22,14 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     // A1/A2: hash aggregate with partial (map-side) combine — TPC-H Q1 shape.
+    // Edit-distance-1 self-join over distinct part names via SymSpell
+    // deletion-neighborhood blocking — lossless for ed <= 1, verified
+    // with exact levenshtein; the oracle runs the naive quadratic join.
+    "q115_edit_distance_join" -> ((s, dir) => {
+      graft.ops.Dedup.editDistancePairs(Tables.part(s, dir), "p_name")
+        .orderBy("name_a", "name_b")
+    }),
+
     "q01_group_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -258,6 +266,13 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q115_edit_distance_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM n a JOIN n b ON a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 1
+         ORDER BY name_a, name_b""",
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(avg(l_discount),6) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q02_filter_project" ->

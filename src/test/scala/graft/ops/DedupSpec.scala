@@ -303,6 +303,31 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L), "every chain node must label to the min id 1")
   }
 
+  test("editDistancePairs finds exactly the ed<=1 pairs: sub, ins, del, equal-dedup") {
+    val df = Seq(
+      "small bolt", "smoll bolt",  // substitution
+      "small bolts",               // insertion vs "small bolt"
+      "mall bolt",                 // deletion vs "small bolt"
+      "blue rod", "blue rod",      // duplicates collapse, no self-pair
+      "totally different"
+    ).toDF("p_name")
+    val got = Dedup.editDistancePairs(df, "p_name")
+      .select("name_a", "name_b", "dist").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2)).toSet
+    assert(got == Set(
+      ("small bolt", "smoll bolt"),
+      ("small bolt", "small bolts"),
+      ("mall bolt", "small bolt")),
+      got.toString)
+    // the naive quadratic join agrees (lossless blocking)
+    val names = df.select("p_name").distinct()
+    val naive = names.as("a").crossJoin(names.as("b"))
+      .filter($"a.p_name" < $"b.p_name" &&
+        levenshtein($"a.p_name", $"b.p_name") <= 1)
+      .select($"a.p_name", $"b.p_name").as[(String, String)].collect().toSet
+    assert(naive == got)
+  }
+
   test("duplicateSpans flags docs repeating an n-token window, first occurrence exempt") {
     val df = Seq(
       (1L, "a b c d e f g h"),          // source of the window
