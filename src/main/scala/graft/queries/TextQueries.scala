@@ -308,6 +308,21 @@ object TextQueries {
         .orderBy("term")
     }),
 
+    // Snapshot diff (the promote-gate audit for q104's refresh): full
+    // outer join of (key, content-md5) reductions — payloads never
+    // shuffle — labeling every key added/removed/changed/same.
+    "q116_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val after = d.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit("rev2 "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 19 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Cdc.snapshotDiff(d, after, Seq("doc_id"), Seq("text"))
+        .orderBy("doc_id")
+    }),
+
     // Exact-substring duplication audit (the windowed form of
     // suffix-array substring dedup): docs sharing any 10-token window
     // with an earlier (doc, pos), with window/duplicate counts.
@@ -607,8 +622,8 @@ object TextQueries {
     "q80_unigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
           v AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
-          lp AS (SELECT t, round(ln(c * 1.0 / (SELECT sum(c) FROM v)), 6) AS lp FROM v)
-          SELECT doc_id, round(avg(lp), 6) AS mean_logprob
+          lp AS (SELECT t, CAST(round(ln(c * 1.0 / (SELECT sum(c) FROM v)) * 1e6, 0) AS BIGINT) AS lpu FROM v)
+          SELECT doc_id, round(sum(lpu) * 1.0 / count(*) / 1e6, 6) AS mean_logprob
           FROM tk JOIN lp USING (t) GROUP BY doc_id ORDER BY doc_id""",
     "q77_decontaminate" ->
       s"""WITH tr AS (SELECT doc_id, ${shingleSqlN(8)} AS s FROM documents WHERE doc_id % 50 <> 0),
@@ -664,6 +679,19 @@ object TextQueries {
                  CAST(sum(CASE WHEN k > first THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
           FROM w JOIN f USING (h) GROUP BY doc_id HAVING n_dup_windows > 0
           ORDER BY id""",
+    "q116_snapshot_diff" ->
+      """WITH bf AS (SELECT doc_id, md5(text) AS hb FROM documents),
+          af AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN 'rev2 ' || text ELSE text END) AS ha
+                 FROM documents WHERE doc_id % 11 <> 3
+                 UNION ALL
+                 SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 19 = 5)
+          SELECT doc_id,
+                 CASE WHEN hb IS NULL THEN 'added'
+                      WHEN ha IS NULL THEN 'removed'
+                      WHEN ha = hb THEN 'same' ELSE 'changed' END AS status
+          FROM bf FULL OUTER JOIN af USING (doc_id)
+          ORDER BY doc_id""",
     "q104_snapshot_merge" ->
       """WITH base AS (SELECT doc_id, text, 1 AS version, false AS deleted FROM documents),
           ch AS (SELECT doc_id, 'rev2 ' || text AS text, 2 AS version, false AS deleted
