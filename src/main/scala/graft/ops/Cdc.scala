@@ -30,6 +30,29 @@ object Cdc {
     compact(base.withColumn(deletedCol, lit(false)).unionByName(changes),
       keyCols, versionCol, deletedCol)
 
+  /** Diff two snapshots of one table: a row per key present in EITHER
+    * side, labeled added / removed / changed / same by comparing a
+    * 128-bit content hash. The audit that tells you what a refresh
+    * actually did before you promote it.
+    *
+    * Scale: each side reduces to (key, md5) BEFORE the full-outer join —
+    * 16-byte digests shuffle, payloads never do; one exchange per side
+    * on the key. Null-safe: a null content column hashes as a sentinel,
+    * distinct from the empty string. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+                   contentCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, hc: String) = df.select(
+      keyCols.map(col) :+ md5(concat_ws("\u0001",
+        contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(hc): _*)
+    hashed(before, "__hb").join(hashed(after, "__ha"), keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__hb").isNull, "added")
+          .when(col("__ha").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "same")
+          .otherwise("changed"))
+      .drop("__hb", "__ha")
+  }
+
   /** Compact a changelog (or merged snapshot) to the live latest row per
     * key: row_number over version-descending, tombstones filtered after
     * the rank so a delete also suppresses every older version. */

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the EXECUTED-plan shapes of the round-8 operators so a perf
+  * regression (an extra exchange, a lost partial top-k, a join decaying
+  * to a nested loop) fails the suite, not just the benchmark. Counts are
+  * on operator OUTPUT plans over in-memory frames — the same shapes the
+  * SURVEY §9 audit records for the full queries. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).length
+
+  private def assertNoQuadratic(p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(3).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(3).mkString("\n"))
+  }
+
+  private lazy val docs = (1L to 200L)
+    .map(i => (i, s"token$i alpha beta gamma delta epsilon zeta eta theta iota kappa", i % 5))
+    .toDF("doc_id", "text", "lang")
+
+  private lazy val events = (1L to 300L).map { i =>
+    (i, new java.sql.Timestamp(1700000000000L + i * 60000), i % 20,
+      if (i % 3 == 0) "view" else if (i % 3 == 1) "click" else "purchase", i * 1.5)
+  }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("weightedSample is a single TakeOrderedAndProject — zero exchanges") {
+    val p = plan(Sampling.weightedSample(
+      docs.withColumn("w", length(col("text"))), "doc_id", "w", 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(exchanges(p) == 0, p)
+  }
+
+  test("funnelDepth chains all stage windows over ONE key exchange") {
+    val p = plan(EventAnalytics.funnelDepth(events, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase")))
+    assert(exchanges(p) == 1, p)
+  }
+
+  test("movingAggregate is one key exchange") {
+    val p = plan(TimeSeries.movingAggregate(events, "user_id", "ts", "value", 600000000L))
+    assert(exchanges(p) == 1, p)
+  }
+
+  test("snapshotMerge is one key exchange, no join") {
+    val base = docs.withColumn("version", lit(1L))
+    val ch = docs.limit(10).withColumn("version", lit(2L))
+      .withColumn("deleted", lit(false))
+    val p = plan(Cdc.snapshotMerge(base, ch, Seq("doc_id"), "version", "deleted"))
+    assert(exchanges(p) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("tfIdfTopTerms: three data exchanges, rank-limit pushdown, no vocab join") {
+    val p = plan(TextAnalysis.tfIdfTopTerms(docs, "doc_id", topK = 3))
+    // 3 exchanges of the reduced (doc, term) table — (doc,term) agg, term
+    // window, doc window — plus the 1-ROW corpus-count scalar aggregate's
+    // SinglePartition exchange (trivially small, under the broadcast)
+    assert(exchanges(p) == 4, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("editDistancePairs and duplicateSpans never plan a quadratic join") {
+    assertNoQuadratic(plan(Dedup.editDistancePairs(docs, "text")))
+    assertNoQuadratic(plan(Dedup.duplicateSpans(docs, "doc_id", "text", n = 5)))
+  }
+}

@@ -19,6 +19,18 @@ class CdcSpec extends SparkSpec {
     assert(got == Seq((1L, "one", 1L), (2L, "two-v2", 2L), (9L, "nine", 2L)))
   }
 
+  test("snapshotDiff labels added, removed, changed, same — null-safe") {
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None))
+      .toDF("id", "payload")
+    val after = Seq((2L, Some("b")), (3L, Some("c2")), (4L, Some("")), (9L, Some("new")))
+      .toDF("id", "payload")
+    val got = Cdc.snapshotDiff(before, after, Seq("id"), Seq("payload"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    // null payload (4) vs empty string must read as CHANGED, not same
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed",
+      4L -> "changed", 9L -> "added"))
+  }
+
   test("compact keeps the latest live row and lets a tombstone suppress history") {
     val log = Seq(
       (1L, "a1", 1L, false), (1L, "a3", 3L, false), (1L, "a2", 2L, false),
