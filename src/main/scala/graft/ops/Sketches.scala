@@ -49,4 +49,39 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** K-MINIMUM-VALUES distinct-count sketch (Bar-Yossef et al. 2002, the
+    * basis of the theta sketch): keep the k smallest distinct normalized
+    * hashes of the key; if fewer than k exist the sketch IS the exact
+    * distinct set, otherwise E[distinct] = (k-1) / u_(k) with u_(k) the
+    * k-th smallest. With the portable hash the sketch — and the estimate
+    * — replays bit-identically in an external engine.
+    *
+    * Scale: distinct-hash reduction (map-side partial) then a k-limit
+    * that compiles to TakeOrderedAndProject — per-partition k-heaps, k
+    * rows per partition to the driver-side merge; the sketch of a UNION
+    * is the min-k of the parts' sketches (see [[kmvMerge]]), so shards
+    * sketch independently and merge in O(k). Hash granularity is the
+    * 1e-6 `puniform` grid: distinct values colliding on the grid merge,
+    * identically on every engine. */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int = 256,
+                salt: String = "graft-kmv"): DataFrame =
+    df.select(graft.functions.PortableHash.puniform(
+        concat_ws("|", lit(salt), col(keyCol).cast("string"))).as("u"))
+      .distinct()
+      .orderBy(col("u"))
+      .limit(k)
+
+  /** Sketch of a union from the parts' sketches: min-k of the combined
+    * hash sets. */
+  def kmvMerge(sketches: Seq[DataFrame], k: Int = 256): DataFrame =
+    sketches.reduce(_.unionByName(_)).distinct().orderBy(col("u")).limit(k)
+
+  /** One-row estimate from a sketch: exact when the sketch holds fewer
+    * than k hashes, (k-1)/u_(k) otherwise. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch.agg(count(lit(1)).as("__n"), max(col("u")).as("__uk"))
+      .select(
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(round((lit(k) - 1) / col("__uk"), 6)).as("kmv_est"))
 }

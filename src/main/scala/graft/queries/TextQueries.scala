@@ -308,6 +308,16 @@ object TextQueries {
         .orderBy("term")
     }),
 
+    // KMV distinct-count sketch vs exact: estimate the distinct TEXT
+    // count from the 256 smallest portable hash-uniforms (theta-sketch
+    // basis, mergeable in O(k)), alongside the exact distinct count.
+    "q117_kmv_distinct" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val est = Sketches.kmvEstimate(Sketches.kmvSketch(d, "text", k = 256), k = 256)
+      val exact = d.agg(countDistinct(col("text")).as("n_exact"))
+      exact.crossJoin(est)
+    }),
+
     // Snapshot diff (the promote-gate audit for q104's refresh): full
     // outer join of (key, content-md5) reductions — payloads never
     // shuffle — labeling every key added/removed/changed/same.
@@ -679,6 +689,16 @@ object TextQueries {
                  CAST(sum(CASE WHEN k > first THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
           FROM w JOIN f USING (h) GROUP BY doc_id HAVING n_dup_windows > 0
           ORDER BY id""",
+    "q117_kmv_distinct" ->
+      s"""WITH u AS (SELECT DISTINCT
+                 (${phashSql("'graft-kmv|' || text")} % 1000000 + 0.5) / 1000000.0 AS u
+               FROM documents),
+          mk AS (SELECT u FROM u ORDER BY u LIMIT 256),
+          st AS (SELECT count(*) AS n, max(u) AS uk FROM mk)
+          SELECT (SELECT count(DISTINCT text) FROM documents) AS n_exact,
+                 CASE WHEN n < 256 THEN n * 1.0
+                      ELSE round((256 - 1) / uk, 6) END AS kmv_est
+          FROM st""",
     "q116_snapshot_diff" ->
       """WITH bf AS (SELECT doc_id, md5(text) AS hb FROM documents),
           af AS (SELECT doc_id,

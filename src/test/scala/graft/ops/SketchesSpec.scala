@@ -41,6 +41,33 @@ class SketchesSpec extends SparkSpec {
     assert(merged == a)
   }
 
+  test("kmv: exact below k, banded estimate above k, mergeable, partition-stable") {
+    // exact path: 50 distinct keys < k=256
+    val exact = Sketches.kmvEstimate(Sketches.kmvSketch(stream, "k"), k = 256)
+      .as[Double].collect().head
+    assert(exact == 50.0)
+    // estimate path: 2000 distinct keys, k=128 -> (k-1)/u_k within ~25%
+    val big = (1L to 2000L).map(i => s"key$i").toDF("k")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(big, "k", k = 128), k = 128)
+      .as[Double].collect().head
+    assert(est > 1500 && est < 2500, s"estimate $est far from 2000")
+    // deterministic under repartitioning
+    val again = Sketches.kmvEstimate(
+      Sketches.kmvSketch(big.repartition(13), "k", k = 128), k = 128)
+      .as[Double].collect().head
+    assert(again == est)
+    // sketch(union) == merge of the parts' sketches
+    val h1 = big.filter($"k" < "key5")  // lexicographic split, both non-trivial
+    val h2 = big.exceptAll(h1)
+    val direct = Sketches.kmvSketch(big, "k", k = 128)
+      .as[Double].collect().toSeq
+    val merged = Sketches.kmvMerge(Seq(
+        Sketches.kmvSketch(h1, "k", k = 128),
+        Sketches.kmvSketch(h2, "k", k = 128)), k = 128)
+      .as[Double].collect().toSeq
+    assert(merged == direct)
+  }
+
   test("cms estimate for an absent key is zero when its cells are empty") {
     val tiny = Seq("a", "a", "b").toDF("k")
     val sketch = Sketches.cmsBuild(tiny, "k")
