@@ -42,6 +42,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // invariant assertions for the no-oracle queries (ML nondeterminism,
+    // zlib, BPE): pass/fail per query, emitted beside the dumps so the
+    // rows-only entries carry a machine verdict too. A copy lands in the
+    // repo root (SELFCHECK.json) for the round record.
+    val selfResults = SelfChecks.run(spark, sfDir, only)
+    if (selfResults.nonEmpty) {
+      val sj = SelfChecks.toJson(selfResults)
+      Files.writeString(Paths.get(s"$outDir/self_checks.json"), sj)
+      scala.util.Try(Files.writeString(Paths.get("SELFCHECK.json"), sj))
+    }
     spark.stop()
   }
 }

@@ -22,9 +22,24 @@ import org.apache.spark.sql.functions.udaf
   *
   * `global` maps position -> probability and must cover every position in
   * the data (it is the dataset-wide distribution, so it does).
+  *
+  * State bound: the per-group map and the broadcast global dictionary are
+  * both capped at [[EmdAggregator.MaxDomain]] positions (enforced at
+  * construction). The map-per-group formulation is only the right
+  * topology for SMALL ordinal domains; a high-cardinality numeric
+  * sensitive column would grow a map per group plus a driver-side
+  * collect, an OOM at lake scale. Callers with wider domains must use
+  * the windowed closed form ([[graft.ops.TCloseness.groupEmd]]), whose
+  * state never leaves executors — [[graft.ops.TCloseness.groupEmdAgg]]
+  * probes the domain size and routes there automatically.
   */
 class EmdAggregator(global: Map[Double, Double])
     extends Aggregator[Double, Map[Double, Long], Double] {
+
+  require(global.size <= EmdAggregator.MaxDomain,
+    s"EmdAggregator: global domain of ${global.size} positions exceeds the " +
+      s"${EmdAggregator.MaxDomain}-position state bound — use " +
+      "TCloseness.groupEmd (windowed closed form, executor-resident state)")
 
   private val positions: Array[Double] = global.keys.toArray.sorted
 
@@ -58,6 +73,15 @@ class EmdAggregator(global: Map[Double, Double])
 }
 
 object EmdAggregator {
+
+  /** Hard cap on the sensitive-attribute domain this formulation will
+    * hold as per-group map state (and broadcast as the global
+    * dictionary). 1024 positions × ~48 bytes/entry ≈ 48 KiB per group
+    * buffer worst-case — safely inside executor memory at any group
+    * count, while real ordinal sensitive domains (the reference's is 2)
+    * sit far below it. */
+  val MaxDomain = 1024
+
   /** Column form: `df.groupBy(qis).agg(EmdAggregator.emd(globalDist)(col))`. */
   def emd(global: Map[Double, Double]): Column => Column = {
     val fn = udaf(new EmdAggregator(global))

@@ -2,7 +2,6 @@ package graft.ml
 
 import graft.ops.Generalization
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -47,9 +46,9 @@ object ClusteringAnonymizer {
     val scaler = new StandardScaler()
       .setInputCol("__features_raw").setOutputCol("__features")
       .setWithMean(true).setWithStd(true) // sklearn StandardScaler defaults (M2)
-    val kmeans = new KMeans()
-      .setK(nClusters).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("cluster")
+    // shared construction point: degenerate inputs may yield fewer than
+    // nClusters centers; downstream sizes from predictions, never from k
+    val kmeans = GraftKMeans.estimator(nClusters, seed, "__features", "cluster")
     val pipeline = new Pipeline().setStages((indexers :+ assembler :+ scaler :+ kmeans).toArray)
 
     val model = pipeline.fit(df)

@@ -661,12 +661,33 @@ object Dedup {
     * four times (document frequencies, prefix index, two verification
     * join-backs), and without the persist each read would re-run the
     * tokenize+shingle+hash kernel chain over the full corpus (measured
-    * 2.3× end-to-end at sf0.1). Lineage is kept, so lost/evicted blocks
-    * recompute — safe on a real cluster — and the cache is LRU-evictable;
-    * a session running many dedup builds can `spark.catalog.clearCache()`. */
+    * 2.3× end-to-end at sf0.1).
+    *
+    * CACHE OWNERSHIP (who unpersists the staging table, per call path):
+    *  - [[ngramJaccardPairsPrefixReleasable]] — the caller: it receives
+    *    the release thunk and runs it after fully consuming the result.
+    *    Harness-driven queries (q64) register that thunk with
+    *    [[graft.QueryCleanup]], whose ordering contract (drain only
+    *    after full consumption) is stricter than this cache needs —
+    *    lineage is KEPT, so an early release merely recomputes, it never
+    *    strands the DataFrame.
+    *  - this method and the [[ngramJaccardPairs]] dispatcher — nobody
+    *    eagerly: the persist stays registered until session end. That is
+    *    a deliberate lean on Spark's LRU: MEMORY_AND_DISK blocks are
+    *    evictable under pressure, so the worst case is recomputation,
+    *    not OOM. A session running many direct dedup builds should call
+    *    the Releasable form (or `spark.catalog.clearCache()`). */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double,
-                              partitionCols: Seq[String] = Nil): DataFrame = {
+                              partitionCols: Seq[String] = Nil): DataFrame =
+    ngramJaccardPairsPrefixReleasable(df, idCol, textCol, n, threshold, partitionCols)._1
+
+  /** [[ngramJaccardPairsPrefix]] plus the release thunk that unpersists
+    * the shingle-hash staging table — run it after consuming the result
+    * (safe to run early: lineage is kept, blocks recompute). */
+  def ngramJaccardPairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
+                                        n: Int, threshold: Double,
+                                        partitionCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     val sh = shingleHashes(df, idCol, textCol, n, partitionCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perScope = sh
@@ -674,7 +695,7 @@ object Dedup {
       .groupBy(partitionCols.map(col): _*)
       .agg((count(lit(1)).cast("double") / approx_count_distinct(col("__s")))
         .as("__ratio"))
-    if (partitionCols.isEmpty) {
+    val result = if (partitionCols.isEmpty) {
       // unscoped: one global statistic, one topology
       perScope.head().getAs[Any](0) match {
         case null => countTopology(sh, threshold, partitionCols) // no shingles
@@ -710,6 +731,7 @@ object Dedup {
             prefixTopology(sh.join(dk, cond, "left_anti"), threshold, partitionCols))
       }
     }
+    (result, () => { sh.unpersist(); () })
   }
 
   /** Mean shingle document-frequency (postings / distinct shingles) above
@@ -831,12 +853,23 @@ object Dedup {
     * hash-keyed), then reduces per doc. Positions encode as
     * doc·2^20 + pos so the argmin is a plain long min, not a struct
     * comparison, and an external engine replays it with integer
-    * arithmetic.
+    * arithmetic. The doc id multiplies as a LONG (explicit cast — native
+    * 32-bit arithmetic would silently wrap at id >= 2^11 under non-ANSI
+    * eval), so the encoding is exact for any non-negative id < 2^43. The
+    * id column must be a non-negative integral (type is checked
+    * eagerly; non-negativity is the caller's precondition — a negative
+    * id would invert the first-occurrence-wins ordering).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 10): DataFrame = {
     require(n >= 2, s"window of $n tokens is below the useful minimum")
     require(n < (1 << 20), "positions encode in 20 bits")
+    require(df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"duplicateSpans: id column '$idCol' must be integral, got " +
+      df.schema(idCol).dataType.simpleString)
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val wins = df
       .select(col(idCol).as("__id"), toks.as("__tk"))
@@ -847,7 +880,7 @@ object Dedup {
             phash(concat_ws(" ", slice(col("__tk"), i + 1, lit(n)))).as("h"))))
         .as("__w"))
       .select(col("__id"), col("__w.pos").as("__pos"), col("__w.h").as("__h"),
-        (col("__id") * (1 << 20) + col("__w.pos")).as("__k"))
+        (col("__id").cast("long") * lit(1L << 20) + col("__w.pos")).as("__k"))
     val firsts = wins.groupBy("__h").agg(min("__k").as("__first"))
     wins.join(firsts, Seq("__h"))
       .groupBy(col("__id").as("id"))

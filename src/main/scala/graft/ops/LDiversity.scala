@@ -65,6 +65,9 @@ object LDiversity {
     semiJoinDiverse(df, qis, groupDiversity(df, qis, sensitive)
       .filter(col("entropy") >= math.log(l)))
 
+  /** <=> semi-join: groupBy emits NULL-keyed classes, and a plain `=`
+    * semi-join would suppress every row of a NULL-QI class even when that
+    * class IS diverse (SQL null-equality never matches). */
   private def semiJoinDiverse(df: DataFrame, qis: Seq[String], diverse: DataFrame): DataFrame =
-    df.join(diverse.select(qis.map(col): _*), qis, "left_semi")
+    NullSafe.semi(df, diverse.select(qis.map(col): _*), qis)
 }

@@ -107,13 +107,17 @@ object Sampling {
     * is rounded to 1e-9 before ranking (ties then break on the row key)
     * so a last-ulp `pow` difference between engines cannot reorder the
     * selection boundary — same guard as [[temperatureSample]]'s rate
-    * rounding. */
+    * rounding. Non-positive weights are forced to key 0 explicitly:
+    * u^(1/w) -> 0 only for w = 0 (1/0 = +Inf, u < 1), while w < 0 would
+    * give u^(1/w) > 1 and spuriously OUTRANK every positive weight, so
+    * the guard is what makes "never win" true for both cases. */
   private def esKey(key: Column, weight: Column, salt: String): Column =
-    round(pow(PortableHash.puniform(
-      concat_ws("|", lit(salt), key.cast("string"))), lit(1.0) / weight), 9)
+    when(weight <= 0, lit(0.0)).otherwise(
+      round(pow(PortableHash.puniform(
+        concat_ws("|", lit(salt), key.cast("string"))), lit(1.0) / weight), 9))
 
   /** k-item weighted sample without replacement, deterministic in
-    * (key, salt). Zero or negative weights never win (u^(1/w) -> 0).
+    * (key, salt). Zero or negative weights never win (key forced to 0).
     *
     * Scale: order-by-limit compiles to TakeOrderedAndProject — every
     * partition keeps a local k-heap and only k rows per partition reach

@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.functions.{GraftFunctions, TextHashImpl}
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -113,20 +112,17 @@ object Similarity {
       array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
     val train = if (sampleFraction < 1.0)
       vecs.sample(withReplacement = false, sampleFraction, seed) else vecs
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__fv").setPredictionCol("__cell")
+    val model = graft.ml.GraftKMeans.estimator(nlist, seed, "__fv", "__cell")
       .fit(train)
     val assignments = model.transform(vecs)
       .select(col(idCol), col("__cell").cast("int").as("cell"))
-    // centroid elements rounded to 6dp before any routing comparison —
-    // same rank-stability contract AND the same HALF_UP rounding as
-    // [[centroids]]'s round(), so an oracle replaying trained centroids
-    // agrees on exact midpoints (math.rint would round half-to-even)
+    // centroid table sized from the MODEL and rounded via the shared
+    // contract (GraftKMeans.roundedCenters) — degenerate inputs yield
+    // fewer than nlist centers and the table must match them exactly
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(x =>
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq) }
+    val cents = graft.ml.GraftKMeans.roundedCenters(model).zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
       .toSeq.toDF("cell", "centroid")
     IvfIndex(assignments, cents)
   }
@@ -276,12 +272,9 @@ object Similarity {
     val books = (0 until m).map { j =>
       val slices = corpus.select(array_to_vector(
         slice(col(vecCol), j * subDim + 1, subDim).cast("array<double>")).as("__fv"))
-      val model = new KMeans().setK(ksub).setSeed(seed + j)
-        .setFeaturesCol("__fv").setPredictionCol("__c")
+      val model = graft.ml.GraftKMeans.estimator(ksub, seed + j, "__fv", "__c")
         .fit(slices)
-      model.clusterCenters.map(_.toArray.map(x =>
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        .toIndexedSeq).toIndexedSeq
+      graft.ml.GraftKMeans.roundedCenters(model)
     }
     PqIndex(books, m, ksub, subDim)
   }

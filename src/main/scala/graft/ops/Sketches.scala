@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.PortableHash.phash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch over a key column (Cormode & Muthukrishnan 2005) with
@@ -84,4 +85,62 @@ object Sketches {
       .select(
         when(col("__n") < k, col("__n").cast("double"))
           .otherwise(round((lit(k) - 1) / col("__uk"), 6)).as("kmv_est"))
+
+  /** Mergeable quantile sketch: a deterministic bottom-k ROW sample —
+    * each row keyed by the portable hash-uniform of its unique `keyCol`,
+    * the sketch being the k (u, v) pairs with the smallest u. Bottom-k
+    * sampling (Cohen & Kaplan 2007) gives a uniform k-sample without
+    * replacement whose membership is a pure function of the hash, so:
+    *  - the sketch of a UNION is the bottom-k of the parts' sketches
+    *    ([[quantileMerge]] — same O(k) merge law as [[kmvSketch]]);
+    *  - shards sketch independently with NO coordination, and the state
+    *    is k rows regardless of input size — the mergeable-summary
+    *    property exact `percentile()` (q50) lacks, where at lake scale
+    *    every value funnels into one aggregation buffer;
+    *  - an external SQL engine replays the sketch bit-for-bit (the
+    *    estimate-vs-exact oracle pattern established by q117).
+    * Estimates are nearest-rank order statistics of the sample: rank
+    * error concentrates at O(sqrt(q(1-q)/k)) — ±~3 percentile points at
+    * k=256, q=0.5 — independent of data size or distribution.
+    *
+    * `keyCol` must be row-unique (hashing the VALUE would sample the
+    * distinct-value set, not the distribution). Ties on the 1e-6
+    * u-grid break by v, making the boundary deterministic per engine;
+    * equal (u, v) rows are interchangeable.
+    *
+    * Scale: one projection + TakeOrderedAndProject (per-partition
+    * k-heaps, k rows per partition to the driver-side merge) — zero
+    * exchanges, same topology as [[kmvSketch]]. */
+  def quantileSketch(df: DataFrame, keyCol: String, valueCol: String,
+                     k: Int = 256, salt: String = "graft-qsk"): DataFrame =
+    df.select(
+        graft.functions.PortableHash.puniform(
+          concat_ws("|", lit(salt), col(keyCol).cast("string"))).as("u"),
+        col(valueCol).cast("double").as("v"))
+      .orderBy(col("u"), col("v"))
+      .limit(k)
+
+  /** Sketch of a union from the parts' sketches: bottom-k of the
+    * combined (u, v) sets. Exact-identical to sketching the union
+    * directly — the merge-law spec pins this as equality, not a band. */
+  def quantileMerge(sketches: Seq[DataFrame], k: Int = 256): DataFrame =
+    sketches.reduce(_.unionByName(_)).orderBy(col("u"), col("v")).limit(k)
+
+  /** Nearest-rank quantile estimates from a sketch: one row (q, q_est)
+    * per requested fraction, q_est = the sample value at rank
+    * max(1, ceil(q·n)) in (v, u) order. The window runs over the ≤k-row
+    * sketch — bounded by construction, never by data size. */
+  def quantileEstimate(sketch: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions $qs must lie in (0, 1]")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col("v"), col("u"))
+    val ranked = sketch
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    ranked.join(broadcast(qs.toDF("q")),
+        col("__rn") === greatest(lit(1), ceil(col("q") * col("__n"))))
+      .select(col("q"), round(col("v"), 6).as("q_est"))
+  }
 }

@@ -104,8 +104,12 @@ object TCloseness {
       .withColumn("__q", col("__gcnt") / col("__tot"))
       .select(col(sensitiveCol), col("__q"))
     val groups = cell.select(qiCols: _*).distinct()
-    val dense = groups.crossJoin(broadcast(glob))
-      .join(cell, qis :+ sensitiveCol, "left")
+    // densify with <=> keys: groupBy emits NULL-keyed cells (null QI
+    // values and null sensitive values are real groups), and a plain
+    // `=` join would zero their counts while __q still carries the null
+    // mass — per-group p would no longer sum to 1.
+    val dense = NullSafe.join(groups.crossJoin(broadcast(glob)), cell,
+        qis :+ sensitiveCol, "left")
       .na.fill(0L, Seq("__cnt"))
     val wg = Window.partitionBy(qiCols: _*)
     dense
@@ -130,10 +134,13 @@ object TCloseness {
     val glob = globCnt.crossJoin(broadcast(globCnt.agg(sum("__gcnt").as("__tot"))))
       .withColumn("__q", col("__gcnt") / col("__tot"))
       .select(col(posCol), col("__q"))
-    // densify: every group gets a row for every global position
+    // densify: every group gets a row for every global position. <=>
+    // keys — null QI values are real groups out of the cell aggregation,
+    // and a plain `=` join would zero their counts (emd would come out
+    // null from a 0/0 normalization instead of the group's true value).
     val groups = cell.select(qiCols: _*).distinct()
-    val dense = groups.crossJoin(broadcast(glob))
-      .join(cell, qis :+ posCol, "left")
+    val dense = NullSafe.join(groups.crossJoin(broadcast(glob)), cell,
+        qis :+ posCol, "left")
       .na.fill(0L, Seq("__cnt"))
     val wg = Window.partitionBy(qiCols: _*)
     val wc = wg.orderBy(col(posCol))
@@ -152,9 +159,20 @@ object TCloseness {
     * EMD computed in finish() against the driver-collected global
     * distribution. Preferred over the window formulation when group count
     * is huge. Bit-identical output (same sequential sum order over sorted
-    * positions — q55's oracle is the proof). */
+    * positions — q55's oracle is the proof).
+    *
+    * Domain guard: the aggregator holds a position->count map PER GROUP
+    * and collects the global distribution to the driver, so it is only
+    * the right topology for small ordinal domains. The domain is probed
+    * with a LIMIT-capped aggregation (the probe itself never collects an
+    * unbounded set); above [[graft.functions.EmdAggregator.MaxDomain]]
+    * positions the call routes to the windowed closed form ([[groupEmd]]
+    * — same output contract, executor-resident state, no bound). */
   def groupEmdAgg(df: DataFrame, qis: Seq[String], posCol: String): DataFrame = {
-    val rows = df.groupBy(col(posCol)).agg(count(lit(1)).as("__c")).collect()
+    val maxDomain = graft.functions.EmdAggregator.MaxDomain
+    val rows = df.groupBy(col(posCol)).agg(count(lit(1)).as("__c"))
+      .limit(maxDomain + 1).collect()
+    if (rows.length > maxDomain) return groupEmd(df, qis, posCol)
     val total = rows.map(_.getLong(1)).sum.toDouble
     val global = rows.map(r => Row2Pos(r.get(0)) -> r.getLong(1) / total).toMap
     val emdFn = graft.functions.EmdAggregator.emd(global)
@@ -184,12 +202,13 @@ object TCloseness {
     val cell = df.groupBy(qis.map(col) :+ col(posCol): _*).agg(count(lit(1)).as("__cnt"))
     val keep = cell.groupBy(qis.map(col): _*).agg(sum("__cnt").as("__grp"))
       .filter(col("__grp") >= k).select(qis.map(col): _*)
-    val kanonCell = cell.join(keep, qis, "left_semi")
+    val kanonCell = NullSafe.semi(cell, keep, qis)
     val passing = emdFromCells(kanonCell, qis, posCol)
       .filter(col("emd") <= t).select(qis.map(col): _*)
     // passing is bounded by the group count — data-dependent, so no
-    // forced broadcast (AQE picks one when it fits)
-    df.join(passing, qis, "left_semi")
+    // forced broadcast (AQE picks one when it fits). <=> keys so rows in
+    // a NULL-QI group survive when their group passes.
+    NullSafe.semi(df, passing, qis)
   }
 
   /** Count of groups violating t (the reference's double-check pattern,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.DataQuality
+import graft.ops.{DataQuality, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,30 @@ object StatsQueries {
           round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Mergeable quantile sketch vs exact (the lake-scale replacement
+    // q50's own comment promises): deterministic bottom-k row sample
+    // (k=256) by portable hash-uniform of the row key, nearest-rank
+    // estimates, alongside the exact interpolated percentiles. The
+    // sketch is replayed bit-for-bit by the oracle — q117's
+    // estimate-vs-exact pattern; SketchesSpec pins the merge law and
+    // the rank-error band.
+    "q118_quantile_sketch" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val est = Sketches.quantileEstimate(
+        Sketches.quantileSketch(o, "o_orderkey", "o_totalprice", k = 256),
+        Seq(0.5, 0.9, 0.99))
+      val exact = o.agg(
+        expr("percentile(o_totalprice, 0.5)").as("__e50"),
+        expr("percentile(o_totalprice, 0.9)").as("__e90"),
+        expr("percentile(o_totalprice, 0.99)").as("__e99"))
+      est.crossJoin(broadcast(exact))
+        .select(col("q"), col("q_est"),
+          round(when(col("q") === 0.5, col("__e50"))
+            .when(col("q") === 0.9, col("__e90"))
+            .otherwise(col("__e99")), 6).as("exact"))
+        .orderBy("q")
     }),
 
     // Data-quality expectations report: four checks, each one tiny
@@ -215,6 +239,22 @@ object StatsQueries {
           FROM u ORDER BY check_name""",
     "q50_percentiles" ->
       """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),6) AS p50, round(quantile_cont(o_totalprice, 0.9),6) AS p90, round(quantile_cont(o_totalprice, 0.99),6) AS p99 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q118_quantile_sketch" ->
+      """WITH s AS (SELECT (CAST('0x' || substr(md5('graft-qsk|' || o_orderkey), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u,
+                 CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+          mk AS (SELECT u, v FROM s ORDER BY u, v LIMIT 256),
+          r AS (SELECT v, row_number() OVER (ORDER BY v, u) AS rn,
+                  count(*) OVER () AS n FROM mk),
+          qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+          est AS (SELECT q, round(min(v), 6) AS q_est
+                  FROM qs JOIN r ON r.rn = greatest(1, CAST(ceil(q * r.n) AS BIGINT))
+                  GROUP BY q),
+          ex AS (SELECT quantile_cont(o_totalprice, 0.5) AS e50,
+                   quantile_cont(o_totalprice, 0.9) AS e90,
+                   quantile_cont(o_totalprice, 0.99) AS e99 FROM orders)
+          SELECT q, q_est,
+                 round(CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END, 6) AS exact
+          FROM est CROSS JOIN ex ORDER BY q""",
     "q51_moment_aggs" ->
       """SELECT event_type, round(corr(value, user_id),6) AS corr_vu, round(stddev_samp(value),6) AS sd_value, round(var_samp(value),6) AS var_value, round(avg(value),6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type""",
     "q52_string_funcs" ->

@@ -117,8 +117,10 @@ object TextQueries {
     // verifies this and would fall back to the count topology otherwise.
     // The J >= 0.8 pair set is identical for n in 2..4 on this corpus.
     "q64_ngram_prefix" -> ((s, dir) => {
-      Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8)
+      val (pairs, release) = Dedup.ngramJaccardPairsPrefixReleasable(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+      graft.QueryCleanup.register(release)
+      pairs
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),

@@ -127,7 +127,11 @@ object VectorEventQueries {
 
     // Product-quantization ADC + exact refine (rows-only: the m KMeans
     // codebooks are MLlib-internal; SimilaritySpec covers cluster
-    // containment and determinism): 64-dim floats compressed to 8
+    // containment and determinism; the Verify self-check proves the
+    // refine distances are exact L2 and bands shortlist recall — on
+    // near-random embeddings the byte-code quantizer is genuinely
+    // lossy, so topline equality with exact search is data-dependent,
+    // `shortlist` being the recall knob): 64-dim floats compressed to 8
     // byte-codes, the corpus pass scans codes with an m x ksub lookup
     // table, then only the ADC shortlist rereads float vectors.
     // Codebooks are an OFFLINE artifact (train once, search forever), so

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic, versioned snapshot commits over plain parquet — the minimal
+  * table-format kernel a 100 TB pipeline needs before it can trust a
+  * read-modify-write refresh. A bare `write.mode("overwrite")` on the
+  * live directory deletes the old snapshot BEFORE the new one is
+  * complete: a crash mid-write loses every prior key, and concurrent
+  * readers see a half-deleted table. Here every commit writes a FRESH
+  * `v-N` data directory and then publishes it with one atomic marker
+  * create — readers resolve the newest marker, so they only ever see
+  * fully-committed versions, and a crash at any point leaves the last
+  * committed snapshot intact (the orphan data dir is reclaimed by the
+  * next commit or [[vacuum]]).
+  *
+  * Layout under `tableDir`:
+  * {{{
+  *   v-0000000001/part-*.parquet     data, one dir per version
+  *   _commits/0000000001             commit marker; content = caller meta
+  * }}}
+  * The marker is created with create-without-overwrite (atomic in the
+  * HDFS namespace; O_EXCL-shaped locally — the protocol Delta Lake's
+  * HDFS LogStore uses for commit files), so two racing committers
+  * cannot both publish the same version (the second create fails).
+  * Markers double as an idempotence ledger: callers stash a
+  * replay key (e.g. a streaming batchId) in the marker body and skip
+  * work when it is already committed — see
+  * [[graft.streaming.StreamCdc]].
+  *
+  * Retained versions are free time travel: [[readVersion]] pins any
+  * committed version and [[diffVersions]] audits what a refresh did
+  * ([[graft.ops.Cdc.snapshotDiff]] over two pinned reads).
+  *
+  * Scale: commit cost is the parquet write itself plus two metadata RPCs
+  * (temp create + rename); resolution is one directory listing of
+  * `_commits` (markers are empty-ish files, never data). Nothing here
+  * funnels data through the driver.
+  *
+  * Always read through [[read]]/[[readVersion]] — a raw
+  * `spark.read.parquet(tableDir)` would union every retained version.
+  */
+object SnapshotStore {
+
+  private val CommitsDir = "_commits"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def dataPath(tableDir: String, v: Long) =
+    new Path(tableDir, f"v-$v%010d")
+
+  private def markerPath(tableDir: String, v: Long) =
+    new Path(new Path(tableDir, CommitsDir), f"$v%010d")
+
+  /** Newest committed version, or None for a table with no commits yet.
+    * ONLY a missing/empty `_commits` dir reads as "no table"; any other
+    * IO failure propagates — conflating the two is how a transient error
+    * silently truncates a snapshot to one batch. */
+  def committedVersion(spark: SparkSession, tableDir: String): Option[Long] = {
+    val f = fs(spark, tableDir)
+    val commits = new Path(tableDir, CommitsDir)
+    if (!f.exists(commits)) None
+    else f.listStatus(commits).iterator
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .map(_.toLong)
+      .maxOption
+  }
+
+  /** Marker body of a committed version (the caller meta passed to
+    * [[commit]]), or None if that version is not committed. */
+  def commitMeta(spark: SparkSession, tableDir: String, v: Long): Option[String] = {
+    val f = fs(spark, tableDir)
+    val m = markerPath(tableDir, v)
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Write `df` as the next version and atomically publish it. Returns
+    * the committed version. `meta` lands in the marker body (replay
+    * keys, audit notes). A crash before the marker rename leaves the
+    * table at its previous version; the orphan `v-N` dir is overwritten
+    * by the next successful commit of version N. */
+  def commit(df: DataFrame, tableDir: String, meta: String = ""): Long = {
+    val spark = df.sparkSession
+    val v = committedVersion(spark, tableDir).getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(dataPath(tableDir, v).toString)
+    publish(spark, tableDir, v, meta)
+    v
+  }
+
+  /** Publish a written `v-N` data dir by creating its marker with
+    * create-WITHOUT-overwrite — the primitive that is atomic in the HDFS
+    * namespace (and O_EXCL-shaped on local FS), and the same protocol
+    * Delta Lake's HDFS LogStore uses for its commit files. When two
+    * committers race to the same version the loser's create fails and
+    * surfaces as [[IllegalStateException]] instead of double-publishing.
+    * The marker body (caller meta) is written after the create; a crash
+    * inside that window leaves a valid committed version with empty
+    * meta — the data dir is always complete before publish is called.
+    * Package-visible so the conflict path is directly testable. */
+  private[graft] def publish(spark: SparkSession, tableDir: String, v: Long,
+                             meta: String): Unit = {
+    val f = fs(spark, tableDir)
+    val marker = markerPath(tableDir, v)
+    f.mkdirs(marker.getParent)
+    val out =
+      try f.create(marker, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"SnapshotStore: version $v of $tableDir was committed concurrently", e)
+      }
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The newest committed snapshot. Throws if no version is committed. */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    readVersion(spark, tableDir,
+      committedVersion(spark, tableDir).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"SnapshotStore: no committed version under $tableDir")))
+
+  /** Time travel: pin a specific committed version. */
+  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    require(commitMeta(spark, tableDir, v).isDefined,
+      s"SnapshotStore: version $v of $tableDir is not committed")
+    spark.read.parquet(dataPath(tableDir, v).toString)
+  }
+
+  /** What changed between two committed versions, per key:
+    * added / removed / changed / same ([[graft.ops.Cdc.snapshotDiff]]). */
+  def diffVersions(spark: SparkSession, tableDir: String, fromV: Long, toV: Long,
+                   keyCols: Seq[String], contentCols: Seq[String]): DataFrame =
+    graft.ops.Cdc.snapshotDiff(
+      readVersion(spark, tableDir, fromV),
+      readVersion(spark, tableDir, toV), keyCols, contentCols)
+
+  /** Drop all but the newest `keepLast` committed versions (markers
+    * first, then data — a reader that already resolved an old marker
+    * may still be scanning it, so retention should cover reader
+    * lifetimes). Also reclaims orphan data dirs newer than the last
+    * commit. Returns the versions removed. */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the live version")
+    val f = fs(spark, tableDir)
+    val commits = new Path(tableDir, CommitsDir)
+    if (!f.exists(commits)) return Seq.empty
+    val versions = f.listStatus(commits).iterator
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+      .toSeq.sorted
+    val drop = versions.dropRight(keepLast)
+    drop.foreach { v =>
+      f.delete(markerPath(tableDir, v), false)
+      f.delete(dataPath(tableDir, v), true)
+    }
+    drop
+  }
+}

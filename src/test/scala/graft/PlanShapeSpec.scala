@@ -72,4 +72,24 @@ class PlanShapeSpec extends SparkSpec {
     assertNoQuadratic(plan(Dedup.editDistancePairs(docs, "text")))
     assertNoQuadratic(plan(Dedup.duplicateSpans(docs, "doc_id", "text", n = 5)))
   }
+
+  test("contaminatedIds (q77): one broadcast, no sort-merge join, one train scan") {
+    // pins the plan the r8 bench bimodality investigation vouched for:
+    // bench shingles broadcast; train is scanned exactly once and never
+    // shuffled before the final distinct on the (small) flagged-id set
+    val bench = docs.limit(10)
+    val p = plan(Dedup.contaminatedIds(docs, bench, "doc_id", "text", n = 3))
+    assert("BroadcastExchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assertNoQuadratic(p)
+    // one scan of the train relation: `docs` is an in-memory
+    // LocalTableScan; the bench limit(10) side reuses the same relation,
+    // so exactly two LocalTableScans total — any third means train is
+    // read twice
+    assert("LocalTableScan".r.findAllIn(p).length == 2, p)
+    // the only non-broadcast exchange is the final distinct over flagged
+    // ids — a set bounded by the contaminated-doc count, not the corpus
+    assert(exchanges(p) <= 2, p)
+  }
 }

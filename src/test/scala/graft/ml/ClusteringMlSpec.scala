@@ -30,6 +30,23 @@ class ClusteringMlSpec extends SparkSpec {
     assert(!res.clustered.columns.exists(_.startsWith("__")))
   }
 
+  test("anonymize survives a degenerate 2-distinct-point input asking for 5 clusters") {
+    // the shared GraftKMeans contract: MLlib returns fewer than k
+    // centers when the data has fewer distinct points; the pipeline must
+    // run, cover every row, and generalize sanely — not crash or pad.
+    val degenerate = (1 to 10)
+      .map(i => (i.toLong, if (i % 2 == 0) 100.0 else 1000.0))
+      .toDF("id", "amount")
+    val res = ClusteringAnonymizer.anonymize(degenerate, Seq("amount"), Nil,
+      nClusters = 5, seed = 42L)
+    assert(res.clustered.count() == 10)
+    val clusters = res.clustered.select("cluster").distinct().as[Int].collect().toSet
+    assert(clusters.size <= 2, s"2 distinct points can't fill 5 clusters: $clusters")
+    // each surviving cluster generalizes to its single point value
+    val ranges = res.generalized.select("amount").distinct().as[String].collect().toSet
+    assert(ranges == Set("100.0-100.0", "1000.0-1000.0"), ranges.toString)
+  }
+
   test("generalized output replaces amounts with per-cluster min-max ranges") {
     // amount-only feature space: the 100s/1000s blobs must be the split
     val res = ClusteringAnonymizer.anonymize(data, Seq("amount"), Nil,

@@ -346,6 +346,26 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (6L, 4L))
   }
 
+  test("duplicateSpans: IntegerType ids beyond 2^11 keep first-occurrence order") {
+    // pre-fix, the argmin key multiplied in the id's NATIVE 32-bit type:
+    // id * 2^20 wraps at id >= 2048 under non-ANSI eval, so a large-id
+    // doc could wrap NEGATIVE and steal "first occurrence" from doc 7.
+    val df = Seq(
+      (7, "a b c d e f g h"),
+      (1000000, "x y a b c d e z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", n = 5)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(7), "low id is the first occurrence")
+    assert(got(1000000) == (4L, 1L))
+    // non-integral id columns are rejected eagerly
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(df.withColumn("doc_id", $"doc_id".cast("string")),
+        "doc_id", "text", n = 5)
+    }
+    assert(bad.getMessage.contains("integral"))
+  }
+
   test("dedupClustersStar matches pointer jumping on components, chains, and random graphs") {
     // small multi-component graph
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")

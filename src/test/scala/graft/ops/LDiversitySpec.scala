@@ -44,4 +44,19 @@ class LDiversitySpec extends SparkSpec {
       .select("id").as[Int].collect().sorted.toSeq
     assert(entropyKept == Seq(8, 9))
   }
+
+  test("a NULL-QI class is audited and survives suppression when diverse") {
+    // null zip is a real equivalence class (groupBy emits it); a plain
+    // `=` semi-join would suppress rows 10/11 unconditionally.
+    val withNull = fixture.union(Seq(
+      (null.asInstanceOf[String], "flu", 10),
+      (null.asInstanceOf[String], "cold", 11)).toDF("zip", "disease", "id"))
+    val audit = LDiversity.groupDiversity(withNull, Seq("zip"), "disease")
+      .filter(col("zip").isNull)
+      .select("grp_cnt", "l_distinct").as[(Long, Long)].collect()
+    assert(audit.toSeq == Seq((2L, 2L)))
+    val kept = LDiversity.suppress(withNull, Seq("zip"), "disease", l = 2)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(kept == Seq(1, 2, 3, 4, 8, 9, 10, 11))
+  }
 }

@@ -104,6 +104,23 @@ class SamplingPackingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(5).mkString("\n"))
   }
 
+  test("weightedSample: zero AND negative weights never win") {
+    // w < 0 is the trap: u^(1/w) > 1 for u in (0,1), so without the
+    // explicit guard negative-weight rows would outrank EVERY positive
+    // one. 150 poisoned rows vs k=100: one leak is a test failure.
+    val weighted = keys.withColumn("w",
+      when(col("id") <= 100, -5.0)
+        .when(col("id") <= 150, 0.0)
+        .otherwise(1.0))
+    val got = Sampling.weightedSample(weighted, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 100)
+    assert(got.forall(_ > 150), s"non-positive-weight ids drawn: ${got.filter(_ <= 150)}")
+    val strat = Sampling.weightedSampleStratified(weighted, "id", "w", "lang", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(strat.forall(_ > 150), s"non-positive-weight ids drawn: ${strat.filter(_ <= 150)}")
+  }
+
   test("weightedSampleStratified keeps k per stratum and agrees with the global ranking") {
     val weighted = keys.withColumn("w", lit(1.0) + (col("id") % 7))
     val got = Sampling.weightedSampleStratified(weighted, "id", "w", "lang", k = 30)

@@ -79,6 +79,32 @@ class SimilaritySpec extends SparkSpec {
     assert(cellOf(0L) != cellOf(3L))
   }
 
+  test("trainIvf and trainPq size from the model on a degenerate 2-distinct-point input") {
+    // MLlib KMeans dedups seeds: 2 distinct points can never produce the
+    // requested 8 (or 16) centers. Everything downstream must size from
+    // the model — a centroid table padded to k would break cell routing.
+    val twoPoints = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 1f)), (3L, Seq(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.trainIvf(twoPoints, "vec_id", "embedding", nlist = 8, seed = 7L)
+    val nCents = idx.centroids.count()
+    assert(nCents <= 2, s"only 2 distinct points, got $nCents centroids")
+    // every assignment routes to a cell that exists in the centroid table
+    val cells = idx.centroids.select("cell").as[Int].collect().toSet
+    val assigned = idx.assignments.select("cell").as[Int].collect().toSet
+    assert(assigned.subsetOf(cells), s"assigned=$assigned cells=$cells")
+    // and the trained search still answers
+    val got = Similarity.knnIvfTrained(twoPoints, twoPoints.filter($"vec_id" === 0),
+      "vec_id", "embedding", idx, k = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+    // PQ: each sub-codebook holds at most the distinct sub-points
+    val pq = Similarity.trainPq(twoPoints, "embedding", m = 2, ksub = 16, seed = 7L)
+    assert(pq.codebooks.forall(_.size <= 2),
+      s"codebook sizes ${pq.codebooks.map(_.size)} exceed distinct sub-points")
+  }
+
   test("knnIvfTrained at nprobe=2 recovers brute-force top-k on clustered data") {
     val idx = Similarity.trainIvf(vecs, "vec_id", "embedding", nlist = 2, seed = 7L)
     for (qid <- Seq(0L, 3L, 5L)) {

@@ -68,6 +68,46 @@ class SketchesSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("quantile sketch: merge law is exact equality; estimates sit in the rank-error band") {
+    // 10,000 rows, v = key^2 / 10000 (a skewed but monotone transform
+    // with known quantiles: true q-quantile ~ (10000*q)^2 / 10000)
+    val rows = spark.range(1, 10001)
+      .selectExpr("id AS k", "CAST(id * id AS DOUBLE) / 10000.0 AS v")
+    val k = 256
+    val sketch = Sketches.quantileSketch(rows, "k", "v", k = k)
+    assert(sketch.count() == k)
+    // deterministic & partition-independent
+    val again = Sketches.quantileSketch(rows.repartition(13), "k", "v", k = k)
+      .as[(Double, Double)].collect().sorted.toSeq
+    assert(again == sketch.as[(Double, Double)].collect().sorted.toSeq)
+    // merge law: sketch(A union B) == merge(sketch(A), sketch(B)) EXACTLY
+    val a = rows.filter($"k" % 2 === 0)
+    val b = rows.exceptAll(a)
+    val merged = Sketches.quantileMerge(Seq(
+        Sketches.quantileSketch(a, "k", "v", k = k),
+        Sketches.quantileSketch(b, "k", "v", k = k)), k = k)
+      .as[(Double, Double)].collect().sorted.toSeq
+    assert(merged == sketch.as[(Double, Double)].collect().sorted.toSeq)
+    // rank-error band: the estimate's TRUE rank within ±4·sqrt(q(1-q)/k)
+    // of q (norm-approx of the order-statistic distribution, p < 1e-4
+    // per tail for a fixed hash — this is a deterministic replay, so
+    // the assertion cannot flake)
+    val est = Sketches.quantileEstimate(sketch, Seq(0.1, 0.5, 0.9))
+      .as[(Double, Double)].collect().toMap
+    for ((q, v) <- est) {
+      val trueRank = math.sqrt(v * 10000.0) / 10000.0 // inverse of v = k^2/1e4
+      val band = 4.0 * math.sqrt(q * (1 - q) / k)
+      assert(math.abs(trueRank - q) <= band,
+        s"q=$q est=$v trueRank=$trueRank band=$band")
+    }
+    // below-k input: the sketch IS the data and the median is exact
+    val tiny = spark.range(1, 6).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    val exactMedian = Sketches.quantileEstimate(
+      Sketches.quantileSketch(tiny, "k", "v", k = k), Seq(0.5))
+      .as[(Double, Double)].collect().head._2
+    assert(exactMedian == 3.0)
+  }
+
   test("cms estimate for an absent key is zero when its cells are empty") {
     val tiny = Seq("a", "a", "b").toDF("k")
     val sketch = Sketches.cmsBuild(tiny, "k")

@@ -50,6 +50,59 @@ class TClosenessSpec extends SparkSpec {
     assert(tv0.forall(math.abs(_) < 1e-12))
   }
 
+  test("groupTv: NULL QI and NULL sensitive values keep their mass") {
+    // null QI is a real group; null sensitive value is a real category.
+    // With a plain `=` densify join both would be zeroed (p no longer
+    // summing to 1) while __q still carried the null mass.
+    val df = Seq(
+      ("g1", "a"), ("g1", null),
+      (null, "a"), (null, null)
+    ).toDF("g", "s")
+    // global over {a, null}: 1/2 each; both groups are exactly 50/50 -> TV 0
+    val tv = TCloseness.groupTv(df, Seq("g"), "s")
+      .select("tv").as[Double].collect()
+    assert(tv.length == 2 && tv.forall(math.abs(_) < 1e-12), tv.toSeq.toString)
+    // and a skewed null-QI group measures a REAL distance, not null/zero
+    val skewed = Seq(("g1", "a"), ("g1", "b"), (null, "a"), (null, "a"))
+      .toDF("g", "s")
+    val tvNull = TCloseness.groupTv(skewed, Seq("g"), "s")
+      .filter(col("g").isNull).select("tv").as[Double].collect()
+    // global: a=3/4, b=1/4; null group p=(1,0) -> TV = (1/4 + 1/4)/2 = 1/4
+    assert(tvNull.toSeq == Seq(0.25))
+  }
+
+  test("groupEmdAgg routes a >MaxDomain sensitive domain to the windowed form") {
+    import graft.functions.EmdAggregator
+    // 1500 distinct positions > MaxDomain=1024: the map-per-group
+    // aggregator would hold unbounded state, so the call must fall back
+    // to the windowed closed form — and still produce the right numbers.
+    val wide = spark.range(3000)
+      .selectExpr("concat('g', id % 2) AS g", "CAST(id % 1500 AS DOUBLE) AS pos")
+    val viaAgg = TCloseness.groupEmdAgg(wide, Seq("g"), "pos")
+      .select("g", "emd").as[(String, Double)].collect().toMap
+    val viaWindow = TCloseness.groupEmd(wide, Seq("g"), "pos")
+      .select("g", "emd").as[(String, Double)].collect().toMap
+    assert(viaAgg.keySet == Set("g0", "g1"))
+    assert(viaAgg.forall { case (g, e) => math.abs(e - viaWindow(g)) < 1e-12 })
+    // and constructing the aggregator above the bound is an eager error
+    val tooWide = (0 to EmdAggregator.MaxDomain)
+      .map(i => i.toDouble -> 1.0 / (EmdAggregator.MaxDomain + 1)).toMap
+    val err = intercept[IllegalArgumentException] { new EmdAggregator(tooWide) }
+    assert(err.getMessage.contains("state bound"))
+  }
+
+  test("groupEmd and filter handle NULL-QI groups") {
+    val df = Seq(
+      ("g1", 0.0), ("g1", 1.0),
+      (null, 0.0), (null, 1.0)
+    ).toDF("g", "pos")
+    val emd = TCloseness.groupEmd(df, Seq("g"), "pos")
+      .select("emd").as[Double].collect()
+    assert(emd.length == 2 && emd.forall(math.abs(_) < 1e-12), emd.toSeq.toString)
+    // both groups match the global 50/50 -> all 4 rows survive k=2, t=0.01
+    assert(TCloseness.filter(df, Seq("g"), "pos", k = 2, t = 0.01).count() == 4)
+  }
+
   test("filter applies k then t; violationCount is 0 on surviving rows") {
     // skew: small group with extreme distribution + big balanced group
     val rows =

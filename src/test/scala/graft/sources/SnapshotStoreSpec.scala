@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable() = s"/tmp/graft_snapstore_${System.nanoTime()}"
+
+  test("commit publishes atomically; crash before the marker leaves the old version live") {
+    val dir = tmpTable()
+    val v1 = SnapshotStore.commit(Seq((1L, "one"), (2L, "two")).toDF("id", "p"), dir)
+    assert(v1 == 1L)
+    // simulate a crash between the data write and the marker rename:
+    // a v-2 data dir exists but was never published
+    Seq((1L, "CORRUPT")).toDF("id", "p")
+      .write.parquet(new Path(dir, "v-0000000002").toString)
+    assert(SnapshotStore.committedVersion(spark, dir).contains(1L))
+    val live = SnapshotStore.read(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(live == Map(1L -> "one", 2L -> "two"), "old snapshot must stay readable")
+    // the next commit reclaims the orphan dir by overwriting version 2
+    val v2 = SnapshotStore.commit(Seq((1L, "one-v2")).toDF("id", "p"), dir)
+    assert(v2 == 2L)
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toMap ==
+      Map(1L -> "one-v2"))
+  }
+
+  test("readVersion time-travels and diffVersions audits the refresh") {
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p"), dir)
+    SnapshotStore.commit(Seq((2L, "b"), (3L, "c2"), (9L, "new")).toDF("id", "p"), dir)
+    assert(SnapshotStore.readVersion(spark, dir, 1L)
+      .as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    val diff = SnapshotStore.diffVersions(spark, dir, 1L, 2L, Seq("id"), Seq("p"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(diff == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 9L -> "added"))
+    // reading an uncommitted version is an eager error, not an empty frame
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readVersion(spark, dir, 7L)
+    }
+  }
+
+  test("commit markers carry caller meta and reject double-publish of a version") {
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "p"), dir, meta = "batch=41")
+    assert(SnapshotStore.commitMeta(spark, dir, 1L).contains("batch=41"))
+    assert(SnapshotStore.commitMeta(spark, dir, 2L).isEmpty)
+    // two committers race to version 2: the loser's publish (the exact
+    // step commit() runs after its data write) fails loudly instead of
+    // silently double-publishing
+    SnapshotStore.publish(spark, dir, 2L, "batch=99")
+    intercept[IllegalStateException] {
+      SnapshotStore.publish(spark, dir, 2L, "batch=100")
+    }
+    assert(SnapshotStore.committedVersion(spark, dir).contains(2L))
+    assert(SnapshotStore.commitMeta(spark, dir, 2L).contains("batch=99"),
+      "the winner's meta must survive the losing publish")
+  }
+
+  test("vacuum keeps the newest versions and drops markers+data for the rest") {
+    val dir = tmpTable()
+    (1 to 4).foreach(i => SnapshotStore.commit(Seq((i.toLong, s"v$i")).toDF("id", "p"), dir))
+    val dropped = SnapshotStore.vacuum(spark, dir, keepLast = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(SnapshotStore.committedVersion(spark, dir).contains(4L))
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq((4L, "v4")))
+    assert(SnapshotStore.commitMeta(spark, dir, 1L).isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readVersion(spark, dir, 2L)
+    }
+    assert(SnapshotStore.readVersion(spark, dir, 3L).count() == 1L)
+  }
+}

@@ -1,0 +1,88 @@
+// Scale-stress harness (VERDICT r8 #6): time the flagship dedup/ANN paths
+// at 1x (sf0.1) and ~10x (sf0.1 replicated 10 ways with deterministic
+// distinct-ifying filler so replicas are NOT near-dups of each other —
+// the workload density stays comparable and only the VOLUME grows).
+// One-off driver run via spark-shell; results recorded in PERFORMANCE.md.
+// Usage:
+//   /opt/spark/bin/spark-shell --master 'local[32]' \
+//     --driver-class-path target/scala-2.13/classes \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     --conf spark.ui.enabled=false -i tools/stress10x.scala
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+val dir = "/root/testdata/sf0.1"
+val docs1 = spark.read.parquet(dir + "/documents.parquet")
+  .select("doc_id", "text", "lang", "source").cache()
+val emb1 = spark.read.parquet(dir + "/embeddings.parquet")
+  .select("vec_id", "embedding", "label").cache()
+docs1.count(); emb1.count()
+
+// 10 replicas; each doc gains ~len/6 filler tokens unique to (replica,
+// doc), pushing cross-replica jaccard far below the 0.8 threshold so the
+// near-dup pair density per doc matches the 1x corpus.
+val reps = spark.range(0, 10).select(col("id").cast("int").as("r"))
+val docs10 = docs1.crossJoin(reps)
+  .select(
+    (col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+    concat(col("text"), lit(" "),
+      concat_ws(" ", transform(
+        sequence(lit(1), greatest(lit(3), size(split(col("text"), " ")) / 6)),
+        i => concat(lit("zz"), col("r"), lit("_"),
+          pmod(col("doc_id") * 31 + i, 9973))))).as("text"),
+    col("lang"), col("source")).cache()
+val emb10 = emb1.crossJoin(reps)
+  .select(
+    (col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
+    transform(col("embedding"),
+      (x, i) => x + (pmod(col("r") * 7 + i, lit(13)) - 6).cast("float") * 0.001f)
+      .as("embedding"),
+    col("label")).cache()
+println(s"docs10=${docs10.count()} emb10=${emb10.count()}")
+
+def time[A](label: String)(f: => A): Unit = {
+  val t0 = System.nanoTime()
+  val r = f
+  val s = (System.nanoTime() - t0) / 1e9
+  println(f"STRESS $label $s%.2f s -> $r")
+}
+
+def run(tag: String, d: DataFrame, e: DataFrame): Unit = {
+  time(s"q36_minhash_$tag") {
+    graft.ops.Dedup.minhashLsh(d, "doc_id", "text",
+      shingleN = 2, threshold = 0.3).count()
+  }
+  time(s"q64_prefix_$tag") {
+    val (pairs, rel) = graft.ops.Dedup.ngramJaccardPairsPrefixReleasable(
+      d, "doc_id", "text", n = 3, threshold = 0.8)
+    val n = pairs.count(); rel(); n
+  }
+  time(s"q77_decontam_$tag") {
+    graft.ops.Dedup.contaminatedIds(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 8).count()
+  }
+  time(s"q97_cc_star_$tag") {
+    val pairs = graft.ops.Dedup.minhashLsh(d, "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    graft.ops.Dedup.dedupClustersStar(pairs).count()
+  }
+  time(s"q114_pq_train_$tag") {
+    graft.ops.Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L)
+      .codebooks.map(_.size).sum
+  }
+  val idx = graft.ops.Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L)
+  time(s"q114_pq_search_$tag") {
+    val codes = graft.ops.Similarity.encodePq(e, "vec_id", "embedding", idx)
+    graft.ops.Similarity.knnPqRefined(codes, e,
+      e.filter(col("vec_id") < 8), "vec_id", "embedding", idx,
+      k = 5, shortlist = 40).count()
+  }
+}
+
+println("=== 1x (sf0.1) ===")
+run("1x", docs1, emb1)
+println("=== 10x ===")
+run("10x", docs10, emb10)
+System.exit(0)
