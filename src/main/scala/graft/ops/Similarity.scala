@@ -455,4 +455,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Cell-scoped kNN JOIN: top-k cosine neighbors for EVERY corpus
+    * vector, neighbors drawn from the vector's own cell — the ANN shape
+    * [[knnBruteForce]] cannot take, because there the QUERY SET must
+    * broadcast; here the "query set" is the whole corpus. This is the
+    * semantic-clustering / near-neighbor-graph pass a training pipeline
+    * runs corpus-wide (kNN graphs for dedup clustering, hard-negative
+    * mining, diversity scoring).
+    *
+    * Scale: one exchange keyed on the cell co-partitions both sides; the
+    * per-cell self-join bounds the quadratic term at |cell|² (cells come
+    * from IVF assignment — [[trainIvf]] — or any label, so |cell| ≈
+    * n/nlist and total work ≈ n²/nlist, the standard IVF-join tradeoff);
+    * the rank window keys on (cell, qid) so it reuses that same
+    * exchange (qid is cell-functional), and `WindowGroupLimit` prunes
+    * to k rows per query before any further movement. Recall is cell
+    * recall: neighbors outside the query's cell are unseen — raise
+    * nlist-side recall upstream by assigning overlapping cells, exactly
+    * as [[knnIvf]]'s nprobe does for broadcast queries. */
+  def knnJoinWithinCells(corpus: DataFrame, idCol: String, vecCol: String,
+                         cellCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val a = corpus.select(col(cellCol).as("cell"), col(idCol).as("qid"),
+      col(vecCol).as("__qv"))
+    val b = corpus.select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
+      col(vecCol).as("__cv"))
+    // window keyed (cell, qid), not qid alone: qid is cell-functional, and
+    // prefixing the cell lets the window REUSE the join's hash
+    // partitioning (HashPartitioning(cell) satisfies the clustered
+    // distribution on (cell, qid)) — zero exchanges after the join's two
+    val w = Window.partitionBy(col("cell"), col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("cell"), col("qid"), col("vec_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
 }

@@ -126,6 +126,45 @@ object Sketches {
   def quantileMerge(sketches: Seq[DataFrame], k: Int = 256): DataFrame =
     sketches.reduce(_.unionByName(_)).orderBy(col("u"), col("v")).limit(k)
 
+  /** Per-group [[quantileSketch]]: an independent bottom-k sample PER
+    * value of `groupCol`, in ONE exchange (group-keyed window ranks the
+    * hash-uniforms; rows beyond rank k drop map-side via
+    * WindowGroupLimit). Each group's k rows obey the same merge law as
+    * the global sketch, so per-shard grouped sketches union + re-limit
+    * into corpus-wide per-group sketches — the "quantiles by language /
+    * tenant / source" shape at 100 TB, where exact per-group
+    * percentile() would buffer every value of every group. */
+  def quantileSketchGrouped(df: DataFrame, groupCol: String, keyCol: String,
+                            valueCol: String, k: Int = 256,
+                            salt: String = "graft-qsk"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("u"), col("v"))
+    df.select(col(groupCol),
+        graft.functions.PortableHash.puniform(
+          concat_ws("|", lit(salt), col(keyCol).cast("string"))).as("u"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Nearest-rank estimates per group from a grouped sketch: one row
+    * (group, q, q_est) per (group, fraction). State per group is ≤k
+    * rows; both windows share the one group-keyed exchange. */
+  def quantileEstimateGrouped(sketch: DataFrame, groupCol: String,
+                              qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions $qs must lie in (0, 1]")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"), col("u"))
+    val ranked = sketch
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    ranked.join(broadcast(qs.toDF("q")),
+        col("__rn") === greatest(lit(1), ceil(col("q") * col("__n"))))
+      .select(col(groupCol), col("q"), round(col("v"), 6).as("q_est"))
+  }
+
   /** Nearest-rank quantile estimates from a sketch: one row (q, q_est)
     * per requested fraction, q_est = the sample value at rank
     * max(1, ceil(q·n)) in (v, u) order. The window runs over the ≤k-row

@@ -173,6 +173,48 @@ object StatsQueries {
         .orderBy("doc_id")
     }),
 
+    // Grouped quantile sketch vs exact: an independent bottom-k sample
+    // per order priority in ONE group-keyed exchange (map-side
+    // WindowGroupLimit), nearest-rank estimates beside the exact
+    // per-group percentiles — "quantiles by tenant" without buffering
+    // any group's full value set.
+    "q121_quantile_grouped" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val est = Sketches.quantileEstimateGrouped(
+        Sketches.quantileSketchGrouped(o, "o_orderpriority", "o_orderkey",
+          "o_totalprice", k = 128),
+        "o_orderpriority", Seq(0.5, 0.9))
+      val exact = o.groupBy("o_orderpriority").agg(
+        expr("percentile(o_totalprice, 0.5)").as("__e50"),
+        expr("percentile(o_totalprice, 0.9)").as("__e90"))
+      est.join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("q"), col("q_est"),
+          round(when(col("q") === 0.5, col("__e50")).otherwise(col("__e90")), 6)
+            .as("exact"))
+        .orderBy("o_orderpriority", "q")
+    }),
+
+    // Z-order (Morton) values + layout roundtrip: orders rewritten
+    // z-clustered on (custkey, orderkey) buckets, then read back with
+    // each row's z-value — the interleave is plain bit arithmetic the
+    // oracle replays exactly, and the roundtrip proves the rewrite
+    // loses nothing. ZOrderSpec proves the locality property (bounded
+    // per-file ranges in BOTH dimensions) that makes it a layout op.
+    "q120_zorder_layout" -> ((s, dir) => {
+      val suf = dir.hashCode.toHexString
+      val in = s"/tmp/graft_zin_$suf"
+      val out = s"/tmp/graft_zout_$suf"
+      Tables.orders(s, dir).write.mode("overwrite").parquet(in)
+      graft.sources.ZOrder.compactZOrder(s, in, out,
+        "o_custkey", "o_orderkey", bits = 8, targetBytes = 16L * 1024 * 1024)
+      s.read.parquet(out)
+        .select(col("o_orderkey"),
+          graft.sources.ZOrder.zValue(
+            pmod(col("o_custkey"), lit(256)).cast("long"),
+            pmod(col("o_orderkey"), lit(256)).cast("long"), 8).as("zval"))
+        .orderBy("o_orderkey")
+    }),
+
     // Skew-mitigation: salted two-stage aggregation must equal the plain
     // group-by (the oracle computes it directly).
     "q54_salted_agg" -> ((s, dir) => {
@@ -290,5 +332,31 @@ object StatsQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2 ORDER BY custkey""",
     "q96_compact_roundtrip" ->
-      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""")
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    "q121_quantile_grouped" ->
+      """WITH s AS (SELECT o_orderpriority AS g,
+                 (CAST('0x' || substr(md5('graft-qsk|' || o_orderkey), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u,
+                 CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+          mk AS (SELECT g, u, v FROM
+                   (SELECT g, u, v, row_number() OVER (PARTITION BY g ORDER BY u, v) AS rn FROM s)
+                 WHERE rn <= 128),
+          r AS (SELECT g, u, v, row_number() OVER (PARTITION BY g ORDER BY v, u) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n FROM mk),
+          qs AS (SELECT unnest([0.5, 0.9]) AS q),
+          est AS (SELECT g, q, round(min(v), 6) AS q_est
+                  FROM qs JOIN r ON r.rn = greatest(1, CAST(ceil(q * r.n) AS BIGINT))
+                  GROUP BY g, q),
+          ex AS (SELECT o_orderpriority AS g,
+                   quantile_cont(o_totalprice, 0.5) AS e50,
+                   quantile_cont(o_totalprice, 0.9) AS e90 FROM orders GROUP BY 1)
+          SELECT g AS o_orderpriority, q, q_est,
+                 round(CASE WHEN q = 0.5 THEN e50 ELSE e90 END, 6) AS exact
+          FROM est JOIN ex USING (g) ORDER BY o_orderpriority, q""",
+    "q120_zorder_layout" -> {
+      val zTerms = (0 until 8).flatMap(i => Seq(
+        s"((((o_custkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""SELECT o_orderkey, CAST($zTerms AS BIGINT) AS zval
+          FROM orders ORDER BY o_orderkey"""
+    })
 }

@@ -335,6 +335,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q116's diff through the STORAGE layer: both snapshots committed as
+    // SnapshotStore versions (atomic marker publish), then time-travel
+    // diffVersions(v1, v2) — same answer as the in-memory diff, proving
+    // the versioned store round-trips content and the time-travel reads
+    // resolve the right commits. Same oracle as q116.
+    "q122_snapshot_timetravel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val after = d.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit("rev2 "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 19 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val table = s"/tmp/graft_tt_${dir.hashCode.toHexString}"
+      // rebuild the two versions deterministically per dataset
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      graft.sources.SnapshotStore.commit(d, table, meta = "base")
+      graft.sources.SnapshotStore.commit(after, table, meta = "refresh")
+      graft.sources.SnapshotStore.diffVersions(s, table, 1L, 2L,
+          Seq("doc_id"), Seq("text"))
+        .orderBy("doc_id")
+    }),
+
     // Exact-substring duplication audit (the windowed form of
     // suffix-array substring dedup): docs sharing any 10-token window
     // with an earlier (doc, pos), with window/duplicate counts.
@@ -701,6 +726,19 @@ object TextQueries {
                  CASE WHEN n < 256 THEN n * 1.0
                       ELSE round((256 - 1) / uk, 6) END AS kmv_est
           FROM st""",
+    "q122_snapshot_timetravel" ->
+      """WITH bf AS (SELECT doc_id, md5(text) AS hb FROM documents),
+          af AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN 'rev2 ' || text ELSE text END) AS ha
+                 FROM documents WHERE doc_id % 11 <> 3
+                 UNION ALL
+                 SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 19 = 5)
+          SELECT doc_id,
+                 CASE WHEN hb IS NULL THEN 'added'
+                      WHEN ha IS NULL THEN 'removed'
+                      WHEN ha = hb THEN 'same' ELSE 'changed' END AS status
+          FROM bf FULL OUTER JOIN af USING (doc_id)
+          ORDER BY doc_id""",
     "q116_snapshot_diff" ->
       """WITH bf AS (SELECT doc_id, md5(text) AS hb FROM documents),
           af AS (SELECT doc_id,

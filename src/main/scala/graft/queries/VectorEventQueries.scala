@@ -148,6 +148,18 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Cell-scoped kNN JOIN: top-3 neighbors for EVERY vector from its
+    // own label cell — the corpus-wide near-neighbor-graph pass (kNN
+    // graphs, hard-negative mining) where the query set is the corpus
+    // itself and so can never broadcast. One exchange pair on the cell
+    // key; the rank window reuses it ((cell, qid) keys, qid
+    // cell-functional).
+    "q119_knn_join_cells" -> ((s, dir) => {
+      Similarity.knnJoinWithinCells(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", k = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // q38's ranking via the native bounded-heap aggregate: map-side
     // partial top-k per query, O(k·maps)-row exchange instead of the
     // window's full-corpus shuffle+sort. Same output, same oracle as q38.
@@ -304,6 +316,15 @@ object VectorEventQueries {
     s"""q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NQueries)"""
 
   val oracles: Map[String, String] = Map(
+    "q119_knn_join_cells" ->
+      s"""WITH sc AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+               FROM embeddings a JOIN embeddings b
+                 ON a.label = b.label AND a.vec_id <> b.vec_id),
+          r AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+          FROM r WHERE rank <= 3 ORDER BY qid, rank""",
     "q38_knn_bruteforce" ->
       s"""WITH $knnCore,
           sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim

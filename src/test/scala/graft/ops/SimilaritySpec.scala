@@ -34,6 +34,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).sameElements(Array(1L, 2L, 5L)))
   }
 
+  test("knnJoinWithinCells: every vector gets its in-cell top-k, never cross-cell") {
+    val got = Similarity.knnJoinWithinCells(vecs, "vec_id", "embedding", "label", k = 2)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect()
+    val cellOf = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1)
+    // every query appears; neighbors stay in the query's cell; no self
+    assert(got.map(_._1).distinct.sorted.sameElements(Array(0L, 1L, 2L, 3L, 4L, 5L)))
+    assert(got.forall { case (q, _, v) => cellOf(q) == cellOf(v) && q != v })
+    // each 3-vector cell yields exactly 2 neighbors per query
+    assert(got.length == 12)
+    // spot-check: vec 0's in-cell ranking is 1 (.9939) then 2 (.9701)
+    val v0 = got.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(v0.sameElements(Array(1L, 2L)))
+    // exchange budget: at most 2 (the shuffled join's pair, with the
+    // (cell, qid) window reusing them) — on broadcast-size inputs AQE
+    // collapses to a broadcast join + the window's single exchange.
+    // Never a cartesian, and the rank limit must push down.
+    val plan = Similarity.knnJoinWithinCells(vecs, "vec_id", "embedding", "label", 2)
+      .queryExecution.executedPlan.toString
+    val nEx = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length
+    assert(nEx <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("knnBruteForce excludes the query itself") {
     val q = vecs.filter($"vec_id" === 0)
     val ids = Similarity.knnBruteForce(vecs, q, "vec_id", "embedding", 10)

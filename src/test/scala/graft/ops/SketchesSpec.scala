@@ -108,6 +108,33 @@ class SketchesSpec extends SparkSpec {
     assert(exactMedian == 3.0)
   }
 
+  test("grouped quantile sketch restricts to the per-group global sketch, one exchange") {
+    val rows = spark.range(1, 4001)
+      .selectExpr("concat('g', id % 4) AS g", "id AS k",
+        "CAST((id * 17) % 500 AS DOUBLE) AS v")
+    val k = 64
+    val grouped = Sketches.quantileSketchGrouped(rows, "g", "k", "v", k = k)
+    // restriction property: the grouped sketch of group g IS the plain
+    // sketch of that group's rows (same hash, same bottom-k law)
+    for (g <- Seq("g0", "g3")) {
+      val fromGrouped = grouped.filter($"g" === g).select("u", "v")
+        .as[(Double, Double)].collect().sorted.toSeq
+      val direct = Sketches.quantileSketch(
+          rows.filter($"g" === g), "k", "v", k = k)
+        .as[(Double, Double)].collect().sorted.toSeq
+      assert(fromGrouped == direct, s"group $g diverged")
+    }
+    // estimates carry the group key and stay in value range
+    val est = Sketches.quantileEstimateGrouped(grouped, "g", Seq(0.5))
+      .as[(String, Double, Double)].collect()
+    assert(est.map(_._1).sorted.toSeq == Seq("g0", "g1", "g2", "g3"))
+    assert(est.forall(e => e._3 >= 0.0 && e._3 < 500.0))
+    // one group-keyed exchange; rank limit prunes map-side
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("cms estimate for an absent key is zero when its cells are empty") {
     val tiny = Seq("a", "a", "b").toDF("k")
     val sketch = Sketches.cmsBuild(tiny, "k")

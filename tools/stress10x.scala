@@ -1,6 +1,6 @@
 // Scale-stress harness (VERDICT r8 #6): time the flagship dedup/ANN paths
 // at 1x (sf0.1) and ~10x (sf0.1 replicated 10 ways with deterministic
-// distinct-ifying filler so replicas are NOT near-dups of each other —
+// distinct-ifying filler so replicas are NOT near-dups of each other --
 // the workload density stays comparable and only the VOLUME grows).
 // One-off driver run via spark-shell; results recorded in PERFORMANCE.md.
 // Usage:
@@ -27,9 +27,10 @@ val docs10 = docs1.crossJoin(reps)
     (col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
     concat(col("text"), lit(" "),
       concat_ws(" ", transform(
-        sequence(lit(1), greatest(lit(3), size(split(col("text"), " ")) / 6)),
+        sequence(lit(1), greatest(lit(3),
+          floor(size(split(col("text"), " ")) / 6).cast("int"))),
         i => concat(lit("zz"), col("r"), lit("_"),
-          pmod(col("doc_id") * 31 + i, 9973))))).as("text"),
+          pmod(col("doc_id") * 31 + i, lit(9973)))))).as("text"),
     col("lang"), col("source")).cache()
 val emb10 = emb1.crossJoin(reps)
   .select(
