@@ -335,6 +335,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental corpus refresh, end to end THROUGH the versioned
+    // store: two overlapping crawl batches ingested in sequence
+    // (content dedup vs the committed corpus + in-batch first-wins +
+    // benchmark decontamination per ingest, then an atomic version
+    // commit). The oracle replays both ingests in SQL — the daily-
+    // refresh path is hash-checked, not just spec-checked.
+    "q123_incremental_ingest" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val b1 = d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 50 =!= 0)
+      val b2 = d.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 50 =!= 0)
+      val table = s"/tmp/graft_incq_${dir.hashCode.toHexString}"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      graft.pipelines.IncrementalCorpus.ingest(s, table, b1, bench,
+        "doc_id", "text", decontamN = 8, meta = "crawl-1")
+      graft.pipelines.IncrementalCorpus.ingest(s, table, b2, bench,
+        "doc_id", "text", decontamN = 8, meta = "crawl-2")
+      graft.sources.SnapshotStore.read(s, table)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // q116's diff through the STORAGE layer: both snapshots committed as
     // SnapshotStore versions (atomic marker publish), then time-travel
     // diffVersions(v1, v2) — same answer as the in-memory diff, proving
@@ -726,6 +749,28 @@ object TextQueries {
                  CASE WHEN n < 256 THEN n * 1.0
                       ELSE round((256 - 1) / uk, 6) END AS kmv_est
           FROM st""",
+    "q123_incremental_ingest" ->
+      s"""WITH be AS (SELECT DISTINCT ${phashSql("g")} AS g
+                 FROM (SELECT unnest(${shingleSqlN(8)}) AS g FROM documents WHERE doc_id % 50 = 0)),
+          b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 AND doc_id % 50 <> 0),
+          f1 AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, md5(text) AS h FROM b1) GROUP BY h),
+          a1p AS (SELECT d.doc_id, d.text FROM documents d JOIN f1 USING (doc_id)),
+          c1 AS (SELECT DISTINCT doc_id FROM
+                   (SELECT doc_id, ${phashSql("g")} AS g
+                    FROM (SELECT doc_id, unnest(${shingleSqlN(8)}) AS g FROM a1p)) JOIN be USING (g)),
+          a1 AS (SELECT doc_id, text FROM a1p WHERE doc_id NOT IN (SELECT doc_id FROM c1)),
+          b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 50 <> 0),
+          fr2 AS (SELECT doc_id, md5(text) AS h FROM b2
+                  WHERE md5(text) NOT IN (SELECT md5(text) FROM a1)),
+          f2 AS (SELECT min(doc_id) AS doc_id FROM fr2 GROUP BY h),
+          a2p AS (SELECT d.doc_id, d.text FROM documents d JOIN f2 USING (doc_id)),
+          c2 AS (SELECT DISTINCT doc_id FROM
+                   (SELECT doc_id, ${phashSql("g")} AS g
+                    FROM (SELECT doc_id, unnest(${shingleSqlN(8)}) AS g FROM a2p)) JOIN be USING (g)),
+          a2 AS (SELECT doc_id FROM a2p WHERE doc_id NOT IN (SELECT doc_id FROM c2))
+          SELECT CAST(doc_id AS BIGINT) AS doc_id
+          FROM (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2)
+          ORDER BY doc_id""",
     "q122_snapshot_timetravel" ->
       """WITH bf AS (SELECT doc_id, md5(text) AS hb FROM documents),
           af AS (SELECT doc_id,

@@ -1,0 +1,56 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.sources.SnapshotStore
+
+class IncrementalCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta"))
+    .toDF("doc_id", "text")
+
+  test("ingest dedups against the committed corpus, decontaminates, and versions") {
+    val table = s"/tmp/graft_inc_${System.nanoTime()}"
+    // batch 1: 3 docs, one of which collides with the bench 8-gram
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // contaminated
+      (3L, "pack my box with five dozen liquor jugs right now")
+    ).toDF("doc_id", "text")
+    val v1 = IncrementalCorpus.ingest(spark, table, b1, bench,
+      "doc_id", "text", decontamN = 8, meta = "crawl-1")
+    assert(v1 == 1L)
+    val c1 = SnapshotStore.read(spark, table).select("doc_id").as[Long].collect().sorted
+    assert(c1.sameElements(Array(1L, 3L)), s"got ${c1.toSeq}")
+
+    // batch 2: repeats doc 1's CONTENT under a new id (dropped), an
+    // in-batch duplicate pair (first id wins), and one genuinely new doc
+    val b2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // corpus dup
+      (11L, "how vexingly quick daft zebras jump in the fog"),
+      (12L, "how vexingly quick daft zebras jump in the fog"),      // in-batch dup
+      (13L, "sphinx of black quartz judge my vow this evening ok")
+    ).toDF("doc_id", "text")
+    val v2 = IncrementalCorpus.ingest(spark, table, b2, bench,
+      "doc_id", "text", decontamN = 8, meta = "crawl-2")
+    assert(v2 == 2L)
+    val c2 = SnapshotStore.read(spark, table).select("doc_id").as[Long].collect().sorted
+    assert(c2.sameElements(Array(1L, 3L, 11L, 13L)), s"got ${c2.toSeq}")
+
+    // re-ingesting an already-absorbed batch is a no-op on content
+    val v3 = IncrementalCorpus.ingest(spark, table, b2, bench,
+      "doc_id", "text", decontamN = 8, meta = "crawl-2-replay")
+    val c3 = SnapshotStore.read(spark, table).select("doc_id").as[Long].collect().sorted
+    assert(v3 == 3L && c3.sameElements(c2), s"got ${c3.toSeq}")
+
+    // the audit trail: time travel still shows the v1 corpus, and the
+    // v1->v2 diff is exactly the two accepted docs
+    assert(SnapshotStore.readVersion(spark, table, 1L).count() == 2L)
+    val diff = SnapshotStore.diffVersions(spark, table, 1L, 2L,
+        Seq("doc_id"), Seq("text"))
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(diff == Map(1L -> "same", 3L -> "same",
+      11L -> "added", 13L -> "added"), diff.toString)
+    assert(SnapshotStore.commitMeta(spark, table, 2L).contains("crawl-2"))
+  }
+}
