@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge lists. The representation is the
+  * lake-native one — a DataFrame of (src, dst) rows — not an in-memory
+  * adjacency structure: every step is a join/aggregation Catalyst can
+  * plan, so the same code runs at 100 TB edge scale where a
+  * driver-resident graph cannot exist.
+  */
+object Graph {
+
+  /** PageRank in FIXED-POINT integer arithmetic (micro-rank units), so
+    * the result is bit-identical on every engine: long addition commutes
+    * exactly (no float summation-order drift — the q80 lesson) and
+    * integral division (`div`) replays as `//` in an external SQL
+    * engine's unrolled-iteration CTEs. Classic damped update (Page et
+    * al. 1999), un-normalized form on micro-units:
+    *
+    *   rank'(v) = (1-d)·1e6 + d · Σ_{u→v} rank(u) div outdeg(u)
+    *
+    * with d = dampNumer/dampDenom applied as integer multiply-then-div.
+    * Nodes with no in-edges keep the teleport term (left join + coalesce
+    * 0). Dangling mass (nodes with no OUT-edges) is dropped, the common
+    * simplification; symmetrize the edge list if conservation matters.
+    *
+    * Scale: the edge list (with its precomputed out-degree) is shuffled
+    * ONCE onto src and persisted; each iteration then costs one shuffle
+    * of the node-sized rank table to the edge partitioning, one
+    * map-side-combined sum onto dst, and one node left join — the edge
+    * table, which is the 100 TB side, never moves again. Iterations are
+    * a fixed small count (the analytics use: 3-10), so lineage stays
+    * shallow; checkpoint per-iteration if you raise it.
+    */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iterations: Int = 3,
+                         dampNumer: Int = 850, dampDenom: Int = 1000,
+                         initMicro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNumer > 0 && dampNumer < dampDenom,
+      s"damping $dampNumer/$dampDenom must lie in (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
+    var ranks = nodes.select(col("node"), lit(initMicro).as("rank"))
+    for (_ <- 1 to iterations) {
+      val inbound = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
+        .groupBy("node")
+        .agg(sum("__contrib").as("__in"))
+      ranks = nodes
+        .join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleportMicro) +
+            expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+    }
+    // Both caches are referenced `iterations` times by the returned plan;
+    // they materialize on first use within the caller's action and are
+    // released by the harness once the result is consumed (QueryCleanup
+    // ordering contract — plain caches, safe to recompute if drained early).
+    graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
+    ranks
+  }
+}

@@ -146,6 +146,59 @@ object Sampling {
       .drop("__wk", "__rn")
   }
 
+  /** Rebalance a corpus to TARGET domain proportions without upsampling
+    * — the "data mixture" step of training-corpus assembly (the weighted
+    * source mixes of GPT-3 / The Pile dataset cards): given per-mille
+    * target weights, find the LARGEST total size at which every domain
+    * can meet its share from existing rows (size = min over domains of
+    * floor(n_d·1000/w_d)), take quota_d = floor(size·w_d/1000) rows per
+    * domain, and select each domain's quota deterministically by key
+    * hash (smallest [[bucket]] first, key tie-break) — so the mix is
+    * reproducible and an external engine replays it row-for-row. All
+    * quota arithmetic is integral: no float share can drift.
+    *
+    * Every weighted domain must appear in the corpus (a missing domain
+    * caps the achievable size at 0 — returned empty, not inferred);
+    * rows from domains OUTSIDE the weight map are dropped.
+    *
+    * Scale: one map-side-combined count per domain (|domains| rows; the
+    * quota table broadcasts), then one rank window per domain — one
+    * exchange on the domain key. With few huge domains that rank is the
+    * skew point; the at-scale refinement is a per-domain hash-bucket
+    * THRESHOLD read from a grouped bottom-k sketch
+    * ([[Sketches.quantileSketchGrouped]] over the bucket values: u at
+    * rank quota_d), which turns selection into a scan-side predicate at
+    * the cost of a ±sketch-error quota. The exact form is implemented
+    * here; the window limit only pushes map-side when literal, so the
+    * sketch route is the one that survives a single-domain 100 TB skew.
+    */
+  def mixtureRebalance(df: DataFrame, domainCol: String, keyCol: String,
+                       weightsPerMille: Map[String, Int],
+                       salt: String = "graft-mix"): DataFrame = {
+    require(weightsPerMille.nonEmpty && weightsPerMille.values.forall(_ > 0),
+      "weights must be positive")
+    require(weightsPerMille.values.sum == 1000,
+      s"weights must sum to 1000 per-mille, got ${weightsPerMille.values.sum}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPerMille.toSeq.toDF(domainCol, "__w")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+    // left join FROM weights: a weighted domain absent from the corpus
+    // must contribute cap 0, not silently vanish from the min.
+    val size = w.join(counts, Seq(domainCol), "left")
+      .select(expr("(coalesce(__n, 0L) * 1000) div __w").as("__cap"))
+      .agg(min("__cap").as("__size"))
+    val quotas = w.crossJoin(size)
+      .select(col(domainCol), expr("(__size * __w) div 1000").as("__q"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(bucket(col(keyCol), salt), col(keyCol))
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__rn", "__q")
+  }
+
   /** Deterministic train/val/test-style split: label each row by which
     * cumulative-weight interval its hash bucket falls in. Weights must
     * sum to 1 (±1e-9). Same key + salt → same split, forever, on any

@@ -165,6 +165,71 @@ object Sketches {
       .select(col(groupCol), col("q"), round(col("v"), 6).as("q_est"))
   }
 
+  /** EXACT frequent items above a support threshold (count·supportDen >=
+    * N) without a vocabulary-sized shuffle: a Misra–Gries candidate pass
+    * (Misra & Gries 1982; the "frequent" summary of Cormode &
+    * Hadjieleftheriou 2008) runs per partition in O(capacity) bounded
+    * state, then ONE exact counting pass over the candidate set only.
+    * Pigeonhole guarantee: an item with global count > N/(capacity+1)
+    * survives MG in at least one partition (were it evicted everywhere,
+    * each partition would have f_i <= N_i/(capacity+1), summing to
+    * f <= N/(capacity+1)); with capacity+1 >= supportDen every item at
+    * or above the support threshold is a candidate, so the exact pass —
+    * whose semantics an external engine replays as plain GROUP BY ...
+    * HAVING — returns exactly the frequent set, independent of
+    * partitioning and of the MG pass entirely.
+    *
+    * Scale: state is `capacity` counters per partition; the candidate
+    * set is <= partitions·capacity keys (it broadcasts), so the exact
+    * pass shuffles only candidate keys after a map-side semi-join filter
+    * — the long tail of a 100 TB vocabulary never reaches an exchange.
+    * The MG pass also carries each partition's row total (sentinel null
+    * key), so N costs no extra scan: two passes total over the input.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String,
+                   supportDen: Int = 1000, capacity: Int = 1024): DataFrame = {
+    require(supportDen >= 2, s"supportDen=$supportDen must be >= 2")
+    require(capacity + 1 >= supportDen,
+      s"capacity=$capacity too small for support 1/$supportDen: " +
+        "the MG superset guarantee needs capacity+1 >= supportDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Null keys are excluded (SQL GROUP BY would keep a null group, but
+    // a null MG survivor would collide with the sentinel row below).
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k")).as[String]
+    // (key, 0) per MG survivor; (null, partitionRowCount) sentinel per partition.
+    val mg = keys.mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      var total = 0L
+      it.foreach { k =>
+        total += 1
+        counts.get(k) match {
+          case Some(c) => counts.update(k, c + 1)
+          case None if counts.size < capacity => counts.update(k, 1L)
+          case None => // decrement-all; evict zeros (snapshot keys: no
+            // structural mutation of the map mid-iteration)
+            counts.keysIterator.toArray.foreach { kk =>
+              val c = counts(kk)
+              if (c == 1L) counts.remove(kk) else counts.update(kk, c - 1)
+            }
+        }
+      }
+      counts.keysIterator.map(k => (k, 0L)) ++ Iterator.single((null: String, total))
+    }.toDF("k", "__t")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => mg.unpersist())
+    val candidates = mg.filter(col("k").isNotNull).select("k").distinct()
+    val totals = mg.filter(col("k").isNull).agg(sum("__t").as("__n"))
+    keys.toDF("k")
+      .join(broadcast(candidates), Seq("k"), "left_semi")
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * supportDen >= col("__n"))
+      .select(col("k").as(keyCol), col("cnt"))
+  }
+
   /** Nearest-rank quantile estimates from a sketch: one row (q, q_est)
     * per requested fraction, q_est = the sample value at rank
     * max(1, ceil(q·n)) in (v, u) order. The window runs over the ≤k-row

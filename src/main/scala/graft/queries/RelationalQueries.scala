@@ -223,6 +223,24 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // PageRank over the symmetrized supplier↔customer trade graph
+    // (distinct lineitem⋈orders pairs; supplier keys offset into their
+    // own id space). Fixed-point micro-rank integers: long sums commute
+    // exactly and `div` replays as `//`, so three unrolled iteration
+    // CTEs in the oracle reproduce every rank bit-for-bit.
+    "q125_pagerank" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .orderBy("node")
+    }),
+
     // Hierarchical aggregate: ROLLUP over (status, priority) — partial
     // aggregation handles the super-aggregate rows in the same shuffle.
     "q47_rollup" -> ((s, dir) => {
@@ -313,6 +331,20 @@ object RelationalQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id""",
     "q47_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q125_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
+          SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
     "q48_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000 INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000 ORDER BY o_custkey""",
     "q49_left_join_zero" ->

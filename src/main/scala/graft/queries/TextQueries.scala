@@ -415,6 +415,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact heavy hitters over the token stream: a Misra–Gries bounded-
+    // state candidate pass (per partition), then one exact count pass
+    // over the broadcast candidate set. The oracle replays the exact
+    // semantics (GROUP BY ... HAVING) directly — the MG pass provably
+    // cannot change the answer (superset guarantee), only the shuffle
+    // size, so frequent-token mining is hash-checked end to end.
+    "q124_heavy_hitters" -> ((s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Sketches.heavyHitters(tk, "token", supportDen = 1000, capacity = 1024)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    // Corpus mixture rebalance: target per-mille weights per language →
+    // the largest achievable corpus with no upsampling, per-domain
+    // selection by portable hash rank. Integral quota arithmetic and the
+    // hash ordering replay exactly in SQL.
+    "q126_mixture_rebalance" -> ((s, dir) => {
+      Sampling.mixtureRebalance(
+        Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 400, "de" -> 150, "es" -> 150, "fr" -> 150, "zh" -> 150))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top-3 salient terms per document: token explode reduces to
     // (doc, term) counts, idf joins back co-partitioned on the term key,
     // per-doc top-k is one windowed row_number over 1e-9-rounded scores.
@@ -812,6 +837,21 @@ object TextQueries {
           SELECT doc_id, CAST(version AS BIGINT) AS version,
                  CAST(len(text) AS BIGINT) AS text_len
           FROM r WHERE rn = 1 AND NOT deleted ORDER BY doc_id""",
+    "q124_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($tokSql) AS token FROM documents)
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY token
+          HAVING count(*) * 1000 >= (SELECT count(*) FROM tk)
+          ORDER BY cnt DESC, token""",
+    "q126_mixture_rebalance" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          w AS (SELECT * FROM (VALUES ('en',400),('de',150),('es',150),('fr',150),('zh',150)) AS t(lang, w)),
+          sz AS (SELECT MIN((COALESCE(n, 0) * 1000) // w) AS size FROM w LEFT JOIN c USING (lang)),
+          q AS (SELECT lang, (size * w) // 1000 AS qn FROM w, sz),
+          r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                  ORDER BY ${phashSql("'graft-mix|' || doc_id")} % 1000000, doc_id) AS rn
+                FROM documents)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM r JOIN q USING (lang)
+          WHERE rn <= qn ORDER BY doc_id""",
     "q102_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),

@@ -92,4 +92,43 @@ class PlanShapeSpec extends SparkSpec {
     // ids — a set bounded by the contaminated-doc count, not the corpus
     assert(exchanges(p) <= 2, p)
   }
+
+  test("heavyHitters: candidate semi-join broadcasts, no vocabulary sort-merge join") {
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val p = plan(Sketches.heavyHitters(toks, "token", supportDen = 100, capacity = 128))
+    graft.QueryCleanup.drain()
+    // exact pass: candidates reach the token stream as a broadcast
+    // left-semi hash join; the only non-broadcast exchanges are the
+    // candidate distinct, the candidate-only count, and the 1-row total
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(exchanges(p) == 3, p)
+  }
+
+  test("pageRank: the edge table is cached pre-partitioned and never re-exchanged") {
+    val edges = (0L until 400L).map(i => (i % 57, (i * 31) % 57)).toDF("src", "dst")
+    val pr = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 2)
+    val p = plan(pr)
+    graft.QueryCleanup.drain()
+    assertNoQuadratic(p)
+    // the (edges x outdeg) table is built behind exactly one
+    // REPARTITION_BY_COL exchange inside its InMemoryRelation; every
+    // iteration reads the cache (per-reference plan strings repeat the
+    // construction subtree, so per-iteration work is pinned by the scan
+    // marker, not a raw exchange count)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+  }
+
+  test("mixtureRebalance: quota join broadcasts; one data exchange for the domain window") {
+    val d = docs.select(col("doc_id"), concat(lit("l"), col("lang")).as("dom"))
+    val p = plan(Sampling.mixtureRebalance(d, "dom", "doc_id",
+      Map("l0" -> 200, "l1" -> 200, "l2" -> 200, "l3" -> 200, "l4" -> 200)))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // 3 exchanges total: the domain-count agg + the 1-row min agg on the
+    // quota branch (|domains|-sized), and ONE window exchange on the data
+    assert(exchanges(p) == 3, p)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1→2, 1→3, 2→3, 3→1: node 3 is the hub (two in-edges), node 2 only
+  // receives half of 1's rank, node 1 recycles 3's.
+  private lazy val asym = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+
+  test("pageRank matches the hand-computed fixed-point iteration") {
+    // outdeg: 1→2, 2→1, 3→1; r0 = 1e6 each.
+    // iter1: in(1)=1e6, in(2)=5e5, in(3)=5e5+1e6
+    //   r1 = (1000000, 575000, 1425000)
+    // iter2: in(1)=1425000, in(2)=500000, in(3)=500000+575000
+    //   r2(1)=150000+850*1425000 div 1000 = 1361250
+    //   r2(2)=150000+425000              = 575000
+    //   r2(3)=150000+850*1075000 div 1000 = 1063750
+    val r = Graph.pageRankFixedPoint(asym, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("a node with no in-edges converges to the bare teleport term") {
+    val e = Seq((7L, 8L)).toDF("src", "dst") // 8 is dangling, 7 unreferenced
+    val r = Graph.pageRankFixedPoint(e, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r(7L) == 150000L, "teleport-only node")
+    // 8 receives 7's full rank: 150000 + 850*150000 div 1000 after convergence
+    assert(r(8L) == 150000L + 850L * 150000L / 1000L)
+  }
+
+  test("pageRank is partitioning-independent (integer sums commute exactly)") {
+    val edges = (0L until 400L).map(i => (i % 57, (i * 31) % 57)).toDF("src", "dst")
+    val a = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    val b = Graph.pageRankFixedPoint(edges.repartition(13), "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(a == b)
+  }
+
+  test("symmetrized graph conserves total mass to within div truncation") {
+    val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)).toDF("a", "b")
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val r = Graph.pageRankFixedPoint(e, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect()
+    graft.QueryCleanup.drain()
+    val mass = r.map(_._2).sum
+    val n = r.length
+    // each iteration can truncate at most 1 micro-unit per (edge, node) div
+    assert(mass <= n * 1000000L && mass > n * 1000000L - 4 * 1000 * n)
+  }
+}

@@ -148,4 +148,41 @@ class SamplingPackingSpec extends SparkSpec {
     // s2: 0,600 -> bins 0,1 (first doc overflows its bin; never split)
     assert(got(4L) == 0L && got(5L) == 1L)
   }
+
+  test("mixtureRebalance hits exact floor quotas and is partitioning-independent") {
+    val docs = (0L until 600L).map { i =>
+      (i, if (i % 6 < 3) "web" else if (i % 6 < 5) "wiki" else "books")
+    }.toDF("id", "dom") // web 300, wiki 200, books 100
+    val w = Map("web" -> 500, "wiki" -> 300, "books" -> 200)
+    // size = min(300*1000 div 500, 200*1000 div 300, 100*1000 div 200)
+    //      = min(600, 666, 500) = 500 -> quotas web 250, wiki 150, books 100
+    val out = Sampling.mixtureRebalance(docs, "dom", "id", w)
+    val byDom = out.groupBy("dom").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byDom == Map("web" -> 250L, "wiki" -> 150L, "books" -> 100L))
+    // subset, no duplicates
+    assert(out.select("id").distinct().count() == 500)
+    assert(out.join(docs, Seq("id", "dom"), "left_anti").count() == 0)
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.mixtureRebalance(docs.repartition(11), "dom", "id", w)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("mixtureRebalance: a missing weighted domain caps the corpus at empty") {
+    val docs = Seq((1L, "web"), (2L, "web")).toDF("id", "dom")
+    val out = Sampling.mixtureRebalance(docs, "dom", "id",
+      Map("web" -> 500, "wiki" -> 500))
+    assert(out.count() == 0)
+  }
+
+  test("mixtureRebalance validates weights") {
+    val docs = Seq((1L, "web")).toDF("id", "dom")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureRebalance(docs, "dom", "id", Map("web" -> 999))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureRebalance(docs, "dom", "id", Map("web" -> 1001, "wiki" -> -1))
+    }
+  }
 }

@@ -144,4 +144,29 @@ class SketchesSpec extends SparkSpec {
     // at least one of its 4 rows, so the min is 0
     assert(est == 0L)
   }
+
+  test("heavyHitters returns exactly the frequent set, independent of partitioning") {
+    // skewed stream: h1 x500, h2 x300, h3 x40, 2000 singleton tail keys
+    val data = (Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++ Seq.fill(40)("h3") ++
+      (1 to 2000).map(i => s"t$i")).toDF("k")
+    val n = 500 + 300 + 40 + 2000
+    val naive = data.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 >= n)
+      .as[(String, Long)].collect().toMap
+    for (parts <- Seq(1, 4, 17)) {
+      val hh = Sketches.heavyHitters(data.repartition(parts), "k",
+        supportDen = 100, capacity = 128)
+        .as[(String, Long)].collect().toMap
+      graft.QueryCleanup.drain()
+      assert(hh == naive, s"parts=$parts")
+    }
+    assert(naive.keySet == Set("h1", "h2", "h3")) // the check is value-bearing
+  }
+
+  test("heavyHitters rejects a capacity below the MG superset bound") {
+    val data = Seq("a", "b").toDF("k")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(data, "k", supportDen = 1000, capacity = 64)
+    }
+  }
 }
