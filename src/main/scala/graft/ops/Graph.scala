@@ -44,13 +44,21 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Degree as a window count over the repartition's own exchange:
+    // HashPartitioning(src) satisfies the window's ClusteredDistribution,
+    // so the edge subtree (often an expensive join/distinct upstream) is
+    // scanned exactly ONCE into the cache — no groupBy+self-join, no
+    // second exchange.
     val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
       .repartition(col("src"))
+      .withColumn("__outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Node universe read back from the cached edge table, not from the
+    // uncached upstream subtree.
+    val nodes = withDeg.select(col("src").as("node"))
+      .union(withDeg.select(col("dst").as("node")))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
     var ranks = nodes.select(col("node"), lit(initMicro).as("rank"))
