@@ -86,6 +86,41 @@ object Sketches {
         when(col("__n") < k, col("__n").cast("double"))
           .otherwise(round((lit(k) - 1) / col("__uk"), 6)).as("kmv_est"))
 
+  /** Per-group KMV sketch: the k smallest distinct hash-uniforms of
+    * `keyCol` WITHIN each group — one approx-distinct state per group in
+    * bounded k rows, the grouped twin of [[kmvSketch]] (same hash, same
+    * estimator, so the two compose: a group sketch re-merged across
+    * groups IS the global sketch of the union).
+    *
+    * Scale: the distinct's partial aggregation dedupes map-side, then
+    * the rank-limit window runs behind one group-keyed exchange with
+    * map-side WindowGroupLimit — at most k rows per (partition, group)
+    * reach the exchange, so a billion-key group costs the same shuffle
+    * as a thousand-key one. Contrast `approx_count_distinct` (HLL):
+    * similar state, but its buckets are not replayable by an external
+    * SQL engine — this sketch is, bit-for-bit (the q117 pattern).
+    */
+  def kmvSketchGrouped(df: DataFrame, groupCol: String, keyCol: String,
+                       k: Int = 256, salt: String = "graft-kmv"): DataFrame =
+    df.select(col(groupCol),
+        graft.functions.PortableHash.puniform(
+          concat_ws("|", lit(salt), col(keyCol).cast("string"))).as("u"))
+      .distinct()
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(col("u"))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+
+  /** One row (group, kmv_est) per group: exact below k distinct hashes,
+    * (k-1)/u_(k) at or above. One group-keyed agg over ≤k-row states. */
+  def kmvEstimateGrouped(sketch: DataFrame, groupCol: String,
+                         k: Int = 256): DataFrame =
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), max(col("u")).as("__uk"))
+      .select(col(groupCol),
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(round((lit(k) - 1) / col("__uk"), 6)).as("kmv_est"))
+
   /** Mergeable quantile sketch: a deterministic bottom-k ROW sample —
     * each row keyed by the portable hash-uniform of its unique `keyCol`,
     * the sketch being the k (u, v) pairs with the smallest u. Bottom-k

@@ -326,6 +326,60 @@ object TextAnalysis {
       }
     }
 
+  /** Corpus collocations: adjacent token pairs ranked by pointwise
+    * mutual information (Church & Hanks 1990). The primary rank key is
+    * an INTEGER association score — lift_ppb = c_xy·1e9 div (c_x·c_y),
+    * a monotone transform of PMI for fixed corpus totals — so the
+    * ordering and the top-k cut are exact integer arithmetic an external
+    * SQL engine replays bit-for-bit; the familiar log-scale PMI rides
+    * along in micro-nats (the q80 integer-ln pattern). `minCount` prunes
+    * the bigram tail BEFORE the unigram joins, which is also what keeps
+    * PMI's low-count bias out of the ranking.
+    *
+    * Scale: one (x, y) bigram agg and one unigram agg, both map-side
+    * combined; the pruned bigram table (≥minCount survivors only) joins
+    * the unigram counts on each side, and the two corpus totals arrive
+    * as broadcast 1-row crossjoins. The unpruned bigram vocabulary never
+    * joins anything, and the final top-k is TakeOrderedAndProject, not a
+    * global sort.
+    */
+  def collocations(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 3, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val toks = docs.select(tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bg = toks.select(explode(expr(
+        "transform(sequence(0, size(__t) - 2), " +
+          "i -> struct(element_at(__t, i + 1) AS x, element_at(__t, i + 2) AS y))"))
+        .as("__bg"))
+      .select(col("__bg.x").as("x"), col("__bg.y").as("y"))
+    // Unigram counts are read three times (total + two join sides) —
+    // cached; the bigram-instance total comes from the token-length scan
+    // (Σ len−1), NOT from re-running the bigram aggregation.
+    val uni = docs.select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bgCounts = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val nb = toks.agg(sum(size(col("__t")) - 1).as("__nb"))
+    val nu = uni.agg(sum(col("c")).as("__nu"))
+    graft.QueryCleanup.register(() => uni.unpersist())
+    bgCounts.filter(col("c_xy") >= minCount)
+      .join(uni.withColumnsRenamed(Map("t" -> "x", "c" -> "c_x")), "x")
+      .join(uni.withColumnsRenamed(Map("t" -> "y", "c" -> "c_y")), "y")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("c_xy * 1000000000L div (c_x * c_y)").as("lift_ppb"),
+        // CAST to DOUBLE explicitly: a `* 1.0` literal would pull the
+        // whole ratio into DECIMAL arithmetic (scale 6), truncating the
+        // ln argument differently per engine.
+        expr("CAST(round(ln((CAST(c_xy AS DOUBLE) * __nu * __nu) / " +
+          "(CAST(__nb AS DOUBLE) * c_x * c_y)) * 1e6, 0) AS BIGINT)").as("pmi_micro"))
+      .orderBy(col("lift_ppb").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** All per-document text features in one pass. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -241,6 +241,20 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Per-node triangle counts on the part co-occurrence graph (parts
+    // sharing a high-quantity order line). Degree-ordered orientation
+    // caps wedge fan-out at O(sqrt(m)) per node; exact integer counts
+    // replay in SQL join-for-join.
+    "q127_triangle_count" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+        .filter(col("pk") < col("pk2"))
+      graft.ops.Graph.triangleCounts(pairs, "pk", "pk2").orderBy("node")
+    }),
+
     // Hierarchical aggregate: ROLLUP over (status, priority) — partial
     // aggregation handles the super-aggregate rows in the same shuffle.
     "q47_rollup" -> ((s, dir) => {
@@ -345,6 +359,21 @@ object RelationalQueries {
           i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
           SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
+    "q127_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_quantity >= 40),
+          e AS (SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+          deg AS (SELECT v, count(*) AS d FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+          o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+                       CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w,
+                       CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dw
+                FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+          wedge AS (SELECT o1.u AS u, o1.w AS x, o2.w AS y FROM o o1 JOIN o o2
+                    ON o1.u = o2.u AND (o1.dw, o1.w) < (o2.dw, o2.w)),
+          tri AS (SELECT wedge.u, x, y FROM wedge JOIN o ON wedge.x = o.u AND wedge.y = o.w),
+          pn AS (SELECT node, count(*) AS n_triangles
+                 FROM (SELECT unnest([u, x, y]) AS node FROM tri) GROUP BY node)
+          SELECT CAST(node AS BIGINT) AS node, n_triangles FROM pn ORDER BY node""",
     "q48_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000 INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000 ORDER BY o_custkey""",
     "q49_left_join_zero" ->

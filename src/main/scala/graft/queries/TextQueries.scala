@@ -320,6 +320,26 @@ object TextQueries {
       exact.crossJoin(est)
     }),
 
+    // Grouped KMV: per-language approx-distinct of document text from
+    // k=64 bounded per-group states (map-side WindowGroupLimit), shown
+    // against the exact per-group distinct count. Same hash/estimator
+    // as q117, so group sketches re-merge into the global one.
+    "q128_kmv_grouped" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val est = Sketches.kmvEstimateGrouped(
+        Sketches.kmvSketchGrouped(d, "lang", "text", k = 64), "lang", k = 64)
+      val exact = d.groupBy("lang").agg(countDistinct(col("text")).as("n_exact"))
+      exact.join(est, "lang").orderBy("lang")
+    }),
+
+    // Collocations: top adjacent-pair associations by integer lift
+    // (monotone in PMI), log-PMI in micro-nats alongside. The min-count
+    // prune runs before any join; totals broadcast as 1-row crossjoins.
+    "q129_pmi_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(Tables.documents(s, dir), "text",
+        minCount = 3, topK = 50)
+    }),
+
     // Snapshot diff (the promote-gate audit for q104's refresh): full
     // outer join of (key, content-md5) reductions — payloads never
     // shuffle — labeling every key added/removed/changed/same.
@@ -774,6 +794,33 @@ object TextQueries {
                  CASE WHEN n < 256 THEN n * 1.0
                       ELSE round((256 - 1) / uk, 6) END AS kmv_est
           FROM st""",
+    "q128_kmv_grouped" ->
+      s"""WITH u AS (SELECT DISTINCT lang,
+                 (${phashSql("'graft-kmv|' || text")} % 1000000 + 0.5) / 1000000.0 AS u
+               FROM documents),
+          r AS (SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u) AS rn FROM u),
+          mk AS (SELECT lang, u FROM r WHERE rn <= 64),
+          st AS (SELECT lang, count(*) AS n, max(u) AS uk FROM mk GROUP BY lang),
+          ex AS (SELECT lang, count(DISTINCT text) AS n_exact FROM documents GROUP BY lang)
+          SELECT lang, n_exact, CASE WHEN n < 64 THEN n * 1.0
+                                     ELSE round((64 - 1) / uk, 6) END AS kmv_est
+          FROM ex JOIN st USING (lang) ORDER BY lang""",
+    "q129_pmi_collocations" ->
+      s"""WITH tk AS (SELECT $tokSql AS t FROM documents),
+          t2 AS (SELECT t FROM tk WHERE len(t) >= 2),
+          bg AS (SELECT unnest(list_transform(range(len(t) - 1),
+                        i -> {'x': t[i+1], 'y': t[i+2]}), recursive := true) FROM t2),
+          bgc AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY x, y),
+          uni AS (SELECT tok, count(*) AS c
+                  FROM (SELECT unnest(t) AS tok FROM tk) WHERE tok <> '' GROUP BY tok),
+          nb AS (SELECT sum(len(t) - 1) AS nb FROM t2),
+          nu AS (SELECT sum(c) AS nu FROM uni)
+          SELECT x, y, c_xy, cx.c AS c_x, cy.c AS c_y,
+                 CAST(c_xy * 1000000000 // (cx.c * cy.c) AS BIGINT) AS lift_ppb,
+                 CAST(round(ln((CAST(c_xy AS DOUBLE) * nu * nu) / (CAST(nb AS DOUBLE) * cx.c * cy.c)) * 1e6, 0) AS BIGINT) AS pmi_micro
+          FROM bgc JOIN uni cx ON bgc.x = cx.tok JOIN uni cy ON bgc.y = cy.tok, nb, nu
+          WHERE c_xy >= 3
+          ORDER BY lift_ppb DESC, x, y LIMIT 50""",
     "q123_incremental_ingest" ->
       s"""WITH be AS (SELECT DISTINCT ${phashSql("g")} AS g
                  FROM (SELECT unnest(${shingleSqlN(8)}) AS g FROM documents WHERE doc_id % 50 = 0)),

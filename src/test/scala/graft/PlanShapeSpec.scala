@@ -121,6 +121,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("REPARTITION_BY_COL"), p)
   }
 
+  test("triangleCounts: canonical and oriented edges cached, no quadratic join") {
+    val edges = (0L until 300L).map(i => (i % 40, (i * 17) % 40)).toDF("src", "dst")
+    val p = plan(Graph.triangleCounts(edges, "src", "dst"))
+    graft.QueryCleanup.drain()
+    assertNoQuadratic(p)
+    // both the canonical edge set and the oriented (u, w, dw) table are
+    // InMemoryRelations — the wedge self-join and closing join read
+    // caches, never the upstream subtree
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+  }
+
+  test("collocations: scalar totals broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan(TextAnalysis.collocations(docs, "text", minCount = 2, topK = 10))
+    graft.QueryCleanup.drain()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("mixtureRebalance: quota join broadcasts; one data exchange for the domain window") {
     val d = docs.select(col("doc_id"), concat(lit("l"), col("lang")).as("dom"))
     val p = plan(Sampling.mixtureRebalance(d, "dom", "doc_id",

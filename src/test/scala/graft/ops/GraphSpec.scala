@@ -45,6 +45,58 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("triangleCounts matches hand-computed counts on K4 plus a pendant") {
+    // K4 on {1,2,3,4}: 4 triangles, each corner on 3; pendant 4-5 adds none.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(e, "src", "dst").as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts canonicalizes duplicates, reversals, and self-loops") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(e, "src", "dst").as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ~1/3 of all pairs on 25 nodes — dense enough that triangles are
+  // guaranteed (a linear-map generator like (i, 17i mod n) is a
+  // permutation graph and has NONE; that vacuous version of this test
+  // passed on empty == empty until the nonEmpty guard caught it)
+  private lazy val densePairs = for {
+    a <- 0L until 25L; b <- (a + 1) until 25L
+    if (a * 31 + b * 17) % 3 == 0
+  } yield (a, b)
+
+  test("triangleCounts matches brute-force triple enumeration") {
+    val pairs = densePairs
+    val adj = pairs.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = adj.toSeq.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val expected = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if adj((x, y)) && adj((x, z)) && adj((y, z))
+    } { expected(x) += 1; expected(y) += 1; expected(z) += 1 }
+    val r = Graph.triangleCounts(pairs.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r == expected.toMap && r.nonEmpty)
+  }
+
+  test("triangleCounts is partitioning-independent") {
+    val edges = densePairs.toDF("src", "dst")
+    val a = Graph.triangleCounts(edges, "src", "dst").as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    val b = Graph.triangleCounts(edges.repartition(11), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(a == b && a.nonEmpty)
+  }
+
   test("symmetrized graph conserves total mass to within div truncation") {
     val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)).toDF("a", "b")
     val e = pairs.select(col("a").as("src"), col("b").as("dst"))

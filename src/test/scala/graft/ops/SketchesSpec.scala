@@ -135,6 +135,37 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("grouped KMV restricts per group, re-merges into the global sketch, exact below k") {
+    val df = (1L to 600L).map(i => (s"g${i % 3}", s"v${(i * 7) % 101}")).toDF("g", "k")
+    val k = 32
+    val sk = Sketches.kmvSketchGrouped(df, "g", "k", k = k)
+    // restriction property: each group's sketch IS the plain KMV sketch
+    // of that group's rows (same hash, same bottom-k law)
+    for (g <- Seq("g0", "g2")) {
+      val fromGrouped = sk.filter($"g" === g).select("u")
+        .as[Double].collect().sorted.toSeq
+      val direct = Sketches.kmvSketch(df.filter($"g" === g), "k", k = k)
+        .as[Double].collect().sorted.toSeq
+      assert(fromGrouped == direct, s"group $g diverged")
+    }
+    // merge law: bottom-k of the group sketches == the global sketch
+    val parts = Seq("g0", "g1", "g2").map(g => sk.filter($"g" === g).select("u"))
+    val merged = Sketches.kmvMerge(parts, k = k).as[Double].collect().toSeq
+    val global = Sketches.kmvSketch(df, "k", k = k).as[Double].collect().toSeq
+    assert(merged == global)
+    // below-k groups estimate exactly
+    val exact = df.groupBy("g").agg(countDistinct(col("k")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.kmvEstimateGrouped(
+        Sketches.kmvSketchGrouped(df, "g", "k", k = 256), "g", k = 256)
+      .as[(String, Double)].collect().toMap
+    assert(exact.keySet == est.keySet)
+    exact.foreach { case (g, n) => assert(est(g) == n.toDouble, s"group $g") }
+    // map-side rank limit behind the group window
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("cms estimate for an absent key is zero when its cells are empty") {
     val tiny = Seq("a", "a", "b").toDF("k")
     val sketch = Sketches.cmsBuild(tiny, "k")
