@@ -141,4 +141,33 @@ object Graph {
     graft.QueryCleanup.register(() => { o.unpersist(); e.unpersist() })
     perNode
   }
+
+  /** Local clustering coefficient per node, in exact parts-per-billion:
+    * coeff_ppb = 2·triangles·1e9 div (d·(d−1)) for every node of degree
+    * ≥ 2 (degree-1 nodes have no possible wedge and are excluded rather
+    * than reported as 0/0). Integer arithmetic end-to-end — the same
+    * engine-exactness contract as [[triangleCounts]], which this calls
+    * on the ALREADY-CANONICAL cached edge set so the expensive upstream
+    * subtree (typically a join+distinct) is materialized once; the
+    * inner re-canonicalization is a pass over that cache.
+    */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val e = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e, "a", "b")
+    graft.QueryCleanup.register(() => e.unpersist())
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("2 * coalesce(n_triangles, 0L) * 1000000000L div (degree * (degree - 1))")
+          .as("coeff_ppb"))
+  }
 }

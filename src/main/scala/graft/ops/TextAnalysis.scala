@@ -380,6 +380,40 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Dictionary phrase matching: which documents contain which of a
+    * fixed set of exact token phrases (banned-phrase filters, quote
+    * detection, benchmark-prompt lookups). A phrase of n tokens is
+    * present iff it appears in the document's word n-gram shingle set
+    * ([[graft.ops.Dedup.shingles]]), so matching is one broadcast hash
+    * join per distinct phrase LENGTH — the per-length driver loop is
+    * over a handful of lengths, never over phrases.
+    *
+    * Scale: the phrase table broadcasts (a dictionary is KBs); the
+    * per-doc shingle explode is row-local; nothing vocabulary-sized
+    * shuffles — the join output (phrase, id) is match-sized and the
+    * final distinct is over it alone. Same topology as q77's
+    * decontamination, generalized to labeled multi-phrase output.
+    */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrases: Seq[String]): DataFrame = {
+    // split("") yields Array("") — drop empty TOKENS before judging the
+    // phrase non-empty, or a blank phrase sneaks through as [""]
+    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "phraseMatch needs at least one non-empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byLen = norm.groupBy(_.length).toSeq.sortBy(_._1)
+    byLen.map { case (n, ps) =>
+        val ptab = broadcast(ps.map(_.mkString(" ")).toDF("phrase"))
+        docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
+          .join(ptab, col("__g") === col("phrase"))
+          .select(col("phrase"), col(idCol))
+      }
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
   /** All per-document text features in one pass. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -255,6 +255,18 @@ object RelationalQueries {
       graft.ops.Graph.triangleCounts(pairs, "pk", "pk2").orderBy("node")
     }),
 
+    // Local clustering coefficient on the q127 graph: exact integer
+    // parts-per-billion, degree-1 nodes excluded (no possible wedge).
+    "q133_clustering_coeff" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+        .filter(col("pk") < col("pk2"))
+      graft.ops.Graph.clusteringCoefficient(pairs, "pk", "pk2").orderBy("node")
+    }),
+
     // Hierarchical aggregate: ROLLUP over (status, priority) — partial
     // aggregation handles the super-aggregate rows in the same shuffle.
     "q47_rollup" -> ((s, dir) => {
@@ -374,6 +386,25 @@ object RelationalQueries {
           pn AS (SELECT node, count(*) AS n_triangles
                  FROM (SELECT unnest([u, x, y]) AS node FROM tri) GROUP BY node)
           SELECT CAST(node AS BIGINT) AS node, n_triangles FROM pn ORDER BY node""",
+    "q133_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_quantity >= 40),
+          e AS (SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+          deg AS (SELECT v, count(*) AS d FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+          o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+                       CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w,
+                       CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dw
+                FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+          wedge AS (SELECT o1.u AS u, o1.w AS x, o2.w AS y FROM o o1 JOIN o o2
+                    ON o1.u = o2.u AND (o1.dw, o1.w) < (o2.dw, o2.w)),
+          tri AS (SELECT wedge.u, x, y FROM wedge JOIN o ON wedge.x = o.u AND wedge.y = o.w),
+          pn AS (SELECT node, count(*) AS n_triangles
+                 FROM (SELECT unnest([u, x, y]) AS node FROM tri) GROUP BY node)
+          SELECT CAST(deg.v AS BIGINT) AS node, deg.d AS degree,
+                 COALESCE(pn.n_triangles, 0) AS n_triangles,
+                 2 * COALESCE(pn.n_triangles, 0) * 1000000000 // (deg.d * (deg.d - 1)) AS coeff_ppb
+          FROM deg LEFT JOIN pn ON deg.v = pn.node
+          WHERE deg.d >= 2 ORDER BY node""",
     "q48_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000 INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000 ORDER BY o_custkey""",
     "q49_left_join_zero" ->

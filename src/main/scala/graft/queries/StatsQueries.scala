@@ -241,6 +241,19 @@ object StatsQueries {
 
     // Event-time part extraction + per-part aggregation (dow normalized to
     // 0=Sunday, matching DuckDB's extract(dow)).
+    // Daily distinct-user estimates from per-day KMV states (k=64)
+    // beside the exact counts — the dashboard query a 100 TB event lake
+    // answers from bounded sketch state instead of a per-day
+    // count-distinct over raw user ids.
+    "q132_daily_distinct_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val est = Sketches.kmvEstimateGrouped(
+        Sketches.kmvSketchGrouped(e, "day", "user_id", k = 64), "day", k = 64)
+      val exact = e.groupBy("day").agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, "day").orderBy("day")
+    }),
+
     "q53_date_parts" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
@@ -301,6 +314,18 @@ object StatsQueries {
       """SELECT event_type, round(corr(value, user_id),6) AS corr_vu, round(stddev_samp(value),6) AS sd_value, round(var_samp(value),6) AS var_value, round(avg(value),6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type""",
     "q52_string_funcs" ->
       """SELECT n_nationkey, upper(n_name) AS upper_name, substr(n_name, 1, 3) AS prefix3, CAST(length(n_name) AS BIGINT) AS name_len, CAST(levenshtein(lower(n_name), 'united states') AS BIGINT) AS lev_us FROM nation ORDER BY n_nationkey""",
+    "q132_daily_distinct_users" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+          u AS (SELECT DISTINCT day,
+                 (CAST('0x' || substr(md5('graft-kmv|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+               FROM e),
+          r AS (SELECT day, u, row_number() OVER (PARTITION BY day ORDER BY u) AS rn FROM u),
+          mk AS (SELECT day, u FROM r WHERE rn <= 64),
+          st AS (SELECT day, count(*) AS n, max(u) AS uk FROM mk GROUP BY day),
+          ex AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM e GROUP BY day)
+          SELECT day, n_exact, CASE WHEN n < 64 THEN n * 1.0
+                                    ELSE round((64 - 1) / uk, 6) END AS kmv_est
+          FROM ex JOIN st USING (day) ORDER BY day""",
     "q53_date_parts" ->
       """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(avg(value),6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     "q54_salted_agg" ->

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Cdc, Dedup, Packing, Sampling, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication queries over `documents`, each with an
@@ -318,6 +319,35 @@ object TextQueries {
       val est = Sketches.kmvEstimate(Sketches.kmvSketch(d, "text", k = 256), k = 256)
       val exact = d.agg(countDistinct(col("text")).as("n_exact"))
       exact.crossJoin(est)
+    }),
+
+    // Quality-aware near-dup resolution: within each q76 connected
+    // component keep the HIGHEST-quality member (q32's score), not the
+    // min id — what a production corpus dedup actually ships. One
+    // window over the cluster key after the CC label join.
+    "q130_cluster_representatives" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", shingleN = 2, threshold = 0.3)
+      val (clusters, release) = Dedup.dedupClustersReleasable(pairs)
+      graft.QueryCleanup.register(release)
+      val q = d.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+      clusters.join(q, "id")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("quality").desc, col("id"))))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col("id").as("rep_id"), col("quality"))
+        .orderBy("cluster")
+    }),
+
+    // Dictionary phrase matching: (phrase, doc) hits for a fixed phrase
+    // set via per-length shingle broadcast joins — q77's decontamination
+    // topology generalized to labeled multi-phrase output.
+    "q131_phrase_match" -> ((s, dir) => {
+      TextAnalysis.phraseMatch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("fast table", "merge batch", "query key scan", "sort table window"))
+        .orderBy("phrase", "doc_id")
     }),
 
     // Grouped KMV: per-language approx-distinct of document text from
@@ -794,6 +824,35 @@ object TextQueries {
                  CASE WHEN n < 256 THEN n * 1.0
                       ELSE round((256 - 1) / uk, 6) END AS kmv_est
           FROM st""",
+    "q130_cluster_representatives" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+          p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                    UNION SELECT id_b, id_a FROM p),
+          reach AS (SELECT src AS id, dst AS r FROM edges
+                    UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+          qual AS (SELECT doc_id AS id, round(
+                 least(n_chars / 500.0, 1.0) * 0.4
+                 + (1.0 - least(round((length(text) - n_clean) * 1.0 / length(text), 6) * 5.0, 1.0)) * 0.3
+                 + least(round(n_stop * 1.0 / len($tokSql), 6) * 10.0, 1.0) * 0.3, 6) AS quality
+               FROM (SELECT doc_id, n_chars, text,
+                 len(list_filter($tokSql, t -> t IN ($stopList))) AS n_stop,
+                 length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_clean
+               FROM documents)),
+          sel AS (SELECT lab.cluster, lab.id, q.quality,
+                 row_number() OVER (PARTITION BY lab.cluster ORDER BY q.quality DESC, lab.id) AS rn
+               FROM lab JOIN qual q ON lab.id = q.id)
+          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(id AS BIGINT) AS rep_id, quality
+          FROM sel WHERE rn = 1 ORDER BY cluster""",
+    "q131_phrase_match" ->
+      s"""WITH ph2 AS (SELECT * FROM (VALUES ('fast table'), ('merge batch')) AS t(phrase)),
+          ph3 AS (SELECT * FROM (VALUES ('query key scan'), ('sort table window')) AS t(phrase)),
+          g2 AS (SELECT doc_id, unnest(${shingleSqlN(2)}) AS g FROM documents),
+          g3 AS (SELECT doc_id, unnest(${shingleSqlN(3)}) AS g FROM documents),
+          hits AS (SELECT phrase, doc_id FROM g2 JOIN ph2 ON g2.g = ph2.phrase
+                   UNION SELECT phrase, doc_id FROM g3 JOIN ph3 ON g3.g = ph3.phrase)
+          SELECT phrase, doc_id FROM hits ORDER BY phrase, doc_id""",
     "q128_kmv_grouped" ->
       s"""WITH u AS (SELECT DISTINCT lang,
                  (${phashSql("'graft-kmv|' || text")} % 1000000 + 0.5) / 1000000.0 AS u

@@ -141,6 +141,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("phraseMatch: dictionary broadcasts per length, one match-sized distinct exchange") {
+    val p = plan(TextAnalysis.phraseMatch(docs, "doc_id", "text",
+      Seq("alpha beta", "beta gamma", "gamma delta epsilon")))
+    assertNoQuadratic(p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastExchange".r.findAllIn(p).length == 2, p) // one per phrase length
+    assert(exchanges(p) == 1, p)
+  }
+
   test("mixtureRebalance: quota join broadcasts; one data exchange for the domain window") {
     val d = docs.select(col("doc_id"), concat(lit("l"), col("lang")).as("dom"))
     val p = plan(Sampling.mixtureRebalance(d, "dom", "doc_id",

@@ -97,6 +97,22 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("clusteringCoefficient: exact ppb on K4 plus a pendant, degree-1 excluded") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.clusteringCoefficient(e, "src", "dst")
+      .select("node", "degree", "n_triangles", "coeff_ppb")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    graft.QueryCleanup.drain()
+    // nodes 1-3: degree 3 within K4, 3 triangles -> 2*3/(3*2) = 1.0
+    for (n <- 1L to 3L) assert(r(n) == ((3L, 3L, 1000000000L)), s"node $n")
+    // node 4: degree 4 (pendant edge), still 3 triangles -> 6e9 div 12
+    assert(r(4L) == ((4L, 3L, 500000000L)))
+    // node 5: degree 1, no possible wedge -> excluded, not reported 0/0
+    assert(!r.contains(5L))
+  }
+
   test("symmetrized graph conserves total mass to within div truncation") {
     val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)).toDF("a", "b")
     val e = pairs.select(col("a").as("src"), col("b").as("dst"))
