@@ -50,4 +50,26 @@ object DataQuality {
     one(child.join(p, Seq(childKey), "left"),
       s"ref:$childKey->$parentKey", col("__hit").isNull)
   }
+
+  /** One-row key-skew report — the pre-flight a 100 TB join/agg runs on
+    * its shuffle key before choosing the salted path (q54/q91): total
+    * rows, distinct keys, the heaviest key's row count, exact p50/p99 of
+    * per-key counts, and skew_ppm = max·keys·1e6 div rows (1e6 = every
+    * key equal; the integer form replays exactly in any engine).
+    *
+    * Scale: one key-hashed count plus a count-cardinality-sized agg.
+    * The exact percentiles funnel the per-KEY counts (not rows) into one
+    * buffer — at extreme key cardinality swap in the grouped quantile
+    * sketch (q121's path); the report stays a DataFrame either way.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__c")).as("max_key_rows"),
+        round(expr("percentile(__c, 0.5)"), 6).as("p50_key_rows"),
+        round(expr("percentile(__c, 0.99)"), 6).as("p99_key_rows"))
+      .withColumn("skew_ppm",
+        expr("max_key_rows * n_keys * 1000000L div n_rows"))
 }

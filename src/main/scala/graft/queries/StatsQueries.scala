@@ -254,6 +254,12 @@ object StatsQueries {
       exact.join(est, "day").orderBy("day")
     }),
 
+    // Key-skew pre-flight on the supplier key (the q54/q91 salting
+    // decision input): one row of exact skew statistics.
+    "q134_skew_report" -> ((s, dir) => {
+      DataQuality.skewReport(Tables.lineitem(s, dir), "l_suppkey")
+    }),
+
     "q53_date_parts" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
@@ -314,6 +320,13 @@ object StatsQueries {
       """SELECT event_type, round(corr(value, user_id),6) AS corr_vu, round(stddev_samp(value),6) AS sd_value, round(var_samp(value),6) AS var_value, round(avg(value),6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type""",
     "q52_string_funcs" ->
       """SELECT n_nationkey, upper(n_name) AS upper_name, substr(n_name, 1, 3) AS prefix3, CAST(length(n_name) AS BIGINT) AS name_len, CAST(levenshtein(lower(n_name), 'united states') AS BIGINT) AS lev_us FROM nation ORDER BY n_nationkey""",
+    "q134_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey)
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys, max(c) AS max_key_rows,
+                 round(quantile_cont(c, 0.5), 6) AS p50_key_rows,
+                 round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+                 max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
+          FROM c""",
     "q132_daily_distinct_users" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
           u AS (SELECT DISTINCT day,
