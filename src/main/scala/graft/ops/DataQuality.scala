@@ -51,6 +51,46 @@ object DataQuality {
       s"ref:$childKey->$parentKey", col("__hit").isNull)
   }
 
+  /** One-pass column profile (the Deequ/profiler shape): for each listed
+    * column, row count, exact distinct count, null rate, top-value share
+    * (both integer ppm — `x·1e6 div n` replays exactly in any engine) and
+    * Shannon entropy of the value distribution in nats. Values are
+    * profiled through a single canonical string cast so heterogeneous
+    * column types share one melt.
+    *
+    * Scale: `stack` melts each row into |cols| (col, value) pairs inside
+    * codegen (one scan, no self-union of the input), the first exchange
+    * reduces to (col, value) counts with map-side combine, and the
+    * second reduces to |cols| rows. Entropy uses H = ln(n) − Σc·ln(c)/n
+    * with per-value ln(c) quantized to integer micro-nats, so the sum is
+    * exact integer arithmetic — order-independent under any partial-agg
+    * schedule (the q80 lesson). Profiling a truly high-cardinality
+    * column costs one distinct-sized shuffle — the same price as the
+    * exact `n_distinct` it reports; swap in the KMV estimate (q117) when
+    * approximation is acceptable. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val pairs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $pairs) AS (col_name, v)")
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum("__c").cast("long").as("n_rows"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        sum(when(col("v").isNull, col("__c")).otherwise(lit(0L)))
+          .cast("long").as("__nulls"),
+        max(when(col("v").isNotNull, col("__c"))).cast("long").as("__topc"),
+        sum(when(col("v").isNotNull,
+            col("__c") * round(log(col("__c").cast("double")) * 1e6, 0).cast("long"))
+          .otherwise(lit(0L))).cast("long").as("__clnc"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        expr("__nulls * 1000000L div n_rows").as("null_ppm"),
+        expr("__topc * 1000000L div (n_rows - __nulls)").as("top_share_ppm"),
+        round(log((col("n_rows") - col("__nulls")).cast("double"))
+          - col("__clnc") / 1e6 / (col("n_rows") - col("__nulls")), 6)
+          .as("entropy_nats"))
+  }
+
   /** One-row key-skew report — the pre-flight a 100 TB join/agg runs on
     * its shuffle key before choosing the salted path (q54/q91): total
     * rows, distinct keys, the heaviest key's row count, exact p50/p99 of

@@ -230,6 +230,45 @@ object TextAnalysis {
       .agg(round(sum("__lpu") / count(lit(1)) / 1e6, 6).as("mean_logprob"))
   }
 
+  /** Bigram conditional mean log-prob per document — the next LM-quality
+    * rung above [[unigramLogProb]]: each adjacent token pair (w1, w2)
+    * scores ln(c(w1 w2) / c(w1 ·)) under the corpus' own bigram counts,
+    * where c(w1 ·) is the count of bigrams STARTING with w1 (so the
+    * conditional normalizes exactly; every observed bigram is in-model by
+    * construction, no smoothing term). Repetitive or formulaic text
+    * scores near 0; unusual transitions score deeply negative.
+    *
+    * Scale: per-doc bigrams reduce to one (doc, bigram, count) row on the
+    * first exchange (map-side combine), corpus counts reduce that table
+    * again on the bigram key, and the context total is a WINDOW sum over
+    * the first token on the already-reduced count table — not a join
+    * against a vocabulary aggregate (the q102 df pattern; a web-scale
+    * bigram table does not broadcast, so scoring is a plain shuffle join
+    * on the bigram key). Like q80, per-bigram log-probs quantize to
+    * integer micro-nats before the weighted mean, so the per-doc sum is
+    * exact integer arithmetic — fully order-independent. */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+                    textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("__g"), " ", 1))
+    val docBg = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(
+          transform(sequence(lit(1), size(col("__tk")) - 1),
+            i => concat_ws(" ", element_at(col("__tk"), i),
+              element_at(col("__tk"), i + 1)))).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__dc"))
+    val stats = docBg.groupBy(col("__g")).agg(sum("__dc").as("__c"))
+      .withColumn("__ctx", sum("__c").over(w))
+      .select(col("__g"),
+        round(log(col("__c") / col("__ctx").cast("double")) * 1e6, 0)
+          .cast("long").as("__lpu"))
+    docBg.join(stats, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__dc") * col("__lpu")) / sum("__dc") / 1e6, 6)
+        .as("mean_logprob"))
+  }
+
   /** Top-k TF-IDF terms per document — the classic salience ranking
     * (tf · ln(N/df), raw counts, no smoothing: every term scored has
     * df >= 1 by construction). The workhorse behind keyword extraction

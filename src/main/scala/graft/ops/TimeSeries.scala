@@ -26,6 +26,45 @@ object TimeSeries {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Resample an event stream onto a fixed per-key time grid with
+    * forward-fill — the gap-fill every monitoring/feature pipeline runs
+    * before joining series with different emission rates: bucket to
+    * `stepSeconds`, aggregate observed buckets (count + 6dp mean), then
+    * densify to the full [min, max] bucket range and carry the last
+    * observed mean forward across empty buckets (count stays 0; leading
+    * buckets before a key's first observation stay null).
+    *
+    * Scale: one exchange to the (key, bucket) aggregate, whose size is
+    * keys × occupied buckets, not raw events; the grid is generated from
+    * a broadcast 1-row global bound (no driver collect) and the fill is
+    * one window pass inside the key partition. Grid rows = keys × range
+    * buckets — bounded by calendar span, independent of event volume.
+    * Bucket arithmetic is integer epoch-seconds end-to-end so an external
+    * engine replays identical bucket boundaries (no timestamp rounding).
+    */
+  def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    val step = lit(stepSeconds)
+    val bucketed = events
+      .select(col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / step) * step).as("__b"),
+        col(valueCol))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(round(avg(valueCol), 6).as("__avg"), count(lit(1)).as("__n"))
+    val bounds = bucketed.agg(min("__b").as("__lo"), max("__b").as("__hi"))
+    val grid = bucketed.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"), step)).as("__b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(keyCol, "__b"), "left")
+      .withColumn("n_events", coalesce(col("__n"), lit(0L)))
+      .withColumn("avg_value", last(col("__avg"), ignoreNulls = true).over(w))
+      .select(col(keyCol),
+        date_format(timestamp_seconds(col("__b")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_events"), col("avg_value"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * user's previous event exceeds `gapMinutes`. session_seq is the
     * per-user session ordinal (cumulative sum over the new-session flag). */

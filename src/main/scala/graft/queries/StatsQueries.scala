@@ -260,6 +260,14 @@ object StatsQueries {
       DataQuality.skewReport(Tables.lineitem(s, dir), "l_suppkey")
     }),
 
+    // One-pass column profile over orders: unique key, high-card FK, and
+    // two low-card enums in a single stack-melted scan.
+    "q137_column_profile" -> ((s, dir) => {
+      DataQuality.columnProfile(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")
+    }),
+
     "q53_date_parts" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
@@ -327,6 +335,22 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    "q137_column_profile" ->
+      """WITH vc AS (SELECT col_name, v, count(*) AS c FROM (
+                SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+                UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+                UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+                UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+              GROUP BY col_name, v)
+          SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+                 count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+                 CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) * 1000000 // sum(c) AS BIGINT) AS null_ppm,
+                 CAST(max(CASE WHEN v IS NOT NULL THEN c END) * 1000000
+                      // (sum(c) - sum(CASE WHEN v IS NULL THEN c ELSE 0 END)) AS BIGINT) AS top_share_ppm,
+                 round(ln(CAST(sum(c) - sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS DOUBLE))
+                   - sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)) / 1e6
+                     / (sum(c) - sum(CASE WHEN v IS NULL THEN c ELSE 0 END)), 6) AS entropy_nats
+          FROM vc GROUP BY col_name ORDER BY col_name""",
     "q132_daily_distinct_users" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
           u AS (SELECT DISTINCT day,

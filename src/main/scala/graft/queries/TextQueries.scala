@@ -190,6 +190,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram conditional mean log-prob per doc — the LM-quality signal
+    // one rung above q80 (corpus-trained bigram model, exact conditional
+    // normalization over first-token context counts).
+    "q135_bigram_logprob" -> ((s, dir) => {
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: train docs sharing any word 8-gram with
     // the (deterministic) benchmark slice doc_id % 50 == 0. Benchmark
     // shingle hashes broadcast; contamination = one broadcast semi-join
@@ -760,6 +768,19 @@ object TextQueries {
           lp AS (SELECT t, CAST(round(ln(c * 1.0 / (SELECT sum(c) FROM v)) * 1e6, 0) AS BIGINT) AS lpu FROM v)
           SELECT doc_id, round(sum(lpu) * 1.0 / count(*) / 1e6, 6) AS mean_logprob
           FROM tk JOIN lp USING (t) GROUP BY doc_id ORDER BY doc_id""",
+    "q135_bigram_logprob" ->
+      s"""WITH bgdoc AS (SELECT doc_id, g, count(*) AS dc
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(len($tokSql) - 1),
+                           i -> $tokSql[i+1] || ' ' || $tokSql[i+2])) AS g
+                       FROM documents WHERE len($tokSql) >= 2)
+                 GROUP BY doc_id, g),
+          st AS (SELECT g, CAST(round(ln(CAST(c AS DOUBLE) / ctx) * 1e6, 0) AS BIGINT) AS lpu
+                 FROM (SELECT g, sum(dc) AS c,
+                         sum(sum(dc)) OVER (PARTITION BY split_part(g, ' ', 1)) AS ctx
+                       FROM bgdoc GROUP BY g))
+          SELECT doc_id, round(sum(dc * lpu) * 1.0 / sum(dc) / 1e6, 6) AS mean_logprob
+          FROM bgdoc JOIN st USING (g) GROUP BY doc_id ORDER BY doc_id""",
     "q77_decontaminate" ->
       s"""WITH tr AS (SELECT doc_id, ${shingleSqlN(8)} AS s FROM documents WHERE doc_id % 50 <> 0),
           ti AS (SELECT doc_id, ${phashSql("g")} AS g FROM (SELECT doc_id, unnest(s) AS g FROM tr)),

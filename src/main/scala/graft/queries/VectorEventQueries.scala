@@ -258,6 +258,15 @@ object VectorEventQueries {
         .orderBy("event_id")
     }),
 
+    // Hourly resample + forward-fill per event_type: densified grid from
+    // a broadcast global bound, ffill as one window pass in the key
+    // partition. Integer epoch-second buckets replay exactly in DuckDB.
+    "q136_resample_ffill" -> ((s, dir) => {
+      TimeSeries.resampleFill(Tables.events(s, dir), "event_type", "ts",
+          "value", stepSeconds = 3600L)
+        .orderBy("event_type", "bucket")
+    }),
+
     "q40_sessionize" -> ((s, dir) => {
       TimeSeries.sessionize(Tables.events(s, dir), gapMinutes = 30)
         .select("event_id", "user_id", "session_seq")
@@ -492,6 +501,19 @@ object VectorEventQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q136_resample_ffill" ->
+      """WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                      round(avg(value), 6) AS avg_v, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+          bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM b),
+          grid AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+                   FROM (SELECT DISTINCT event_type FROM b) CROSS JOIN bounds)
+          SELECT event_type, strftime(make_timestamp(b * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket,
+                 coalesce(n, 0) AS n_events,
+                 last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+                   ROWS UNBOUNDED PRECEDING) AS avg_value
+          FROM grid LEFT JOIN b USING (event_type, b)
+          ORDER BY event_type, b""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

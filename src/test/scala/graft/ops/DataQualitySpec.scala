@@ -33,4 +33,30 @@ class DataQualitySpec extends SparkSpec {
     assert(row(DataQuality.referenceCheck(child, parent, "fk", "pk")) ==
       ("ref:fk->pk", 1L, 4L, 0.25))
   }
+
+  test("skewReport: exact max/percentile/skew_ppm on a known distribution") {
+    // keys: a x 6, b x 2, c x 1, d x 1 -> per-key counts [6,2,1,1]
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val r = DataQuality.skewReport(df, "k")
+      .select("n_rows", "n_keys", "max_key_rows", "p50_key_rows", "skew_ppm")
+      .as[(Long, Long, Long, Double, Long)].collect().head
+    // p50 of [1,1,2,6] interpolates to 1.5; skew_ppm = 6*4*1e6 div 10
+    assert(r == ((10L, 4L, 6L, 1.5, 2400000L)))
+  }
+
+  test("columnProfile: nulls, distinct, top share, entropy per column") {
+    val df = Seq(
+      (Some("x"), Some(1L)), (Some("x"), Some(2L)),
+      (Some("y"), None), (None, Some(2L))).toDF("s", "n")
+    val out = DataQuality.columnProfile(df, Seq("s", "n"))
+      .select("col_name", "n_rows", "n_distinct", "null_ppm", "top_share_ppm",
+        "entropy_nats")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // s: 4 rows, 1 null, values x,x,y -> distinct 2, top 2/3,
+    //    H = ln(3) - (2 ln2 + 1 ln1)/3 = 0.636514
+    assert(out("s") == (("s", 4L, 2L, 250000L, 666666L, 0.636514)))
+    // n: values 1,2,2 -> distinct 2, top 2/3, same entropy
+    assert(out("n") == (("n", 4L, 2L, 250000L, 666666L, 0.636514)))
+  }
 }

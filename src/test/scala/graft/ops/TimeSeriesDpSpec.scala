@@ -147,6 +147,30 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("resampleFill densifies the grid, forward-fills means, zeroes counts") {
+    val df = Seq(
+      ("a", "2024-01-01 00:10:00", 2.0),
+      ("a", "2024-01-01 00:50:00", 4.0),
+      // a skips hours 1-2 entirely, reappears in hour 3
+      ("a", "2024-01-01 03:05:00", 10.0),
+      // b starts one hour late: its hour-0 grid row must stay null
+      ("b", "2024-01-01 01:00:00", 7.0)
+    ).map { case (k, t, v) => (k, Timestamp.valueOf(t), v) }
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.resampleFill(df, "k", "ts", "v", 3600L)
+      .select("k", "bucket", "n_events", "avg_value")
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size == 8, s"2 keys x 4 hourly buckets, got ${got.size}")
+    assert(got(("a", "2024-01-01 00:00:00")) == ((2L, Some(3.0))))
+    assert(got(("a", "2024-01-01 01:00:00")) == ((0L, Some(3.0)))) // filled
+    assert(got(("a", "2024-01-01 02:00:00")) == ((0L, Some(3.0)))) // filled
+    assert(got(("a", "2024-01-01 03:00:00")) == ((1L, Some(10.0))))
+    assert(got(("b", "2024-01-01 00:00:00")) == ((0L, None))) // before first obs
+    assert(got(("b", "2024-01-01 01:00:00")) == ((1L, Some(7.0))))
+    assert(got(("b", "2024-01-01 03:00:00")) == ((0L, Some(7.0))))
+  }
+
   test("saltedJoin equals the plain inner join") {
     val big = events.select($"event_id", $"user_id", $"value")
     val dim = Seq((7L, "gold"), (8L, "basic"), (9L, "unmatched"))
