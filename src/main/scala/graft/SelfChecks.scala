@@ -66,6 +66,31 @@ object SelfChecks {
 
     // RF on a label derived from one of its own features must separate
     // it nearly perfectly; split accounting must cover the table.
+    // Mondrian cuts are deterministic but the tree is iterative — no SQL
+    // oracle. Check the properties any correct Mondrian must satisfy at
+    // this scale: no row lost, the rendered equivalence classes are
+    // EXACTLY k-anonymous (every (range, range) class >= k), the
+    // certificate column agrees with a recount, and the cut tree
+    // actually cut (>1 class on 1500+ customers at k=25).
+    "q138_mondrian" -> ((s, dir) => {
+      val out = SparkEntry.queries("q138_mondrian")(s, dir)
+      val inRows = Tables.customer(s, dir).count()
+      val outRows = out.count()
+      val classes = out.groupBy("c_nationkey_range", "c_acctbal_range")
+        .agg(count(lit(1)).as("n"), min("group_size").as("gmin"),
+          max("group_size").as("gmax"))
+      val nClasses = classes.count()
+      val minClass = classes.agg(min("n")).head().getLong(0)
+      // group_size is per-cut-tree-leaf; identical-range leaves can merge
+      // into one class, so class size >= its members' certificates.
+      val badCert = classes.filter(col("gmin") < 25 || col("gmax") > col("n"))
+        .count()
+      val pass = outRows == inRows && minClass >= 25 && nClasses > 1 &&
+        badCert == 0
+      Result(pass, s"rows $outRows/$inRows, min class $minClass>=25, " +
+        s"classes $nClasses>1, cert violations $badCert==0")
+    }),
+
     "q46_rf_utility" -> ((s, dir) => {
       val r = SparkEntry.queries("q46_rf_utility")(s, dir).head()
       val (acc, train, test) =

@@ -152,6 +152,19 @@ object AnonymityQueries {
 
     // M1 parity: alphabetical label encoding (sklearn LabelEncoder order)
     // as a broadcast dictionary join — no global window at scale.
+    // Mondrian multidimensional k-anonymity over customer (QIs =
+    // nationkey, acctbal; k = 25): deterministic recursive median cuts,
+    // per-partition min-max generalization, partition size as the
+    // certificate. No SQL oracle (the cut tree is iterative) — verified
+    // by the q138 self-check (exact k-anonymity on the rendered ranges,
+    // row preservation, >1 partition) plus MondrianSpec.
+    "q138_mondrian" -> ((s, dir) => {
+      graft.ops.Mondrian.anonymize(Tables.customer(s, dir),
+          Seq("c_nationkey", "c_acctbal"), k = 25)
+        .select("c_custkey", "c_nationkey_range", "c_acctbal_range", "group_size")
+        .orderBy("c_custkey")
+    }),
+
     "q27_label_encode" -> ((s, dir) => {
       TCloseness.ordinal(Tables.events(s, dir), "event_type", "event_type_idx")
         .select("event_id", "event_type", "event_type_idx")

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MondrianSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("1-D line of 8 points at k=2 cuts into four pairs") {
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+    val pids = Mondrian.assignPartitions(df, Seq("x"), 2)
+      .select("x", "pid").as[(Double, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    // median cuts: [1-8] -> [1-4|5-8] -> [1,2|3,4|5,6|7,8]
+    val groups = pids.groupBy(_._2).values.map(_.keySet.toSeq.sorted).toSet
+    assert(groups == Set(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0), Seq(7.0, 8.0)),
+      groups.toString)
+  }
+
+  test("a zero-width dimension can never be cut") {
+    val df = Seq.fill(10)(7.0).toDF("x")
+    val out = Mondrian.assignPartitions(df, Seq("x"), 2)
+    assert(out.select("pid").distinct().count() == 1)
+    graft.QueryCleanup.drain()
+  }
+
+  test("cut admissibility decided on exact side counts under heavy ties") {
+    // 9 copies of 1.0 and one 2.0: median is 1.0, left side (<=) holds 9,
+    // right holds 1 < k, and no other cut point exists -> no split.
+    val df = (Seq.fill(9)(1.0) ++ Seq(2.0)).toDF("x")
+    val out = Mondrian.assignPartitions(df, Seq("x"), 3)
+    assert(out.select("pid").distinct().count() == 1)
+    graft.QueryCleanup.drain()
+  }
+
+  test("widest normalized dimension wins; QI order breaks ties") {
+    // y spans its full global range in both halves of x, so after the
+    // root cut on the tied widths (both 1.0, x first in QI order) the
+    // children still prefer y? No: children retain full y width (1.0)
+    // but halved x width -> second-level cuts go to y.
+    val rows = for (x <- 0 until 4; y <- 0 until 4) yield (x.toDouble, y.toDouble)
+    val df = rows.toDF("x", "y")
+    val out = Mondrian.assignPartitions(df, Seq("x", "y"), 4)
+      .groupBy("pid").agg(count(lit(1)).as("n"),
+        min("x").as("mnx"), max("x").as("mxx"),
+        min("y").as("mny"), max("y").as("mxy"))
+      .collect()
+    graft.QueryCleanup.drain()
+    assert(out.length == 4 && out.forall(_.getAs[Long]("n") == 4L), out.mkString(";"))
+    // root cut on x (tie -> first QI), second level on y (now the widest):
+    // quadrants, each 2x4 points -> every partition is an x-half crossed
+    // with a y-half
+    out.foreach { r =>
+      assert(r.getAs[Double]("mxx") - r.getAs[Double]("mnx") == 1.0, r.toString)
+      assert(r.getAs[Double]("mxy") - r.getAs[Double]("mny") == 1.0, r.toString)
+    }
+  }
+
+  test("anonymize: k certificate, row preservation, in-range values") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 101).toDouble, (i * 53 % 17).toDouble))
+      .toDF("id", "a", "b")
+    val out = Mondrian.anonymize(df, Seq("a", "b"), 10)
+    val rows = out.select("id", "a", "b", "a_range", "b_range", "group_size")
+      .as[(Long, Double, Double, String, String, Long)].collect()
+    graft.QueryCleanup.drain()
+    assert(rows.length == 100)
+    assert(rows.map(_._6).min >= 10L)
+    rows.foreach { case (_, a, b, ar, br, _) =>
+      val Array(alo, ahi) = ar.split("-").map(_.toDouble)
+      val Array(blo, bhi) = br.split("-").map(_.toDouble)
+      assert(a >= alo && a <= ahi && b >= blo && b <= bhi, s"$a in $ar, $b in $br")
+    }
+    // more than one partition: the cut tree really ran
+    assert(rows.map(_._4).distinct.length > 1)
+  }
+}
