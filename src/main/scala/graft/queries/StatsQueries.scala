@@ -78,6 +78,14 @@ object StatsQueries {
 
     // String functions: edit distance of each region name to a probe,
     // case/substring manipulation.
+    // Fuzzy record linkage over the part-name dictionary: first-token
+    // blocking + the native codegen'd Jaro-Winkler kernel, thresholded
+    // on the 6dp-rounded score so the cut replays in DuckDB.
+    "q139_jw_match" -> ((s, dir) => {
+      graft.ops.Dedup.jaroWinklerDictJoin(Tables.part(s, dir), "p_name", 0.8)
+        .orderBy("name_a", "name_b")
+    }),
+
     "q52_string_funcs" -> ((s, dir) => {
       Tables.nation(s, dir)
         .select(
@@ -326,6 +334,15 @@ object StatsQueries {
           FROM est CROSS JOIN ex ORDER BY q""",
     "q51_moment_aggs" ->
       """SELECT event_type, round(corr(value, user_id),6) AS corr_vu, round(stddev_samp(value),6) AS sd_value, round(var_samp(value),6) AS var_value, round(avg(value),6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "q139_jw_match" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+          SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+          FROM d a JOIN d b
+            ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+           AND a.p_name < b.p_name
+          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
+          ORDER BY name_a, name_b""",
     "q52_string_funcs" ->
       """SELECT n_nationkey, upper(n_name) AS upper_name, substr(n_name, 1, 3) AS prefix3, CAST(length(n_name) AS BIGINT) AS name_len, CAST(levenshtein(lower(n_name), 'united states') AS BIGINT) AS lev_us FROM nation ORDER BY n_nationkey""",
     "q134_skew_report" ->

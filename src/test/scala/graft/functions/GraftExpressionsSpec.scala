@@ -141,6 +141,29 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(withNull == Seq((2L, 1.0)))
   }
 
+  test("jaro-winkler matches the classic vectors and DuckDB edge semantics") {
+    val cases = Seq(
+      // golden values read back from DuckDB's jaro_winkler_similarity
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "x", 0.0),
+      ("", "", 0.0))
+    cases.foreach { case (a, b, want) =>
+      val got = JaroWinklerImpl.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"jw($a,$b) = $got, want $want")
+    }
+    // and through the registered expression (codegen path)
+    GraftFunctions.ensureRegistered(spark)
+    val viaExpr = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(GraftFunctions.jaroWinklerNative(col("a"), col("b")))
+      .as[Double].head()
+    assert(viaExpr == 0.9611111111111111)
+  }
+
   test("kernels run inside whole-stage codegen (no fallback in plan)") {
     // A local relation would be constant-folded away; go through parquet so
     // the executed plan is the real scan + projection pipeline.
