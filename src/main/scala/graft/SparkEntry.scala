@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.KAnonymity
-import graft.queries.{AnonymityQueries, MlQueries, RelationalQueries, StatsQueries, TextQueries, VectorEventQueries}
+import graft.queries.{AnonymityQueries, CurationQueries, MlQueries, RelationalQueries, StatsQueries, TextQueries, VectorEventQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +30,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (VectorEventQueries.queries, VectorEventQueries.oracles),
       (MlQueries.queries, MlQueries.oracles),
-      (StatsQueries.queries, StatsQueries.oracles))
+      (StatsQueries.queries, StatsQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.map(_._1).reduce(_ ++ _)

@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.GraftFunctions
 import graft.functions.PortableHash.{P, phash, phashMod}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
@@ -915,5 +916,58 @@ object Dedup {
         GraftFunctions.jaroWinklerNative(col("name_a"), col("name_b")), 6))
       .filter(col("jw") >= threshold)
       .select("name_a", "name_b", "jw")
+  }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo, "The
+    * merge/purge problem for large databases", SIGMOD 1995): sort the
+    * table by a linkage key and emit every pair within a sliding window
+    * of `w` positions of the GLOBAL (keyCol, idCol) order — the classic
+    * record-linkage blocker whose candidate count is `w·n`, not `n²`.
+    *
+    * A global sort order normally means a single-partition window — the
+    * scale-killer this implementation avoids with a deterministic
+    * rank-offset scheme:
+    *
+    *  1. `bucketExpr` coarsely buckets the key. CONTRACT: it must be
+    *     MONOTONE in the sort key (a prefix / leading-digits function:
+    *     b(k1) <= b(k2) whenever k1 <= k2), so the global order is the
+    *     bucket order refined by the within-bucket order. Monotonicity is
+    *     the caller's responsibility — it cannot be checked cheaply.
+    *  2. Per-bucket ranks come from a window PARTITIONED by bucket (all
+    *     buckets rank in parallel); bucket row-counts (one tiny row per
+    *     bucket) get prefix-summed into starting offsets — metadata-scale
+    *     work — and broadcast-joined back. rank + offset = exact global
+    *     row_number with no global sort anywhere.
+    *  3. Each row fans out `w` successor ranks (`sequence(r+1, r+w)`)
+    *     and equi-joins them against the ranked table: a plain integer
+    *     hash join replaces both the self-range-join and any
+    *     cross-partition boundary special-casing — pairs that straddle
+    *     a bucket boundary match like any others because ranks are
+    *     global.
+    *
+    * Output: one row per ordered neighbor pair (id_a, id_b, key_a,
+    * key_b) with `id_a` the earlier row in sort order. Null keys sort
+    * nowhere meaningful and are excluded. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, keyCol: String,
+                          w: Int, bucketExpr: Column): DataFrame = {
+    require(w >= 1, s"window of $w neighbors is empty")
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(bucketExpr.as("__b"), col(keyCol).as("__k"), col(idCol).as("__id"))
+    val rankW = Window.partitionBy(col("__b")).orderBy(col("__k"), col("__id"))
+    val ranked = base.withColumn("__r", row_number().over(rankW))
+    // offsets: exclusive prefix sum of bucket sizes in bucket order; the
+    // window is single-partition but over #buckets rows — metadata scale
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .drop("__n")
+    val global = ranked.join(broadcast(offsets), Seq("__b"))
+      .select(col("__id"), col("__k"), (col("__r") + col("__off")).as("__g"))
+    val left = global.select(col("__id").as("id_a"), col("__k").as("key_a"),
+        explode(sequence(col("__g") + 1, col("__g") + w)).as("__g"))
+    left.join(global, Seq("__g"))
+      .select(col("id_a"), col("__id").as("id_b"),
+        col("key_a"), col("__k").as("key_b"))
   }
 }

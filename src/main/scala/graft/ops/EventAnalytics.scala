@@ -72,4 +72,29 @@ object EventAnalytics {
       .filter(abs(col("__z")) > zThreshold)
       .withColumnRenamed("__z", "z")
   }
+
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [loQ, hiQ] exact-percentile envelope — the outlier TREATMENT twin
+    * of [[zScoreOutliers]]'s detection (robust feature prep: tame heavy
+    * tails without dropping rows). Appends `outCol` (the 6dp-rounded
+    * clipped value) plus the per-group bounds `__wlo`/`__whi` the caller
+    * may drop or keep for audit.
+    *
+    * Scale: one aggregation computes both bounds per group (map-side
+    * partial into a tiny |groups|-row table) and broadcasts back — no
+    * window over the data, no second exchange of the input. Exact
+    * `percentile` here for oracle replay; at lake scale swap in the
+    * mergeable [[Sketches.quantileSketchGrouped]] bounds, same clip
+    * expression. */
+  def winsorize(events: DataFrame, groupCol: String, valueCol: String,
+                loQ: Double, hiQ: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"need 0 <= $loQ < $hiQ <= 1")
+    val bounds = events.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, $loQ)"), 6).as("__wlo"),
+      round(expr(s"percentile($valueCol, $hiQ)"), 6).as("__whi"))
+    events.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(outCol,
+        round(least(greatest(col(valueCol), col("__wlo")), col("__whi")), 6))
+  }
 }

@@ -90,4 +90,60 @@ object Generalization {
     val keep = df.columns.filterNot(cols.contains).map(col)
     joined.select(keep ++ cols.map(c => col(s"__gen_$c").as(c)): _*)
   }
+
+  /** Full-domain generalization (Samarati, "Protecting respondents'
+    * identities in microdata release", TKDE 2001): generalize `numCol`
+    * to the COARSEST-necessary level of a fixed width hierarchy — the
+    * smallest level whose equal-width ranges, combined with the other
+    * quasi-identifiers, make EVERY equivalence class at least `k` rows.
+    * Unlike [[graft.ops.Mondrian]]'s local recoding (different cells per
+    * region), full-domain recoding applies ONE rule to the whole column —
+    * the property auditors want when the release must be explainable
+    * ("all balances were rounded to $4000 ranges").
+    *
+    * The level search is a single distributed pass, not one scan per
+    * level: each row explodes into (level, bin) for every width — `L`×
+    * amplification of the QI projection only (L = widths.size, single
+    * digits) — then one aggregation counts every (level, bin, QIs) class
+    * and a per-level min reduces to L rows on the driver (metadata
+    * scale). The chosen width then renders codegen'd range strings
+    * `[lo,hi)` with LONG bounds (integral widths), identical text on any
+    * engine. If even the widest level leaves a class under `k`, every
+    * value suppresses to `"*"` and the emitted level is -1 (the
+    * hierarchy's root).
+    *
+    * Output: the input with `numCol` replaced by its range string and a
+    * constant `glevel` column recording the chosen level. NULL QIs form
+    * their own classes (groupBy semantics) and count toward k like any
+    * other class. */
+  def fullDomainGeneralize(df: DataFrame, numCol: String,
+                           otherQis: Seq[String], k: Int,
+                           widths: Seq[Long]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), "need positive widths")
+    require(k >= 1, s"k=$k must be positive")
+    def rangeStr(w: Long): Column = {
+      val lo = floor(col(numCol) / w).cast("long") * w
+      concat(lit("["), lo.cast("string"), lit(","),
+        (lo + w).cast("string"), lit(")"))
+    }
+    val levels = explode(typedlit(widths.indices.map(_.toLong))).as("__lvl")
+    val widthOf = widths.zipWithIndex.tail.foldLeft(lit(widths.head)) {
+      case (els, (w, i)) => when(col("__lvl") === i.toLong, w).otherwise(els)
+    }
+    val binned = df.select((otherQis.map(col) :+ col(numCol) :+ levels): _*)
+      .withColumn("__bin", floor(col(numCol) / widthOf).cast("long") * widthOf)
+    val minPerLevel = binned
+      .groupBy((Seq(col("__lvl"), col("__bin")) ++ otherQis.map(col)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__lvl")).agg(min(col("__n")).as("__mn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chosen = widths.indices.find(l => minPerLevel.getOrElse(l.toLong, 0L) >= k)
+    chosen match {
+      case Some(l) =>
+        df.withColumn(numCol, rangeStr(widths(l)))
+          .withColumn("glevel", lit(l.toLong))
+      case None =>
+        df.withColumn(numCol, lit("*")).withColumn("glevel", lit(-1L))
+    }
+  }
 }

@@ -213,4 +213,32 @@ object Sampling {
     }
     df.withColumn(outCol, expr)
   }
+
+  /** Deterministic global training shuffle: assign each row a shard
+    * (`pmod(hash, nShards)`) and a position within its shard (rank by the
+    * portable hash, ties on the key) — the "shuffle once, read in order"
+    * layout every epoch-stable training loader wants. Reading shards
+    * 0..n-1 sequentially replays one fixed hash-uniform permutation of
+    * the corpus: same keys + salt → same order, on any engine, under any
+    * input partitioning.
+    *
+    * Scale: one exchange on the shard key; each shard ranks
+    * independently inside its partition (window PARTITIONED by shard —
+    * no global sort). `nShards` is the parallelism knob: size it so a
+    * shard (corpus/nShards rows) sorts in one executor's memory; the
+    * at-scale default is thousands of shards, not this demo's handful.
+    * Collision note: ordering ties on (hash, key) are totally ordered,
+    * so duplicate hash values cannot make the order partition-dependent. */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                  salt: String = "graft-shard"): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be positive")
+    val h = PortableHash.phash(
+      concat_ws("|", lit(salt), col(keyCol).cast("string")))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(rankW).cast("long"))
+      .drop("__h")
+  }
 }

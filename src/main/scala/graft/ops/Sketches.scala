@@ -282,4 +282,32 @@ object Sketches {
         col("__rn") === greatest(lit(1), ceil(col("q") * col("__n"))))
       .select(col("q"), round(col("v"), 6).as("q_est"))
   }
+
+  /** KMV set-INTERSECTION estimate from two [[kmvSketch]]es (Beyer et
+    * al., "On synopses for distinct-value estimation under multiset
+    * operations", SIGMOD 2007): the bottom-k of the union is an
+    * unbiased size-k sample of the union's distinct hashes, so the
+    * fraction of it present in BOTH input sketches estimates the
+    * Jaccard similarity, and `J_est · D_union_est` estimates the
+    * intersection cardinality. This is the sketch algebra that answers
+    * "how many users did both X and Y" from two independently-built
+    * per-segment sketches — no second scan of the data.
+    *
+    * Both sketches must share the build salt and a k >= this k.
+    * Output: one row (kmv_intersect_est). Every stage operates on
+    * <= k-row inputs (semi-joins + tiny aggregates) — cost is O(k),
+    * independent of the sketched data. Exact when the union holds
+    * fewer than k hashes (the estimator degenerates to counting). */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame,
+                           k: Int = 256): DataFrame = {
+    val merged = kmvMerge(Seq(a, b), k)
+    val nBoth = merged
+      .join(a.select(col("u")), Seq("u"), "left_semi")
+      .join(b.select(col("u")), Seq("u"), "left_semi")
+      .agg(count(lit(1)).as("__nboth"))
+    val mStats = merged.agg(count(lit(1)).as("__nm"))
+    kmvEstimate(merged, k).crossJoin(nBoth).crossJoin(mStats)
+      .select(round(col("kmv_est") * col("__nboth") / col("__nm"), 6)
+        .as("kmv_intersect_est"))
+  }
 }

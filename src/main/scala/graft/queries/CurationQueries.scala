@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, EventAnalytics, Generalization, Sampling, Sketches, Skyline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-curation batch: robust clipping, Pareto-front selection,
+  * record-linkage blocking, deterministic training-shuffle layout,
+  * full-domain generalization, and sketch set-algebra. Every entry has a
+  * DuckDB oracle (portable md5 hashing / exact percentiles throughout).
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Per-group winsorization of lineitem prices into the [p5, p95]
+    // envelope; report per-group bounds and the before/after means.
+    // round-2 on AVERAGES only (divide shrinks summation-order noise to
+    // ~1e-11 — the q80 lesson; a 2dp SUM would be order-sensitive).
+    "q140_winsorize" -> ((s, dir) => {
+      EventAnalytics.winsorize(Tables.lineitem(s, dir),
+          "l_returnflag", "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("__wlo")).as("lo"), min(col("__whi")).as("hi"),
+          round(avg(col("l_extendedprice")), 2).as("avg_raw"),
+          round(avg(col("winsorized")), 2).as("avg_winsorized"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // 2-D skyline: the parts no other part beats on BOTH retail price
+    // and size (maximize-both Pareto front). bucketWidth 10 over the
+    // [900, 1000) price domain = ~10 parallel phase-1 buckets.
+    "q141_skyline_parts" -> ((s, dir) => {
+      Skyline.skyline2d(
+          Tables.part(s, dir).select("p_partkey", "p_name", "p_retailprice", "p_size"),
+          "p_retailprice", "p_size", bucketWidth = 10.0)
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Sorted-neighborhood blocking over the customer-name linkage key:
+    // candidate pairs within 3 positions of the global name order.
+    // Bucket = the name's leading 6 key digits (monotone prefix), so
+    // ranking parallelizes per bucket and pairs straddling bucket
+    // boundaries still match through the global rank offsets.
+    "q142_sorted_neighbors" -> ((s, dir) => {
+      Dedup.sortedNeighborPairs(Tables.customer(s, dir),
+        "c_custkey", "c_name", w = 3,
+        bucketExpr = substring(col("c_name"), 10, 6))
+    }),
+
+    // Deterministic training shuffle: documents hashed into 8 shards
+    // with a stable within-shard order — the epoch-reproducible read
+    // layout (same keys + salt => same order, any partitioning).
+    "q143_shard_assign" -> ((s, dir) => {
+      Sampling.shardAssign(Tables.documents(s, dir).select("doc_id"),
+          "doc_id", nShards = 8)
+        .select("shard", "pos", "doc_id")
+    }),
+
+    // Full-domain generalization: coarsest-necessary acctbal width (of
+    // 1000/2000/4000/8000/16000) making every (nation, range) class
+    // >= 25 rows; one rule for the whole column (Samarati), not
+    // Mondrian's per-region cells.
+    "q144_full_domain" -> ((s, dir) => {
+      Generalization.fullDomainGeneralize(
+          Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_acctbal"),
+          "c_acctbal", Seq("c_nationkey"), k = 25,
+          widths = Seq(1000L, 2000L, 4000L, 8000L, 16000L))
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").as("acctbal_range"), col("glevel"))
+    }),
+
+    // KMV sketch algebra: estimate |click-users ∩ purchase-users| from
+    // two independent k=64 sketches (no joint scan), beside the exact
+    // intersection — the q117 estimate-vs-exact oracle pattern.
+    "q145_kmv_intersect" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select("user_id")
+      val est = Sketches.kmvIntersectEstimate(
+        Sketches.kmvSketch(users("click"), "user_id", 64),
+        Sketches.kmvSketch(users("purchase"), "user_id", 64), 64)
+      val exact = users("click").intersect(users("purchase"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      est.crossJoin(exact)
+    }))
+
+  private val phashSql = (x: String) =>
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q140_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+                           round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+                           round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, count(*) AS n_rows, min(lo) AS lo, min(hi) AS hi,
+                round(avg(l_extendedprice), 2) AS avg_raw,
+                round(avg(round(least(greatest(l_extendedprice, lo), hi), 6)), 2) AS avg_winsorized
+         FROM lineitem JOIN b USING (l_returnflag)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q141_skyline_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size FROM part t
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part o
+           WHERE o.p_retailprice >= t.p_retailprice AND o.p_size >= t.p_size
+             AND (o.p_retailprice > t.p_retailprice OR o.p_size > t.p_size))
+         ORDER BY p_partkey""",
+    "q142_sorted_neighbors" ->
+      """WITH r AS (SELECT c_custkey, c_name,
+                           row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+                    FROM customer)
+         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                a.c_name AS key_a, b.c_name AS key_b
+         FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3""",
+    "q143_shard_assign" ->
+      s"""WITH h AS (SELECT doc_id,
+                   ${phashSql("'graft-shard|' || CAST(doc_id AS VARCHAR)")} AS hv
+                   FROM documents)
+          SELECT hv % 8 AS shard,
+                 CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos,
+                 doc_id
+          FROM h""",
+    "q144_full_domain" ->
+      """WITH lv(lvl, w) AS (VALUES (0, 1000), (1, 2000), (2, 4000), (3, 8000), (4, 16000)),
+          b AS (SELECT lvl, w, c_nationkey,
+                       CAST(floor(c_acctbal / w) AS BIGINT) * w AS lo, count(*) AS n
+                FROM customer CROSS JOIN lv GROUP BY lvl, w, c_nationkey, lo),
+          m AS (SELECT lvl, min(n) AS mn FROM b GROUP BY lvl),
+          ch AS (SELECT min(lvl) AS lvl FROM m WHERE mn >= 25),
+          chw AS (SELECT ch.lvl AS lvl, lv.w AS w FROM ch LEFT JOIN lv ON lv.lvl = ch.lvl)
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN chw.lvl IS NULL THEN '*'
+                      ELSE '[' || CAST(CAST(floor(c_acctbal / chw.w) AS BIGINT) * chw.w AS VARCHAR)
+                        || ',' || CAST(CAST(floor(c_acctbal / chw.w) AS BIGINT) * chw.w + chw.w AS VARCHAR) || ')'
+                 END AS acctbal_range,
+                 CAST(coalesce(chw.lvl, -1) AS BIGINT) AS glevel
+          FROM customer CROSS JOIN chw""",
+    "q145_kmv_intersect" -> {
+      val u = (t: String) =>
+        s"""SELECT DISTINCT (${phashSql(s"'graft-kmv|' || CAST(user_id AS VARCHAR)")} % 1000000 + 0.5) / 1000000.0 AS u
+            FROM events WHERE event_type = '$t'"""
+      s"""WITH sa AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM (${u("click")})) WHERE rn <= 64),
+          sb AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM (${u("purchase")})) WHERE rn <= 64),
+          m AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn
+                               FROM (SELECT u FROM sa UNION SELECT u FROM sb)) WHERE rn <= 64),
+          st AS (SELECT count(*) AS nm, max(u) AS uk FROM m),
+          bo AS (SELECT count(*) AS nboth FROM m
+                 WHERE u IN (SELECT u FROM sa) AND u IN (SELECT u FROM sb)),
+          ex AS (SELECT count(*) AS exact_intersect FROM
+                   (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                    INTERSECT
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+          SELECT round((CASE WHEN nm < 64 THEN nm * 1.0 ELSE round((64 - 1) / uk, 6) END)
+                         * nboth / nm, 6) AS kmv_intersect_est,
+                 exact_intersect
+          FROM st, bo, ex"""
+    })
+}

@@ -425,4 +425,33 @@ class DedupSpec extends SparkSpec {
     val g2 = Dedup.paragraphDedup(rep, "doc_id", "text").as[(Long, String)].collect().toMap
     assert(g2(7L) == "x\n\ny")
   }
+
+  test("sortedNeighborPairs emits every within-w pair of the global order, across buckets") {
+    import spark.implicits._
+    // keys k01..k12; bucket = first 2 chars of a 3-char key prefix splits
+    // the order into uneven runs, so several pairs straddle boundaries
+    val rows = (1 to 12).map(i => (i.toLong, f"k$i%02d")).toDF("id", "key")
+    val got = Dedup.sortedNeighborPairs(rows, "id", "key", w = 3,
+        bucketExpr = substring(col("key"), 1, 2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      a <- 1 to 12; b <- a + 1 to math.min(a + 3, 12)
+    } yield (a.toLong, b.toLong)).toSet
+    assert(got == expect)
+    // partitioning-independent
+    val got2 = Dedup.sortedNeighborPairs(rows.repartition(7), "id", "key", 3,
+        substring(col("key"), 1, 2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got2 == expect)
+  }
+
+  test("sortedNeighborPairs: null keys drop; w=1 chains adjacent rows only") {
+    import spark.implicits._
+    val rows = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("c")))
+      .toDF("id", "key")
+    val got = Dedup.sortedNeighborPairs(rows, "id", "key", w = 1,
+        bucketExpr = lit(0))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (3L, 4L)))
+  }
 }

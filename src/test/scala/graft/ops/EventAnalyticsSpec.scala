@@ -58,4 +58,22 @@ class EventAnalyticsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq
     assert(got == Seq(20L))
   }
+
+  test("winsorize clips into the per-group exact-percentile envelope") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = EventAnalytics.winsorize(df, "grp", "v", 0.05, 0.95)
+      .select("v", "winsorized", "__wlo", "__whi")
+      .as[(Double, Double, Double, Double)].collect()
+    val (lo, hi) = (out.head._3, out.head._4)
+    // exact interpolated percentiles of 1..100
+    assert(lo == 5.95 && hi == 95.05, s"bounds ($lo, $hi)")
+    out.foreach { case (v, w, _, _) =>
+      assert(w >= lo && w <= hi)
+      if (v >= lo && v <= hi) assert(w == v) // interior untouched
+    }
+    assert(out.count { case (v, w, _, _) => w != v } == 10) // 5 each tail
+    intercept[IllegalArgumentException] {
+      EventAnalytics.winsorize(df, "grp", "v", 0.9, 0.1)
+    }
+  }
 }

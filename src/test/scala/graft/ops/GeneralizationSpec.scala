@@ -62,4 +62,36 @@ class GeneralizationSpec extends SparkSpec {
       .filter($"v" === 2.0).select("b").as[Long].collect()
     assert(eb.forall(_ == 0L))
   }
+
+  test("fullDomainGeneralize picks the coarsest-necessary level; root suppresses") {
+    // 30 rows, values 0..29: width 10 -> min class 10 >= 5 picks level 1
+    // (width 5 leaves classes of 5 >= 5 -> actually level 0 admissible).
+    // Force level 1: k=6 makes width-5 classes (size 5) inadmissible.
+    val df = (0 until 30).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val g1 = Generalization.fullDomainGeneralize(df, "v", Nil, k = 6,
+      widths = Seq(5L, 10L))
+    assert(g1.select("glevel").distinct().as[Long].collect().toSeq == Seq(1L))
+    val r = g1.filter($"id" === 17L).select("v").as[String].head()
+    assert(r == "[10,20)")
+    // k = 5: the finest level already passes
+    val g0 = Generalization.fullDomainGeneralize(df, "v", Nil, k = 5,
+      widths = Seq(5L, 10L))
+    assert(g0.select("glevel").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(g0.filter($"id" === 17L).select("v").as[String].head() == "[15,20)")
+    // unreachable k: suppress to the hierarchy root
+    val gx = Generalization.fullDomainGeneralize(df, "v", Nil, k = 31,
+      widths = Seq(5L, 10L))
+    assert(gx.select("v").distinct().as[String].collect().toSeq == Seq("*"))
+    assert(gx.select("glevel").distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
+
+  test("fullDomainGeneralize respects other QIs and negative values") {
+    // two groups x values -10..9: width 10 with group split -> classes of 5
+    val df = (0 until 20).map(i => (i % 2, (i - 10).toDouble)).toDF("g", "v")
+    val got = Generalization.fullDomainGeneralize(df, "v", Seq("g"), k = 5,
+      widths = Seq(10L, 20L))
+    assert(got.select("glevel").distinct().as[Long].collect().toSeq == Seq(0L))
+    val ranges = got.select("v").distinct().as[String].collect().toSet
+    assert(ranges == Set("[-10,0)", "[0,10)"))
+  }
 }

@@ -185,4 +185,21 @@ class SamplingPackingSpec extends SparkSpec {
       Sampling.mixtureRebalance(docs, "dom", "id", Map("web" -> 1001, "wiki" -> -1))
     }
   }
+
+  test("shardAssign is a deterministic, partition-independent permutation") {
+    val docs = (1L to 500L).toDF("id")
+    val a = Sampling.shardAssign(docs, "id", 8)
+      .select("shard", "pos", "id").as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.shardAssign(docs.repartition(11), "id", 8)
+      .select("shard", "pos", "id").as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    // every row exactly once; shards in range; per-shard positions gap-free
+    assert(a.size == 500 && a.map(_._3).size == 500)
+    assert(a.forall { case (s, _, _) => s >= 0 && s < 8 })
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      val ps = rows.map(_._2)
+      assert(ps == (1L to ps.size).toSet)
+    }
+    intercept[IllegalArgumentException] { Sampling.shardAssign(docs, "id", 0) }
+  }
 }

@@ -200,4 +200,24 @@ class SketchesSpec extends SparkSpec {
       Sketches.heavyHitters(data, "k", supportDen = 1000, capacity = 64)
     }
   }
+
+  test("kmvIntersectEstimate is exact below k and zero on disjoint sets") {
+    val a = Sketches.kmvSketch((1L to 40L).toDF("k"), "k", k = 64)
+    val b = Sketches.kmvSketch((21L to 60L).toDF("k"), "k", k = 64)
+    // union 60 < k=64 -> estimator degenerates to exact counting
+    val est = Sketches.kmvIntersectEstimate(a, b, 64)
+      .as[Double].head()
+    assert(est == 20.0, s"exact-regime estimate $est != 20")
+    val c = Sketches.kmvSketch((100L to 140L).toDF("k"), "k", k = 64)
+    assert(Sketches.kmvIntersectEstimate(a, c, 64).as[Double].head() == 0.0)
+  }
+
+  test("kmvIntersectEstimate approximates a large overlap within a loose band") {
+    val a = Sketches.kmvSketch((1L to 2000L).toDF("k"), "k", k = 128)
+    val b = Sketches.kmvSketch((1001L to 3000L).toDF("k"), "k", k = 128)
+    val est = Sketches.kmvIntersectEstimate(a, b, 128).as[Double].head()
+    // true intersection 1000; k=128 KMV Jaccard estimate is coarse --
+    // just pin the band that catches sign/off-by-k errors
+    assert(est > 300 && est < 2500, s"estimate $est wildly off 1000")
+  }
 }
