@@ -951,19 +951,13 @@ object Dedup {
   def sortedNeighborPairs(df: DataFrame, idCol: String, keyCol: String,
                           w: Int, bucketExpr: Column): DataFrame = {
     require(w >= 1, s"window of $w neighbors is empty")
-    val base = df.filter(col(keyCol).isNotNull)
-      .select(bucketExpr.as("__b"), col(keyCol).as("__k"), col(idCol).as("__id"))
-    val rankW = Window.partitionBy(col("__b")).orderBy(col("__k"), col("__id"))
-    val ranked = base.withColumn("__r", row_number().over(rankW))
-    // offsets: exclusive prefix sum of bucket sizes in bucket order; the
-    // window is single-partition but over #buckets rows — metadata scale
-    val offW = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
-      .drop("__n")
-    val global = ranked.join(broadcast(offsets), Seq("__b"))
-      .select(col("__id"), col("__k"), (col("__r") + col("__off")).as("__g"))
+    // evaluate the caller's bucket expression against the caller's column
+    // names BEFORE projecting to the internal (__k, __id) shape
+    val global = Ranking.globalRowNumber(
+        df.select(bucketExpr.as("__sb"), col(keyCol).as("__k"),
+          col(idCol).as("__id")),
+        Seq("__k", "__id"), bucketExpr = col("__sb"), outCol = "__g")
+      .drop("__sb")
     val left = global.select(col("__id").as("id_a"), col("__k").as("key_a"),
         explode(sequence(col("__g") + 1, col("__g") + w)).as("__g"))
     left.join(global, Seq("__g"))

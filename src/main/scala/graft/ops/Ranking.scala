@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ordering WITHOUT a single-partition sort — the
+  * rank-offset scheme shared by [[Dedup.sortedNeighborPairs]] and the
+  * percentile-normalization queries.
+  *
+  * A `row_number() OVER (ORDER BY ...)` window forces every row through
+  * ONE task — the classic scale-killer. This helper instead:
+  *
+  *  1. ranks WITHIN deterministic buckets (`bucketExpr`), all buckets in
+  *     parallel behind one bucket-keyed exchange;
+  *  2. prefix-sums the bucket row-counts (a #buckets-row table —
+  *     metadata scale, the only serial step) into starting offsets;
+  *  3. broadcast-joins the offsets back: bucket rank + offset = the
+  *     exact global row number.
+  *
+  * CONTRACT: `bucketExpr` must be MONOTONE in the lexicographic
+  * `orderCols` order (a coarse prefix: b(k1) <= b(k2) whenever k1 <= k2
+  * — leading digits of a padded key, `floor(x / width)` of the leading
+  * numeric key, a date's year-month). Monotonicity makes global order =
+  * bucket order refined by in-bucket order; it is the caller's
+  * responsibility — checking it would cost the sort this avoids.
+  * `orderCols` must be a TOTAL order (append a unique id as the last
+  * key), otherwise ties rank nondeterministically.
+  */
+object Ranking {
+
+  /** Append `outCol` = the 1-based global row number of each row in
+    * `orderCols` order. Rows with a NULL first order key are excluded
+    * (their global position is undefined). */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+                      bucketExpr: Column, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val base = df.filter(col(orderCols.head).isNotNull)
+      .withColumn("__rkb", bucketExpr)
+    val rankW = Window.partitionBy(col("__rkb"))
+      .orderBy(orderCols.map(col): _*)
+    val offW = Window.orderBy(col("__rkb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__rkb")).agg(count(lit(1)).as("__rkn"))
+      .withColumn("__rko", coalesce(sum(col("__rkn")).over(offW), lit(0L)))
+      .drop("__rkn")
+    base.withColumn("__rkr", row_number().over(rankW))
+      .join(broadcast(offsets), Seq("__rkb"))
+      .withColumn(outCol, col("__rkr") + col("__rko"))
+      .drop("__rkb", "__rkr", "__rko")
+  }
+}

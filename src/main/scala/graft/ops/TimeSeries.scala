@@ -176,6 +176,43 @@ object TimeSeries {
       .drop("__bk")
   }
 
+  /** Interval-OVERLAP join: pair every `a` interval with every same-key
+    * `b` interval it overlaps ([aStart,aEnd] ∩ [bStart,bEnd] ≠ ∅,
+    * boundaries inclusive) — the interval-interval sibling of
+    * [[rangeJoin]]'s point-in-interval. Same bucketed-equi-join scheme:
+    * both sides explode into the `bucketSeconds` time buckets they span
+    * and join on (keys, bucket) with the exact overlap predicate as a
+    * post-filter.
+    *
+    * An overlapping pair shares EVERY bucket its overlap spans, so the
+    * bucket join alone would duplicate it; instead of a distinct over
+    * the output, each pair is attributed to exactly ONE bucket — the
+    * one containing the overlap's start, `greatest(aStart, bStart)`
+    * (the overlap is non-empty, so that instant lies in both intervals
+    * and its bucket is exploded by both sides). Dedup-free: no shuffle
+    * beyond the one (keys, bucket) exchange. Replication factor =
+    * interval length / bucketSeconds + 1 per side — pick the bucket
+    * near the typical interval length, as with [[rangeJoin]].
+    *
+    * Column-name collisions between the sides (beyond `keyCols`) are
+    * the caller's responsibility — pre-rename start/end and payloads. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    def bk(s: String, e: String) = explode(sequence(
+      floor(unix_timestamp(col(s)) / bucketSeconds.toDouble),
+      floor(unix_timestamp(col(e)) / bucketSeconds.toDouble)))
+    val aB = a.withColumn("__bk", bk(aStart, aEnd))
+    val bB = b.withColumn("__bk", bk(bStart, bEnd))
+    aB.join(bB, (keyCols :+ "__bk").toSeq)
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bk") === floor(
+        unix_timestamp(greatest(col(aStart), col(bStart))) / bucketSeconds.toDouble))
+      .drop("__bk")
+  }
+
   /** Per-session rollup: bounds, event count, value sum. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)

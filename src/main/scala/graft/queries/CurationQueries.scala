@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, EventAnalytics, Generalization, Sampling, Sketches, Skyline}
+import graft.ops.{Dedup, EventAnalytics, Generalization, KMap, Ranking, Sampling, Sketches, Skyline, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,57 @@ object CurationQueries {
       val exact = users("click").intersect(users("purchase"))
         .agg(count(lit(1)).as("exact_intersect"))
       est.crossJoin(exact)
+    }),
+
+    // δ-presence audit: how much of each (nation, $1000-balance-bin)
+    // class the released BUILDING-segment sample leaks, measured against
+    // the full customer population.
+    "q146_kmap_audit" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).withColumn("bal_bin",
+        floor(col("c_acctbal") / 1000).cast("long"))
+      KMap.audit(c.filter(col("c_mktsegment") === "BUILDING"), c,
+          Seq("c_nationkey", "bal_bin"))
+        .orderBy(col("c_nationkey"), col("bal_bin"))
+    }),
+
+    // k-map suppression: sample rows whose class holds >= 8 POPULATION
+    // rows (population-side k, not sample-side — the k-map distinction;
+    // $2000 bins and k=8 split the sf0.01 gate's sample 266/302).
+    "q147_kmap_suppress" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).withColumn("bal_bin",
+        floor(col("c_acctbal") / 2000).cast("long"))
+      KMap.suppress(c.filter(col("c_mktsegment") === "BUILDING"), c,
+          Seq("c_nationkey", "bal_bin"), k = 8)
+        .select("c_custkey", "c_nationkey", "bal_bin")
+    }),
+
+    // Interval-overlap join: per-user daily click spans overlapping the
+    // same user's daily error spans (did errors land inside browsing?).
+    // Bucketed equi-join on (user, day-bucket); each pair attributed to
+    // its overlap-start bucket — no distinct.
+    "q148_interval_overlap" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def spans(t: String, p: String) =
+        e.filter(col("event_type") === t)
+          .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as(s"__d$p"))
+          .agg(min(col("ts")).as(s"${p}_start"), max(col("ts")).as(s"${p}_end"))
+          .drop(s"__d$p")
+      TimeSeries.intervalOverlapJoin(spans("click", "a"), spans("error", "b"),
+          Seq("user_id"), "a_start", "a_end", "b_start", "b_end",
+          bucketSeconds = 86400L)
+    }),
+
+    // Exact global percentile rank without a single-partition sort:
+    // bucketed rank-offset row numbers over (price, key) order.
+    "q149_global_rank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val n = o.agg(count(lit(1)).as("__n"))
+      Ranking.globalRowNumber(o, Seq("o_totalprice", "o_orderkey"),
+          bucketExpr = floor(col("o_totalprice") / 25000), outCol = "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))
+        .crossJoin(broadcast(n))
+        .select(col("o_orderkey"), col("o_totalprice"), col("rnk"),
+          round((col("rnk") - 1) / (col("__n") - 1), 6).as("pct"))
     }))
 
   private val phashSql = (x: String) =>
@@ -157,5 +208,44 @@ object CurationQueries {
                          * nboth / nm, 6) AS kmv_intersect_est,
                  exact_intersect
           FROM st, bo, ex"""
-    })
+    },
+    "q146_kmap_audit" ->
+      """WITH sc AS (SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+                            count(*) AS n_sample
+                     FROM customer WHERE c_mktsegment = 'BUILDING'
+                     GROUP BY c_nationkey, bal_bin),
+          pc AS (SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+                        count(*) AS n_pop
+                 FROM customer GROUP BY c_nationkey, bal_bin)
+          SELECT sc.c_nationkey, sc.bal_bin, n_sample, n_pop,
+                 round(n_sample * 1.0 / n_pop, 6) AS ratio
+          FROM sc JOIN pc USING (c_nationkey, bal_bin)
+          ORDER BY c_nationkey, bal_bin""",
+    "q147_kmap_suppress" ->
+      """WITH pc AS (SELECT c_nationkey, CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bin
+                     FROM customer GROUP BY c_nationkey, bal_bin HAVING count(*) >= 8)
+          SELECT c_custkey, c.c_nationkey,
+                 CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_bin
+          FROM customer c
+          JOIN pc ON c.c_nationkey = pc.c_nationkey
+                 AND CAST(floor(c.c_acctbal / 2000) AS BIGINT) = pc.bal_bin
+          WHERE c_mktsegment = 'BUILDING'""",
+    "q148_interval_overlap" ->
+      """WITH a AS (SELECT user_id, min(ts) AS a_start, max(ts) AS a_end
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, strftime(ts, '%Y-%m-%d')),
+          b AS (SELECT user_id, min(ts) AS b_start, max(ts) AS b_end
+                FROM events WHERE event_type = 'error'
+                GROUP BY user_id, strftime(ts, '%Y-%m-%d'))
+          SELECT user_id, a_start, a_end, b_start, b_end
+          FROM a JOIN b USING (user_id)
+          WHERE a_start <= b_end AND b_start <= a_end""",
+    "q149_global_rank" ->
+      """WITH r AS (SELECT o_orderkey, o_totalprice,
+                           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk,
+                           count(*) OVER () AS n
+                    FROM orders)
+          SELECT o_orderkey, o_totalprice, rnk,
+                 round((rnk - 1) * 1.0 / (n - 1), 6) AS pct
+          FROM r""")
 }

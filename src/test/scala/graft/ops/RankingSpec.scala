@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber equals the single-partition row_number, any partitioning") {
+    val df = (1 to 500).map { i =>
+      (i.toLong, (i * 37 % 211).toDouble) // duplicate values: id breaks ties
+    }.toDF("id", "v")
+    val expect = df.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v", $"id")))
+      .select($"id", $"rnk".cast("long")).as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Ranking.globalRowNumber(df.repartition(parts),
+          Seq("v", "id"), bucketExpr = floor($"v" / 50), outCol = "rnk")
+        .select($"id", $"rnk".cast("long")).as[(Long, Long)].collect().toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("globalRowNumber drops null-keyed rows and validates inputs") {
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0))).toDF("id", "v")
+    val got = Ranking.globalRowNumber(df, Seq("v", "id"), floor($"v"), "rnk")
+      .select($"id", $"rnk".cast("long")).as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 1L -> 2L))
+    intercept[IllegalArgumentException] {
+      Ranking.globalRowNumber(df, Nil, lit(0), "rnk")
+    }
+  }
+}

@@ -184,4 +184,28 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(Skew.saltedJoin(big, dim, Seq("user_id"), "event_id", 4).count() ==
       big.join(dim, Seq("user_id")).count())
   }
+
+  test("intervalOverlapJoin equals the naive overlap join, exactly once per pair") {
+    val a = Seq(
+      (7L, ts("2024-01-01 10:00:00"), ts("2024-01-03 10:00:00")), // spans 3 buckets
+      (7L, ts("2024-01-05 00:00:00"), ts("2024-01-05 01:00:00")),
+      (8L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "a_start", "a_end")
+    val b = Seq(
+      (7L, ts("2024-01-02 00:00:00"), ts("2024-01-06 00:00:00")), // overlaps both of 7's
+      (7L, ts("2024-01-03 10:00:00"), ts("2024-01-03 11:00:00")), // touches a1's end exactly
+      (8L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")), // no overlap
+      (9L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))  // key absent from a
+    ).toDF("user_id", "b_start", "b_end")
+    val got = TimeSeries.intervalOverlapJoin(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 86400L)
+      .select("user_id", "a_start", "b_start")
+      .as[(Long, Timestamp, Timestamp)].collect()
+    val naive = a.join(b, Seq("user_id"))
+      .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select("user_id", "a_start", "b_start")
+      .as[(Long, Timestamp, Timestamp)].collect()
+    assert(got.sorted.toSeq == naive.sorted.toSeq) // multiset equality: no dup, no miss
+    assert(got.length == 3) // (a1,b1), (a1,b2 boundary-inclusive), (a2,b1)
+  }
 }
