@@ -113,18 +113,8 @@ object Dedup {
     // .persist()/checkpoint the input DataFrame before calling — the
     // operator does not cache internally because it cannot know when the
     // returned (lazy) result is done being consumed.
-    val toks = df
-      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
-      .withColumn("__toks", GraftFunctions.shinglesNative(col("__tk"), lit(shingleN)))
-      .filter(size(col("__toks")) > 0)
-      .select(col(idCol).as("__id"), col("__toks"))
-    val sigs = toks
-      .withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
-      .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
-      .select(col("__id"), col("__sig"))
-    val banded = sigs.select(col("__id"), explode(bands(col("__sig"))).as("__band"))
-      .select(col("__id"),
-        col("__band.band_idx").as("__bidx"), col("__band.band_key").as("__bkey"))
+    val toks = shingleToks(df, idCol, textCol, shingleN)
+    val banded = bandedKeys(toks)
     val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
       .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
         Seq("__bidx", "__bkey"))
@@ -134,6 +124,58 @@ object Dedup {
     cand
       .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
       .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shingle relation (__id, __toks) — the staged projection feeding both
+    * banding and the verification join-backs (see [[minhashLsh]]'s
+    * recompute-for-shuffle note). */
+  private def shingleToks(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    df.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__toks", GraftFunctions.shinglesNative(col("__tk"), lit(shingleN)))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol).as("__id"), col("__toks"))
+
+  /** Exploded LSH band keys (__id, __bidx, __bkey) from the minhash
+    * signature of a shingle relation. */
+  private def bandedKeys(toks: DataFrame): DataFrame =
+    toks.withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
+      .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
+      .select(col("__id"), explode(bands(col("__sig"))).as("__band"))
+      .select(col("__id"),
+        col("__band.band_idx").as("__bidx"), col("__band.band_key").as("__bkey"))
+
+  /** CROSS-corpus near-duplicate pairs: every (a-side, b-side) document
+    * pair whose n-gram Jaccard clears `threshold`, found via the same
+    * MinHash band topology as [[minhashLsh]] but banding each corpus
+    * SEPARATELY and joining A-bands against B-bands only — the
+    * incremental-crawl shape ("which incoming documents near-duplicate
+    * the existing corpus") without ever generating the within-corpus
+    * candidate surface. At a billion-document corpus vs a million-row
+    * batch, the A×A candidates minhashLsh-on-the-union would emit
+    * outnumber the A×B ones by orders of magnitude; here the batch side
+    * of the band join is small enough for AQE to broadcast.
+    *
+    * Same hash/signature/band parameters as [[minhashLsh]], so the same
+    * SQL oracle CTE replays it. Output: (id_a, id_b, jaccard), one row
+    * per cross pair (no id ordering constraint — the sides are distinct
+    * tables; ids may even collide across corpora). */
+  def crossNearDup(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(a.sparkSession)
+    val ta = shingleToks(a, idCol, textCol, shingleN)
+    val tb = shingleToks(b, idCol, textCol, shingleN)
+    val cand = bandedKeys(ta).withColumnRenamed("__id", "id_a")
+      .join(bandedKeys(tb).withColumnRenamed("__id", "id_b"),
+        Seq("__bidx", "__bkey"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(ta.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
+      .join(tb.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -86,6 +86,37 @@ object EventAnalytics {
     * `percentile` here for oracle replay; at lake scale swap in the
     * mergeable [[Sketches.quantileSketchGrouped]] bounds, same clip
     * expression. */
+  /** Per-group ROBUST outliers via the modified z-score (Iglewicz &
+    * Hoaglin, "How to detect and handle outliers", 1993): flag rows
+    * where |0.6745·(v − median) / MAD| exceeds `zThreshold` (canonical
+    * 3.5). Unlike [[zScoreOutliers]], median/MAD are themselves immune
+    * to the outliers being hunted — the estimator a heavy-tailed
+    * quality signal actually needs.
+    *
+    * Two tiny per-group aggregates (median, then median absolute
+    * deviation around it), each broadcast back — no window over the
+    * data; the base relation is scanned three times (cheap columnar
+    * scans; persist upstream if it is expensive to produce). Groups
+    * with MAD = 0 (a majority-constant value) flag NOTHING: the
+    * modified z is undefined there, and the null comparison is
+    * deliberately non-matching. The z is 6dp-rounded BEFORE the
+    * threshold so an engine's last ulp cannot flip a boundary row. */
+  def madOutliers(events: DataFrame, groupCol: String, valueCol: String,
+                  zThreshold: Double = 3.5): DataFrame = {
+    val med = events.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, 0.5)"), 6).as("__med"))
+    val withMed = events.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile(abs($valueCol - __med), 0.5)"), 6).as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      // the CASE guards the division itself: under ANSI semantics a
+      // MAD-0 group would otherwise raise DIVIDE_BY_ZERO, not yield null
+      .withColumn("mod_z", when(col("__mad") =!= 0, round(
+        lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"), 6)))
+      .filter(abs(col("mod_z")) > zThreshold)
+      .drop("__med", "__mad")
+  }
+
   def winsorize(events: DataFrame, groupCol: String, valueCol: String,
                 loQ: Double, hiQ: Double,
                 outCol: String = "winsorized"): DataFrame = {

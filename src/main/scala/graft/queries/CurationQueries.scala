@@ -125,6 +125,13 @@ object CurationQueries {
           bucketSeconds = 86400L)
     }),
 
+    // Robust outliers: modified z-score on median/MAD (immune to the
+    // outliers being hunted, unlike q112's mean/stddev z).
+    "q151_mad_outliers" -> ((s, dir) => {
+      EventAnalytics.madOutliers(Tables.events(s, dir), "event_type", "value")
+        .select("event_id", "event_type", "value", "mod_z")
+    }),
+
     // Exact global percentile rank without a single-partition sort:
     // bucketed rank-offset row numbers over (price, key) order.
     "q149_global_rank" -> ((s, dir) => {
@@ -240,6 +247,15 @@ object CurationQueries {
           SELECT user_id, a_start, a_end, b_start, b_end
           FROM a JOIN b USING (user_id)
           WHERE a_start <= b_end AND b_start <= a_end""",
+    "q151_mad_outliers" ->
+      """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+                      FROM events GROUP BY event_type),
+          mad AS (SELECT event_type, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+                  FROM events JOIN med USING (event_type) GROUP BY event_type)
+          SELECT event_id, event_type, value,
+                 round(0.6745 * (value - med) / mad, 6) AS mod_z
+          FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+          WHERE mad <> 0 AND abs(round(0.6745 * (value - med) / mad, 6)) > 3.5""",
     "q149_global_rank" ->
       """WITH r AS (SELECT o_orderkey, o_totalprice,
                            CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk,

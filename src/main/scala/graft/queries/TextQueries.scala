@@ -107,6 +107,18 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Cross-corpus near-dup: incoming batch (odd doc_ids) vs existing
+    // corpus (even doc_ids), banding each side separately — the A×B-only
+    // candidate surface of Dedup.crossNearDup; same minhash parameters
+    // as q36 so the same oracle CTE chain replays it.
+    "q150_cross_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.crossNearDup(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", shingleN = 2, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // High-threshold near-dup pairs via the PPJoin PREFIX-filtered index
     // (global scope, no partition column): only each doc's
     // |S|-ceil(0.8|S|)+1 rarest shingle hashes are indexed, then distinct
@@ -693,6 +705,26 @@ object TextQueries {
           ORDER BY id_a, id_b""",
     "q36_minhash_lsh" ->
       s"""WITH $minhashPairsCte
+          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    // Same signature/band chain; only the candidate stage differs —
+    // A-side (even ids) bands join B-side (odd ids) bands, no ordering
+    // constraint between the sides.
+    "q150_cross_neardup" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
+          th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk
+                   WHERE a.doc_id % 2 = 0 AND c.doc_id % 2 = 1),
+          j AS (SELECT id_a, id_b,
+                  round(len(list_intersect(x.s, y.s)) * 1.0
+                        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+                FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
     // Transitive closure of the q36 pair set via a recursive CTE, then
     // cluster = min reachable id — the oracle for min-label propagation.

@@ -454,4 +454,30 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 3L), (3L, 4L)))
   }
+
+  test("crossNearDup finds A-B pairs only and matches union-minhashLsh cross pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely unrelated text about spark engines"),
+      (6L, "another corpus document with no twin at all here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // dup of 2
+      (3L, "the quick brown fox jumps over the sleepy dog"), // near-dup of 2
+      (5L, "fresh incoming content sharing nothing either")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossNearDup(corpus, batch, "doc_id", "text", 2, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 1L))) // the exact twin always band-collides
+    assert(got.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 })
+    // composition equivalence: union minhashLsh restricted to cross pairs
+    val union = Dedup.minhashLsh(corpus.unionByName(batch), "doc_id", "text", 2, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unionCross = union.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (a, b)
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (b, a)
+    }
+    assert(got == unionCross)
+  }
 }

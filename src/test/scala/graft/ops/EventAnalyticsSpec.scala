@@ -76,4 +76,23 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.winsorize(df, "grp", "v", 0.9, 0.1)
     }
   }
+
+  test("madOutliers flags on median/MAD, survives the outlier it hunts, skips MAD=0") {
+    // group a: median 10, MAD 1; 100 gives mod_z = 0.6745*90 = 60.705
+    val a = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 100.0).map(("a", _))
+    // group b: majority-constant -> MAD 0 -> nothing flagged
+    val b = Seq(5.0, 5.0, 5.0, 5.0, 99.0).map(("b", _))
+    val df = (a ++ b).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("event_id", "grp", "v")
+    val got = EventAnalytics.madOutliers(df, "grp", "v")
+      .select("event_id", "mod_z").as[(Long, Double)].collect().toMap
+    // only the group-a outlier: median of a = 10.5, MAD = 1.5
+    // mod_z(100) = 0.6745 * 89.5 / 1.5 = 40.245167
+    assert(got.keySet == Set(5L))
+    assert(math.abs(got(5L) - 40.245167) < 1e-6, got.toString)
+    // contrast: the mean/stddev z-score MISSES it at the same cut
+    // (stddev inflated by the outlier itself: z(100) ~ 2.2)
+    val z = EventAnalytics.zScoreOutliers(df.filter($"grp" === "a"), "grp", "v", 3.5)
+    assert(z.count() == 0)
+  }
 }
