@@ -146,4 +146,33 @@ object Generalization {
         df.withColumn(numCol, lit("*")).withColumn("glevel", lit(-1L))
     }
   }
+
+  /** Quantile-normalization MAPPING: per group, rank `valueCol` into
+    * `nTiles` equal-frequency tiles; the normalization target of a tile
+    * is the cross-group mean of that tile's per-group means — mapping
+    * every group's distribution onto a common one (the bioinformatics /
+    * feature-prep standard; Bolstad et al., Bioinformatics 2003, in its
+    * binned form). Returns (groupCol, tile, tile_avg_raw, target, n):
+    * the apply step is a broadcast join of this table back on
+    * (group, tile).
+    *
+    * One window per group (parallel across groups, `ntile` needs no
+    * global sort), one tiny two-level aggregation. Ties order on
+    * `tieCol` so tile boundaries replay identically on any engine;
+    * averages round to 6dp. */
+  def quantileNormalizeMap(df: DataFrame, groupCol: String, valueCol: String,
+                           nTiles: Int, tieCol: String): DataFrame = {
+    require(nTiles >= 2, s"nTiles=$nTiles needs at least 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val tiled = df.withColumn("tile", ntile(nTiles).over(w).cast("long"))
+    val perGroup = tiled.groupBy(col(groupCol), col("tile"))
+      .agg(round(avg(col(valueCol)), 6).as("tile_avg_raw"),
+        count(lit(1)).as("n"))
+    val target = perGroup.groupBy(col("tile"))
+      .agg(round(avg(col("tile_avg_raw")), 6).as("target"))
+    perGroup.join(broadcast(target), Seq("tile"))
+      .select(col(groupCol), col("tile"), col("tile_avg_raw"),
+        col("target"), col("n"))
+  }
 }

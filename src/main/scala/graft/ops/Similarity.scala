@@ -495,4 +495,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "sim")
   }
+
+  /** Per-label centroids and their pairwise cosine similarity — the
+    * "class confusion geometry" report (which label clusters are
+    * embedding-space neighbors; the dataset-curation signal for label
+    * noise and near-duplicate classes).
+    *
+    * The centroid aggregation runs per (label, dimension): posexplode
+    * amplifies the scan d-fold but partial aggregation collapses it
+    * map-side to |labels|·d rows before the one exchange, and the
+    * pairwise stage then touches only that tiny centroid table (join on
+    * the dimension, labels² pairs — labels are enum-scale by
+    * definition). A typed vector-sum Aggregator would avoid the explode
+    * at extreme d; at d <= a few thousand the codegen'd posexplode +
+    * hash-agg path wins on simplicity and replays in any SQL engine.
+    * Norm-0 centroids are guarded (ANSI division) and excluded. */
+  def labelCentroidSim(embeddings: DataFrame, labelCol: String,
+                       vecCol: String): DataFrame = {
+    val cent = embeddings
+      .select(col(labelCol).as("__lbl"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__dim", "__v")))
+      .groupBy(col("__lbl"), col("__dim"))
+      .agg(avg(col("__v")).as("__c"))
+    val a = cent.select(col("__lbl").as("label_a"), col("__dim"), col("__c").as("__ca"))
+    val b = cent.select(col("__lbl").as("label_b"), col("__dim"), col("__c").as("__cb"))
+    a.join(b, Seq("__dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"),
+        sqrt(sum(col("__ca") * col("__ca"))).as("__na"),
+        sqrt(sum(col("__cb") * col("__cb"))).as("__nb"))
+      .filter(col("__na") =!= 0 && col("__nb") =!= 0)
+      .select(col("label_a"), col("label_b"),
+        round(col("__dot") / (col("__na") * col("__nb")), 6).as("cosine"))
+  }
 }
+

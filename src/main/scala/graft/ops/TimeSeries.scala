@@ -213,6 +213,43 @@ object TimeSeries {
       .drop("__bk")
   }
 
+  /** Burst throttling / telemetry dedup: keep the FIRST event of every
+    * gap-delimited burst per key — an event survives iff no same-key
+    * event in the preceding `gapSeconds` also survived. This is exactly
+    * gap-based sessionization (the [[sessionize]] recurrence) with the
+    * session collapsed to its opening event: lag → gap flag → running
+    * session counter → rank-1 per session, four window steps over ONE
+    * (keys)-partitioned exchange (Catalyst folds same-key windows).
+    * Note the recursive semantics: a burst of events each 2 min apart
+    * under a 5-min gap keeps only the burst's first event, no matter
+    * how long the chain runs — a plain "distance to previous event"
+    * filter would re-admit every other element of the chain.
+    * Ties on the timestamp break on `tieCol` so the kept row replays
+    * identically on any engine. */
+  def throttleDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                    gapSeconds: Long, tieCol: String): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val keyPart = Window.partitionBy(keyCols.map(col): _*)
+    val order = keyPart.orderBy(col(tsCol), col(tieCol))
+    // exact integer micros (unix_micros / epoch_us) — a seconds-level
+    // truncation or a double cast could disagree with an external
+    // engine on a sub-second boundary
+    val newBurst = when(
+      unix_micros(col(tsCol)) -
+        unix_micros(lag(col(tsCol), 1).over(order)) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val withBurst = events
+      .withColumn("__nb", coalesce(newBurst, lit(1L)))
+      .withColumn("__burst", sum(col("__nb")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBurst
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((keyCols.map(col) :+ col("__burst")): _*)
+          .orderBy(col(tsCol), col(tieCol))))
+      .filter(col("__rn") === 1)
+      .drop("__nb", "__burst", "__rn")
+  }
+
   /** Per-session rollup: bounds, event count, value sum. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)

@@ -132,6 +132,33 @@ object CurationQueries {
         .select("event_id", "event_type", "value", "mod_z")
     }),
 
+    // Burst-throttle dedup: first event of each 5-min-gap burst per
+    // (user, type) — recursive burst semantics, exact integer micros.
+    "q152_throttle_dedup" -> ((s, dir) => {
+      TimeSeries.throttleDedup(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "ts", gapSeconds = 300L,
+          tieCol = "event_id")
+        .select("event_id", "user_id", "event_type", "ts")
+    }),
+
+    // Label-confusion geometry: pairwise cosine of per-label embedding
+    // centroids.
+    "q153_label_centroid_sim" -> ((s, dir) => {
+      graft.ops.Similarity.labelCentroidSim(
+          Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy("label_a", "label_b")
+    }),
+
+    // Quantile-normalization mapping: 20 equal-frequency tiles per
+    // return flag, tile targets = cross-group means of tile means.
+    "q154_quantile_normalize" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .withColumn("__tie", col("l_orderkey") * 10 + col("l_linenumber"))
+      Generalization.quantileNormalizeMap(l, "l_returnflag",
+          "l_extendedprice", nTiles = 20, tieCol = "__tie")
+        .orderBy("l_returnflag", "tile")
+    }),
+
     // Exact global percentile rank without a single-partition sort:
     // bucketed rank-offset row numbers over (price, key) order.
     "q149_global_rank" -> ((s, dir) => {
@@ -256,6 +283,43 @@ object CurationQueries {
                  round(0.6745 * (value - med) / mad, 6) AS mod_z
           FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
           WHERE mad <> 0 AND abs(round(0.6745 * (value - med) / mad, 6)) > 3.5""",
+    "q152_throttle_dedup" ->
+      """WITH o AS (SELECT event_id, user_id, event_type, ts,
+                           lag(ts) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id) AS pts
+                    FROM events),
+          f AS (SELECT *, CASE WHEN pts IS NULL
+                                 OR epoch_us(ts) - epoch_us(pts) > 300000000
+                               THEN 1 ELSE 0 END AS nb FROM o),
+          s AS (SELECT *, sum(nb) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS burst FROM f),
+          r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
+                                             ORDER BY ts, event_id) AS rn FROM s)
+          SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1""",
+    "q153_label_centroid_sim" ->
+      """WITH e AS (SELECT label, dim, embedding[dim] AS v
+                    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+          c AS (SELECT label, dim, avg(v) AS cv FROM e GROUP BY label, dim),
+          p AS (SELECT a.label AS label_a, b.label AS label_b,
+                       sum(a.cv * b.cv) AS dot,
+                       sqrt(sum(a.cv * a.cv)) AS na, sqrt(sum(b.cv * b.cv)) AS nb
+                FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+                GROUP BY label_a, label_b)
+          SELECT label_a, label_b, round(dot / (na * nb), 6) AS cosine
+          FROM p WHERE na <> 0 AND nb <> 0 ORDER BY label_a, label_b""",
+    "q154_quantile_normalize" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice,
+                           ntile(20) OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_extendedprice,
+                                                    l_orderkey * 10 + l_linenumber) AS tile
+                    FROM lineitem),
+          pg AS (SELECT l_returnflag, CAST(tile AS BIGINT) AS tile,
+                        round(avg(l_extendedprice), 6) AS tile_avg_raw, count(*) AS n
+                 FROM t GROUP BY l_returnflag, tile),
+          tg AS (SELECT tile, round(avg(tile_avg_raw), 6) AS target FROM pg GROUP BY tile)
+          SELECT l_returnflag, pg.tile, tile_avg_raw, target, n
+          FROM pg JOIN tg USING (tile) ORDER BY l_returnflag, tile""",
     "q149_global_rank" ->
       """WITH r AS (SELECT o_orderkey, o_totalprice,
                            CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk,

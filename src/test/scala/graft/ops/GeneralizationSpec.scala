@@ -94,4 +94,23 @@ class GeneralizationSpec extends SparkSpec {
     val ranges = got.select("v").distinct().as[String].collect().toSet
     assert(ranges == Set("[-10,0)", "[0,10)"))
   }
+
+  test("quantileNormalizeMap maps each group's tiles onto the cross-group mean") {
+    // group A = 1..40, group B = 101..140: tile t of A averages with
+    // tile t of B -> target = A's tile mean + 50
+    val df = ((1 to 40).map(("A", _)) ++ (101 to 140).map(("B", _)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v.toDouble) }
+      .toDF("id", "grp", "v")
+    val got = Generalization.quantileNormalizeMap(df, "grp", "v", 4, "id")
+      .select("grp", "tile", "tile_avg_raw", "target", "n")
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(got.length == 8 && got.forall(_._5 == 10L))
+    got.foreach { case (g, t, raw, target, _) =>
+      val aRaw = if (g == "A") raw else raw - 100.0    // B's values = A's + 100
+      assert(math.abs(target - (aRaw + 50.0)) < 1e-9, s"($g, $t)")
+    }
+    intercept[IllegalArgumentException] {
+      Generalization.quantileNormalizeMap(df, "grp", "v", 1, "id")
+    }
+  }
 }

@@ -343,4 +343,18 @@ class SimilaritySpec extends SparkSpec {
       "label", 0.99).select("vec_id").as[Long].collect().toSet
     assert(repart == kept)
   }
+
+  test("labelCentroidSim: orthogonal and identical label centroids") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),   // centroid (1,0)
+      (3L, Seq(0.0f, 2.0f), 1), (4L, Seq(0.0f, 4.0f), 1),   // centroid (0,3)
+      (5L, Seq(2.0f, 0.0f), 2)                               // centroid (2,0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidSim(e, "label", "embedding")
+      .select("label_a", "label_b", "cosine")
+      .as[(Int, Int, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got((0, 1)) == 0.0)  // orthogonal
+    assert(got((0, 2)) == 1.0)  // same direction, different norm
+    assert(got((1, 2)) == 0.0)
+  }
 }

@@ -208,4 +208,25 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(got.sorted.toSeq == naive.sorted.toSeq) // multiset equality: no dup, no miss
     assert(got.length == 3) // (a1,b1), (a1,b2 boundary-inclusive), (a2,b1)
   }
+
+  test("throttleDedup keeps one event per gap-burst, recursive chain semantics") {
+    val e = Seq(
+      // user 7 click: a chain 2 min apart under a 5-min gap -> ONE kept
+      (1L, 7L, "click", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "click", ts("2024-01-01 10:02:00")),
+      (3L, 7L, "click", ts("2024-01-01 10:04:00")),
+      (4L, 7L, "click", ts("2024-01-01 10:06:00")),
+      // gap > 5 min: new burst
+      (5L, 7L, "click", ts("2024-01-01 10:20:00")),
+      // other type/user independent
+      (6L, 7L, "view", ts("2024-01-01 10:01:00")),
+      (7L, 8L, "click", ts("2024-01-01 10:00:00")),
+      // exact 300 s boundary is NOT a new burst (> not >=)
+      (8L, 8L, "click", ts("2024-01-01 10:05:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = TimeSeries.throttleDedup(e, Seq("user_id", "event_type"), "ts",
+        300L, "event_id")
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 6L, 7L))
+  }
 }
