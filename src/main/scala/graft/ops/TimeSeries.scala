@@ -233,10 +233,13 @@ object TimeSeries {
     val order = keyPart.orderBy(col(tsCol), col(tieCol))
     // exact integer micros (unix_micros / epoch_us) — a seconds-level
     // truncation or a double cast could disagree with an external
-    // engine on a sub-second boundary
+    // engine on a sub-second boundary. The cast admits TIMESTAMP_NTZ
+    // inputs (wall-clock, exact under the engine's fixed UTC session);
+    // on TimestampType it is a no-op.
+    val micros = (c: Column) => unix_micros(c.cast("timestamp"))
     val newBurst = when(
-      unix_micros(col(tsCol)) -
-        unix_micros(lag(col(tsCol), 1).over(order)) > gapSeconds * 1000000L, 1L)
+      micros(col(tsCol)) -
+        micros(lag(col(tsCol), 1).over(order)) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     val withBurst = events
       .withColumn("__nb", coalesce(newBurst, lit(1L)))
