@@ -147,6 +147,58 @@ object Generalization {
     }
   }
 
+  /** TWO-attribute full-domain generalization: search the (levelA,
+    * levelB) lattice of width hierarchies for the LEAST generalization
+    * — minimal total level, ties on the first attribute — whose joint
+    * equal-width ranges (with `otherQis`) make every class at least
+    * `k` rows. The faithful multi-attribute Samarati shape: [[
+    * fullDomainGeneralize]] climbs one ladder, this walks the product
+    * lattice (|A|·|B| nodes, single digits squared).
+    *
+    * Still ONE distributed pass: each row explodes into every (la, lb)
+    * combination — |A|·|B| amplification of the QI projection only —
+    * one counting aggregation, then a per-combo min reduced to
+    * |A|·|B| driver rows. No level admissible → both columns suppress
+    * to "*" and levels emit -1. */
+  def fullDomainGeneralize2d(df: DataFrame, colA: String, widthsA: Seq[Long],
+                             colB: String, widthsB: Seq[Long],
+                             otherQis: Seq[String], k: Int): DataFrame = {
+    require(widthsA.nonEmpty && widthsA.forall(_ > 0), "need positive widthsA")
+    require(widthsB.nonEmpty && widthsB.forall(_ > 0), "need positive widthsB")
+    require(k >= 1, s"k=$k must be positive")
+    def rangeStr(c: String, w: Long): Column = {
+      val lo = floor(col(c) / w).cast("long") * w
+      concat(lit("["), lo.cast("string"), lit(","),
+        (lo + w).cast("string"), lit(")"))
+    }
+    val combos = for (la <- widthsA.indices; lb <- widthsB.indices)
+      yield (la.toLong, lb.toLong, widthsA(la), widthsB(lb))
+    val lattice = explode(typedlit(combos)).as("__lv")
+    val binned = df
+      .select((otherQis.map(col) :+ col(colA) :+ col(colB) :+ lattice): _*)
+      .withColumn("__ba", floor(col(colA) / col("__lv._3")).cast("long") * col("__lv._3"))
+      .withColumn("__bb", floor(col(colB) / col("__lv._4")).cast("long") * col("__lv._4"))
+    val minPerCombo = binned
+      .groupBy((Seq(col("__lv._1").as("__la"), col("__lv._2").as("__lb"),
+        col("__ba"), col("__bb")) ++ otherQis.map(col)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__la"), col("__lb")).agg(min(col("__n")).as("__mn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val chosen = combos
+      .filter { case (la, lb, _, _) => minPerCombo.getOrElse((la, lb), 0L) >= k }
+      .sortBy { case (la, lb, _, _) => (la + lb, la) }
+      .headOption
+    chosen match {
+      case Some((la, lb, wa, wb)) =>
+        df.withColumn(colA, rangeStr(colA, wa))
+          .withColumn(colB, rangeStr(colB, wb))
+          .withColumn("glevel_a", lit(la)).withColumn("glevel_b", lit(lb))
+      case None =>
+        df.withColumn(colA, lit("*")).withColumn(colB, lit("*"))
+          .withColumn("glevel_a", lit(-1L)).withColumn("glevel_b", lit(-1L))
+    }
+  }
+
   /** Quantile-normalization MAPPING: per group, rank `valueCol` into
     * `nTiles` equal-frequency tiles; the normalization target of a tile
     * is the cross-group mean of that tile's per-group means — mapping

@@ -159,6 +159,27 @@ object CurationQueries {
         .orderBy("l_returnflag", "tile")
     }),
 
+    // CMS sketch algebra: self-join size (F2) of events on user_id from
+    // one sketch — the salting-decision statistic without a per-key scan.
+    "q155_cms_join_size" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val sk = Sketches.cmsBuild(e, "user_id")
+      val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")).as("exact_self_join"))
+      Sketches.cmsJoinSizeEstimate(sk, sk).crossJoin(exact)
+    }),
+
+    // 2-D Samarati: least (price-level, size-level) lattice node making
+    // every joint range class >= 15 parts.
+    "q156_full_domain_2d" -> ((s, dir) => {
+      Generalization.fullDomainGeneralize2d(
+          Tables.part(s, dir).select("p_partkey", "p_retailprice", "p_size"),
+          "p_retailprice", Seq(10L, 20L, 40L, 80L),
+          "p_size", Seq(5L, 10L, 25L, 50L), Nil, k = 15)
+        .select(col("p_partkey"), col("p_retailprice").as("price_range"),
+          col("p_size").as("size_range"), col("glevel_a"), col("glevel_b"))
+    }),
+
     // Exact global percentile rank without a single-partition sort:
     // bucketed rank-offset row numbers over (price, key) order.
     "q149_global_rank" -> ((s, dir) => {
@@ -320,6 +341,42 @@ object CurationQueries {
           tg AS (SELECT tile, round(avg(tile_avg_raw), 6) AS target FROM pg GROUP BY tile)
           SELECT l_returnflag, pg.tile, tile_avg_raw, target, n
           FROM pg JOIN tg USING (tile) ORDER BY l_returnflag, tile""",
+    "q155_cms_join_size" -> {
+      val ph = phashSql("'graft-cms|' || r || '|' || CAST(user_id AS VARCHAR)")
+      s"""WITH kc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+          sk AS (SELECT r, $ph % 1024 AS bucket, CAST(sum(c) AS BIGINT) AS cnt
+                 FROM kc CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2),
+          dp AS (SELECT r, sum(cnt * cnt) AS d FROM sk GROUP BY r),
+          ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_self_join FROM kc)
+          SELECT CAST(min(d) AS BIGINT) AS cms_join_est,
+                 min(exact_self_join) AS exact_self_join FROM dp, ex"""
+    },
+    "q156_full_domain_2d" -> {
+      val wa = Seq(10L, 20L, 40L, 80L); val wb = Seq(5L, 10L, 25L, 50L)
+      val combos = (for (la <- wa.indices; lb <- wb.indices)
+        yield s"($la, $lb, ${wa(la)}, ${wb(lb)})").mkString(", ")
+      s"""WITH lv(la, lb, wa, wb) AS (VALUES $combos),
+          b AS (SELECT la, lb, wa, wb,
+                       CAST(floor(p_retailprice / wa) AS BIGINT) * wa AS ba,
+                       CAST(floor(p_size / wb) AS BIGINT) * wb AS bb, count(*) AS n
+                FROM part CROSS JOIN lv GROUP BY la, lb, wa, wb, ba, bb),
+          m AS (SELECT la, lb, min(n) AS mn FROM b GROUP BY la, lb),
+          ch AS (SELECT la, lb FROM m WHERE mn >= 15 ORDER BY la + lb, la LIMIT 1),
+          chw AS (SELECT ch.la, ch.lb, lv.wa, lv.wb
+                  FROM ch JOIN lv ON lv.la = ch.la AND lv.lb = ch.lb)
+          SELECT p_partkey,
+                 CASE WHEN chw.la IS NULL THEN '*'
+                      ELSE '[' || CAST(CAST(floor(p_retailprice / chw.wa) AS BIGINT) * chw.wa AS VARCHAR)
+                        || ',' || CAST(CAST(floor(p_retailprice / chw.wa) AS BIGINT) * chw.wa + chw.wa AS VARCHAR) || ')'
+                 END AS price_range,
+                 CASE WHEN chw.lb IS NULL THEN '*'
+                      ELSE '[' || CAST(CAST(floor(p_size / chw.wb) AS BIGINT) * chw.wb AS VARCHAR)
+                        || ',' || CAST(CAST(floor(p_size / chw.wb) AS BIGINT) * chw.wb + chw.wb AS VARCHAR) || ')'
+                 END AS size_range,
+                 CAST(coalesce(chw.la, -1) AS BIGINT) AS glevel_a,
+                 CAST(coalesce(chw.lb, -1) AS BIGINT) AS glevel_b
+          FROM part LEFT JOIN chw ON true"""
+    },
     "q149_global_rank" ->
       """WITH r AS (SELECT o_orderkey, o_totalprice,
                            CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk,

@@ -113,4 +113,27 @@ class GeneralizationSpec extends SparkSpec {
       Generalization.quantileNormalizeMap(df, "grp", "v", 1, "id")
     }
   }
+
+  test("fullDomainGeneralize2d walks the lattice to the least admissible node") {
+    // 40 rows over a 2x2 value grid: (x in 0..19, y = x % 10 * 2)
+    val df = (0 until 40).map(i => (i.toLong, (i % 20).toDouble, (i % 10 * 2).toDouble))
+      .toDF("id", "x", "y")
+    // level (0,0): x-width 10 (2 bins), y-width 10 (2 bins) -> 4 classes
+    // of 10 each; k=10 admissible at the lattice bottom
+    val g0 = Generalization.fullDomainGeneralize2d(df, "x", Seq(10L, 20L),
+      "y", Seq(10L, 20L), Nil, k = 10)
+    assert(g0.select("glevel_a", "glevel_b").distinct()
+      .as[(Long, Long)].collect().toSeq == Seq((0L, 0L)))
+    // k=11: (0,0) fails; total-level-1 nodes (1,0)/(0,1) give classes of
+    // 20 -> chooses (0,1) by the la tiebreak preference for earlier A
+    val g1 = Generalization.fullDomainGeneralize2d(df, "x", Seq(10L, 20L),
+      "y", Seq(10L, 20L), Nil, k = 11)
+    assert(g1.select("glevel_a", "glevel_b").distinct()
+      .as[(Long, Long)].collect().toSeq == Seq((0L, 1L)))
+    // unreachable k -> root suppression
+    val gx = Generalization.fullDomainGeneralize2d(df, "x", Seq(10L),
+      "y", Seq(10L), Nil, k = 41)
+    assert(gx.select("x").distinct().as[String].collect().toSeq == Seq("*"))
+    assert(gx.select("glevel_a").distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
 }

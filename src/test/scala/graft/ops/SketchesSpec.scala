@@ -220,4 +220,22 @@ class SketchesSpec extends SparkSpec {
     // just pin the band that catches sign/off-by-k errors
     assert(est > 300 && est < 2500, s"estimate $est wildly off 1000")
   }
+
+  test("cmsJoinSizeEstimate never underestimates and is exact without collisions") {
+    // tiny key set, w=1024: collisions effectively impossible ->
+    // estimate == exact self-join size == sum of squared counts
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val sk = Sketches.cmsBuild(df, "k")
+    val est = Sketches.cmsJoinSizeEstimate(sk, sk).as[Long].head()
+    assert(est == 25 + 9 + 1)
+    // two-table join size: A(a:5, b:3) vs B(a:2, c:4) -> 5*2 = 10
+    val b = (Seq.fill(2)("a") ++ Seq.fill(4)("c")).toDF("k")
+    val skb = Sketches.cmsBuild(b, "k")
+    val est2 = Sketches.cmsJoinSizeEstimate(sk, skb).as[Long].head()
+    assert(est2 == 5 * 2 + 1 * 4)
+    // upper-bound property on a wider key set
+    val wide = (1 to 500).map(i => s"key$i").toDF("k")
+    val skw = Sketches.cmsBuild(wide, "k")
+    assert(Sketches.cmsJoinSizeEstimate(skw, skw).as[Long].head() >= 500L)
+  }
 }
