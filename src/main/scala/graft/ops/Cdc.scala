@@ -63,4 +63,30 @@ object Cdc {
       .filter(col("__rn") === 1 && !col(deletedCol))
       .drop("__rn", deletedCol)
   }
+
+  /** Slowly-changing-dimension TYPE 2 build (Kimball): turn a changelog
+    * of per-key versions into interval-versioned dimension rows —
+    * each version valid from its own version number until just before
+    * the key's NEXT version; the key's latest live version is current
+    * (`valid_to` null). A tombstone closes the previous interval and
+    * emits no row of its own — deletes truncate history exactly like a
+    * new version, they just have no successor row.
+    *
+    * One exchange on the key (the lead window), no join; the changelog
+    * is the only input. `valid_from`/`valid_to` carry `versionCol`'s
+    * type: version-number intervals compose with [[snapshotDiff]] and
+    * a time-typed version column yields classic timestamp validity.
+    * Callers wanting point-in-time lookups join with
+    * `valid_from <= v AND (valid_to IS NULL OR v < valid_to)` — the
+    * [[graft.ops.TimeSeries.rangeJoin]] bucketing applies when that
+    * probe is itself large. */
+  def scdType2(changelog: DataFrame, keyCols: Seq[String], versionCol: String,
+               deletedCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    changelog
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .filter(!col(deletedCol))
+      .drop(deletedCol)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, EventAnalytics, Generalization, KMap, Ranking, Sampling, Sketches, Skyline, TimeSeries}
+import graft.ops.{Cdc, Dedup, EventAnalytics, Generalization, KMap, Ranking, Sampling, Sketches, Skyline, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -178,6 +178,23 @@ object CurationQueries {
           "p_size", Seq(5L, 10L, 25L, 50L), Nil, k = 15)
         .select(col("p_partkey"), col("p_retailprice").as("price_range"),
           col("p_size").as("size_range"), col("glevel_a"), col("glevel_b"))
+    }),
+
+    // SCD Type-2: interval-versioned dimension rows from a changelog —
+    // each version valid until the key's next version, latest live row
+    // current (null valid_to), tombstones close history silently.
+    "q157_scd2" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select("doc_id")
+      val log = ids.select(col("doc_id"), lit(1L).as("version"), lit(false).as("deleted"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L).as("version"), lit(false).as("deleted")))
+        .unionByName(ids.filter(col("doc_id") % 11 === 3)
+          .select(col("doc_id"), lit(3L).as("version"), lit(true).as("deleted")))
+        .unionByName(ids.filter(col("doc_id") % 14 === 0)
+          .select(col("doc_id"), lit(4L).as("version"), lit(false).as("deleted")))
+      Cdc.scdType2(log, Seq("doc_id"), "version", "deleted")
+        .select("doc_id", "version", "valid_from", "valid_to")
+        .orderBy("doc_id", "version")
     }),
 
     // Exact global percentile rank without a single-partition sort:
@@ -377,6 +394,17 @@ object CurationQueries {
                  CAST(coalesce(chw.lb, -1) AS BIGINT) AS glevel_b
           FROM part LEFT JOIN chw ON true"""
     },
+    "q157_scd2" ->
+      """WITH log AS (SELECT doc_id, 1 AS version, false AS deleted FROM documents
+            UNION ALL SELECT doc_id, 2, false FROM documents WHERE doc_id % 7 = 0
+            UNION ALL SELECT doc_id, 3, true FROM documents WHERE doc_id % 11 = 3
+            UNION ALL SELECT doc_id, 4, false FROM documents WHERE doc_id % 14 = 0),
+          r AS (SELECT doc_id, version, deleted,
+                       lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS vt
+                FROM log)
+          SELECT doc_id, CAST(version AS BIGINT) AS version,
+                 CAST(version AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to
+          FROM r WHERE NOT deleted ORDER BY doc_id, version""",
     "q149_global_rank" ->
       """WITH r AS (SELECT o_orderkey, o_totalprice,
                            CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk,

@@ -160,4 +160,39 @@ class PlanShapeSpec extends SparkSpec {
     // quota branch (|domains|-sized), and ONE window exchange on the data
     assert(exchanges(p) == 3, p)
   }
+
+  test("round-9 third-wave ops never plan a quadratic join") {
+    assertNoQuadratic(plan(Skyline.skyline2d(
+      docs.withColumn("x", col("doc_id") % 13).withColumn("y", col("doc_id") % 7),
+      "x", "y", 2.0)))
+    assertNoQuadratic(plan(Dedup.sortedNeighborPairs(docs, "doc_id", "text", 3,
+      substring(col("text"), 1, 2))))
+    assertNoQuadratic(plan(Dedup.crossNearDup(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", 2, 0.3)))
+  }
+
+  test("scdType2 is one key exchange, no join") {
+    val log = docs.select(col("doc_id"), lit(1L).as("version"), lit(false).as("deleted"))
+    val p = plan(Cdc.scdType2(log, Seq("doc_id"), "version", "deleted"))
+    assert(exchanges(p) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("throttleDedup chains its window steps over ONE key exchange") {
+    val p = plan(TimeSeries.throttleDedup(events, Seq("user_id", "event_type"),
+      "ts", 300L, "event_id"))
+    assert(exchanges(p) == 1, p)
+  }
+
+  test("shardAssign and globalRowNumber: data exchanges only on their keys") {
+    val p1 = plan(Sampling.shardAssign(docs.select("doc_id"), "doc_id", 8))
+    assert(exchanges(p1) == 1, p1) // the shard-key exchange for the rank window
+    val p2 = plan(Ranking.globalRowNumber(docs.select("doc_id"),
+      Seq("doc_id"), col("doc_id") % 10, "rnk"))
+    // bucket-key exchange for ranks + the metadata-scale offsets side
+    // (its single-partition prefix sum); the join back is broadcast
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+  }
 }

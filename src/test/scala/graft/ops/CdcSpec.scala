@@ -40,4 +40,19 @@ class CdcSpec extends SparkSpec {
       .select("id", "payload").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "a3")))
   }
+
+  test("scdType2 builds validity intervals; tombstones close history silently") {
+    val log = Seq(
+      (1L, 1L, false), (1L, 3L, false), (1L, 7L, false),  // three live versions
+      (2L, 2L, false), (2L, 5L, true),                    // deleted at v5
+      (3L, 4L, false)                                     // single current version
+    ).toDF("id", "version", "deleted")
+    val got = Cdc.scdType2(log, Seq("id"), "version", "deleted")
+      .select("id", "version", "valid_from", "valid_to")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, Some(3L)), (1L, 3L, 3L, Some(7L)), (1L, 7L, 7L, None),
+      (2L, 2L, 2L, Some(5L)),   // closed by the tombstone, which emits no row
+      (3L, 4L, 4L, None)))
+  }
 }
