@@ -197,6 +197,27 @@ object CurationQueries {
         .orderBy("doc_id", "version")
     }),
 
+    // Point-in-time lookup against the SCD2 dimension: each key probed
+    // at its own as-of version resolves to the interval containing it
+    // (keys deleted before — or first created after — the probe drop).
+    "q158_point_in_time" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select("doc_id")
+      val log = ids.select(col("doc_id"), lit(1L).as("version"), lit(false).as("deleted"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L).as("version"), lit(false).as("deleted")))
+        .unionByName(ids.filter(col("doc_id") % 11 === 3)
+          .select(col("doc_id"), lit(3L).as("version"), lit(true).as("deleted")))
+        .unionByName(ids.filter(col("doc_id") % 14 === 0)
+          .select(col("doc_id"), lit(4L).as("version"), lit(false).as("deleted")))
+      val dim = Cdc.scdType2(log, Seq("doc_id"), "version", "deleted")
+      val probes = ids.select(col("doc_id"), (lit(1L) + col("doc_id") % 4).as("pv"))
+      probes.join(dim, Seq("doc_id"))
+        .filter(col("valid_from") <= col("pv") &&
+          (col("valid_to").isNull || col("valid_to") > col("pv")))
+        .select("doc_id", "pv", "version")
+        .orderBy("doc_id")
+    }),
+
     // Exact global percentile rank without a single-partition sort:
     // bucketed rank-offset row numbers over (price, key) order.
     "q149_global_rank" -> ((s, dir) => {
@@ -405,6 +426,20 @@ object CurationQueries {
           SELECT doc_id, CAST(version AS BIGINT) AS version,
                  CAST(version AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to
           FROM r WHERE NOT deleted ORDER BY doc_id, version""",
+    "q158_point_in_time" ->
+      """WITH log AS (SELECT doc_id, 1 AS version, false AS deleted FROM documents
+            UNION ALL SELECT doc_id, 2, false FROM documents WHERE doc_id % 7 = 0
+            UNION ALL SELECT doc_id, 3, true FROM documents WHERE doc_id % 11 = 3
+            UNION ALL SELECT doc_id, 4, false FROM documents WHERE doc_id % 14 = 0),
+          dim AS (SELECT doc_id, version, deleted, version AS valid_from,
+                         lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to
+                  FROM log),
+          live AS (SELECT * FROM dim WHERE NOT deleted),
+          probes AS (SELECT doc_id, 1 + doc_id % 4 AS pv FROM documents)
+          SELECT p.doc_id, CAST(p.pv AS BIGINT) AS pv, CAST(d.version AS BIGINT) AS version
+          FROM probes p JOIN live d USING (doc_id)
+          WHERE d.valid_from <= p.pv AND (d.valid_to IS NULL OR d.valid_to > p.pv)
+          ORDER BY p.doc_id""",
     "q149_global_rank" ->
       """WITH r AS (SELECT o_orderkey, o_totalprice,
                            CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk,
