@@ -50,7 +50,13 @@ object TimeSeries {
         (floor(unix_timestamp(col(tsCol)) / step) * step).as("__b"),
         col(valueCol))
       .groupBy(col(keyCol), col("__b"))
-      .agg(round(avg(valueCol), 6).as("__avg"), count(lit(1)).as("__n"))
+      // order-independent mean: exact integer micro-unit sum, ONE
+      // division (the q80 lesson — round(avg(double), 6) sits a half-ulp
+      // from a boundary often enough that an engine's summation order
+      // flips a digit; the sf0.1 gate caught exactly one such bucket)
+      .agg(round(sum(round(col(valueCol) * 1000000).cast("long")) /
+          (count(lit(1)) * 1000000.0), 6).as("__avg"),
+        count(lit(1)).as("__n"))
     val bounds = bucketed.agg(min("__b").as("__lo"), max("__b").as("__hi"))
     val grid = bucketed.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))

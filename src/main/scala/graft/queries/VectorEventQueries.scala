@@ -503,7 +503,8 @@ object VectorEventQueries {
          ORDER BY event_id""",
     "q136_resample_ffill" ->
       """WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
-                      round(avg(value), 6) AS avg_v, count(*) AS n
+                      round(sum(CAST(round(value * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS avg_v,
+                      count(*) AS n
                     FROM events GROUP BY 1, 2),
           bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM b),
           grid AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
