@@ -218,11 +218,15 @@ object Generalization {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
     val tiled = df.withColumn("tile", ntile(nTiles).over(w).cast("long"))
+    // order-independent means via exact integer micro-units (the q136
+    // sf0.1 lesson): summation order can flip a 6dp round otherwise
+    def microMean(c: Column) = round(
+      sum(round(c * 1000000).cast("long")) / (count(lit(1)) * 1000000.0), 6)
     val perGroup = tiled.groupBy(col(groupCol), col("tile"))
-      .agg(round(avg(col(valueCol)), 6).as("tile_avg_raw"),
+      .agg(microMean(col(valueCol)).as("tile_avg_raw"),
         count(lit(1)).as("n"))
     val target = perGroup.groupBy(col("tile"))
-      .agg(round(avg(col("tile_avg_raw")), 6).as("target"))
+      .agg(microMean(col("tile_avg_raw")).as("target"))
     perGroup.join(broadcast(target), Seq("tile"))
       .select(col(groupCol), col("tile"), col("tile_avg_raw"),
         col("target"), col("n"))

@@ -374,9 +374,11 @@ object CurationQueries {
                                                     l_orderkey * 10 + l_linenumber) AS tile
                     FROM lineitem),
           pg AS (SELECT l_returnflag, CAST(tile AS BIGINT) AS tile,
-                        round(avg(l_extendedprice), 6) AS tile_avg_raw, count(*) AS n
+                        round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS tile_avg_raw,
+                        count(*) AS n
                  FROM t GROUP BY l_returnflag, tile),
-          tg AS (SELECT tile, round(avg(tile_avg_raw), 6) AS target FROM pg GROUP BY tile)
+          tg AS (SELECT tile, round(sum(CAST(round(tile_avg_raw * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS target
+                 FROM pg GROUP BY tile)
           SELECT l_returnflag, pg.tile, tile_avg_raw, target, n
           FROM pg JOIN tg USING (tile) ORDER BY l_returnflag, tile""",
     "q155_cms_join_size" -> {

@@ -281,7 +281,11 @@ object StatsQueries {
         .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
         .withColumn("hour", hour(col("ts")).cast("long"))
         .groupBy(col("dow"), col("hour"))
-        .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+        // order-independent mean via exact integer micro-units (q136's
+        // sf0.1 lesson applied preemptively to the same-shaped aggregate)
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(round(col("value") * 1000000).cast("long")) /
+            (count(lit(1)) * 1000000.0), 6).as("avg_value"))
         .orderBy("dow", "hour")
     }))
 
@@ -381,7 +385,7 @@ object StatsQueries {
                                     ELSE round((64 - 1) / uk, 6) END AS kmv_est
           FROM ex JOIN st USING (day) ORDER BY day""",
     "q53_date_parts" ->
-      """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(avg(value),6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
+      """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow, CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events, round(sum(CAST(round(value * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS avg_value FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
     "q54_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q91_salted_join" ->
