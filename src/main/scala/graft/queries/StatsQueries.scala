@@ -131,6 +131,19 @@ object StatsQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // Explicit GROUPING SETS — the third member of the multi-grouping
+    // family (q47 rollup, q57 cube): exactly the named subtotal layouts,
+    // no full cross product. One expand + one aggregation exchange.
+    "q159_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // Partitioned-lake round-trip: write orders partitioned by status to a
     // tmp dir (hive-style layout), read back, reproduce the parquet truth.
     // PartitionPruningSpec proves filters prune to single partitions.
@@ -392,6 +405,11 @@ object StatsQueries {
       """SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice),2) AS sum_price FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand""",
     "q57_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q159_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q86_equidepth_bin" ->
       """WITH e AS (SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS e1,
                           round(quantile_cont(o_totalprice, 0.50), 6) AS e2,
