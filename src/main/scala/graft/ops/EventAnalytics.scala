@@ -73,19 +73,6 @@ object EventAnalytics {
       .withColumnRenamed("__z", "z")
   }
 
-  /** Per-group winsorization: clip `valueCol` into its group's
-    * [loQ, hiQ] exact-percentile envelope — the outlier TREATMENT twin
-    * of [[zScoreOutliers]]'s detection (robust feature prep: tame heavy
-    * tails without dropping rows). Appends `outCol` (the 6dp-rounded
-    * clipped value) plus the per-group bounds `__wlo`/`__whi` the caller
-    * may drop or keep for audit.
-    *
-    * Scale: one aggregation computes both bounds per group (map-side
-    * partial into a tiny |groups|-row table) and broadcasts back — no
-    * window over the data, no second exchange of the input. Exact
-    * `percentile` here for oracle replay; at lake scale swap in the
-    * mergeable [[Sketches.quantileSketchGrouped]] bounds, same clip
-    * expression. */
   /** Per-group ROBUST outliers via the modified z-score (Iglewicz &
     * Hoaglin, "How to detect and handle outliers", 1993): flag rows
     * where |0.6745·(v − median) / MAD| exceeds `zThreshold` (canonical
@@ -117,6 +104,19 @@ object EventAnalytics {
       .drop("__med", "__mad")
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [loQ, hiQ] exact-percentile envelope — the outlier TREATMENT twin
+    * of [[zScoreOutliers]]'s detection (robust feature prep: tame heavy
+    * tails without dropping rows). Appends `outCol` (the 6dp-rounded
+    * clipped value) plus the per-group bounds `__wlo`/`__whi` the caller
+    * may drop or keep for audit.
+    *
+    * Scale: one aggregation computes both bounds per group (map-side
+    * partial into a tiny |groups|-row table) and broadcasts back — no
+    * window over the data, no second exchange of the input. Exact
+    * `percentile` here for oracle replay; at lake scale swap in the
+    * mergeable [[Sketches.quantileSketchGrouped]] bounds, same clip
+    * expression. */
   def winsorize(events: DataFrame, groupCol: String, valueCol: String,
                 loQ: Double, hiQ: Double,
                 outCol: String = "winsorized"): DataFrame = {

@@ -329,7 +329,10 @@ object Sketches {
       .agg(count(lit(1)).as("__nboth"))
     val mStats = merged.agg(count(lit(1)).as("__nm"))
     kmvEstimate(merged, k).crossJoin(nBoth).crossJoin(mStats)
-      .select(round(col("kmv_est") * col("__nboth") / col("__nm"), 6)
-        .as("kmv_intersect_est"))
+      // two empty sketches merge to nm = 0; the intersection of two
+      // empty sets is 0, not 0/0
+      .select(when(col("__nm") > 0,
+          round(col("kmv_est") * col("__nboth") / col("__nm"), 6))
+        .otherwise(0.0).as("kmv_intersect_est"))
   }
 }

@@ -41,13 +41,15 @@ object CurationQueries {
 
     // Sorted-neighborhood blocking over the customer-name linkage key:
     // candidate pairs within 3 positions of the global name order.
-    // Bucket = the name's leading 6 key digits (monotone prefix), so
-    // ranking parallelizes per bucket and pairs straddling bucket
-    // boundaries still match through the global rank offsets.
+    // Bucket = a 15-char PREFIX of the sort key itself — a string
+    // prefix is monotone in the key's lexicographic order by
+    // construction (no assumption about the name format), so ranking
+    // parallelizes per bucket and pairs straddling bucket boundaries
+    // still match through the global rank offsets.
     "q142_sorted_neighbors" -> ((s, dir) => {
       Dedup.sortedNeighborPairs(Tables.customer(s, dir),
         "c_custkey", "c_name", w = 3,
-        bucketExpr = substring(col("c_name"), 10, 6))
+        bucketExpr = substring(col("c_name"), 1, 15))
     }),
 
     // Deterministic training shuffle: documents hashed into 8 shards

@@ -65,9 +65,11 @@ object StreamThrottle {
               }
             last.foreach { l =>
               state.update(ThrottleState(l))
-              // timeout must sit beyond the current watermark
+              // timeout must sit beyond the current watermark; the
+              // micros->millis conversion rounds UP so eviction can
+              // never fire before the true lossless horizon lastSeen+gap
               state.setTimeoutTimestamp(math.max(
-                l / 1000L + gapSeconds * 1000L,
+                (l + 999L) / 1000L + gapSeconds * 1000L,
                 state.getCurrentWatermarkMs() + 1L))
             }
             kept.iterator

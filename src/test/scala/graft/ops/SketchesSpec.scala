@@ -212,6 +212,13 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.kmvIntersectEstimate(a, c, 64).as[Double].head() == 0.0)
   }
 
+  test("kmvIntersectEstimate of two empty sketches is 0, not null") {
+    val e1 = Sketches.kmvSketch(spark.emptyDataset[Long].toDF("k"), "k", k = 64)
+    val e2 = Sketches.kmvSketch(spark.emptyDataset[Long].toDF("k"), "k", k = 64)
+    val est = Sketches.kmvIntersectEstimate(e1, e2, 64).as[Double].head()
+    assert(est == 0.0, s"empty-sketch intersection $est != 0.0")
+  }
+
   test("kmvIntersectEstimate approximates a large overlap within a loose band") {
     val a = Sketches.kmvSketch((1L to 2000L).toDF("k"), "k", k = 128)
     val b = Sketches.kmvSketch((1001L to 3000L).toDF("k"), "k", k = 128)
