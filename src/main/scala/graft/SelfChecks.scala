@@ -173,6 +173,41 @@ object SelfChecks {
           f"shortlist recall@5 $recall%.3f >= 0.3")
     }),
 
+    // IVF-PQ composition: the cell-routed ADC scan must (a) keep the
+    // refine stage exact L2, and (b) hold q114's flat-PQ recall band
+    // (>= 0.3) while scanning only nprobe/nlist of the code table —
+    // the claim that cell pruning does not cost the recall the flat
+    // scan had. Both recalls are reported so a divergence is visible.
+    "q160_knn_ivfpq" -> ((s, dir) => {
+      val out = SparkEntry.queries("q160_knn_ivfpq")(s, dir)
+      val flat = SparkEntry.queries("q114_knn_pq")(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val d2 = round(aggregate(zip_with(col("__qv").cast("array<double>"),
+          col("__cv").cast("array<double>"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 9)
+      val trueD = e.select(col("vec_id"), col("embedding").as("__cv"))
+        .join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), d2.as("__d2"))
+      val wrongDist = out.join(trueD, Seq("qid", "vec_id"))
+        .filter(round(col("l2_dist"), 6) =!= round(col("__d2"), 6))
+        .count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("__d2"), col("vec_id"))
+      val exact = trueD.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).select("qid", "vec_id")
+      val denom = exact.count().toDouble
+      val hits = exact.intersect(out.select("qid", "vec_id")).count().toDouble
+      val flatHits = exact.intersect(flat.select("qid", "vec_id")).count().toDouble
+      val recall = if (denom == 0) 0.0 else hits / denom
+      val flatRecall = if (denom == 0) 0.0 else flatHits / denom
+      Result(wrongDist == 0 && denom > 0 && recall >= 0.3,
+        f"refined distances wrong $wrongDist==0 (refine is exact L2); " +
+          f"cell-routed recall@5 $recall%.3f >= 0.3 (flat-PQ band; " +
+          f"flat recall $flatRecall%.3f) at nprobe=4/nlist=10")
+    }),
+
     // The 7-stage pipeline can only shrink the corpus: each filter /
     // dedup stage's surviving count is monotone non-increasing, and the
     // emitted corpus matches the final stage.

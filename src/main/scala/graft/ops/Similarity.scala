@@ -302,31 +302,19 @@ object Similarity {
     corpus.select(col(idCol), array(codes: _*).as("pq_codes"))
   }
 
-  /** ADC (asymmetric distance) top-k over PQ codes: each query builds an
-    * m×ksub lookup table of exact subspace distances to every centroid
-    * (per-row expressions over the literal codebooks), then every corpus
-    * row's distance is m table lookups summed — no vector arithmetic in
-    * the corpus pass at all.
-    *
-    * Scale: the query side (queries × LUTs) broadcasts; the corpus side
-    * carries m-byte codes, not vectors; ranking reuses the bounded-heap
-    * top-k aggregate, so the exchange is k rows per (partition, query). */
-  def knnPq(encodedCorpus: DataFrame, queries: DataFrame, idCol: String,
-            vecCol: String, index: PqIndex, k: Int): DataFrame = {
-    GraftFunctions.ensureRegistered(encodedCorpus.sparkSession)
-    val lut = array((0 until index.m).map { j =>
+  /** Per-query m×ksub ADC lookup table over the LITERAL codebooks:
+    * exact subspace distances from `vecCol` to every centroid, 9dp
+    * rounded. Per-row expressions only — no join, no shuffle. */
+  private def adcLut(vecCol: String, index: PqIndex): Column =
+    array((0 until index.m).map { j =>
       array(index.codebooks(j).map(c =>
         round(subDist2(col(vecCol), j, c, index.subDim), 9)): _*)
     }: _*)
-    val q = queries.select(col(idCol).as("qid"), lut.as("__lut"))
-    val scored = encodedCorpus.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col(idCol))
-      .select(col("qid"), col(idCol).as("vec_id"),
-        aggregate(zip_with(col("pq_codes"), col("__lut"),
-          (c, l) => element_at(l, c + 1)), lit(0.0), (acc, x) => acc + x)
-          .as("__d2"))
-    // heap aggregate keeps the LARGEST scores: negate the distance, emit
-    // the positive distance back, rank 1 = nearest
+
+  /** Heap-aggregate top-k over ADC-scored rows (qid, vec_id, __d2).
+    * The heap keeps the LARGEST scores: negate the distance, emit the
+    * positive distance back, rank 1 = nearest. */
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("__neg", round(-col("__d2"), 9))
       .groupBy(col("qid"))
@@ -335,6 +323,99 @@ object Similarity {
       .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
         col("__p.vec_id").as("vec_id"),
         round(-col("__p.sim"), 6).as("adc_dist"))
+
+  /** ADC code-to-LUT distance: m table lookups summed — no vector
+    * arithmetic in the corpus pass at all. */
+  private def adcDist(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ADC (asymmetric distance) top-k over PQ codes: each query builds an
+    * m×ksub lookup table of exact subspace distances to every centroid
+    * (per-row expressions over the literal codebooks), then every corpus
+    * row's distance is m table lookups summed — no vector arithmetic in
+    * the corpus pass at all.
+    *
+    * Scale: the query side (queries × LUTs) broadcasts; the corpus side
+    * carries m-byte codes, not vectors; ranking reuses the bounded-heap
+    * top-k aggregate, so the exchange is k rows per (partition, query).
+    * The scan itself is still the FULL code table — at index scale
+    * compose with the coarse quantizer instead ([[knnIvfPq]]), which
+    * prunes the scan to the probed cells. */
+  def knnPq(encodedCorpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, index: PqIndex, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(encodedCorpus.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), adcLut(vecCol, index).as("__lut"))
+    val scored = encodedCorpus.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("vec_id"),
+        adcDist(col("pq_codes"), col("__lut")).as("__d2"))
+    adcTopK(scored, k)
+  }
+
+  /** The persisted IVF-PQ index layout: every corpus vector's coarse
+    * cell plus its m PQ codes — (id, cell, pq_codes). At 100 TB this
+    * table (a few bytes per vector) is written once, partitioned by
+    * `cell`, and every [[knnIvfPq]] search reads ONLY the probed cells'
+    * partitions. */
+  def encodeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                  ivf: IvfIndex, pq: PqIndex): DataFrame =
+    encodePq(corpus, idCol, vecCol, pq)
+      .join(ivf.assignments.select(col(idCol), col("cell")), Seq(idCol))
+
+  /** IVF-PQ search (Jégou et al. 2011, §V): route each query to its
+    * `nprobe` nearest coarse cells by exact squared L2 against the tiny
+    * broadcast centroid table — the metric the KMeans coarse quantizer
+    * assigned cells by — then run the ADC code scan over ONLY those
+    * cells. This removes [[knnPq]]'s full-code-table scan: the corpus
+    * side joins the broadcast (cell, qid, LUT) routing table on `cell`,
+    * so unprobed cells are pruned before any distance arithmetic, and
+    * scan cost drops by ~nlist/nprobe exactly as [[knnIvf]]'s does —
+    * compounded with PQ's 32× code compression.
+    *
+    * `encoded` is [[encodeIvfPq]]'s (id, cell, pq_codes) layout. Output
+    * as [[knnPq]] (qid, rank, vec_id, adc_dist). Recall is bounded by
+    * cell recall (neighbors in unprobed cells are unseen) × code
+    * quantization; `nprobe` is the scan-vs-recall knob. */
+  def knnIvfPq(encoded: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, cents: DataFrame, index: PqIndex, k: Int,
+               nprobe: Int = 4): DataFrame = {
+    GraftFunctions.ensureRegistered(encoded.sparkSession)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("__qv"),
+      adcLut(vecCol, index).as("__lut"))
+    // rank cells per query by exact squared L2 to the coarse centroid,
+    // 9dp-rounded (ties break to the smallest cell id)
+    val routed = q.join(broadcast(cents))
+      .select(col("qid"), col("__lut"), col("cell"),
+        round(aggregate(zip_with(col("__qv"), col("centroid"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 9)
+          .as("__cd2"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("__cd2"), col("cell"))
+    val best = routed.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("__lut"), col("cell"))
+    val scored = encoded.join(broadcast(best), Seq("cell"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("vec_id"),
+        adcDist(col("pq_codes"), col("__lut")).as("__d2"))
+    adcTopK(scored, k)
+  }
+
+  /** [[knnIvfPq]] with exact refinement: the cell-pruned ADC scan
+    * shortlists `shortlist` candidates per query, then only those rows
+    * join back to their float vectors for exact L2 re-ranking — the
+    * full production IVF-PQ+refine shape. The corpus pass touches codes
+    * in probed cells only; the refine join reads |queries|·shortlist
+    * vectors — query-bounded, not corpus-bounded. */
+  def knnIvfPqRefined(encoded: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      cents: DataFrame, index: PqIndex, k: Int,
+                      nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 8 * k
+    val cand = knnIvfPq(encoded, queries, idCol, vecCol, cents, index, sl, nprobe)
+      .select(col("qid"), col("vec_id"))
+    exactRefine(cand, corpus, queries, idCol, vecCol, k)
   }
 
   /** PQ search with exact REFINEMENT (the ADC+refine shape production PQ
@@ -349,6 +430,15 @@ object Similarity {
     val sl = if (shortlist > 0) shortlist else 8 * k
     val cand = knnPq(encodedCorpus, queries, idCol, vecCol, index, sl)
       .select(col("qid"), col("vec_id"))
+    exactRefine(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact-L2 re-ranking of a (qid, vec_id) candidate shortlist: only
+    * shortlisted rows join back to their float vectors (query-bounded
+    * read), ranked by the 9dp-rounded squared distance. */
+  private def exactRefine(cand: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val exact = cand
       .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv")), Seq("vec_id"))

@@ -23,6 +23,12 @@ object VectorEventQueries {
   private val pqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqIndex]()
 
+  /** Trained-IVF memo for q160, same offline-artifact rationale: the
+    * coarse quantizer is fit once per dataset (fixed seed); searches
+    * load it. Holds lazy DataFrames, so nothing is pinned in memory. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
   private val NPlanted = 50      // perturbed near-dup copies planted for q65/q92
   private val SemThreshold = 0.9 // q92 drop threshold: planted ≈0.98, natural ≲0.47
   private val PlantedIdOff = 100000L
@@ -145,6 +151,28 @@ object VectorEventQueries {
       val codes = Similarity.encodePq(e, "vec_id", "embedding", idx)
       Similarity.knnPqRefined(codes, e, e.filter(col("vec_id") < NQueries),
           "vec_id", "embedding", idx, K, shortlist = 8 * K)
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF-PQ + exact refine (rows-only, as q114: KMeans artifacts are
+    // MLlib-internal): the ADC code scan is routed through the trained
+    // coarse quantizer's cells — nprobe=4 of nlist=10, so the scan
+    // touches ~40% of the code table instead of all of it, the
+    // composition that removes flat PQ's full-corpus scan at index
+    // scale. Both indexes are OFFLINE artifacts (memoized per dataset);
+    // the timed path is encode + cell-routed ADC + refine. The Verify
+    // self-check proves refine distances are exact L2 and bands recall
+    // against BOTH brute force and q114's flat-PQ scan.
+    "q160_knn_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val pq = pqIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L))
+      val ivf = ivfIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L))
+      val encoded = Similarity.encodeIvfPq(e, "vec_id", "embedding", ivf, pq)
+      Similarity.knnIvfPqRefined(encoded, e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", ivf.centroids, pq, K, nprobe = 4,
+          shortlist = 8 * K)
         .orderBy("qid", "rank")
     }),
 

@@ -310,6 +310,81 @@ class SimilaritySpec extends SparkSpec {
     assert(refined.sameElements(Array(3L, 6L, 9L)), refined.toSeq.toString)
   }
 
+  test("IVF-PQ: cell-routed ADC matches flat PQ+refine; plan scans probed cells only") {
+    // same 3 well-separated clusters as the PQ test
+    val clustered = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 10.0f
+      base((c * 2 + 1) % 8) += (i / 3) * 0.1f
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+    val pq = Similarity.trainPq(clustered, "embedding", m = 4, ksub = 4, seed = 7L)
+    val ivf = Similarity.trainIvf(clustered, "vec_id", "embedding", nlist = 3, seed = 7L)
+    val encoded = Similarity.encodeIvfPq(clustered, "vec_id", "embedding", ivf, pq)
+    // encoded carries (id, cell, codes): one row per vector, cell from IVF
+    assert(encoded.count() == 30)
+    assert(encoded.select("cell").distinct().count() == 3)
+    // nprobe=1 on well-separated clusters: the probe lands on the query's
+    // own KMeans cell, and refine recovers the TRUE top-k (vec 0's exact
+    // neighbors are 3, 6, 9 by the distinct intra-cluster offsets)
+    val q0 = clustered.filter($"vec_id" === 0L)
+    val refined = Similarity.knnIvfPqRefined(encoded, clustered, q0,
+        "vec_id", "embedding", ivf.centroids, pq, k = 3, nprobe = 1,
+        shortlist = 10)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(refined.sameElements(Array(3L, 6L, 9L)), refined.toSeq.toString)
+    // with nprobe=1 every ADC candidate comes from the query's own cell
+    val cellOf = ivf.assignments.as[(Long, Int)].collect().toMap
+    val adc = Similarity.knnIvfPq(encoded, q0, "vec_id", "embedding",
+        ivf.centroids, pq, k = 9, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(adc.nonEmpty && adc.forall(v => cellOf(v) == cellOf(0L)),
+      s"cross-cell candidate at nprobe=1: ${adc.toSeq}")
+    // nprobe=nlist degenerates to the flat scan: identical refined top-k
+    val flat = Similarity.knnPqRefined(
+        Similarity.encodePq(clustered, "vec_id", "embedding", pq),
+        clustered, q0, "vec_id", "embedding", pq, k = 3, shortlist = 10)
+      .orderBy("rank").select("vec_id", "l2_dist").as[(Long, Double)].collect()
+    val all = Similarity.knnIvfPqRefined(encoded, clustered, q0,
+        "vec_id", "embedding", ivf.centroids, pq, k = 3, nprobe = 3,
+        shortlist = 10)
+      .orderBy("rank").select("vec_id", "l2_dist").as[(Long, Double)].collect()
+    assert(all.sameElements(flat), s"${all.toSeq} != ${flat.toSeq}")
+  }
+
+  test("IVF-PQ plan: code table joins the broadcast routing on cell — no full-scan nested loop") {
+    val clustered = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 10.0f
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+    val pq = Similarity.trainPq(clustered, "embedding", m = 4, ksub = 4, seed = 7L)
+    val ivf = Similarity.trainIvf(clustered, "vec_id", "embedding", nlist = 3, seed = 7L)
+    val encoded = Similarity.encodeIvfPq(clustered, "vec_id", "embedding", ivf, pq)
+    val plan = Similarity.knnIvfPq(encoded, clustered.filter($"vec_id" === 0L),
+        "vec_id", "embedding", ivf.centroids, pq, k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    // the cell-pruning contract: the CODE TABLE meets the routing table
+    // through an EQUI-join on cell (broadcast hash), never the flat
+    // scan's nested-loop cross join, and never a corpus-wide exchange.
+    // Exactly one nested-loop join is allowed: the |queries| × nlist
+    // centroid-routing product, which is tiny by construction.
+    assert(plan.contains("BroadcastHashJoin [cell"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // top-k still reduces via the bounded-heap partial aggregate
+    assert(plan.split("\n").count(_.contains("ObjectHashAggregate")) >= 2, plan)
+    // the flat knnPq plan DOES nested-loop — the difference is the point
+    val flatPlan = Similarity.knnPq(
+        Similarity.encodePq(clustered, "vec_id", "embedding", pq),
+        clustered.filter($"vec_id" === 0L), "vec_id", "embedding", pq, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(flatPlan.contains("BroadcastNestedLoopJoin"), flatPlan)
+  }
+
   test("cosineNearDup emits only same-cell pairs above threshold") {
     val pairs = Similarity.cosineNearDup(vecs, "vec_id", "embedding", "label", 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
