@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Mondrian multidimensional k-anonymity (LeFevre, DeWitt & Ramakrishnan,
@@ -18,18 +17,28 @@ import org.apache.spark.storage.StorageLevel
   * has < 2k rows on some dimension's worth of slack).
   *
   * Distributed shape, per cut level (there are O(log(n/k)) levels, each
-  * halving the largest partitions):
+  * halving the largest partitions) — the cut plan is DataFrame-resident
+  * end-to-end; the driver never materializes per-partition state:
   *   1. stats pass — one groupBy(pid) computing count + per-dim
-  *      min/max/median; the collected result is one row PER PARTITION
-  *      (≤ n/k rows total, NOT data-sized — the same bounded-collect
-  *      contract as the CC convergence probes).
-  *   2. side-count pass — candidate medians broadcast back as a ≤
-  *      partitions-sized table; one groupBy(pid) counts rows ≤ median
-  *      per dim, so cut admissibility (both sides ≥ k) is decided on
-  *      EXACT counts, never assumed from the median's position (ties at
-  *      the median make the ≤ side fat; this pass is what catches that).
-  *   3. reassign — broadcast-join the chosen (pid → dim, median) plan and
+  *      min/max/median; candidate dims are ranked IN-PLAN by sorting an
+  *      array of (negWidth, qiIndex, dim, median) structs, so
+  *      widest-normalized-first with QI-order tiebreak needs no driver
+  *      logic.
+  *   2. side-count pass — the candidate table (one row per cuttable
+  *      partition, ≤ n/2k rows of 3 narrow columns) broadcast-joins back
+  *      onto the data; one groupBy(pid) counts rows ≤ median per dim, so
+  *      cut admissibility (both sides ≥ k) is decided on EXACT counts,
+  *      never assumed from the median's position (ties at the median make
+  *      the ≤ side fat; this pass is what catches that). The chosen cut
+  *      per pid is `element_at(filter(sorted dims, admissible), 1)` —
+  *      again in-plan.
+  *   3. reassign — broadcast-join the (pid → dim, median) cut table and
   *      renumber pid -> 2·pid+1 / 2·pid+2 in one codegen'd projection.
+  * Driver-side state per level is ONE long (the split count that drives
+  * loop termination); the only row-valued collect in the whole algorithm
+  * is the single-row global-range probe before the loop. The cut table
+  * itself moves driver→executors only through Spark's broadcast machinery
+  * (torrent, spill-backed), the same contract as any broadcast join.
   * Exact `percentile` keeps the oracle-grade determinism contract of the
   * rest of the library; at extreme per-partition cardinality swap in
   * `approx_percentile` (the cut stays admissible because step 2 verifies
@@ -41,8 +50,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object Mondrian {
 
-  private final case class Dim(name: String, width: Double, median: Double)
-
   /** Assign a Mondrian partition id (`pid`) to every row. Rows are never
     * dropped or modified; `pid` values are the binary-heap numbering of
     * the final cut tree (stable across runs — the whole algorithm is
@@ -53,10 +60,9 @@ object Mondrian {
     require(k >= 1, s"k=$k must be >= 1")
     require(qiCols.nonEmpty, "need at least one QI column")
     require(maxLevels >= 1 && maxLevels <= 40, s"maxLevels=$maxLevels out of [1,40]")
-    val spark = df.sparkSession
 
     // Global per-dim ranges normalize cut-dimension choice (LeFevre §4's
-    // relative width); a zero-range dim can never be cut.
+    // relative width); a zero-range dim can never be cut. One row total.
     val gRow = df.agg(
       qiCols.map(c => struct(min(col(c).cast("double")),
         max(col(c).cast("double"))).as(c)).head,
@@ -72,78 +78,81 @@ object Mondrian {
     var level = 0
     var open = true
     while (open && level < maxLevels) {
-      // (1) stats: count + min/max/median per dim, one row per partition.
+      // (1) stats: count + min/max/median per dim, one row per partition,
+      // with candidate dims ranked in-plan (ascending struct sort on
+      // (negWidth, qiIndex) == widest-normalized-first, QI-order ties).
       val aggs = count(lit(1)).as("__n") +: qiCols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"__mn_$c"),
         max(col(c).cast("double")).as(s"__mx_$c"),
         expr(s"percentile(CAST(`$c` AS DOUBLE), 0.5)").as(s"__md_$c")))
-      val stats = cur.groupBy(col("pid")).agg(aggs.head, aggs.tail: _*).collect()
+      val dimStructs: Seq[Column] = qiCols.zipWithIndex.map { case (c, i) =>
+        val negW =
+          if (gRange(c) > 0)
+            (col(s"__mn_$c") - col(s"__mx_$c")) / lit(gRange(c))
+          else lit(0.0)
+        struct(negW.as("negw"), lit(i).as("qidx"),
+          lit(c).as("dim"), col(s"__md_$c").as("med"))
+      }
+      val cand = cur.groupBy(col("pid")).agg(aggs.head, aggs.tail: _*)
+        .filter(col("__n") >= lit(2L * k))
+        .withColumn("__dims",
+          sort_array(filter(array(dimStructs: _*), d => d("negw") < 0)))
+        .filter(size(col("__dims")) > 0)
+        .select(col("pid") +: col("__dims") +:
+          qiCols.map(c => col(s"__md_$c")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // Partitions big enough to cut, with their dims widest-first.
-      val cand: Map[Long, Seq[Dim]] = stats.iterator.filter(_.getAs[Long]("__n") >= 2L * k)
-        .flatMap { r =>
-          val dims = qiCols.map { c =>
-            val w = r.getAs[Double](s"__mx_$c") - r.getAs[Double](s"__mn_$c")
-            Dim(c, if (gRange(c) > 0) w / gRange(c) else 0.0, r.getAs[Double](s"__md_$c"))
-          }.filter(_.width > 0)
-          if (dims.isEmpty) None
-          else Some(r.getAs[Long]("pid") ->
-            dims.sortBy(d => (-d.width, qiCols.indexOf(d.name))))
-        }.toMap
+      // (2) exact side counts for every candidate (pid, dim) median, then
+      // the in-plan cut choice: first dim in ranked order with >= k rows
+      // on BOTH sides of its median.
+      val sideAggs = count(lit(1)).as("__sn") +: qiCols.map(c =>
+        sum(when(col(c).cast("double") <= col(s"__md_$c"), 1L).otherwise(0L))
+          .as(s"__le_$c"))
+      val sides = cur
+        .join(broadcast(cand.select(col("pid") +: qiCols.map(c => col(s"__md_$c")): _*)),
+          Seq("pid"))
+        .groupBy(col("pid")).agg(sideAggs.head, sideAggs.tail: _*)
+      val leMap = map(qiCols.flatMap(c => Seq(lit(c), col(s"__le_$c"))): _*)
+      val chosen = try_element_at(
+        filter(col("__dims"), d =>
+          element_at(leMap, d("dim")) >= lit(k.toLong) &&
+            col("__sn") - element_at(leMap, d("dim")) >= lit(k.toLong)), lit(1))
+      // The cut table stays executor-resident; the eager localCheckpoint
+      // truncates its lineage so next level's plan does NOT nest this
+      // level's (cur ⨝ f(cur) would otherwise grow the logical plan
+      // exponentially in the level count). On a multi-node cluster swap
+      // in reliable `checkpoint` (the table is ≤ n/2k rows × 3 narrow
+      // columns — trivially re-derivable, but executor loss would lose
+      // local checkpoint blocks).
+      val splitDf = cand.select("pid", "__dims").join(sides, Seq("pid"))
+        .withColumn("__cut", chosen)
+        .filter(col("__cut").isNotNull)
+        .select(col("pid"), col("__cut")("dim").as("__sdim"),
+          col("__cut")("med").as("__smed"))
+        .localCheckpoint()
 
-      if (cand.isEmpty) open = false
-      else {
-        // (2) exact side counts for every candidate (pid, dim) median.
-        val medSchema = StructType(StructField("pid", LongType, nullable = false) +:
-          qiCols.map(c => StructField(s"__med_$c", DoubleType, nullable = true)))
-        val medRows = cand.toSeq.map { case (pid, dims) =>
-          val byName = dims.map(d => d.name -> d.median).toMap
-          Row.fromSeq(pid +: qiCols.map(c => byName.get(c).map(Double.box).orNull))
+      // The ONLY driver-bound value per level: the split count.
+      val nSplits = splitDf.count()
+      if (nSplits == 0L) {
+        open = false
+        cand.unpersist(); splitDf.unpersist()
+      } else {
+        // (3) reassign: broadcast the cut table, renumber in one pass.
+        val isLeft = qiCols.foldLeft(lit(false)) { (acc, c) =>
+          when(col("__sdim") === c, col(c).cast("double") <= col("__smed"))
+            .otherwise(acc)
         }
-        val medDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(medRows, 1), medSchema)
-        val sideAggs = count(lit(1)).as("__n") +: qiCols.map(c =>
-          sum(when(col(c).cast("double") <= col(s"__med_$c"), 1L).otherwise(0L))
-            .as(s"__le_$c"))
-        val sides = cur.join(broadcast(medDf), Seq("pid"))
-          .groupBy(col("pid")).agg(sideAggs.head, sideAggs.tail: _*)
-          .collect().map(r => r.getAs[Long]("pid") -> r).toMap
-
-        // Choose the widest dim whose cut leaves >= k rows on BOTH sides.
-        val splits = cand.toSeq.flatMap { case (pid, dims) =>
-          val side = sides(pid)
-          val n = side.getAs[Long]("__n")
-          dims.collectFirst {
-            case d if side.getAs[Long](s"__le_${d.name}") >= k &&
-              n - side.getAs[Long](s"__le_${d.name}") >= k =>
-              Row(pid, d.name, d.median)
-          }
-        }
-        if (splits.isEmpty) open = false
-        else {
-          // (3) reassign: broadcast the cut plan, renumber in one pass.
-          val splitSchema = StructType(Seq(
-            StructField("pid", LongType, nullable = false),
-            StructField("__sdim", StringType, nullable = false),
-            StructField("__smed", DoubleType, nullable = false)))
-          val splitDf = spark.createDataFrame(
-            spark.sparkContext.parallelize(splits, 1), splitSchema)
-          val isLeft = qiCols.foldLeft(lit(false)) { (acc, c) =>
-            when(col("__sdim") === c, col(c).cast("double") <= col("__smed"))
-              .otherwise(acc)
-          }
-          val next = cur.join(broadcast(splitDf), Seq("pid"), "left")
-            .withColumn("pid",
-              when(col("__sdim").isNull, col("pid"))
-                .when(isLeft, col("pid") * 2 + 1)
-                .otherwise(col("pid") * 2 + 2))
-            .drop("__sdim", "__smed")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before releasing the parent
-          cur.unpersist()
-          cur = next
-          level += 1
-        }
+        val next = cur.join(broadcast(splitDf), Seq("pid"), "left")
+          .withColumn("pid",
+            when(col("__sdim").isNull, col("pid"))
+              .when(isLeft, col("pid") * 2 + 1)
+              .otherwise(col("pid") * 2 + 2))
+          .drop("__sdim", "__smed")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parents
+        cur.unpersist(); cand.unpersist(); splitDf.unpersist()
+        cur = next
+        level += 1
       }
     }
     graft.QueryCleanup.register(() => cur.unpersist())

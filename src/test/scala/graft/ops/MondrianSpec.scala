@@ -56,6 +56,45 @@ class MondrianSpec extends SparkSpec {
     }
   }
 
+  test("driver bookkeeping is O(1): no row-valued collect during partitioning") {
+    // The cut plan must stay DataFrame-resident: the only permitted
+    // driver-bound actions are the single-row global-range `head` probe
+    // and per-level `count`s. A `collect` action would mean per-partition
+    // state (O(n/k) rows at the final levels) landed on the driver.
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val actions = new ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        actions.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        actions.add(s"FAIL:$funcName")
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = (1 to 200).map(i => ((i * 37 % 101).toDouble, (i * 53 % 17).toDouble))
+        .toDF("a", "b")
+      val out = Mondrian.assignPartitions(df, Seq("a", "b"), 5)
+      out.count()
+      graft.QueryCleanup.drain()
+      // Listener bus is async: wait for the action log to settle.
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = actions.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      val seen = actions.toArray(Array.empty[String]).toSeq
+      assert(seen.nonEmpty && seen.contains("count"), seen.toString)
+      assert(!seen.exists(_.startsWith("FAIL")), seen.toString)
+      assert(!seen.contains("collect") && !seen.contains("collectAsList"),
+        s"row-valued collect on the driver during Mondrian: $seen")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("anonymize: k certificate, row preservation, in-range values") {
     val df = (1 to 100).map(i => (i.toLong, (i * 37 % 101).toDouble, (i * 53 % 17).toDouble))
       .toDF("id", "a", "b")
