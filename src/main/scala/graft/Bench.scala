@@ -28,7 +28,16 @@ object Bench {
     // Per-rep times are emitted too ("reps_sec"), so a phantom regression
     // (one slow rep from an environment event) is visibly an outlier in
     // the JSON instead of a silently shifted median.
+    // R2 resource metrics: executor-side shuffle/input/spill/peak-memory
+    // per query (summed over reps, reported per-execution) plus driver
+    // RSS — see BenchMetrics for why these are the numbers that transfer
+    // from local[32] to a real cluster.
+    val metricsListener = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metricsListener)
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkInternals.flushListenerBus(spark.sparkContext)
+      metricsListener.resetPeak()
+      val before = metricsListener.totals
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // Execute the query's own physical plan (all output columns
@@ -43,11 +52,19 @@ object Bench {
         QueryCleanup.drain() // release caches the query handed over (untimed)
         r
       }
+      val snap = BenchMetrics.snapshot(spark.sparkContext, metricsListener, before)
+      // Additive counters accumulated across `reps` executions — divide to
+      // a per-execution figure (peak and RSS are maxima, left as-is).
+      val perExec = snap.copy(
+        shuffleReadMb = snap.shuffleReadMb / reps,
+        shuffleWriteMb = snap.shuffleWriteMb / reps,
+        inputMb = snap.inputMb / reps,
+        spillMb = snap.spillMb / reps)
       val ok = runs.flatten.sorted
-      (name, if (ok.size == reps) Some(ok(ok.size / 2)) else None, runs)
+      (name, if (ok.size == reps) Some(ok(ok.size / 2)) else None, runs, perExec)
     }
-    val medians = timed.collect { case (k, Some(v), _) => k -> v }
-    val failed = timed.collect { case (k, None, _) => k }
+    val medians = timed.collect { case (k, Some(v), _, _) => k -> v }
+    val failed = timed.collect { case (k, None, _, _) => k }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
     // Full-fidelity report (long names, full-precision medians, per-rep
@@ -56,11 +73,13 @@ object Bench {
     // blows past that — every earlier round's report arrived decapitated
     // (BENCH_r0{1..7}.json "parsed": null, tail starting mid-line).
     val qsFull = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val rs = timed.map { case (k, _, runs) =>
+    val rs = timed.map { case (k, _, runs, _) =>
       "\"" + k + "\":" + runs.map(_.fold("null")(_.toString)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val res = timed.map { case (k, _, _, snap) => "\"" + k + "\":" + snap.json }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_sec":$rs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_sec":$rs,"resources":$res,"failed":$fs,"reps":$reps,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] full per-rep detail written to ${detailPath.toAbsolutePath}")
