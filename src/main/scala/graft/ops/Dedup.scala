@@ -181,6 +181,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** One persistent near-dup index row per document: (id, toks, bands),
+    * where `bands` is the array of (band_idx, band_key) structs from the
+    * doc's MinHash signature. This is the projection
+    * [[graft.pipelines.NearDupIndex]] commits to a SnapshotStore table so
+    * later crawl batches can probe the corpus WITHOUT recomputing its
+    * shingles/signatures (the corpus-side cost [[crossNearDup]] pays on
+    * every call). Keeping toks and bands in ONE row means one atomic
+    * commit covers both the candidate keys and the verification sets —
+    * no window where bands exist without their verifying shingles.
+    *
+    * Storage is O(corpus token n-grams) — the price of exact-Jaccard
+    * verification at query time; the band keys alone would be 16x
+    * smaller but could only emit unverified candidates. Same
+    * hash/signature/band parameters as [[minhashLsh]], so the q36/q150
+    * oracle CTE chain replays queries against a stored index too. */
+  def nearDupIndexRows(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    shingleToks(df, idCol, textCol, shingleN)
+      .withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
+      .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
+      .select(col("__id").as("id"), col("__toks").as("toks"),
+        bands(col("__sig")).as("bands"))
+  }
+
+  /** [[crossNearDup]] where the CORPUS side is a precomputed
+    * [[nearDupIndexRows]] table (typically a SnapshotStore read): batch
+    * docs are shingled/signed fresh, the stored bands explode into the
+    * same (band_idx, band_key) join, and verification reads the stored
+    * toks — the corpus text is never touched. Output matches
+    * crossNearDup: (id_a = corpus id, id_b = batch id, jaccard). */
+  def crossNearDupIndexed(index: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, shingleN: Int,
+                          threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
+    val tb = shingleToks(batch, idCol, textCol, shingleN)
+    val corpusBands = index
+      .select(col("id").as("id_a"), explode(col("bands")).as("__band"))
+      .select(col("id_a"),
+        col("__band.band_idx").as("__bidx"), col("__band.band_key").as("__bkey"))
+    val cand = corpusBands
+      .join(bandedKeys(tb).select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__bidx", "__bkey"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(index.select(col("id").as("id_a"), col("toks").as("__toks_a")), Seq("id_a"))
+      .join(tb.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   val SimHashBits = 32

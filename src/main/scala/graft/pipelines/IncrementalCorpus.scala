@@ -3,6 +3,7 @@ package graft.pipelines
 import graft.ops.Dedup
 import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Incremental corpus maintenance: absorb a crawl batch into a VERSIONED
   * corpus table — the daily-refresh shape a 100 TB training corpus
@@ -32,17 +33,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IncrementalCorpus {
 
+  /** Where the ingest-maintained near-dup index lives, relative to the
+    * corpus table. Underscore prefix keeps it out of any naive directory
+    * glob of the corpus data. */
+  def nearDupIndexDir(tableDir: String): String = s"$tableDir/_neardup_index"
+
   /** Ingest one batch; returns the committed version. `meta` lands in
-    * the commit marker (e.g. a crawl id) for the audit trail. */
+    * the commit marker (e.g. a crawl id) for the audit trail.
+    *
+    * With `nearDupThreshold` set, a fourth stage runs between
+    * decontamination and commit: the batch probes the corpus's PERSISTENT
+    * MinHash band index ([[NearDupIndex]], stored under
+    * [[nearDupIndexDir]]) and docs whose n-gram Jaccard against ANY
+    * already-ingested doc clears the threshold are dropped — the
+    * incremental-crawl near-dup gate WITHOUT recomputing corpus-side
+    * shingles/signatures per ingest (that recompute is O(corpus), every
+    * day; the index probe is O(batch + candidates)). Accepted docs are
+    * appended to the index before the corpus commit. Self-matches
+    * (id_a == id_b) are ignored when filtering, so replaying a crashed
+    * ingest — where the index may already hold the batch — does not
+    * reject the batch against itself; content dedup and the index's own
+    * id-replay guard make the replay converge to the same state. */
   def ingest(spark: SparkSession, tableDir: String, batch: DataFrame,
              bench: DataFrame, idCol: String, textCol: String,
-             decontamN: Int = 8, meta: String = ""): Long = {
+             decontamN: Int = 8, meta: String = "",
+             nearDupThreshold: Option[Double] = None,
+             nearDupShingleN: Int = 2): Long = {
     val current = SnapshotStore.committedVersion(spark, tableDir) match {
       case Some(v) => SnapshotStore.readVersion(spark, tableDir, v)
       case None => batch.limit(0)
     }
     val fresh = Dedup.ingestDedup(batch, current, idCol, textCol)
     val clean = Dedup.decontaminate(fresh, bench, idCol, textCol, decontamN)
-    SnapshotStore.commit(current.unionByName(clean), tableDir, meta)
+    val accepted = nearDupThreshold match {
+      case None => clean
+      case Some(threshold) =>
+        val idxDir = nearDupIndexDir(tableDir)
+        val kept = SnapshotStore.committedVersion(spark, idxDir) match {
+          case None => clean
+          case Some(_) =>
+            val dupIds = NearDupIndex.query(spark, idxDir, clean, idCol,
+                textCol, nearDupShingleN, threshold)
+              .filter(col("id_a") =!= col("id_b")) // replay guard: not a dup of itself
+              .select(col("id_b").as(idCol)).distinct()
+            clean.join(dupIds, Seq(idCol), "left_anti")
+        }
+        NearDupIndex.update(spark, idxDir, kept, idCol, textCol,
+          nearDupShingleN, meta)
+        kept
+    }
+    SnapshotStore.commit(current.unionByName(accepted), tableDir, meta)
   }
 }

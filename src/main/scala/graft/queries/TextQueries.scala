@@ -119,6 +119,30 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // q150 through the PERSISTENT index: the even-id corpus is absorbed
+    // into a stored NearDupIndex in two incremental updates (the second
+    // passes the full even set — its already-indexed half is skipped by
+    // the replay guard), then the odd-id batch probes the STORED bands.
+    // Same oracle as q150: the stored-band path must be bit-equal to the
+    // full corpus-side recompute.
+    "q161_neardup_index" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val idx = s"/tmp/graft_ndidx_${dir.hashCode.toHexString}"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val even = d.filter(col("doc_id") % 2 === 0)
+      graft.pipelines.NearDupIndex.update(s, idx,
+        even.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        shingleN = 2, meta = "crawl-1")
+      graft.pipelines.NearDupIndex.update(s, idx, even, "doc_id", "text",
+        shingleN = 2, meta = "crawl-2")
+      graft.pipelines.NearDupIndex.query(s, idx,
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          shingleN = 2, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // High-threshold near-dup pairs via the PPJoin PREFIX-filtered index
     // (global scope, no partition column): only each doc's
     // |S|-ceil(0.8|S|)+1 rarest shingle hashes are indexed, then distinct
@@ -710,6 +734,26 @@ object TextQueries {
     // A-side (even ids) bands join B-side (odd ids) bands, no ordering
     // constraint between the sides.
     "q150_cross_neardup" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
+          th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk
+                   WHERE a.doc_id % 2 = 0 AND c.doc_id % 2 = 1),
+          j AS (SELECT id_a, id_b,
+                  round(len(list_intersect(x.s, y.s)) * 1.0
+                        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+                FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    // The stored-index path answers the SAME question as q150 over the
+    // same split — identical ground truth; the incremental index
+    // construction must not change a single pair or jaccard digit.
+    "q161_neardup_index" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
           th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
                  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),

@@ -53,4 +53,44 @@ class IncrementalCorpusSpec extends SparkSpec {
       11L -> "added", 13L -> "added"), diff.toString)
     assert(SnapshotStore.commitMeta(spark, table, 2L).contains("crawl-2"))
   }
+
+  test("near-dup gate drops batch docs matching the STORED index, not a recompute") {
+    val table = s"/tmp/graft_incnd_${System.nanoTime()}"
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight and then it ran far away home"),
+      (3L, "pack my box with five dozen liquor jugs right now")
+    ).toDF("doc_id", "text")
+    val v1 = IncrementalCorpus.ingest(spark, table, b1, bench,
+      "doc_id", "text", decontamN = 8, meta = "crawl-1",
+      nearDupThreshold = Some(0.5))
+    assert(v1 == 1L)
+    // the index table was committed alongside the corpus
+    val idxDir = IncrementalCorpus.nearDupIndexDir(table)
+    assert(SnapshotStore.committedVersion(spark, idxDir).contains(1L))
+    assert(NearDupIndex.read(spark, idxDir).count() == 2L)
+
+    // batch 2: a NEAR-dup of doc 1 (last word changed -> bigram jaccard
+    // 0.88, shares an LSH band; different content hash, so exact dedup
+    // lets it through), and a genuinely new doc
+    val b2 = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog tonight and then it ran far away barn"),
+      (22L, "how vexingly quick daft zebras jump in the fog")
+    ).toDF("doc_id", "text")
+    val v2 = IncrementalCorpus.ingest(spark, table, b2, bench,
+      "doc_id", "text", decontamN = 8, meta = "crawl-2",
+      nearDupThreshold = Some(0.5))
+    val c2 = SnapshotStore.read(spark, table).select("doc_id").as[Long].collect().sorted
+    assert(v2 == 2L && c2.sameElements(Array(1L, 3L, 22L)), s"got ${c2.toSeq}")
+    // index grew by exactly the accepted doc
+    assert(NearDupIndex.read(spark, idxDir).count() == 3L)
+
+    // crash-replay: re-ingesting batch 2 changes nothing — content dedup
+    // drops 22, and 21 is still rejected against the stored index
+    val v3 = IncrementalCorpus.ingest(spark, table, b2, bench,
+      "doc_id", "text", decontamN = 8, meta = "crawl-2-replay",
+      nearDupThreshold = Some(0.5))
+    val c3 = SnapshotStore.read(spark, table).select("doc_id").as[Long].collect().sorted
+    assert(v3 == 3L && c3.sameElements(c2), s"got ${c3.toSeq}")
+    assert(NearDupIndex.read(spark, idxDir).count() == 3L)
+  }
 }
