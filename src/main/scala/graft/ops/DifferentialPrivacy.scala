@@ -93,6 +93,69 @@ object DifferentialPrivacy {
           math.max(math.abs(lo), math.abs(hi)), epsilon, seed)
           .as("dp_sum"): _*)
   }
+
+  // ---- Gaussian mechanism / zCDP ---------------------------------------
+
+  /** Noise σ for (ε, δ)-DP via the classic analytic bound
+    * σ = Δ·sqrt(2·ln(1.25/δ))/ε (Dwork & Roth 2014, Thm A.1; requires
+    * ε ≤ 1 — enforced, because the bound is simply false above that and
+    * silently under-noising is the worst DP bug there is). */
+  def gaussianSigma(sensitivity: Double, epsilon: Double, delta: Double): Double = {
+    require(epsilon > 0 && epsilon <= 1.0,
+      s"analytic Gaussian bound requires 0 < eps <= 1, got $epsilon")
+    require(delta > 0 && delta < 1, s"delta must be in (0,1), got $delta")
+    sensitivity * math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+  }
+
+  /** Deterministic standard normal via Box-Muller over two hash uniforms
+    * keyed on (`key`, seed): z = sqrt(-2 ln u1) · cos(2π u2). Same
+    * test/oracle caveat as [[laplaceDeterministic]] — anyone knowing the
+    * seed can denoise; production uses [[gaussian]] (randn). puniform
+    * never returns 0 or 1 exactly, so the transform is total. */
+  def gaussianDeterministic(value: Column, key: Column, sigma: Double,
+                            seed: Long): Column = {
+    val u1 = puniform(concat_ws("|", key, lit(seed), lit("g1")))
+    val u2 = puniform(concat_ws("|", key, lit(seed), lit("g2")))
+    value + lit(sigma) * sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** Random Gaussian noise (production path): Spark's codegen'd randn. */
+  def gaussian(value: Column, sigma: Double, seed: Long): Column =
+    value + lit(sigma) * randn(seed)
+
+  /** Gaussian-mechanism release of an aggregated value keyed on its group
+    * columns — the (ε, δ) sibling of [[noisyRelease]], same
+    * replay-repeats-the-same-noise contract. */
+  def noisyReleaseGaussian(value: Column, groupCols: Seq[String],
+                           sigma: Double, seed: Long): Column =
+    round(gaussianDeterministic(value, noiseKey(groupCols), sigma, seed), 6)
+
+  /** (ε, δ)-DP count per group via the Gaussian mechanism (count has
+    * L2 sensitivity 1), deterministic mode. */
+  def dpCountGaussian(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                      delta: Double, seed: Long): DataFrame = {
+    val sigma = gaussianSigma(1.0, epsilon, delta)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__true_count"))
+      .select(groupCols.map(col) :+
+        noisyReleaseGaussian(col("__true_count"), groupCols, sigma, seed)
+          .as("dp_count"): _*)
+  }
+
+  /** (ε, δ)-DP sum per group with values clipped to [lo, hi]
+    * (L2 sensitivity = max(|lo|, |hi|) for add/remove-one adjacency),
+    * deterministic mode. */
+  def dpSumGaussian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    lo: Double, hi: Double, epsilon: Double, delta: Double,
+                    seed: Long): DataFrame = {
+    val sigma = gaussianSigma(math.max(math.abs(lo), math.abs(hi)), epsilon, delta)
+    val clipped = greatest(least(col(valueCol), lit(hi)), lit(lo))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(clipped).as("__true_sum"))
+      .select(groupCols.map(col) :+
+        noisyReleaseGaussian(col("__true_sum"), groupCols, sigma, seed)
+          .as("dp_sum"): _*)
+  }
 }
 
 /** Sequential-composition ε-budget accountant (driver-side plan gate). */
@@ -106,5 +169,43 @@ final class PrivacyBudget(val totalEpsilon: Double) {
     require(spentEps + epsilon <= totalEpsilon + 1e-12,
       f"privacy budget exhausted: spent $spentEps%.3f + $epsilon%.3f > $totalEpsilon%.3f")
     spentEps += epsilon
+  }
+}
+
+/** zero-Concentrated DP accountant (Bun & Steinke, "Concentrated
+  * Differential Privacy: Simplifications, Extensions, and Lower Bounds",
+  * TCC 2016). Why a second accountant: under sequential composition the
+  * pure-ε ledger grows linearly in the number of Gaussian releases, while
+  * the zCDP ledger grows linearly in ρ = Δ²/(2σ²) — and converts to a
+  * FINAL (ε, δ) via ε = ρ + 2·sqrt(ρ·ln(1/δ)), i.e. ε grows as √k over k
+  * releases instead of k. The daily-release pipeline (one noisy stats
+  * table per ingest) lives or dies on that difference.
+  *
+  * Usage: charge each Gaussian release by its (sensitivity, σ); read the
+  * cumulative guarantee with [[epsilonFor]] at any δ. */
+final class ZCdpBudget(val totalRho: Double) {
+  private var spentRho = 0.0
+  def spent: Double = spentRho
+  def remaining: Double = totalRho - spentRho
+
+  /** ρ cost of one Gaussian mechanism invocation: Δ²/(2σ²). */
+  def rhoOf(sensitivity: Double, sigma: Double): Double = {
+    require(sensitivity > 0 && sigma > 0, s"need positive sensitivity/sigma")
+    sensitivity * sensitivity / (2.0 * sigma * sigma)
+  }
+
+  /** Reserve the ρ for a Gaussian release; throws if over budget. */
+  def chargeGaussian(sensitivity: Double, sigma: Double): Unit = synchronized {
+    val rho = rhoOf(sensitivity, sigma)
+    require(spentRho + rho <= totalRho + 1e-12,
+      f"zCDP budget exhausted: spent $spentRho%.4f + $rho%.4f > $totalRho%.4f")
+    spentRho += rho
+  }
+
+  /** The (ε, δ) guarantee the SPENT ρ implies (Bun-Steinke Prop. 1.3):
+    * ε(δ) = ρ + 2·sqrt(ρ·ln(1/δ)). */
+  def epsilonFor(delta: Double): Double = {
+    require(delta > 0 && delta < 1, s"delta must be in (0,1), got $delta")
+    spentRho + 2.0 * math.sqrt(spentRho * math.log(1.0 / delta))
   }
 }

@@ -327,6 +327,16 @@ object VectorEventQueries {
         .orderBy("event_type")
     }),
 
+    // Gaussian-mechanism (ε, δ)-DP count per event_type: σ from the
+    // analytic bound, deterministic Box-Muller noise (test/oracle mode —
+    // see DifferentialPrivacy scaladoc; zCDP composition is spec-pinned
+    // in DifferentialPrivacySpec).
+    "q162_dp_count_gauss" -> ((s, dir) => {
+      DifferentialPrivacy.dpCountGaussian(Tables.events(s, dir),
+        Seq("event_type"), epsilon = 0.8, delta = 1e-6, seed = 13L)
+        .orderBy("event_type")
+    }),
+
     // Multimodal plumbing: metadata projection of the binary media table
     // (the codegen'd stage; the stubbed decode is unit-tested instead).
     "q44_media_stats" -> ((s, dir) => {
@@ -348,6 +358,11 @@ object VectorEventQueries {
 
   private def uSql(key: String, seed: Long) =
     s"(CAST('0x' || substr(md5($key || '|' || '$seed'), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0"
+
+  /** uSql with a free-form seed tag — the Gaussian path keys its two
+    * Box-Muller uniforms as `key|seed|g1` and `key|seed|g2`. */
+  private def gaussUSql(key: String, tag: String) =
+    s"(CAST('0x' || substr(md5($key || '|' || '$tag'), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0"
 
   private val knnCore =
     s"""q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NQueries)"""
@@ -563,6 +578,18 @@ object VectorEventQueries {
     "q43_dp_sum" ->
       s"""SELECT event_type, ${lapSql("sm", "event_type", "200.0 / 0.5")} AS dp_sum
           FROM (SELECT event_type, sum(greatest(least(value, 200.0), 0.0)) AS sm, ${uSql("event_type", 7L)} AS u
+                FROM events GROUP BY event_type)
+          ORDER BY event_type""",
+    // Box-Muller over the same md5-uniform construction, keys suffixed
+    // |g1 / |g2; σ inlined from the Scala-side analytic bound so the two
+    // engines noise with the SAME literal.
+    "q162_dp_count_gauss" ->
+      s"""SELECT event_type,
+                round(c + ${graft.ops.DifferentialPrivacy.gaussianSigma(1.0, 0.8, 1e-6)}
+                        * sqrt(-2 * ln(u1)) * cos(2 * pi() * u2), 6) AS dp_count
+          FROM (SELECT event_type, count(*) AS c,
+                  ${gaussUSql("event_type", "13|g1")} AS u1,
+                  ${gaussUSql("event_type", "13|g2")} AS u2
                 FROM events GROUP BY event_type)
           ORDER BY event_type""",
     "q44_media_stats" ->

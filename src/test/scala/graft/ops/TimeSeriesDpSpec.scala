@@ -118,6 +118,51 @@ class TimeSeriesDpSpec extends SparkSpec {
     intercept[IllegalArgumentException](new PrivacyBudget(1.0).charge(-1.0))
   }
 
+  test("dpCountGaussian is seed-deterministic and unbiased-ish") {
+    val a = DifferentialPrivacy.dpCountGaussian(events, Seq("event_type"),
+      epsilon = 0.8, delta = 1e-6, seed = 13L).as[(String, Double)].collect().toMap
+    val b = DifferentialPrivacy.dpCountGaussian(events, Seq("event_type"),
+      epsilon = 0.8, delta = 1e-6, seed = 13L).as[(String, Double)].collect().toMap
+    val c = DifferentialPrivacy.dpCountGaussian(events, Seq("event_type"),
+      epsilon = 0.8, delta = 1e-6, seed = 14L).as[(String, Double)].collect().toMap
+    assert(a == b && a != c)
+    // sigma ~ 6.6 at these params: 6-sigma envelope around the true count
+    val clicks = events.filter($"event_type" === "click").count().toDouble
+    val sigma = DifferentialPrivacy.gaussianSigma(1.0, 0.8, 1e-6)
+    assert(math.abs(a("click") - clicks) < 6 * sigma, s"${a("click")} vs $clicks")
+  }
+
+  test("gaussianSigma rejects the regime where the analytic bound is false") {
+    intercept[IllegalArgumentException](DifferentialPrivacy.gaussianSigma(1.0, 1.5, 1e-6))
+    intercept[IllegalArgumentException](DifferentialPrivacy.gaussianSigma(1.0, 0.5, 0.0))
+    // closed form at eps=1, delta=1.25/e^2 -> sqrt(2*2)/1 = 2
+    assert(math.abs(DifferentialPrivacy.gaussianSigma(1.0, 1.0,
+      1.25 / math.exp(2.0)) - 2.0) < 1e-12)
+  }
+
+  test("ZCdpBudget: rho composes additively and converts to (eps, delta)") {
+    val sigma = 2.0
+    val b = new ZCdpBudget(totalRho = 0.25)
+    // two Gaussian releases at sensitivity 1, sigma 2: rho = 1/8 each
+    b.chargeGaussian(1.0, sigma)
+    b.chargeGaussian(1.0, sigma)
+    assert(math.abs(b.spent - 0.25) < 1e-12)
+    assert(b.remaining < 1e-12)
+    intercept[IllegalArgumentException](b.chargeGaussian(1.0, sigma))
+    // Bun-Steinke conversion at the spent rho
+    val delta = 1e-6
+    val expected = 0.25 + 2.0 * math.sqrt(0.25 * math.log(1.0 / delta))
+    assert(math.abs(b.epsilonFor(delta) - expected) < 1e-12)
+    // sqrt-composition advantage: k Gaussian releases cost eps ~ sqrt(k),
+    // not k — the zCDP ledger for 16 releases is well under 16x one
+    // release's pure-eps price at the same sigma
+    val many = new ZCdpBudget(totalRho = 16.0 / 8.0)
+    (1 to 16).foreach(_ => many.chargeGaussian(1.0, sigma))
+    val one = new ZCdpBudget(totalRho = 1.0)
+    one.chargeGaussian(1.0, sigma)
+    assert(many.epsilonFor(delta) < 16.0 * one.epsilonFor(delta))
+  }
+
   test("rangeJoin equals the naive BETWEEN join, including bucket edges") {
     val points = events.select($"user_id", $"ts", $"event_id".as("pid"))
     // intervals deliberately straddle bucket boundaries at several widths
