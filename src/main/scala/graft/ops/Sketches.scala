@@ -335,4 +335,108 @@ object Sketches {
           round(col("kmv_est") * col("__nboth") / col("__nm"), 6))
         .otherwise(0.0).as("kmv_intersect_est"))
   }
+
+  // ---- HyperLogLog ------------------------------------------------------
+
+  /** HLL bit budget: the portable hash is 60 bits (15 md5 hex chars), so
+    * with 2^b buckets the register word has 60-b bits. */
+  private def hllWordBits(b: Int) = 60 - b
+
+  /** alpha_m bias constant (Flajolet et al. 2007, Fig. 3). */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Portable HyperLogLog register table (Flajolet, Fusy, Gandouet &
+    * Meunier, AofA 2007): m = 2^b registers; each key's 60-bit portable
+    * hash splits into bucket = h mod m and word w = h div m; the
+    * register holds the max over keys of rho(w) = position of the
+    * highest set bit counted from the word's top = (60-b) - bitlen(w)
+    * + 1 (w = 0 → 60-b+1). bitlen is length(bin(w)) — STRING-exact in
+    * both Spark and DuckDB, immune to the float-log2 misrounding a
+    * power-of-two word would hit, so a SQL oracle replays the registers
+    * bit-for-bit (Spark's own approx_count_distinct HLL is not
+    * replayable — that is why this exists beside it and KMV).
+    *
+    * Registers merge by element-wise MAX: the sketch of a union is the
+    * max of the sketches, making this the mergeable per-partition /
+    * per-day distinct state at any scale. Output (bucket, m_j), ≤ m
+    * rows. Scale: one groupBy over m tiny keys; map-side partial max
+    * means each input partition contributes ≤ m rows to the exchange. */
+  def hllSketch(df: DataFrame, keyCol: String, b: Int = 6,
+                salt: String = "graft-hll"): DataFrame = {
+    require(b >= 4 && b <= 16, s"b=$b out of [4,16]")
+    val m = 1 << b
+    val h = graft.functions.PortableHash.phash(
+      concat_ws("|", lit(salt), col(keyCol).cast("string")))
+    // word via BIT SHIFT, not floor(h/m): double division drops low bits
+    // above 2^53 and the hash is 60-bit
+    val w = shiftright(h, b)
+    val rho = when(w === 0, lit(hllWordBits(b) + 1))
+      .otherwise(lit(hllWordBits(b) + 1) - length(bin(w)))
+    df.select(pmod(h, lit(m)).as("bucket"), rho.as("__rho"))
+      .groupBy(col("bucket")).agg(max(col("__rho")).as("m_j"))
+  }
+
+  /** Merge register tables (same b and salt): element-wise max. */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("bucket")).agg(max(col("m_j")).as("m_j"))
+
+  /** One-row estimate from a register table: raw = alpha_m m² /
+    * Σ 2^(−M_j) (absent buckets contribute 2⁰ = 1), with the standard
+    * small-range linear-counting correction E = m ln(m/V) when
+    * raw ≤ 2.5m and V (empty registers) > 0. */
+  def hllEstimate(sketch: DataFrame, b: Int = 6): DataFrame = {
+    val m = 1 << b
+    sketch.agg(
+        sum(pow(lit(2.0), -col("m_j"))).as("__s"),
+        count(lit(1)).as("__nb"))
+      .select(
+        (coalesce(col("__s"), lit(0.0)) + (lit(m) - col("__nb"))).as("__den"),
+        (lit(m) - col("__nb")).as("__v"))
+      .select(
+        round(
+          when(lit(hllAlpha(m) * m * m) / col("__den") <= lit(2.5 * m) && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(lit(hllAlpha(m) * m * m) / col("__den")), 6)
+          .as("hll_est"))
+  }
+
+  /** Per-group register table — the grouped twin of [[hllSketch]]
+    * (same split, same registers, so group sketches hllMerge into the
+    * global one). ≤ m rows per group. */
+  def hllSketchGrouped(df: DataFrame, groupCol: String, keyCol: String,
+                       b: Int = 6, salt: String = "graft-hll"): DataFrame = {
+    require(b >= 4 && b <= 16, s"b=$b out of [4,16]")
+    val m = 1 << b
+    val h = graft.functions.PortableHash.phash(
+      concat_ws("|", lit(salt), col(keyCol).cast("string")))
+    val w = shiftright(h, b)
+    val rho = when(w === 0, lit(hllWordBits(b) + 1))
+      .otherwise(lit(hllWordBits(b) + 1) - length(bin(w)))
+    df.select(col(groupCol), pmod(h, lit(m)).as("bucket"), rho.as("__rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("__rho")).as("m_j"))
+  }
+
+  /** One row (group, hll_est) per group from a grouped register table. */
+  def hllEstimateGrouped(sketch: DataFrame, groupCol: String,
+                         b: Int = 6): DataFrame = {
+    val m = 1 << b
+    sketch.groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), -col("m_j"))).as("__s"),
+        count(lit(1)).as("__nb"))
+      .select(col(groupCol),
+        (col("__s") + (lit(m) - col("__nb"))).as("__den"),
+        (lit(m) - col("__nb")).as("__v"))
+      .select(col(groupCol),
+        round(
+          when(lit(hllAlpha(m) * m * m) / col("__den") <= lit(2.5 * m) && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(lit(hllAlpha(m) * m * m) / col("__den")), 6)
+          .as("hll_est"))
+  }
 }

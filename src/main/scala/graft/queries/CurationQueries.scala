@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Dedup, EventAnalytics, Generalization, KMap, Ranking, Sampling, Sketches, Skyline, TimeSeries}
+import graft.ops.{Cdc, Dedup, EventAnalytics, Generalization, KMap, Ranking, RecordLinkage, Sampling, Sketches, Skyline, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle (portable md5 hashing / exact percentiles throughout).
   */
 object CurationQueries {
+
+  /** q164's comparison fields — shared by the Spark query and the
+    * oracle so the log2 weights are the SAME Scala-computed literals in
+    * both engines. Agreement expressions reference the blocked-join
+    * column names. */
+  private val fsFields = Seq(
+    RecordLinkage.Field("name17",
+      substring(col("name_a"), 1, 17) === substring(col("name_b"), 1, 17),
+      m = 0.95, u = 0.001),
+    RecordLinkage.Field("bal",
+      abs(col("bal_a") - col("bal_b")) < 0.005, m = 0.9, u = 0.001),
+    RecordLinkage.Field("seg",
+      col("seg_a") === col("seg_b"), m = 0.95, u = 0.2))
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -159,6 +172,51 @@ object CurationQueries {
       Generalization.quantileNormalizeMap(l, "l_returnflag",
           "l_extendedprice", nTiles = 20, tieCol = "__tie")
         .orderBy("l_returnflag", "tile")
+    }),
+
+    // Fellegi-Sunter record linkage: a deterministically perturbed copy
+    // of customer (last name digit rotated +1 mod 10, ids shifted 1e6)
+    // links back to the originals. Blocking on (nation, acctbal/1000
+    // bucket) keeps the candidate surface O(n·block-density); fields:
+    // 17-char name prefix (discriminating — digits differ across
+    // customers), acctbal to the half-cent, mktsegment (weak, 1/5 u).
+    // log2 weights are Scala-computed literals inlined into BOTH
+    // engines, so no libm divergence. Output: non-links dropped; the
+    // planted pairs land in 'link', accidental bal+seg agreements in
+    // 'review'.
+    "q164_record_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+        col("c_acctbal").as("bal_a"), col("c_mktsegment").as("seg_a"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_block"))
+      val b = c.select((col("c_custkey") + 1000000L).as("id_b"),
+        concat(substring(col("c_name"), 1, 17),
+          pmod(substring(col("c_name"), 18, 1).cast("int") + 1, lit(10))
+            .cast("string")).as("name_b"),
+        col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_block"))
+      RecordLinkage.classify(
+          RecordLinkage.scoreBlocked(a, b, Seq("c_nationkey", "bal_block"),
+            fsFields), upper = 12.0, lower = 0.0)
+        .filter(col("decision") =!= "non_link")
+        .select("id_a", "id_b", "fs_score", "decision")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Portable HyperLogLog per event_type (64 registers): the mergeable
+    // distinct-user state, bit-replayable in DuckDB because the register
+    // rank uses length(bin(word)) — string-exact in both engines —
+    // instead of float log2. The small-range linear-counting branch is
+    // exercised at small sf (few distinct users) and the raw branch at
+    // larger sf.
+    "q163_hll_distinct" -> ((s, dir) => {
+      Sketches.hllEstimateGrouped(
+          Sketches.hllSketchGrouped(Tables.events(s, dir),
+            "event_type", "user_id", b = 6),
+          "event_type", b = 6)
+        .orderBy("event_type")
     }),
 
     // CMS sketch algebra: self-join size (F2) of events on user_id from
@@ -383,6 +441,48 @@ object CurationQueries {
                  FROM pg GROUP BY tile)
           SELECT l_returnflag, pg.tile, tile_avg_raw, target, n
           FROM pg JOIN tg USING (tile) ORDER BY l_returnflag, tile""",
+    "q164_record_linkage" -> {
+      val Seq(f1, f2, f3) = fsFields
+      s"""WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a, c_acctbal AS bal_a,
+                  c_mktsegment AS seg_a, c_nationkey,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_block FROM customer),
+          b AS (SELECT c_custkey + 1000000 AS id_b,
+                  substr(c_name, 1, 17) ||
+                    CAST((CAST(substr(c_name, 18, 1) AS INT) + 1) % 10 AS VARCHAR) AS name_b,
+                  c_acctbal AS bal_b, c_mktsegment AS seg_b, c_nationkey,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_block FROM customer),
+          p AS (SELECT id_a, id_b,
+                  round((CASE WHEN substr(name_a, 1, 17) = substr(name_b, 1, 17)
+                              THEN ${f1.agreeWeight} ELSE ${f1.disagreeWeight} END)
+                      + (CASE WHEN abs(bal_a - bal_b) < 0.005
+                              THEN ${f2.agreeWeight} ELSE ${f2.disagreeWeight} END)
+                      + (CASE WHEN seg_a = seg_b
+                              THEN ${f3.agreeWeight} ELSE ${f3.disagreeWeight} END), 6) AS fs_score
+                FROM a JOIN b USING (c_nationkey, bal_block))
+          SELECT id_a, id_b, fs_score,
+                 CASE WHEN fs_score >= 12.0 THEN 'link'
+                      WHEN fs_score < 0.0 THEN 'non_link'
+                      ELSE 'review' END AS decision
+          FROM p WHERE fs_score >= 0.0
+          ORDER BY id_a, id_b"""
+    },
+    "q163_hll_distinct" -> {
+      val hv = phashSql("'graft-hll|' || CAST(user_id AS VARCHAR)")
+      s"""WITH r AS (SELECT event_type, $hv % 64 AS bucket,
+                   CASE WHEN $hv // 64 = 0 THEN 55
+                        ELSE 55 - length(bin($hv // 64)) END AS rho
+                 FROM events),
+          reg AS (SELECT event_type, bucket, max(rho) AS mj
+                  FROM r GROUP BY event_type, bucket),
+          agg AS (SELECT event_type, sum(power(2.0, -mj)) AS s, count(*) AS nb
+                  FROM reg GROUP BY event_type),
+          est AS (SELECT event_type, s + (64 - nb) AS den, 64 - nb AS v FROM agg)
+          SELECT event_type,
+                 round(CASE WHEN 0.709 * 64 * 64 / den <= 160.0 AND v > 0
+                            THEN 64.0 * ln(64.0 / v)
+                            ELSE 0.709 * 64 * 64 / den END, 6) AS hll_est
+          FROM est ORDER BY event_type"""
+    },
     "q155_cms_join_size" -> {
       val ph = phashSql("'graft-cms|' || r || '|' || CAST(user_id AS VARCHAR)")
       s"""WITH kc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq(
+    RecordLinkage.Field("name", col("name_a") === col("name_b"), 0.9, 0.01),
+    RecordLinkage.Field("city", col("city_a") === col("city_b"), 0.8, 0.2))
+
+  test("weights are the Fellegi-Sunter log-likelihood ratios") {
+    val f = RecordLinkage.Field("x", lit(true), 0.9, 0.01)
+    assert(math.abs(f.agreeWeight - math.log(90.0) / math.log(2.0)) < 1e-12)
+    assert(math.abs(f.disagreeWeight - math.log(0.1 / 0.99) / math.log(2.0)) < 1e-12)
+    assert(f.agreeWeight > 0 && f.disagreeWeight < 0)
+  }
+
+  test("m <= u is rejected (anti-discriminating field)") {
+    intercept[IllegalArgumentException](RecordLinkage.Field("x", lit(true), 0.2, 0.5))
+    intercept[IllegalArgumentException](RecordLinkage.Field("x", lit(true), 1.0, 0.5))
+  }
+
+  test("blocked scoring sums per-field evidence; blocking bounds the pairs") {
+    val a = Seq((1L, "ann", "rome", "b1"), (2L, "bob", "oslo", "b2"))
+      .toDF("id_a", "name_a", "city_a", "blk")
+    val b = Seq((11L, "ann", "rome", "b1"), (12L, "ann", "kiev", "b1"),
+      (13L, "bob", "oslo", "b9")).toDF("id_b", "name_b", "city_b", "blk")
+    val scored = RecordLinkage.scoreBlocked(a, b, Seq("blk"), fields)
+      .select("id_a", "id_b", "fs_score").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // only block b1 pairs exist: (1,11) both agree, (1,12) name only;
+    // 13 is in an unmatched block despite agreeing on every field
+    assert(scored.keySet == Set((1L, 11L), (1L, 12L)))
+    val full = fields.map(_.agreeWeight).sum
+    val partial = fields(0).agreeWeight + fields(1).disagreeWeight
+    assert(math.abs(scored((1L, 11L)) - full) < 1e-6)
+    assert(math.abs(scored((1L, 12L)) - partial) < 1e-6)
+  }
+
+  test("classify applies the three-band rule inclusively at the bounds") {
+    val df = Seq((1L, 5.0), (2L, 2.0), (3L, -1.0), (4L, 2.5))
+      .toDF("id", "fs_score")
+    val got = RecordLinkage.classify(df, upper = 2.5, lower = 2.0)
+      .select("id", "decision").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "link", 2L -> "review", 3L -> "non_link", 4L -> "link"))
+  }
+}

@@ -245,4 +245,48 @@ class SketchesSpec extends SparkSpec {
     val skw = Sketches.cmsBuild(wide, "k")
     assert(Sketches.cmsJoinSizeEstimate(skw, skw).as[Long].head() >= 500L)
   }
+
+  test("hll: merge law — sketch of a union IS the max-merge of part sketches") {
+    val a = (1L to 800L).toDF("k")
+    val b = (500L to 1500L).toDF("k")
+    val merged = Sketches.hllMerge(Seq(
+        Sketches.hllSketch(a, "k"), Sketches.hllSketch(b, "k")))
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    val direct = Sketches.hllSketch(a.unionByName(b), "k")
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("hll: estimate within the expected error band (m=64 -> ~13% rse)") {
+    for (n <- Seq(1000L, 10000L)) {
+      val est = Sketches.hllEstimate(
+        Sketches.hllSketch(spark.range(0, n).toDF("k"), "k")).as[Double].head()
+      assert(math.abs(est - n) / n < 0.4, s"n=$n est=$est")
+    }
+  }
+
+  test("hll: small-range linear counting keeps tiny cardinalities tight") {
+    val est = Sketches.hllEstimate(
+      Sketches.hllSketch((1L to 20L).toDF("k"), "k")).as[Double].head()
+    assert(math.abs(est - 20.0) < 5.0, s"est=$est")
+    // duplicates do not move the estimate: registers are maxima
+    val dup = Sketches.hllEstimate(Sketches.hllSketch(
+      ((1L to 20L) ++ (1L to 20L)).toDF("k"), "k")).as[Double].head()
+    assert(dup == est)
+  }
+
+  test("hll: grouped registers re-merge into the global sketch") {
+    val df = (1L to 2000L).map(k => (if (k % 2 == 0) "a" else "b", k)).toDF("g", "k")
+    val grouped = Sketches.hllSketchGrouped(df, "g", "k")
+    val remerged = Sketches.hllMerge(Seq(grouped.select("bucket", "m_j")))
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    val direct = Sketches.hllSketch(df, "k")
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    assert(remerged == direct)
+    // per-group estimates in band too (1000 distinct each)
+    val ests = Sketches.hllEstimateGrouped(grouped, "g")
+      .as[(String, Double)].collect().toMap
+    assert(ests.size == 2 && ests.values.forall(e => math.abs(e - 1000) / 1000.0 < 0.4),
+      ests.toString)
+  }
 }
