@@ -94,6 +94,58 @@ object DifferentialPrivacy {
           .as("dp_sum"): _*)
   }
 
+  // ---- Exponential mechanism -------------------------------------------
+
+  /** ε-DP median via the EXPONENTIAL MECHANISM (McSherry & Talwar, FOCS
+    * 2007) — selection among candidates, where Laplace/Gaussian noise on
+    * the value itself would be nonsense (the median of a bounded-support
+    * column needs a value FROM the domain, and value-noise sensitivity is
+    * the whole range). Candidates are the column's distinct values;
+    * utility u(v) = −|#{x < v} − #{x > v}| (0 at a true median, falling
+    * by 1 per displaced rank; add/remove-one sensitivity Δu = 1);
+    * selection probability ∝ exp(ε·u/(2Δu)).
+    *
+    * Implementation is the GUMBEL-MAX trick: argmax_v [ε·u(v)/2 + G_v]
+    * with G_v = −ln(−ln(U_v)) i.i.d. Gumbel — distributionally identical
+    * to softmax sampling, but expressible as one ranking window instead
+    * of a cumulative-sum inverse-CDF pass. U_v comes from the portable
+    * hash of (group, v, seed): deterministic test/oracle mode, same
+    * caveat as [[laplaceDeterministic]]. Scores round to 6 dp before
+    * ranking (ties → smallest value) so an external engine ranks
+    * identically.
+    *
+    * Scale: one distinct-aggregation (map-side combined), one per-group
+    * cumulative window over the DISTINCT values (bounded by the value
+    * domain, not the row count), one rank. */
+  def dpMedianExp(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  epsilon: Double, seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val cand = df.groupBy(g :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val scored = cand
+      .withColumn("__lt", coalesce(sum(col("__c")).over(wOrd), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__u", -abs(col("__lt") - (col("__n") - col("__lt") - col("__c"))))
+      // the candidate value enters the hash key through a FIXED %.6f
+      // render: double->string casts format differently across engines
+      // (Spark "1.0E7" vs DuckDB "10000000.0"), printf does not
+      .withColumn("__gu", puniform(concat_ws("|",
+        noiseKey(groupCols), format_string("%.6f", col("__v")),
+        lit(seed), lit("em"))))
+      .withColumn("__score",
+        round(lit(epsilon / 2.0) * col("__u") - log(-log(col("__gu"))), 6))
+    val wPick = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__score").desc, col("__v"))
+    scored.withColumn("__r", row_number().over(wPick))
+      .filter(col("__r") === 1)
+      .select(g :+ col("__v").as("dp_median"): _*)
+  }
+
   // ---- Gaussian mechanism / zCDP ---------------------------------------
 
   /** Noise σ for (ε, δ)-DP via the classic analytic bound

@@ -337,6 +337,15 @@ object VectorEventQueries {
         .orderBy("event_type")
     }),
 
+    // Exponential-mechanism ε-DP median of value per event_type
+    // (selection from the domain via Gumbel-max over the rank utility —
+    // the DP primitive Laplace noise cannot provide).
+    "q165_dp_median_exp" -> ((s, dir) => {
+      DifferentialPrivacy.dpMedianExp(Tables.events(s, dir),
+        Seq("event_type"), "value", epsilon = 1.0, seed = 5L)
+        .orderBy("event_type")
+    }),
+
     // Multimodal plumbing: metadata projection of the binary media table
     // (the codegen'd stage; the stubbed decode is unit-tested instead).
     "q44_media_stats" -> ((s, dir) => {
@@ -580,6 +589,27 @@ object VectorEventQueries {
           FROM (SELECT event_type, sum(greatest(least(value, 200.0), 0.0)) AS sm, ${uSql("event_type", 7L)} AS u
                 FROM events GROUP BY event_type)
           ORDER BY event_type""",
+    // Candidate stats over DISTINCT values; Gumbel noise keyed on the
+    // %.6f render of the value (cross-engine-stable, unlike a raw
+    // double->varchar cast); scores ranked after a 6 dp round, ties to
+    // the smallest value.
+    "q165_dp_median_exp" ->
+      s"""WITH c AS (SELECT event_type, value AS v, count(*) AS c
+                 FROM events GROUP BY event_type, value),
+          s AS (SELECT event_type, v, c,
+                  coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+                FROM c),
+          sc AS (SELECT event_type, v,
+                   round(0.5 * (-abs(lt - (n - lt - c)))
+                     - ln(-ln((CAST('0x' || substr(md5(event_type || '|' || printf('%.6f', v) || '|' || '5' || '|' || 'em'), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0)), 6) AS score
+                 FROM s)
+          SELECT event_type, v AS dp_median
+          FROM (SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type ORDER BY score DESC, v) AS rn
+                FROM sc)
+          WHERE rn = 1 ORDER BY event_type""",
     // Box-Muller over the same md5-uniform construction, keys suffixed
     // |g1 / |g2; σ inlined from the Scala-side analytic bound so the two
     // engines noise with the SAME literal.

@@ -132,6 +132,29 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(math.abs(a("click") - clicks) < 6 * sigma, s"${a("click")} vs $clicks")
   }
 
+  test("dpMedianExp selects from the domain; huge epsilon recovers the true median") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0)
+    val df = vals.map(v => ("g", v)).toDF("grp", "v")
+    // eps -> huge: utility dominates every Gumbel draw, the exact
+    // median (u = 0, unique) must win
+    val exact = DifferentialPrivacy.dpMedianExp(df, Seq("grp"), "v",
+      epsilon = 1e6, seed = 1L).as[(String, Double)].head()
+    assert(exact == ("g", 5.0), exact.toString)
+    // output is always a DOMAIN value, and fixed seed is deterministic
+    val a = DifferentialPrivacy.dpMedianExp(df, Seq("grp"), "v", 0.5, 7L)
+      .as[(String, Double)].head()
+    val b = DifferentialPrivacy.dpMedianExp(df, Seq("grp"), "v", 0.5, 7L)
+      .as[(String, Double)].head()
+    assert(vals.contains(a._2) && a == b)
+    // across many seeds at moderate eps, the mode of the selection is
+    // at/near the median (sanity that utility actually steers)
+    val picks = (1L to 40L).map(sd =>
+      DifferentialPrivacy.dpMedianExp(df, Seq("grp"), "v", 2.0, sd)
+        .as[(String, Double)].head()._2)
+    val central = picks.count(v => v >= 3.0 && v <= 7.0)
+    assert(central >= 30, s"only $central/40 picks near the median: $picks")
+  }
+
   test("gaussianSigma rejects the regime where the analytic bound is false") {
     intercept[IllegalArgumentException](DifferentialPrivacy.gaussianSigma(1.0, 1.5, 1e-6))
     intercept[IllegalArgumentException](DifferentialPrivacy.gaussianSigma(1.0, 0.5, 0.0))
