@@ -707,6 +707,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional n-gram CONTAINMENT pairs: C(a→b) = |S(a)∩S(b)| / |S(a)|
+    * — the asymmetric near-dup measure Jaccard is blind to: a paragraph
+    * quoted verbatim inside a long document has near-zero Jaccard (the
+    * union is dominated by the long side) but containment ≈ 1. Training
+    * pipelines use it to drop short documents swallowed by longer ones
+    * (boilerplate, quotations, partial crawls of the same page).
+    *
+    * Output one row per ORDERED pair clearing `threshold`:
+    * (id_contained, id_container, containment), both directions of an
+    * unordered pair evaluated from one shared-count aggregation. Same
+    * inverted-index topology and scale story as
+    * [[ngramJaccardPairsCount]] (explode → 8-byte hash-keyed self-join →
+    * map-side shared-count agg; scope with `partitionCols`). The length
+    * ratio prune does NOT apply here — containment is exactly the
+    * asymmetric case it would wrongly discard. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       partitionCols: Seq[String] = Nil): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n, partitionCols)
+    val inv = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
+      explode(col("__sh")).as("__s"): _*)
+    val keys = "__s" +: partitionCols
+    val l = inv.select(keys.map(col) :+ col("__id").as("id_a") :+ col("__n").as("__na"): _*)
+    val r = inv.select(keys.map(col) :+ col("__id").as("id_b") :+ col("__n").as("__nb"): _*)
+    val counts = l.join(r, keys)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__shared"))
+    counts.select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
+        round(col("__shared") / col("__na").cast("double"), 6).as("containment"))
+      .unionByName(counts.select(col("id_b").as("id_contained"),
+        col("id_a").as("id_container"),
+        round(col("__shared") / col("__nb").cast("double"), 6).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** PREFIX-FILTERED formulation (All-Pairs / PPJoin, Xiao et al.): sort
     * each set by ASCENDING DOCUMENT FREQUENCY (ties by hash — the
     * literature's canonical total order), index only the first

@@ -99,6 +99,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Directional containment: short docs swallowed by longer ones
+    // (quotes, boilerplate, partial recrawls) — the asymmetric case
+    // Jaccard is blind to. Same source-scoped inverted-index topology
+    // as q35; one shared-count agg serves both directions.
+    "q166_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 2, threshold = 0.6, partitionCols = Seq("source"))
+        .orderBy("id_contained", "id_container")
+    }),
+
     // MinHash(16) + LSH(4x4) candidate generation over bigram shingles,
     // verified with exact Jaccard — the scale path for near-dup detection.
     "q36_minhash_lsh" -> ((s, dir) => {
@@ -715,6 +725,22 @@ object TextQueries {
           SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
           FROM p WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.3
           ORDER BY id_a, id_b""",
+    // q35's pair-count CTE, re-read directionally: shared/na and
+    // shared/nb from the one aggregation.
+    "q166_containment" ->
+      s"""WITH sh AS (SELECT doc_id, source, $shingleSql AS s FROM documents),
+          inv AS (SELECT doc_id, source, n, ${phashSql("g")} AS g
+                  FROM (SELECT doc_id, source, len(s) AS n, unnest(s) AS g FROM sh)),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                       any_value(a.n) AS na, any_value(b.n) AS nb
+                FROM inv a JOIN inv b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          d AS (SELECT id_a AS id_contained, id_b AS id_container,
+                       round(shared * 1.0 / na, 6) AS containment FROM p
+                UNION ALL
+                SELECT id_b, id_a, round(shared * 1.0 / nb, 6) FROM p)
+          SELECT id_contained, id_container, containment FROM d
+          WHERE containment >= 0.6 ORDER BY id_contained, id_container""",
     // Shingles hashed with the same portable 60-bit phash as the Spark
     // path, so intersection semantics (including any hash collision)
     // match exactly — same contract as q35's oracle.

@@ -480,4 +480,36 @@ class DedupSpec extends SparkSpec {
     }
     assert(got == unionCross)
   }
+
+  test("containmentPairs: directional, catches the quote Jaccard misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // 3 bigrams, all inside doc 2
+      (2L, "intro words alpha beta gamma delta plus a long tail of extra content here"),
+      (3L, "totally different text about other things")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // 1 ⊂ 2 at containment 1.0; the reverse direction is far below 0.9;
+    // Jaccard(1,2) = 3/13 would never flag this pair
+    assert(got == Set((1L, 2L, 1.0)), got.toString)
+    val jac = Dedup.ngramJaccardPairsCount(docs, "doc_id", "text", 2, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("containmentPairs: both directions emitted for mutual near-twins") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.7)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(got.contains((1L, 2L)) && got.contains((2L, 1L)), got.toString)
+    assert(got((1L, 2L)) == 1.0) // all 4 of doc 1's bigrams are in doc 2
+    assert(got((2L, 1L)) == 0.8) // 4 of doc 2's 5
+  }
+
+  private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
 }
