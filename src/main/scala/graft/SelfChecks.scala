@@ -208,6 +208,20 @@ object SelfChecks {
           f"flat recall $flatRecall%.3f) at nprobe=4/nlist=10")
     }),
 
+    // Storage round-trip: the search over the PERSISTED index (codes +
+    // centroids + codebooks reloaded from SnapshotStore) must be
+    // ROW-IDENTICAL to q160's in-process path — any drift means the
+    // persisted artifact is not the artifact.
+    "q167_knn_ivfpq_stored" -> ((s, dir) => {
+      val stored = SparkEntry.queries("q167_knn_ivfpq_stored")(s, dir)
+        .collect().toSeq
+      val inProc = SparkEntry.queries("q160_knn_ivfpq")(s, dir)
+        .collect().toSeq
+      Result(stored.nonEmpty && stored == inProc,
+        s"stored-index search rows ${stored.size} == in-process rows " +
+          s"${inProc.size}, row-identical ${stored == inProc}")
+    }),
+
     // The 7-stage pipeline can only shrink the corpus: each filter /
     // dedup stage's surviving count is monotone non-increasing, and the
     // emitted corpus matches the final stage.

@@ -402,6 +402,54 @@ object Similarity {
     adcTopK(scored, k)
   }
 
+  /** Persist a complete IVF-PQ index as three SnapshotStore tables —
+    * the offline-artifact layout a production ANN service loads at
+    * startup instead of re-training/re-encoding per process (the
+    * per-process memos in the query registry are a cache, not storage):
+    * `dir/codes` the (id, cell, pq_codes) table (data-sized, written
+    * once; partition by `cell` at scale so probes read only their
+    * cells), `dir/centroids` the coarse-centroid table, `dir/codebooks`
+    * the m·ksub PQ codebook rows. Each commit is atomic and versioned —
+    * a reader never sees a half-published index, and index refreshes
+    * keep the previous version readable ([[graft.sources.SnapshotStore]]).
+    */
+  def saveIvfPqIndex(encoded: DataFrame, cents: DataFrame, pq: PqIndex,
+                     dir: String, meta: String = ""): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    graft.sources.SnapshotStore.commit(encoded, s"$dir/codes", meta)
+    graft.sources.SnapshotStore.commit(cents, s"$dir/centroids", meta)
+    val rows = for { j <- 0 until pq.m; c <- pq.codebooks(j).indices }
+      yield (j, c, pq.codebooks(j)(c).toSeq)
+    val books = rows.toDF("j", "c", "centroid")
+      .withColumn("m", lit(pq.m)).withColumn("ksub", lit(pq.ksub))
+      .withColumn("sub_dim", lit(pq.subDim))
+    graft.sources.SnapshotStore.commit(books, s"$dir/codebooks", meta)
+  }
+
+  /** Load a persisted IVF-PQ index: (codes, centroids, PqIndex). The
+    * codebook collect is m·ksub rows (typically 128) — the bounded
+    * driver-side artifact the ADC LUT literals are built from, same
+    * contract as training in-process. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (DataFrame, DataFrame, PqIndex) = {
+    val codes = graft.sources.SnapshotStore.read(spark, s"$dir/codes")
+    val cents = graft.sources.SnapshotStore.read(spark, s"$dir/centroids")
+    val bookRows = graft.sources.SnapshotStore.read(spark, s"$dir/codebooks")
+      .select(col("j"), col("c"), col("centroid"), col("m"), col("ksub"), col("sub_dim"))
+      .collect()
+    require(bookRows.nonEmpty, s"empty codebook table under $dir/codebooks")
+    val m = bookRows.head.getAs[Int]("m")
+    val ksub = bookRows.head.getAs[Int]("ksub")
+    val subDim = bookRows.head.getAs[Int]("sub_dim")
+    val books = (0 until m).map { j =>
+      bookRows.filter(_.getAs[Int]("j") == j).sortBy(_.getAs[Int]("c"))
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq)
+        .toIndexedSeq
+    }
+    (codes, cents, PqIndex(books, m, ksub, subDim))
+  }
+
   /** [[knnIvfPq]] with exact refinement: the cell-pruned ADC scan
     * shortlists `shortlist` candidates per query, then only those rows
     * join back to their float vectors for exact L2 re-ranking — the

@@ -176,6 +176,32 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // q160 through the PERSISTED index: encode+centroids+codebooks
+    // committed to a SnapshotStore layout (the offline artifact a
+    // production ANN service loads at startup), then the search runs
+    // entirely from the STORED tables — rebuilt fresh per run so a
+    // regenerated dataset can never serve a stale index. Self-check:
+    // row-identical to q160's in-process path.
+    "q167_knn_ivfpq_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idxDir = s"/tmp/graft_ivfpq_${dir.hashCode.toHexString}"
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      val pq = pqIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L))
+      val ivf = ivfIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L))
+      Similarity.saveIvfPqIndex(
+        Similarity.encodeIvfPq(e, "vec_id", "embedding", ivf, pq),
+        ivf.centroids, pq, idxDir, meta = "q167")
+      val (codes, cents, pqLoaded) = Similarity.loadIvfPqIndex(s, idxDir)
+      Similarity.knnIvfPqRefined(codes, e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", cents, pqLoaded, K, nprobe = 4,
+          shortlist = 8 * K)
+        .orderBy("qid", "rank")
+    }),
+
     // Cell-scoped kNN JOIN: top-3 neighbors for EVERY vector from its
     // own label cell — the corpus-wide near-neighbor-graph pass (kNN
     // graphs, hard-negative mining) where the query set is the corpus

@@ -419,6 +419,30 @@ class SimilaritySpec extends SparkSpec {
     assert(repart == kept)
   }
 
+  test("IVF-PQ index save/load round-trips codebooks and search results") {
+    val dir = s"/tmp/graft_ivfpq_spec_${System.nanoTime()}"
+    val e = (0L until 64L).map { i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 31).toFloat / 31f))
+    }.toDF("vec_id", "embedding")
+    val pq = Similarity.trainPq(e, "embedding", m = 4, ksub = 8, seed = 1L)
+    val ivf = Similarity.trainIvf(e, "vec_id", "embedding", nlist = 4, seed = 1L)
+    val encoded = Similarity.encodeIvfPq(e, "vec_id", "embedding", ivf, pq)
+    Similarity.saveIvfPqIndex(encoded, ivf.centroids, pq, dir)
+    val (codes, cents, pq2) = Similarity.loadIvfPqIndex(spark, dir)
+    assert(pq2 == pq) // codebooks reconstruct exactly (6dp-rounded doubles)
+    assert(codes.count() == 64L && cents.count() == ivf.centroids.count())
+    val q = e.filter($"vec_id" < 4)
+    val fresh = Similarity.knnIvfPq(encoded, q, "vec_id", "embedding",
+      ivf.centroids, pq, k = 3, nprobe = 2).orderBy("qid", "rank").collect().toSeq
+    val stored = Similarity.knnIvfPq(codes, q, "vec_id", "embedding",
+      cents, pq2, k = 3, nprobe = 2).orderBy("qid", "rank").collect().toSeq
+    assert(fresh.nonEmpty && fresh == stored)
+    // versioning holds: a refreshed commit leaves the old codes readable
+    Similarity.saveIvfPqIndex(encoded, ivf.centroids, pq, dir, meta = "v2")
+    assert(graft.sources.SnapshotStore.committedVersion(spark, s"$dir/codes").contains(2L))
+    assert(graft.sources.SnapshotStore.readVersion(spark, s"$dir/codes", 1L).count() == 64L)
+  }
+
   test("labelCentroidSim: orthogonal and identical label centroids") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),   // centroid (1,0)
