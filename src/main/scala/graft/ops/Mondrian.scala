@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Mondrian multidimensional k-anonymity (LeFevre, DeWitt & Ramakrishnan,
   * "Mondrian Multidimensional K-Anonymity", ICDE 2006): greedy recursive
@@ -50,6 +49,42 @@ import org.apache.spark.storage.StorageLevel
   */
 object Mondrian {
 
+  /** Release the storage behind an eager localCheckpoint: the
+    * checkpointed RDD sits in the plan as a LogicalRDD leaf and is NOT
+    * released by DataFrame.unpersist (same contract as the CC loops'
+    * helper in Dedup). Walks the RDD lineage too, because the
+    * stats-reset wrapper below layers a conversion RDD on top of the
+    * persisted one. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        var rdd: org.apache.spark.rdd.RDD[_] = lr.rdd
+        while (rdd != null) {
+          rdd.unpersist(false)
+          rdd = rdd.dependencies.headOption.map(_.rdd).orNull
+        }
+      case _ => ()
+    }
+
+  /** Eager localCheckpoint + stats reset. `Dataset.localCheckpoint`
+    * snapshots the ORIGIN plan's estimated statistics into the new
+    * LogicalRDD leaf, and Catalyst's size-only estimator multiplies
+    * children's sizeInBytes through joins. `cur` feeds this loop's join
+    * chain several times per level, so the snapshotted BigInt's bit
+    * length would grow ~4x PER LEVEL — by level ~12 the driver spends
+    * tens of seconds per level in BigInteger.multiply inside
+    * SizeInBytesOnlyStatsPlanVisitor (measured: 20.6 s at level 13 of
+    * the 10x stress, with constant stage count and executor time).
+    * Re-wrapping the checkpointed rows via createDataFrame yields a
+    * fresh LogicalRDD with the DEFAULT constant-width size estimate,
+    * so per-level stats arithmetic stays O(1). Broadcast decisions are
+    * unaffected: every small side in this loop carries an explicit
+    * broadcast() hint. */
+  private def checkpointResetStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Assign a Mondrian partition id (`pid`) to every row. Rows are never
     * dropped or modified; `pid` values are the binary-heap numbering of
     * the final cut tree (stable across runs — the whole algorithm is
@@ -73,8 +108,15 @@ object Mondrian {
       c -> math.max(s.getDouble(1) - s.getDouble(0), 0.0)
     }.toMap
 
-    var cur = df.withColumn("pid", lit(0L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager localCheckpoint rather than persist: every level derives
+    // THREE plans from `cur` (stats, side counts, reassign), so an
+    // accumulated join lineage is re-analyzed several times per level
+    // and planning cost grows superlinearly in the level count (measured
+    // 676 s at 10x sf0.1 with persist-only vs ~40 s checkpointed).
+    // Checkpointing keeps each level's plans constant-size; on a
+    // multi-node cluster swap in reliable `checkpoint` (executor loss
+    // loses local checkpoint blocks).
+    var cur = checkpointResetStats(df.withColumn("pid", lit(0L)))
     var level = 0
     var open = true
     while (open && level < maxLevels) {
@@ -93,6 +135,10 @@ object Mondrian {
         struct(negW.as("negw"), lit(i).as("qidx"),
           lit(c).as("dim"), col(s"__md_$c").as("med"))
       }
+      // Eagerly checkpointed (≤ n/2k tiny rows): the broadcast below and
+      // the splitDf join both consume `cand`; leaving it lazy makes the
+      // broadcast thread and the main job race to compute the stats agg
+      // inside one job (measured 10x: 129 s lazy vs ~40 s materialized).
       val cand = cur.groupBy(col("pid")).agg(aggs.head, aggs.tail: _*)
         .filter(col("__n") >= lit(2L * k))
         .withColumn("__dims",
@@ -100,7 +146,7 @@ object Mondrian {
         .filter(size(col("__dims")) > 0)
         .select(col("pid") +: col("__dims") +:
           qiCols.map(c => col(s"__md_$c")): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
 
       // (2) exact side counts for every candidate (pid, dim) median, then
       // the in-plan cut choice: first dim in ranked order with >= k rows
@@ -135,7 +181,7 @@ object Mondrian {
       val nSplits = splitDf.count()
       if (nSplits == 0L) {
         open = false
-        cand.unpersist(); splitDf.unpersist()
+        unpersistCheckpoint(cand); unpersistCheckpoint(splitDf)
       } else {
         // (3) reassign: broadcast the cut table, renumber in one pass.
         val isLeft = qiCols.foldLeft(lit(false)) { (acc, c) =>
@@ -148,15 +194,15 @@ object Mondrian {
               .when(isLeft, col("pid") * 2 + 1)
               .otherwise(col("pid") * 2 + 2))
           .drop("__sdim", "__smed")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parents
-        cur.unpersist(); cand.unpersist(); splitDf.unpersist()
-        cur = next
+        val nextCk = checkpointResetStats(next) // materializes, truncates lineage, resets stats
+        unpersistCheckpoint(cur); unpersistCheckpoint(cand); unpersistCheckpoint(splitDf)
+        cur = nextCk
         level += 1
       }
     }
-    graft.QueryCleanup.register(() => cur.unpersist())
-    cur
+    val result = cur
+    graft.QueryCleanup.register(() => unpersistCheckpoint(result))
+    result
   }
 
   /** Full Mondrian anonymization: partition, then replace each QI value

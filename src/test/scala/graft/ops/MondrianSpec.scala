@@ -95,6 +95,24 @@ class MondrianSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("per-level stats estimates stay constant-width (no BigInt blowup)") {
+    // Dataset.localCheckpoint snapshots the origin plan's size estimate
+    // into the new leaf, and Catalyst multiplies sizeInBytes through
+    // joins; `cur` feeds each level's join chain several times, so
+    // without the stats reset the snapshot's bit length grows ~4x per
+    // level and deep levels drown the driver in BigInteger.multiply
+    // (measured 20.6 s/level at level 13 of the 10x stress). The reset
+    // keeps the final plan's estimate at default width: ~63 bits, vs
+    // ~63*4^levels without it.
+    val df = (1 to 256).map(i => ((i * 37 % 251).toDouble, (i * 53 % 89).toDouble))
+      .toDF("a", "b")
+    val out = Mondrian.assignPartitions(df, Seq("a", "b"), 2)
+    val bits = out.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    out.count()
+    graft.QueryCleanup.drain()
+    assert(bits < 256, s"stats sizeInBytes is $bits bits — checkpoint stats compounding again")
+  }
+
   test("anonymize: k certificate, row preservation, in-range values") {
     val df = (1 to 100).map(i => (i.toLong, (i * 37 % 101).toDouble, (i * 53 % 17).toDouble))
       .toDF("id", "a", "b")
