@@ -48,7 +48,7 @@ def time[A](label: String)(f: => A): Unit = {
   println(f"STRESS $label $s%.2f s -> $r")
 }
 
-def run(tag: String, d: DataFrame, e: DataFrame): Unit = {
+def run(tag: String, d: DataFrame, e: DataFrame, c: DataFrame): Unit = {
   time(s"q36_minhash_$tag") {
     graft.ops.Dedup.minhashLsh(d, "doc_id", "text",
       shingleN = 2, threshold = 0.3).count()
@@ -80,10 +80,46 @@ def run(tag: String, d: DataFrame, e: DataFrame): Unit = {
       e.filter(col("vec_id") < 8), "vec_id", "embedding", idx,
       k = 5, shortlist = 40).count()
   }
+  // q160 IVF-PQ: the index is an OFFLINE artifact, so encode once into a
+  // cached table and time the SEARCH alone -- flat PQ's scan grows with
+  // the corpus; the cell-routed scan should grow sublinearly (only
+  // probed cells' codes are touched).
+  val ivf = graft.ops.Similarity.trainIvf(e, "vec_id", "embedding",
+    nlist = 10, seed = 42L)
+  val enc = graft.ops.Similarity.encodeIvfPq(e, "vec_id", "embedding", ivf, idx)
+    .cache()
+  enc.count()
+  time(s"q160_ivfpq_search_$tag") {
+    graft.ops.Similarity.knnIvfPqRefined(enc, e,
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      ivf.centroids, idx, k = 5, nprobe = 4, shortlist = 40).count()
+  }
+  enc.unpersist()
+  // q138 Mondrian: driver bookkeeping is now O(1)/level; the growth
+  // law should be ~(levels+1 ~ +log10) x per-level stats aggs.
+  time(s"q138_mondrian_$tag") {
+    graft.ops.Mondrian.anonymize(c, Seq("c_nationkey", "c_acctbal"), k = 25)
+      .select("c_custkey", "group_size").count()
+  }
+  graft.QueryCleanup.drain()
 }
 
+// customer for q138: replicas shift custkey and jitter acctbal by a
+// deterministic sub-cent offset so the 10x QI space is not 10 exact
+// copies of each point (which would leave the cut tree's shape frozen).
+val cust1 = spark.read.parquet(dir + "/customer.parquet")
+  .select("c_custkey", "c_nationkey", "c_acctbal").cache()
+cust1.count()
+val cust10 = cust1.crossJoin(reps)
+  .select(
+    (col("c_custkey") + col("r").cast("long") * 10000000L).as("c_custkey"),
+    col("c_nationkey"),
+    (col("c_acctbal") + (pmod(col("c_custkey") * 31 + col("r"), lit(997)) -
+      lit(498)).cast("double") / 100000.0).as("c_acctbal")).cache()
+cust10.count()
+
 println("=== 1x (sf0.1) ===")
-run("1x", docs1, emb1)
+run("1x", docs1, emb1, cust1)
 println("=== 10x ===")
-run("10x", docs10, emb10)
+run("10x", docs10, emb10, cust10)
 System.exit(0)
