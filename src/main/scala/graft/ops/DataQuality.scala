@@ -112,4 +112,62 @@ object DataQuality {
         round(expr("percentile(__c, 0.99)"), 6).as("p99_key_rows"))
       .withColumn("skew_ppm",
         expr("max_key_rows * n_keys * 1000000L div n_rows"))
+
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard drift gate between a training corpus and a
+    * fresh crawl (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 retrain).
+    * Equal-width bins over the GLOBAL [min, max] of both sides;
+    * PSI = Σ_bins (pA − pB)·ln(pA/pB) with Laplace-style smoothing
+    * p = (2c+1)/(2n+nBins) so an empty-on-one-side bin contributes a
+    * finite term instead of ±∞.
+    *
+    * Output: one row per occupied bin — (bin, count_a, count_b,
+    * term_micro) — plus the total `psi_micro` repeated on every row.
+    * Determinism contract (the q137 idiom): every ln runs over an
+    * INTEGER count and is rounded to micro-nats before use, the
+    * probabilities are exact integer ratios evaluated in one IEEE
+    * division each, and the per-bin terms become micro-unit longs
+    * BEFORE the total sums them — so the result replays bit-for-bit in
+    * an external engine and is independent of partial-agg order.
+    *
+    * Scale: one union scan + one 1-row bounds agg broadcast back + one
+    * bin-keyed aggregation; the windows run over the ≤ nBins-row counts
+    * table, never over the data. */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+               nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins=$nBins must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(col(valueCol).cast("double").as("__v"))
+      .withColumn("__side", lit(0))
+      .unionAll(b.select(col(valueCol).cast("double").as("__v"))
+        .withColumn("__side", lit(1)))
+    val bounds = u.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(nBins.toDouble)
+    val counts = u.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(width > 0,
+          least(floor((col("__v") - col("__mn")) / width), lit(nBins - 1L)))
+          .otherwise(lit(0L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("count_a"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("count_b"))
+    // micro-nat ln of an integer-valued column
+    def mn(c: Column): Column = round(log(c.cast("double")) * lit(1e6), 0).cast("long")
+    val wAll = Window.partitionBy()
+    val withTotals = counts
+      .withColumn("__na", sum(col("count_a")).over(wAll))
+      .withColumn("__nb", sum(col("count_b")).over(wAll))
+    val ca = col("count_a") * 2 + 1
+    val cb = col("count_b") * 2 + 1
+    val da = col("__na") * 2 + nBins.toLong
+    val db = col("__nb") * 2 + nBins.toLong
+    withTotals
+      .withColumn("__lnr", mn(ca) - mn(cb) - mn(da) + mn(db))
+      .withColumn("term_micro",
+        round((ca.cast("double") / da.cast("double")
+          - cb.cast("double") / db.cast("double"))
+          * col("__lnr").cast("double"), 0).cast("long"))
+      .withColumn("psi_micro", sum(col("term_micro")).over(wAll))
+      .select("bin", "count_a", "count_b", "term_micro", "psi_micro")
+  }
 }

@@ -94,6 +94,37 @@ object DifferentialPrivacy {
           .as("dp_sum"): _*)
   }
 
+  /** (ε, δ)-DP histogram over an UNKNOWN category domain via
+    * stability-based thresholding (Korolova, Kenthapadi, Mishra &
+    * Ntoulas, WWW 2009; Bun, Nissim & Stemmer). A plain Laplace
+    * histogram is only ε-DP when the bin domain is PUBLIC — releasing
+    * the observed bin set itself leaks membership (a bin that exists
+    * only because of one record names that record's value). Mechanism:
+    * noisy count c + Lap(1/ε) per OBSERVED bin, release only bins whose
+    * noisy count clears τ = 1 + ln(1/(2δ))/ε; a bin supported by a
+    * single record then passes with probability exactly δ, which is the
+    * (ε, δ) relaxation's allowance. Assumes each record lands in ONE
+    * bin (count sensitivity 1) — true for any groupBy of row
+    * attributes.
+    *
+    * Deterministic (hash-seeded) noise mode, same test/oracle caveat as
+    * [[laplaceDeterministic]]. The threshold compares the 6 dp-ROUNDED
+    * release, so an external engine replays the released bin set
+    * bit-for-bit. Scale: one aggregation + a codegen'd per-row filter;
+    * the unreleased tail never leaves the executors. */
+  def dpHistogram(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                  delta: Double, seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(delta > 0 && delta < 0.5, s"delta must be in (0, 0.5), got $delta")
+    val tau = 1.0 + math.log(1.0 / (2.0 * delta)) / epsilon
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__true_count"))
+      .select(groupCols.map(col) :+
+        noisyRelease(col("__true_count"), groupCols, 1.0, epsilon, seed)
+          .as("dp_count"): _*)
+      .filter(col("dp_count") >= lit(math.rint(tau * 1e6) / 1e6))
+  }
+
   // ---- Exponential mechanism -------------------------------------------
 
   /** ε-DP median via the EXPONENTIAL MECHANISM (McSherry & Talwar, FOCS
@@ -144,6 +175,56 @@ object DifferentialPrivacy {
     scored.withColumn("__r", row_number().over(wPick))
       .filter(col("__r") === 1)
       .select(g :+ col("__v").as("dp_median"): _*)
+  }
+
+  // ---- Sparse vector technique -----------------------------------------
+
+  /** Sparse Vector Technique over an ORDERED query sequence (Dwork &
+    * Roth 2014, Alg. 2 "Sparse"; Lyu, Su & Li, VLDB 2017 for the
+    * corrected noise calibration). Input is one row per already-
+    * aggregated query (each with add/remove-one sensitivity 1 — e.g.
+    * per-day counts); the mechanism compares each noisy answer against
+    * a noisy threshold IN SEQUENCE, emits ⊤/⊥ indicators, and HALTS
+    * after the c-th ⊤ — total cost ε regardless of how many ⊥ queries
+    * were examined, which is the whole point: budget is paid per
+    * RELEASE, not per question. Split: ε/2 on the threshold draw,
+    * ε/(2c) per above-threshold comparison (scale 2c·Δ/ε each side).
+    *
+    * Distributed formulation of an inherently sequential mechanism:
+    * every noisy comparison is a per-row expression computed in
+    * parallel; "halt after the c-th ⊤" becomes a running ⊤-count
+    * window over the query sequence, keeping rows whose preceding-⊤
+    * count is < c (the c-th ⊤ itself is the last row emitted, exactly
+    * the sequential transcript). The window runs over the QUERY table —
+    * queries are aggregates, orders of magnitude smaller than the data.
+    *
+    * Deterministic (hash-seeded) noise: threshold draw keyed on the
+    * seed alone, per-query draws on the group key — same test/oracle
+    * caveat as [[laplaceDeterministic]]. Indicators round their margin
+    * to 6 dp before the sign test so an external engine replays the
+    * transcript exactly. */
+  def svtAboveThreshold(queries: DataFrame, groupCols: Seq[String],
+                        valueCol: String, threshold: Double, epsilon: Double,
+                        c: Int, seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(c >= 1, s"c=$c must be >= 1")
+    require(groupCols.nonEmpty, "need at least one (ordering) group column")
+    import org.apache.spark.sql.expressions.Window
+    // threshold: T + Lap(2/ε) — one draw for the whole run
+    val tNoisy = lit(threshold) +
+      lapFromU(puniform(concat_ws("|", lit("svt-t"), lit(seed))), lit(2.0 / epsilon))
+    // per-query: v + Lap(4c/ε)
+    val vNoisy = col(valueCol) +
+      lapFromU(puniform(concat_ws("|", noiseKey(groupCols), lit(seed), lit("svt"))),
+        lit(4.0 * c / epsilon))
+    val wSeq = Window.orderBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    queries
+      .withColumn("above", round(vNoisy - tNoisy, 6) >= 0)
+      .withColumn("__prior", coalesce(sum(when(col("above"), 1L).otherwise(0L))
+        .over(wSeq), lit(0L)))
+      .filter(col("__prior") < c)
+      .select(groupCols.map(col) :+ col("above"): _*)
   }
 
   // ---- Gaussian mechanism / zCDP ---------------------------------------

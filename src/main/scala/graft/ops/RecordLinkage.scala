@@ -67,4 +67,30 @@ object RecordLinkage {
         .when(col("fs_score") < lower, lit("non_link"))
         .otherwise(lit("review")))
   }
+
+  /** End-to-end entity resolution: blocked FS scoring → link pairs →
+    * connected components → one canonical `entity_id` per RECORD. Link
+    * transitivity is what scoring alone cannot give (A links B, B links
+    * C ⇒ one entity even if A-C never met in a block); the closure runs
+    * on the diameter-independent large-star/small-star loop
+    * ([[Dedup.dedupClustersStar]] — the 100 TB-correct construction),
+    * and the canonical id is the component minimum. Records in no link
+    * are their own entity, so the output covers the full id universe.
+    *
+    * Scale shape: the blocked join is q164's candidate surface; the
+    * closure exchanges 8-byte id pairs; the final assignment is one
+    * left join of the id universe against the component labels. */
+  def resolveEntities(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                      fields: Seq[Field], idA: String, idB: String,
+                      upper: Double): DataFrame = {
+    val links = scoreBlocked(a, b, blockCols, fields)
+      .filter(col("fs_score") >= upper)
+      .select(col(idA), col(idB))
+    val labels = Dedup.dedupClustersStar(links, idA, idB)
+    val ids = a.select(col(idA).as("id"))
+      .unionByName(b.select(col(idB).as("id")))
+      .distinct()
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("entity_id"))
+  }
 }

@@ -241,4 +241,30 @@ object Sampling {
       .withColumn("pos", row_number().over(rankW).cast("long"))
       .drop("__h")
   }
+
+  /** Deterministic GLOBAL shuffle for training order: every row gets its
+    * exact position in a pseudo-random permutation of the corpus, plus
+    * the contiguous shard/offset a sequential trainer reads. [[shardAssign]]
+    * randomizes shard MEMBERSHIP; this fixes the full epoch-read ORDER —
+    * the "shuffle once, stream shards sequentially" layout, reproducible
+    * across runs, engines, and repartitioning because the permutation
+    * key is the portable md5 of (salt|id), not an RNG.
+    *
+    * Scale: the exact global position uses the rank-offset scheme
+    * ([[Ranking.globalRowNumber]]) with the key's leading two hex chars
+    * as the 256-way monotone bucket — no single-partition sort; the only
+    * serial step is the 256-row offset prefix sum. */
+  def shuffleOrder(df: DataFrame, idCol: String, shardSize: Long,
+                   salt: String = "graft-epoch"): DataFrame = {
+    require(shardSize >= 1, s"shardSize $shardSize must be positive")
+    val keyed = df.withColumn("__sk",
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+    Ranking.globalRowNumber(keyed, Seq("__sk", idCol),
+        bucketExpr = substring(col("__sk"), 1, 2), outCol = "global_pos")
+      .withColumn("global_pos", col("global_pos").cast("long"))
+      .withColumn("shard", (col("global_pos") - 1) / lit(shardSize))
+      .withColumn("shard", floor(col("shard")).cast("long"))
+      .withColumn("offset", pmod(col("global_pos") - 1, lit(shardSize)))
+      .drop("__sk")
+  }
 }

@@ -439,4 +439,32 @@ object Sketches {
             .otherwise(lit(hllAlpha(m) * m * m) / col("__den")), 6)
           .as("hll_est"))
   }
+
+  /** Cumulative distinct-to-date curve: for each group g in its natural
+    * order (a day, a snapshot version), the HLL estimate over the UNION
+    * of all groups ≤ g — the corpus-growth / cumulative-DAU curve. Pure
+    * register algebra: a prefix-union's sketch is the per-bucket running
+    * MAX of the group sketches, so after the one grouped-sketch pass
+    * over the data the whole curve costs one window over the
+    * (#groups × ≤m)-row register table — metadata scale. The naive
+    * alternative (one distinct-count per prefix) rescans the data
+    * #groups times; this is the argument for mergeable sketch state in
+    * an incremental pipeline, made executable. */
+  def hllGrowthCurve(df: DataFrame, groupCol: String, keyCol: String,
+                     b: Int = 6, salt: String = "graft-hll"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = hllSketchGrouped(df, groupCol, keyCol, b, salt)
+    // densify to groups × seen-buckets so a bucket's register carries
+    // forward through groups that did not touch it (window max skips
+    // the left join's nulls); a bucket never seen by any prefix stays
+    // absent and contributes the estimator's empty-register term
+    val grid = sk.select(col(groupCol)).distinct()
+      .crossJoin(sk.select(col("bucket")).distinct())
+    val w = Window.partitionBy(col("bucket")).orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.join(sk, Seq(groupCol, "bucket"), "left")
+      .withColumn("m_j", max(col("m_j")).over(w))
+      .filter(col("m_j").isNotNull)
+    hllEstimateGrouped(cum, groupCol, b)
+  }
 }

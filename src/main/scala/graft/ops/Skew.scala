@@ -57,4 +57,42 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, (keys :+ "__salt").toSeq).drop("__salt")
   }
+
+  /** Bloom-pruned semi-join: `probe` rows whose `probeKey` appears in
+    * `build`'s `buildKey` set — exact semi-join semantics, with a Bloom
+    * filter pre-pass so the shuffle only carries probable matches.
+    *
+    * The regime this targets sits between the two easy cases: the build
+    * key set is too large to broadcast as a hash relation (so the semi
+    * join becomes a full shuffle of BOTH sides), yet a Bloom filter of
+    * it is megabytes (~1.2 bytes/key at 1% fpp). Build once
+    * (mergeable sketch, aggregated treewise), broadcast the filter, and
+    * drop non-matching probe rows BEFORE the exchange — at a selective
+    * key set this removes most of the probe side's shuffle bytes, which
+    * is the dominant cost of a 100 TB semi join. The exact semi join
+    * then runs over survivors only; false positives (bounded by `fpp`)
+    * are eliminated there, false negatives cannot occur, so the result
+    * is bit-identical to the plain semi join (q168's oracle proves it).
+    * This is Spark's own runtime row-level bloom filtering
+    * (spark.sql.optimizer.runtime.bloomFilter.*) made explicit and
+    * tunable — that rule only fires on selective joins its cost model
+    * recognizes, and its `BloomFilterMightContain` expression is not a
+    * public API.
+    *
+    * Keys are compared through their canonical string render (same
+    * convention as the dedup ingest bloom). The filter itself is a
+    * bounded driver artifact (like PQ codebooks): `expectedItems` keys
+    * at `fpp` ≈ `-1.44·log2(fpp)` bits/key. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                    buildKey: String, expectedItems: Long,
+                    fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    val bloom = build.stat.bloomFilter(col(buildKey).cast("string"),
+      expectedItems, fpp)
+    val bloomBc = probe.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+    probe
+      .filter(mightContain(col(probeKey).cast("string")))
+      .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
+  }
 }

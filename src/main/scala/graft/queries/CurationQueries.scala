@@ -205,6 +205,30 @@ object CurationQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // End-to-end entity resolution: q164's blocked FS links closed under
+    // transitivity (large-star/small-star CC), one canonical entity per
+    // record, singletons included. Output is the entity-size table.
+    "q174_entity_resolution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+        col("c_acctbal").as("bal_a"), col("c_mktsegment").as("seg_a"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_block"))
+      val b = c.select((col("c_custkey") + 1000000L).as("id_b"),
+        concat(substring(col("c_name"), 1, 17),
+          pmod(substring(col("c_name"), 18, 1).cast("int") + 1, lit(10))
+            .cast("string")).as("name_b"),
+        col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_block"))
+      val out = RecordLinkage.resolveEntities(a, b, Seq("c_nationkey", "bal_block"),
+          fsFields, "id_a", "id_b", upper = 12.0)
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("entity_id")
+      out
+    }),
+
     // Portable HyperLogLog per event_type (64 registers): the mergeable
     // distinct-user state, bit-replayable in DuckDB because the register
     // rank uses length(bin(word)) — string-exact in both engines —
@@ -217,6 +241,18 @@ object CurationQueries {
             "event_type", "user_id", b = 6),
           "event_type", b = 6)
         .orderBy("event_type")
+    }),
+
+    // Cumulative distinct-users-to-date per day from the SAME daily HLL
+    // registers q163's machinery builds: prefix-union = per-bucket
+    // running max, so the 30-point curve costs one metadata-scale window
+    // after a single data pass — the mergeable-sketch argument, runnable.
+    "q175_hll_growth" -> ((s, dir) => {
+      Sketches.hllGrowthCurve(
+          Tables.events(s, dir)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          "day", "user_id", b = 6)
+        .orderBy("day")
     }),
 
     // CMS sketch algebra: self-join size (F2) of events on user_id from
@@ -465,6 +501,66 @@ object CurationQueries {
                       ELSE 'review' END AS decision
           FROM p WHERE fs_score >= 0.0
           ORDER BY id_a, id_b"""
+    },
+    // ER closure replay: the link set is q164's; transitive closure via
+    // a recursive CTE (min reachable label), singletons from the id
+    // universe's left join.
+    "q174_entity_resolution" -> {
+      val Seq(f1, f2, f3) = fsFields
+      s"""WITH RECURSIVE
+          a AS (SELECT c_custkey AS id_a, c_name AS name_a, c_acctbal AS bal_a,
+                  c_mktsegment AS seg_a, c_nationkey,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_block FROM customer),
+          b AS (SELECT c_custkey + 1000000 AS id_b,
+                  substr(c_name, 1, 17) ||
+                    CAST((CAST(substr(c_name, 18, 1) AS INT) + 1) % 10 AS VARCHAR) AS name_b,
+                  c_acctbal AS bal_b, c_mktsegment AS seg_b, c_nationkey,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_block FROM customer),
+          p AS (SELECT id_a, id_b,
+                  round((CASE WHEN substr(name_a, 1, 17) = substr(name_b, 1, 17)
+                              THEN ${f1.agreeWeight} ELSE ${f1.disagreeWeight} END)
+                      + (CASE WHEN abs(bal_a - bal_b) < 0.005
+                              THEN ${f2.agreeWeight} ELSE ${f2.disagreeWeight} END)
+                      + (CASE WHEN seg_a = seg_b
+                              THEN ${f3.agreeWeight} ELSE ${f3.disagreeWeight} END), 6) AS fs_score
+                FROM a JOIN b USING (c_nationkey, bal_block)),
+          und AS (SELECT id_a AS x, id_b AS y FROM p WHERE fs_score >= 12.0
+                  UNION SELECT id_b, id_a FROM p WHERE fs_score >= 12.0),
+          ids AS (SELECT id_a AS id FROM a UNION SELECT id_b FROM b),
+          reach AS (SELECT id, id AS lab FROM ids
+                    UNION
+                    SELECT u.x AS id, r.lab FROM und u JOIN reach r ON r.id = u.y),
+          lab AS (SELECT id, min(lab) AS entity_id FROM reach GROUP BY id)
+          SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM lab GROUP BY entity_id ORDER BY entity_id"""
+    },
+    // Same register construction as q163, then the prefix-union as a
+    // per-bucket cumulative max over the day-densified register grid.
+    "q175_hll_growth" -> {
+      val hv = phashSql("'graft-hll|' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+          r AS (SELECT day, $hv % 64 AS bucket,
+                   CASE WHEN $hv // 64 = 0 THEN 55
+                        ELSE 55 - length(bin($hv // 64)) END AS rho
+                 FROM e),
+          reg AS (SELECT day, bucket, max(rho) AS mj
+                  FROM r GROUP BY day, bucket),
+          grid AS (SELECT d.day, b.bucket
+                   FROM (SELECT DISTINCT day FROM reg) d
+                   CROSS JOIN (SELECT DISTINCT bucket FROM reg) b),
+          cum AS (SELECT g.day, g.bucket,
+                    max(reg.mj) OVER (PARTITION BY g.bucket ORDER BY g.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mj
+                  FROM grid g LEFT JOIN reg ON reg.day = g.day AND reg.bucket = g.bucket),
+          cf AS (SELECT day, bucket, mj FROM cum WHERE mj IS NOT NULL),
+          agg AS (SELECT day, sum(power(2.0, -mj)) AS s, count(*) AS nb
+                  FROM cf GROUP BY day),
+          est AS (SELECT day, s + (64 - nb) AS den, 64 - nb AS v FROM agg)
+          SELECT day,
+                 round(CASE WHEN 0.709 * 64 * 64 / den <= 160.0 AND v > 0
+                            THEN 64.0 * ln(64.0 / v)
+                            ELSE 0.709 * 64 * 64 / den END, 6) AS hll_est
+          FROM est ORDER BY day"""
     },
     "q163_hll_distinct" -> {
       val hv = phashSql("'graft-hll|' || CAST(user_id AS VARCHAR)")

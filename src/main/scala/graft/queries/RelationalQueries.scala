@@ -71,6 +71,24 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Bloom-pruned semi-join (Skew.bloomSemiJoin): lineitem rows whose
+    // order is URGENT — exact semi-join semantics, bloom pre-filter
+    // drops non-matching probe rows before the shuffle (the 100 TB path
+    // when the key set out-sizes a broadcast but its bloom doesn't).
+    // The oracle is the PLAIN semi join: the bloom must be invisible in
+    // the result.
+    "q168_bloom_semijoin" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.Skew.bloomSemiJoin(l, o, "l_orderkey", "o_orderkey",
+        expectedItems = 200000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Anti join — complement of q04 (NOT EXISTS).
     "q05_anti_join" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -325,6 +343,11 @@ object RelationalQueries {
       """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
     "q04_semi_join" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+    "q168_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q05_anti_join" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
     "q06_broadcast_join" ->

@@ -289,6 +289,20 @@ object StatsQueries {
         .orderBy("col_name")
     }),
 
+    // PSI drift between the pre-/post-1998 order snapshots over
+    // o_totalprice (10 equal-width bins on the global range): the
+    // retrain gate a drifting corpus trips. Micro-unit terms replay in
+    // DuckDB exactly (DataQuality.psiDrift's determinism contract).
+    "q169_psi_drift" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cut = lit("1998-01-01").cast("date")
+      DataQuality.psiDrift(
+        o.filter(col("o_orderdate").cast("date") < cut),
+        o.filter(col("o_orderdate").cast("date") >= cut),
+        "o_totalprice", nBins = 10)
+        .orderBy("bin")
+    }),
+
     "q53_date_parts" -> ((s, dir) => {
       Tables.events(s, dir)
         .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
@@ -369,6 +383,37 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Same determinism idiom as q137: integer-count lns in micro-nats,
+    // exact integer-ratio probabilities, micro-unit terms before the sum.
+    "q169_psi_drift" ->
+      """WITH u AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01' THEN 0 ELSE 1 END AS side
+               FROM orders),
+          bo AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+          binned AS (SELECT CASE WHEN (mx - mn) / 10.0 > 0
+                       THEN least(CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+                       ELSE 0 END AS bin, side
+                     FROM u, bo),
+          c AS (SELECT bin,
+                  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+                  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS count_b
+                FROM binned GROUP BY bin),
+          t AS (SELECT bin, count_a, count_b,
+                  CAST(sum(count_a) OVER () AS BIGINT) AS na,
+                  CAST(sum(count_b) OVER () AS BIGINT) AS nb
+                FROM c),
+          m AS (SELECT bin, count_a, count_b,
+                  (CAST(round(ln(CAST(count_a * 2 + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                 - CAST(round(ln(CAST(count_b * 2 + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                 - CAST(round(ln(CAST(na * 2 + 10 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                 + CAST(round(ln(CAST(nb * 2 + 10 AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS lnr,
+                  CAST(count_a * 2 + 1 AS DOUBLE) / CAST(na * 2 + 10 AS DOUBLE) AS pa,
+                  CAST(count_b * 2 + 1 AS DOUBLE) / CAST(nb * 2 + 10 AS DOUBLE) AS pb
+                FROM t)
+          SELECT bin, count_a, count_b,
+                 CAST(round((pa - pb) * CAST(lnr AS DOUBLE), 0) AS BIGINT) AS term_micro,
+                 CAST(sum(CAST(round((pa - pb) * CAST(lnr AS DOUBLE), 0) AS BIGINT)) OVER () AS BIGINT) AS psi_micro
+          FROM m ORDER BY bin""",
     "q137_column_profile" ->
       """WITH vc AS (SELECT col_name, v, count(*) AS c FROM (
                 SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders

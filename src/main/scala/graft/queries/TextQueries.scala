@@ -329,6 +329,17 @@ object TextQueries {
     // fractions (rebalancing an en-heavy corpus) and an 80/10/10
     // train/val/test assignment, both pure functions of the doc key via
     // the portable hash — reproducible on any engine, any partitioning.
+    // Deterministic epoch shuffle: exact global position in the md5
+    // permutation + contiguous shard/offset at shardSize=64 — the
+    // "shuffle once, stream shards sequentially" training layout,
+    // computed by the rank-offset scheme (no single-partition sort).
+    "q173_epoch_shuffle" -> ((s, dir) => {
+      Sampling.shuffleOrder(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", shardSize = 64L)
+        .select("doc_id", "global_pos", "shard", "offset")
+        .orderBy("doc_id")
+    }),
+
     "q74_hash_split_sample" -> ((s, dir) => {
       val sampled = Sampling.stratifiedHashSample(
         Tables.documents(s, dir), "doc_id", "lang",
@@ -902,6 +913,14 @@ object TextQueries {
             CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt) / 512.0) AS BIGINT) AS bin
           FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS nt FROM documents)
           ORDER BY doc_id""",
+    "q173_epoch_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY md5('graft-epoch|' || doc_id), doc_id) AS global_pos
+               FROM documents)
+         SELECT doc_id, CAST(global_pos AS BIGINT) AS global_pos,
+                CAST((global_pos - 1) // 64 AS BIGINT) AS shard,
+                CAST((global_pos - 1) % 64 AS BIGINT) AS offset
+         FROM r ORDER BY doc_id""",
     "q74_hash_split_sample" ->
       """SELECT doc_id, lang,
            CASE WHEN sb < 800000 THEN 'train' WHEN sb < 900000 THEN 'val' ELSE 'test' END AS split

@@ -363,6 +363,33 @@ object VectorEventQueries {
         .orderBy("event_type")
     }),
 
+    // Stability-thresholded (ε, δ)-DP histogram over the UNKNOWN
+    // (event_type, value-bucket) domain: noisy counts released only
+    // above τ = 1 + ln(1/(2δ))/ε, so a bin supported by one record
+    // survives with probability exactly δ. ε=1, δ=1e-6 → τ=14.122363;
+    // the sparse value-bucket tail is what the threshold suppresses.
+    "q170_dp_histogram" -> ((s, dir) => {
+      DifferentialPrivacy.dpHistogram(
+        Tables.events(s, dir)
+          .withColumn("bucket", floor(col("value") / 20).cast("long")),
+        Seq("event_type", "bucket"), epsilon = 1.0, delta = 1e-6, seed = 11L)
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Sparse Vector Technique over the per-day count sequence: noisy
+    // answers vs a noisy threshold (340), ⊤/⊥ transcript, halt after
+    // c=3 releases — budget paid per RELEASE, not per question. The
+    // halting prefix is a running-⊤ window over the 30-row query table.
+    "q172_dp_svt" -> ((s, dir) => {
+      val q = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      DifferentialPrivacy.svtAboveThreshold(q, Seq("day"), "n",
+          threshold = 340.0, epsilon = 1.0, c = 3, seed = 17L)
+        .withColumn("above", col("above").cast("long"))
+        .orderBy("day")
+    }),
+
     // Exponential-mechanism ε-DP median of value per event_type
     // (selection from the domain via Gumbel-max over the rank utility —
     // the DP primitive Laplace noise cannot provide).
@@ -376,6 +403,21 @@ object VectorEventQueries {
     // (the codegen'd stage; the stubbed decode is unit-tested instead).
     "q44_media_stats" -> ((s, dir) => {
       Multimodal.mediaStats(Multimodal.asMediaTable(Tables.documents(s, dir)))
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit perceptual average-hash per media row (8x8 luma grid for
+    // real images, 64-byte-chunk signal otherwise — every bit an
+    // integer cross-comparison, no floating-point means). The oracle
+    // recomputes the byte-signal hash in SQL bit-for-bit; the banded
+    // near-dup JOIN over these hashes (Multimodal.phashNearDup) is
+    // spec-pinned with constructed near-identical payloads, because
+    // this corpus's shortest-distance pair sits at Hamming 10 — an
+    // always-empty pair oracle would prove only schema.
+    "q171_phash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.perceptualHash(
+        Multimodal.asMediaTable(Tables.documents(s, dir))).toDF()
         .orderBy("doc_id")
     }),
 
@@ -639,6 +681,39 @@ object VectorEventQueries {
     // Box-Muller over the same md5-uniform construction, keys suffixed
     // |g1 / |g2; σ inlined from the Scala-side analytic bound so the two
     // engines noise with the SAME literal.
+    // Stability histogram: Laplace release replayed per (type, bucket),
+    // thresholded on the 6 dp-rounded value at τ = 1 + ln(1/(2δ))/ε
+    // = 14.122363 (ε=1, δ=1e-6, rounded like the release itself).
+    "q170_dp_histogram" ->
+      s"""WITH g AS (SELECT event_type, CAST(floor(value / 20) AS BIGINT) AS bucket,
+                       count(*) AS c
+                     FROM events GROUP BY event_type, CAST(floor(value / 20) AS BIGINT)),
+          n AS (SELECT event_type, bucket, c,
+                  ${uSql("event_type || '|' || CAST(bucket AS VARCHAR)", 11L)} AS u
+                FROM g),
+          r AS (SELECT event_type, bucket, ${lapSql("c", "unused", "1.0")} AS dp_count FROM n)
+          SELECT event_type, bucket, dp_count FROM r
+          WHERE dp_count >= 14.122363
+          ORDER BY event_type, bucket""",
+    // SVT transcript replay: margin rounds to 6 dp before the sign
+    // test; the halting prefix is the same running-⊤ window.
+    "q172_dp_svt" ->
+      s"""WITH q AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+                     FROM events GROUP BY strftime(ts, '%Y-%m-%d')),
+          d AS (SELECT day, n,
+                  ${gaussUSql("day", "17|svt")} AS uq,
+                  ${uSql("'svt-t'", 17L)} AS ut
+                FROM q),
+          m AS (SELECT day,
+                  round((n + (-(12.0) * sign(uq - 0.5) * ln(1 - 2 * abs(uq - 0.5))))
+                      - (340.0 + (-(2.0) * sign(ut - 0.5) * ln(1 - 2 * abs(ut - 0.5)))), 6) AS margin
+                FROM d),
+          s AS (SELECT day, CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS above,
+                  coalesce(sum(CASE WHEN margin >= 0 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+                FROM m)
+          SELECT day, CAST(above AS BIGINT) AS above FROM s
+          WHERE prior < 3 ORDER BY day""",
     "q162_dp_count_gauss" ->
       s"""SELECT event_type,
                 round(c + ${graft.ops.DifferentialPrivacy.gaussianSigma(1.0, 0.8, 1e-6)}
@@ -648,6 +723,35 @@ object VectorEventQueries {
                   ${gaussUSql("event_type", "13|g2")} AS u2
                 FROM events GROUP BY event_type)
           ORDER BY event_type""",
+    // Byte-signal aHash replay (ASCII corpus: ascii(char) == payload
+    // byte; all docs non-empty). Bits are the integer cross-comparison
+    // cellsum*N > total*cellcount — no floating-point means; nibbles
+    // assemble high-bit-first into 16 lowercase hex chars.
+    "q171_phash" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+          pos AS (SELECT doc_id, u.i AS i, ascii(substr(text, CAST(u.i AS INT), 1)) AS bv,
+                    CAST((u.i - 1) * 64 // n AS INT) AS cell
+                  FROM d, UNNEST(range(1, n + 1)) u(i)),
+          cells AS (SELECT doc_id, cell, CAST(sum(bv) AS BIGINT) AS cs,
+                      CAST(count(*) AS BIGINT) AS cc
+                    FROM pos GROUP BY doc_id, cell),
+          tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS s,
+                    CAST(sum(cc) AS BIGINT) AS nn
+                  FROM cells GROUP BY doc_id),
+          bits AS (SELECT t.doc_id, g.cell,
+                     CASE WHEN c.cc IS NOT NULL AND c.cs * t.nn > t.s * c.cc
+                          THEN 1 ELSE 0 END AS b
+                   FROM tot t
+                   CROSS JOIN (SELECT unnest(range(0, 64)) AS cell) g
+                   LEFT JOIN cells c ON c.doc_id = t.doc_id AND c.cell = g.cell),
+          nib AS (SELECT doc_id, cell // 4 AS j,
+                    sum(b * CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                          WHEN 2 THEN 2 ELSE 1 END) AS v
+                  FROM bits GROUP BY doc_id, cell // 4)
+          SELECT doc_id,
+                 (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+                 lower(string_agg(to_hex(CAST(v AS BIGINT)), '' ORDER BY j)) AS phash
+          FROM nib GROUP BY doc_id ORDER BY doc_id""",
     "q44_media_stats" ->
       """SELECT doc_id,
                 (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,

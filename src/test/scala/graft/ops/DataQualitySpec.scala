@@ -59,4 +59,28 @@ class DataQualitySpec extends SparkSpec {
     // n: values 1,2,2 -> distinct 2, top 2/3, same entropy
     assert(out("n") == (("n", 4L, 2L, 250000L, 666666L, 0.636514)))
   }
+
+  test("psiDrift: identical snapshots give zero PSI; disjoint give large") {
+    val a = (1 to 100).map(i => (i % 50).toDouble).toDF("v")
+    val same = DataQuality.psiDrift(a, a, "v", 10)
+      .select("term_micro", "psi_micro").as[(Long, Long)].collect()
+    assert(same.forall(t => t._1 == 0L && t._2 == 0L), same.mkString(","))
+
+    val lo = (1 to 100).map(_ => 1.0).toDF("v")
+    val hi = (1 to 100).map(_ => 100.0).toDF("v")
+    val drift = DataQuality.psiDrift(lo, hi, "v", 10)
+      .select("bin", "count_a", "count_b", "psi_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    // two occupied bins (0 and 9), fully one-sided
+    assert(drift.map(_._1).sorted.toSeq == Seq(0L, 9L))
+    assert(drift.forall(_._4 > 2 * 1000000L), drift.mkString(","))
+  }
+
+  test("psiDrift: constant column collapses to one bin, PSI zero when balanced") {
+    val a = Seq.fill(30)(7.0).toDF("v")
+    val out = DataQuality.psiDrift(a, a, "v", 10)
+      .select("bin", "count_a", "count_b", "psi_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 30L, 30L, 0L)), out.mkString(","))
+  }
 }

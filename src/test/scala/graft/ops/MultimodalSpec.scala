@@ -108,4 +108,65 @@ class MultimodalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(r._2 == md)
   }
+
+  private def hamming(a: String, b: String): Int =
+    a.zip(b).map { case (x, y) =>
+      java.lang.Long.bitCount(java.lang.Long.parseLong(x.toString, 16) ^
+        java.lang.Long.parseLong(y.toString, 16))
+    }.sum
+
+  test("averageHash64: uniform payload hashes to all-zero bits; integer rule") {
+    // no chunk mean strictly exceeds the global mean when all bytes equal
+    val uniform = Array.fill[Byte](640)(65)
+    assert(Multimodal.averageHash64(uniform) == "0" * 16)
+    // a single hot chunk flips exactly its cell's bit
+    val oneHot = Array.fill[Byte](640)(65)
+    for (i <- 0 until 10) oneHot(i) = 120.toByte // chunk 0 hot
+    assert(Multimodal.averageHash64(oneHot) == "8" + "0" * 15)
+  }
+
+  test("averageHash64 on real PNGs: brightness-edit stays near, inverse far") {
+    implicit val s = spark
+    val base = pngBytes(64, 64)((x, _) => if (x < 32) 0x202020 else 0xE0E0E0)
+    // same structure, slightly lighter dark half: grid bits unchanged
+    val nearDup = pngBytes(64, 64)((x, _) => if (x < 32) 0x262626 else 0xE0E0E0)
+    val inverse = pngBytes(64, 64)((x, _) => if (x < 32) 0xE0E0E0 else 0x202020)
+    val hb = Multimodal.averageHash64(base)
+    val hn = Multimodal.averageHash64(nearDup)
+    val hi = Multimodal.averageHash64(inverse)
+    assert(hamming(hb, hn) <= 3, s"$hb vs $hn")
+    assert(hamming(hb, hi) >= 32, s"$hb vs $hi")
+  }
+
+  test("phashNearDup: banded join equals brute force, finds the constructed pair") {
+    implicit val s = spark
+    // payloads engineered at the byte-signal path: a base ramp, a copy
+    // with one perturbed chunk (Hamming <= 3), and unrelated noise docs
+    def ramp(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](1280)(i => (((i * 7 + seed * 131) % 191) + 32).toByte)
+    val base = ramp(0)
+    val tweaked = base.clone()
+    for (i <- 0 until 20) tweaked(i) = (tweaked(i) + 3).toByte
+    val rows = Seq((0L, base, "image"), (1L, tweaked, "image")) ++
+      (2L to 9L).map(k => (k, ramp(k.toInt), "image"))
+    val media = rows.toDF("doc_id", "payload", "media_type")
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    val brute = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      d = hamming(hashes(a), hashes(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.exists(p => p._1 == 0L && p._2 == 1L), hashes.toString)
+    val banded = Multimodal.phashNearDup(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
+  test("phashNearDup rejects thresholds the banding cannot guarantee") {
+    implicit val s = spark
+    val media = Seq((0L, "x".getBytes("UTF-8"), "image")).toDF("doc_id", "payload", "media_type")
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(media, maxHamming = 4)
+    }
+  }
 }

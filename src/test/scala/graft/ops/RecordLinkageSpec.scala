@@ -46,4 +46,37 @@ class RecordLinkageSpec extends SparkSpec {
       .select("id", "decision").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "link", 2L -> "review", 3L -> "non_link", 4L -> "link"))
   }
+
+  test("resolveEntities closes links transitively; singletons keep their id") {
+    // A(1)-B(11) and B(11)-C(21) link inside one block; D(2) never links.
+    val a = Seq((1L, "x", 0), (2L, "z", 1)).toDF("id_a", "k_a", "blk")
+    val b = Seq((11L, "x", 0), (21L, "x", 0), (31L, "q", 1)).toDF("id_b", "k_b", "blk")
+    val fields = Seq(RecordLinkage.Field("k", col("k_a") === col("k_b"),
+      m = 0.9, u = 0.01))
+    val out = RecordLinkage.resolveEntities(a, b, Seq("blk"), fields,
+        "id_a", "id_b", upper = 1.0)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    // 1, 11, 21 collapse to min id 1 (A-11 and A-21 link directly here;
+    // the transitive case is 11-21 via their common match with 1)
+    assert(out(1L) == 1L && out(11L) == 1L && out(21L) == 1L, out.toString)
+    // never-linked records are their own entity
+    assert(out(2L) == 2L && out(31L) == 31L)
+    assert(out.size == 5)
+  }
+
+  test("resolveEntities transitivity across blocks (A-B, B-C, no A-C block)") {
+    // a1 matches b1 in block 0; a2 matches b1 in block 0 as well -> the
+    // two a-records join through the shared b even though they never
+    // co-occur in a pair.
+    val a = Seq((1L, "x", 0), (2L, "x", 0)).toDF("id_a", "k_a", "blk")
+    val b = Seq((11L, "x", 0)).toDF("id_b", "k_b", "blk")
+    val fields = Seq(RecordLinkage.Field("k", col("k_a") === col("k_b"),
+      m = 0.9, u = 0.01))
+    val out = RecordLinkage.resolveEntities(a, b, Seq("blk"), fields,
+        "id_a", "id_b", upper = 1.0)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(out == Map(1L -> 1L, 2L -> 1L, 11L -> 1L), out.toString)
+  }
 }

@@ -202,4 +202,24 @@ class SamplingPackingSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Sampling.shardAssign(docs, "id", 0) }
   }
+
+  test("shuffleOrder is an exact permutation with consistent shard/offset") {
+    val df = (1L to 300L).toDF("id")
+    val out = Sampling.shuffleOrder(df, "id", shardSize = 32L)
+      .select("id", "global_pos", "shard", "offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 300)
+    assert(out.map(_._2).sorted.toSeq == (1L to 300L))
+    out.foreach { case (_, g, s, o) =>
+      assert(s == (g - 1) / 32 && o == (g - 1) % 32, s"($g, $s, $o)")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.shuffleOrder(df.repartition(7), "id", shardSize = 32L)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, g, _, _) => again(id) == g })
+    // a different salt draws a different permutation
+    val other = Sampling.shuffleOrder(df, "id", 32L, salt = "epoch-2")
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(out.exists { case (id, g, _, _) => other(id) != g })
+  }
 }

@@ -289,4 +289,23 @@ class SketchesSpec extends SparkSpec {
     assert(ests.size == 2 && ests.values.forall(e => math.abs(e - 1000) / 1000.0 < 0.4),
       ests.toString)
   }
+
+  test("hllGrowthCurve: prefix points equal prefix sketches; curve is monotone") {
+    val rows = (1 to 300).map(i => (f"d${i % 3}%s", (i % 97).toLong))
+      .toDF("day", "user_id")
+    val curve = Sketches.hllGrowthCurve(rows, "day", "user_id", b = 6)
+      .as[(String, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq("d0", "d1", "d2"))
+    // monotone non-decreasing distinct-to-date
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2), curve.mkString(","))
+    // each curve point IS the estimate of the prefix union
+    for (cut <- Seq("d0", "d1", "d2")) {
+      val prefix = rows.filter($"day" <= cut)
+      val direct = Sketches.hllEstimate(
+        Sketches.hllSketch(prefix, "user_id", b = 6), b = 6)
+        .as[Double].head()
+      val fromCurve = curve.find(_._1 == cut).get._2
+      assert(fromCurve == direct, s"$cut: $fromCurve vs $direct")
+    }
+  }
 }

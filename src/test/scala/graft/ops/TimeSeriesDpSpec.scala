@@ -253,6 +253,47 @@ class TimeSeriesDpSpec extends SparkSpec {
       big.join(dim, Seq("user_id")).count())
   }
 
+  test("bloomSemiJoin equals the plain semi join even at an absurd fpp") {
+    val probe = (1L to 500L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val build = (1L to 500L by 7L).toDF("k0")
+    val expected = probe.join(build.withColumnRenamed("k0", "k"), Seq("k"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    // fpp=0.4 floods the pre-filter with false positives; the exact semi
+    // join must eliminate every one of them.
+    val got = Skew.bloomSemiJoin(probe, build, "k", "k0",
+        expectedItems = 100L, fpp = 0.4)
+      .as[(Long, String)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // null probe keys never match (semi-join semantics)
+    val withNull = probe.unionAll(Seq((null.asInstanceOf[java.lang.Long], "pnull"))
+      .toDF("k", "payload").select($"k".cast("long"), $"payload"))
+    val gotNull = Skew.bloomSemiJoin(withNull, build, "k", "k0", 100L, 0.4)
+    assert(!gotNull.as[(Long, String)].collect().exists(_._2 == "pnull"))
+  }
+
+  test("dpHistogram: stability threshold suppresses thin bins, release replays") {
+    // 3 fat categories + 40 singletons; with eps=1, delta=1e-6 the
+    // threshold tau = 1 + ln(5e5) ~ 14.12 keeps only the fat ones
+    // (noise scale 1 cannot lift a count of 1 past 14 at these seeds).
+    val rows = Seq.fill(200)("a") ++ Seq.fill(120)("b") ++ Seq.fill(60)("c") ++
+      (1 to 40).map(i => s"rare$i")
+    val df = rows.toDF("cat")
+    val out = DifferentialPrivacy.dpHistogram(df, Seq("cat"),
+      epsilon = 1.0, delta = 1e-6, seed = 3L)
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("a", "b", "c"), out.keySet.toString)
+    val tau = 1.0 + math.log(1.0 / (2.0 * 1e-6))
+    assert(out.values.forall(_ >= math.rint(tau * 1e6) / 1e6))
+    // released values are the plain dpCount releases (threshold only filters)
+    val full = DifferentialPrivacy.dpCount(df, Seq("cat"), 1.0, 3L)
+      .as[(String, Double)].collect().toMap
+    out.foreach { case (k, v) => assert(full(k) == v, s"$k: $v vs ${full(k)}") }
+    // loosening delta can only grow the released set
+    val loose = DifferentialPrivacy.dpHistogram(df, Seq("cat"), 1.0, 0.4, 3L)
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet.subsetOf(loose.keySet))
+  }
+
   test("intervalOverlapJoin equals the naive overlap join, exactly once per pair") {
     val a = Seq(
       (7L, ts("2024-01-01 10:00:00"), ts("2024-01-03 10:00:00")), // spans 3 buckets
@@ -296,5 +337,29 @@ class TimeSeriesDpSpec extends SparkSpec {
         300L, "event_id")
       .select("event_id").as[Long].collect().toSet
     assert(kept == Set(1L, 5L, 6L, 7L))
+  }
+
+  test("svtAboveThreshold: transcript halts after the c-th release") {
+    // 10 queries; values 0 or 1000 against threshold 500 with eps big
+    // enough that noise (scale 4c/eps and 2/eps) cannot cross the gap.
+    val q = (1 to 10).map(i => (f"q$i%02d", if (i % 3 == 0) 1000L else 0L))
+      .toDF("qid", "v")
+    val out = DifferentialPrivacy.svtAboveThreshold(q, Seq("qid"), "v",
+        threshold = 500.0, epsilon = 100.0, c = 2, seed = 1L)
+      .as[(String, Boolean)].collect().sortBy(_._1)
+    // q03 and q06 are the first two above-threshold queries: the
+    // transcript covers q01..q06 and stops there
+    assert(out.map(_._1).toSeq == (1 to 6).map(i => f"q$i%02d"), out.mkString(","))
+    assert(out.filter(_._2).map(_._1).toSeq == Seq("q03", "q06"))
+    // c releases exactly
+    assert(out.count(_._2) == 2)
+  }
+
+  test("svtAboveThreshold: all-below sequence emits every query as bot") {
+    val q = (1 to 5).map(i => (i.toString, 0L)).toDF("qid", "v")
+    val out = DifferentialPrivacy.svtAboveThreshold(q, Seq("qid"), "v",
+        threshold = 500.0, epsilon = 100.0, c = 1, seed = 1L)
+      .as[(String, Boolean)].collect()
+    assert(out.length == 5 && out.forall(!_._2))
   }
 }
