@@ -113,6 +113,80 @@ object DataQuality {
       .withColumn("skew_ppm",
         expr("max_key_rows * n_keys * 1000000L div n_rows"))
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic between two
+    * snapshots of a numeric column: D = sup_x |F_A(x) − F_B(x)|,
+    * evaluated exactly at every distinct value (ties on either side
+    * handled by aggregating counts per value BEFORE the cumulative
+    * pass), plus the asymptotic two-sided p-value 2·exp(−2·m·D²) with
+    * m = nA·nB/(nA+nB) (Smirnov). The sharper distribution-shape
+    * companion to [[psiDrift]]'s binned score: D is binning-free.
+    *
+    * Determinism: the CDFs are exact integer ratios (cumulative count /
+    * total) evaluated in one IEEE division each; D is a max over those
+    * — max is order-free, so no summation-order hazard exists anywhere.
+    * D rounds to 6 dp before the p-value so both replay externally.
+    *
+    * Scale: one distinct-value aggregation (map-side combined, domain-
+    * sized), one value-ordered cumulative window over the DISTINCT
+    * values — the q165 window pattern, never row-scaled — and a 1-row
+    * max. */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(col(valueCol).cast("double").as("__v"))
+      .withColumn("__side", lit(0))
+      .unionAll(b.select(col(valueCol).cast("double").as("__v"))
+        .withColumn("__side", lit(1)))
+    val counts = u.groupBy(col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val gaps = counts
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__gap",
+        abs(sum(col("__ca")).over(wCum) / col("__na")
+          - sum(col("__cb")).over(wCum) / col("__nb")))
+    gaps.agg(round(max(col("__gap")), 6).as("d_stat"),
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
+      .withColumn("p_value",
+        round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("d_stat") * col("d_stat")
+          * (col("n_a") * col("n_b") / (col("n_a") + col("n_b"))))), 6))
+  }
+
+  /** Benford first-significant-digit audit of a positive numeric
+    * column: observed counts per leading digit vs the Benford
+    * expectation p_d = log10(1 + 1/d), with the χ² distance. The
+    * classic fabricated-data / synthetic-corpus smell test. The leading
+    * digit comes from the INTEGER part's decimal render (values < 1 are
+    * excluded along with nulls and non-positives — their leading
+    * significant digit would need a scale hunt that a SQL oracle can't
+    * replay cheaply). p_d enters BOTH engines as the same Scala-
+    * computed literal; per-digit χ² terms round to micro-units before
+    * the order-free integer total (the q137/q169 idiom). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val wAll = Window.partitionBy()
+    val expectedFrac: Map[Int, Double] =
+      (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val pd = (1 to 9).map(d =>
+      when(col("digit") === d, lit(expectedFrac(d)))).reduceRight(_ otherwise _)
+    digits
+      .withColumn("__n", sum(col("n_obs")).over(wAll))
+      .withColumn("__exp", pd * col("__n"))
+      .withColumn("chi2_term_micro",
+        round((col("n_obs") - col("__exp")) * (col("n_obs") - col("__exp"))
+          / col("__exp") * lit(1e6), 0).cast("long"))
+      .withColumn("chi2_micro", sum(col("chi2_term_micro")).over(wAll))
+      .select("digit", "n_obs", "chi2_term_micro", "chi2_micro")
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift gate between a training corpus and a
     * fresh crawl (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 retrain).

@@ -128,4 +128,53 @@ object EventAnalytics {
       .withColumn(outCol,
         round(least(greatest(col(valueCol), col("__wlo")), col("__whi")), 6))
   }
+
+  /** Per-group ordinary least squares of `yCol` on an INTEGER-valued
+    * `xCol` (an hour, a day index, a bucket) via the closed form
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * — the trend-per-group primitive (is click value drifting by hour?)
+    * as ONE map-side-combined aggregation, no ML library, no iteration.
+    *
+    * Determinism: y is quantized to micro-units and every sum runs in
+    * decimal(38) (Spark) / exact wide integers (the SQL oracle), so the
+    * numerator and denominator are EXACT integers; the only floating-
+    * point steps are the final casts and one division each for slope,
+    * intercept, and r² — fixed expression shapes that replay across
+    * engines. A constant-x group yields null slope/intercept/r² rather
+    * than a division blow-up.
+    *
+    * Scale: one aggregation; five running sums per group. */
+  def groupOls(events: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = round(col(yCol).cast("double") * 1e6, 0).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // per-row products stay in long (x is a small integer, y_micro
+    // ≤ ~2^60 squared still fits for |y| < ~3e3); only the group SUMS
+    // widen to decimal(38), where overflow is impossible at any n
+    val agg = events.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(dec(x)).as("__sx"),
+      sum(dec(y)).as("__sy"),
+      sum(dec(x * x)).as("__sxx"),
+      sum(dec(x * y)).as("__sxy"),
+      sum(dec(y * y)).as("__syy"))
+    val n = dec(col("n"))
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    val deny = n * col("__syy") - col("__sy") * col("__sy")
+    val slopeMicro = num.cast("double") / den.cast("double")
+    val meanX = col("__sx").cast("double") / col("n")
+    val meanY = col("__sy").cast("double") / (col("n") * lit(1e6))
+    agg.select(
+      col(groupCol), col("n"),
+      when(den =!= lit(0), round(slopeMicro / lit(1e6), 6)).as("slope"),
+      when(den =!= lit(0),
+        round(meanY - slopeMicro / lit(1e6) * meanX, 6)).as("intercept"),
+      when(den =!= lit(0) && deny =!= lit(0),
+        round(num.cast("double") * num.cast("double")
+          / (den.cast("double") * deny.cast("double")), 6)).as("r2"))
+  }
 }

@@ -465,4 +465,58 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Token-distribution drift between two corpus snapshots: Jensen-
+    * Shannon divergence of the unigram distributions plus the top-K
+    * drivers — [[DataQuality.psiDrift]]'s text sibling (PSI bins a
+    * numeric column; this compares the vocabulary itself, the signal
+    * that catches a crawl whose topic mix shifted).
+    *
+    * JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, bounded by ln 2;
+    * a token absent from one side contributes a finite term (its mass
+    * ln 2-weighted) — no smoothing needed, which is why JSD and not KL.
+    * With integer counts, p/m = 2·cA·nB / (cA·nB + cB·nA) and
+    * symmetrically for q/m, so every logarithm runs over an INTEGER and
+    * quantizes to micro-nats (the q137 idiom); per-token terms round to
+    * micro-units before the order-free integer total.
+    *
+    * Output: the `topK` tokens by drift contribution (ties broken by
+    * token) with their counts and term, plus `jsd_micro` — the total
+    * over the WHOLE vocabulary — repeated on each row.
+    *
+    * Scale: one token explode per side into a map-side-combined count,
+    * one full-outer join on the token key, per-token codegen'd terms,
+    * and 1-row totals broadcast back (never a vocabulary-sized window);
+    * the top-K is a TakeOrderedAndProject (per-partition heaps). */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String = "text",
+                 topK: Int = 20): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "count_a")
+      .join(counts(b, "count_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("count_a"), lit(0L)).as("count_a"),
+        coalesce(col("count_b"), lit(0L)).as("count_b"))
+    val totals = joined.agg(sum(col("count_a")).as("__na"),
+      sum(col("count_b")).as("__nb"))
+    def mn(c: Column): Column = round(log(c.cast("double")) * lit(1e6), 0).cast("long")
+    val withTotals = joined.crossJoin(broadcast(totals))
+    val cross = col("count_a") * col("__nb") + col("count_b") * col("__na")
+    val termP = when(col("count_a") > 0,
+      (col("count_a").cast("double") / col("__na"))
+        * (mn(col("count_a") * col("__nb") * 2) - mn(cross)).cast("double"))
+      .otherwise(lit(0.0))
+    val termQ = when(col("count_b") > 0,
+      (col("count_b").cast("double") / col("__nb"))
+        * (mn(col("count_b") * col("__na") * 2) - mn(cross)).cast("double"))
+      .otherwise(lit(0.0))
+    val terms = withTotals
+      .withColumn("term_micro", round((termP + termQ) / 2, 0).cast("long"))
+    val jsd = terms.agg(sum(col("term_micro")).as("jsd_micro"))
+    terms.select("token", "count_a", "count_b", "term_micro")
+      .orderBy(col("term_micro").desc, col("token"))
+      .limit(topK)
+      .crossJoin(broadcast(jsd))
+  }
 }

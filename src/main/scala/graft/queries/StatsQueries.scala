@@ -289,6 +289,24 @@ object StatsQueries {
         .orderBy("col_name")
     }),
 
+    // Exact two-sample KS statistic over the same pre-/post-1998 split
+    // q169 bins: D is binning-free, the sharper shape-drift companion.
+    "q176_ks_test" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cut = lit("1998-01-01").cast("date")
+      DataQuality.ksTest(
+        o.filter(col("o_orderdate").cast("date") < cut),
+        o.filter(col("o_orderdate").cast("date") >= cut),
+        "o_totalprice")
+    }),
+
+    // Benford first-digit audit of lineitem extended prices: observed
+    // leading-digit mix vs log10(1 + 1/d), chi-square in micro-units.
+    "q177_benford" -> ((s, dir) => {
+      DataQuality.benfordAudit(Tables.lineitem(s, dir), "l_extendedprice")
+        .orderBy("digit")
+    }),
+
     // PSI drift between the pre-/post-1998 order snapshots over
     // o_totalprice (10 equal-width bins on the global range): the
     // retrain gate a drifting corpus trips. Micro-unit terms replay in
@@ -383,6 +401,48 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // CDF gaps are exact integer ratios; D = max over them (order-free).
+    "q176_ks_test" ->
+      """WITH u AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01' THEN 0 ELSE 1 END AS side
+               FROM orders),
+          c AS (SELECT v,
+                  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM u GROUP BY v),
+          g AS (SELECT v,
+                  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+                  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+                  sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+                FROM c),
+          d AS (SELECT round(max(abs(cca / na - ccb / nb)), 6) AS d_stat,
+                  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+                FROM g)
+          SELECT d_stat, n_a, n_b,
+                 round(least(1.0, 2.0 * exp(-2.0 * d_stat * d_stat
+                   * ((n_a * n_b) / CAST(n_a + n_b AS DOUBLE)))), 6) AS p_value
+          FROM d""",
+    // Benford expectations enter both engines as the same Scala-computed
+    // literals; terms micro-rounded before the order-free total.
+    "q177_benford" -> {
+      // CAST: DuckDB types a bare decimal literal as DECIMAL, and the
+      // (n_obs − p·n)² product overflows DECIMAL(38); the engine side
+      // computes in DOUBLE, so the oracle must too.
+      val pCase = "CASE " + (1 to 9).map(d =>
+        s"WHEN digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)").mkString(" ") + " END"
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                 FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
+          c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+          t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM c),
+          m AS (SELECT digit, n_obs,
+                  CAST(round((n_obs - ($pCase) * n) * (n_obs - ($pCase) * n)
+                    / (($pCase) * n) * 1e6, 0) AS BIGINT) AS chi2_term_micro
+                FROM t)
+          SELECT digit, n_obs, chi2_term_micro,
+                 CAST(sum(chi2_term_micro) OVER () AS BIGINT) AS chi2_micro
+          FROM m ORDER BY digit"""
+    },
     // Same determinism idiom as q137: integer-count lns in micro-nats,
     // exact integer-ratio probabilities, micro-unit terms before the sum.
     "q169_psi_drift" ->

@@ -329,6 +329,17 @@ object TextQueries {
     // fractions (rebalancing an en-heavy corpus) and an 80/10/10
     // train/val/test assignment, both pure functions of the doc key via
     // the portable hash — reproducible on any engine, any partitioning.
+    // Token-distribution JS divergence between the even/odd corpus
+    // halves + top-20 drivers: PSI's text sibling — the vocabulary
+    // itself is the drift signal. Micro-nat integer determinism.
+    "q179_token_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.tokenDrift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        topK = 20)
+    }),
+
     // Deterministic epoch shuffle: exact global position in the md5
     // permutation + contiguous shard/offset at shardSize=64 — the
     // "shuffle once, stream shards sequentially" training layout,
@@ -913,6 +924,39 @@ object TextQueries {
             CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt) / 512.0) AS BIGINT) AS bin
           FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS nt FROM documents)
           ORDER BY doc_id""",
+    // JSD with integer-count lns: p/m = 2*ca*nb/(ca*nb + cb*na); per-
+    // token terms micro-rounded; top-20 by (term desc, token).
+    "q179_token_drift" ->
+      s"""WITH ca AS (SELECT t AS token, count(*) AS count_a
+                 FROM (SELECT unnest($tokSql) AS t FROM documents WHERE doc_id % 2 = 0)
+                 GROUP BY t),
+          cb AS (SELECT t AS token, count(*) AS count_b
+                 FROM (SELECT unnest($tokSql) AS t FROM documents WHERE doc_id % 2 = 1)
+                 GROUP BY t),
+          j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                  coalesce(count_a, 0) AS count_a, coalesce(count_b, 0) AS count_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+          t AS (SELECT token, count_a, count_b,
+                  CAST(sum(count_a) OVER () AS BIGINT) AS na,
+                  CAST(sum(count_b) OVER () AS BIGINT) AS nb
+                FROM j),
+          m AS (SELECT token, count_a, count_b,
+                  CAST(round((
+                    (CASE WHEN count_a > 0
+                          THEN (count_a / CAST(na AS DOUBLE)) * CAST(
+                            CAST(round(ln(CAST(count_a * nb * 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                            - CAST(round(ln(CAST(count_a * nb + count_b * na AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE)
+                          ELSE 0.0 END)
+                  + (CASE WHEN count_b > 0
+                          THEN (count_b / CAST(nb AS DOUBLE)) * CAST(
+                            CAST(round(ln(CAST(count_b * na * 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                            - CAST(round(ln(CAST(count_a * nb + count_b * na AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE)
+                          ELSE 0.0 END)) / 2, 0) AS BIGINT) AS term_micro
+                FROM t),
+          tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS jsd_micro FROM m)
+          SELECT token, count_a, count_b, term_micro, jsd_micro
+          FROM (SELECT * FROM m ORDER BY term_micro DESC, token LIMIT 20), tot
+          ORDER BY term_micro DESC, token""",
     "q173_epoch_shuffle" ->
       """WITH r AS (SELECT doc_id,
                  row_number() OVER (ORDER BY md5('graft-epoch|' || doc_id), doc_id) AS global_pos

@@ -376,6 +376,16 @@ object VectorEventQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // Per-type OLS of value on hour-of-day: the closed form over exact
+    // decimal sums (micro-unit y), one aggregation, no ML iteration.
+    "q178_group_ols" -> ((s, dir) => {
+      EventAnalytics.groupOls(
+          Tables.events(s, dir)
+            .withColumn("hour", hour(col("ts"))),
+          "event_type", "hour", "value")
+        .orderBy("event_type")
+    }),
+
     // Sparse Vector Technique over the per-day count sequence: noisy
     // answers vs a noisy threshold (340), ⊤/⊥ transcript, halt after
     // c=3 releases — budget paid per RELEASE, not per question. The
@@ -695,6 +705,30 @@ object VectorEventQueries {
           SELECT event_type, bucket, dp_count FROM r
           WHERE dp_count >= 14.122363
           ORDER BY event_type, bucket""",
+    // Exact wide-integer sums (HUGEINT here, decimal(38) engine-side);
+    // the only FP steps are the final casts and divisions, shape-matched.
+    "q178_group_ols" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS y
+               FROM events),
+          a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+                FROM e GROUP BY event_type),
+          m AS (SELECT event_type, n,
+                  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+                  n * syy - sy * sy AS deny, sx, sy
+                FROM a)
+          SELECT event_type, CAST(n AS BIGINT) AS n,
+                 CASE WHEN den <> 0
+                      THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e6, 6) END AS slope,
+                 CASE WHEN den <> 0
+                      THEN round(CAST(sy AS DOUBLE) / (n * 1e6)
+                        - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e6
+                          * (CAST(sx AS DOUBLE) / n), 6) END AS intercept,
+                 CASE WHEN den <> 0 AND deny <> 0
+                      THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                        / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) END AS r2
+          FROM m ORDER BY event_type""",
     // SVT transcript replay: margin rounds to 6 dp before the sign
     // test; the halting prefix is the same running-⊤ window.
     "q172_dp_svt" ->

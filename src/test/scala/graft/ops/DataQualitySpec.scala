@@ -83,4 +83,36 @@ class DataQualitySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(out.toSeq == Seq((0L, 30L, 30L, 0L)), out.mkString(","))
   }
+
+  test("ksTest: identical samples D=0 p=1; hand-computed small case; disjoint D=1") {
+    val a = (1 to 50).map(i => (i % 7).toDouble).toDF("v")
+    val same = DataQuality.ksTest(a, a, "v")
+      .select("d_stat", "p_value").as[(Double, Double)].head()
+    assert(same == ((0.0, 1.0)), same.toString)
+    // A=[1,2], B=[2,3]: gaps at 1,2,3 are 0.5, 0.5, 0 -> D=0.5
+    val small = DataQuality.ksTest(Seq(1.0, 2.0).toDF("v"), Seq(2.0, 3.0).toDF("v"), "v")
+      .select("d_stat").as[Double].head()
+    assert(small == 0.5, small.toString)
+    val disjoint = DataQuality.ksTest(
+      (1 to 30).map(_.toDouble).toDF("v"),
+      (100 to 130).map(_.toDouble).toDF("v"), "v")
+      .select("d_stat", "p_value").as[(Double, Double)].head()
+    assert(disjoint._1 == 1.0 && disjoint._2 < 1e-9, disjoint.toString)
+  }
+
+  test("benfordAudit: digit extraction and a near-Benford sample scoring low chi2") {
+    // counts proportional to log10(1+1/d) over 10000 rows
+    val counts = (1 to 9).map(d => d -> math.round(10000 * math.log10(1.0 + 1.0 / d)).toInt)
+    val rows = counts.flatMap { case (d, n) => Seq.fill(n)(d * 111.0 + 0.5) }
+    val out = DataQuality.benfordAudit(rows.toDF("v"), "v")
+      .select("digit", "n_obs", "chi2_micro").as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == (1L to 9L))
+    // 111*d keeps the leading digit d for every d in 1..9
+    out.foreach { case (d, n, _) => assert(n == counts(d.toInt - 1)._2.toLong) }
+    // rounding-only deviation: chi2 far below any rejection threshold
+    assert(out.head._3 < 10000L, out.head._3.toString)
+    // values < 1 and nulls are excluded
+    val tiny = DataQuality.benfordAudit(Seq(0.5, 0.01).toDF("v"), "v").count()
+    assert(tiny == 0L)
+  }
 }

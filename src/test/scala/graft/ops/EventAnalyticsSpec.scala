@@ -95,4 +95,18 @@ class EventAnalyticsSpec extends SparkSpec {
     val z = EventAnalytics.zScoreOutliers(df.filter($"grp" === "a"), "grp", "v", 3.5)
     assert(z.count() == 0)
   }
+
+  test("groupOls: exact line recovered; constant x yields nulls") {
+    val line = (0 to 23).flatMap(x => Seq(("a", x, 2.0 * x + 3.0)))
+      .toDF("g", "x", "y")
+    val r = EventAnalytics.groupOls(line, "g", "x", "y")
+      .select("g", "n", "slope", "intercept", "r2")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(r == (("a", 24L, Some(2.0), Some(3.0), Some(1.0))), r.toString)
+    val const = Seq(("b", 5, 1.0), ("b", 5, 2.0)).toDF("g", "x", "y")
+    val rc = EventAnalytics.groupOls(const, "g", "x", "y")
+      .select("slope", "intercept", "r2")
+      .as[(Option[Double], Option[Double], Option[Double])].head()
+    assert(rc == ((None, None, None)), rc.toString)
+  }
 }
