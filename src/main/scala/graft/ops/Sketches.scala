@@ -453,7 +453,14 @@ object Sketches {
   def hllGrowthCurve(df: DataFrame, groupCol: String, keyCol: String,
                      b: Int = 6, salt: String = "graft-hll"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The register table feeds THREE consumers (group list, bucket list,
+    // the densify join); left lazy, each reference re-aggregates the
+    // DATA — three full input scans (seen in the executed plan). Persist
+    // the ≤ #groups×m-row table so the input is scanned exactly once;
+    // releasing is the caller's QueryCleanup contract.
     val sk = hllSketchGrouped(df, groupCol, keyCol, b, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => sk.unpersist())
     // densify to groups × seen-buckets so a bucket's register carries
     // forward through groups that did not touch it (window max skips
     // the left join's nulls); a bucket never seen by any prefix stays

@@ -195,4 +195,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(p2.contains("BroadcastHashJoin"), p2)
     assert(!p2.contains("SortMergeJoin"), p2)
   }
+
+  test("bloomSemiJoin: the bloom filter prunes BELOW the join's exchange") {
+    // a Range source (not a LocalRelation) keeps the UDF filter in the
+    // physical plan — ConvertToLocalRelation would fold it over local
+    // data at optimization time and hide the shape under test
+    val probe = spark.range(1, 501).select($"id".as("k"), ($"id" * 2).as("payload"))
+    val build = (1L to 500L by 7L).toDF("k0")
+    val p = plan(Skew.bloomSemiJoin(probe, build, "k", "k0", 100L))
+    assertNoQuadratic(p)
+    // the UDF filter must sit on the probe side BELOW any exchange the
+    // semi join introduces: everything shuffled has already passed the
+    // bloom (string order in the plan tree: the join prints first, the
+    // probe-side Filter with the UDF deeper)
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("UDF(")
+    assert(joinAt >= 0 && filterAt > joinAt, p)
+  }
+
+  test("shuffleOrder: broadcast offsets, no sort-merge join, no data-wide global sort") {
+    val p = plan(Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", 32L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assertNoQuadratic(p)
+  }
+
+  test("phashNearDup: band join only, never all-pairs") {
+    implicit val s = spark
+    val media = (1L to 50L).map(i => (i, s"payload number $i".getBytes("UTF-8"), "image"))
+      .toDF("doc_id", "payload", "media_type")
+    assertNoQuadratic(plan(Multimodal.phashNearDup(media, 3)))
+  }
+
+  test("tokenDrift: totals broadcast back — no vocabulary-sized window, no cartesian") {
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val other = docs.filter($"doc_id" % 2 === 1)
+    val p = plan(TextAnalysis.tokenDrift(half, other, topK = 5))
+    // 1-row totals come back as broadcast CROSS joins (bounded — the
+    // documented scalar-broadcast pattern), so only CartesianProduct is
+    // quadratic here; a `sum over ()` across the vocab would print a
+    // Window node instead
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("hllGrowthCurve: one data-sized aggregation; curve windows run on registers") {
+    val rows = (1 to 300).map(i => (s"d${i % 3}", (i % 97).toLong)).toDF("day", "user_id")
+    val p = plan(Sketches.hllGrowthCurve(rows, "day", "user_id", b = 6))
+    graft.QueryCleanup.drain()
+    // the day×bucket densify grid is a bounded broadcast cross join, so
+    // only CartesianProduct would be quadratic here
+    assert(!p.contains("CartesianProduct"), p)
+    // the raw input feeds exactly ONE scan: the register table is
+    // persisted and its three consumers read the CACHE, not the data
+    // (the cached plan's own lineage still prints a scan, which is why
+    // this counts InMemoryTableScan consumers rather than raw scans)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 3, s"expected >=3 cache reads:\n$p")
+  }
 }
