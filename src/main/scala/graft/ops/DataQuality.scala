@@ -187,6 +187,55 @@ object DataQuality {
       .select("digit", "n_obs", "chi2_term_micro", "chi2_micro")
   }
 
+  /** χ² test of independence between two categorical columns, plus
+    * Cramér's V — the association audit that catches a leaking
+    * quasi-identifier (a "random" shard key correlated with geography,
+    * a label correlated with source) before it skews a split or a
+    * privacy argument. Expected cell counts E = rowTotal·colTotal/n are
+    * exact integer ratios; per-cell χ² terms quantize to micro-units
+    * before the order-free integer total; V = sqrt(χ²/(n·min(r−1,c−1)))
+    * from the micro total, so everything replays externally.
+    *
+    * Scale: one (a,b) cell aggregation (map-side combined, contingency-
+    * sized), marginals as two more aggregations of the CELL table, all
+    * joined back cell-keyed; output is one row. */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"), col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__r"), countDistinct(col("__b")).as("__c"))
+    val scored = cells
+      .join(rowT, Seq("__a")).join(colT, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        (col("__ra") * col("__cb")).cast("double") / col("__n"))
+      .withColumn("__t",
+        round((col("__o") - col("__e")) * (col("__o") - col("__e"))
+          / col("__e") * lit(1e6), 0).cast("long"))
+    // absent cells (o = 0) contribute E·1e6 each: add them in closed
+    // form — Σ_all E = n, and Σ_present E comes from the EXACT integer
+    // sum of ra·cb (decimal) with ONE division, so no FP summation
+    // order can shift the correction
+    scored.agg(
+        sum(col("__t")).as("__tp"),
+        sum((col("__ra") * col("__cb")).cast("decimal(38,0)")).as("__sprod"),
+        max(col("__n")).as("n"), max(col("__r")).as("__r"), max(col("__c")).as("__c"))
+      .withColumn("__ep",
+        round(col("__sprod").cast("double") * lit(1e6) / col("n"), 0).cast("long"))
+      .withColumn("chi2_micro",
+        col("__tp") + (col("n") * lit(1000000L) - col("__ep")))
+      .withColumn("dof", (col("__r") - 1) * (col("__c") - 1))
+      .withColumn("cramers_v",
+        when(col("dof") > 0, round(sqrt(col("chi2_micro").cast("double") / lit(1e6)
+          / (col("n") * least(col("__r") - 1, col("__c") - 1))), 6))
+          .otherwise(lit(null).cast("double")))
+      .select("n", "dof", "chi2_micro", "cramers_v")
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift gate between a training corpus and a
     * fresh crawl (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 retrain).

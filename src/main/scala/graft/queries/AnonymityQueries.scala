@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{KAnonymity, LDiversity, TCloseness}
+import graft.ops.{KAnonymity, LDiversity, SyntheticData, TCloseness}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +31,17 @@ object AnonymityQueries {
     "CASE WHEN o_totalprice <= 50000 THEN 0 WHEN o_totalprice <= 150000 THEN 1 WHEN o_totalprice <= 300000 THEN 2 ELSE 3 END"
 
   val queries: Map[String, Q] = Map(
+    // Synthetic microdata from 1-way marginals: inverse-CDF over the
+    // exact cumulative distributions with portable-hash draws — the
+    // disclosure-control release (columns drawn independently; no
+    // synthetic row maps to a real individual). Every cell replays in
+    // DuckDB via the same cum >= u rule.
+    "q181_synthetic_marginals" -> ((s, dir) => {
+      SyntheticData.fromMarginals(Tables.orders(s, dir),
+          Seq("o_orderstatus", "o_orderpriority"), n = 1000L)
+        .orderBy("sid")
+    }),
+
     // E1 core: k-anonymity suppression (window-count formulation, 1 shuffle).
     "q20_kanon_suppress" -> ((s, dir) => {
       KAnonymity.suppress(Tables.orders(s, dir), qis, K)
@@ -172,6 +183,25 @@ object AnonymityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // min value with cum >= u — cum strictly increasing, so min_by is
+    // exactly the engine's first-matching-CASE arm.
+    "q181_synthetic_marginals" -> {
+      def uSql(c: String) =
+        s"(CAST('0x' || substr(md5('graft-synth|$c|' || CAST(sid AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0"
+      def pick(c: String) =
+        s"""(SELECT sid, min_by(v, cum) AS $c
+             FROM ids JOIN (SELECT v, sum(cn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              / CAST(sum(cn) OVER () AS DOUBLE) AS cum
+                            FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cn
+                                  FROM orders WHERE $c IS NOT NULL GROUP BY 1)) m
+               ON m.cum >= ${uSql(c)}
+             GROUP BY sid)"""
+      s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS sid),
+          s1 AS ${pick("o_orderstatus")},
+          s2 AS ${pick("o_orderpriority")}
+          SELECT CAST(s1.sid AS BIGINT) AS sid, s1.o_orderstatus, s2.o_orderpriority
+          FROM s1 JOIN s2 ON s1.sid = s2.sid ORDER BY sid"""
+    },
     "q20_kanon_suppress" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM (SELECT o_orderkey, o_custkey, o_orderstatus, count(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS gc FROM orders) t WHERE gc >= $K ORDER BY o_orderkey""",
     "q21_kanon_semijoin" ->

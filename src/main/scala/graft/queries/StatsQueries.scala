@@ -289,6 +289,13 @@ object StatsQueries {
         .orderBy("col_name")
     }),
 
+    // Chi-square independence of order status vs priority + Cramér's V:
+    // the association audit for a would-be-independent pair of columns.
+    "q180_chi2_indep" -> ((s, dir) => {
+      DataQuality.chiSquareIndependence(Tables.orders(s, dir),
+        "o_orderstatus", "o_orderpriority")
+    }),
+
     // Exact two-sample KS statistic over the same pre-/post-1998 split
     // q169 bins: D is binning-free, the sharper shape-drift companion.
     "q176_ks_test" -> ((s, dir) => {
@@ -401,6 +408,37 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Expected counts are exact integer ratios; per-cell terms micro-
+    // rounded; the absent-cell correction uses ONE division over the
+    // exact integer Σ ra·cb.
+    "q180_chi2_indep" ->
+      """WITH cells AS (SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+                   CAST(o_orderpriority AS VARCHAR) AS b, count(*) AS o
+                 FROM orders
+                 WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                 GROUP BY 1, 2),
+          rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+          ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+          t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(DISTINCT a) AS BIGINT) AS r,
+                  CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+          s AS (SELECT o, ra, cb, n, r, c,
+                  (ra * cb) / CAST(n AS DOUBLE) AS e
+                FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t),
+          ag AS (SELECT
+                   CAST(sum(CAST(round((o - e) * (o - e) / e * 1e6, 0) AS BIGINT)) AS BIGINT) AS tp,
+                   CAST(sum(ra * cb) AS HUGEINT) AS sprod,
+                   max(n) AS n, max(r) AS r, max(c) AS c
+                 FROM s),
+          fin AS (SELECT tp,
+                    CAST(round(CAST(sprod AS DOUBLE) * 1e6 / n, 0) AS BIGINT) AS ep,
+                    n, r, c FROM ag)
+          SELECT n, (r - 1) * (c - 1) AS dof,
+                 tp + (n * 1000000 - ep) AS chi2_micro,
+                 CASE WHEN (r - 1) * (c - 1) > 0
+                      THEN round(sqrt(CAST(tp + (n * 1000000 - ep) AS DOUBLE) / 1e6
+                        / (n * least(r - 1, c - 1))), 6) END AS cramers_v
+          FROM fin""",
     // CDF gaps are exact integer ratios; D = max over them (order-free).
     "q176_ks_test" ->
       """WITH u AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,

@@ -115,4 +115,28 @@ class DataQualitySpec extends SparkSpec {
     val tiny = DataQuality.benfordAudit(Seq(0.5, 0.01).toDF("v"), "v").count()
     assert(tiny == 0L)
   }
+
+  test("chiSquareIndependence: independent uniform grid scores ~0; determined pair maxes V") {
+    // perfectly independent 2x2 with equal counts: chi2 = 0, V = 0
+    val indep = Seq.tabulate(400)(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val r0 = DataQuality.chiSquareIndependence(indep, "x", "y")
+      .select("n", "dof", "chi2_micro", "cramers_v")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r0 == ((400L, 1L, 0L, 0.0)), r0.toString)
+    // y fully determined by x: V = 1
+    val det = Seq.tabulate(300)(i => (s"a${i % 3}", s"b${i % 3}")).toDF("x", "y")
+    val r1 = DataQuality.chiSquareIndependence(det, "x", "y")
+      .select("dof", "cramers_v").as[(Long, Double)].head()
+    assert(r1._1 == 4L && math.abs(r1._2 - 1.0) < 1e-6, r1.toString)
+    // absent cells contribute their expectation: 2x2 with one empty cell
+    val sparse = (Seq.fill(50)(("a0", "b0")) ++ Seq.fill(50)(("a0", "b1")) ++
+      Seq.fill(50)(("a1", "b0"))).toDF("x", "y")
+    val r2 = DataQuality.chiSquareIndependence(sparse, "x", "y")
+      .select("chi2_micro").as[Long].head()
+    // hand-computed: E = (100*100, 100*50, 50*100, 50*50)/150; chi2 =
+    // (50-66.67)^2/66.67 + 2*(50-33.33)^2/33.33 + (0-16.67)^2/16.67
+    // = 4.1667 + 8.3333 + 8.3333 + 16.6667 = 37.5
+    assert(math.abs(r2 - 37500000L) < 20L, r2.toString)
+  }
 }

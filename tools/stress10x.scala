@@ -118,8 +118,72 @@ val cust10 = cust1.crossJoin(reps)
       lit(498)).cast("double") / 100000.0).as("c_acctbal")).cache()
 cust10.count()
 
+// round-10 additions: bloom semi join (forced into the shuffle regime
+// where the bloom matters), perceptual hashing, entity resolution,
+// token drift, epoch shuffle.
+val li1 = spark.read.parquet(dir + "/lineitem.parquet")
+  .select("l_orderkey", "l_quantity").cache()
+li1.count()
+val li10 = li1.crossJoin(reps)
+  .select((col("l_orderkey") + col("r").cast("long") * 100000000L).as("l_orderkey"),
+    col("l_quantity")).cache()
+li10.count()
+val urg1 = spark.read.parquet(dir + "/orders.parquet")
+  .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey").cache()
+urg1.count()
+val urg10 = urg1.crossJoin(reps)
+  .select((col("o_orderkey") + col("r").cast("long") * 100000000L).as("o_orderkey"))
+  .cache()
+urg10.count()
+
+def runNew(tag: String, d: DataFrame, c: DataFrame,
+           li: DataFrame, urg: DataFrame): Unit = {
+  // broadcast OFF: at 100 TB the URGENT key set out-sizes a broadcast;
+  // this times the shuffle-semi-join regime the bloom is for.
+  spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  time(s"q168_plain_semi_$tag") {
+    li.join(urg.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+  }
+  time(s"q168_bloom_semi_$tag") {
+    graft.ops.Skew.bloomSemiJoin(li, urg, "l_orderkey", "o_orderkey",
+      expectedItems = 2000000L, fpp = 0.01).count()
+  }
+  spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  implicit val sp = spark
+  time(s"q171_phash_$tag") {
+    graft.ops.Multimodal.phashNearDup(
+      graft.ops.Multimodal.asMediaTable(d), maxHamming = 3).count()
+  }
+  time(s"q174_entity_res_$tag") {
+    val a = c.select(col("c_custkey").as("id_a"),
+      col("c_acctbal").as("bal_a"), col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_block"))
+    val b = c.select((col("c_custkey") + 1000000000L).as("id_b"),
+      col("c_acctbal").as("bal_b"), col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_block"))
+    graft.ops.RecordLinkage.resolveEntities(a, b,
+      Seq("c_nationkey", "bal_block"),
+      Seq(graft.ops.RecordLinkage.Field("bal",
+        abs(col("bal_a") - col("bal_b")) < 0.005, m = 0.9, u = 0.001)),
+      "id_a", "id_b", upper = 5.0)
+      .groupBy("entity_id").count().count()
+  }
+  time(s"q179_token_drift_$tag") {
+    graft.ops.TextAnalysis.tokenDrift(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1), topK = 20).count()
+  }
+  time(s"q173_epoch_shuffle_$tag") {
+    graft.ops.Sampling.shuffleOrder(d.select("doc_id"), "doc_id", 1024L).count()
+  }
+  graft.QueryCleanup.drain()
+}
+
 println("=== 1x (sf0.1) ===")
 run("1x", docs1, emb1, cust1)
+runNew("1x", docs1, cust1, li1, urg1)
 println("=== 10x ===")
 run("10x", docs10, emb10, cust10)
+runNew("10x", docs10, cust10, li10, urg10)
 System.exit(0)
