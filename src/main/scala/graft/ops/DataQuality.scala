@@ -127,11 +127,13 @@ object DataQuality {
     * D rounds to 6 dp before the p-value so both replay externally.
     *
     * Scale: one distinct-value aggregation (map-side combined, domain-
-    * sized), one value-ordered cumulative window over the DISTINCT
-    * values — the q165 window pattern, never row-scaled — and a 1-row
-    * max. */
+    * sized), then the cumulative CDFs through the RANK-OFFSET prefix-sum
+    * scheme ([[Ranking.globalPrefixSum]], 1024 equal-width monotone
+    * buckets from a 1-row bounds probe) — a continuous column's distinct
+    * domain is data-sized, so a naive `ORDER BY v` running sum would
+    * funnel it through one task; here the only serial step is the
+    * 1024-row offset table — and a 1-row max. */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val u = a.select(col(valueCol).cast("double").as("__v"))
       .withColumn("__side", lit(0))
       .unionAll(b.select(col(valueCol).cast("double").as("__v"))
@@ -139,15 +141,19 @@ object DataQuality {
     val counts = u.groupBy(col("__v"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
-    val wCum = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    val gaps = counts
-      .withColumn("__na", sum(col("__ca")).over(wAll))
-      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    val tot = counts.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val bounds = counts.agg(min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
+    val withB = counts.crossJoin(broadcast(bounds))
+    val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+    val bucket = when(bWidth > 0,
+      least(floor((col("__v") - col("__bmn")) / bWidth), lit(1023L)))
+      .otherwise(lit(0L))
+    val cum = Ranking.globalPrefixSum(
+      Ranking.globalPrefixSum(withB, Seq("__v"), bucket, "__ca", "__cca"),
+      Seq("__v"), bucket, "__cb", "__ccb")
+    val gaps = cum.crossJoin(broadcast(tot))
       .withColumn("__gap",
-        abs(sum(col("__ca")).over(wCum) / col("__na")
-          - sum(col("__cb")).over(wCum) / col("__nb")))
+        abs(col("__cca") / col("__na") - col("__ccb") / col("__nb")))
     gaps.agg(round(max(col("__gap")), 6).as("d_stat"),
         max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
       .withColumn("p_value",

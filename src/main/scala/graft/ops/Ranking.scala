@@ -29,6 +29,33 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Append `outCol` = the INCLUSIVE global prefix sum of `valueCol` in
+    * `orderCols` order — the distributed running total behind exact
+    * CDFs (ksTest) and cumulative ledgers. Same contract as
+    * [[globalRowNumber]]: `bucketExpr` must be a monotone coarse prefix
+    * of the order and `orderCols` a total order. Shape: one bucket-
+    * keyed exchange for the in-bucket running sums, a bucket-count-
+    * sized offset table (the only serial step), broadcast back. */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[String],
+                      bucketExpr: Column, valueCol: String,
+                      outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val base = df.filter(col(orderCols.head).isNotNull)
+      .withColumn("__psb", bucketExpr)
+    val runW = Window.partitionBy(col("__psb"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offW = Window.orderBy(col("__psb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__psb")).agg(sum(col(valueCol)).as("__psn"))
+      .withColumn("__pso", coalesce(sum(col("__psn")).over(offW), lit(0L)))
+      .drop("__psn")
+    base.withColumn("__psr", sum(col(valueCol)).over(runW))
+      .join(broadcast(offsets), Seq("__psb"))
+      .withColumn(outCol, col("__psr") + col("__pso"))
+      .drop("__psb", "__psr", "__pso")
+  }
+
   /** Append `outCol` = the 1-based global row number of each row in
     * `orderCols` order. Rows with a NULL first order key are excluded
     * (their global position is undefined). */

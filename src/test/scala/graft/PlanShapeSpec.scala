@@ -253,4 +253,22 @@ class PlanShapeSpec extends SparkSpec {
     val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
     assert(cacheReads >= 3, s"expected >=3 cache reads:\n$p")
   }
+
+  test("ksTest: CDF cumsum runs bucket-partitioned — no data-sized global window") {
+    val a = (1 to 400).map(i => (i * 37 % 997).toDouble).toDF("v")
+    val b = (1 to 400).map(i => (i * 53 % 991).toDouble).toDF("v")
+    val p = plan(DataQuality.ksTest(a, b, "v"))
+    assert(!p.contains("CartesianProduct"), p)
+    // a data-sized global cumsum would print a window spec ordered on
+    // __v with NO partition column ("windowspecdefinition(__v ..."); in
+    // the rank-offset shape every __v-ordered window is partitioned by
+    // the bucket (__psb leads the spec) and the only unpartitioned
+    // windows run over the 1024-row offset tables (ordered on __psb)
+    assert(!p.contains("windowspecdefinition(__v"), p)
+    assert(p.contains("windowspecdefinition(__psb"), p)
+    // the SinglePartition exchanges are all metadata-scale: 1-row
+    // bounds/totals/final aggregates and the two offset prefix sums
+    val singleParts = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singleParts <= 8, s"$singleParts single-partition exchanges:\n$p")
+  }
 }

@@ -30,4 +30,20 @@ class RankingSpec extends SparkSpec {
       Ranking.globalRowNumber(df, Nil, lit(0), "rnk")
     }
   }
+
+  test("globalPrefixSum equals the single-window running total") {
+    // v = i*37 mod 997 over i=1..500 is injective (37 coprime to 997)
+    val df = (1 to 500).map(i => ((i * 37 % 997).toDouble, (i % 7 + 1).toLong))
+      .toDF("v", "c")
+    val got = Ranking.globalPrefixSum(df.repartition(7), Seq("v"),
+        floor(col("v") / 100), "c", "cum")
+      .select("v", "cum").as[(Double, Long)].collect().toMap
+    val rows = df.as[(Double, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    rows.foreach { case (v, cnt) =>
+      acc += cnt
+      assert(got(v) == acc, s"$v: ${got(v)} vs $acc")
+    }
+    assert(got.size == 500)
+  }
 }
