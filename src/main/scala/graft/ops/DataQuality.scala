@@ -161,6 +161,59 @@ object DataQuality {
           * (col("n_a") * col("n_b") / (col("n_a") + col("n_b"))))), 6))
   }
 
+  /** Exact Mann-Whitney U (Wilcoxon rank-sum) between two snapshots of
+    * a numeric column — the LOCATION-shift companion to [[ksTest]]'s
+    * shape statistic: U/z answer "did the distribution move up or
+    * down", with exact midranks for ties and the standard tie-corrected
+    * normal approximation z = (U − nAnB/2) / σ,
+    * σ² = nAnB/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Determinism: doubled ranks keep everything INTEGER — midrank(v) =
+    * cumBefore + (t+1)/2, so 2·R_B = Σ cb·(2·cumBefore + t + 1) is an
+    * exact decimal(38) sum (order-free); U, the mean, and σ derive from
+    * those integers through fixed-shape double expressions, rounded to
+    * 6 dp. The cumulative pass is [[Ranking.globalPrefixSum]], same as
+    * ksTest — no data-sized global window.
+    *
+    * Output: one row (n_a, n_b, u_b — B's U statistic — and z; z > 0
+    * means B ranks higher). */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val u = a.select(col(valueCol).cast("double").as("__v"))
+      .withColumn("__side", lit(0))
+      .unionAll(b.select(col(valueCol).cast("double").as("__v"))
+        .withColumn("__side", lit(1)))
+    val counts = u.groupBy(col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val bounds = counts.agg(min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
+    val withB = counts.crossJoin(broadcast(bounds))
+    val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+    val bucket = when(bWidth > 0,
+      least(floor((col("__v") - col("__bmn")) / bWidth), lit(1023L)))
+      .otherwise(lit(0L))
+    val cum = Ranking.globalPrefixSum(withB, Seq("__v"), bucket, "__t", "__cumt")
+      .withColumn("__before", col("__cumt") - col("__t"))
+    val agg = cum.agg(
+      sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"),
+      // 2·R_B and the tie term, both exact wide-integer sums
+      sum((col("__cb") * (col("__before") * 2 + col("__t") + 1))
+        .cast("decimal(38,0)")).as("__r2b"),
+      sum((col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast("decimal(38,0)")).as("__ties"))
+    val n = col("n_a") + col("n_b")
+    val u2b = col("__r2b").cast("double") - col("n_b").cast("double") * (col("n_b") + 1)
+    val uB = u2b / 2
+    val mean = col("n_a").cast("double") * col("n_b") / 2
+    val variance = col("n_a").cast("double") * col("n_b") / 12 *
+      ((n + 1).cast("double") - col("__ties").cast("double") / (n.cast("double") * (n - 1)))
+    agg.select(col("n_a"), col("n_b"),
+      round(uB, 6).as("u_b"),
+      when(variance > 0, round((uB - mean) / sqrt(variance), 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Benford first-significant-digit audit of a positive numeric
     * column: observed counts per leading digit vs the Benford
     * expectation p_d = log10(1 + 1/d), with the χ² distance. The

@@ -86,7 +86,8 @@ object RecordLinkage {
     val links = scoreBlocked(a, b, blockCols, fields)
       .filter(col("fs_score") >= upper)
       .select(col(idA), col(idB))
-    val labels = Dedup.dedupClustersStar(links, idA, idB)
+    val (labels, release) = Dedup.dedupClustersStarReleasable(links, idA, idB)
+    graft.QueryCleanup.register(release)
     val ids = a.select(col(idA).as("id"))
       .unionByName(b.select(col(idB).as("id")))
       .distinct()

@@ -314,6 +314,17 @@ object StatsQueries {
         .orderBy("digit")
     }),
 
+    // Mann-Whitney rank-sum over the same split: the location-shift
+    // companion to q176's shape statistic (did prices move up?).
+    "q182_mann_whitney" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cut = lit("1998-01-01").cast("date")
+      DataQuality.mannWhitneyU(
+        o.filter(col("o_orderdate").cast("date") < cut),
+        o.filter(col("o_orderdate").cast("date") >= cut),
+        "o_totalprice")
+    }),
+
     // PSI drift between the pre-/post-1998 order snapshots over
     // o_totalprice (10 equal-width bins on the global range): the
     // retrain gate a drifting corpus trips. Micro-unit terms replay in
@@ -408,6 +419,36 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Doubled midranks keep 2*R_B integer (HUGEINT-exact); U, mean and
+    // the tie-corrected sigma are fixed-shape double expressions.
+    "q182_mann_whitney" ->
+      """WITH u AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01' THEN 0 ELSE 1 END AS side
+               FROM orders),
+          c AS (SELECT v,
+                  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM u GROUP BY v),
+          g AS (SELECT v, ca, cb, ca + cb AS t,
+                  CAST(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (ca + cb) AS BIGINT) AS bef
+                FROM c),
+          a AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+                  CAST(sum(cb * (bef * 2 + t + 1)) AS HUGEINT) AS r2b,
+                  CAST(sum(t * t * t - t) AS HUGEINT) AS ties
+                FROM g)
+          SELECT na AS n_a, nb AS n_b,
+                 round((CAST(r2b AS DOUBLE) - CAST(nb AS DOUBLE) * (nb + 1)) / 2, 6) AS u_b,
+                 CASE WHEN ((CAST(na AS DOUBLE) * nb) / 12)
+                        * (CAST(na + nb + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (na + nb - 1))) > 0
+                      THEN round(((CAST(r2b AS DOUBLE) - CAST(nb AS DOUBLE) * (nb + 1)) / 2
+                        - (CAST(na AS DOUBLE) * nb) / 2)
+                        / sqrt(((CAST(na AS DOUBLE) * nb) / 12)
+                          * (CAST(na + nb + 1 AS DOUBLE)
+                             - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 6)
+                 END AS z
+          FROM a""",
     // Expected counts are exact integer ratios; per-cell terms micro-
     // rounded; the absent-cell correction uses ONE division over the
     // exact integer Σ ra·cb.

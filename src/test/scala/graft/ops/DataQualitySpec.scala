@@ -139,4 +139,22 @@ class DataQualitySpec extends SparkSpec {
     // = 4.1667 + 8.3333 + 8.3333 + 16.6667 = 37.5
     assert(math.abs(r2 - 37500000L) < 20L, r2.toString)
   }
+
+  test("mannWhitneyU: hand-computed midranks with ties; identity z=0; shift sign") {
+    // A=[1,2], B=[2,3]: midranks 1, 2.5, 4; R_B=6.5, U_B=3.5, mean=2,
+    // var=(4/12)*(5 - 6/12)=1.5, z=1.5/sqrt(1.5)
+    val r = DataQuality.mannWhitneyU(
+      Seq(1.0, 2.0).toDF("v"), Seq(2.0, 3.0).toDF("v"), "v")
+      .select("n_a", "n_b", "u_b", "z").as[(Long, Long, Double, Double)].head()
+    assert(r._1 == 2L && r._2 == 2L && r._3 == 3.5, r.toString)
+    assert(math.abs(r._4 - 1.224745) < 1e-6, r.toString)
+    // identical samples: U = mean, z = 0
+    val a = (1 to 60).map(i => (i % 9).toDouble).toDF("v")
+    val same = DataQuality.mannWhitneyU(a, a, "v").select("z").as[Double].head()
+    assert(same == 0.0, same.toString)
+    // B shifted far above A: z strongly positive (B ranks higher)
+    val hi = (1 to 60).map(i => (i % 9 + 100).toDouble).toDF("v")
+    val up = DataQuality.mannWhitneyU(a, hi, "v").select("z").as[Double].head()
+    assert(up > 5.0, up.toString)
+  }
 }
