@@ -333,6 +333,16 @@ object DataQuality {
       .groupBy(col("bin"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("count_a"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("count_b"))
+    psiTermsFromCounts(counts, nBins)
+  }
+
+  /** Smoothed micro-unit PSI terms over an already-binned
+    * (bin, count_a, count_b) table — the arithmetic core shared by the
+    * numeric [[psiDrift]] and [[Similarity.embeddingDrift]]'s cell
+    * occupancy. Same determinism contract as psiDrift; the windows run
+    * over the ≤ nBins-row counts table. */
+  private[ops] def psiTermsFromCounts(counts: DataFrame, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // micro-nat ln of an integer-valued column
     def mn(c: Column): Column = round(log(c.cast("double")) * lit(1e6), 0).cast("long")
     val wAll = Window.partitionBy()

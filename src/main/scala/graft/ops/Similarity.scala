@@ -553,6 +553,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-space drift between two vector snapshots: PSI over the
+    * occupancy of a SHARED data-independent quantizer — the monitor
+    * that catches a topic/domain shift between two crawls before it
+    * skews a training mix, where a numeric-column PSI sees nothing.
+    * The quantizer is one table of [[hyperplanes]] sign cells (2^nPlanes
+    * cells; deterministic, derived from the tag — both snapshots and
+    * the SQL oracle regenerate the identical planes, and no training
+    * step could leak one snapshot's structure into the other's cells).
+    * Cell occupancy counts then run through the same smoothed
+    * micro-unit PSI arithmetic as [[DataQuality.psiDrift]].
+    *
+    * Output: one row per occupied cell (bin, count_a, count_b,
+    * term_micro) + the `psi_micro` total. Scale: one codegen'd cell
+    * projection per side (no joins touch vectors), a cell-keyed count,
+    * and windows over the ≤ 2^nPlanes-row counts table. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String, dim: Int,
+                     nPlanes: Int = 6,
+                     tag: String = "graft-drift"): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 16, s"nPlanes=$nPlanes out of [1,16]")
+    GraftFunctions.ensureRegistered(a.sparkSession)
+    val planes = hyperplanes(tag, 1, nPlanes, dim).head
+    val u = a.select(col(vecCol).as("__v")).withColumn("__side", lit(0))
+      .unionAll(b.select(col(vecCol).as("__v")).withColumn("__side", lit(1)))
+    val cell = (0 until nPlanes).map { p =>
+      when(cosine(col("__v"), typedLit(planes(p).toSeq)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val counts = u.select(cell.as("bin"), col("__side"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("count_a"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("count_b"))
+    DataQuality.psiTermsFromCounts(counts, 1 << nPlanes)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): group embeddings into cells (a precomputed
     * clustering label — [[trainIvf]]'s assignments, an LSH cell, or any

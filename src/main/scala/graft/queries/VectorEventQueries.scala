@@ -376,6 +376,19 @@ object VectorEventQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // Embedding-space drift between the label<5 and label>=5 vector
+    // snapshots: PSI over shared hyperplane sign-cell occupancy — the
+    // topic/domain-shift monitor a numeric PSI cannot see. Planes are
+    // deterministic (tag-derived), so both snapshots and the oracle
+    // share one quantizer.
+    "q183_embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.embeddingDrift(
+        e.filter(col("label") < 5), e.filter(col("label") >= 5),
+        "embedding", dim = 64, nPlanes = 6)
+        .orderBy("bin")
+    }),
+
     // Per-type OLS of value on hour-of-day: the closed form over exact
     // decimal sums (micro-unit y), one aggregation, no ML iteration.
     "q178_group_ols" -> ((s, dir) => {
@@ -705,6 +718,41 @@ object VectorEventQueries {
           SELECT event_type, bucket, dp_count FROM r
           WHERE dp_count >= 14.122363
           ORDER BY event_type, bucket""",
+    // Shared deterministic planes (q65's construction, 1 table x 6
+    // planes); cells via the 6dp-rounded cosine sign; then q169's
+    // smoothed micro-unit PSI arithmetic with nBins = 64.
+    "q183_embedding_drift" ->
+      s"""WITH pl AS (SELECT b.range AS b,
+                   list(CAST('0x' || substr(md5('graft-drift|0|' || b.range || '|' || j.range), 1, 15) AS BIGINT)
+                        / 576460752303423488.0 - 1.0 ORDER BY j.range) AS w
+                 FROM range(6) b, range(64) j GROUP BY b.range),
+          u AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  CASE WHEN label < 5 THEN 0 ELSE 1 END AS side
+                FROM embeddings),
+          cl AS (SELECT u.vec_id, u.side,
+                   CAST(sum(CASE WHEN round(list_cosine_similarity(u.v, pl.w), 6) >= 0
+                                 THEN CAST(1 AS BIGINT) << pl.b ELSE 0 END) AS BIGINT) AS bin
+                 FROM u CROSS JOIN pl GROUP BY u.vec_id, u.side),
+          c AS (SELECT bin,
+                  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+                  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS count_b
+                FROM cl GROUP BY bin),
+          t AS (SELECT bin, count_a, count_b,
+                  CAST(sum(count_a) OVER () AS BIGINT) AS na,
+                  CAST(sum(count_b) OVER () AS BIGINT) AS nb
+                FROM c),
+          m AS (SELECT bin, count_a, count_b,
+                  (CAST(round(ln(CAST(count_a * 2 + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                 - CAST(round(ln(CAST(count_b * 2 + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                 - CAST(round(ln(CAST(na * 2 + 64 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                 + CAST(round(ln(CAST(nb * 2 + 64 AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS lnr,
+                  CAST(count_a * 2 + 1 AS DOUBLE) / CAST(na * 2 + 64 AS DOUBLE) AS pa,
+                  CAST(count_b * 2 + 1 AS DOUBLE) / CAST(nb * 2 + 64 AS DOUBLE) AS pb
+                FROM t)
+          SELECT bin, count_a, count_b,
+                 CAST(round((pa - pb) * CAST(lnr AS DOUBLE), 0) AS BIGINT) AS term_micro,
+                 CAST(sum(CAST(round((pa - pb) * CAST(lnr AS DOUBLE), 0) AS BIGINT)) OVER () AS BIGINT) AS psi_micro
+          FROM m ORDER BY bin""",
     // Exact wide-integer sums (HUGEINT here, decimal(38) engine-side);
     // the only FP steps are the final casts and divisions, shape-matched.
     "q178_group_ols" ->

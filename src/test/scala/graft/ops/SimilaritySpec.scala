@@ -456,4 +456,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got((0, 2)) == 1.0)  // same direction, different norm
     assert(got((1, 2)) == 0.0)
   }
+
+  test("embeddingDrift: identical snapshots zero; opposite clusters large") {
+    val dim = 8
+    def vec(seed: Int, flip: Boolean): Seq[Float] =
+      (0 until dim).map(j => (((seed * 31 + j * 7) % 13) - 6).toFloat *
+        (if (flip) -1f else 1f))
+    val a = (1 to 80).map(i => Tuple1(vec(i, flip = false))).toDF("embedding")
+    val same = Similarity.embeddingDrift(a, a, "embedding", dim, nPlanes = 4)
+      .select("term_micro", "psi_micro").as[(Long, Long)].collect()
+    assert(same.forall(t => t._1 == 0L && t._2 == 0L), same.mkString(","))
+    // negated vectors flip every hyperplane sign: occupancy is mirrored,
+    // so almost every cell is one-sided and PSI is large
+    val b = (1 to 80).map(i => Tuple1(vec(i, flip = true))).toDF("embedding")
+    val drift = Similarity.embeddingDrift(a, b, "embedding", dim, nPlanes = 4)
+      .select("psi_micro").as[Long].head()
+    assert(drift > 1000000L, drift.toString)
+  }
 }
