@@ -80,9 +80,28 @@ def rewrite(doc, vals):
     return n
 
 
+def check(doc, vals):
+    """Return a list of (doc, key, found, expected) mismatches without
+    rewriting anything."""
+    path = os.path.join(REPO, doc)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        text = f.read()
+    bad = []
+    for key, val in vals.items():
+        for m in re.finditer(rf"<!--{key}-->(.*?)<!--/{key}-->", text, re.S):
+            if m.group(1) != val:
+                bad.append((doc, key, m.group(1), val))
+    return bad
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--verify-out", help="local Verify dump dir (oracle_sql.json)")
+    ap.add_argument("--assert", dest="assert_mode", action="store_true",
+                    help="fail (exit 2) if any doc marker differs from the "
+                         "newest CORRECTNESS artifact instead of rewriting")
     args = ap.parse_args()
     vals = counts()
     if args.verify_out:
@@ -91,6 +110,15 @@ def main():
         print("no CORRECTNESS_r*.json found and no --verify-out; nothing to do",
               file=sys.stderr)
         return 1
+    if args.assert_mode:
+        mismatches = [m for doc in DOCS for m in check(doc, vals)]
+        if mismatches:
+            for doc, key, found, want in mismatches:
+                print(f"STALE: {doc} marker {key} reads {found!r}, "
+                      f"newest artifact says {want!r}", file=sys.stderr)
+            return 2
+        print(f"assert ok: all markers match {newest_correctness()}")
+        return 0
     total = 0
     for doc in DOCS:
         k = rewrite(doc, vals)
