@@ -222,6 +222,77 @@ object SelfChecks {
           s"${inProc.size}, row-identical ${stored == inProc}")
     }),
 
+    // Incremental-encode contract: after the query ran (day-0 evens +
+    // ingested odds), the STORED code table must be ROW-IDENTICAL to a
+    // full re-encode of the whole corpus against the same stored
+    // artifacts, the search over either table identical, and replaying
+    // the ingest a version bump with zero row changes.
+    "q184_ivfpq_incremental" -> ((s, dir) => {
+      val out = SparkEntry.queries("q184_ivfpq_incremental")(s, dir)
+        .collect().toSeq
+      val e = Tables.embeddings(s, dir)
+      val idxDir = s"/tmp/graft_ivfpq_incr_${dir.hashCode.toHexString}"
+      val (codes, cents, pq) = Similarity.loadIvfPqIndex(s, idxDir)
+      val full = Similarity.encodeWithStoredIndex(e, "vec_id", "embedding",
+          cents, pq)
+        .select(codes.columns.map(col).toSeq: _*)
+      val extra = codes.exceptAll(full).count()
+      val missing = full.exceptAll(codes).count()
+      val viaFull = Similarity.knnIvfPqRefined(full, e,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", cents, pq,
+          5, nprobe = 4, shortlist = 40)
+        .orderBy("qid", "rank").collect().toSeq
+      val v = Similarity.encodeIntoIvfPqIndex(s, idxDir,
+        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+        "vec_id", "embedding", meta = "replay")
+      val replayDiff = graft.sources.SnapshotStore
+        .readVersion(s, s"$idxDir/codes", v).exceptAll(codes).count()
+      Result(out.nonEmpty && extra == 0 && missing == 0 &&
+          out == viaFull && replayDiff == 0,
+        s"codes vs full re-encode: extra $extra==0 missing $missing==0; " +
+          s"search row-identical ${out == viaFull}; replay v$v diff " +
+          s"$replayDiff==0 rows")
+    }),
+
+    // Drift monitor: the per-cell occupancy PSI must cross the 0.25
+    // retrain gate after the drifted crawl, while search recall over the
+    // grown index holds the q160 band — staleness gets FLAGGED, not
+    // silently suffered, and flagging is not a false alarm about
+    // correctness.
+    "q185_ivfpq_drift" -> ((s, dir) => {
+      val out = SparkEntry.queries("q185_ivfpq_drift")(s, dir)
+      val psi = out.select("psi_micro").head().getLong(0)
+      val e = Tables.embeddings(s, dir)
+      val idxDir = s"/tmp/graft_ivfpq_drift_${dir.hashCode.toHexString}"
+      val (codes, cents, pq) = Similarity.loadIvfPqIndex(s, idxDir)
+      val dayZero = graft.sources.SnapshotStore
+        .readVersion(s, s"$idxDir/codes", 1L)
+      val grown = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(
+          graft.queries.VectorEventQueries.driftedBatch(e, dayZero))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val got = Similarity.knnIvfPqRefined(codes, grown, grown.filter(col("vec_id") < 8),
+        "vec_id", "embedding", cents, pq, 5, nprobe = 4, shortlist = 40)
+      val d2 = round(aggregate(zip_with(col("__qv").cast("array<double>"),
+          col("__cv").cast("array<double>"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 9)
+      val trueD = grown.select(col("vec_id"), col("embedding").as("__cv"))
+        .join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), d2.as("__d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("__d2"), col("vec_id"))
+      val exact = trueD.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).select("qid", "vec_id")
+      val denom = exact.count().toDouble
+      val hits = exact.intersect(got.select("qid", "vec_id")).count().toDouble
+      val recall = if (denom == 0) 0.0 else hits / denom
+      Result(psi > 250000L && denom > 0 && recall >= 0.3,
+        f"drifted-ingest PSI $psi > 250000 (0.25 retrain gate); " +
+          f"recall@5 over grown index $recall%.3f >= 0.3")
+    }),
+
     // The 7-stage pipeline can only shrink the corpus: each filter /
     // dedup stage's surviving count is monotone non-increasing, and the
     // emitted corpus matches the final stage.

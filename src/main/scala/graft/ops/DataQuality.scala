@@ -134,10 +134,14 @@ object DataQuality {
     * funnel it through one task; here the only serial step is the
     * 1024-row offset table — and a 1-row max. */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    // NULL values never enter the prefix-sum (globalPrefixSum drops null
+    // order keys), so they must not inflate the totals either — filter
+    // them out of the union so both CDFs cover the same row set.
     val u = a.select(col(valueCol).cast("double").as("__v"))
       .withColumn("__side", lit(0))
       .unionAll(b.select(col(valueCol).cast("double").as("__v"))
         .withColumn("__side", lit(1)))
+      .filter(col("__v").isNotNull)
     val counts = u.groupBy(col("__v"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
@@ -158,7 +162,7 @@ object DataQuality {
         max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"))
       .withColumn("p_value",
         round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("d_stat") * col("d_stat")
-          * (col("n_a") * col("n_b") / (col("n_a") + col("n_b"))))), 6))
+          * (col("n_a").cast("double") * col("n_b") / (col("n_a") + col("n_b"))))), 6))
   }
 
   /** Exact Mann-Whitney U (Wilcoxon rank-sum) between two snapshots of
@@ -178,10 +182,13 @@ object DataQuality {
     * Output: one row (n_a, n_b, u_b — B's U statistic — and z; z > 0
     * means B ranks higher). */
   def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    // same NULL contract as ksTest: null values can't be ranked, so
+    // they must not count toward n_a/n_b either
     val u = a.select(col(valueCol).cast("double").as("__v"))
       .withColumn("__side", lit(0))
       .unionAll(b.select(col(valueCol).cast("double").as("__v"))
         .withColumn("__side", lit(1)))
+      .filter(col("__v").isNotNull)
     val counts = u.groupBy(col("__v"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
@@ -197,11 +204,14 @@ object DataQuality {
     val agg = cum.agg(
       sum(col("__ca")).as("n_a"),
       sum(col("__cb")).as("n_b"),
-      // 2·R_B and the tie term, both exact wide-integer sums
-      sum((col("__cb") * (col("__before") * 2 + col("__t") + 1))
-        .cast("decimal(38,0)")).as("__r2b"),
-      sum((col("__t") * col("__t") * col("__t") - col("__t"))
-        .cast("decimal(38,0)")).as("__ties"))
+      // 2·R_B and the tie term: operands widen to decimal(38) BEFORE
+      // the multiply — at 1e12 rows cb·(2·before+t+1) is ~1e24 and t³
+      // ~1e36, both far past a 64-bit product (which would wrap
+      // silently under non-ANSI); matches the oracle's HUGEINT.
+      sum(col("__cb").cast("decimal(38,0)")
+        * (col("__before") * 2 + col("__t") + 1)).as("__r2b"),
+      sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")).as("__ties"))
     val n = col("n_a") + col("n_b")
     val u2b = col("__r2b").cast("double") - col("n_b").cast("double") * (col("n_b") + 1)
     val uB = u2b / 2
@@ -226,11 +236,18 @@ object DataQuality {
     * the order-free integer total (the q137/q169 idiom). */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val digits = df
+    val observed = df
       .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
       .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    // densify to the FIXED 1..9 domain: a digit with zero observed
+    // count still contributes its full expected mass E_d = p_d·n to
+    // chi-square — exactly the term that indicts the degenerate /
+    // fabricated distributions this audit targets
+    val digits = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+      .join(broadcast(observed), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val wAll = Window.partitionBy()
     val expectedFrac: Map[Int, Double] =
       (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
@@ -240,8 +257,10 @@ object DataQuality {
       .withColumn("__n", sum(col("n_obs")).over(wAll))
       .withColumn("__exp", pd * col("__n"))
       .withColumn("chi2_term_micro",
-        round((col("n_obs") - col("__exp")) * (col("n_obs") - col("__exp"))
-          / col("__exp") * lit(1e6), 0).cast("long"))
+        when(col("__n") > 0,
+          round((col("n_obs") - col("__exp")) * (col("n_obs") - col("__exp"))
+            / col("__exp") * lit(1e6), 0).cast("long"))
+          .otherwise(lit(0L)))
       .withColumn("chi2_micro", sum(col("chi2_term_micro")).over(wAll))
       .select("digit", "n_obs", "chi2_term_micro", "chi2_micro")
   }
@@ -271,7 +290,10 @@ object DataQuality {
       .join(rowT, Seq("__a")).join(colT, Seq("__b"))
       .crossJoin(broadcast(tot))
       .withColumn("__e",
-        (col("__ra") * col("__cb")).cast("double") / col("__n"))
+        // widen BEFORE multiplying — ra·cb at 1e12-row marginals is
+        // ~1e24, past any 64-bit product (non-ANSI wrap otherwise)
+        (col("__ra").cast("decimal(38,0)") * col("__cb")).cast("double")
+          / col("__n"))
       .withColumn("__t",
         round((col("__o") - col("__e")) * (col("__o") - col("__e"))
           / col("__e") * lit(1e6), 0).cast("long"))
@@ -281,7 +303,7 @@ object DataQuality {
     // order can shift the correction
     scored.agg(
         sum(col("__t")).as("__tp"),
-        sum((col("__ra") * col("__cb")).cast("decimal(38,0)")).as("__sprod"),
+        sum(col("__ra").cast("decimal(38,0)") * col("__cb")).as("__sprod"),
         max(col("__n")).as("n"), max(col("__r")).as("__r"), max(col("__c")).as("__c"))
       .withColumn("__ep",
         round(col("__sprod").cast("double") * lit(1e6) / col("n"), 0).cast("long"))

@@ -76,4 +76,36 @@ object Ranking {
       .withColumn(outCol, col("__rkr") + col("__rko"))
       .drop("__rkb", "__rkr", "__rko")
   }
+
+  /** Per-GROUP [[globalRowNumber]]: `outCol` = the 1-based row number
+    * within each `groupCols` group in `orderCols` order, without
+    * funneling a hot group through one task. Ranks come from windows
+    * over (group, bucket); per-(group, bucket) counts prefix-sum into
+    * starting offsets via a window over the TINY counts table
+    * (partitioned by group, ordered by bucket) and join back. Same
+    * monotone-bucket / total-order contract as globalRowNumber, scoped
+    * per group; `bucketExpr = lit(0)` degrades to one window per group
+    * (fine when groups are small, the n² surface elsewhere is the
+    * bottleneck, or the caller has no monotone prefix). */
+  def groupRowNumber(df: DataFrame, groupCols: Seq[String],
+                     orderCols: Seq[String], bucketExpr: Column,
+                     outCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val gc = groupCols.map(col)
+    val base = df.filter(col(orderCols.head).isNotNull)
+      .withColumn("__rkb", bucketExpr)
+    val rankW = Window.partitionBy(gc :+ col("__rkb"): _*)
+      .orderBy(orderCols.map(col): _*)
+    val offW = Window.partitionBy(gc: _*).orderBy(col("__rkb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(gc :+ col("__rkb"): _*)
+      .agg(count(lit(1)).as("__rkn"))
+      .withColumn("__rko", coalesce(sum(col("__rkn")).over(offW), lit(0L)))
+      .drop("__rkn")
+    base.withColumn("__rkr", row_number().over(rankW))
+      .join(broadcast(offsets), groupCols :+ "__rkb")
+      .withColumn(outCol, col("__rkr") + col("__rko"))
+      .drop("__rkb", "__rkr", "__rko")
+  }
 }

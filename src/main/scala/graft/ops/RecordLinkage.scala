@@ -52,10 +52,84 @@ object RecordLinkage {
                    fields: Seq[Field]): DataFrame = {
     require(blockCols.nonEmpty, "blocked linkage needs at least one block column")
     require(fields.nonEmpty, "need at least one comparison field")
-    val score = fields.map(f =>
+    a.join(b, blockCols).withColumn("fs_score", round(scoreExpr(fields), 6))
+  }
+
+  /** The composite log-likelihood-ratio expression over a joined pair
+    * row — shared by the full-product and capped scoring paths. */
+  private def scoreExpr(fields: Seq[Field]): Column = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    fields.map(f =>
         when(f.agree, lit(f.agreeWeight)).otherwise(lit(f.disagreeWeight)))
       .reduce(_ + _)
-    a.join(b, blockCols).withColumn("fs_score", round(score, 6))
+  }
+
+  /** [[scoreBlocked]] with a HOT-BLOCK cap — the guard that keeps one
+    * skewed block from owning the job at 100 TB. The FS candidate
+    * surface is Σ_blocks |A_b|·|B_b| and nothing in plain blocking
+    * bounds a hot block (a dense city, a default birthdate): at 10×
+    * data each block densifies 10× and its product grows 100×. Here
+    * blocks whose full product exceeds `maxBlockPairs` switch to
+    * SORTED-NEIGHBORHOOD comparison within the block (q142's
+    * rank-offset machinery, [[Ranking.groupRowNumber]]): both sides
+    * union into one block-scoped order over their sort keys and only
+    * pairs within `w` positions compare — O((|A_b|+|B_b|)·w) per hot
+    * block instead of |A_b|·|B_b|. Cold blocks keep the exact full
+    * product, so below the cap the output is IDENTICAL to
+    * [[scoreBlocked]].
+    *
+    * The sorted-neighborhood tradeoff is explicit: a true match whose
+    * sort keys land more than `w` apart inside a hot block is missed —
+    * pick sort keys that collate matches adjacently (the name the
+    * fields compare by, a normalized address), exactly as q142 does.
+    * `snBucket` optionally parallelizes the in-block ranking (a
+    * monotone prefix of the sort key); the default single bucket per
+    * block is fine while hot blocks sort in one task's memory.
+    *
+    * Output schema matches [[scoreBlocked]] (blockCols, a-payload,
+    * b-payload, fs_score). `idA`/`idB` must be unique row keys. */
+  def scoreBlockedCapped(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                         fields: Seq[Field], idA: String, idB: String,
+                         sortKeyA: String, sortKeyB: String,
+                         maxBlockPairs: Long, w: Int = 10,
+                         snBucket: Column = lit(0)): DataFrame = {
+    require(maxBlockPairs >= 1, s"maxBlockPairs=$maxBlockPairs must be >= 1")
+    require(w >= 1, s"window of $w neighbors is empty")
+    val bc = blockCols.map(col)
+    // per-block side counts; only blocks present on BOTH sides matter
+    val hot = a.groupBy(bc: _*).agg(count(lit(1)).as("__na"))
+      .join(b.groupBy(bc: _*).agg(count(lit(1)).as("__nb")), blockCols)
+      .filter(col("__na").cast("decimal(38,0)") * col("__nb") > maxBlockPairs)
+      .select(bc: _*)
+    // cold path: the exact full product, hot blocks excluded
+    val cold = scoreBlocked(a.join(broadcast(hot), blockCols, "left_anti"),
+      b.join(broadcast(hot), blockCols, "left_anti"), blockCols, fields)
+    // hot path: block-scoped sorted neighborhood over the union of sides
+    val slim = a.join(broadcast(hot), blockCols, "left_semi")
+      .select(bc ++ Seq(col(sortKeyA).cast("string").as("__sk"),
+        col(idA).as("__rid"), lit(0).as("__side")): _*)
+      .unionByName(b.join(broadcast(hot), blockCols, "left_semi")
+        .select(bc ++ Seq(col(sortKeyB).cast("string").as("__sk"),
+          col(idB).as("__rid"), lit(1).as("__side")): _*))
+    val ranked = Ranking.groupRowNumber(slim, blockCols,
+      Seq("__sk", "__side", "__rid"), snBucket, "__g")
+    val succ = ranked.select(bc ++ Seq(col("__side").as("__side_l"),
+        col("__rid").as("__rid_l"),
+        explode(sequence(col("__g") + 1, col("__g") + w)).as("__g")): _*)
+    val pairs = succ.join(ranked, blockCols :+ "__g")
+      .filter(col("__side_l") =!= col("__side"))
+      .select(
+        when(col("__side_l") === 0, col("__rid_l")).otherwise(col("__rid"))
+          .as(idA),
+        when(col("__side_l") === 0, col("__rid")).otherwise(col("__rid_l"))
+          .as(idB))
+    // pairs → payloads by unique id (never re-forming the block
+    // product); the b side drops its block columns — the pair's block
+    // is the a side's by construction
+    val hotScored = pairs
+      .join(a, Seq(idA)).join(b.drop(blockCols: _*), Seq(idB))
+      .withColumn("fs_score", round(scoreExpr(fields), 6))
+    cold.unionByName(hotScored.select(cold.columns.map(col).toSeq: _*))
   }
 
   /** Three-band decision rule: `link` at or above `upper`, `non_link`
@@ -79,11 +153,28 @@ object RecordLinkage {
     *
     * Scale shape: the blocked join is q164's candidate surface; the
     * closure exchanges 8-byte id pairs; the final assignment is one
-    * left join of the id universe against the component labels. */
+    * left join of the id universe against the component labels.
+    *
+    * Hot-block guard: with `maxBlockPairs` set (and `snKeys` naming the
+    * per-side sort keys), scoring runs through [[scoreBlockedCapped]] —
+    * blocks past the cap compare by sorted neighborhood instead of the
+    * full product, so one dense block can never own the job. Below the
+    * cap the result is identical to the unbounded path. */
   def resolveEntities(a: DataFrame, b: DataFrame, blockCols: Seq[String],
                       fields: Seq[Field], idA: String, idB: String,
-                      upper: Double): DataFrame = {
-    val links = scoreBlocked(a, b, blockCols, fields)
+                      upper: Double,
+                      maxBlockPairs: Long = Long.MaxValue,
+                      snKeys: Option[(String, String)] = None,
+                      snWindow: Int = 10): DataFrame = {
+    val scored =
+      if (maxBlockPairs == Long.MaxValue) scoreBlocked(a, b, blockCols, fields)
+      else {
+        val (ka, kb) = snKeys.getOrElse(throw new IllegalArgumentException(
+          "maxBlockPairs set but no snKeys (per-side sort keys) given"))
+        scoreBlockedCapped(a, b, blockCols, fields, idA, idB, ka, kb,
+          maxBlockPairs, snWindow)
+      }
+    val links = scored
       .filter(col("fs_score") >= upper)
       .select(col(idA), col(idB))
     val (labels, release) = Dedup.dedupClustersStarReleasable(links, idA, idB)

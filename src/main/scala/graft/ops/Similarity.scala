@@ -450,6 +450,95 @@ object Similarity {
     (codes, cents, PqIndex(books, m, ksub, subDim))
   }
 
+  /** Nearest coarse cell per row by exact squared L2 against the
+    * broadcast centroid table — 9dp-rounded, ties to the smallest cell
+    * id: the SAME metric and tie rule [[knnIvfPq]] routes queries with,
+    * so a row encoded incrementally lands in exactly the cell a full
+    * re-encode against the same stored centroids would pick. Output
+    * (idCol, cell). */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame): DataFrame = {
+    val scored = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(cents))
+      .select(col(idCol), col("cell"),
+        round(aggregate(zip_with(col("__v"), col("centroid"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 9)
+          .as("__d2"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2"), col("cell"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("cell"))
+  }
+
+  /** Encode a batch against STORED index artifacts (centroid table +
+    * codebooks) into the (id, cell, pq_codes) layout — the row-level
+    * primitive both a full build from stored artifacts and an
+    * incremental ingest share, which is what makes "incremental ≡ full
+    * re-encode" provable: encoding is a pure per-row function of the
+    * artifacts, so encoding rows in any grouping yields identical rows. */
+  def encodeWithStoredIndex(batch: DataFrame, idCol: String, vecCol: String,
+                            cents: DataFrame, pq: PqIndex): DataFrame =
+    encodePq(batch, idCol, vecCol, pq)
+      .join(assignCells(batch, idCol, vecCol, cents), Seq(idCol))
+
+  /** Incremental IVF-PQ index maintenance: encode a NEW batch with the
+    * STORED codebooks/centroids under `dir` ([[saveIvfPqIndex]]'s
+    * layout) and commit the appended code table as a new SnapshotStore
+    * version — the daily-crawl path that keeps a 100 TB ANN index fresh
+    * without the O(corpus) re-train/re-encode. The quantizer artifacts
+    * (`centroids`, `codebooks`) are untouched: codes produced today and
+    * codes produced at build time are against the SAME geometry, so
+    * [[knnIvfPq]] over the grown table is row-identical to a full
+    * re-encode of the grown corpus with those artifacts.
+    *
+    * Replay-safe: ids already present in the stored code table are
+    * skipped (anti-join), so re-running a crashed ingest only bumps the
+    * version. Quantizer staleness is a separate, MONITORED concern —
+    * [[ivfPqOccupancyDrift]] flags when the coarse cells stop fitting
+    * the data and a re-train ([[trainIvf]]/[[trainPq]] + full re-encode)
+    * is due; until that fires, recall degrades only as far as the data
+    * itself drifted. Returns the committed `codes` version. */
+  def encodeIntoIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, batch: DataFrame, idCol: String,
+                           vecCol: String, meta: String = ""): Long = {
+    val (codes, cents, pq) = loadIvfPqIndex(spark, dir)
+    val fresh = encodeWithStoredIndex(batch, idCol, vecCol, cents, pq)
+      .join(codes.select(col(idCol)), Seq(idCol), "left_anti")
+    graft.sources.SnapshotStore.commit(
+      codes.unionByName(fresh.select(codes.columns.map(col).toSeq: _*)),
+      s"$dir/codes", meta)
+  }
+
+  /** Coarse-quantizer drift monitor for a persisted IVF-PQ index:
+    * per-cell occupancy PSI between the code table at `baseVersion`
+    * (default: the initial build) and the newest committed version —
+    * [[DataQuality.psiDrift]]'s arithmetic over cells instead of value
+    * bins. Ingested batches that still match the trained geometry leave
+    * occupancy shares flat (PSI ≈ 0, cells just grow proportionally); a
+    * drifted crawl piles into few cells and PSI rises — the standard
+    * gates apply (&gt; 0.25 ⇒ re-train due: the hot cells' scan cost is
+    * growing superlinearly and cell recall is decaying). Output: one row
+    * per cell (bin, count_a = base, count_b = current, term_micro) with
+    * the total `psi_micro` on every row — deterministic micro-unit
+    * arithmetic, same contract as psiDrift. The aggregation is
+    * cell-keyed (≤ nlist rows); nothing data-sized moves. */
+  def ivfPqOccupancyDrift(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, baseVersion: Long = 1L): DataFrame = {
+    import graft.sources.SnapshotStore
+    val codesDir = s"$dir/codes"
+    val base = SnapshotStore.readVersion(spark, codesDir, baseVersion)
+    val curr = SnapshotStore.read(spark, codesDir)
+    val nlist = SnapshotStore.read(spark, s"$dir/centroids").count().toInt
+    val counts = base.groupBy(col("cell")).agg(count(lit(1)).as("count_a"))
+      .join(curr.groupBy(col("cell")).agg(count(lit(1)).as("count_b")),
+        Seq("cell"), "full_outer")
+      .select(col("cell").as("bin"),
+        coalesce(col("count_a"), lit(0L)).as("count_a"),
+        coalesce(col("count_b"), lit(0L)).as("count_b"))
+    DataQuality.psiTermsFromCounts(counts, nlist)
+  }
+
   /** [[knnIvfPq]] with exact refinement: the cell-pruned ADC scan
     * shortlists `shortlist` candidates per query, then only those rows
     * join back to their float vectors for exact L2 re-ranking — the

@@ -46,17 +46,21 @@ object SyntheticData {
     val spark = df.sparkSession
     val base = spark.range(n).select(col("id").as("sid"))
     cols.foldLeft(base) { (acc, c) =>
-      // bounded-domain collect: |distinct values| rows of (value, count)
-      val marg = df.filter(col(c).isNotNull)
+      // bounded-domain collect: |distinct values| rows of (value, count).
+      // The LIMIT caps the driver transfer at maxDomain+1 rows, so a
+      // high-cardinality (e.g. continuous) column fails fast with the
+      // bin-it-first error instead of collecting an unbounded marginal;
+      // when the guard passes, the capped probe IS the complete marginal.
+      val probe = df.filter(col(c).isNotNull)
         .groupBy(col(c).cast("string").as("__v"))
         .agg(count(lit(1)).as("__cnt"))
+        .limit(maxDomain + 1)
         .collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-        .sortBy(_._1)
-      require(marg.nonEmpty, s"column $c has no non-null values")
-      require(marg.length <= maxDomain,
-        s"column $c has ${marg.length} distinct values > maxDomain=$maxDomain — " +
+      require(probe.nonEmpty, s"column $c has no non-null values")
+      require(probe.length <= maxDomain,
+        s"column $c has > maxDomain=$maxDomain distinct values — " +
           "bin it first (Generalization.equiWidth/equiDepth)")
+      val marg = probe.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       val total = marg.map(_._2).sum.toDouble
       val cums = marg.scanLeft(("", 0L)) { case ((_, acc0), (v, cnt)) =>
         (v, acc0 + cnt)

@@ -502,14 +502,19 @@ object TextAnalysis {
       sum(col("count_b")).as("__nb"))
     def mn(c: Column): Column = round(log(c.cast("double")) * lit(1e6), 0).cast("long")
     val withTotals = joined.crossJoin(broadcast(totals))
-    val cross = col("count_a") * col("__nb") + col("count_b") * col("__na")
+    // count · total products widen to decimal(38) BEFORE multiplying: at
+    // corpus scale __nb is ~1e12+, so any token with count_a > ~1e6
+    // would silently wrap a 64-bit product (non-ANSI) and feed a
+    // negative into ln — decimal matches the oracle's HUGEINT.
+    def wide(c: Column): Column = c.cast("decimal(38,0)")
+    val cross = wide(col("count_a")) * col("__nb") + wide(col("count_b")) * col("__na")
     val termP = when(col("count_a") > 0,
       (col("count_a").cast("double") / col("__na"))
-        * (mn(col("count_a") * col("__nb") * 2) - mn(cross)).cast("double"))
+        * (mn(wide(col("count_a")) * col("__nb") * 2) - mn(cross)).cast("double"))
       .otherwise(lit(0.0))
     val termQ = when(col("count_b") > 0,
       (col("count_b").cast("double") / col("__nb"))
-        * (mn(col("count_b") * col("__na") * 2) - mn(cross)).cast("double"))
+        * (mn(wide(col("count_b")) * col("__na") * 2) - mn(cross)).cast("double"))
       .otherwise(lit(0.0))
     val terms = withTotals
       .withColumn("term_micro", round((termP + termQ) / 2, 0).cast("long"))

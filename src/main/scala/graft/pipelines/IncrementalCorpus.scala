@@ -49,16 +49,20 @@ object IncrementalCorpus {
     * incremental-crawl near-dup gate WITHOUT recomputing corpus-side
     * shingles/signatures per ingest (that recompute is O(corpus), every
     * day; the index probe is O(batch + candidates)). Accepted docs are
-    * appended to the index before the corpus commit. Self-matches
-    * (id_a == id_b) are ignored when filtering, so replaying a crashed
-    * ingest — where the index may already hold the batch — does not
-    * reject the batch against itself; content dedup and the index's own
-    * id-replay guard make the replay converge to the same state. */
+    * appended to the index before the corpus commit. Index matches whose
+    * partner id is inside the CURRENT batch are ignored when filtering,
+    * so replaying a crashed ingest — where the index may already hold
+    * the batch, including batch-internal near-dup pairs the original
+    * run kept — does not reject the batch against itself or its
+    * siblings; together with content dedup and the index's own
+    * id-replay guard, replay converges to the original accept set. */
   def ingest(spark: SparkSession, tableDir: String, batch: DataFrame,
              bench: DataFrame, idCol: String, textCol: String,
              decontamN: Int = 8, meta: String = "",
              nearDupThreshold: Option[Double] = None,
-             nearDupShingleN: Int = 2): Long = {
+             nearDupShingleN: Int = 2,
+             annIndexDir: Option[String] = None,
+             annVecCol: String = "embedding"): Long = {
     val current = SnapshotStore.committedVersion(spark, tableDir) match {
       case Some(v) => SnapshotStore.readVersion(spark, tableDir, v)
       case None => batch.limit(0)
@@ -72,15 +76,36 @@ object IncrementalCorpus {
         val kept = SnapshotStore.committedVersion(spark, idxDir) match {
           case None => clean
           case Some(_) =>
+            // replay guard: only an index partner OUTSIDE this batch can
+            // reject a batch doc. A crash between the index commit and
+            // the corpus commit leaves the batch's own rows in the index;
+            // filtering only self-matches (id_a == id_b) would then
+            // reject batch docs against their near-dup SIBLINGS in the
+            // same batch on replay — pairs the original run kept — so
+            // replay would not converge. Anti-joining the whole batch id
+            // set makes replay reproduce the original accept set exactly.
             val dupIds = NearDupIndex.query(spark, idxDir, clean, idCol,
                 textCol, nearDupShingleN, threshold)
-              .filter(col("id_a") =!= col("id_b")) // replay guard: not a dup of itself
+              .join(clean.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
               .select(col("id_b").as(idCol)).distinct()
             clean.join(dupIds, Seq(idCol), "left_anti")
         }
         NearDupIndex.update(spark, idxDir, kept, idCol, textCol,
           nearDupShingleN, meta)
         kept
+    }
+    // ANN-index refresh: accepted docs carrying an embedding are encoded
+    // against the STORED IVF-PQ artifacts (codebooks untouched) so
+    // tomorrow's searches see today's crawl without a full re-encode.
+    // Sits beside the near-dup gate with the same replay contract —
+    // already-indexed ids are skipped, so a crashed ingest re-runs clean.
+    // Quantizer staleness stays monitored, not silent: callers pair this
+    // with [[graft.ops.Similarity.ivfPqOccupancyDrift]].
+    annIndexDir.foreach { dir =>
+      require(batch.columns.contains(annVecCol),
+        s"annIndexDir set but batch has no '$annVecCol' column")
+      graft.ops.Similarity.encodeIntoIvfPqIndex(spark, dir,
+        accepted.select(col(idCol), col(annVecCol)), idCol, annVecCol, meta)
     }
     SnapshotStore.commit(current.unionByName(accepted), tableDir, meta)
   }

@@ -221,8 +221,15 @@ object CurationQueries {
         col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"),
         col("c_nationkey"),
         floor(col("c_acctbal") / 1000).cast("long").as("bal_block"))
+      // Hot-block cap: 50k pairs/block — never trips at gate scale (max
+      // block is 5,776 pairs at sf0.1, so the oracle semantics are the
+      // exact full product), but a densified block (the 10× stress, a
+      // skewed crawl) falls back to sorted neighborhood on the name
+      // keys instead of the quadratic product.
       val out = RecordLinkage.resolveEntities(a, b, Seq("c_nationkey", "bal_block"),
-          fsFields, "id_a", "id_b", upper = 12.0)
+          fsFields, "id_a", "id_b", upper = 12.0,
+          maxBlockPairs = 50000L, snKeys = Some(("name_a", "name_b")),
+          snWindow = 32)
         .groupBy(col("entity_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy("entity_id")

@@ -424,7 +424,7 @@ object StatsQueries {
     "q182_mann_whitney" ->
       """WITH u AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
                  CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01' THEN 0 ELSE 1 END AS side
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
           c AS (SELECT v,
                   CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
                   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -434,8 +434,8 @@ object StatsQueries {
                     - (ca + cb) AS BIGINT) AS bef
                 FROM c),
           a AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-                  CAST(sum(cb * (bef * 2 + t + 1)) AS HUGEINT) AS r2b,
-                  CAST(sum(t * t * t - t) AS HUGEINT) AS ties
+                  sum(CAST(cb AS HUGEINT) * (bef * 2 + t + 1)) AS r2b,
+                  sum(CAST(t AS HUGEINT) * t * t - t) AS ties
                 FROM g)
           SELECT na AS n_a, nb AS n_b,
                  round((CAST(r2b AS DOUBLE) - CAST(nb AS DOUBLE) * (nb + 1)) / 2, 6) AS u_b,
@@ -464,11 +464,11 @@ object StatsQueries {
                   CAST(count(DISTINCT a) AS BIGINT) AS r,
                   CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
           s AS (SELECT o, ra, cb, n, r, c,
-                  (ra * cb) / CAST(n AS DOUBLE) AS e
+                  CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE) / n AS e
                 FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t),
           ag AS (SELECT
                    CAST(sum(CAST(round((o - e) * (o - e) / e * 1e6, 0) AS BIGINT)) AS BIGINT) AS tp,
-                   CAST(sum(ra * cb) AS HUGEINT) AS sprod,
+                   sum(CAST(ra AS HUGEINT) * cb) AS sprod,
                    max(n) AS n, max(r) AS r, max(c) AS c
                  FROM s),
           fin AS (SELECT tp,
@@ -484,7 +484,7 @@ object StatsQueries {
     "q176_ks_test" ->
       """WITH u AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
                  CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01' THEN 0 ELSE 1 END AS side
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
           c AS (SELECT v,
                   CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
                   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -499,7 +499,7 @@ object StatsQueries {
                 FROM g)
           SELECT d_stat, n_a, n_b,
                  round(least(1.0, 2.0 * exp(-2.0 * d_stat * d_stat
-                   * ((n_a * n_b) / CAST(n_a + n_b AS DOUBLE)))), 6) AS p_value
+                   * ((CAST(n_a AS DOUBLE) * n_b) / (n_a + n_b)))), 6) AS p_value
           FROM d""",
     // Benford expectations enter both engines as the same Scala-computed
     // literals; terms micro-rounded before the order-free total.
@@ -513,10 +513,15 @@ object StatsQueries {
                  FROM lineitem
                  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
           c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
-          t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM c),
+          dom AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+          cd AS (SELECT dom.digit, CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs
+                 FROM dom LEFT JOIN c USING (digit)),
+          t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM cd),
           m AS (SELECT digit, n_obs,
-                  CAST(round((n_obs - ($pCase) * n) * (n_obs - ($pCase) * n)
-                    / (($pCase) * n) * 1e6, 0) AS BIGINT) AS chi2_term_micro
+                  CASE WHEN n > 0
+                       THEN CAST(round((n_obs - ($pCase) * n) * (n_obs - ($pCase) * n)
+                         / (($pCase) * n) * 1e6, 0) AS BIGINT)
+                       ELSE 0 END AS chi2_term_micro
                 FROM t)
           SELECT digit, n_obs, chi2_term_micro,
                  CAST(sum(chi2_term_micro) OVER () AS BIGINT) AS chi2_micro

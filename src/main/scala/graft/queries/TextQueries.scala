@@ -944,13 +944,13 @@ object TextQueries {
                   CAST(round((
                     (CASE WHEN count_a > 0
                           THEN (count_a / CAST(na AS DOUBLE)) * CAST(
-                            CAST(round(ln(CAST(count_a * nb * 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
-                            - CAST(round(ln(CAST(count_a * nb + count_b * na AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE)
+                            CAST(round(ln(CAST(CAST(count_a AS HUGEINT) * nb * 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                            - CAST(round(ln(CAST(CAST(count_a AS HUGEINT) * nb + CAST(count_b AS HUGEINT) * na AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE)
                           ELSE 0.0 END)
                   + (CASE WHEN count_b > 0
                           THEN (count_b / CAST(nb AS DOUBLE)) * CAST(
-                            CAST(round(ln(CAST(count_b * na * 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
-                            - CAST(round(ln(CAST(count_a * nb + count_b * na AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE)
+                            CAST(round(ln(CAST(CAST(count_b AS HUGEINT) * na * 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                            - CAST(round(ln(CAST(CAST(count_a AS HUGEINT) * nb + CAST(count_b AS HUGEINT) * na AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE)
                           ELSE 0.0 END)) / 2, 0) AS BIGINT) AS term_micro
                 FROM t),
           tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS jsd_micro FROM m)

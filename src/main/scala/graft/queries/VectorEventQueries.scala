@@ -59,6 +59,59 @@ object VectorEventQueries {
     base.unionByName(pert)
   }
 
+  /** Day-0/day-1 PQ+IVF memos for q184, trained on the EVEN half only —
+    * the incremental contract is honest only if the artifacts never saw
+    * the batch they later encode. */
+  private val pqIncrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqIndex]()
+  private val ivfIncrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  /** q184's fixture: a fresh stored index whose artifacts are trained on
+    * the even-id half of the corpus ("day 0") and whose `codes` v1 is
+    * that half's encode. Deleted and rebuilt per run so a regenerated
+    * dataset can never serve a stale index. Shared with the SelfCheck. */
+  private[graft] def incrementalIndexDir(s: SparkSession, dir: String): String = {
+    val idxDir = s"/tmp/graft_ivfpq_incr_${dir.hashCode.toHexString}"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
+    val pq = pqIncrCache.computeIfAbsent(dir,
+      _ => Similarity.trainPq(base, "embedding", m = 8, ksub = 16, seed = 42L))
+    val ivf = ivfIncrCache.computeIfAbsent(dir,
+      _ => Similarity.trainIvf(base, "vec_id", "embedding", nlist = 10, seed = 42L))
+    Similarity.saveIvfPqIndex(
+      Similarity.encodeWithStoredIndex(base, "vec_id", "embedding",
+        ivf.centroids, pq),
+      ivf.centroids, pq, idxDir, meta = "base-evens")
+    idxDir
+  }
+
+  /** q185's drifted crawl: 4 hash-perturbed copies of every vector in
+    * the index's MOST-OCCUPIED coarse cell (ties to the smallest cell
+    * id), ids shifted into a disjoint range — a crawl that piles into
+    * one region of embedding space by construction. The tiny noise amp
+    * keeps each copy inside its original's cell; PortableHash noise, so
+    * the batch regenerates identically everywhere (the q65 idiom).
+    * `assignments` is the day-0 (id, cell) code table. */
+  private[graft] def driftedBatch(e: DataFrame, assignments: DataFrame): DataFrame = {
+    val hot = assignments.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("cell")).limit(1).select("cell")
+    val memberIds = assignments.join(broadcast(hot), Seq("cell")).select("vec_id")
+    val noise = (x: Column, i: Column) => x + lit(0.02) *
+      (PortableHash.phash(concat_ws("|", lit("drift"), col("vec_id").cast("string"),
+        col("__r").cast("string"), i.cast("string"))).cast("double")
+        / lit(576460752303423488.0) - lit(1.0))
+    e.join(memberIds, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until 4).map(lit): _*)).as("__r"))
+      .select(col("vec_id"), col("__r"),
+        transform(col("embedding").cast("array<double>"), noise).as("embedding"))
+      .select((col("vec_id") + lit(300000L) + col("__r").cast("long") * lit(10000L))
+        .as("vec_id"), col("embedding"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k: broadcast query set, one corpus pass.
     "q38_knn_bruteforce" -> ((s, dir) => {
@@ -200,6 +253,56 @@ object VectorEventQueries {
           "vec_id", "embedding", cents, pqLoaded, K, nprobe = 4,
           shortlist = 8 * K)
         .orderBy("qid", "rank")
+    }),
+
+    // INCREMENTAL index maintenance: the corpus is committed in two
+    // generations — evens build the index, odds arrive as a "daily
+    // crawl" encoded against the STORED codebooks/centroids
+    // (Similarity.encodeIntoIvfPqIndex) with no re-train, no corpus
+    // re-encode. The search then runs over the grown stored table.
+    // Self-check: the grown code table and the search are ROW-IDENTICAL
+    // to a full re-encode of the grown corpus against the same
+    // artifacts, and replaying the ingest changes no rows — the contract
+    // that makes a 100 TB daily-refresh index trustworthy.
+    "q184_ivfpq_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idxDir = incrementalIndexDir(s, dir)
+      Similarity.encodeIntoIvfPqIndex(s, idxDir,
+        e.filter(col("vec_id") % 2 =!= 0).select("vec_id", "embedding"),
+        "vec_id", "embedding", meta = "ingest-odds")
+      val (codes, cents, pqLoaded) = Similarity.loadIvfPqIndex(s, idxDir)
+      Similarity.knnIvfPqRefined(codes, e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", cents, pqLoaded, K, nprobe = 4,
+          shortlist = 8 * K)
+        .orderBy("qid", "rank")
+    }),
+
+    // Quantizer-staleness monitor for the incremental index: per-cell
+    // occupancy PSI between the initial build and the table after a
+    // DRIFTED ingest (4 hash-perturbed copies of every vector in the
+    // hottest coarse cell — a crawl that piles into one region). The
+    // monitor crossing the 0.25 retrain gate is the signal that the
+    // coarse cells no longer fit the data; the self-check also proves
+    // recall stays in band meanwhile (codes are against the stored
+    // geometry, so refine is still exact — only cell balance degrades).
+    "q185_ivfpq_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idxDir = s"/tmp/graft_ivfpq_drift_${dir.hashCode.toHexString}"
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      val pq = pqIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L))
+      val ivf = ivfIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L))
+      val encodedBase = Similarity.encodeWithStoredIndex(e, "vec_id",
+        "embedding", ivf.centroids, pq)
+      Similarity.saveIvfPqIndex(encodedBase, ivf.centroids, pq, idxDir,
+        meta = "base")
+      Similarity.encodeIntoIvfPqIndex(s, idxDir,
+        driftedBatch(e, encodedBase).select("vec_id", "embedding"),
+        "vec_id", "embedding", meta = "drifted-crawl")
+      Similarity.ivfPqOccupancyDrift(s, idxDir).orderBy("bin")
     }),
 
     // Cell-scoped kNN JOIN: top-3 neighbors for EVERY vector from its

@@ -111,9 +111,43 @@ class DataQualitySpec extends SparkSpec {
     out.foreach { case (d, n, _) => assert(n == counts(d.toInt - 1)._2.toLong) }
     // rounding-only deviation: chi2 far below any rejection threshold
     assert(out.head._3 < 10000L, out.head._3.toString)
-    // values < 1 and nulls are excluded
-    val tiny = DataQuality.benfordAudit(Seq(0.5, 0.01).toDF("v"), "v").count()
-    assert(tiny == 0L)
+    // values < 1 and nulls are excluded; the densified domain remains
+    val tiny = DataQuality.benfordAudit(Seq(0.5, 0.01).toDF("v"), "v")
+      .select("digit", "n_obs", "chi2_term_micro").as[(Long, Long, Long)].collect()
+    assert(tiny.map(_._1).sorted.toSeq == (1L to 9L))
+    assert(tiny.forall(r => r._2 == 0L && r._3 == 0L), tiny.mkString(","))
+  }
+
+  test("benfordAudit: digits with zero observations still charge their expected mass") {
+    // every value leads with digit 1 — the degenerate distribution the
+    // audit exists to flag; digits 2..9 must each contribute E_d·1e6
+    val out = DataQuality.benfordAudit(Seq.fill(100)(1.0).toDF("v"), "v")
+      .select("digit", "n_obs", "chi2_term_micro", "chi2_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 9L))
+    assert(out.head._2 == 100L && out.tail.forall(_._2 == 0L))
+    val p = (d: Int) => math.log10(1.0 + 1.0 / d)
+    val expTerms = (1 to 9).map { d =>
+      val e = p(d) * 100
+      math.round((if (d == 1) (100 - e) * (100 - e) / e else e) * 1e6)
+    }
+    assert(out.map(_._3).toSeq == expTerms, out.map(_._3).mkString(","))
+    assert(out.head._4 == expTerms.sum)
+  }
+
+  test("ksTest/mannWhitneyU: NULL values neither rank nor inflate the totals") {
+    val withNulls = Seq[Option[Double]](Some(1.0), Some(2.0), None, None)
+      .toDF("v")
+    val clean = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val ks = DataQuality.ksTest(withNulls, b, "v")
+      .select("d_stat", "n_a", "n_b").as[(Double, Long, Long)].head()
+    assert(ks == ((0.5, 2L, 2L)), ks.toString)
+    val mw = DataQuality.mannWhitneyU(withNulls, b, "v")
+      .select("n_a", "n_b", "u_b").as[(Long, Long, Double)].head()
+    val mwClean = DataQuality.mannWhitneyU(clean, b, "v")
+      .select("n_a", "n_b", "u_b").as[(Long, Long, Double)].head()
+    assert(mw == mwClean, s"$mw vs $mwClean")
   }
 
   test("chiSquareIndependence: independent uniform grid scores ~0; determined pair maxes V") {

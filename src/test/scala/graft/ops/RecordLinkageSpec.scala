@@ -65,6 +65,55 @@ class RecordLinkageSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("scoreBlockedCapped: cold blocks exact; hot block bounded to (nA+nB)*w pairs; adjacent matches kept") {
+    // hot block "h": 40 x 40 = 1600 full pairs; cold block "c": 2 x 2.
+    // Names collate matches adjacently: a-side n007x pairs b-side n007y.
+    val a = ((0 until 40).map(i => (i.toLong, f"n$i%03dx", "h")) ++
+      Seq((100L, "ann", "c"), (101L, "zed", "c")))
+      .toDF("id_a", "name_a", "blk")
+    val b = ((0 until 40).map(i => (1000L + i, f"n$i%03dy", "h")) ++
+      Seq((1100L, "ann", "c"), (1101L, "foo", "c")))
+      .toDF("id_b", "name_b", "blk")
+    val f = Seq(RecordLinkage.Field("n17",
+      substring(col("name_a"), 1, 4) === substring(col("name_b"), 1, 4),
+      m = 0.9, u = 0.01))
+    val w = 3
+    val capped = RecordLinkage.scoreBlockedCapped(a, b, Seq("blk"), f,
+      "id_a", "id_b", "name_a", "name_b", maxBlockPairs = 100L, w = w)
+    // cold block keeps the exact full product (2 x 2 = 4 pairs)
+    assert(capped.filter(col("blk") === "c").count() == 4L)
+    // hot block pair surface is bounded by (nA+nB)*w, far below 1600
+    val hotPairs = capped.filter(col("blk") === "h").count()
+    assert(hotPairs <= (40L + 40L) * w && hotPairs < 1600L, hotPairs.toString)
+    // every true match is sort-adjacent (x/y suffix), so all 40 survive
+    val links = capped.filter(col("blk") === "h" && col("fs_score") > 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(links == (0 until 40).map(i => (i.toLong, 1000L + i)).toSet)
+    // below the cap the output is IDENTICAL to the unbounded path
+    val unbounded = RecordLinkage.scoreBlocked(a, b, Seq("blk"), f)
+    val loose = RecordLinkage.scoreBlockedCapped(a, b, Seq("blk"), f,
+      "id_a", "id_b", "name_a", "name_b", maxBlockPairs = 1000000L, w = w)
+      .select(unbounded.columns.map(col).toSeq: _*)
+    assert(loose.exceptAll(unbounded).count() == 0 &&
+      unbounded.exceptAll(loose).count() == 0)
+  }
+
+  test("resolveEntities with the cap: hot-block entities still resolve through adjacent links") {
+    val a = (0 until 30).map(i => (i.toLong, f"n$i%03dx", 0)).toDF("id_a", "k_a", "blk")
+    val b = (0 until 30).map(i => (1000L + i, f"n$i%03dy", 0)).toDF("id_b", "k_b", "blk")
+    val f = Seq(RecordLinkage.Field("k",
+      substring(col("k_a"), 1, 4) === substring(col("k_b"), 1, 4),
+      m = 0.9, u = 0.01))
+    val out = RecordLinkage.resolveEntities(a, b, Seq("blk"), f,
+        "id_a", "id_b", upper = 1.0, maxBlockPairs = 100L,
+        snKeys = Some(("k_a", "k_b")), snWindow = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    // every pair i <-> 1000+i collapses to entity i
+    assert((0 until 30).forall(i => out(i.toLong) == i && out(1000L + i) == i),
+      out.toString)
+  }
+
   test("resolveEntities transitivity across blocks (A-B, B-C, no A-C block)") {
     // a1 matches b1 in block 0; a2 matches b1 in block 0 as well -> the
     // two a-records join through the shared b even though they never

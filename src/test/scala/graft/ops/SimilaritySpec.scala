@@ -443,6 +443,98 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.sources.SnapshotStore.readVersion(spark, s"$dir/codes", 1L).count() == 64L)
   }
 
+  test("IVF-PQ incremental encode: identical to full re-encode; replay is a no-op") {
+    val dir = s"/tmp/graft_ivfpq_incr_spec_${System.nanoTime()}"
+    val all = (0L until 96L).map { i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 31).toFloat / 31f))
+    }.toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 64)
+    val batch = all.filter($"vec_id" >= 64)
+    val pq = Similarity.trainPq(base, "embedding", m = 4, ksub = 8, seed = 1L)
+    val ivf = Similarity.trainIvf(base, "vec_id", "embedding", nlist = 4, seed = 1L)
+    Similarity.saveIvfPqIndex(
+      Similarity.encodeWithStoredIndex(base, "vec_id", "embedding", ivf.centroids, pq),
+      ivf.centroids, pq, dir, meta = "base")
+
+    val v2 = Similarity.encodeIntoIvfPqIndex(spark, dir, batch, "vec_id", "embedding", "ingest-1")
+    assert(v2 == 2L)
+    val (codes, cents, pq2) = Similarity.loadIvfPqIndex(spark, dir)
+    // the grown code table is ROW-IDENTICAL to a full re-encode of the
+    // grown corpus against the same stored artifacts
+    val full = Similarity.encodeWithStoredIndex(all, "vec_id", "embedding", cents, pq2)
+      .select(codes.columns.map(col).toSeq: _*)
+    assert(codes.exceptAll(full).count() == 0 && full.exceptAll(codes).count() == 0)
+    // and so is the search over it
+    val q = all.filter($"vec_id" < 4)
+    val viaIncr = Similarity.knnIvfPqRefined(codes, all, q, "vec_id", "embedding",
+      cents, pq2, k = 3, nprobe = 2, shortlist = 12).orderBy("qid", "rank").collect().toSeq
+    val viaFull = Similarity.knnIvfPqRefined(full, all, q, "vec_id", "embedding",
+      cents, pq2, k = 3, nprobe = 2, shortlist = 12).orderBy("qid", "rank").collect().toSeq
+    assert(viaIncr.nonEmpty && viaIncr == viaFull)
+    // replay of the same batch bumps the version but changes no rows
+    val v3 = Similarity.encodeIntoIvfPqIndex(spark, dir, batch, "vec_id", "embedding", "ingest-1-replay")
+    val replayed = graft.sources.SnapshotStore.readVersion(spark, s"$dir/codes", v3)
+    assert(v3 == 3L && replayed.count() == 96L)
+    assert(replayed.exceptAll(codes).count() == 0)
+  }
+
+  test("IVF-PQ occupancy drift: in-distribution ingest stays flat; drifted ingest fires, recall holds") {
+    def cluster(i: Long, c: Int): (Long, Seq[Float]) = {
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 10.0f
+      base((c * 2 + 1) % 8) += (i % 17) * 0.1f
+      (i, base.toSeq)
+    }
+    val base = (0L until 30L).map(i => cluster(i, (i % 3).toInt)).toDF("vec_id", "embedding")
+    val pq = Similarity.trainPq(base, "embedding", m = 4, ksub = 4, seed = 7L)
+    val ivf = Similarity.trainIvf(base, "vec_id", "embedding", nlist = 3, seed = 7L)
+
+    // in-distribution ingest: same cluster mix -> occupancy shares flat
+    val dirA = s"/tmp/graft_ivfpq_drift_a_${System.nanoTime()}"
+    Similarity.saveIvfPqIndex(
+      Similarity.encodeWithStoredIndex(base, "vec_id", "embedding", ivf.centroids, pq),
+      ivf.centroids, pq, dirA)
+    val inDist = (100L until 130L).map(i => cluster(i, (i % 3).toInt)).toDF("vec_id", "embedding")
+    Similarity.encodeIntoIvfPqIndex(spark, dirA, inDist, "vec_id", "embedding")
+    val flatPsi = Similarity.ivfPqOccupancyDrift(spark, dirA)
+      .select("psi_micro").as[Long].head()
+    assert(flatPsi < 100000L, s"in-distribution PSI $flatPsi should be < 0.1")
+
+    // drifted ingest: 60 new vectors ALL in cluster 0 -> monitor fires
+    val dirB = s"/tmp/graft_ivfpq_drift_b_${System.nanoTime()}"
+    Similarity.saveIvfPqIndex(
+      Similarity.encodeWithStoredIndex(base, "vec_id", "embedding", ivf.centroids, pq),
+      ivf.centroids, pq, dirB)
+    val drifted = (200L until 260L).map(i => cluster(i, 0)).toDF("vec_id", "embedding")
+    Similarity.encodeIntoIvfPqIndex(spark, dirB, drifted, "vec_id", "embedding")
+    val driftTable = Similarity.ivfPqOccupancyDrift(spark, dirB)
+    val psi = driftTable.select("psi_micro").as[Long].head()
+    assert(psi > 250000L, s"drifted PSI $psi should exceed the 0.25 retrain gate")
+    assert(driftTable.count() == 3L)
+    // ...while search over the grown index STAYS correct: codes are
+    // against the stored geometry, so refine still recovers exact
+    // neighbors (recall degrades only as far as the data drifted)
+    val (codes, cents, pq2) = Similarity.loadIvfPqIndex(spark, dirB)
+    val grown = base.unionByName(drifted)
+    val q0 = grown.filter($"vec_id" === 200L)
+    // shortlist >= cell size makes refine exact-within-cell, so the
+    // check is deterministic under PQ code ties
+    val got = Similarity.knnIvfPqRefined(codes, grown, q0, "vec_id", "embedding",
+        cents, pq2, k = 3, nprobe = 1, shortlist = 100)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"l2".asc, $"vec_id")
+    val trueTop = grown.select($"vec_id", $"embedding".as("__cv"))
+      .crossJoin(q0.select($"vec_id".as("qid"), $"embedding".as("__qv")))
+      .filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id",
+        aggregate(zip_with($"__qv".cast("array<double>"), $"__cv".cast("array<double>"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("l2"))
+      .withColumn("r", row_number().over(w)).filter($"r" <= 3)
+      .orderBy("r").select("vec_id").as[Long].collect()
+    assert(got.sameElements(trueTop), s"${got.toSeq} != ${trueTop.toSeq}")
+  }
+
   test("labelCentroidSim: orthogonal and identical label centroids") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),   // centroid (1,0)

@@ -93,4 +93,43 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(v3 == 3L && c3.sameElements(c2), s"got ${c3.toSeq}")
     assert(NearDupIndex.read(spark, idxDir).count() == 3L)
   }
+
+  test("replay after a crash between index commit and corpus commit converges") {
+    val table = s"/tmp/graft_inccrash_${System.nanoTime()}"
+    val idxDir = IncrementalCorpus.nearDupIndexDir(table)
+    val b1 = Seq(
+      (1L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    IncrementalCorpus.ingest(spark, table, b1, bench, "doc_id", "text",
+      decontamN = 8, meta = "crawl-1", nearDupThreshold = Some(0.5))
+
+    // batch 2 carries an INTERNAL near-dup pair (31, 32): the gate
+    // filters only against earlier batches, so a clean run keeps BOTH
+    val b2 = Seq(
+      (31L, "the quick brown fox jumps over the lazy dog tonight and then it ran far away home"),
+      (32L, "the quick brown fox jumps over the lazy dog tonight and then it ran far away barn"),
+      (33L, "how vexingly quick daft zebras jump in the fog")
+    ).toDF("doc_id", "text")
+    // simulate the crash: ingest committed the index update but died
+    // before the corpus commit
+    NearDupIndex.update(spark, idxDir, b2, "doc_id", "text", 2, "crashed")
+    assert(SnapshotStore.read(spark, table).count() == 1L) // corpus unmoved
+
+    // replay must converge to the clean-run corpus: 31 and 32 reject
+    // each other only if batch ids are treated as index partners
+    IncrementalCorpus.ingest(spark, table, b2, bench, "doc_id", "text",
+      decontamN = 8, meta = "crawl-2-replay", nearDupThreshold = Some(0.5))
+    val c = SnapshotStore.read(spark, table).select("doc_id").as[Long].collect().sorted
+    assert(c.sameElements(Array(1L, 31L, 32L, 33L)), s"got ${c.toSeq}")
+
+    // and the converged state matches a clean (never-crashed) run bit
+    // for bit on doc ids
+    val table2 = s"/tmp/graft_inccleanrun_${System.nanoTime()}"
+    IncrementalCorpus.ingest(spark, table2, b1, bench, "doc_id", "text",
+      decontamN = 8, meta = "crawl-1", nearDupThreshold = Some(0.5))
+    IncrementalCorpus.ingest(spark, table2, b2, bench, "doc_id", "text",
+      decontamN = 8, meta = "crawl-2", nearDupThreshold = Some(0.5))
+    val clean = SnapshotStore.read(spark, table2).select("doc_id").as[Long].collect().sorted
+    assert(c.sameElements(clean), s"replay ${c.toSeq} vs clean ${clean.toSeq}")
+  }
 }
