@@ -34,7 +34,12 @@ object Bench {
     // from local[32] to a real cluster.
     val metricsListener = new BenchMetricsListener
     spark.sparkContext.addSparkListener(metricsListener)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q125_pagerank,q128_kmv_grouped — idle re-measure
+    // of specific queries without the 177-query run around them
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       SparkInternals.flushListenerBus(spark.sparkContext)
       metricsListener.resetPeak()
       val before = metricsListener.totals

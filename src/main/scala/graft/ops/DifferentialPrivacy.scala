@@ -291,6 +291,112 @@ object DifferentialPrivacy {
   }
 }
 
+/** DURABLE budget ledger: [[PrivacyBudget]]/[[ZCdpBudget]] are
+  * process-local, but a real deployment must refuse an over-budget
+  * release ACROSS sessions — the analyst who re-runs tomorrow's job
+  * gets tomorrow's remaining budget, not a fresh one. State lives as a
+  * [[graft.sources.SnapshotStore]] table of (release_id, amount, meta)
+  * rows plus one `__total` row; every charge is one atomic versioned
+  * commit, so a reader never sees a half-applied charge and a crashed
+  * release leaves the previous ledger state live.
+  *
+  * Idempotent by release id: re-charging an id already in the ledger is
+  * a no-op (the crashed-release replay converges instead of
+  * double-spending — same contract as the ingest paths). `amount` is
+  * whatever the caller accounts in — ε under sequential composition, ρ
+  * under zCDP ([[ZCdpBudget.rhoOf]] gives the Gaussian ρ;
+  * [[epsilonFor]] converts the spent ρ to a final (ε, δ)).
+  *
+  * The ledger is a human-scale artifact (one row per RELEASE, not per
+  * row of data) — reading it to the driver is bounded by construction.
+  * Charges are driver-serialized: concurrent chargers from separate
+  * processes should route through one accountant process, as any
+  * budget authority must. */
+object BudgetLedger {
+  import graft.sources.SnapshotStore
+  private val TotalId = "__total"
+
+  /** Create the ledger with its lifetime budget. Refuses to re-init an
+    * existing ledger (that would reset spent state). */
+  def init(spark: org.apache.spark.sql.SparkSession, dir: String,
+           total: Double, meta: String = ""): Long = {
+    require(total > 0, s"total budget must be positive, got $total")
+    require(SnapshotStore.committedVersion(spark, dir).isEmpty,
+      s"ledger at $dir is already initialized")
+    import spark.implicits._
+    SnapshotStore.commit(
+      Seq((TotalId, total, meta)).toDF("release_id", "amount", "meta"),
+      dir, meta)
+  }
+
+  /** (total, spent) from the durable state; spent sums in release_id
+    * order (deterministic across re-reads). */
+  def state(spark: org.apache.spark.sql.SparkSession,
+            dir: String): (Double, Double) = {
+    val rows = SnapshotStore.read(spark, dir)
+      .select(col("release_id"), col("amount")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val total = rows.collectFirst { case (TotalId, t) => t }.getOrElse(
+      throw new IllegalStateException(s"ledger at $dir has no $TotalId row"))
+    (total, rows.collect { case (id, a) if id != TotalId => a }.sum)
+  }
+
+  def spent(spark: org.apache.spark.sql.SparkSession, dir: String): Double =
+    state(spark, dir)._2
+
+  def remaining(spark: org.apache.spark.sql.SparkSession, dir: String): Double = {
+    val (t, s) = state(spark, dir); t - s
+  }
+
+  /** Atomically charge `amount` for `releaseId`; returns the remaining
+    * budget after the charge. Throws when the charge would exceed the
+    * total; a release id already in the ledger is a no-op (replay). */
+  def charge(spark: org.apache.spark.sql.SparkSession, dir: String,
+             releaseId: String, amount: Double,
+             meta: String = ""): Double = {
+    require(amount > 0, s"amount must be positive, got $amount")
+    require(releaseId != TotalId && releaseId.nonEmpty,
+      s"invalid release id '$releaseId'")
+    val cur = SnapshotStore.read(spark, dir)
+    val already = cur.filter(col("release_id") === releaseId).count() > 0
+    if (!already) {
+      val (total, sp) = state(spark, dir)
+      if (sp + amount > total + 1e-12)
+        throw new IllegalStateException(
+          f"privacy budget exhausted: spent $sp%.6f + $amount%.6f > $total%.6f ($dir)")
+      import spark.implicits._
+      SnapshotStore.commit(
+        cur.unionByName(
+          Seq((releaseId, amount, meta)).toDF("release_id", "amount", "meta")),
+        dir, s"charge:$releaseId")
+    }
+    remaining(spark, dir)
+  }
+
+  /** Charge one Gaussian release by its zCDP cost ρ = Δ²/(2σ²). */
+  def chargeGaussian(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     releaseId: String, sensitivity: Double, sigma: Double,
+                     meta: String = ""): Double = {
+    require(sensitivity > 0 && sigma > 0, "need positive sensitivity/sigma")
+    charge(spark, dir, releaseId,
+      sensitivity * sensitivity / (2.0 * sigma * sigma), meta)
+  }
+
+  /** Treat the spent amounts as zCDP ρ and convert to the implied
+    * (ε, δ) guarantee (Bun-Steinke Prop. 1.3). */
+  def epsilonFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 delta: Double): Double = {
+    require(delta > 0 && delta < 1, s"delta must be in (0,1), got $delta")
+    val rho = spent(spark, dir)
+    rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
+  }
+
+  /** The charge history (release_id, amount, meta), total row excluded. */
+  def charges(spark: org.apache.spark.sql.SparkSession,
+              dir: String): DataFrame =
+    SnapshotStore.read(spark, dir).filter(col("release_id") =!= TotalId)
+}
+
 /** Sequential-composition ε-budget accountant (driver-side plan gate). */
 final class PrivacyBudget(val totalEpsilon: Double) {
   private var spentEps = 0.0

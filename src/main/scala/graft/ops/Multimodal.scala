@@ -309,6 +309,161 @@ object Multimodal {
         MediaHash(r.doc_id, r.media_type, averageHash64(r.payload))))
   }
 
+  // ---- DCT perceptual hash ("pHash" proper) -----------------------------
+
+  /** Fixed-point DCT-II basis, SCALED TO INTEGERS: T_N(k)(n) =
+    * round(2^12 · cos(π/N · (n + ½) · k)). An integer table makes every
+    * coefficient an exact Long dot product — bit-replayable in any
+    * engine (the byte-path oracle carries the same 4096 literals) —
+    * and 12 fractional bits keep the worst-case 2-D accumulation
+    * (32·32 cells · 3·255·256 mean · 4096² scale ≈ 3.4e18) inside
+    * Int64. Sign decisions vs the coefficient median are insensitive
+    * to the (common, positive) scale factor. */
+  private val DctScale = 1L << 12
+  private[graft] def dctTable(n: Int): Array[Array[Long]] =
+    Array.tabulate(n, n)((k, x) =>
+      math.round(math.cos(math.Pi / n * (x + 0.5) * k) * DctScale))
+  private[graft] lazy val Dct64: Array[Array[Long]] = dctTable(64)
+  private lazy val Dct32: Array[Array[Long]] = dctTable(32)
+
+  /** 64-bit DCT hash ("pHash", Zauner 2010): keep the LOW-FREQUENCY
+    * shape of the signal and drop the scale — the edit classes that
+    * defeat [[averageHash64]]'s mean threshold (contrast stretch,
+    * gamma, local brightness) mostly preserve low-frequency structure,
+    * so the DCT bit pattern survives them. Real images: 32×32 grid of
+    * integer cell means (floor(256·sum/count) — no float mean), 2-D
+    * DCT via the scaled-integer basis, the top-left 8×8 coefficient
+    * block row-major; bit c = coeff_c > median (lower median of the 63
+    * AC coefficients — DC is excluded from the threshold exactly so
+    * overall brightness cannot vote). Non-image payloads degrade to
+    * the SAME rule over the 1-D byte signal: 64 chunk means, 64-point
+    * DCT, bit k = C_k > median(C_1..C_63) — the q186 oracle replays
+    * this path bit-for-bit from the shared integer basis table.
+    *
+    * DETERMINISM: integer means, integer basis, integer dot products,
+    * and a median defined as the 32nd-smallest VALUE — no floating
+    * point anywhere after the table is built. */
+  def dctHash64(payload: Array[Byte]): String = {
+    val coeffs = imageDct(payload).getOrElse(byteDct(payload))
+    val ac = new Array[Long](63)
+    System.arraycopy(coeffs, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // lower median of the 63 AC coefficients
+    val sb = new java.lang.StringBuilder(16)
+    var j = 0
+    while (j < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        nib = (nib << 1) | (if (coeffs(j * 4 + b) > med) 1 else 0)
+        b += 1
+      }
+      sb.append(java.lang.Integer.toHexString(nib))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Top-left 8×8 block (row-major) of the 2-D integer DCT over the
+    * 32×32 cell-mean grid of a decodable image. */
+  private def imageDct(payload: Array[Byte]): Option[Array[Long]] =
+    imageGridMeans(payload, 32).map { m =>
+      // separable 2-D DCT: rows first (u over x), then columns (v over y)
+      val rows = Array.ofDim[Long](8, 32) // R(u)(y) = Σ_x m(y*32+x)·T32(u)(x)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 32) {
+          var acc = 0L
+          var x = 0
+          while (x < 32) { acc += m(y * 32 + x) * Dct32(u)(x); x += 1 }
+          rows(u)(y) = acc
+          y += 1
+        }
+        u += 1
+      }
+      val out = new Array[Long](64)
+      var v = 0
+      while (v < 8) {
+        var uu = 0
+        while (uu < 8) {
+          var acc = 0L
+          var y = 0
+          while (y < 32) { acc += rows(uu)(y) * Dct32(v)(y); y += 1 }
+          // row-major (v = vertical frequency index first)
+          out(v * 8 + uu) = acc
+          uu += 1
+        }
+        v += 1
+      }
+      out
+    }
+
+  /** `grid`×`grid` integer cell means floor(256·(r+g+b sum)/count) of a
+    * decodable image — same decode guard chain as [[imageCellSums]]. */
+  private def imageGridMeans(payload: Array[Byte], grid: Int): Option[Array[Long]] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val dw = reader.getWidth(0).toLong
+        val dh = reader.getHeight(0).toLong
+        if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodedPixels) return None
+        val img = reader.read(0)
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w < 1 || h < 1) return None
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val row = y * grid / h
+          var x = 0
+          while (x < w) {
+            val cell = row * grid + x * grid / w
+            val rgb = img.getRGB(x, y)
+            sums(cell) += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array.tabulate(grid * grid)(c =>
+          if (counts(c) == 0) 0L else 256L * sums(c) / counts(c)))
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-point integer DCT over the byte signal's 64 chunk means —
+    * the non-image fallback the SQL oracle replays. */
+  private def byteDct(payload: Array[Byte]): Array[Long] = {
+    val (sums, counts) = byteCellSums(payload)
+    val m = Array.tabulate(64)(c =>
+      if (counts(c) == 0) 0L else 256L * sums(c) / counts(c))
+    Array.tabulate(64) { k =>
+      var acc = 0L
+      var n = 0
+      while (n < 64) { acc += m(n) * Dct64(k)(n); n += 1 }
+      acc
+    }
+  }
+
+  /** DCT hash per media row — [[perceptualHash]]'s pHash sibling. */
+  def dctHash(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "media_type").as[MediaRow]
+      .mapPartitions(batch => batch.map(r =>
+        MediaHash(r.doc_id, r.media_type, dctHash64(r.payload))))
+  }
+
   /** Near-duplicate media pairs by perceptual hash: every (a < b) pair
     * with Hamming(phash_a, phash_b) ≤ `maxHamming`, found WITHOUT an
     * all-pairs join and WITHOUT the hot-bucket blowup a naive band join
@@ -338,11 +493,22 @@ object Multimodal {
     * candidates, (hash, id) rows for expansion — MinHash-topology
     * shaped. */
   def phashNearDup(media: DataFrame, maxHamming: Int = 3)
-                  (implicit spark: SparkSession): DataFrame = {
+                  (implicit spark: SparkSession): DataFrame =
+    nearDupFromHashes(perceptualHash(media).toDF(), maxHamming)
+
+  /** [[phashNearDup]] over the DCT hash — same banded topology, the
+    * edit-robust fingerprint ([[dctHash64]]). */
+  def dctNearDup(media: DataFrame, maxHamming: Int = 3)
+                (implicit spark: SparkSession): DataFrame =
+    nearDupFromHashes(dctHash(media).toDF(), maxHamming)
+
+  /** The banded near-dup core over any (doc_id, phash) table — shared
+    * by the aHash and DCT paths; see [[phashNearDup]]'s scaladoc for
+    * the two structural defenses and the multi-index scheme. */
+  def nearDupFromHashes(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming out of [0,3]: the 4-band + 4-subband " +
         "compound scheme is only lossless up to 3")
-    val hashed = perceptualHash(media).toDF()
     val members = hashed.select(col("phash"), col("doc_id"))
     // hamming-0 pairs: within-group self-join (the pairs ARE the output)
     val within = members.as("x").join(members.as("y"),

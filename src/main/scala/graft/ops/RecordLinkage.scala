@@ -82,6 +82,9 @@ object RecordLinkage {
     * sort keys land more than `w` apart inside a hot block is missed —
     * pick sort keys that collate matches adjacently (the name the
     * fields compare by, a normalized address), exactly as q142 does.
+    * `sortKeyA`/`sortKeyB` are per-side EXPRESSIONS of one common type;
+    * ranking uses that type's native ordering (a numeric key orders
+    * numerically — don't render it to a string).
     * `snBucket` optionally parallelizes the in-block ranking (a
     * monotone prefix of the sort key); the default single bucket per
     * block is fine while hot blocks sort in one task's memory.
@@ -90,7 +93,7 @@ object RecordLinkage {
     * b-payload, fs_score). `idA`/`idB` must be unique row keys. */
   def scoreBlockedCapped(a: DataFrame, b: DataFrame, blockCols: Seq[String],
                          fields: Seq[Field], idA: String, idB: String,
-                         sortKeyA: String, sortKeyB: String,
+                         sortKeyA: Column, sortKeyB: Column,
                          maxBlockPairs: Long, w: Int = 10,
                          snBucket: Column = lit(0)): DataFrame = {
     require(maxBlockPairs >= 1, s"maxBlockPairs=$maxBlockPairs must be >= 1")
@@ -106,10 +109,10 @@ object RecordLinkage {
       b.join(broadcast(hot), blockCols, "left_anti"), blockCols, fields)
     // hot path: block-scoped sorted neighborhood over the union of sides
     val slim = a.join(broadcast(hot), blockCols, "left_semi")
-      .select(bc ++ Seq(col(sortKeyA).cast("string").as("__sk"),
+      .select(bc ++ Seq(sortKeyA.as("__sk"),
         col(idA).as("__rid"), lit(0).as("__side")): _*)
       .unionByName(b.join(broadcast(hot), blockCols, "left_semi")
-        .select(bc ++ Seq(col(sortKeyB).cast("string").as("__sk"),
+        .select(bc ++ Seq(sortKeyB.as("__sk"),
           col(idB).as("__rid"), lit(1).as("__side")): _*))
     val ranked = Ranking.groupRowNumber(slim, blockCols,
       Seq("__sk", "__side", "__rid"), snBucket, "__g")
@@ -164,7 +167,7 @@ object RecordLinkage {
                       fields: Seq[Field], idA: String, idB: String,
                       upper: Double,
                       maxBlockPairs: Long = Long.MaxValue,
-                      snKeys: Option[(String, String)] = None,
+                      snKeys: Option[(Column, Column)] = None,
                       snWindow: Int = 10): DataFrame = {
     val scored =
       if (maxBlockPairs == Long.MaxValue) scoreBlocked(a, b, blockCols, fields)

@@ -228,7 +228,7 @@ object CurationQueries {
       // keys instead of the quadratic product.
       val out = RecordLinkage.resolveEntities(a, b, Seq("c_nationkey", "bal_block"),
           fsFields, "id_a", "id_b", upper = 12.0,
-          maxBlockPairs = 50000L, snKeys = Some(("name_a", "name_b")),
+          maxBlockPairs = 50000L, snKeys = Some((col("name_a"), col("name_b"))),
           snWindow = 32)
         .groupBy(col("entity_id"))
         .agg(count(lit(1)).as("n_members"))

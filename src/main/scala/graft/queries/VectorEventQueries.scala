@@ -547,6 +547,20 @@ object VectorEventQueries {
         .orderBy("doc_id")
     }),
 
+    // DCT perceptual hash (pHash proper): 64-point integer DCT over the
+    // byte signal's chunk means, bits = coefficient > AC median — the
+    // edit-robust sibling of q171's mean-threshold aHash (gamma /
+    // contrast edits that flip whole aHash columns leave the low-
+    // frequency DCT structure intact; MultimodalSpec pins the class).
+    // The scaled-integer basis table is emitted into the oracle, so the
+    // hash replays bit-for-bit in DuckDB.
+    "q186_dct_phash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.dctHash(
+        Multimodal.asMediaTable(Tables.documents(s, dir))).toDF()
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: every 2nd of 8 equal byte chunks per payload, one
     // fingerprinted row per sampled frame (explode before shuffle, fixed-
     // size frame records downstream).
@@ -937,6 +951,49 @@ object VectorEventQueries {
                  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
                  lower(string_agg(to_hex(CAST(v AS BIGINT)), '' ORDER BY j)) AS phash
           FROM nib GROUP BY doc_id ORDER BY doc_id""",
+    // DCT-hash replay: same chunking as q171, then integer chunk means
+    // (256*sum // count), a 64-point DCT via the SAME scaled-integer
+    // basis the engine uses (4096 literals, k*64+n indexed), lower
+    // median of the 63 AC coefficients, bits > median.
+    "q186_dct_phash" -> {
+      val flat = (0 until 64).flatMap(k =>
+        (0 until 64).map(n => graft.ops.Multimodal.Dct64(k)(n)))
+        .mkString("[", ",", "]")
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+          pos AS (SELECT doc_id, u.i AS i, ascii(substr(text, CAST(u.i AS INT), 1)) AS bv,
+                    CAST((u.i - 1) * 64 // n AS INT) AS cell
+                  FROM d, UNNEST(range(1, n + 1)) u(i)),
+          cells AS (SELECT doc_id, cell, CAST(sum(bv) AS BIGINT) AS cs,
+                      CAST(count(*) AS BIGINT) AS cc
+                    FROM pos GROUP BY doc_id, cell),
+          m AS (SELECT dd.doc_id, g.cell,
+                  CASE WHEN c.cc IS NOT NULL THEN 256 * c.cs // c.cc ELSE 0 END AS mv
+                FROM (SELECT DISTINCT doc_id FROM cells) dd
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS cell) g
+                LEFT JOIN cells c ON c.doc_id = dd.doc_id AND c.cell = g.cell),
+          tab AS (SELECT CAST(u.i - 1 AS INT) AS idx, arr[CAST(u.i AS INT)] AS tv
+                  FROM (SELECT $flat AS arr), UNNEST(range(1, 4097)) u(i)),
+          coef AS (SELECT m.doc_id, t.idx // 64 AS k,
+                     CAST(sum(m.mv * t.tv) AS BIGINT) AS cv
+                   FROM m JOIN tab t ON t.idx % 64 = m.cell
+                   GROUP BY m.doc_id, t.idx // 64),
+          med AS (SELECT doc_id, cv AS med
+                  FROM (SELECT doc_id, cv,
+                          row_number() OVER (PARTITION BY doc_id ORDER BY cv) AS rn
+                        FROM coef WHERE k >= 1)
+                  WHERE rn = 32),
+          bits AS (SELECT c.doc_id, c.k AS cell,
+                     CASE WHEN c.cv > med.med THEN 1 ELSE 0 END AS b
+                   FROM coef c JOIN med ON med.doc_id = c.doc_id),
+          nib AS (SELECT doc_id, cell // 4 AS j,
+                    sum(b * CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                          WHEN 2 THEN 2 ELSE 1 END) AS v
+                  FROM bits GROUP BY doc_id, cell // 4)
+          SELECT doc_id,
+                 (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+                 lower(string_agg(to_hex(CAST(v AS BIGINT)), '' ORDER BY j)) AS phash
+          FROM nib GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q44_media_stats" ->
       """SELECT doc_id,
                 (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,

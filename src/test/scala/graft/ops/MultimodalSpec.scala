@@ -162,6 +162,69 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute, s"banded=$banded brute=$brute")
   }
 
+  test("dctHash64: gamma edit defeats aHash but not the DCT hash") {
+    // 64x64 grayscale PNG of a horizontal luminance ramp, optionally
+    // gamma-edited — the brightness-nonlinearity class aHash's global-
+    // mean threshold is weakest against (a monotone remap moves the
+    // mean relative to mid-ramp, flipping a whole column of cells),
+    // while the ramp's low-frequency DCT structure is untouched.
+    def rampPng(gamma: Double): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = (math.pow(x / 63.0, gamma) * 255).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val orig = rampPng(1.0)
+    val edited = rampPng(2.0)
+    val aDist = hamming(Multimodal.averageHash64(orig), Multimodal.averageHash64(edited))
+    val dDist = hamming(Multimodal.dctHash64(orig), Multimodal.dctHash64(edited))
+    assert(dDist <= 3, s"DCT hash should survive the gamma edit, dist $dDist")
+    assert(aDist > 3, s"aHash should miss at the banding threshold, dist $aDist")
+    // and the DCT hash still separates genuinely different images
+    def invPng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = 255 - (x * 255 / 63)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a genuinely different image sits clear of the near-dup band
+    assert(hamming(Multimodal.dctHash64(orig), Multimodal.dctHash64(invPng())) > 3)
+    // determinism: the fixed-point table is engine-stable
+    assert(Multimodal.dctHash64(orig) == Multimodal.dctHash64(rampPng(1.0)))
+  }
+
+  test("dctNearDup: banded join equals brute force on the byte path") {
+    implicit val s = spark
+    def ramp(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](1280)(i => (((i * 7 + seed * 131) % 191) + 32).toByte)
+    val base = ramp(0)
+    val tweaked = base.clone()
+    for (i <- 0 until 20) tweaked(i) = (tweaked(i) + 3).toByte
+    val rows = Seq((0L, base, "image"), (1L, tweaked, "image")) ++
+      (2L to 9L).map(k => (k, ramp(k.toInt), "image"))
+    val media = rows.toDF("doc_id", "payload", "media_type")
+    val hashes = Multimodal.dctHash(media).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    val brute = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      d = hamming(hashes(a), hashes(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.exists(p => p._1 == 0L && p._2 == 1L), hashes.toString)
+    val banded = Multimodal.dctNearDup(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
   test("phashNearDup rejects thresholds the banding cannot guarantee") {
     implicit val s = spark
     val media = Seq((0L, "x".getBytes("UTF-8"), "image")).toDF("doc_id", "payload", "media_type")

@@ -79,7 +79,7 @@ class RecordLinkageSpec extends SparkSpec {
       m = 0.9, u = 0.01))
     val w = 3
     val capped = RecordLinkage.scoreBlockedCapped(a, b, Seq("blk"), f,
-      "id_a", "id_b", "name_a", "name_b", maxBlockPairs = 100L, w = w)
+      "id_a", "id_b", col("name_a"), col("name_b"), maxBlockPairs = 100L, w = w)
     // cold block keeps the exact full product (2 x 2 = 4 pairs)
     assert(capped.filter(col("blk") === "c").count() == 4L)
     // hot block pair surface is bounded by (nA+nB)*w, far below 1600
@@ -92,7 +92,7 @@ class RecordLinkageSpec extends SparkSpec {
     // below the cap the output is IDENTICAL to the unbounded path
     val unbounded = RecordLinkage.scoreBlocked(a, b, Seq("blk"), f)
     val loose = RecordLinkage.scoreBlockedCapped(a, b, Seq("blk"), f,
-      "id_a", "id_b", "name_a", "name_b", maxBlockPairs = 1000000L, w = w)
+      "id_a", "id_b", col("name_a"), col("name_b"), maxBlockPairs = 1000000L, w = w)
       .select(unbounded.columns.map(col).toSeq: _*)
     assert(loose.exceptAll(unbounded).count() == 0 &&
       unbounded.exceptAll(loose).count() == 0)
@@ -106,7 +106,7 @@ class RecordLinkageSpec extends SparkSpec {
       m = 0.9, u = 0.01))
     val out = RecordLinkage.resolveEntities(a, b, Seq("blk"), f,
         "id_a", "id_b", upper = 1.0, maxBlockPairs = 100L,
-        snKeys = Some(("k_a", "k_b")), snWindow = 3)
+        snKeys = Some((col("k_a"), col("k_b"))), snWindow = 3)
       .as[(Long, Long)].collect().toMap
     graft.QueryCleanup.drain()
     // every pair i <-> 1000+i collapses to entity i

@@ -163,6 +163,45 @@ class TimeSeriesDpSpec extends SparkSpec {
       1.25 / math.exp(2.0)) - 2.0) < 1e-12)
   }
 
+  test("BudgetLedger: charges survive restart; exhausted ledger refuses; replay is free") {
+    val dir = s"/tmp/graft_ledger_${System.nanoTime()}"
+    BudgetLedger.init(spark, dir, total = 1.0, meta = "audit-budget")
+    // double init would silently reset spent state — refused
+    intercept[IllegalArgumentException] {
+      BudgetLedger.init(spark, dir, total = 5.0)
+    }
+    val r1 = BudgetLedger.charge(spark, dir, "daily-2026-08-14", 0.4)
+    assert(math.abs(r1 - 0.6) < 1e-9)
+    // "restart": all state is on disk, so a fresh read IS the restart
+    assert(math.abs(BudgetLedger.remaining(spark, dir) - 0.6) < 1e-9)
+    assert(math.abs(BudgetLedger.spent(spark, dir) - 0.4) < 1e-9)
+    // replaying a crashed release with the SAME id never double-charges
+    val r2 = BudgetLedger.charge(spark, dir, "daily-2026-08-14", 0.4)
+    assert(math.abs(r2 - 0.6) < 1e-9)
+    // a second distinct release fits; a third exceeding the total refuses
+    BudgetLedger.charge(spark, dir, "daily-2026-08-15", 0.5)
+    intercept[IllegalStateException] {
+      BudgetLedger.charge(spark, dir, "daily-2026-08-16", 0.2)
+    }
+    // the refused charge left NO state behind
+    assert(BudgetLedger.charges(spark, dir).count() == 2L)
+    assert(math.abs(BudgetLedger.remaining(spark, dir) - 0.1) < 1e-9)
+  }
+
+  test("BudgetLedger: Gaussian zCDP accounting matches the in-process ZCdpBudget") {
+    val dir = s"/tmp/graft_ledger_z_${System.nanoTime()}"
+    BudgetLedger.init(spark, dir, total = 0.5)
+    BudgetLedger.chargeGaussian(spark, dir, "r1",
+      sensitivity = 1.0, sigma = 2.0)
+    BudgetLedger.chargeGaussian(spark, dir, "r2",
+      sensitivity = 2.0, sigma = 4.0)
+    val mem = new ZCdpBudget(0.5)
+    mem.chargeGaussian(1.0, 2.0); mem.chargeGaussian(2.0, 4.0)
+    assert(math.abs(BudgetLedger.spent(spark, dir) - mem.spent) < 1e-12)
+    assert(math.abs(BudgetLedger.epsilonFor(spark, dir, 1e-6)
+      - mem.epsilonFor(1e-6)) < 1e-12)
+  }
+
   test("ZCdpBudget: rho composes additively and converts to (eps, delta)") {
     val sigma = 2.0
     val b = new ZCdpBudget(totalRho = 0.25)

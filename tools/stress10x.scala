@@ -155,6 +155,10 @@ def runNew(tag: String, d: DataFrame, c: DataFrame,
     graft.ops.Multimodal.phashNearDup(
       graft.ops.Multimodal.asMediaTable(d), maxHamming = 3).count()
   }
+  // entity resolution WITH the hot-block cap (q174's production call):
+  // at 10x each (nation, bal-bucket) block densifies ~10x and its full
+  // product ~100x; blocks past 50k pairs fall back to sorted
+  // neighborhood on the balance key, bounding the growth to ~volume.
   time(s"q174_entity_res_$tag") {
     val a = c.select(col("c_custkey").as("id_a"),
       col("c_acctbal").as("bal_a"), col("c_nationkey"),
@@ -166,7 +170,9 @@ def runNew(tag: String, d: DataFrame, c: DataFrame,
       Seq("c_nationkey", "bal_block"),
       Seq(graft.ops.RecordLinkage.Field("bal",
         abs(col("bal_a") - col("bal_b")) < 0.005, m = 0.9, u = 0.001)),
-      "id_a", "id_b", upper = 5.0)
+      "id_a", "id_b", upper = 5.0,
+      maxBlockPairs = 50000L, snKeys = Some((col("bal_a"), col("bal_b"))),
+      snWindow = 32)
       .groupBy("entity_id").count().count()
   }
   time(s"q179_token_drift_$tag") {

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""10x-stress GATE (VERDICT r10 #4): run tools/stress10x.scala, compute
+10x/1x growth factors per operator, assert the pinned bounds, and write
+STRESS_r{N}.json beside the other round artifacts. A regression in any
+pinned growth factor exits non-zero — the stress class that caught the
+Mondrian checkpoint-stats blowup and the phash hot-bucket blowup (both
+invisible at 1x) now FAILS the round instead of decorating a doc table.
+
+Bounds rationale (see PERFORMANCE.md "10x scale stress"): near-linear
+ops get ~1.5x headroom over the measured r10 factors for session noise;
+q160's cell-routed search is pinned sublinear; q174 is pinned post-cap
+(the uncapped block product grew 6.7x and is the regression this guards).
+
+Usage: python3 tools/stress_gate.py [--out STRESS_rN.json]
+Round N defaults to newest CORRECTNESS_r*.json round + 1 (the round in
+progress).
+"""
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# op prefix -> max allowed 10x/1x wall-clock growth factor
+BOUNDS = {
+    "q36_minhash": 5.0,
+    "q160_ivfpq_search": 2.0,
+    "q138_mondrian": 3.5,
+    "q171_phash": 3.0,
+    "q174_entity_res": 3.0,
+}
+
+
+def current_round():
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not files:
+        return 0
+    return int(re.search(r"_r(\d+)", os.path.basename(files[-1])).group(1)) + 1
+
+
+def run_stress():
+    cmd = [
+        "/opt/spark/bin/spark-shell", "--master", "local[32]",
+        "--driver-class-path", os.path.join(REPO, "target/scala-2.13/classes"),
+        "--conf", "spark.sql.shuffle.partitions=32",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=32g",
+        "-i", os.path.join(REPO, "tools/stress10x.scala"),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    times = {}
+    for line in out.stdout.splitlines():
+        m = re.match(r"STRESS (\S+) ([0-9.]+) s", line)
+        if m:
+            times[m.group(1)] = float(m.group(2))
+    if not times:
+        sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise SystemExit("no STRESS lines captured — stress run failed")
+    return times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    n = current_round()
+    out_path = args.out or os.path.join(REPO, f"STRESS_r{n:02d}.json")
+    times = run_stress()
+    ops = sorted({re.sub(r"_(1x|10x)$", "", k) for k in times})
+    report, failures = {}, []
+    for op in ops:
+        t1, t10 = times.get(f"{op}_1x"), times.get(f"{op}_10x")
+        if t1 is None or t10 is None:
+            continue
+        growth = round(t10 / t1, 2) if t1 > 0 else None
+        bound = BOUNDS.get(op)
+        ok = bound is None or (growth is not None and growth <= bound)
+        report[op] = {"sec_1x": t1, "sec_10x": t10, "growth": growth,
+                      "bound": bound, "pass": ok}
+        if not ok:
+            failures.append(f"{op}: growth {growth}x > bound {bound}x")
+        flag = "" if bound is None else (" OK" if ok else " FAIL")
+        print(f"{op}: {t1:.2f}s -> {t10:.2f}s = {growth}x"
+              f"{'' if bound is None else f' (bound {bound}x)'}{flag}")
+    with open(out_path, "w") as f:
+        json.dump({"round": n, "bounds": BOUNDS, "ops": report}, f, indent=2)
+        f.write("\n")
+    print(f"wrote {out_path}")
+    if failures:
+        for msg in failures:
+            print("STRESS GATE FAIL:", msg, file=sys.stderr)
+        return 1
+    print("stress gate: all pinned growth bounds hold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
