@@ -224,6 +224,64 @@ object DataQuality {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Exact Spearman rank correlation between two numeric columns — the
+    * MONOTONE-association audit ([[chiSquareIndependence]] for numeric
+    * pairs): outlier-robust where Pearson is not, catches any monotone
+    * dependency between a would-be-independent pair (a "random" shard
+    * key vs a timestamp, a quality score vs document length). ρ =
+    * Pearson over midranks, computed closed-form from exact integer
+    * sums: doubled midranks (2r = 2·cumBefore + t + 1, the q182 idiom)
+    * keep every rank integer under ties; Σx, Σy, Σx², Σy², Σxy
+    * accumulate in decimal(38) (order-free, HUGEINT-replayable; safe to
+    * ~3e12 rows since Σxy ≤ 4n³); the final
+    * (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is one fixed-shape
+    * double expression, rounded to 6 dp — the mannWhitneyU determinism
+    * contract. A constant column yields NULL (undefined), not a
+    * divide-by-zero.
+    *
+    * Scale: per-column ranks via [[Ranking.globalPrefixSum]] over the
+    * value-counts table (1024 monotone buckets — no data-sized global
+    * window), joined back value-keyed; one 1-row final aggregate.
+    * NULL in either column excludes the ROW (both CDFs cover the same
+    * row set — the ksTest contract). Output: one row (n, rho). */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val rows = df.select(col(aCol).cast("double").as("__a"),
+        col(bCol).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    def doubledRanks(vc: String, out: String): DataFrame = {
+      val counts = rows.groupBy(col(vc).as("__v")).agg(count(lit(1)).as("__t"))
+      val bounds = counts.agg(min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
+      val withB = counts.crossJoin(broadcast(bounds))
+      val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+      val bucket = when(bWidth > 0,
+        least(floor((col("__v") - col("__bmn")) / bWidth), lit(1023L)))
+        .otherwise(lit(0L))
+      Ranking.globalPrefixSum(withB, Seq("__v"), bucket, "__t", "__cum")
+        .withColumn(out, (col("__cum") - col("__t")) * 2 + col("__t") + 1)
+        .select(col("__v").as(vc), col(out))
+    }
+    val joined = rows
+      .join(doubledRanks("__a", "__x"), Seq("__a"))
+      .join(doubledRanks("__b", "__y"), Seq("__b"))
+    def wide(c: Column): Column = c.cast("decimal(38,0)")
+    val s = joined.agg(
+      count(lit(1)).as("n"),
+      sum(wide(col("__x"))).as("__sx"), sum(wide(col("__y"))).as("__sy"),
+      sum(wide(col("__x")) * col("__x")).as("__sxx"),
+      sum(wide(col("__y")) * col("__y")).as("__syy"),
+      sum(wide(col("__x")) * col("__y")).as("__sxy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val da = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val db = nD * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    s.select(col("n"),
+      when(da > 0 && db > 0, round(num / sqrt(da * db), 6))
+        .otherwise(lit(null).cast("double")).as("rho"))
+  }
+
   /** Benford first-significant-digit audit of a positive numeric
     * column: observed counts per leading digit vs the Benford
     * expectation p_d = log10(1 + 1/d), with the χ² distance. The

@@ -539,6 +539,33 @@ object Similarity {
     DataQuality.psiTermsFromCounts(counts, nlist)
   }
 
+  /** The retrain [[ivfPqOccupancyDrift]]'s gate calls for: fit a FRESH
+    * coarse quantizer + PQ codebooks on the current corpus, re-encode,
+    * and commit new versions of all three index tables (the store
+    * keeps prior versions time-travelable, so in-flight readers finish
+    * against the artifacts they loaded). Returns the new `codes`
+    * version — pass it as `baseVersion` to reset the drift baseline:
+    * right after a retrain the monitor reads 0 by construction, and
+    * subsequent ingests drift against the NEW geometry.
+    *
+    * Cost is the honest one — O(sample) Lloyd iterations + O(corpus)
+    * re-encode — which is exactly why it hides behind a monitor
+    * instead of running per ingest. */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, corpus: DataFrame, idCol: String,
+                        vecCol: String, nlist: Int, m: Int = 8,
+                        ksub: Int = 16, seed: Long = 42L,
+                        sampleFraction: Double = 1.0,
+                        meta: String = "retrain"): Long = {
+    val pq = trainPq(corpus, vecCol, m, ksub, seed)
+    val ivf = trainIvf(corpus, idCol, vecCol, nlist, seed, sampleFraction)
+    saveIvfPqIndex(
+      encodeWithStoredIndex(corpus, idCol, vecCol, ivf.centroids, pq),
+      ivf.centroids, pq, dir, meta)
+    graft.sources.SnapshotStore.committedVersion(spark, s"$dir/codes")
+      .getOrElse(throw new IllegalStateException(s"retrain commit missing under $dir"))
+  }
+
   /** [[knnIvfPq]] with exact refinement: the cell-pruned ADC scan
     * shortlists `shortlist` candidates per query, then only those rows
     * join back to their float vectors for exact L2 re-ranking — the

@@ -314,6 +314,15 @@ object StatsQueries {
         .orderBy("digit")
     }),
 
+    // Exact Spearman rank correlation of quantity vs extended price —
+    // the monotone-association audit (unit price makes them strongly
+    // but not perfectly monotone). Doubled midranks + HUGEINT-exact
+    // sums + one fixed-shape double expression (the q182 contract).
+    "q188_spearman" -> ((s, dir) => {
+      DataQuality.spearman(Tables.lineitem(s, dir),
+        "l_quantity", "l_extendedprice")
+    }),
+
     // Mann-Whitney rank-sum over the same split: the location-shift
     // companion to q176's shape statistic (did prices move up?).
     "q182_mann_whitney" -> ((s, dir) => {
@@ -419,6 +428,35 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Doubled midranks per column (2r = 2*cumBefore + t + 1), exact
+    // HUGEINT moment sums, one fixed-shape double for rho — mirrors the
+    // engine expression shape exactly so the 6dp round agrees.
+    "q188_spearman" ->
+      """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+                 CAST(l_extendedprice AS DOUBLE) AS b
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+          ca AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS t FROM r GROUP BY a),
+          ra AS (SELECT v, CAST((sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) * 2 + t + 1 AS BIGINT) AS x
+                 FROM ca),
+          cb AS (SELECT b AS v, CAST(count(*) AS BIGINT) AS t FROM r GROUP BY b),
+          rb AS (SELECT v, CAST((sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) * 2 + t + 1 AS BIGINT) AS y
+                 FROM cb),
+          j AS (SELECT ra.x, rb.y FROM r JOIN ra ON r.a = ra.v JOIN rb ON r.b = rb.v),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                  sum(CAST(x AS HUGEINT) * x) AS sxx,
+                  sum(CAST(y AS HUGEINT) * y) AS syy,
+                  sum(CAST(x AS HUGEINT) * y) AS sxy
+                FROM j)
+          SELECT n,
+                 CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                      THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 END AS rho
+          FROM s""",
     // Doubled midranks keep 2*R_B integer (HUGEINT-exact); U, mean and
     // the tie-corrected sigma are fixed-shape double expressions.
     "q182_mann_whitney" ->

@@ -180,6 +180,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup PAIRS over q37's hashes: byte-band bucketed join
+    // (pigeonhole-lossless at Hamming <= 3), exact bit_count verify —
+    // the token-multiset near-dup that needs no shingle explosion.
+    // Near-dups are PLANTED (one token appended to the first 20 docs,
+    // ids +200000 — SQL-regenerable, the q65 idiom) so the query is
+    // value-bearing at every sf; the DuckDB oracle brute-forces all
+    // hash pairs, so the banded join's losslessness is ORACLE-checked,
+    // not just spec-pinned.
+    "q187_simhash_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" zzduptoken")).as("text"))
+      Dedup.simhashPairs(d.unionByName(planted), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // The composed end-to-end corpus pipeline (normalize → quality →
     // exact dedup → LSH near-dup canonicalization → decontaminate →
     // split → pack). Every stage is an operator with its own oracle
@@ -1219,5 +1236,23 @@ object TextQueries {
           bits AS (SELECT doc_id, k, sum(((h >> k) & 1) * 2 - 1) AS s
                    FROM th CROSS JOIN (SELECT unnest(range(32)) AS k) GROUP BY doc_id, k)
           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
-          FROM bits GROUP BY doc_id ORDER BY doc_id""")
+          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // q37's hash pipeline over the planted corpus, then BRUTE-FORCE
+    // pairs — the oracle proves the engine's banded join lossless.
+    "q187_simhash_neardup" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 200000, text || ' zzduptoken'
+                 FROM documents WHERE doc_id < 20),
+          th AS (SELECT doc_id, ${phashSql("t")} AS h
+                 FROM (SELECT doc_id, unnest($tokSql) AS t FROM docs)),
+          bits AS (SELECT doc_id, k, sum(((h >> k) & 1) * 2 - 1) AS s
+                   FROM th CROSS JOIN (SELECT unnest(range(32)) AS k) GROUP BY doc_id, k),
+          sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+                 FROM bits GROUP BY doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY id_a, id_b""")
 }

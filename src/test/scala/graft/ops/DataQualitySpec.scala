@@ -135,6 +135,34 @@ class DataQualitySpec extends SparkSpec {
     assert(out.head._4 == expTerms.sum)
   }
 
+  test("spearman: monotone 1, reversed -1, hand-computed ties, constant null") {
+    val up = (1 to 40).map(i => (i.toDouble, math.exp(i / 7.0))).toDF("a", "b")
+    val r1 = DataQuality.spearman(up, "a", "b").select("n", "rho")
+      .as[(Long, Double)].head()
+    assert(r1 == ((40L, 1.0)), r1.toString) // any monotone map: rho = 1
+    val down = (1 to 40).map(i => (i.toDouble, -i * 3.0)).toDF("a", "b")
+    assert(DataQuality.spearman(down, "a", "b").select("rho").as[Double].head() == -1.0)
+    // ties: a = [1,2,2,3], b = [10,20,20,40] — tied midranks align
+    // perfectly, rho = 1; hand-computed mixed case: midranks
+    // a -> [1, 2.5, 2.5, 4], b -> [2, 3, 4, 1], Sxy = -1.5,
+    // Sxx = 4.5, Syy = 5 -> rho = -1.5/sqrt(22.5) = -0.316228
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)).toDF("a", "b")
+    assert(DataQuality.spearman(tied, "a", "b").select("rho").as[Double].head() == 1.0)
+    val mixed = Seq((1.0, 2.0), (2.0, 3.0), (2.0, 4.0), (3.0, 1.0)).toDF("a", "b")
+    val got = DataQuality.spearman(mixed, "a", "b").select("rho").as[Double].head()
+    assert(math.abs(got - (-0.316228)) < 1e-6, got.toString)
+    // constant column: undefined, not a crash
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    assert(DataQuality.spearman(const, "a", "b").select("rho").head().isNullAt(0))
+    // null rows excluded from BOTH rank sets
+    val withNull = Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)), (Some(9.0), None), (None, Some(9.0)))
+      .toDF("a", "b")
+    val rn = DataQuality.spearman(withNull, "a", "b").select("n", "rho")
+      .as[(Long, Double)].head()
+    assert(rn == ((2L, 1.0)), rn.toString)
+  }
+
   test("ksTest/mannWhitneyU: NULL values neither rank nor inflate the totals") {
     val withNulls = Seq[Option[Double]](Some(1.0), Some(2.0), None, None)
       .toDF("v")

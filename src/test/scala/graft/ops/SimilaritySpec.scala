@@ -535,6 +535,58 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sameElements(trueTop), s"${got.toSeq} != ${trueTop.toSeq}")
   }
 
+  test("IVF-PQ retrain resets the drift baseline and keeps history readable") {
+    def cluster(i: Long, c: Int): (Long, Seq[Float]) = {
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 10.0f
+      base((c * 2 + 1) % 8) += (i % 17) * 0.1f
+      (i, base.toSeq)
+    }
+    val dir = s"/tmp/graft_ivfpq_retrain_${System.nanoTime()}"
+    val base = (0L until 30L).map(i => cluster(i, (i % 3).toInt)).toDF("vec_id", "embedding")
+    val pq = Similarity.trainPq(base, "embedding", m = 4, ksub = 4, seed = 7L)
+    val ivf = Similarity.trainIvf(base, "vec_id", "embedding", nlist = 3, seed = 7L)
+    Similarity.saveIvfPqIndex(
+      Similarity.encodeWithStoredIndex(base, "vec_id", "embedding", ivf.centroids, pq),
+      ivf.centroids, pq, dir)
+    // drifted ingest fires the monitor...
+    val drifted = (200L until 260L).map(i => cluster(i, 0)).toDF("vec_id", "embedding")
+    Similarity.encodeIntoIvfPqIndex(spark, dir, drifted, "vec_id", "embedding")
+    assert(Similarity.ivfPqOccupancyDrift(spark, dir)
+      .select("psi_micro").as[Long].head() > 250000L)
+    // ...retrain on the grown corpus: new artifacts, monitor resets
+    val grown = base.unionByName(drifted)
+    val newV = Similarity.retrainIvfPqIndex(spark, dir, grown, "vec_id",
+      "embedding", nlist = 3, m = 4, ksub = 4, seed = 8L)
+    assert(newV == 3L) // v1 build, v2 ingest, v3 retrain
+    val reset = Similarity.ivfPqOccupancyDrift(spark, dir, baseVersion = newV)
+      .select("psi_micro").as[Long].head()
+    assert(reset == 0L, s"fresh baseline should read zero drift, got $reset")
+    // search over the retrained index is exact on well-separated data
+    val (codes, cents, pq2) = Similarity.loadIvfPqIndex(spark, dir)
+    assert(codes.count() == 90L)
+    val got = Similarity.knnIvfPqRefined(codes, grown,
+        grown.filter($"vec_id" === 0L), "vec_id", "embedding", cents, pq2,
+        k = 3, nprobe = 3, shortlist = 100)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    // exact L2 top-3 of vec 0 (offset 0): in-cluster offsets nearest
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"l2".asc, $"vec_id")
+    val trueTop = grown.select($"vec_id", $"embedding".as("__cv"))
+      .crossJoin(grown.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("__qv")))
+      .filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id",
+        aggregate(zip_with($"__qv".cast("array<double>"), $"__cv".cast("array<double>"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("l2"))
+      .withColumn("r", row_number().over(w)).filter($"r" <= 3)
+      .orderBy("r").select("vec_id").as[Long].collect()
+    assert(got.sameElements(trueTop), s"${got.toSeq} != ${trueTop.toSeq}")
+    // pre-retrain history stays time-travelable
+    assert(graft.sources.SnapshotStore.readVersion(spark, s"$dir/codes", 1L).count() == 30L)
+    assert(graft.sources.SnapshotStore.readVersion(spark, s"$dir/codes", 2L).count() == 90L)
+  }
+
   test("labelCentroidSim: orthogonal and identical label centroids") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),   // centroid (1,0)
