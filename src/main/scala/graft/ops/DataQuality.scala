@@ -375,6 +375,60 @@ object DataQuality {
       .select("n", "dof", "chi2_micro", "cramers_v")
   }
 
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the uncertainty coefficients — the
+    * association audit [[chiSquareIndependence]]'s χ² cannot replace
+    * when the QUESTION is "how many bits of A does B leak" (a shard key
+    * leaking geography, a pseudonym leaking the rare label): χ² scores
+    * deviation-from-independence, MI scores the information itself, and
+    * U(A|B) = MI/H(A) normalizes it to [0,1].
+    *
+    * Determinism (the q137/q180 idiom): every logarithm runs over an
+    * INTEGER — MI cell terms use mn(o·n) − mn(ra·cb) with the products
+    * widened to decimal(38) BEFORE multiplying, entropy terms mn(n) −
+    * mn(ra) — probabilities are exact integer ratios in one IEEE
+    * division each, per-cell terms round to micro-nats before the
+    * order-free integer totals, and the U coefficients are fixed-shape
+    * double expressions over the micro totals (6 dp).
+    *
+    * Scale: one cell aggregation (map-side combined, contingency-
+    * sized), marginals as aggregations OF THE CELL TABLE, cell-keyed
+    * joins, 1-row output — the q180 topology exactly. Absent cells
+    * (o = 0) contribute 0 to MI by the 0·ln 0 = 0 convention, so no
+    * densify pass is needed. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def mn(c: Column): Column = round(log(c.cast("double")) * lit(1e6), 0).cast("long")
+    def wide(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"), col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val terms = cells
+      .join(rowT, Seq("__a")).join(colT, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__mi_t",
+        round((col("__o").cast("double") / col("__n"))
+          * (mn(wide(col("__o")) * col("__n")) - mn(wide(col("__ra")) * col("__cb")))
+            .cast("double"), 0).cast("long"))
+    val mi = terms.agg(sum(col("__mi_t")).as("mi_micro"), max(col("__n")).as("n"))
+    def entropyMicro(marg: DataFrame, cnt: String): DataFrame =
+      marg.crossJoin(broadcast(tot))
+        .select(round((col(cnt).cast("double") / col("__n"))
+          * (mn(col("__n")) - mn(col(cnt))).cast("double"), 0).cast("long").as("__t"))
+        .agg(sum(col("__t")).as("__h"))
+    val ha = entropyMicro(rowT, "__ra").withColumnRenamed("__h", "h_a_micro")
+    val hb = entropyMicro(colT, "__cb").withColumnRenamed("__h", "h_b_micro")
+    val u = (miC: Column, h: Column) =>
+      when(h > 0, round(miC.cast("double") / h.cast("double"), 6))
+        .otherwise(lit(null).cast("double"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), col("mi_micro"), col("h_a_micro"), col("h_b_micro"),
+        u(col("mi_micro"), col("h_a_micro")).as("u_a"),
+        u(col("mi_micro"), col("h_b_micro")).as("u_b"))
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift gate between a training corpus and a
     * fresh crawl (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 retrain).

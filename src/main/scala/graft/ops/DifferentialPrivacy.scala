@@ -365,9 +365,8 @@ object BudgetLedger {
         throw new IllegalStateException(
           f"privacy budget exhausted: spent $sp%.6f + $amount%.6f > $total%.6f ($dir)")
       import spark.implicits._
-      SnapshotStore.commit(
-        cur.unionByName(
-          Seq((releaseId, amount, meta)).toDF("release_id", "amount", "meta")),
+      SnapshotStore.commitAppend(
+        Seq((releaseId, amount, meta)).toDF("release_id", "amount", "meta"),
         dir, s"charge:$releaseId")
     }
     remaining(spark, dir)

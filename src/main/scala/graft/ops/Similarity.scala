@@ -505,9 +505,10 @@ object Similarity {
     val (codes, cents, pq) = loadIvfPqIndex(spark, dir)
     val fresh = encodeWithStoredIndex(batch, idCol, vecCol, cents, pq)
       .join(codes.select(col(idCol)), Seq(idCol), "left_anti")
-    graft.sources.SnapshotStore.commit(
-      codes.unionByName(fresh.select(codes.columns.map(col).toSeq: _*)),
-      s"$dir/codes", meta)
+    // append-only commit: only the batch's codes are written — O(batch)
+    // per ingest against a 100 TB code table, never a rewrite
+    graft.sources.SnapshotStore.commitAppend(
+      fresh.select(codes.columns.map(col).toSeq: _*), s"$dir/codes", meta)
   }
 
   /** Coarse-quantizer drift monitor for a persisted IVF-PQ index:

@@ -25,11 +25,10 @@ import org.apache.spark.sql.functions.col
   * what an ingest added), and [[SnapshotStore.vacuum]] bounds retention.
   *
   * Scale: per-ingest cost is O(batch + corpus-hash-projection) — the
-  * corpus text is read only to rewrite the new version's files. (A
-  * production deployment would keep the corpus as an APPEND-only file
-  * set per version — manifest of parent files + the new delta — making
-  * commits O(batch); the store's versioning contract already permits
-  * that layout, this method just writes eagerly for simplicity.)
+  * commit itself is APPEND-ONLY ([[SnapshotStore.commitAppend]]: the
+  * new version's manifest references the parent's files plus the
+  * accepted delta, so only the batch is ever written; no corpus text
+  * is rewritten, ever).
   */
 object IncrementalCorpus {
 
@@ -62,7 +61,8 @@ object IncrementalCorpus {
              nearDupThreshold: Option[Double] = None,
              nearDupShingleN: Int = 2,
              annIndexDir: Option[String] = None,
-             annVecCol: String = "embedding"): Long = {
+             annVecCol: String = "embedding",
+             compactEvery: Int = 0): Long = {
     val current = SnapshotStore.committedVersion(spark, tableDir) match {
       case Some(v) => SnapshotStore.readVersion(spark, tableDir, v)
       case None => batch.limit(0)
@@ -107,6 +107,16 @@ object IncrementalCorpus {
       graft.ops.Similarity.encodeIntoIvfPqIndex(spark, dir,
         accepted.select(col(idCol), col(annVecCol)), idCol, annVecCol, meta)
     }
-    SnapshotStore.commit(current.unionByName(accepted), tableDir, meta)
+    // append-only corpus commit: only the accepted batch is written —
+    // O(batch) per ingest; readers still see the full logical corpus
+    // through the version manifest
+    val v = SnapshotStore.commitAppend(accepted, tableDir, meta)
+    // bounded read amplification: past `compactEvery` chained delta dirs
+    // the chain is rewritten into one physical version (amortized
+    // O(corpus/compactEvery) per ingest; 0 = caller compacts explicitly)
+    if (compactEvery > 0 &&
+        SnapshotStore.chainLength(spark, tableDir) >= compactEvery)
+      SnapshotStore.compact(spark, tableDir, s"$meta|compact")
+    else v
   }
 }

@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * explodes 4 rows per INDEXED doc but carries only (16-byte key, id)
   * pairs, and the batch side is small enough for AQE to broadcast — the
   * same asymmetry crossNearDup exploits, now without the corpus-side
-  * recompute. `update` rewrites the table per commit (SnapshotStore's
-  * eager layout); an append-only manifest layout would make commits
-  * O(batch) — the store's versioning contract already permits it.
+  * recompute. `update` commits APPEND-ONLY
+  * ([[SnapshotStore.commitAppend]]): only the batch's novel rows are
+  * written per ingest — O(batch) commits against an arbitrarily large
+  * stored index.
   */
 object NearDupIndex {
 
@@ -38,16 +39,24 @@ object NearDupIndex {
     * nothing but the version number. */
   def update(spark: SparkSession, indexDir: String, batch: DataFrame,
              idCol: String, textCol: String, shingleN: Int,
-             meta: String = ""): Long = {
+             meta: String = "", compactEvery: Int = 0): Long = {
     val fresh = Dedup.nearDupIndexRows(batch, idCol, textCol, shingleN)
-    val next = SnapshotStore.committedVersion(spark, indexDir) match {
-      case Some(v) =>
-        val stored = SnapshotStore.readVersion(spark, indexDir, v)
-        stored.unionByName(
-          fresh.join(stored.select("id"), Seq("id"), "left_anti"))
-      case None => fresh
+    val v = SnapshotStore.committedVersion(spark, indexDir) match {
+      case Some(cur) =>
+        val stored = SnapshotStore.readVersion(spark, indexDir, cur)
+        // append-only commit: only the batch's novel rows are written —
+        // O(batch) per ingest, never an O(corpus) rewrite
+        SnapshotStore.commitAppend(
+          fresh.join(stored.select("id"), Seq("id"), "left_anti"),
+          indexDir, meta)
+      case None => SnapshotStore.commit(fresh, indexDir, meta)
     }
-    SnapshotStore.commit(next, indexDir, meta)
+    // probe latency scales with chain length (each delta dir is listed
+    // per query); past `compactEvery` dirs rewrite the chain into one
+    if (compactEvery > 0 &&
+        SnapshotStore.chainLength(spark, indexDir) >= compactEvery)
+      SnapshotStore.compact(spark, indexDir, s"$meta|compact")
+    else v
   }
 
   /** The stored index (newest committed version). */

@@ -314,6 +314,15 @@ object StatsQueries {
         .orderBy("digit")
     }),
 
+    // Mutual information + uncertainty coefficients for order status vs
+    // priority — "how many bits does one leak about the other", the
+    // information-theoretic companion to q180's chi-square on the same
+    // pair (micro-nat integer-ln terms, q137 idiom).
+    "q189_mutual_info" -> ((s, dir) => {
+      DataQuality.mutualInformation(Tables.orders(s, dir),
+        "o_orderstatus", "o_orderpriority")
+    }),
+
     // Exact Spearman rank correlation of quantity vs extended price —
     // the monotone-association audit (unit price makes them strongly
     // but not perfectly monotone). Doubled midranks + HUGEINT-exact
@@ -428,6 +437,37 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Integer-count micro-nat lns throughout (HUGEINT products before
+    // the ln); absent cells contribute 0 (0·ln 0), so no densify pass.
+    "q189_mutual_info" ->
+      """WITH cells AS (SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+                   CAST(o_orderpriority AS VARCHAR) AS b,
+                   CAST(count(*) AS BIGINT) AS o
+                 FROM orders
+                 WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                 GROUP BY 1, 2),
+          rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+          ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+          t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+          mi AS (SELECT CAST(sum(CAST(round((o / CAST(n AS DOUBLE))
+                     * CAST(CAST(round(ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                          - CAST(round(ln(CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE), 0) AS BIGINT))
+                   AS BIGINT) AS mi_micro, max(n) AS n
+                 FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t),
+          ha AS (SELECT CAST(sum(CAST(round((ra / CAST(n AS DOUBLE))
+                     * CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                          - CAST(round(ln(CAST(ra AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE), 0) AS BIGINT))
+                   AS BIGINT) AS h_a_micro FROM rt CROSS JOIN t),
+          hb AS (SELECT CAST(sum(CAST(round((cb / CAST(n AS DOUBLE))
+                     * CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                          - CAST(round(ln(CAST(cb AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE), 0) AS BIGINT))
+                   AS BIGINT) AS h_b_micro FROM ct CROSS JOIN t)
+          SELECT n, mi_micro, h_a_micro, h_b_micro,
+                 CASE WHEN h_a_micro > 0
+                      THEN round(CAST(mi_micro AS DOUBLE) / CAST(h_a_micro AS DOUBLE), 6) END AS u_a,
+                 CASE WHEN h_b_micro > 0
+                      THEN round(CAST(mi_micro AS DOUBLE) / CAST(h_b_micro AS DOUBLE), 6) END AS u_b
+          FROM mi CROSS JOIN ha CROSS JOIN hb""",
     // Doubled midranks per column (2r = 2*cumBefore + t + 1), exact
     // HUGEINT moment sums, one fixed-shape double for rho — mirrors the
     // engine expression shape exactly so the 6dp round agrees.

@@ -95,6 +95,64 @@ object SnapshotStore {
     v
   }
 
+  /** APPEND-ONLY commit: publish a new version whose content is the
+    * parent version's rows plus `delta`, writing ONLY the delta — the
+    * O(batch) commit a daily ingest against a 100 TB table needs (a
+    * [[commit]] there is an O(corpus) rewrite, every day). The new
+    * `v-N` dir holds just the delta files plus a `_dirs` manifest
+    * naming every data dir that composes the version (the parent's
+    * manifest + itself); [[readVersion]] resolves the manifest, so
+    * readers see the logical union with no physical copy. The manifest
+    * is written BEFORE the marker publish — the marker stays the single
+    * atomic gate, and a crash at any point leaves the parent version
+    * live with at most an orphan delta dir.
+    *
+    * A later full [[commit]] (e.g. a retrain or compaction) naturally
+    * resets the chain: its version has no manifest, so it alone is the
+    * content, and [[vacuum]] can then reclaim the delta dirs (vacuum
+    * never deletes a dir still referenced by a RETAINED version's
+    * manifest). On a table with no committed version this degrades to a
+    * plain first commit. */
+  def commitAppend(delta: DataFrame, tableDir: String, meta: String = ""): Long = {
+    val spark = delta.sparkSession
+    committedVersion(spark, tableDir) match {
+      case None => commit(delta, tableDir, meta)
+      case Some(parent) =>
+        val v = parent + 1L
+        delta.write.mode("overwrite").parquet(dataPath(tableDir, v).toString)
+        writeManifest(spark, tableDir, v,
+          manifestDirs(spark, tableDir, parent) :+ dirName(v))
+        publish(spark, tableDir, v, meta)
+        v
+    }
+  }
+
+  private val ManifestFile = "_dirs"
+
+  private def dirName(v: Long) = f"v-$v%010d"
+
+  /** Data dirs composing a version: its manifest if present (append
+    * chain), else just its own dir (plain commit). */
+  private def manifestDirs(spark: SparkSession, tableDir: String,
+                           v: Long): Seq[String] = {
+    val f = fs(spark, tableDir)
+    val m = new Path(dataPath(tableDir, v), ManifestFile)
+    if (!f.exists(m)) Seq(dirName(v))
+    else {
+      val in = f.open(m)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, tableDir: String, v: Long,
+                            dirs: Seq[String]): Unit = {
+    val f = fs(spark, tableDir)
+    val out = f.create(new Path(dataPath(tableDir, v), ManifestFile), true)
+    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   /** Publish a written `v-N` data dir by creating its marker with
     * create-WITHOUT-overwrite — the primitive that is atomic in the HDFS
     * namespace (and O_EXCL-shaped on local FS), and the same protocol
@@ -127,12 +185,38 @@ object SnapshotStore {
         throw new java.io.FileNotFoundException(
           s"SnapshotStore: no committed version under $tableDir")))
 
-  /** Time travel: pin a specific committed version. */
+  /** Time travel: pin a specific committed version (append chains
+    * resolve through their manifests; columns match by NAME across
+    * the composed dirs, parquet's resolution rule). */
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     require(commitMeta(spark, tableDir, v).isDefined,
       s"SnapshotStore: version $v of $tableDir is not committed")
-    spark.read.parquet(dataPath(tableDir, v).toString)
+    val dirs = manifestDirs(spark, tableDir, v)
+      .map(d => new Path(tableDir, d).toString)
+    spark.read.parquet(dirs: _*)
   }
+
+  /** Number of data dirs composing the CURRENT version — the append-chain
+    * length. Read amplification grows with it (every read lists and
+    * opens each dir's footer), so ingest loops watch this and trigger
+    * [[compact]] past a threshold. 1 for a plain commit. */
+  def chainLength(spark: SparkSession, tableDir: String): Int =
+    committedVersion(spark, tableDir)
+      .map(v => manifestDirs(spark, tableDir, v).size).getOrElse(0)
+
+  /** Rewrite the current append chain as ONE physical version — the
+    * periodic O(corpus) job that keeps the amortized ingest cost of
+    * [[commitAppend]] honest: N daily O(batch) appends accumulate N
+    * dirs of small files; compacting every K ingests bounds read
+    * amplification at K dirs while keeping per-ingest cost O(batch)
+    * (the rewrite amortizes to O(corpus/K) per ingest). The compacted
+    * version has no manifest, so it RESETS the chain; [[vacuum]] can
+    * then reclaim every delta dir it superseded. Readers are never
+    * blocked: the rewrite lands in a fresh v-N dir and publishes through
+    * the same atomic marker as any commit. */
+  def compact(spark: SparkSession, tableDir: String,
+              meta: String = "compact"): Long =
+    commit(read(spark, tableDir), tableDir, meta)
 
   /** What changed between two committed versions, per key:
     * added / removed / changed / same ([[graft.ops.Cdc.snapshotDiff]]). */
@@ -156,9 +240,15 @@ object SnapshotStore {
       .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
       .toSeq.sorted
     val drop = versions.dropRight(keepLast)
+    // append chains: a retained version's manifest may reference a
+    // dropped version's DATA dir — the marker goes, the dir stays until
+    // no retained manifest needs it
+    val referenced = versions.takeRight(keepLast)
+      .flatMap(v => manifestDirs(spark, tableDir, v)).toSet
     drop.foreach { v =>
       f.delete(markerPath(tableDir, v), false)
-      f.delete(dataPath(tableDir, v), true)
+      if (!referenced.contains(dirName(v)))
+        f.delete(dataPath(tableDir, v), true)
     }
     drop
   }

@@ -254,6 +254,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(cacheReads >= 3, s"expected >=3 cache reads:\n$p")
   }
 
+  test("spearman: rank cumsums run bucket-partitioned — no data-sized global window") {
+    val df = (1 to 400).map(i => ((i * 37 % 997).toDouble, (i * 53 % 991).toDouble))
+      .toDF("a", "b")
+    val p = plan(DataQuality.spearman(df, "a", "b"))
+    assert(!p.contains("CartesianProduct"), p)
+    // both per-column rank passes must ride the rank-offset scheme:
+    // value-ordered windows partitioned by the bucket, never bare
+    assert(!p.contains("windowspecdefinition(__v"), p)
+    assert(p.contains("windowspecdefinition(__psb"), p)
+  }
+
+  test("mutualInformation: cell-keyed joins, 1-row broadcasts, no cartesian") {
+    val df = (1 to 400).map(i => (s"a${i % 3}", s"b${i % 5}")).toDF("x", "y")
+    val p = plan(DataQuality.mutualInformation(df, "x", "y"))
+    assert(!p.contains("CartesianProduct"), p)
+    // contingency cells aggregate map-side; marginals join back hashed
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("scoreBlockedCapped: hot path is rank-band equi-joins — never a block product") {
+    val a = (0 until 60).map(i => (i.toLong, f"n$i%03dx", "h")).toDF("id_a", "name_a", "blk")
+    val b = (0 until 60).map(i => (1000L + i, f"n$i%03dy", "h")).toDF("id_b", "name_b", "blk")
+    val f = Seq(RecordLinkage.Field("n",
+      substring(col("name_a"), 1, 4) === substring(col("name_b"), 1, 4),
+      m = 0.9, u = 0.01))
+    val p = plan(RecordLinkage.scoreBlockedCapped(a, b, Seq("blk"), f,
+      "id_a", "id_b", col("name_a"), col("name_b"), maxBlockPairs = 100L, w = 3))
+    assertNoQuadratic(p)
+    // the successor-rank fanout joins on (block, rank) — an equi hash
+    // join; the hot-block routing tables broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("ksTest: CDF cumsum runs bucket-partitioned — no data-sized global window") {
     val a = (1 to 400).map(i => (i * 37 % 997).toDouble).toDF("v")
     val b = (1 to 400).map(i => (i * 53 % 991).toDouble).toDF("v")

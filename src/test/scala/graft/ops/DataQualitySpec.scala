@@ -135,6 +135,34 @@ class DataQualitySpec extends SparkSpec {
     assert(out.head._4 == expTerms.sum)
   }
 
+  test("mutualInformation: independent ~0; determined pair has MI = H; hand case") {
+    // perfectly independent uniform 2x2: MI exactly 0 (o*n == ra*cb)
+    val indep = Seq.tabulate(400)(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val r0 = DataQuality.mutualInformation(indep, "x", "y")
+      .select("n", "mi_micro", "u_a").as[(Long, Long, Double)].head()
+    assert(r0._1 == 400L && r0._2 == 0L && r0._3 == 0.0, r0.toString)
+    // y determined by x (bijective): MI = H(A) = H(B) = ln 3 micro-nats
+    val det = Seq.tabulate(300)(i => (s"a${i % 3}", s"b${i % 3}")).toDF("x", "y")
+    val r1 = DataQuality.mutualInformation(det, "x", "y")
+      .select("mi_micro", "h_a_micro", "u_a", "u_b")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r1._1 == r1._2 && r1._3 == 1.0 && r1._4 == 1.0, r1.toString)
+    assert(math.abs(r1._1 - math.round(math.log(3.0) * 1e6)) <= 3, r1.toString)
+    // hand case: cells (a0,b0)=50, (a0,b1)=50, (a1,b0)=100 (absent
+    // (a1,b1) contributes 0): MI = 0.5*ln(4/3) + 0.25*ln(2/3) + 0.5*ln(4/3)...
+    // computed directly against the closed form below
+    val sparse = (Seq.fill(50)(("a0", "b0")) ++ Seq.fill(50)(("a0", "b1")) ++
+      Seq.fill(100)(("a1", "b0"))).toDF("x", "y")
+    val got = DataQuality.mutualInformation(sparse, "x", "y")
+      .select("mi_micro").as[Long].head()
+    // n=200, ra=(100,100), cb=(150,50); terms: o/n * ln(o*n/(ra*cb))
+    val expect = Seq((50.0, 100.0 * 150), (50.0, 100.0 * 50), (100.0, 100.0 * 150))
+      .map { case (o, rc) => math.round(o / 200 * math.round(math.log(o * 200 / rc) * 1e6)) }
+      .sum
+    assert(math.abs(got - expect) <= 5, s"$got vs $expect")
+  }
+
   test("spearman: monotone 1, reversed -1, hand-computed ties, constant null") {
     val up = (1 to 40).map(i => (i.toDouble, math.exp(i / 7.0))).toDF("a", "b")
     val r1 = DataQuality.spearman(up, "a", "b").select("n", "rho")

@@ -54,6 +54,23 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(SnapshotStore.commitMeta(spark, table, 2L).contains("crawl-2"))
   }
 
+  test("compactEvery bounds the append chain without changing the corpus") {
+    val table = s"/tmp/graft_inccmp_${System.nanoTime()}"
+    val mk = (id: Long) => Seq((id, s"unique document number $id with its own words " +
+      s"padding ${id * 7} ${id * 13} ${id * 17}")).toDF("doc_id", "text")
+    (1L to 5L).foreach { i =>
+      IncrementalCorpus.ingest(spark, table, mk(i), bench, "doc_id", "text",
+        decontamN = 8, meta = s"crawl-$i", compactEvery = 3)
+      // chain never exceeds the bound: appends accumulate to 3, then the
+      // compact resets it to 1 (read amplification stays O(compactEvery))
+      assert(SnapshotStore.chainLength(spark, table) <= 3,
+        s"chain ${SnapshotStore.chainLength(spark, table)} at ingest $i")
+    }
+    val ids = SnapshotStore.read(spark, table).select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L, 4L, 5L)), ids.toSeq.toString)
+  }
+
   test("near-dup gate drops batch docs matching the STORED index, not a recompute") {
     val table = s"/tmp/graft_incnd_${System.nanoTime()}"
     val b1 = Seq(

@@ -59,6 +59,67 @@ class SnapshotStoreSpec extends SparkSpec {
       "the winner's meta must survive the losing publish")
   }
 
+  test("commitAppend: O(delta) commits compose the logical union; time travel intact") {
+    val dir = tmpTable()
+    val v1 = SnapshotStore.commitAppend(Seq((1L, "a")).toDF("id", "p"), dir) // no parent: plain
+    val v2 = SnapshotStore.commitAppend(Seq((2L, "b")).toDF("id", "p"), dir)
+    val v3 = SnapshotStore.commitAppend(Seq((3L, "c")).toDF("id", "p"), dir)
+    assert((v1, v2, v3) == ((1L, 2L, 3L)))
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // every historical version is still exactly its prefix
+    assert(SnapshotStore.readVersion(spark, dir, 1L).count() == 1L)
+    assert(SnapshotStore.readVersion(spark, dir, 2L).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the append wrote ONLY the delta: v-3's dir holds one row of data
+    assert(spark.read.parquet(new Path(dir, "v-0000000003").toString).count() == 1L)
+    // a full commit resets the chain (retrain/compaction semantics)
+    SnapshotStore.commit(Seq((9L, "z")).toDF("id", "p"), dir)
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    // and appends continue from the reset content
+    SnapshotStore.commitAppend(Seq((10L, "y")).toDF("id", "p"), dir)
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((9L, "z"), (10L, "y")))
+  }
+
+  test("compact rewrites an append chain into one dir; vacuum then reclaims deltas") {
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "p"), dir)
+    SnapshotStore.commitAppend(Seq((2L, "b")).toDF("id", "p"), dir)
+    SnapshotStore.commitAppend(Seq((3L, "c")).toDF("id", "p"), dir)
+    assert(SnapshotStore.chainLength(spark, dir) == 3)
+    val cv = SnapshotStore.compact(spark, dir)
+    assert(cv == 4L && SnapshotStore.chainLength(spark, dir) == 1)
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // post-compact, no retained manifest pins the delta dirs: vacuum
+    // reclaims all three and the compacted version still reads whole
+    assert(SnapshotStore.vacuum(spark, dir, keepLast = 1) == Seq(1L, 2L, 3L))
+    val f = new Path(dir, "v-0000000002")
+    assert(!f.getFileSystem(spark.sessionState.newHadoopConf()).exists(f),
+      "delta dir should be reclaimed once no manifest references it")
+    assert(SnapshotStore.read(spark, dir).count() == 3L)
+    // appends resume on the compacted base
+    SnapshotStore.commitAppend(Seq((4L, "d")).toDF("id", "p"), dir)
+    assert(SnapshotStore.read(spark, dir).count() == 4L)
+    assert(SnapshotStore.chainLength(spark, dir) == 2)
+  }
+
+  test("vacuum never deletes a data dir a retained append manifest still references") {
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "p"), dir)          // v1: base
+    SnapshotStore.commitAppend(Seq((2L, "b")).toDF("id", "p"), dir)    // v2 -> refs v1
+    SnapshotStore.commitAppend(Seq((3L, "c")).toDF("id", "p"), dir)    // v3 -> refs v1,v2
+    val dropped = SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    assert(dropped == Seq(1L, 2L))
+    // markers for v1/v2 are gone, but v3 still reads the FULL union
+    // because its manifest pins their data dirs
+    assert(SnapshotStore.commitMeta(spark, dir, 1L).isEmpty)
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("vacuum keeps the newest versions and drops markers+data for the rest") {
     val dir = tmpTable()
     (1 to 4).foreach(i => SnapshotStore.commit(Seq((i.toLong, s"v$i")).toDF("id", "p"), dir))
