@@ -282,6 +282,90 @@ object DataQuality {
         .otherwise(lit(null).cast("double")).as("rho"))
   }
 
+  /** Order-free content fingerprint of a dataset over `cols`: row count
+    * plus the SUM and XOR of a 60-bit portable per-row hash — two
+    * datasets equal AS MULTISETS over those columns fingerprint
+    * identically regardless of row order, partitioning, or file layout,
+    * and (sum, xor, count) together make silent corruption collisions
+    * vanishingly unlikely. This is the cheap end-to-end integrity check
+    * a versioned 100 TB store needs: an append chain must fingerprint
+    * identically to its compaction, a replicated table to its source, a
+    * replayed ingest to the original — one commutative aggregation each
+    * (map-side combined; no shuffle beyond the final 1-row reduce), no
+    * sort, no join.
+    *
+    * Rows hash portably ([[graft.functions.PortableHash]]): each column
+    * renders `coalesce(cast(c AS string), chr(1))` — chr(1) marks NULL
+    * distinctly from '' — joined by chr(2), then md5 → 60 bits. The sum
+    * aggregates in decimal(38) (exceeds a long's range around 10^19th
+    * row-hash mass; render it as a string for cross-engine compare).
+    * Avoid double columns in `cols` unless both engines render them
+    * identically — ints, strings, dates, decimals are safe. */
+  def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("\u0001")))
+    val h = graft.functions.PortableHash.phash(concat_ws("\u0002", rendered: _*))
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__h").cast("decimal(38,0)")).as("hsum"),
+        expr("bit_xor(__h)").as("hxor"))
+  }
+
+  /** Exact Kendall tau-b over a (typically heavily tied) ordinal pair —
+    * the concordance companion to [[spearman]]: rank-magnitude-free, so
+    * a single wild outlier cannot move it, and the tie correction
+    * (tau-b) keeps it honest on discrete domains. Computed on the
+    * CONTINGENCY TABLE, never row pairs: with cell counts o, concordant
+    * C = Σ over ordered cell pairs (a↑, b↑) of o_i·o_j and discordant D
+    * the (a↑, b↓) sum, so cost is |cells|² — bounded by the product of
+    * the two DOMAINS (guarded by `maxCells`), independent of row count;
+    * the naive definition is n² row pairs. Tie terms come from the
+    * marginals: tau_b = (C−D) / √((n0−n1)(n0−n2)), n0 = n(n−1)/2,
+    * n1 = Σ_a t(t−1)/2, n2 = Σ_b t(t−1)/2 (Kendall 1945 tie treatment).
+    *
+    * Determinism: C, D, n0, n1, n2 are exact integers (counts widened to
+    * decimal(38) before multiplying); tau is ONE fixed-shape double
+    * expression over them, rounded to 6 dp — a SQL oracle replays it
+    * bit-for-bit. Scale: one map-side-combined cell aggregation over
+    * the data, then a broadcast self-join of the ≤`maxCells`-row cell
+    * table; the data is scanned once. */
+  def kendallTau(df: DataFrame, aCol: String, bCol: String,
+                 maxCells: Int = 100000): DataFrame = {
+    def wide(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("double").as("__a"), col(bCol).cast("double").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    // fail fast on a continuous column (cells² would explode): the limit
+    // stops the count at the bound — cell-table-scale action, not data
+    require(cells.limit(maxCells + 1).count() <= maxCells,
+      s"kendallTau: contingency table exceeds $maxCells cells — bin first")
+    val rhs = cells.select(col("__a").as("__a2"), col("__b").as("__b2"),
+      col("__o").as("__o2"))
+    val pairs = cells.join(broadcast(rhs), col("__a") < col("__a2"))
+    val cd = pairs.agg(
+      sum(when(col("__b") < col("__b2"), wide(col("__o")) * col("__o2"))).as("__c"),
+      sum(when(col("__b") > col("__b2"), wide(col("__o")) * col("__o2"))).as("__d"))
+    def tieSum(keyCol: String, out: String): DataFrame =
+      cells.groupBy(col(keyCol)).agg(sum(col("__o")).as("__t"))
+        .agg((sum(wide(col("__t")) * col("__t") - col("__t")) / 2).as(out))
+    val totals = cells.agg(sum(col("__o")).as("n"))
+      .select(col("n"), (wide(col("n")) * (col("n") - 1) / 2).as("__n0"))
+    totals
+      .crossJoin(broadcast(cd))
+      .crossJoin(broadcast(tieSum("__a", "__n1")))
+      .crossJoin(broadcast(tieSum("__b", "__n2")))
+      .select(col("n"),
+        coalesce(col("__c"), lit(0)).cast("decimal(38,0)").as("conc"),
+        coalesce(col("__d"), lit(0)).cast("decimal(38,0)").as("disc"),
+        when((col("__n0") > col("__n1")) && (col("__n0") > col("__n2")),
+          round((coalesce(col("__c"), lit(0)) - coalesce(col("__d"), lit(0)))
+              .cast("double") /
+            sqrt((col("__n0") - col("__n1")).cast("double") *
+              (col("__n0") - col("__n2")).cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
   /** Benford first-significant-digit audit of a positive numeric
     * column: observed counts per leading digit vs the Benford
     * expectation p_d = log10(1 + 1/d), with the χ² distance. The

@@ -474,4 +474,60 @@ object Sketches {
       .filter(col("m_j").isNotNull)
     hllEstimateGrouped(cum, groupCol, b)
   }
+
+  /** Distinct-count estimates for EVERY prefix level of a dimension
+    * hierarchy — SQL `ROLLUP(dims...) ... count(DISTINCT key)` semantics
+    * — from ONE pass over the data. Spark's own rollup + count_distinct
+    * runs an Expand that replicates every input row once per grouping
+    * set (at 100 TB that is `levels×corpus` rows into the exchange, then
+    * a distinct per set); here the data is sketched ONCE at the finest
+    * grain and coarser levels are pure register algebra — a union's
+    * sketch is the element-wise max of the sketches — so each level is
+    * an aggregation of the ≤(finest-groups × m)-row register table,
+    * metadata scale. Same registers as [[hllSketchGrouped]] (same b,
+    * same salt ⇒ same estimates a per-level direct sketch would give,
+    * exactly — max is associative), so a SQL oracle replays every level
+    * bit-for-bit.
+    *
+    * Output: dims (cast to string; null = rolled up, SQL-ROLLUP shape),
+    * `level` (number of grouped dims), `hll_est`. */
+  def hllRollup(df: DataFrame, dims: Seq[String], keyCol: String,
+                b: Int = 6, salt: String = "graft-hll"): DataFrame = {
+    require(dims.nonEmpty, "need at least one rollup dimension")
+    require(b >= 4 && b <= 16, s"b=$b out of [4,16]")
+    val m = 1 << b
+    val h = phash(concat_ws("|", lit(salt), col(keyCol).cast("string")))
+    val w = shiftright(h, b)
+    val rho = when(w === 0, lit(hllWordBits(b) + 1))
+      .otherwise(lit(hllWordBits(b) + 1) - length(bin(w)))
+    // ONE data pass: registers at the finest grain; every level below
+    // re-aggregates this table, so persist it (one consumer per level)
+    val fine = df
+      .select(dims.map(d => col(d).cast("string").as(d)) ++
+        Seq(pmod(h, lit(m)).as("bucket"), rho.as("__rho")): _*)
+      .groupBy(dims.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).as("m_j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => fine.unpersist())
+    val levels = (dims.length to 0 by -1).map { lvl =>
+      val keep = dims.take(lvl)
+      val reg = fine.groupBy(keep.map(col) :+ col("bucket"): _*)
+        .agg(max(col("m_j")).as("m_j"))
+      val est = reg.groupBy(keep.map(col): _*)
+        .agg(sum(pow(lit(2.0), -col("m_j"))).as("__s"),
+          count(lit(1)).as("__nb"))
+        .select(keep.map(col) ++ Seq(
+          (col("__s") + (lit(m) - col("__nb"))).as("__den"),
+          (lit(m) - col("__nb")).as("__v")): _*)
+      est.select(dims.map(d =>
+        (if (keep.contains(d)) col(d) else lit(null).cast("string")).as(d)) ++
+        Seq(lit(lvl).as("level"),
+          round(
+            when(lit(hllAlpha(m) * m * m) / col("__den") <= lit(2.5 * m) && col("__v") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+              .otherwise(lit(hllAlpha(m) * m * m) / col("__den")), 6)
+            .as("hll_est")): _*)
+    }
+    levels.reduce(_.unionByName(_))
+  }
 }

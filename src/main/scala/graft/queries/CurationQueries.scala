@@ -262,6 +262,19 @@ object CurationQueries {
         .orderBy("day")
     }),
 
+    // Distinct-user ROLLUP over (event_type, day) from ONE finest-grain
+    // sketch pass — coarser levels are register max-merges (metadata
+    // scale), where Spark's rollup+count_distinct Expands the raw data
+    // once per grouping set. Same registers as q163, so every level
+    // replays bit-for-bit in the oracle.
+    "q191_hll_rollup" -> ((s, dir) => {
+      Sketches.hllRollup(
+          Tables.events(s, dir)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          Seq("event_type", "day"), "user_id", b = 6)
+        .orderBy("level", "event_type", "day")
+    }),
+
     // CMS sketch algebra: self-join size (F2) of events on user_id from
     // one sketch — the salting-decision statistic without a per-key scan.
     "q155_cms_join_size" -> ((s, dir) => {
@@ -540,6 +553,42 @@ object CurationQueries {
           lab AS (SELECT id, min(lab) AS entity_id FROM reach GROUP BY id)
           SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
           FROM lab GROUP BY entity_id ORDER BY entity_id"""
+    },
+    // Same register construction as q163 at the finest (event_type, day)
+    // grain, then each rollup level re-aggregates the register table by
+    // max — the estimate template repeats per level.
+    "q191_hll_rollup" -> {
+      val hv = phashSql("'graft-hll|' || CAST(user_id AS VARCHAR)")
+      val est = (den: String, v: String) =>
+        s"""round(CASE WHEN 0.709 * 64 * 64 / $den <= 160.0 AND $v > 0
+                       THEN 64.0 * ln(64.0 / $v)
+                       ELSE 0.709 * 64 * 64 / $den END, 6)"""
+      s"""WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id
+                 FROM events),
+          r AS (SELECT event_type, day, $hv % 64 AS bucket,
+                   CASE WHEN $hv // 64 = 0 THEN 55
+                        ELSE 55 - length(bin($hv // 64)) END AS rho
+                 FROM e),
+          fine AS (SELECT event_type, day, bucket, max(rho) AS mj
+                   FROM r GROUP BY event_type, day, bucket),
+          l2 AS (SELECT event_type, day,
+                        sum(power(2.0, -mj)) AS s, count(*) AS nb
+                 FROM fine GROUP BY event_type, day),
+          reg1 AS (SELECT event_type, bucket, max(mj) AS mj
+                   FROM fine GROUP BY event_type, bucket),
+          l1 AS (SELECT event_type, sum(power(2.0, -mj)) AS s, count(*) AS nb
+                 FROM reg1 GROUP BY event_type),
+          reg0 AS (SELECT bucket, max(mj) AS mj FROM fine GROUP BY bucket),
+          l0 AS (SELECT sum(power(2.0, -mj)) AS s, count(*) AS nb FROM reg0)
+          SELECT event_type, day, 2 AS level,
+                 ${est("(s + (64 - nb))", "(64 - nb)")} AS hll_est FROM l2
+          UNION ALL
+          SELECT event_type, NULL, 1,
+                 ${est("(s + (64 - nb))", "(64 - nb)")} FROM l1
+          UNION ALL
+          SELECT NULL, NULL, 0,
+                 ${est("(s + (64 - nb))", "(64 - nb)")} FROM l0
+          ORDER BY level, event_type, day"""
     },
     // Same register construction as q163, then the prefix-union as a
     // per-bucket cumulative max over the day-densified register grid.

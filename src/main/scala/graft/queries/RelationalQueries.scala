@@ -30,6 +30,32 @@ object RelationalQueries {
         .orderBy("name_a", "name_b")
     }),
 
+    // Bucketed fact-to-fact join: both sides land in 8 catalog-managed
+    // buckets on the ORDER key, so the join and the per-order pre-
+    // aggregation run with ZERO shuffle exchange (plan-pinned in
+    // PlanShapeSpec) — the write-once/join-daily layout decision a
+    // 100 TB fact table is built on. Decimal(18,2) money sums keep the
+    // result exact across engines.
+    "q193_bucketed_join" -> ((s, dir) => {
+      import graft.sources.BucketedTable
+      BucketedTable.write(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
+        "g_orders_bkt", "o_orderkey", 8)
+      BucketedTable.write(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_quantity"), col("l_extendedprice")),
+        "g_lineitem_bkt", "o_orderkey", 8)
+      BucketedTable.read(s, "g_orders_bkt")
+        .join(BucketedTable.read(s, "g_lineitem_bkt"), "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q01_group_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -328,6 +354,14 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The bucketed layout changes the PLAN, never the result: the oracle
+    // is the plain join+agg over the raw tables.
+    "q193_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q115_edit_distance_join" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
          SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -323,6 +323,27 @@ object StatsQueries {
         "o_orderstatus", "o_orderpriority")
     }),
 
+    // Order-free dataset fingerprint of orders over three key columns —
+    // the O(1)-output integrity check an append chain / replica /
+    // replayed ingest is compared with: count + sum + xor of portable
+    // 60-bit row hashes, invariant to row order and file layout.
+    "q192_fingerprint" -> ((s, dir) => {
+      DataQuality.fingerprint(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .select(col("n"), col("hsum").cast("string").as("hsum"), col("hxor"))
+    }),
+
+    // Exact Kendall tau-b of quantity vs discount — concordance on the
+    // contingency table (50×11 cells, so the pair join is domain²-
+    // bounded, never rows²), with the tau-b tie correction both discrete
+    // domains need. C/D/tie sums are exact integers; tau is one
+    // fixed-shape 6dp double.
+    "q190_kendall_tau" -> ((s, dir) => {
+      DataQuality.kendallTau(Tables.lineitem(s, dir), "l_quantity", "l_discount")
+        .select(col("n"), col("conc").cast("long").as("conc"),
+          col("disc").cast("long").as("disc"), col("tau_b"))
+    }),
+
     // Exact Spearman rank correlation of quantity vs extended price —
     // the monotone-association audit (unit price makes them strongly
     // but not perfectly monotone). Doubled midranks + HUGEINT-exact
@@ -437,6 +458,44 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Same rendering (chr(1) = NULL, chr(2) separator), same 60-bit md5
+    // prefix; sum in HUGEINT rendered as text, xor in BIGINT.
+    "q192_fingerprint" ->
+      """WITH h AS (SELECT CAST('0x' || substr(md5(
+                     coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(2) ||
+                     coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || chr(2) ||
+                     coalesce(o_orderstatus, chr(1))), 1, 15) AS BIGINT) AS h
+                 FROM orders)
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS hsum,
+                 CAST(bit_xor(h) AS BIGINT) AS hxor
+          FROM h""",
+    // Same contingency-cell pair formula: C/D as HUGEINT products over
+    // ordered cell pairs, Kendall-1945 tie terms from the marginals,
+    // one fixed-shape double for tau.
+    "q190_kendall_tau" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+                   CAST(l_discount AS DOUBLE) AS b,
+                   CAST(count(*) AS BIGINT) AS o
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                 GROUP BY 1, 2),
+          cd AS (SELECT sum(CASE WHEN c1.b < c2.b THEN CAST(c1.o AS HUGEINT) * c2.o END) AS c,
+                        sum(CASE WHEN c1.b > c2.b THEN CAST(c1.o AS HUGEINT) * c2.o END) AS d
+                 FROM cells c1 JOIN cells c2 ON c1.a < c2.a),
+          ta AS (SELECT sum(CAST(t AS HUGEINT) * t - t) // 2 AS n1
+                 FROM (SELECT sum(o) AS t FROM cells GROUP BY a)),
+          tb AS (SELECT sum(CAST(t AS HUGEINT) * t - t) // 2 AS n2
+                 FROM (SELECT sum(o) AS t FROM cells GROUP BY b)),
+          tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                         CAST(sum(o) AS HUGEINT) * (sum(o) - 1) // 2 AS n0 FROM cells)
+          SELECT n, CAST(coalesce(c, 0) AS BIGINT) AS conc,
+                 CAST(coalesce(d, 0) AS BIGINT) AS disc,
+                 CASE WHEN n0 > n1 AND n0 > n2
+                      THEN round(CAST(coalesce(c, 0) - coalesce(d, 0) AS DOUBLE)
+                           / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+                 END AS tau_b
+          FROM tot CROSS JOIN cd CROSS JOIN ta CROSS JOIN tb""",
     // Integer-count micro-nat lns throughout (HUGEINT products before
     // the ln); absent cells contribute 0 (0·ln 0), so no densify pass.
     "q189_mutual_info" ->

@@ -118,6 +118,17 @@ object SnapshotStore {
     committedVersion(spark, tableDir) match {
       case None => commit(delta, tableDir, meta)
       case Some(parent) =>
+        // schema drift must fail LOUDLY: the multi-dir read resolves one
+        // schema by name, so a delta with an extra/renamed/retyped column
+        // would otherwise be silently truncated or nulled on read
+        // catalogString drops nullability — a parquet round-trip relaxes
+        // nullable flags, which is not drift; renames/retypes are
+        val ps = readVersion(spark, tableDir, parent).schema
+          .map(f => (f.name, f.dataType.catalogString)).toSet
+        val ds = delta.schema.map(f => (f.name, f.dataType.catalogString)).toSet
+        require(ps == ds,
+          s"commitAppend: delta schema ${ds.toSeq.sortBy(_._1)} != table " +
+            s"schema ${ps.toSeq.sortBy(_._1)} — evolve via a full commit")
         val v = parent + 1L
         delta.write.mode("overwrite").parquet(dataPath(tableDir, v).toString)
         writeManifest(spark, tableDir, v,

@@ -254,6 +254,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(cacheReads >= 3, s"expected >=3 cache reads:\n$p")
   }
 
+  test("bucketed-bucketed join and bucket-key agg run with ZERO shuffle exchange") {
+    import graft.sources.BucketedTable
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("k", "status")
+      val b = (1L to 1500L).map(i => (i % 500 + 1, i.toDouble)).toDF("k", "v")
+      BucketedTable.write(a, "psp_bkt_a", "k", 4)
+      BucketedTable.write(b, "psp_bkt_b", "k", 4)
+      val joined = BucketedTable.read(spark, "psp_bkt_a")
+        .join(BucketedTable.read(spark, "psp_bkt_b"), "k")
+      val pj = plan(joined)
+      assert(exchanges(pj) == 0,
+        s"bucketed join must not shuffle either side:\n$pj")
+      // per-bucket-key aggregation is satisfied by the storage layout too
+      val agg = BucketedTable.read(spark, "psp_bkt_b")
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      val pa = plan(agg)
+      assert(exchanges(pa) == 0,
+        s"bucket-key agg must not shuffle:\n$pa")
+      // and the layout never changes RESULTS: join row count matches raw
+      assert(joined.count() == 1500L)
+      // while a RAW parquet read of the same data would shuffle both sides
+      val raw = a.join(b, "k")
+      assert(exchanges(plan(raw)) > 0, "control: non-bucketed join shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      BucketedTable.drop(spark, "psp_bkt_a")
+      BucketedTable.drop(spark, "psp_bkt_b")
+    }
+  }
+
   test("spearman: rank cumsums run bucket-partitioned — no data-sized global window") {
     val df = (1 to 400).map(i => ((i * 37 % 997).toDouble, (i * 53 % 991).toDouble))
       .toDF("a", "b")

@@ -163,6 +163,56 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(got - expect) <= 5, s"$got vs $expect")
   }
 
+  test("fingerprint: order/partitioning-invariant, mutation-sensitive, null != ''") {
+    val base = (1L to 500L).map(i => (i, s"p$i")).toDF("id", "p")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      DataQuality.fingerprint(df, Seq("id", "p"))
+        .select($"n", $"hsum".cast("string"), $"hxor")
+        .as[(Long, String, Long)].head()
+    val a = fp(base)
+    // shuffled row order + different partitioning: identical fingerprint
+    assert(fp(base.orderBy(rand(7)).repartition(13)) == a)
+    // one mutated row flips it
+    val mutated = base.withColumn("p",
+      when($"id" === 250L, lit("px")).otherwise($"p"))
+    assert(fp(mutated) != a)
+    // dropping + re-adding a row restores it (multiset semantics)
+    val cycled = base.filter($"id" =!= 9L)
+      .unionByName(Seq((9L, "p9")).toDF("id", "p"))
+    assert(fp(cycled) == a)
+    // null and empty string hash differently (chr(1) null marker)
+    val withNull = Seq((1L, null: String)).toDF("id", "p")
+    val withEmpty = Seq((1L, "")).toDF("id", "p")
+    assert(fp(withNull) != fp(withEmpty))
+  }
+
+  test("kendallTau: monotone 1, reversed -1, hand ties 1/3, guard trips") {
+    val up = (1 to 40).map(i => (i.toDouble, (i * i).toDouble)).toDF("a", "b")
+    val r1 = DataQuality.kendallTau(up, "a", "b")
+      .select("n", "tau_b").as[(Long, Double)].head()
+    assert(r1 == ((40L, 1.0)), r1.toString)
+    val down = (1 to 40).map(i => (i.toDouble, -i.toDouble)).toDF("a", "b")
+    assert(DataQuality.kendallTau(down, "a", "b")
+      .select("tau_b").as[Double].head() == -1.0)
+    // hand case: cells (1,1)x2 (1,2)x1 (2,1)x1 (2,2)x2 -> C=4, D=1,
+    // n0=15, n1=n2=6, tau = 3/9
+    val ties = Seq((1, 1), (1, 1), (1, 2), (2, 1), (2, 2), (2, 2)).toDF("a", "b")
+    val r3 = DataQuality.kendallTau(ties, "a", "b")
+      .select("conc", "disc", "tau_b")
+      .as[(java.math.BigDecimal, java.math.BigDecimal, Double)].head()
+    assert(r3._1.longValue == 4L && r3._2.longValue == 1L &&
+      r3._3 == 0.333333, r3.toString)
+    // constant column: no concordance surface -> null tau, not a crash
+    val const = (1 to 10).map(i => (1.0, i.toDouble)).toDF("a", "b")
+    assert(DataQuality.kendallTau(const, "a", "b")
+      .select("tau_b").as[java.lang.Double].head() == null)
+    // continuous-domain guard fails fast instead of a cells-squared join
+    val wide = (1 to 300).map(i => (i * 1.7, i * 3.1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      DataQuality.kendallTau(wide, "a", "b", maxCells = 100))
+    assert(e.getMessage.contains("bin first"))
+  }
+
   test("spearman: monotone 1, reversed -1, hand-computed ties, constant null") {
     val up = (1 to 40).map(i => (i.toDouble, math.exp(i / 7.0))).toDF("a", "b")
     val r1 = DataQuality.spearman(up, "a", "b").select("n", "rho")

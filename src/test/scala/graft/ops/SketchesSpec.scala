@@ -290,6 +290,31 @@ class SketchesSpec extends SparkSpec {
       ests.toString)
   }
 
+  test("hllRollup: every level equals the direct sketch of that slice — exactly") {
+    val rows = (1 to 600).map(i =>
+      (s"t${i % 3}", s"d${i % 4}", (i % 131).toLong)).toDF("typ", "day", "uid")
+    val roll = Sketches.hllRollup(rows, Seq("typ", "day"), "uid", b = 6)
+      .as[(String, String, Int, Double)].collect()
+    // 3*4 finest cells + 3 typ rows + 1 grand total
+    assert(roll.length == 16, roll.length.toString)
+    // level 0 == direct global sketch estimate (register max is
+    // associative: rolled-up registers ARE the slice's registers)
+    val global = Sketches.hllEstimate(Sketches.hllSketch(rows, "uid", b = 6), b = 6)
+      .as[Double].head()
+    assert(roll.find(_._3 == 0).get._4 == global)
+    // level 1 == per-typ direct estimates, null day
+    val perTyp = Sketches.hllEstimateGrouped(
+        Sketches.hllSketchGrouped(rows, "typ", "uid", b = 6), "typ", b = 6)
+      .as[(String, Double)].collect().toMap
+    val l1 = roll.filter(_._3 == 1)
+    assert(l1.forall(_._2 == null) && l1.map(r => r._1 -> r._4).toMap == perTyp)
+    // level 2 spot check: one finest cell vs a filtered direct sketch
+    val cell = Sketches.hllEstimate(
+      Sketches.hllSketch(rows.filter($"typ" === "t1" && $"day" === "d2"),
+        "uid", b = 6), b = 6).as[Double].head()
+    assert(roll.find(r => r._3 == 2 && r._1 == "t1" && r._2 == "d2").get._4 == cell)
+  }
+
   test("hllGrowthCurve: prefix points equal prefix sketches; curve is monotone") {
     val rows = (1 to 300).map(i => (f"d${i % 3}%s", (i % 97).toLong))
       .toDF("day", "user_id")

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.lit
 
 class SnapshotStoreSpec extends SparkSpec {
   import spark.implicits._
@@ -104,6 +105,39 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.commitAppend(Seq((4L, "d")).toDF("id", "p"), dir)
     assert(SnapshotStore.read(spark, dir).count() == 4L)
     assert(SnapshotStore.chainLength(spark, dir) == 2)
+  }
+
+  test("commitAppend refuses schema drift — evolution goes through a full commit") {
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "p"), dir)
+    val drifted = Seq((2L, "b", 0.5)).toDF("id", "p", "score")
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.commitAppend(drifted, dir))
+    assert(e.getMessage.contains("full commit"))
+    // the documented evolution path: full commit rewrites with the new
+    // schema, then appends in that schema flow again
+    SnapshotStore.commit(
+      SnapshotStore.read(spark, dir).withColumn("score", lit(0.0))
+        .unionByName(drifted), dir)
+    SnapshotStore.commitAppend(Seq((3L, "c", 1.5)).toDF("id", "p", "score"), dir)
+    assert(SnapshotStore.read(spark, dir).count() == 3L)
+  }
+
+  test("append chain fingerprints identically to its compaction and a direct write") {
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      graft.ops.DataQuality.fingerprint(df, Seq("id", "p"))
+        .select($"n", $"hsum".cast("string"), $"hxor")
+        .as[(Long, String, Long)].head()
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), dir)
+    SnapshotStore.commitAppend(Seq((3L, "c")).toDF("id", "p"), dir)
+    SnapshotStore.commitAppend(Seq((4L, "d")).toDF("id", "p"), dir)
+    val direct = fp(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "p"))
+    assert(fp(SnapshotStore.read(spark, dir)) == direct,
+      "chained read must fingerprint as the logical union")
+    SnapshotStore.compact(spark, dir)
+    assert(fp(SnapshotStore.read(spark, dir)) == direct,
+      "compaction must preserve content bit-for-bit")
   }
 
   test("vacuum never deletes a data dir a retained append manifest still references") {
