@@ -311,6 +311,47 @@ object DataQuality {
         expr("bit_xor(__h)").as("hxor"))
   }
 
+  /** Per-partition [[fingerprint]]s: one (partCols..., n, hsum, hxor)
+    * row per partition key — the unit of selective re-sync. Comparing
+    * two replicas row-by-row is O(corpus) network; comparing their
+    * per-partition fingerprint tables is O(partitions), and only the
+    * partitions that differ need a data-level diff ([[fingerprintDiff]]
+    * — the rsync idea applied to tables). One map-side-combined
+    * aggregation; output is partition-cardinality-sized. */
+  def fingerprintBy(df: DataFrame, partCols: Seq[String],
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("\u0001")))
+    val h = graft.functions.PortableHash.phash(concat_ws("\u0002", rendered: _*))
+    df.select(partCols.map(col) :+ h.as("__h"): _*)
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__h").cast("decimal(38,0)")).as("hsum"),
+        expr("bit_xor(__h)").as("hxor"))
+  }
+
+  /** Partitions where two replicas diverge, from their per-partition
+    * fingerprints alone: `added` (only in `b`), `removed` (only in
+    * `a`), `changed` (present in both, content differs as a multiset).
+    * Identical partitions are omitted — the output IS the re-sync
+    * work list. Cost: two partition-sized aggregations and one
+    * partition-keyed join; no row-level data ever crosses. */
+  def fingerprintDiff(a: DataFrame, b: DataFrame, partCols: Seq[String],
+                      cols: Seq[String]): DataFrame = {
+    val fa = fingerprintBy(a, partCols, cols)
+      .withColumnsRenamed(Map("n" -> "__na", "hsum" -> "__sa", "hxor" -> "__xa"))
+    val fb = fingerprintBy(b, partCols, cols)
+      .withColumnsRenamed(Map("n" -> "__nb", "hsum" -> "__sb", "hxor" -> "__xb"))
+    fa.join(fb, partCols, "full_outer")
+      .withColumn("status",
+        when(col("__na").isNull, lit("added"))
+          .when(col("__nb").isNull, lit("removed"))
+          .when(col("__na") =!= col("__nb") || col("__sa") =!= col("__sb") ||
+            col("__xa") =!= col("__xb"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(partCols.map(col) :+ col("status"): _*)
+  }
+
   /** Exact Kendall tau-b over a (typically heavily tied) ordinal pair —
     * the concordance companion to [[spearman]]: rank-magnitude-free, so
     * a single wild outlier cannot move it, and the tie correction

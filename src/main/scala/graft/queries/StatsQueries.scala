@@ -323,6 +323,39 @@ object StatsQueries {
         "o_orderstatus", "o_orderpriority")
     }),
 
+    // Per-month fingerprints of orders — the partition-level integrity
+    // table a replica sync compares instead of rows (O(partitions)
+    // crosses the wire, not O(corpus)).
+    "q194_fingerprint_by" -> ((s, dir) => {
+      DataQuality.fingerprintBy(
+          Tables.orders(s, dir)
+            .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
+          Seq("month"), Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .select(col("month"), col("n"), col("hsum").cast("string").as("hsum"),
+          col("hxor"))
+        .orderBy("month")
+    }),
+
+    // Replica divergence from per-partition fingerprints alone: b drops
+    // one whole month (-> removed), rewrites priority on o_orderkey%13
+    // rows (-> their months changed), and lands copies of %101 rows in a
+    // synthetic month (-> added). The oracle derives the SAME status
+    // list from the construction directly — no hashing — so the
+    // fingerprint comparison is validated against independent logic.
+    "q195_fingerprint_diff" -> ((s, dir) => {
+      val a = Tables.orders(s, dir)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val b = a.filter(col("month") =!= "1995-03")
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 13 === 0, lit("X-MODIFIED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(a.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("month", lit("2099-01")))
+      DataQuality.fingerprintDiff(a, b, Seq("month"),
+          Seq("o_orderkey", "o_orderpriority", "o_orderstatus"))
+        .orderBy("month")
+    }),
+
     // Order-free dataset fingerprint of orders over three key columns —
     // the O(1)-output integrity check an append chain / replica /
     // replayed ingest is compared with: count + sum + xor of portable
@@ -458,6 +491,33 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Same per-row hash grouped by month.
+    "q194_fingerprint_by" ->
+      """WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST('0x' || substr(md5(
+                     coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(2) ||
+                     coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || chr(2) ||
+                     coalesce(o_orderstatus, chr(1))), 1, 15) AS BIGINT) AS h
+                 FROM orders)
+          SELECT month, CAST(count(*) AS BIGINT) AS n,
+                 CAST(CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS hsum,
+                 CAST(bit_xor(h) AS BIGINT) AS hxor
+          FROM h GROUP BY month ORDER BY month""",
+    // Status list derived from the CONSTRUCTION (which months were
+    // dropped/modified/invented), not from hashes — independent logic
+    // validating the fingerprint comparison.
+    "q195_fingerprint_diff" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   max(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS has13
+                 FROM orders GROUP BY 1)
+          SELECT month,
+                 CASE WHEN month = '1995-03' THEN 'removed'
+                      ELSE 'changed' END AS status
+          FROM m WHERE month = '1995-03' OR has13 = 1
+          UNION ALL
+          SELECT '2099-01', 'added'
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey % 101 = 0)
+          ORDER BY month""",
     // Same rendering (chr(1) = NULL, chr(2) separator), same 60-bit md5
     // prefix; sum in HUGEINT rendered as text, xor in BIGINT.
     "q192_fingerprint" ->

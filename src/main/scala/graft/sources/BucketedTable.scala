@@ -34,6 +34,18 @@ object BucketedTable {
   def write(df: DataFrame, table: String, bucketCol: String,
             numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(numBuckets > 0, s"numBuckets=$numBuckets must be positive")
+    val spark = df.sparkSession
+    // the session catalog is in-memory but the warehouse DIR persists
+    // across JVMs: a location left by a previous process is unknown to
+    // this catalog and makes saveAsTable fail with
+    // LOCATION_ALREADY_EXISTS — clear both table and stale location
+    drop(spark, table)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(java.net.URI.create(warehouse)),
+      table.toLowerCase)
+    val f = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (f.exists(loc)) f.delete(loc, true)
     val w: DataFrameWriter[Row] = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

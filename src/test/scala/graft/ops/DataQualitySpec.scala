@@ -186,6 +186,20 @@ class DataQualitySpec extends SparkSpec {
     assert(fp(withNull) != fp(withEmpty))
   }
 
+  test("fingerprintDiff: emits exactly the diverged partitions with the right status") {
+    val a = (1L to 300L).map(i => (s"p${i % 3}", i, s"v$i")).toDF("part", "id", "v")
+    val b = a.filter($"part" =!= "p0")                                 // p0 removed
+      .withColumn("v", when($"part" === "p1" && $"id" === 100L, "vX") // p1 changed
+        .otherwise($"v"))
+      .unionByName(Seq(("p9", 1L, "new")).toDF("part", "id", "v"))    // p9 added
+    val d = DataQuality.fingerprintDiff(a, b, Seq("part"), Seq("id", "v"))
+      .as[(String, String)].collect().toMap
+    assert(d == Map("p0" -> "removed", "p1" -> "changed", "p9" -> "added"), d.toString)
+    // identical replicas diff to empty
+    assert(DataQuality.fingerprintDiff(a, a.orderBy(rand(3)), Seq("part"),
+      Seq("id", "v")).count() == 0L)
+  }
+
   test("kendallTau: monotone 1, reversed -1, hand ties 1/3, guard trips") {
     val up = (1 to 40).map(i => (i.toDouble, (i * i).toDouble)).toDF("a", "b")
     val r1 = DataQuality.kendallTau(up, "a", "b")

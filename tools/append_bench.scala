@@ -1,9 +1,9 @@
 // Append-only-commit cost evidence (round 11): simulate K daily ingests of
 // a B-row batch into a growing SnapshotStore corpus and compare total
-// commit cost of the old full-rewrite path (`commit(current ∪ batch)` —
+// commit cost of the old full-rewrite path (`commit(current U batch)` --
 // O(corpus) per ingest) against `commitAppend` (O(batch) per ingest) plus
-// one terminal `compact`. The rewrite total is quadratic in K·B; the
-// append total is linear — the gap is the whole argument for the manifest
+// one terminal `compact`. The rewrite total is quadratic in K*B; the
+// append total is linear -- the gap is the whole argument for the manifest
 // layout at 100 TB. Results recorded in PERFORMANCE.md.
 // Usage:
 //   /opt/spark/bin/spark-shell --master 'local[32]' \
@@ -13,14 +13,17 @@
 import graft.sources.SnapshotStore
 import org.apache.spark.sql.functions._
 
-val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-  .select("doc_id", "text", "lang", "source").cache()
+val docs = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+  .select(monotonically_increasing_id().as("doc_id"), col("l_orderkey"),
+    concat_ws("|", col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate").cast("string"), col("l_extendedprice")).as("text"))
+  .cache()
 val total = docs.count()
 val K = 20
 val B = (total / K).toInt
 println(s"corpus=$total rows, $K ingests of ~$B rows")
 
-def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(K)) === i)
+def batch(i: Int) = docs.filter(pmod(col("l_orderkey"), lit(K)) === i)
 
 def timed(f: => Unit): Double = {
   val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -45,6 +48,20 @@ val tB = timed {
 }
 val tC = timed { SnapshotStore.compact(spark, dirB) }
 println(f"APPENDBENCH append_total $tB%.2f s (+ compact $tC%.2f s)")
+
+// write amplification: total bytes ever written under each layout --
+// the metric that scales (seconds at sf0.1 are fixed-overhead-bound;
+// bytes grow with the data). Rewrite writes Sum_k (k*B) rows' worth of
+// files across versions; append writes the corpus once plus manifests.
+def bytesUnder(dir: String): Long = {
+  val f = new java.io.File(dir)
+  if (!f.exists) 0L
+  else if (f.isFile) f.length
+  else f.listFiles.map(c => bytesUnder(c.getPath)).sum
+}
+val bA = bytesUnder(dirA)
+val bB = bytesUnder(dirB)
+println(f"APPENDBENCH rewrite_bytes ${bA / 1e6}%.1f MB  append_bytes ${bB / 1e6}%.1f MB  amplification ${bA.toDouble / bB}%.2fx (K=$K; rewrite grows ~K/2-fold with K, append stays ~2x corpus incl. terminal compact)")
 
 // same logical content either way (order-free fingerprint identity)
 val fpA = graft.ops.DataQuality.fingerprint(
