@@ -352,6 +352,50 @@ object DataQuality {
       .select(partCols.map(col) :+ col("status"): _*)
   }
 
+  /** Per-group Theil-Sen robust trend: the median of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i), x_i < x_j, within each group — the trend
+    * estimator a metrics time series needs when single-day outliers
+    * would hijack OLS (Theil 1950 / Sen 1968; 29% breakdown point).
+    * Meant for AGGREGATED series (a metric per day per source), where
+    * the per-group pair surface is days², not rows² — `maxPoints` fails
+    * fast otherwise.
+    *
+    * Determinism: slopes round to 6 dp BEFORE ranking; the median is the
+    * mean of the (⌈n/2⌉, ⌊n/2⌋+1) order statistics by explicit rank
+    * selection — the same fixed-shape arithmetic in any engine, no
+    * engine-specific quantile interpolation.
+    *
+    * Scale: the pair join is an EQUI join on the group key (the x < x'
+    * bound is a post-join filter on co-located rows, never a cartesian);
+    * ranking windows partition by group over ≤ maxPoints²/2 slope rows. */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+               maxPoints: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(groupCol).as("__g"),
+        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val biggest = pts.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head().getLong(0)
+    require(biggest <= maxPoints,
+      s"theilSen: a group has $biggest points (> maxPoints=$maxPoints) — " +
+        "aggregate the series first")
+    val r = pts.select(col("__g"), col("__x").as("__x2"), col("__y").as("__y2"))
+    val slopes = pts.join(r, Seq("__g"))
+      .filter(col("__x") < col("__x2"))
+      .select(col("__g"),
+        round((col("__y2") - col("__y")) / (col("__x2") - col("__x")), 6)
+          .as("__s"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+    slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__rn") === (col("__cnt") + 1) / 2 ||
+        col("__rn") === col("__cnt") / 2 + 1)
+      .groupBy(col("__g").as(groupCol))
+      .agg(round(avg(col("__s")), 6).as("slope"),
+        max(col("__cnt")).as("n_pairs"))
+  }
+
   /** Exact Kendall tau-b over a (typically heavily tied) ordinal pair —
     * the concordance companion to [[spearman]]: rank-magnitude-free, so
     * a single wild outlier cannot move it, and the tie correction

@@ -323,6 +323,23 @@ object StatsQueries {
         "o_orderstatus", "o_orderpriority")
     }),
 
+    // Per-type Theil-Sen robust trend of the daily mean event value —
+    // median-of-pairwise-slopes, so a single corrupted day cannot hijack
+    // the trend the way it would OLS (q178's companion). Daily means are
+    // exact decimal sums divided once in IEEE; slopes round to 6 dp
+    // before the explicit rank-selection median.
+    "q196_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("y"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("double").as("x"),
+          col("y"))
+      DataQuality.theilSen(daily, "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
+
     // Per-month fingerprints of orders — the partition-level integrity
     // table a replica sync compares instead of rows (O(partitions)
     // crosses the wire, not O(corpus)).
@@ -491,6 +508,25 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Same daily-mean construction, pairwise slopes on the group-equi
+    // join, explicit rank-selection median — no engine quantile
+    // interpolation anywhere.
+    "q196_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS y
+                 FROM events GROUP BY 1, 2),
+          pts AS (SELECT event_type AS g,
+                         CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS x,
+                         y FROM daily),
+          sl AS (SELECT a.g, round((b.y - a.y) / (b.x - a.x), 6) AS s
+                 FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x),
+          rk AS (SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+                        count(*) OVER (PARTITION BY g) AS cnt FROM sl)
+          SELECT g AS event_type, round(avg(s), 6) AS slope,
+                 CAST(max(cnt) AS BIGINT) AS n_pairs
+          FROM rk WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+          GROUP BY g ORDER BY event_type""",
     // Same per-row hash grouped by month.
     "q194_fingerprint_by" ->
       """WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,

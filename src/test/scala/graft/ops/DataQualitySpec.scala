@@ -186,6 +186,34 @@ class DataQualitySpec extends SparkSpec {
     assert(fp(withNull) != fp(withEmpty))
   }
 
+  test("theilSen: outlier-immune slope, even/odd medians, guard trips") {
+    // y = 2x with one wild outlier: OLS would move, Theil-Sen stays 2
+    val pts = ((1 to 9).map(i => ("a", i.toDouble, 2.0 * i)) :+ (("a", 10.0, 500.0)))
+      .toDF("g", "x", "y")
+    val r = DataQuality.theilSen(pts, "g", "x", "y")
+      .select("slope", "n_pairs").as[(Double, Long)].head()
+    assert(r._1 == 2.0 && r._2 == 45L, r.toString)
+    // even pair count: mean of the two middle slopes. 3 points -> 3
+    // slopes is odd; 4 collinear-ish points -> 6 slopes (even)
+    val even = Seq(("b", 0.0, 0.0), ("b", 1.0, 1.0), ("b", 2.0, 4.0), ("b", 3.0, 9.0))
+      .toDF("g", "x", "y")
+    // slopes: (0,1)=1 (0,2)=2 (0,3)=3 (1,2)=3 (1,3)=4 (2,3)=5 ->
+    // sorted 1,2,3,3,4,5; median = (3+3)/2 = 3
+    val r2 = DataQuality.theilSen(even, "g", "x", "y")
+      .select("slope").as[Double].head()
+    assert(r2 == 3.0, r2.toString)
+    // a genuinely distinct middle pair: slopes 1,2,3,4 -> (2+3)/2 = 2.5
+    val even2 = Seq(("d", 0.0, 0.0), ("d", 1.0, 1.0), ("d", 2.0, 4.0))
+      .toDF("g", "x", "y")
+    // slopes: (0,1)=1 (0,2)=2 (1,2)=3 -> odd count, median 2
+    assert(DataQuality.theilSen(even2, "g", "x", "y")
+      .select("slope").as[Double].head() == 2.0)
+    val big = (1 to 50).map(i => ("c", i.toDouble, i.toDouble)).toDF("g", "x", "y")
+    val e = intercept[IllegalArgumentException](
+      DataQuality.theilSen(big, "g", "x", "y", maxPoints = 10))
+    assert(e.getMessage.contains("aggregate the series first"))
+  }
+
   test("fingerprintDiff: emits exactly the diverged partitions with the right status") {
     val a = (1L to 300L).map(i => (s"p${i % 3}", i, s"v$i")).toDF("part", "id", "v")
     val b = a.filter($"part" =!= "p0")                                 // p0 removed
