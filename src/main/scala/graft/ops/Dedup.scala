@@ -604,6 +604,94 @@ object Dedup {
       .select(col("__id").as(idCol), col("text_dedup"))
   }
 
+  // ---- winnowing fingerprints -------------------------------------------
+
+  /** Position multiplier packing (hash, pos) into one comparable long:
+    * ch = h * 2^21 + pos. h < P = 2^31-1 and pos < 2^21, so ch < 2^52 —
+    * exact in a long AND in a double, and min(ch) is "min hash, leftmost
+    * position on ties" in any engine. */
+  private val WinnowPosPack = 1L << 21
+
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    * SIGMOD'03 — the MOSS algorithm; reference behavior: local
+    * fingerprinting of k-gram hashes). For each document: positional word
+    * k-gram hashes h_1..h_g, a sliding window of `w` consecutive hashes,
+    * and in every window the minimum (hash, pos) — leftmost position on
+    * hash ties, made total by packing pos into the low bits. The distinct
+    * selected (hash, pos) pairs are the fingerprint. Guarantee: two
+    * documents sharing a token run of >= w+k-1 words share at least one
+    * fingerprint hash; density is ~2/(w+1) of grams, independent of
+    * document length.
+    *
+    * Docs with fewer than k tokens have no grams and vanish; docs with
+    * fewer than w grams contribute their single whole-doc window (the
+    * pos=1 start always exists). Positions are capped at 2^21-1 grams
+    * (~2M tokens) — a `raise_error` guard inside the pack expression
+    * fails the job on longer docs; chunk them first
+    * ([[graft.ops.TextAnalysis.chunk]]).
+    *
+    * Scale: everything is per-document — a row-local gram expansion and
+    * two doc-partitioned windows; no join, no corpus-sized state. The
+    * window partitions by doc so skew is bounded by the longest document,
+    * exactly the thing the 2^21 guard caps. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: k=$k, w=$w must be >= 1")
+    val grams = docs
+      .select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("__id"),
+        posexplode(when(size(col("__t")) >= k,
+          transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+            i => concat_ws(" ", slice(col("__t"), i, lit(k)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("__p0", "__g")))
+      .select(col("__id"), (col("__p0") + 1).as("__pos"),
+        when(col("__p0") + 1 < WinnowPosPack,
+          phashMod(col("__g")) * WinnowPosPack + col("__p0") + 1)
+          .otherwise(raise_error(
+            lit("winnow: document exceeds 2^21 grams — chunk it first"))
+            .cast("long")).as("__ch"))
+    val perDoc = Window.partitionBy(col("__id"))
+    val frame = perDoc.orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      .withColumn("__mch", min(col("__ch")).over(frame))
+      .filter(col("__pos") <= greatest(lit(1), col("__n") - (w - 1)))
+      .select(col("__id"), col("__mch")).distinct()
+      .select(col("__id").as(idCol),
+        (col("__mch") / WinnowPosPack).cast("long").as("fp_hash"),
+        pmod(col("__mch"), lit(WinnowPosPack)).as("fp_pos"))
+  }
+
+  /** Near-dup / plagiarism pairs by shared winnowing fingerprints: docs
+    * sharing >= `minShared` distinct fingerprint HASHES, scored by
+    * containment-style overlap = shared / min(|fpA|, |fpB|). Fingerprint
+    * hashes present in more than `maxDf` documents (boilerplate the paper
+    * treats as noise) are dropped BEFORE the join — the hot-bucket cap
+    * that keeps the inverted index linear in matches, not quadratic in a
+    * ubiquitous phrase's document frequency.
+    *
+    * Scale: the self-join is an equi-join on fp_hash over the df-capped
+    * index; per-doc fingerprint counts ride the same pass (window count),
+    * so one shuffle builds the index and one aggregates pairs. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Int = 2,
+                         maxDf: Int = 50): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+      .withColumn("__nf", count(lit(1)).over(Window.partitionBy(col("__id"))))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__df") <= maxDf)
+    val a = fp.select(col("__id").as("id_a"), col("__h"), col("__nf").as("__na"))
+    val b = fp.select(col("__id").as("id_b"), col("__h"), col("__nf").as("__nb"))
+    a.join(b, Seq("__h")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        round(count(lit(1)) / least(first(col("__na")), first(col("__nb"))), 6)
+          .as("overlap"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ---- n-gram Jaccard ---------------------------------------------------
 
   /** Word n-gram shingles (distinct, sorted) of a document; empty array

@@ -109,6 +109,16 @@ object TextQueries {
         .orderBy("id_contained", "id_container")
     }),
 
+    // Winnowing (MOSS) fingerprint overlap: local selection keeps
+    // ~2/(w+1) of gram hashes yet guarantees any shared >= w+k-1 = 6-word
+    // run yields a shared fingerprint — the plagiarism/boilerplate
+    // detector that needs no all-pairs pass and no minhash probabilism.
+    "q197_winnow_overlap" -> ((s, dir) => {
+      Dedup.winnowOverlapPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDf = 50)
+        .orderBy("id_a", "id_b")
+    }),
+
     // MinHash(16) + LSH(4x4) candidate generation over bigram shingles,
     // verified with exact Jaccard — the scale path for near-dup detection.
     "q36_minhash_lsh" -> ((s, dir) => {
@@ -764,6 +774,32 @@ object TextQueries {
           SELECT id_a, id_b, round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
           FROM p WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.3
           ORDER BY id_a, id_b""",
+    // Positional 3-gram hashes packed with position (h*2^21+pos), min
+    // over each 4-window of consecutive grams, distinct selected hashes,
+    // df-capped inverted self-join — the same arithmetic at every step.
+    "q197_winnow_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents
+                        WHERE len($tokSql) >= 3),
+          g AS (SELECT doc_id, i + 1 AS pos,
+                       (${phashSql("t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")}
+                        % 2147483647) * 2097152 + i + 1 AS ch
+                FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)),
+          m AS (SELECT doc_id, pos,
+                       min(ch) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mch,
+                       count(*) OVER (PARTITION BY doc_id) AS n FROM g),
+          fp AS (SELECT DISTINCT doc_id, mch // 2097152 AS h FROM m
+                 WHERE pos <= greatest(1, n - 3)),
+          fc AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nf,
+                        count(*) OVER (PARTITION BY h) AS df FROM fp),
+          fx AS (SELECT * FROM fc WHERE df <= 50),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                       any_value(a.nf) AS na, any_value(b.nf) AS nb
+                FROM fx a JOIN fx b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT id_a, id_b, shared,
+                 round(shared * 1.0 / least(na, nb), 6) AS overlap
+          FROM p WHERE shared >= 2 ORDER BY id_a, id_b""",
     // q35's pair-count CTE, re-read directionally: shared/na and
     // shared/nb from the one aggregation.
     "q166_containment" ->

@@ -508,6 +508,46 @@ class DedupSpec extends SparkSpec {
     assert(got((2L, 1L)) == 0.8) // 4 of doc 2's 5
   }
 
+  test("winnowFingerprints: guarantee, density, short-doc behavior") {
+    val k = 3; val w = 4
+    // two docs sharing a run of w+k-1 = 6 words MUST share a fingerprint
+    val run = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, s"intro words here $run trailing tail tokens follow now"),
+      (2L, s"$run other unrelated closing vocabulary appears here instead"),
+      (3L, "totally disjoint content with zero overlapping grams at all")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
+    val byDoc = fp.groupBy("doc_id").agg(collect_set($"fp_hash").as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty, "guarantee violated")
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty)
+    // density: selected windows never exceed gram count, and a doc with
+    // fewer than w grams still fingerprints (whole-doc window at pos=1)
+    val tiny = Seq((9L, "one two three four")).toDF("doc_id", "text") // 2 grams < w
+    assert(Dedup.winnowFingerprints(tiny, "doc_id", "text", k, w).count() == 1)
+    // below k tokens: no grams, no fingerprints
+    val sub = Seq((8L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(sub, "doc_id", "text", k, w).count() == 0)
+  }
+
+  test("winnowOverlapPairs: identical docs overlap 1.0; maxDf drops boilerplate") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "entirely different text with no shared trigram content here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowOverlapPairs(d, "doc_id", "text", 3, 4, minShared = 1)
+      .select("id_a", "id_b", "overlap").as[(Long, Long, Double)].collect().toMap2
+    assert(got.keySet == Set((1L, 2L)) && got((1L, 2L)) == 1.0, got.toString)
+    // a fingerprint present in every doc is boilerplate: maxDf=1 kills all pairs
+    val boiler = Seq.tabulate(4)(i =>
+      (i.toLong, s"shared boilerplate header line number unique$i tail"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowOverlapPairs(boiler, "doc_id", "text", 3, 4,
+      minShared = 1, maxDf = 1).count() == 0)
+  }
+
   private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
