@@ -323,6 +323,35 @@ object StatsQueries {
         "o_orderstatus", "o_orderpriority")
     }),
 
+    // Incrementally-maintained materialized aggregate: build on a third
+    // of orders, append the other two thirds as O(batch) snapshot
+    // deltas, refresh the view from ONLY the delta dirs each time —
+    // and the merged view hash-matches a full GROUP BY recompute over
+    // everything. The corpus is read once at build; each refresh reads
+    // delta + view keys, never the table.
+    "q198_incremental_view" -> ((s, dir) => {
+      import graft.sources.{IncrementalView, SnapshotStore}
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val table = s"/tmp/graft_ivmq_t_${dir.hashCode.toHexString}"
+      val view = s"/tmp/graft_ivmq_v_${dir.hashCode.toHexString}"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      fs.delete(new org.apache.hadoop.fs.Path(view), true)
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      SnapshotStore.commit(o.filter(col("o_orderkey") % 3 === 0), table, "b0")
+      IncrementalView.build(s, table, view, keys, Seq("o_totalprice"))
+      SnapshotStore.commitAppend(o.filter(col("o_orderkey") % 3 === 1), table, "b1")
+      IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
+      SnapshotStore.commitAppend(o.filter(col("o_orderkey") % 3 === 2), table, "b2")
+      IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
+      IncrementalView.read(s, view)
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n_rows"),
+          col("sum_o_totalprice"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // Per-type Theil-Sen robust trend of the daily mean event value —
     // median-of-pairwise-slopes, so a single corrupted day cannot hijack
     // the trend the way it would OLS (q178's companion). Daily means are
@@ -508,6 +537,12 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // The view the incremental path must equal: one full GROUP BY over
+    // all of orders — count plus exact decimal sum.
+    "q198_incremental_view" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+                sum(CAST(o_totalprice AS DECIMAL(28,6))) AS sum_o_totalprice
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     // Same daily-mean construction, pairwise slopes on the group-equi
     // join, explicit rank-selection median — no engine quantile
     // interpolation anywhere.

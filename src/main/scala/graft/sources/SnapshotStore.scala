@@ -207,6 +207,33 @@ object SnapshotStore {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Rows ADDED between two committed versions of an append chain — the
+    * physical delta dirs of `toV` not already in `fromV`, read directly
+    * (O(delta), never O(corpus)). Only derivable while both versions sit
+    * on the same append chain: a full [[commit]] or [[compact]] between
+    * them resets the chain (rewritten rows are not "added"), and this
+    * throws rather than fabricate a delta — rebuild the consumer from
+    * the full snapshot instead. `fromV == toV` returns an empty frame
+    * with the table's schema. */
+  def readDelta(spark: SparkSession, tableDir: String,
+                fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"readDelta: fromV=$fromV > toV=$toV")
+    if (fromV == toV) return readVersion(spark, tableDir, toV).limit(0)
+    require(commitMeta(spark, tableDir, fromV).isDefined,
+      s"SnapshotStore: version $fromV of $tableDir is not committed")
+    require(commitMeta(spark, tableDir, toV).isDefined,
+      s"SnapshotStore: version $toV of $tableDir is not committed")
+    val from = manifestDirs(spark, tableDir, fromV)
+    val to = manifestDirs(spark, tableDir, toV)
+    require(from.forall(to.contains),
+      s"readDelta: versions $fromV..$toV of $tableDir do not share an " +
+        "append chain (a full commit/compact intervened) — rebuild from " +
+        "the full snapshot")
+    val dirs = to.filterNot(from.contains)
+      .map(d => new Path(tableDir, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Number of data dirs composing the CURRENT version — the append-chain
     * length. Read amplification grows with it (every read lists and
     * opens each dir's footer), so ingest loops watch this and trigger
