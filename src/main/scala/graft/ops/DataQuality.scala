@@ -352,6 +352,69 @@ object DataQuality {
       .select(partCols.map(col) :+ col("status"): _*)
   }
 
+  /** Per-group two-sided CUSUM changepoint detection (Page 1954): the
+    * control chart a metrics pipeline runs per series to catch a mean
+    * SHIFT that per-point outlier tests miss (each point looks normal;
+    * the drift accumulates). The textbook recursion
+    * S⁺_t = max(0, S⁺_{t-1} + z_t − k) is re-expressed as pure window
+    * algebra via the prefix-sum identity S⁺_t = P_t − min(0, min_{j≤t} P_j)
+    * with P_t = Σ(z_i − k) — one running sum + one running min per side,
+    * no recursion, no UDF, engine-portable.
+    *
+    * z standardizes against the WHOLE series (mean/sd from exact decimal
+    * sums, one IEEE division/sqrt at the end) and is then fixed to
+    * micro-units (round(z·1e6) as long), so every prefix sum is exact
+    * integer arithmetic — identical in any engine regardless of IEEE
+    * summation order. Constant series (sd = 0) standardize to z = 0:
+    * no alarms, maxima 0.
+    *
+    * Output per group: max S⁺/S⁻ (in σ units, 6 dp) and the first
+    * `orderCol` value where each side crossed `threshold` (null = never).
+    * `slack` k is the classic half-shift allowance (default 0.5σ,
+    * tuned for detecting ~1σ shifts); `threshold` h≈4-5σ trades ARL
+    * against detection delay.
+    *
+    * Scale: meant for AGGREGATED series (a metric per day per source) —
+    * every window partitions by group, so cost is bounded by the longest
+    * series, not the corpus. */
+  def cusum(df: DataFrame, groupCol: String, orderCol: String, valueCol: String,
+            slack: Double = 0.5, threshold: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kMu = math.round(slack * 1e6)
+    val hMu = math.round(threshold * 1e6)
+    val pts = df.select(col(groupCol).as("__g"),
+        col(orderCol).cast("double").as("__x"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__x").isNotNull && col("__v").isNotNull)
+    val wAll = Window.partitionBy(col("__g"))
+    val wRun = Window.partitionBy(col("__g")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mean = col("__s") / col("__n")
+    val varr = (col("__ss") - col("__s") * col("__s") / col("__n")) /
+      (col("__n") - 1)
+    val z = pts
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s",
+        sum(col("__v").cast("decimal(28,6)")).over(wAll).cast("double"))
+      .withColumn("__ss",
+        sum((col("__v") * col("__v")).cast("decimal(38,12)")).over(wAll)
+          .cast("double"))
+      .withColumn("__zmu",
+        when(col("__n") > 1 && greatest(varr, lit(0.0)) > 0,
+          round((col("__v") - mean) / sqrt(greatest(varr, lit(0.0))) * 1e6, 0)
+            .cast("long"))
+          .otherwise(lit(0L)))
+    z.withColumn("__pu", sum(col("__zmu") - kMu).over(wRun))
+      .withColumn("__pd", sum(-col("__zmu") - kMu).over(wRun))
+      .withColumn("__sp", col("__pu") - least(min(col("__pu")).over(wRun), lit(0L)))
+      .withColumn("__sn", col("__pd") - least(min(col("__pd")).over(wRun), lit(0L)))
+      .groupBy(col("__g").as(groupCol))
+      .agg(round(max(col("__sp")) / 1e6, 6).as("max_s_pos"),
+        round(max(col("__sn")) / 1e6, 6).as("max_s_neg"),
+        min(when(col("__sp") > hMu, col("__x"))).as("first_up_x"),
+        min(when(col("__sn") > hMu, col("__x"))).as("first_down_x"))
+  }
+
   /** Per-group Theil-Sen robust trend: the median of all pairwise slopes
     * (y_j − y_i)/(x_j − x_i), x_i < x_j, within each group — the trend
     * estimator a metrics time series needs when single-day outliers

@@ -369,6 +369,22 @@ object StatsQueries {
         .orderBy("event_type")
     }),
 
+    // Two-sided CUSUM over each event type's daily-mean series: running
+    // drift accumulators in exact micro-units, alarms where they cross
+    // 4σ. q196's robust-trend companion — Theil-Sen says how fast a
+    // series drifts, CUSUM says WHEN it shifted.
+    "q199_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("y"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("double").as("x"),
+          col("y"))
+      DataQuality.cusum(daily, "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
+
     // Per-month fingerprints of orders — the partition-level integrity
     // table a replica sync compares instead of rows (O(partitions)
     // crosses the wire, not O(corpus)).
@@ -537,6 +553,40 @@ object StatsQueries {
                  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
                  max(c) * count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS skew_ppm
           FROM c""",
+    // Same micro-unit z-scores, running sums and running mins — the
+    // max(0, ...) recursion replayed as P_t - min(0, min prefix).
+    "q199_cusum" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS v
+                 FROM events GROUP BY 1, 2),
+          pts AS (SELECT g, CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS x,
+                         v FROM daily),
+          st AS (SELECT g, x, v, count(*) OVER (PARTITION BY g) AS n,
+                        CAST(sum(CAST(v AS DECIMAL(28,6))) OVER (PARTITION BY g) AS DOUBLE) AS s,
+                        CAST(sum(CAST(v*v AS DECIMAL(38,12))) OVER (PARTITION BY g) AS DOUBLE) AS ss
+                 FROM pts),
+          z AS (SELECT g, x,
+                       CASE WHEN n > 1 AND greatest((ss - s*s/n)/(n-1), 0) > 0
+                            THEN CAST(round((v - s/n) / sqrt(greatest((ss - s*s/n)/(n-1), 0))
+                                            * 1000000, 0) AS BIGINT)
+                            ELSE 0 END AS zmu FROM st),
+          r AS (SELECT g, x,
+                       sum(zmu - 500000) OVER (PARTITION BY g ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+                       sum(0 - zmu - 500000) OVER (PARTITION BY g ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd FROM z),
+          r2 AS (SELECT g, x,
+                        pu - least(min(pu) OVER (PARTITION BY g ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sp,
+                        pd - least(min(pd) OVER (PARTITION BY g ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sn FROM r)
+          SELECT g AS event_type,
+                 round(max(sp) / 1000000.0, 6) AS max_s_pos,
+                 round(max(sn) / 1000000.0, 6) AS max_s_neg,
+                 min(CASE WHEN sp > 4000000 THEN x END) AS first_up_x,
+                 min(CASE WHEN sn > 4000000 THEN x END) AS first_down_x
+          FROM r2 GROUP BY g ORDER BY g""",
     // The view the incremental path must equal: one full GROUP BY over
     // all of orders — count plus exact decimal sum.
     "q198_incremental_view" ->

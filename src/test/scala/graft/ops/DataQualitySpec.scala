@@ -186,6 +186,50 @@ class DataQualitySpec extends SparkSpec {
     assert(fp(withNull) != fp(withEmpty))
   }
 
+  test("cusum: detects an upward mean shift, stays quiet on steady noise") {
+    // deterministic "noise": small alternating wiggle around 0, then a
+    // sustained +2 shift from t=20 — per-point z stays modest but the
+    // positive accumulator must cross 4 sigma shortly after the shift
+    val wig = (1 to 40).map(i => if (i % 2 == 0) 0.3 else -0.3)
+    val shifted = wig.zipWithIndex.map { case (w, i0) =>
+      ("a", (i0 + 1).toDouble, w + (if (i0 + 1 > 20) 2.0 else 0.0)) }
+    val steady = wig.zipWithIndex.map { case (w, i0) =>
+      ("b", (i0 + 1).toDouble, w) }
+    val r = DataQuality.cusum((shifted ++ steady).toDF("g", "x", "v"), "g", "x", "v")
+      .select("g", "max_s_pos", "first_up_x", "first_down_x")
+      .as[(String, Double, Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("a")._2 > 4.0 && r("a")._3.isDefined, r("a").toString)
+    assert(r("a")._3.get > 20.0 && r("a")._3.get <= 30.0, r("a").toString)
+    assert(r("b")._3.isEmpty && r("b")._4.isEmpty, r("b").toString)
+    // constant series: sd = 0 -> z = 0 everywhere, maxima 0, no alarms
+    val const = (1 to 10).map(i => ("c", i.toDouble, 7.0)).toDF("g", "x", "v")
+    val rc = DataQuality.cusum(const, "g", "x", "v")
+      .select("max_s_pos", "max_s_neg", "first_up_x")
+      .as[(Double, Double, Option[Double])].head()
+    assert(rc._1 == 0.0 && rc._2 == 0.0 && rc._3.isEmpty, rc.toString)
+  }
+
+  test("cusum: recursion identity on a hand-traced series") {
+    // z sequence in sigma units after standardization is monotone enough
+    // to trace: verify S+ equals the textbook recursion by recomputing
+    // max over a direct scala fold on identically standardized values
+    val vs = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 10.0)
+    val df = vs.zipWithIndex.map { case (v, i) => ("g", (i + 1).toDouble, v) }
+      .toDF("g", "x", "v")
+    val got = DataQuality.cusum(df, "g", "x", "v", slack = 0.5, threshold = 99.0)
+      .select("max_s_pos", "max_s_neg").as[(Double, Double)].head()
+    val n = vs.size
+    val mean = vs.sum / n
+    val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    val zmu = vs.map(v => math.round((v - mean) / sd * 1e6))
+    def side(sign: Int) = zmu.foldLeft((0L, 0L)) { case ((s, m), z) =>
+      val s2 = math.max(0L, s + sign * z - 500000L); (s2, math.max(m, s2))
+    }._2
+    assert(got._1 == math.round(side(1) / 1e6 * 1e6) / 1e6, got.toString)
+    assert(got._2 == math.round(side(-1) / 1e6 * 1e6) / 1e6, got.toString)
+  }
+
   test("theilSen: outlier-immune slope, even/odd medians, guard trips") {
     // y = 2x with one wild outlier: OLS would move, Theil-Sen stays 2
     val pts = ((1 to 9).map(i => ("a", i.toDouble, 2.0 * i)) :+ (("a", 10.0, 500.0)))
