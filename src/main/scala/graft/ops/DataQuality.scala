@@ -352,6 +352,100 @@ object DataQuality {
       .select(partCols.map(col) :+ col("status"): _*)
   }
 
+  /** Functional-dependency violation profile over candidate FDs — the
+    * schema-discovery primitive (Huhtala et al.'s TANE g3 measure,
+    * Comput.J 1999) a data-quality audit runs before trusting a column
+    * as a key or a lookup: for each candidate `lhs → rhs`, how many lhs
+    * groups map to >1 rhs value, and the minimum number of rows whose
+    * removal would make the FD hold (g3 = Σ_group (rows − modal rhs
+    * count)).
+    *
+    * Output per candidate: `fd` label, n_groups, violating_groups,
+    * g3_rows, g3_ratio (6 dp), holds.
+    *
+    * Scale: each candidate is two map-side-combining aggregations over
+    * DISTINCT (lhs, rhs) pairs — never a row-level shuffle of the table
+    * beyond the first pair count; candidates union independently. */
+  def fdViolations(df: DataFrame,
+                   candidates: Seq[(Seq[String], String)]): DataFrame = {
+    require(candidates.nonEmpty, "fdViolations: no candidates")
+    candidates.map { case (lhs, rhs) =>
+      val label = s"${lhs.mkString(",")} -> $rhs"
+      val pairs = df.groupBy((lhs :+ rhs).map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+      val perGroup = pairs.groupBy(lhs.map(col): _*)
+        .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__m"),
+          count(lit(1)).as("__k"))
+      perGroup.agg(
+        lit(label).as("fd"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("violating_groups"),
+        sum(col("__n") - col("__m")).as("g3_rows"),
+        round(sum(col("__n") - col("__m")) / sum(col("__n")), 6).as("g3_ratio"),
+        (sum(when(col("__k") > 1, 1L).otherwise(0L)) === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-group sample autocorrelation function r_1..r_maxLag — the
+    * seasonality/self-similarity profile of a metric series (Box-Jenkins
+    * identification): r_ℓ = Σ_{t≤n−ℓ} z_t·z_{t+ℓ} / Σ_t z_t², with z the
+    * series standardized against its own mean (ACF is scale-invariant,
+    * so standardizing changes nothing — but it bounds the micro-unit
+    * integers that make the sums engine-exact). Mean/sd come from exact
+    * decimal sums; z fixes to round(z·1e6) longs; numerator/denominator
+    * sum those integer products in decimal(38,0) — no IEEE
+    * summation-order dependence anywhere until the final division.
+    * Constant series (sd = 0) yield null acf.
+    *
+    * Scale: the ℓ-shifted pairing is an equi-join on (group, t+ℓ) over
+    * consecutive ranks — co-partitioned by group, n·maxLag pair rows;
+    * meant for aggregated series, like [[theilSen]]/[[cusum]]. */
+  def autocorrelation(df: DataFrame, groupCol: String, orderCol: String,
+                      valueCol: String, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1, s"autocorrelation: maxLag=$maxLag must be >= 1")
+    val pts = df.select(col(groupCol).as("__g"),
+        col(orderCol).cast("double").as("__x"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__x").isNotNull && col("__v").isNotNull)
+    val wAll = Window.partitionBy(col("__g"))
+    val mean = col("__s") / col("__n")
+    val varr = (col("__ss") - col("__s") * col("__s") / col("__n")) /
+      (col("__n") - 1)
+    val z = pts
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s",
+        sum(col("__v").cast("decimal(28,6)")).over(wAll).cast("double"))
+      .withColumn("__ss",
+        sum((col("__v") * col("__v")).cast("decimal(38,12)")).over(wAll)
+          .cast("double"))
+      .withColumn("__zmu",
+        when(col("__n") > 1 && greatest(varr, lit(0.0)) > 0,
+          round((col("__v") - mean) / sqrt(greatest(varr, lit(0.0))) * 1e6, 0)
+            .cast("long")))
+      .withColumn("__t",
+        row_number().over(Window.partitionBy(col("__g")).orderBy(col("__x"))))
+      .select(col("__g"), col("__t"), col("__zmu"))
+    // cast BEFORE multiplying: micro z-scores are bounded (|z| <= sqrt n),
+    // but long*long-then-widen is the overflow pattern this file bans
+    val den = z.groupBy(col("__g"))
+      .agg(sum(col("__zmu").cast("decimal(19,0)") * col("__zmu")).as("__den"))
+    val a = z.select(col("__g"), col("__zmu").as("__za"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"),
+        col("__t"))
+      .withColumn("__t2", col("__t") + col("lag"))
+    val b = z.select(col("__g"), col("__t").as("__t2"), col("__zmu").as("__zb"))
+    a.join(b, Seq("__g", "__t2"))
+      .groupBy(col("__g"), col("lag"))
+      .agg(sum(col("__za").cast("decimal(19,0)") * col("__zb")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+      .join(den, Seq("__g"))
+      .select(col("__g").as(groupCol), col("lag"), col("n_pairs"),
+        when(col("__den") > 0,
+          round(col("__num").cast("double") / col("__den").cast("double"), 6))
+          .as("acf"))
+  }
+
   /** Per-group two-sided CUSUM changepoint detection (Page 1954): the
     * control chart a metrics pipeline runs per series to catch a mean
     * SHIFT that per-point outlier tests miss (each point looks normal;

@@ -385,6 +385,33 @@ object StatsQueries {
         .orderBy("event_type")
     }),
 
+    // Functional-dependency audit over orders: is o_orderkey really a
+    // key for status (yes), does customer determine status (no — g3
+    // counts the rows you'd have to drop to make it true), and does
+    // adding the date to the lhs repair it (composite-key path).
+    "q200_fd_violations" -> ((s, dir) => {
+      DataQuality.fdViolations(Tables.orders(s, dir), Seq(
+          (Seq("o_orderkey"), "o_orderstatus"),
+          (Seq("o_custkey"), "o_orderstatus"),
+          (Seq("o_custkey", "o_orderdate"), "o_orderstatus")))
+        .orderBy("fd")
+    }),
+
+    // Sample ACF r_1..r_7 of each event type's daily-mean series —
+    // the seasonality fingerprint next to q196's trend and q199's
+    // changepoint, all three over the identical daily construction.
+    "q201_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("y"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("double").as("x"),
+          col("y"))
+      DataQuality.autocorrelation(daily, "event_type", "x", "y", maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+
     // Per-month fingerprints of orders — the partition-level integrity
     // table a replica sync compares instead of rows (O(partitions)
     // crosses the wire, not O(corpus)).
@@ -587,6 +614,82 @@ object StatsQueries {
                  min(CASE WHEN sp > 4000000 THEN x END) AS first_up_x,
                  min(CASE WHEN sn > 4000000 THEN x END) AS first_down_x
           FROM r2 GROUP BY g ORDER BY g""",
+    // Same TANE-g3 arithmetic per candidate: distinct (lhs,rhs) pair
+    // counts, per-lhs modal count, rows minus modal summed.
+    "q200_fd_violations" ->
+      """WITH c1 AS (SELECT o_orderkey AS k, o_orderstatus AS r, count(*) AS c
+                     FROM orders GROUP BY 1, 2),
+          g1 AS (SELECT k, sum(c) AS n, max(c) AS m, count(*) AS kk
+                 FROM c1 GROUP BY k),
+          f1 AS (SELECT 'o_orderkey -> o_orderstatus' AS fd,
+                        count(*) AS n_groups,
+                        CAST(sum(CASE WHEN kk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS violating_groups,
+                        CAST(sum(n - m) AS BIGINT) AS g3_rows,
+                        round(CAST(sum(n - m) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                          AS g3_ratio,
+                        sum(CASE WHEN kk > 1 THEN 1 ELSE 0 END) = 0 AS holds
+                 FROM g1),
+          c2 AS (SELECT o_custkey AS k, o_orderstatus AS r, count(*) AS c
+                 FROM orders GROUP BY 1, 2),
+          g2 AS (SELECT k, sum(c) AS n, max(c) AS m, count(*) AS kk
+                 FROM c2 GROUP BY k),
+          f2 AS (SELECT 'o_custkey -> o_orderstatus' AS fd,
+                        count(*) AS n_groups,
+                        CAST(sum(CASE WHEN kk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS violating_groups,
+                        CAST(sum(n - m) AS BIGINT) AS g3_rows,
+                        round(CAST(sum(n - m) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                          AS g3_ratio,
+                        sum(CASE WHEN kk > 1 THEN 1 ELSE 0 END) = 0 AS holds
+                 FROM g2),
+          c3 AS (SELECT o_custkey AS k1, o_orderdate AS k2, o_orderstatus AS r,
+                        count(*) AS c
+                 FROM orders GROUP BY 1, 2, 3),
+          g3 AS (SELECT k1, k2, sum(c) AS n, max(c) AS m, count(*) AS kk
+                 FROM c3 GROUP BY k1, k2),
+          f3 AS (SELECT 'o_custkey,o_orderdate -> o_orderstatus' AS fd,
+                        count(*) AS n_groups,
+                        CAST(sum(CASE WHEN kk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS violating_groups,
+                        CAST(sum(n - m) AS BIGINT) AS g3_rows,
+                        round(CAST(sum(n - m) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                          AS g3_ratio,
+                        sum(CASE WHEN kk > 1 THEN 1 ELSE 0 END) = 0 AS holds
+                 FROM g3)
+          SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL
+          SELECT * FROM f3 ORDER BY fd""",
+    // Same micro-unit z construction as q199; lagged pairing by rank
+    // equi-join; HUGEINT-exact integer sums divided once in double.
+    "q201_acf" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS v
+                 FROM events GROUP BY 1, 2),
+          pts AS (SELECT g, CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS x,
+                         v FROM daily),
+          st AS (SELECT g, x, v, count(*) OVER (PARTITION BY g) AS n,
+                        CAST(sum(CAST(v AS DECIMAL(28,6))) OVER (PARTITION BY g) AS DOUBLE) AS s,
+                        CAST(sum(CAST(v*v AS DECIMAL(38,12))) OVER (PARTITION BY g) AS DOUBLE) AS ss
+                 FROM pts),
+          z AS (SELECT g,
+                       CASE WHEN n > 1 AND greatest((ss - s*s/n)/(n-1), 0) > 0
+                            THEN CAST(round((v - s/n) / sqrt(greatest((ss - s*s/n)/(n-1), 0))
+                                            * 1000000, 0) AS BIGINT)
+                       END AS zmu,
+                       row_number() OVER (PARTITION BY g ORDER BY x) AS t FROM st),
+          den AS (SELECT g, sum(CAST(zmu AS HUGEINT) * zmu) AS d FROM z GROUP BY g),
+          lags AS (SELECT unnest(range(1, 8)) AS lag),
+          p AS (SELECT a.g, lags.lag, a.zmu AS za, b.zmu AS zb
+                FROM z a CROSS JOIN lags
+                JOIN z b ON b.g = a.g AND b.t = a.t + lags.lag)
+          SELECT p.g AS event_type, p.lag, count(*) AS n_pairs,
+                 CASE WHEN den.d > 0
+                      THEN round(CAST(sum(CAST(za AS HUGEINT) * zb) AS DOUBLE)
+                                 / CAST(den.d AS DOUBLE), 6)
+                 END AS acf
+          FROM p JOIN den ON den.g = p.g
+          GROUP BY p.g, p.lag, den.d ORDER BY event_type, lag""",
     // The view the incremental path must equal: one full GROUP BY over
     // all of orders — count plus exact decimal sum.
     "q198_incremental_view" ->

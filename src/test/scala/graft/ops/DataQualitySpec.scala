@@ -383,4 +383,45 @@ class DataQualitySpec extends SparkSpec {
     val up = DataQuality.mannWhitneyU(a, hi, "v").select("z").as[Double].head()
     assert(up > 5.0, up.toString)
   }
+
+  test("fdViolations: hand-computed g3 on held and broken dependencies") {
+    val df = Seq(
+      // k -> v holds (each k maps to one v); k -> w broken on k=1
+      (1L, "a", "x"), (1L, "a", "y"), (1L, "a", "y"),
+      (2L, "b", "z"), (2L, "b", "z")).toDF("k", "v", "w")
+    val r = DataQuality.fdViolations(df,
+        Seq((Seq("k"), "v"), (Seq("k"), "w")))
+      .orderBy("fd")
+      .select("fd", "n_groups", "violating_groups", "g3_rows", "g3_ratio", "holds")
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+    // k -> v: 2 groups, 0 violating, g3 = 0
+    assert(r(0) == (("k -> v", 2L, 0L, 0L, 0.0, true)), r(0).toString)
+    // k -> w: group k=1 has counts {x:1, y:2} -> drop 1 row; k=2 clean
+    assert(r(1) == (("k -> w", 2L, 1L, 1L, 0.2, false)), r(1).toString)
+    // composite lhs: (k, v) -> w has the same violation surface here
+    val comp = DataQuality.fdViolations(df, Seq((Seq("k", "v"), "w")))
+      .select("fd", "g3_rows").as[(String, Long)].head()
+    assert(comp == (("k,v -> w", 1L)), comp.toString)
+    intercept[IllegalArgumentException](DataQuality.fdViolations(df, Seq.empty))
+  }
+
+  test("autocorrelation: alternating series has acf(1) = -(n-1)/n pattern") {
+    // z_t alternates +-c after standardization, so r_l = +-(n-l)/n exactly
+    val alt = (1 to 10).map(t => ("g", t.toDouble, if (t % 2 == 0) 1.0 else -1.0))
+      .toDF("g", "x", "v")
+    val r = DataQuality.autocorrelation(alt, "g", "x", "v", maxLag = 3)
+      .orderBy("lag").select("lag", "n_pairs", "acf")
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 3, r.mkString(","))
+    assert(r(0) == ((1L, 9L, -0.9)), r(0).toString)
+    assert(r(1) == ((2L, 8L, 0.8)), r(1).toString)
+    assert(r(2) == ((3L, 7L, -0.7)), r(2).toString)
+    // constant series: sd = 0 -> null acf, pairs still counted
+    val const = (1 to 5).map(t => ("c", t.toDouble, 7.0)).toDF("g", "x", "v")
+    val rc = DataQuality.autocorrelation(const, "g", "x", "v", maxLag = 2)
+      .select("acf").collect()
+    assert(rc.forall(_.isNullAt(0)), rc.mkString(","))
+    intercept[IllegalArgumentException](
+      DataQuality.autocorrelation(alt, "g", "x", "v", maxLag = 0))
+  }
 }
