@@ -446,6 +446,42 @@ object DataQuality {
           .as("acf"))
   }
 
+  /** Per-group Gini coefficient over non-negative values — the
+    * concentration audit (how unequal is value/traffic/revenue across
+    * members of the group) via the rank identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with x ascending: 0 =
+    * perfectly even, →1 = one member holds everything. Tie order is
+    * immaterial (equal x redistributes the same mass over the tied
+    * ranks), so row_number needs no tie-break column.
+    *
+    * Values fix to micro-unit longs; both sums are exact decimals; the
+    * single division happens on the exact integer numerator/denominator
+    * at the edge, rounded 6 dp. All-zero groups yield null gini.
+    *
+    * Scale: one rank window + one aggregation, both partitioned by the
+    * group key — one exchange; meant for per-entity aggregates (a
+    * members-per-group-sized table, not raw events). */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__xm", round(col("__v") * 1e6, 0).cast("long"))
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy(col("__g")).orderBy(col("__xm"))))
+    val agg = pts.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xm").cast("decimal(38,0)")).as("__s0"),
+        sum(col("__rk").cast("decimal(19,0)") * col("__xm")).as("__s1"))
+    val num = lit(2).cast("decimal(38,0)") * col("__s1") -
+      (col("n") + 1).cast("decimal(38,0)") * col("__s0")
+    val den = col("n").cast("decimal(38,0)") * col("__s0")
+    agg.select(col("__g").as(groupCol), col("n"),
+      round(col("__s0").cast("double") / 1e6, 6).as("total"),
+      when(col("__s0") > 0,
+        round(num.cast("double") / den.cast("double"), 6)).as("gini"))
+  }
+
   /** Per-group two-sided CUSUM changepoint detection (Page 1954): the
     * control chart a metrics pipeline runs per series to catch a mean
     * SHIFT that per-point outlier tests miss (each point looks normal;

@@ -177,4 +177,30 @@ object EventAnalytics {
         round(num.cast("double") * num.cast("double")
           / (den.cast("double") * deny.cast("double")), 6)).as("r2"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * each user's events ordered by (ts, tie-break) yield consecutive
+    * (state, next-state) pairs; output is the transition count and the
+    * row-normalized probability P(to | from), rounded to 6 dp.
+    *
+    * The behavioral-model primitive next to [[funnelDepth]]: the funnel
+    * checks ONE prescribed path, the transition matrix estimates the
+    * whole first-order process (and feeds anomaly scoring — an observed
+    * sequence with many low-probability transitions is bot-shaped).
+    *
+    * Scale: one exchange on the user key for the lead(); the pair
+    * aggregation map-side combines down to |states|² rows, and the
+    * normalizing window runs over that tiny table — never the events. */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_state"))
+    pairs.withColumn("prob",
+      round(col("n").cast("double") / sum(col("n")).over(wf).cast("double"), 6))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Online-experiment (A/B test) analysis: CUPED variance reduction
+  * (Deng, Xu, Kohavi, Walker — WSDM 2013) and the pooled two-proportion
+  * z-test. Both consume one-row-per-unit inputs (the assignment grain),
+  * so the heavy lifting — collapsing raw events to units — is ordinary
+  * aggregation the caller composes in front.
+  *
+  * Determinism contract: all moments are exact decimal sums of per-unit
+  * values (cast once per row, summed wide); the handful of divisions,
+  * the sqrt, and the single theta multiply happen on those exact sums at
+  * the very end, rounded 6 dp — identical IEEE step order in engine and
+  * oracle.
+  */
+object Experiment {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,12)")
+
+  /** CUPED-adjusted arm means: uses the PRE-experiment covariate x to
+    * cancel between-user variance in the experiment metric y via
+    * y' = y − θ·(x − mean(x)), θ = cov(x,y)/var(x) pooled over all arms
+    * (pre-period data is assignment-independent, so pooling is unbiased
+    * and uses every unit). Output: one row per arm with n, mean_y,
+    * mean_y_cuped (equal-mean shift: Σ over arms preserves the global
+    * mean), var_y, var_y_cuped and the achieved variance-reduction
+    * ratio — the quantity that decides how much traffic/time the
+    * experiment saves.
+    *
+    * Scale: two aggregations (global moments — 1 row, broadcast back —
+    * and per-arm moments) over the unit table; nothing is ever wider
+    * than one row per unit. */
+  def cuped(units: DataFrame, armCol: String, preCol: String,
+            postCol: String): DataFrame = {
+    val x = col("__x")
+    val y = col("__y")
+    val u = units.select(col(armCol).as("__arm"),
+        col(preCol).cast("double").as("__x"),
+        col(postCol).cast("double").as("__y"))
+      .filter(x.isNotNull && y.isNotNull)
+    val g = u.agg(
+      count(lit(1)).as("__n"),
+      sum(dec(x)).as("__sx"), sum(dec(y)).as("__sy"),
+      sum(dec(x * x)).as("__sxx"), sum(dec(x * y)).as("__sxy"))
+    val nG = col("__n").cast("double")
+    val stats = g.select(
+      (col("__sxy").cast("double") - col("__sx").cast("double")
+        * col("__sy").cast("double") / nG).as("__covn"),
+      (col("__sxx").cast("double") - col("__sx").cast("double")
+        * col("__sx").cast("double") / nG).as("__varn"),
+      (col("__sx").cast("double") / nG).as("__mx"))
+    // theta on the 1-row stats table; constant-x degenerates to theta 0
+    // (no adjustment) instead of a division blow-up
+    val withTheta = stats.select(
+      when(col("__varn") =!= 0.0, col("__covn") / col("__varn"))
+        .otherwise(lit(0.0)).as("__theta"),
+      col("__mx"))
+    val adj = u.crossJoin(broadcast(withTheta))
+      .withColumn("__ya", y - col("__theta") * (x - col("__mx")))
+    val a = adj.groupBy(col("__arm").as(armCol)).agg(
+      count(lit(1)).as("n"),
+      sum(dec(y)).as("__ay"), sum(dec(y * y)).as("__ayy"),
+      sum(dec(col("__ya"))).as("__aya"),
+      sum(dec(col("__ya") * col("__ya"))).as("__ayaa"),
+      first(col("__theta")).as("__th"))
+    val nA = col("n").cast("double")
+    val varY = (col("__ayy").cast("double") - col("__ay").cast("double")
+      * col("__ay").cast("double") / nA) / (nA - 1)
+    val varA = (col("__ayaa").cast("double") - col("__aya").cast("double")
+      * col("__aya").cast("double") / nA) / (nA - 1)
+    a.select(col(armCol), col("n"),
+      round(col("__ay").cast("double") / nA, 6).as("mean_y"),
+      round(col("__aya").cast("double") / nA, 6).as("mean_y_cuped"),
+      round(varY, 6).as("var_y"),
+      round(varA, 6).as("var_y_cuped"),
+      when(varY =!= 0.0, round(lit(1.0) - varA / varY, 6)).as("var_reduction"),
+      round(col("__th"), 6).as("theta"))
+  }
+
+  /** Pooled two-proportion z-test over exactly two arms: conversion
+    * rates p_a/p_b from 0/1 `successCol`, pooled p̂ under H₀, and
+    * z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)). One output row; arms
+    * are ordered by name so a/b assignment is deterministic. Degenerate
+    * pooled rates (p̂ ∈ {0,1}) yield null z. */
+  def twoProportionZ(units: DataFrame, armCol: String,
+                     successCol: String): DataFrame = {
+    val perArm = units
+      .select(col(armCol).cast("string").as("__arm"),
+        col(successCol).cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"), sum(col("__s")).as("__k"))
+    // exactly two arms: min/max of the tiny per-arm table, no collect
+    val wide = perArm.agg(
+      countDistinct(col("__arm")).as("__arms"),
+      min(struct(col("__arm"), col("__n"), col("__k"))).as("__a"),
+      max(struct(col("__arm"), col("__n"), col("__k"))).as("__b"))
+    val na = col("__a.__n").cast("double")
+    val nb = col("__b.__n").cast("double")
+    val pa = col("__a.__k").cast("double") / na
+    val pb = col("__b.__k").cast("double") / nb
+    val pool = (col("__a.__k") + col("__b.__k")).cast("double") / (na + nb)
+    wide
+      .filter(col("__arms") === 2)
+      .select(
+        col("__a.__arm").as("arm_a"), col("__a.__n").as("n_a"),
+        col("__a.__k").as("conv_a"),
+        col("__b.__arm").as("arm_b"), col("__b.__n").as("n_b"),
+        col("__b.__k").as("conv_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        when(pool =!= 0.0 && pool =!= 1.0,
+          round((pa - pb) / sqrt(pool * (lit(1.0) - pool)
+            * (lit(1.0) / na + lit(1.0) / nb)), 6)).as("z"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DataQuality, Sketches}
+import graft.ops.{Association, DataQuality, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -412,6 +412,31 @@ object StatsQueries {
         .orderBy("event_type", "lag")
     }),
 
+    // Market-basket pair rules over order baskets of part brands:
+    // which brands co-occur beyond what their popularity explains.
+    // The pair join is basket-keyed (bounded by order width), item
+    // supports ride back as small-table joins.
+    "q206_assoc_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val baskets = li.join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Association.pairRules(baskets, "basket", "item", minPairs = 50L)
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // Gini concentration of per-user value within each event type: is
+    // the metric spread across users or held by a few whales. Exact
+    // rank-identity arithmetic in micro-units.
+    "q207_gini" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .as("user_value"))
+      DataQuality.gini(perUser, "event_type", "user_value")
+        .orderBy("event_type")
+    }),
+
     // Per-month fingerprints of orders — the partition-level integrity
     // table a replica sync compares instead of rows (O(partitions)
     // crosses the wire, not O(corpus)).
@@ -614,6 +639,46 @@ object StatsQueries {
                  min(CASE WHEN sp > 4000000 THEN x END) AS first_up_x,
                  min(CASE WHEN sn > 4000000 THEN x END) AS first_down_x
           FROM r2 GROUP BY g ORDER BY g""",
+    // Same distinct (basket,item) collapse, basket-keyed pair join,
+    // support joins, both rule directions.
+    "q206_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          nb AS (SELECT count(DISTINCT b) AS nb FROM bi),
+          ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY i),
+          pr AS (SELECT l.i AS a, r.i AS c, count(*) AS n
+                 FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+                 GROUP BY 1, 2 HAVING count(*) >= 50),
+          ru AS (SELECT a AS antecedent, c AS consequent, n FROM pr
+                 UNION ALL SELECT c, a, n FROM pr)
+          SELECT ru.antecedent, ru.consequent, ru.n AS n_pairs,
+                 ia.ni AS n_a, ib.ni AS n_b,
+                 round(CAST(ru.n AS DOUBLE) / CAST(nb.nb AS DOUBLE), 6) AS support,
+                 round(CAST(ru.n AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6) AS confidence,
+                 round(CAST(ru.n AS DOUBLE) * CAST(nb.nb AS DOUBLE)
+                       / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6) AS lift
+          FROM ru JOIN ic ia ON ia.i = ru.antecedent
+                  JOIN ic ib ON ib.i = ru.consequent
+                  CROSS JOIN nb
+          ORDER BY antecedent, consequent""",
+    // Same micro-unit rank identity; HUGEINT-exact sums, one division.
+    "q207_gini" ->
+      """WITH pu AS (SELECT event_type AS g, user_id,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+                 FROM events GROUP BY 1, 2),
+          r AS (SELECT g, CAST(round(v * 1000000, 0) AS BIGINT) AS xm,
+                       row_number() OVER (PARTITION BY g
+                         ORDER BY CAST(round(v * 1000000, 0) AS BIGINT)) AS rk
+                FROM pu),
+          a AS (SELECT g, count(*) AS n, sum(CAST(xm AS HUGEINT)) AS s0,
+                       sum(CAST(rk AS HUGEINT) * xm) AS s1
+                FROM r GROUP BY g)
+          SELECT g AS event_type, n,
+                 round(CAST(s0 AS DOUBLE) / 1000000.0, 6) AS total,
+                 CASE WHEN s0 > 0
+                      THEN round(CAST(2*s1 - (n+1)*s0 AS DOUBLE)
+                                 / CAST(n*s0 AS DOUBLE), 6) END AS gini
+          FROM a ORDER BY g""",
     // Same TANE-g3 arithmetic per candidate: distinct (lhs,rhs) pair
     // counts, per-lhs modal count, rows minus modal summed.
     "q200_fd_violations" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.PortableHash
-import graft.ops.{DifferentialPrivacy, EventAnalytics, Multimodal, Similarity, TimeSeries}
+import graft.ops.{DifferentialPrivacy, EventAnalytics, Experiment, Multimodal, Similarity, Survival, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -389,6 +389,66 @@ object VectorEventQueries {
         sum(when(col("funnel_depth") >= 3, 1L).otherwise(0L)).as("n_stage3"))
     }),
 
+    // Kaplan-Meier churn curves per event type: subject = (type, user),
+    // duration = days from first to last event of that type, censored
+    // when the user is still active near the table's horizon. The
+    // survival product is an ordered per-group cumulative ln-sum.
+    "q202_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val horizon = ev.agg(max(to_date(col("ts"))).as("__hz"))
+      val subjects = ev
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__first"),
+          max(to_date(col("ts"))).as("__last"))
+        .crossJoin(broadcast(horizon))
+        .select(col("event_type"),
+          datediff(col("__last"), col("__first")).cast("long").as("duration"),
+          when(col("__last") < date_sub(col("__hz"), 3), 1L).otherwise(0L)
+            .as("observed"))
+      Survival.kaplanMeier(subjects, "event_type", "duration", "observed")
+        .orderBy("event_type", "t")
+    }),
+
+    // CUPED variance reduction: pre-period (first 15 days) per-user
+    // value sum as the covariate, post-period sum as the metric,
+    // deterministic user_id-parity arms. The judge row is
+    // var_reduction — how much experiment traffic the covariate buys.
+    "q203_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val units = ev
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(when(to_date(col("ts")) < to_date(lit("2024-01-16")),
+            col("value").cast("decimal(18,6)"))).cast("double"), 6).as("pre"),
+          round(sum(when(to_date(col("ts")) >= to_date(lit("2024-01-16")),
+            col("value").cast("decimal(18,6)"))).cast("double"), 6).as("post"))
+        .select(concat(lit("arm_"), (col("user_id") % 2).cast("string")).as("arm"),
+          coalesce(col("pre"), lit(0.0)).as("pre"),
+          coalesce(col("post"), lit(0.0)).as("post"))
+      Experiment.cuped(units, "arm", "pre", "post").orderBy("arm")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (ts then event_id ordering): counts + row-normalized
+    // next-state probabilities.
+    "q204_markov" -> ((s, dir) => {
+      EventAnalytics.markovTransitions(Tables.events(s, dir),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_state", "to_state")
+    }),
+
+    // Pooled two-proportion z-test: did arm_0/arm_1 (user parity)
+    // convert (>= 1 purchase event) at different rates?
+    "q205_two_prop_z" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .select(concat(lit("arm_"), (col("user_id") % 2).cast("string")).as("arm"),
+          col("converted"))
+      Experiment.twoProportionZ(units, "arm", "converted")
+    }),
+
     // Weekly cohort retention: first-event week x week offset, distinct
     // active users.
     "q111_retention" -> ((s, dir) => {
@@ -723,6 +783,106 @@ object VectorEventQueries {
            AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOURS
           WHERE p.event_type = 'purchase' AND c.event_type = 'click'
           GROUP BY 1 ORDER BY 1""",
+    // Same subject construction (per-type user first/last day, censor
+    // within 3 days of the horizon), same nano-unit ln-sum product.
+    "q202_kaplan_meier" ->
+      """WITH hz AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS h FROM events),
+          subj AS (SELECT event_type AS g,
+                     CAST(date_diff('day', min(CAST(date_trunc('day', ts) AS DATE)),
+                                    max(CAST(date_trunc('day', ts) AS DATE))) AS BIGINT) AS t,
+                     CASE WHEN max(CAST(date_trunc('day', ts) AS DATE)) < (SELECT h FROM hz) - 3
+                          THEN 1 ELSE 0 END AS e
+                   FROM events GROUP BY event_type, user_id),
+          byt AS (SELECT g, t, CAST(sum(e) AS BIGINT) AS d, count(*) AS r
+                  FROM subj GROUP BY 1, 2),
+          risk AS (SELECT g, t, d, r,
+                     CAST(sum(r) OVER (PARTITION BY g)
+                       - coalesce(sum(r) OVER (PARTITION BY g ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS n_risk
+                   FROM byt),
+          lf AS (SELECT g, t, d, n_risk,
+                   CASE WHEN d = 0 OR d >= n_risk THEN 0
+                        ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                                        * 1000000000, 0) AS BIGINT) END AS lnf
+                 FROM risk),
+          s AS (SELECT g, t, d, n_risk,
+                  min(n_risk - d) OVER (PARTITION BY g ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS alive,
+                  sum(lnf) OVER (PARTITION BY g ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cls
+                FROM lf)
+          SELECT g AS event_type, t, n_risk, d AS d_events,
+                 CASE WHEN alive = 0 THEN 0.0
+                      ELSE round(exp(cls / 1000000000.0), 6) END AS survival
+          FROM s WHERE d > 0 ORDER BY event_type, t""",
+    // Same exact-decimal moments, pooled theta, per-arm adjusted means.
+    "q203_cuped" ->
+      """WITH units AS (SELECT 'arm_' || CAST(user_id % 2 AS VARCHAR) AS arm,
+                   coalesce(round(CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6), 0.0) AS x,
+                   coalesce(round(CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16'
+                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6), 0.0) AS y
+                 FROM events GROUP BY user_id),
+          g AS (SELECT count(*) AS n,
+                  sum(CAST(x AS DECIMAL(38,12))) AS sx, sum(CAST(y AS DECIMAL(38,12))) AS sy,
+                  sum(CAST(x*x AS DECIMAL(38,12))) AS sxx, sum(CAST(x*y AS DECIMAL(38,12))) AS sxy
+                FROM units),
+          th AS (SELECT CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n <> 0
+                             THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+                                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                             ELSE 0.0 END AS theta,
+                        CAST(sx AS DOUBLE)/n AS mx FROM g),
+          adj AS (SELECT arm, y, y - theta*(x - mx) AS ya, theta
+                  FROM units CROSS JOIN th),
+          a AS (SELECT arm, count(*) AS n,
+                  sum(CAST(y AS DECIMAL(38,12))) AS ay, sum(CAST(y*y AS DECIMAL(38,12))) AS ayy,
+                  sum(CAST(ya AS DECIMAL(38,12))) AS aya, sum(CAST(ya*ya AS DECIMAL(38,12))) AS ayaa,
+                  min(theta) AS th FROM adj GROUP BY arm)
+          SELECT arm, n,
+                 round(CAST(ay AS DOUBLE)/n, 6) AS mean_y,
+                 round(CAST(aya AS DOUBLE)/n, 6) AS mean_y_cuped,
+                 round((CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE)*CAST(ay AS DOUBLE)/n)/(n-1), 6) AS var_y,
+                 round((CAST(ayaa AS DOUBLE) - CAST(aya AS DOUBLE)*CAST(aya AS DOUBLE)/n)/(n-1), 6) AS var_y_cuped,
+                 CASE WHEN (CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE)*CAST(ay AS DOUBLE)/n)/(n-1) <> 0
+                      THEN round(1.0 - ((CAST(ayaa AS DOUBLE) - CAST(aya AS DOUBLE)*CAST(aya AS DOUBLE)/n)/(n-1))
+                                 / ((CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE)*CAST(ay AS DOUBLE)/n)/(n-1)), 6)
+                 END AS var_reduction,
+                 round(th, 6) AS theta
+          FROM a ORDER BY arm""",
+    // Same lead() pairing on (ts, event_id) order, row-normalized.
+    "q204_markov" ->
+      """WITH p AS (SELECT event_type AS f,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+                 FROM events),
+          c AS (SELECT f AS from_state, t AS to_state, count(*) AS n
+                FROM p WHERE t IS NOT NULL GROUP BY 1, 2)
+          SELECT from_state, to_state, n,
+                 round(CAST(n AS DOUBLE)
+                       / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS prob
+          FROM c ORDER BY from_state, to_state""",
+    // Same pooled z arithmetic; arms ordered by name.
+    "q205_two_prop_z" ->
+      """WITH units AS (SELECT 'arm_' || CAST(user_id % 2 AS VARCHAR) AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+                 FROM events GROUP BY user_id),
+          pa AS (SELECT arm, count(*) AS n, CAST(sum(s) AS BIGINT) AS k
+                 FROM units GROUP BY arm),
+          w AS (SELECT min(arm) AS aa, max(arm) AS ab FROM pa),
+          j AS (SELECT w.aa, a.n AS n_a, a.k AS k_a, w.ab, b.n AS n_b, b.k AS k_b
+                FROM w JOIN pa a ON a.arm = w.aa JOIN pa b ON b.arm = w.ab)
+          SELECT aa AS arm_a, n_a, k_a AS conv_a, ab AS arm_b, n_b, k_b AS conv_b,
+                 round(CAST(k_a AS DOUBLE)/CAST(n_a AS DOUBLE), 6) AS p_a,
+                 round(CAST(k_b AS DOUBLE)/CAST(n_b AS DOUBLE), 6) AS p_b,
+                 CASE WHEN CAST(k_a + k_b AS DOUBLE)/(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) <> 0.0
+                       AND CAST(k_a + k_b AS DOUBLE)/(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) <> 1.0
+                      THEN round((CAST(k_a AS DOUBLE)/CAST(n_a AS DOUBLE)
+                                  - CAST(k_b AS DOUBLE)/CAST(n_b AS DOUBLE))
+                                 / sqrt(CAST(k_a + k_b AS DOUBLE)/(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                        * (1.0 - CAST(k_a + k_b AS DOUBLE)/(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                                        * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))), 6)
+                 END AS z
+          FROM j""",
     "q110_funnel" ->
       """WITH s1 AS (SELECT user_id,
               min(CASE WHEN event_type = 'view' THEN ts END) AS t1

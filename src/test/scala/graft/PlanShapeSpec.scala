@@ -336,4 +336,47 @@ class PlanShapeSpec extends SparkSpec {
     val singleParts = "Exchange SinglePartition".r.findAllIn(p).length
     assert(singleParts <= 8, s"$singleParts single-partition exchanges:\n$p")
   }
+
+  test("kaplanMeier: all three curve windows share ONE group exchange, no join") {
+    val subj = (1L to 300L)
+      .map(i => (s"g${i % 3}", i % 25, (i % 2).toInt))
+      .toDF("g", "t", "e")
+    val p = plan(Survival.kaplanMeier(subj, "g", "t", "e"))
+    assertNoQuadratic(p)
+    assert(!p.contains("Join"), p)
+    // (g,t) aggregation exchange + one g exchange feeding total/
+    // cumulative-removed/ln-sum windows — not one exchange per window
+    assert(exchanges(p) == 2, p)
+    assert("windowspecdefinition\\(__g".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("markovTransitions: pair counts combine map-side; norm window on states only") {
+    val p = plan(EventAnalytics.markovTransitions(events, "user_id", "ts",
+      "event_type", "event_id"))
+    assertNoQuadratic(p)
+    // user window + pair agg + |states|-sized normalizing window
+    assert(exchanges(p) == 3, p)
+    assert(p.contains("partial_count"), p) // pre-shuffle combine on pairs
+  }
+
+  test("cuped: theta rides a 1-row broadcast — no cartesian, no data-wide join") {
+    val units = (1L to 200L)
+      .map(i => (s"arm_${i % 2}", (i % 7).toDouble, (i % 11).toDouble))
+      .toDF("arm", "x", "y")
+    val p = plan(Experiment.cuped(units, "arm", "x", "y"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row theta/mean broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("IdentityBroadcastMode"), p)
+  }
+
+  test("twoProportionZ: per-arm combine then metadata-scale single partition") {
+    val units = (1L to 200L)
+      .map(i => (s"arm_${i % 2}", (i % 3 == 0).compareTo(false).toLong))
+      .toDF("arm", "s")
+    val p = plan(Experiment.twoProportionZ(units, "arm", "s"))
+    assertNoQuadratic(p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(exchanges(p) == 2, p) // arm hash + 2-row single partition
+  }
 }

@@ -424,4 +424,22 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DataQuality.autocorrelation(alt, "g", "x", "v", maxLag = 0))
   }
+
+  test("gini: 0 when even, (n-1)/n when one member holds all, hand value") {
+    val df = Seq(
+      ("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),
+      ("one", 0.0), ("one", 0.0), ("one", 0.0), ("one", 12.0),
+      ("mix", 1.0), ("mix", 2.0), ("mix", 3.0), ("mix", 4.0),
+      ("zero", 0.0), ("zero", 0.0)).toDF("g", "v")
+    val r = DataQuality.gini(df, "g", "v")
+      .orderBy("g").select("g", "n", "total", "gini")
+      .as[(String, Long, Double, Option[Double])].collect()
+    assert(r(0) == (("even", 4L, 20.0, Some(0.0))), r(0).toString)
+    // mix sorted 1,2,3,4: G = (2*(1+4+9+16) - 5*10)/(4*10) = 10/40
+    assert(r(1) == (("mix", 4L, 10.0, Some(0.25))), r(1).toString)
+    // one member holds everything: G = (n-1)/n = 0.75
+    assert(r(2) == (("one", 4L, 12.0, Some(0.75))), r(2).toString)
+    // all-zero mass: gini undefined -> null
+    assert(r(3) == (("zero", 2L, 0.0, None)), r(3).toString)
+  }
 }

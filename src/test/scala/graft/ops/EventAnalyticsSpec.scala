@@ -109,4 +109,26 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(Option[Double], Option[Double], Option[Double])].head()
     assert(rc == ((None, None, None)), rc.toString)
   }
+
+  test("markovTransitions: per-user pairing, row-normalized, tie-broken") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "B"),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "A"),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "B"),
+      (5L, ts("2024-01-02 00:00:00"), 2L, "A"),
+      (6L, ts("2024-01-02 00:05:00"), 2L, "A"),
+      // user 3: equal timestamps -> event_id breaks the tie (C before D)
+      (7L, ts("2024-01-03 00:00:00"), 3L, "C"),
+      (8L, ts("2024-01-03 00:00:00"), 3L, "D"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventAnalytics
+      .markovTransitions(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_state", "to_state")
+      .select("from_state", "to_state", "n", "prob")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("A", "A", 1L, 0.333333), ("A", "B", 2L, 0.666667),
+      ("B", "A", 1L, 1.0), ("C", "D", 1L, 1.0)), r.mkString(","))
+  }
 }

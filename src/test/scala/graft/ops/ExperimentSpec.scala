@@ -1,0 +1,60 @@
+package graft.ops
+
+class ExperimentSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("cuped: perfectly correlated covariate removes all variance") {
+    // y = x exactly -> theta = 1, adjusted y' = mean(x) for every unit:
+    // var_y_cuped = 0, var_reduction = 1, arm means collapse to mean(x)
+    val units = Seq(("a", 1.0, 1.0), ("a", 3.0, 3.0),
+      ("b", 5.0, 5.0), ("b", 7.0, 7.0)).toDF("arm", "x", "y")
+    val r = Experiment.cuped(units, "arm", "x", "y")
+      .orderBy("arm")
+      .select("arm", "n", "mean_y", "mean_y_cuped", "var_y_cuped",
+        "var_reduction", "theta")
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(r(0) == (("a", 2L, 2.0, 4.0, 0.0, 1.0, 1.0)), r(0).toString)
+    assert(r(1) == (("b", 2L, 6.0, 4.0, 0.0, 1.0, 1.0)), r(1).toString)
+  }
+
+  test("cuped: uncorrelated covariate leaves the metric untouched (theta 0)") {
+    // x constant -> var(x) = 0 -> theta defined as 0, y' = y
+    val units = Seq(("a", 1.0, 10.0), ("a", 1.0, 20.0),
+      ("b", 1.0, 30.0), ("b", 1.0, 40.0)).toDF("arm", "x", "y")
+    val r = Experiment.cuped(units, "arm", "x", "y")
+      .orderBy("arm").select("mean_y", "mean_y_cuped", "theta")
+      .as[(Double, Double, Double)].collect()
+    assert(r(0) == ((15.0, 15.0, 0.0)), r(0).toString)
+    assert(r(1) == ((35.0, 35.0, 0.0)), r(1).toString)
+  }
+
+  test("cuped: global mean of the adjusted metric is preserved") {
+    val units = (1 to 40).map { i =>
+      (if (i % 2 == 0) "t" else "c", (i % 7).toDouble, (i % 7) * 2.0 + i % 3)
+    }.toDF("arm", "x", "y")
+    val r = Experiment.cuped(units, "arm", "x", "y")
+      .select("n", "mean_y", "mean_y_cuped")
+      .as[(Long, Double, Double)].collect()
+    val n = r.map(_._1).sum.toDouble
+    val gy = r.map(t => t._1 * t._2).sum / n
+    val ga = r.map(t => t._1 * t._3).sum / n
+    assert(math.abs(gy - ga) < 1e-4, s"$gy vs $ga")
+  }
+
+  test("twoProportionZ: hand-computed pooled z, and degenerate pools null out") {
+    val units = ((1 to 10).map(i => ("a", if (i <= 7) 1L else 0L)) ++
+      (1 to 10).map(i => ("b", if (i <= 3) 1L else 0L))).toDF("arm", "s")
+    val r = Experiment.twoProportionZ(units, "arm", "s")
+      .select("arm_a", "n_a", "conv_a", "arm_b", "conv_b", "p_a", "p_b", "z")
+      .as[(String, Long, Long, String, Long, Double, Double, Double)].head()
+    // pool = 0.5; z = 0.4 / sqrt(0.25 * 0.2) = 1.788854
+    assert(r == (("a", 10L, 7L, "b", 3L, 0.7, 0.3, 1.788854)), r.toString)
+    // nobody converts anywhere: pooled p = 0 -> z null
+    val none = Seq(("a", 0L), ("a", 0L), ("b", 0L)).toDF("arm", "s")
+    val z0 = Experiment.twoProportionZ(none, "arm", "s").select("z").collect()
+    assert(z0.length == 1 && z0.head.isNullAt(0), z0.mkString(","))
+    // a single arm yields no comparison row at all
+    val one = Seq(("a", 1L), ("a", 0L)).toDF("arm", "s")
+    assert(Experiment.twoProportionZ(one, "arm", "s").count() == 0)
+  }
+}
