@@ -482,6 +482,65 @@ object DataQuality {
         round(num.cast("double") / den.cast("double"), 6)).as("gini"))
   }
 
+  /** One-pass column profile — the automatic dataset summary every
+    * engine ships (DESCRIBE/summary on steroids): per column, row/null/
+    * distinct counts plus numeric min/max or string length bounds.
+    *
+    * ONE aggregation pass produces every statistic (the per-column
+    * exact distincts share the single Expand-based aggregate); the
+    * long-format unpivot afterwards runs on the 1-row result, so
+    * profiling k columns costs one scan, not k. For lake-scale
+    * profiling where exact distincts don't matter, flip
+    * `approxDistinct` — approx_count_distinct drops the Expand and
+    * keeps the whole pass sketch-sized (but is not oracle-replayable).
+    */
+  def profile(df: DataFrame, columns: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "profile: no columns")
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    def isNum(c: String) = types.get(c).exists {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    def isStr(c: String) =
+      types.get(c).contains(org.apache.spark.sql.types.StringType)
+    val aggs = count(lit(1)).as("__n") +: columns.flatMap { c =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__dist_$c"))
+      val extremes =
+        if (isNum(c)) Seq(
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"),
+          lit(null).cast("long").as(s"__minl_$c"),
+          lit(null).cast("long").as(s"__maxl_$c"))
+        else if (isStr(c)) Seq(
+          lit(null).cast("double").as(s"__min_$c"),
+          lit(null).cast("double").as(s"__max_$c"),
+          min(length(col(c))).cast("long").as(s"__minl_$c"),
+          max(length(col(c))).cast("long").as(s"__maxl_$c"))
+        else Seq(
+          lit(null).cast("double").as(s"__min_$c"),
+          lit(null).cast("double").as(s"__max_$c"),
+          lit(null).cast("long").as(s"__minl_$c"),
+          lit(null).cast("long").as(s"__maxl_$c"))
+      base ++ extremes
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    columns.map { c =>
+      wide.select(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"),
+        col(s"__max_$c").as("max_num"),
+        col(s"__minl_$c").as("min_len"),
+        col(s"__maxl_$c").as("max_len"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group two-sided CUSUM changepoint detection (Page 1954): the
     * control chart a metrics pipeline runs per series to catch a mean
     * SHIFT that per-point outlier tests miss (each point looks normal;

@@ -170,4 +170,59 @@ object Graph {
         expr("2 * coalesce(n_triangles, 0L) * 1000000000L div (degree * (degree - 1))")
           .as("coeff_ppb"))
   }
+
+  /** Multi-source BFS hop distances: the minimum number of directed
+    * edges from any seed to each reachable node, up to `maxHops` levels
+    * — the reachability/blast-radius primitive (who is within k trades
+    * of this supplier, which docs cite this doc within k steps).
+    *
+    * Level-synchronous frontier expansion: each level is one
+    * frontier⋈edges join plus an anti-join against the visited set —
+    * pure set semantics, exact integer hops, deterministic everywhere.
+    * The level count is bounded and small, so driver control flow is
+    * one `isEmpty` probe per level (no data ever collects); each
+    * frontier persists to keep lineage shallow, the edge table shuffles
+    * once onto src and never moves again.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String,
+              maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 32,
+      s"bfsHops: maxHops=$maxHops out of [0, 32]")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit](
+      () => e.unpersist())
+    var frontier = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cleanups += (() => frontier.unpersist())
+    var visited = frontier.withColumn("hops", lit(0L))
+    var level = 0L
+    var done = frontier.isEmpty
+    while (!done && level < maxHops) {
+      level += 1
+      val hop = level
+      val next = frontier
+        .withColumnRenamed("node", "src")
+        .join(e, "src")
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cleanups += (() => next.unpersist())
+      done = next.isEmpty
+      if (!done) {
+        visited = visited.unionByName(next.withColumn("hops", lit(hop)))
+        frontier = next
+      }
+    }
+    val snapshot = cleanups.toList
+    graft.QueryCleanup.register(() => snapshot.foreach(f => f()))
+    visited
+  }
 }

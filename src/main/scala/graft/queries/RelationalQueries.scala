@@ -285,6 +285,24 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Multi-source BFS hop distances over the q125 trade graph: which
+    // nodes sit within 3 hops of customers {1,2,3}. Level-synchronous
+    // frontier joins; the oracle replays it as a recursive CTE.
+    "q208_bfs_hops" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      import s.implicits._
+      val seeds = Seq(1L, 2L, 3L).toDF("node")
+      graft.ops.Graph.bfsHops(edges, "src", "dst", seeds, "node", maxHops = 3)
+        .orderBy("node")
+    }),
+
     // Per-node triangle counts on the part co-occurrence graph (parts
     // sharing a high-quantity order line). Degree-ordered orientation
     // caps wedge fan-out at O(sqrt(m)) per node; exact integer counts
@@ -414,6 +432,20 @@ object RelationalQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id""",
     "q47_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // Same graph, recursive-CTE BFS; UNION-dedup on (node, hops)
+    // states keeps the recursion level-bounded, min() picks the first
+    // level each node was reached at.
+    "q208_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT s AS src, c AS dst FROM pairs
+                UNION ALL SELECT c AS src, s AS dst FROM pairs),
+          b AS (SELECT CAST(t.c AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+                FROM (VALUES (1), (2), (3)) t(c)
+                UNION
+                SELECT e.dst, b.hops + 1 FROM b JOIN e ON e.src = b.node
+                WHERE b.hops < 3)
+          SELECT node, min(hops) AS hops FROM b GROUP BY node ORDER BY node""",
     "q125_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -412,6 +412,15 @@ object StatsQueries {
         .orderBy("event_type", "lag")
     }),
 
+    // One-pass column profile of orders: row/null/distinct counts and
+    // numeric/string extremes for six columns from a single aggregation.
+    "q209_profile" -> ((s, dir) => {
+      DataQuality.profile(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority", "o_orderdate"))
+        .orderBy("column")
+    }),
+
     // Market-basket pair rules over order baskets of part brands:
     // which brands co-occur beyond what their popularity explains.
     // The pair join is basket-keyed (bounded by order width), item
@@ -639,6 +648,55 @@ object StatsQueries {
                  min(CASE WHEN sp > 4000000 THEN x END) AS first_up_x,
                  min(CASE WHEN sn > 4000000 THEN x END) AS first_down_x
           FROM r2 GROUP BY g ORDER BY g""",
+    // One SELECT per column over the same table, unioned — the same
+    // statistics the single-pass engine aggregate emits.
+    "q209_profile" ->
+      """WITH p AS (
+          SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                 CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 count(DISTINCT o_orderkey) AS n_distinct,
+                 CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+                 CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+                 CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey', count(*),
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_custkey),
+                 CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', count(*),
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_orderstatus),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(min(length(o_orderstatus)) AS BIGINT),
+                 CAST(max(length(o_orderstatus)) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', count(*),
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_totalprice),
+                 CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', count(*),
+                 CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_orderpriority),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(min(length(o_orderpriority)) AS BIGINT),
+                 CAST(max(length(o_orderpriority)) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderdate', count(*),
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_orderdate),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM orders)
+          SELECT * FROM p ORDER BY "column"""",
     // Same distinct (basket,item) collapse, basket-keyed pair join,
     // support joins, both rule directions.
     "q206_assoc_rules" ->

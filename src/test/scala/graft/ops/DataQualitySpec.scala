@@ -425,6 +425,25 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.autocorrelation(alt, "g", "x", "v", maxLag = 0))
   }
 
+  test("profile: one-pass per-column stats with numeric/string/other extremes") {
+    val df = Seq(
+      (Some(1L), Some("ab"), Some(1.5)),
+      (Some(2L), None, Some(-0.5)),
+      (None, Some("xyz"), Some(1.5))).toDF("k", "s", "v")
+      .withColumn("d", to_date(lit("2024-01-01")))
+    val r = DataQuality.profile(df, Seq("k", "s", "v", "d"))
+      .orderBy("column")
+      .select("column", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_len", "max_len")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[Long], Option[Long])].collect()
+    assert(r(0) == (("d", 3L, 0L, 1L, None, None, None, None)), r(0).toString)
+    assert(r(1) == (("k", 3L, 1L, 2L, Some(1.0), Some(2.0), None, None)), r(1).toString)
+    assert(r(2) == (("s", 3L, 1L, 2L, None, None, Some(2L), Some(3L))), r(2).toString)
+    assert(r(3) == (("v", 3L, 0L, 2L, Some(-0.5), Some(1.5), None, None)), r(3).toString)
+    intercept[IllegalArgumentException](DataQuality.profile(df, Seq.empty))
+  }
+
   test("gini: 0 when even, (n-1)/n when one member holds all, hand value") {
     val df = Seq(
       ("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),

@@ -125,4 +125,28 @@ class GraphSpec extends SparkSpec {
     // each iteration can truncate at most 1 micro-unit per (edge, node) div
     assert(mass <= n * 1000000L && mass > n * 1000000L - 4 * 1000 * n)
   }
+
+  test("bfsHops: shortest hop wins, maxHops truncates, direction respected") {
+    // path 1->2->3->4->5 plus shortcut 1->4
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    // 4 via the shortcut at hop 1, NOT hop 3; 5 at hop 2; 3 at hop 2
+    assert(r == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L), r.toString)
+    // directed: seeding at 5 reaches nothing
+    val r5 = Graph.bfsHops(e, "src", "dst", Seq(5L).toDF("node"), "node")
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r5 == Map(5L -> 0L), r5.toString)
+    // multi-source: min over seeds
+    val rm = Graph.bfsHops(e, "src", "dst", Seq(1L, 3L).toDF("node"), "node",
+      maxHops = 1).as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(rm == Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L), rm.toString)
+    intercept[IllegalArgumentException](
+      Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 33))
+  }
 }

@@ -186,10 +186,77 @@ def runNew(tag: String, d: DataFrame, c: DataFrame,
   graft.QueryCleanup.drain()
 }
 
+// round-11 additions: basket pair rules (pair join bounded by basket
+// width — must grow ~linearly in baskets), multi-source BFS (frontier
+// joins scan the 10x edge table; levels stay fixed), Kaplan-Meier
+// (subject table 10x, per-time aggregate domain fixed).
+val lp1 = spark.read.parquet(dir + "/lineitem.parquet")
+  .select("l_orderkey", "l_partkey").cache()
+lp1.count()
+val lp10 = lp1.crossJoin(reps)
+  .select((col("l_orderkey") + col("r").cast("long") * 100000000L).as("l_orderkey"),
+    col("l_partkey")).cache()
+lp10.count()
+val brands = spark.read.parquet(dir + "/part.parquet")
+  .select("p_partkey", "p_brand").cache()
+brands.count()
+val ords1 = spark.read.parquet(dir + "/orders.parquet")
+  .select("o_orderkey", "o_custkey").cache()
+ords1.count()
+val ords10 = ords1.crossJoin(reps)
+  .select((col("o_orderkey") + col("r").cast("long") * 100000000L).as("o_orderkey"),
+    (col("o_custkey") + col("r").cast("long") * 100000000L).as("o_custkey"))
+  .cache()
+ords10.count()
+val ev1 = spark.read.parquet(dir + "/events.parquet")
+  .select("ts", "user_id", "event_type").cache()
+ev1.count()
+val ev10 = ev1.crossJoin(reps)
+  .select(col("ts"),
+    (col("user_id") + col("r").cast("long") * 10000000L).as("user_id"),
+    col("event_type")).cache()
+ev10.count()
+
+def runR11(tag: String, lp: DataFrame, ords: DataFrame, ev: DataFrame): Unit = {
+  time(s"q206_assoc_$tag") {
+    val baskets = lp.join(brands, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    graft.ops.Association.pairRules(baskets, "basket", "item",
+      minPairs = 50L).count()
+  }
+  time(s"q208_bfs_$tag") {
+    val pairs = lp.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_partkey") + lit(1000000000L)).as("s"),
+        col("o_custkey").as("c"))
+      .distinct()
+    val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+      .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+    val seeds = spark.range(1, 4).select(col("id").as("node"))
+    graft.ops.Graph.bfsHops(edges, "src", "dst", seeds, "node",
+      maxHops = 3).count()
+  }
+  time(s"q202_km_$tag") {
+    val horizon = ev.agg(max(to_date(col("ts"))).as("__hz"))
+    val subjects = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("__first"),
+        max(to_date(col("ts"))).as("__last"))
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"),
+        datediff(col("__last"), col("__first")).cast("long").as("duration"),
+        when(col("__last") < date_sub(col("__hz"), 3), 1L).otherwise(0L)
+          .as("observed"))
+    graft.ops.Survival.kaplanMeier(subjects, "event_type", "duration",
+      "observed").count()
+  }
+  graft.QueryCleanup.drain()
+}
+
 println("=== 1x (sf0.1) ===")
 run("1x", docs1, emb1, cust1)
 runNew("1x", docs1, cust1, li1, urg1)
+runR11("1x", lp1, ords1, ev1)
 println("=== 10x ===")
 run("10x", docs10, emb10, cust10)
 runNew("10x", docs10, cust10, li10, urg10)
+runR11("10x", lp10, ords10, ev10)
 System.exit(0)
