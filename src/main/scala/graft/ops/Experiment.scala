@@ -36,10 +36,16 @@ object Experiment {
             postCol: String): DataFrame = {
     val x = col("__x")
     val y = col("__y")
+    // the unit table feeds TWO consumers (global moments, per-arm
+    // adjustment); persist the 3-column projection so an expensive
+    // upstream unit construction (events -> per-user sums) is scanned
+    // once — released via the QueryCleanup handover contract
     val u = units.select(col(armCol).as("__arm"),
         col(preCol).cast("double").as("__x"),
         col(postCol).cast("double").as("__y"))
       .filter(x.isNotNull && y.isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => u.unpersist())
     val g = u.agg(
       count(lit(1)).as("__n"),
       sum(dec(x)).as("__sx"), sum(dec(y)).as("__sy"),

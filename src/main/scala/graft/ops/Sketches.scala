@@ -475,6 +475,38 @@ object Sketches {
     hllEstimateGrouped(cum, groupCol, b)
   }
 
+  /** ROLLING-window distinct curve: for each group g (a day), the HLL
+    * estimate over the union of the trailing `width` groups — rolling
+    * 7-day actives, trailing-30-day distinct visitors. [[hllGrowthCurve]]
+    * with a bounded frame: a window-union's sketch is the per-bucket MAX
+    * over the trailing `width` group sketches (an exact register
+    * identity, not an extra approximation — the spec pins window-merge ≡
+    * direct window sketch bit-for-bit), so after one data pass the whole
+    * curve is a bounded window over the (#groups × ≤m)-row register
+    * table. The naive exact form rescans `width` days of raw data per
+    * output day — width× the IO at lake scale.
+    *
+    * Frame semantics are ROW-based over each group's ordered register
+    * row (one per (group, bucket) after densify): a gap in the group
+    * sequence counts as a member group with an empty sketch. */
+  def hllSlidingCurve(df: DataFrame, groupCol: String, keyCol: String,
+                      width: Int, b: Int = 6,
+                      salt: String = "graft-hll"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 1, s"hllSlidingCurve: width=$width must be >= 1")
+    val sk = hllSketchGrouped(df, groupCol, keyCol, b, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => sk.unpersist())
+    val grid = sk.select(col(groupCol)).distinct()
+      .crossJoin(sk.select(col("bucket")).distinct())
+    val w = Window.partitionBy(col("bucket")).orderBy(col(groupCol))
+      .rowsBetween(-(width - 1).toLong, 0)
+    val win = grid.join(sk, Seq(groupCol, "bucket"), "left")
+      .withColumn("m_j", max(col("m_j")).over(w))
+      .filter(col("m_j").isNotNull)
+    hllEstimateGrouped(win, groupCol, b)
+  }
+
   /** Distinct-count estimates for EVERY prefix level of a dimension
     * hierarchy — SQL `ROLLUP(dims...) ... count(DISTINCT key)` semantics
     * — from ONE pass over the data. Spark's own rollup + count_distinct

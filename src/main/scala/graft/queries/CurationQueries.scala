@@ -262,6 +262,18 @@ object CurationQueries {
         .orderBy("day")
     }),
 
+    // Rolling 7-day distinct users per day from the same daily
+    // registers: window-union = per-bucket trailing max — the
+    // rolling-actives curve without rescanning 7 days of raw data per
+    // output day.
+    "q210_hll_rolling" -> ((s, dir) => {
+      Sketches.hllSlidingCurve(
+          Tables.events(s, dir)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+          "day", "user_id", width = 7, b = 6)
+        .orderBy("day")
+    }),
+
     // Distinct-user ROLLUP over (event_type, day) from ONE finest-grain
     // sketch pass — coarser levels are register max-merges (metadata
     // scale), where Spark's rollup+count_distinct Expands the raw data
@@ -609,6 +621,32 @@ object CurationQueries {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mj
                   FROM grid g LEFT JOIN reg ON reg.day = g.day AND reg.bucket = g.bucket),
           cf AS (SELECT day, bucket, mj FROM cum WHERE mj IS NOT NULL),
+          agg AS (SELECT day, sum(power(2.0, -mj)) AS s, count(*) AS nb
+                  FROM cf GROUP BY day),
+          est AS (SELECT day, s + (64 - nb) AS den, 64 - nb AS v FROM agg)
+          SELECT day,
+                 round(CASE WHEN 0.709 * 64 * 64 / den <= 160.0 AND v > 0
+                            THEN 64.0 * ln(64.0 / v)
+                            ELSE 0.709 * 64 * 64 / den END, 6) AS hll_est
+          FROM est ORDER BY day"""
+    },
+    "q210_hll_rolling" -> {
+      val hv = phashSql("'graft-hll|' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+          r AS (SELECT day, $hv % 64 AS bucket,
+                   CASE WHEN $hv // 64 = 0 THEN 55
+                        ELSE 55 - length(bin($hv // 64)) END AS rho
+                 FROM e),
+          reg AS (SELECT day, bucket, max(rho) AS mj
+                  FROM r GROUP BY day, bucket),
+          grid AS (SELECT d.day, b.bucket
+                   FROM (SELECT DISTINCT day FROM reg) d
+                   CROSS JOIN (SELECT DISTINCT bucket FROM reg) b),
+          win AS (SELECT g.day, g.bucket,
+                    max(reg.mj) OVER (PARTITION BY g.bucket ORDER BY g.day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mj
+                  FROM grid g LEFT JOIN reg ON reg.day = g.day AND reg.bucket = g.bucket),
+          cf AS (SELECT day, bucket, mj FROM win WHERE mj IS NOT NULL),
           agg AS (SELECT day, sum(power(2.0, -mj)) AS s, count(*) AS nb
                   FROM cf GROUP BY day),
           est AS (SELECT day, s + (64 - nb) AS den, 64 - nb AS v FROM agg)

@@ -333,4 +333,32 @@ class SketchesSpec extends SparkSpec {
       assert(fromCurve == direct, s"$cut: $fromCurve vs $direct")
     }
   }
+
+  test("hllSlidingCurve: window points equal direct window-union sketches") {
+    // day d_i holds users [i*40, i*40+60) -> consecutive days overlap
+    val rows = (0 to 5).flatMap(d => (0 until 60)
+      .map(u => (f"d$d%s", (d * 40 + u).toLong))).toDF("day", "user_id")
+    val curve = Sketches.hllSlidingCurve(rows, "day", "user_id",
+      width = 3, b = 6).as[(String, Double)].collect().sortBy(_._1).toMap
+    graft.QueryCleanup.drain()
+    assert(curve.keySet == (0 to 5).map(d => s"d$d").toSet, curve.toString)
+    // window-merge register identity: point d == sketch of days (d-2..d)
+    for (d <- 0 to 5) {
+      val lo = math.max(0, d - 2)
+      val win = rows.filter($"day".isin((lo to d).map(i => s"d$i"): _*))
+      val direct = Sketches.hllEstimate(
+        Sketches.hllSketch(win, "user_id", b = 6), b = 6).as[Double].head()
+      assert(curve(s"d$d") == direct, s"d$d: ${curve(s"d$d")} vs $direct")
+    }
+    // width 1 degenerates to the per-day estimates
+    val w1 = Sketches.hllSlidingCurve(rows, "day", "user_id", width = 1, b = 6)
+      .as[(String, Double)].collect().toMap
+    graft.QueryCleanup.drain()
+    val perDay = Sketches.hllEstimateGrouped(
+      Sketches.hllSketchGrouped(rows, "day", "user_id", b = 6), "day", b = 6)
+      .as[(String, Double)].collect().toMap
+    assert(w1 == perDay, s"$w1 vs $perDay")
+    intercept[IllegalArgumentException](
+      Sketches.hllSlidingCurve(rows, "day", "user_id", width = 0))
+  }
 }
