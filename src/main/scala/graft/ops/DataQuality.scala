@@ -541,6 +541,80 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-group weighted (lower) median: the smallest value whose
+    * cumulative weight reaches half the group's total — the robust
+    * center when observations carry unequal mass (price weighted by
+    * volume, latency weighted by request count). Weights fix to
+    * micro-unit longs, the half-total comparison is exact integer
+    * arithmetic (2·cum ≥ total), and equal-value tie blocks select the
+    * same value under any tie order, so the result is deterministic
+    * everywhere.
+    *
+    * Scale: one value-ordered cumulative window + one aggregation, both
+    * partitioned by the group key — one exchange. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast("double").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
+      .withColumn("__wm", round(col("__w") * 1e6, 0).cast("long"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("__g"))
+    pts
+      .withColumn("__cum", sum(col("__wm")).over(wCum))
+      .withColumn("__tot", sum(col("__wm")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n")).as("n"),
+        round(max(col("__tot")).cast("double") / 1e6, 6).as("total_weight"),
+        min(col("__v")).as("wmedian"))
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * aggregation pass — [[profile]]'s companion: k columns = k(k−1)/2
+    * upper-triangle pairs, every pair's five moment sums computed in
+    * the same single scan (not one job per pair). Each pair uses only
+    * rows where BOTH sides are non-null (pairwise deletion).
+    *
+    * Moments are exact decimal sums; each ρ is one fixed-shape double
+    * expression over them, rounded 6 dp. Constant columns yield null. */
+  def corrMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "corrMatrix: need at least 2 columns")
+    require(columns.distinct.size == columns.size, "corrMatrix: dup column")
+    val pairs = for {
+      i <- columns.indices; j <- (i + 1) until columns.size
+    } yield (columns(i), columns(j))
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    val exprs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val x = col(a).cast("double")
+      val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"__n_$p"),
+        sum(when(both, dec(x))).as(s"__sx_$p"),
+        sum(when(both, dec(y))).as(s"__sy_$p"),
+        sum(when(both, dec(x * x))).as(s"__sxx_$p"),
+        sum(when(both, dec(y * y))).as(s"__syy_$p"),
+        sum(when(both, dec(x * y))).as(s"__sxy_$p"))
+    }
+    val wide = df.agg(exprs.head, exprs.tail: _*)
+    pairs.zipWithIndex.map { case ((a, b), p) =>
+      val n = col(s"__n_$p").cast("double")
+      val sx = col(s"__sx_$p").cast("double")
+      val sy = col(s"__sy_$p").cast("double")
+      val covn = n * col(s"__sxy_$p").cast("double") - sx * sy
+      val vx = n * col(s"__sxx_$p").cast("double") - sx * sx
+      val vy = n * col(s"__syy_$p").cast("double") - sy * sy
+      wide.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n_$p").as("n"),
+        when(vx > 0 && vy > 0, round(covn / sqrt(vx * vy), 6)).as("corr"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group two-sided CUSUM changepoint detection (Page 1954): the
     * control chart a metrics pipeline runs per series to catch a mean
     * SHIFT that per-point outlier tests miss (each point looks normal;

@@ -268,4 +268,62 @@ object TimeSeries {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("sum_value"))
+
+  /** Time-weighted average per series: each observation holds until the
+    * next one, so TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n − t₁) — the correct mean
+    * for irregularly-sampled state (a gauge read on change, a price
+    * quoted on trade); the arithmetic mean over-weights bursts.
+    *
+    * Exact contract: values fix to micro-unit longs, durations are
+    * exact microsecond longs; the value·duration products widen to
+    * decimal(38) before summing, one double division at the edge.
+    * Single-point series (no duration) yield null twa.
+    *
+    * Scale: one lead() window + one aggregation, both on the series
+    * key — one exchange. */
+  def timeWeightedAvg(df: DataFrame, groupCol: String, tsCol: String,
+                      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__g")).orderBy(col("__t"), col("__vm"))
+    val pts = df.select(col(groupCol).as("__g"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__ts").isNotNull && col("__v").isNotNull)
+      .select(col("__g"),
+        unix_micros(col("__ts")).as("__t"),
+        round(col("__v") * 1e6, 0).cast("long").as("__vm"))
+      .withColumn("__dur", lead(col("__t"), 1).over(w) - col("__t"))
+    pts.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("__t")).as("__t0"), max(col("__t")).as("__t1"),
+        sum(col("__vm").cast("decimal(38,0)") * col("__dur")).as("__wsum"))
+      .select(col(groupCol), col("n_points"),
+        when(col("__t1") > col("__t0"),
+          round(col("__wsum").cast("double")
+            / ((col("__t1") - col("__t0")).cast("double") * 1e6), 6))
+          .as("twa"))
+  }
+
+  /** OHLC bars: per (series, time bucket) the open/high/low/close and
+    * tick count — the candlestick/state-summary aggregation. Open and
+    * close are deterministic under timestamp ties via lexicographic
+    * (ts, value) struct extrema, not first()/last() (which are
+    * partition-order-dependent and non-reproducible).
+    *
+    * Scale: ONE map-side-combining aggregation on (series, bucket) —
+    * the struct min/max carries open/close through partial aggregation,
+    * so no window, no sort, no second pass. */
+  def ohlcBars(df: DataFrame, groupCol: String, tsCol: String,
+               valueCol: String, bucket: String = "1 day"): DataFrame = {
+    val pts = df.select(col(groupCol).as("__g"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__ts").isNotNull && col("__v").isNotNull)
+    pts.groupBy(col("__g").as(groupCol),
+        window(col("__ts"), bucket).getField("start").as("bar_start"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min(struct(col("__ts"), col("__v"))).getField("__v").as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max(struct(col("__ts"), col("__v"))).getField("__v").as("close"))
+  }
 }

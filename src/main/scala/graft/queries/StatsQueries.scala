@@ -412,6 +412,39 @@ object StatsQueries {
         .orderBy("event_type", "lag")
     }),
 
+    // Volume-weighted median price per return flag: the robust center
+    // when each line carries unequal mass.
+    "q214_weighted_median" -> ((s, dir) => {
+      DataQuality.weightedMedian(Tables.lineitem(s, dir),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")
+    }),
+
+    // Pairwise correlation matrix over lineitem's four numeric columns
+    // from ONE aggregation pass (6 pairs x 5 moment sums, single scan).
+    "q211_corr_matrix" -> ((s, dir) => {
+      DataQuality.corrMatrix(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // Time-weighted average event value per type: each observation
+    // holds until the next, so bursts don't over-weight the mean.
+    "q212_twap" -> ((s, dir) => {
+      graft.ops.TimeSeries.timeWeightedAvg(Tables.events(s, dir),
+          "event_type", "ts", "value")
+        .orderBy("event_type")
+    }),
+
+    // Daily OHLC bars per event type: open/close via lexicographic
+    // (ts, value) struct extrema — deterministic under timestamp ties,
+    // one map-side-combining aggregation.
+    "q213_ohlc" -> ((s, dir) => {
+      graft.ops.TimeSeries.ohlcBars(Tables.events(s, dir),
+          "event_type", "ts", "value", "1 day")
+        .orderBy("event_type", "bar_start")
+    }),
+
     // One-pass column profile of orders: row/null/distinct counts and
     // numeric/string extremes for six columns from a single aggregation.
     "q209_profile" -> ((s, dir) => {
@@ -648,6 +681,108 @@ object StatsQueries {
                  min(CASE WHEN sp > 4000000 THEN x END) AS first_up_x,
                  min(CASE WHEN sn > 4000000 THEN x END) AS first_down_x
           FROM r2 GROUP BY g ORDER BY g""",
+    // Same micro-unit cumulative-weight threshold; tie blocks resolve
+    // to the same value under any ordering.
+    "q214_weighted_median" ->
+      """WITH pts AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                   CAST(round(l_quantity * 1000000, 0) AS BIGINT) AS wm
+                 FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                   AND l_quantity > 0),
+          c AS (SELECT g, v,
+                  sum(wm) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(wm) OVER (PARTITION BY g) AS tot,
+                  count(*) OVER (PARTITION BY g) AS n
+                FROM pts)
+          SELECT g AS l_returnflag, max(n) AS n,
+                 round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
+                 min(v) AS wmedian
+          FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same exact-decimal moment sums per pair, same fixed-shape final
+    // double expression (lineitem columns are never null, so plain
+    // count(*)/sums equal the engine's pairwise-deletion guards).
+    "q211_corr_matrix" ->
+      """WITH m AS (SELECT count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(38,12))) AS s_q,
+                   sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS s_e,
+                   sum(CAST(l_discount AS DECIMAL(38,12))) AS s_d,
+                   sum(CAST(l_tax AS DECIMAL(38,12))) AS s_t,
+                   sum(CAST(l_quantity*l_quantity AS DECIMAL(38,12))) AS s_qq,
+                   sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,12))) AS s_ee,
+                   sum(CAST(l_discount*l_discount AS DECIMAL(38,12))) AS s_dd,
+                   sum(CAST(l_tax*l_tax AS DECIMAL(38,12))) AS s_tt,
+                   sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,12))) AS s_qe,
+                   sum(CAST(l_quantity*l_discount AS DECIMAL(38,12))) AS s_qd,
+                   sum(CAST(l_quantity*l_tax AS DECIMAL(38,12))) AS s_qt,
+                   sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,12))) AS s_ed,
+                   sum(CAST(l_extendedprice*l_tax AS DECIMAL(38,12))) AS s_et,
+                   sum(CAST(l_discount*l_tax AS DECIMAL(38,12))) AS s_dt
+                 FROM lineitem),
+          p AS (
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+                   CAST(s_qe AS DOUBLE) AS sxy, CAST(s_q AS DOUBLE) AS sx,
+                   CAST(s_e AS DOUBLE) AS sy, CAST(s_qq AS DOUBLE) AS sxx,
+                   CAST(s_ee AS DOUBLE) AS syy FROM m
+            UNION ALL SELECT 'l_quantity', 'l_discount', n,
+                   CAST(s_qd AS DOUBLE), CAST(s_q AS DOUBLE),
+                   CAST(s_d AS DOUBLE), CAST(s_qq AS DOUBLE),
+                   CAST(s_dd AS DOUBLE) FROM m
+            UNION ALL SELECT 'l_quantity', 'l_tax', n,
+                   CAST(s_qt AS DOUBLE), CAST(s_q AS DOUBLE),
+                   CAST(s_t AS DOUBLE), CAST(s_qq AS DOUBLE),
+                   CAST(s_tt AS DOUBLE) FROM m
+            UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+                   CAST(s_ed AS DOUBLE), CAST(s_e AS DOUBLE),
+                   CAST(s_d AS DOUBLE), CAST(s_ee AS DOUBLE),
+                   CAST(s_dd AS DOUBLE) FROM m
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+                   CAST(s_et AS DOUBLE), CAST(s_e AS DOUBLE),
+                   CAST(s_t AS DOUBLE), CAST(s_ee AS DOUBLE),
+                   CAST(s_tt AS DOUBLE) FROM m
+            UNION ALL SELECT 'l_discount', 'l_tax', n,
+                   CAST(s_dt AS DOUBLE), CAST(s_d AS DOUBLE),
+                   CAST(s_t AS DOUBLE), CAST(s_dd AS DOUBLE),
+                   CAST(s_tt AS DOUBLE) FROM m)
+          SELECT col_a, col_b, n,
+                 CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                      THEN round((n*sxy - sx*sy)
+                                 / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+                 END AS corr
+          FROM p ORDER BY col_a, col_b""",
+    // Same micro-unit value x microsecond duration products, HUGEINT
+    // sums, one double division over the series span.
+    "q212_twap" ->
+      """WITH pts AS (SELECT event_type AS g, epoch_us(ts) AS t,
+                   CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+                 FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          d AS (SELECT g, t, vm,
+                       lead(t) OVER (PARTITION BY g ORDER BY t, vm) - t AS dur
+                FROM pts),
+          a AS (SELECT g, count(*) AS n_points, min(t) AS t0, max(t) AS t1,
+                       sum(CAST(vm AS HUGEINT) * dur) AS wsum
+                FROM d GROUP BY g)
+          SELECT g AS event_type, n_points,
+                 CASE WHEN t1 > t0
+                      THEN round(CAST(wsum AS DOUBLE)
+                                 / (CAST(t1 - t0 AS DOUBLE) * 1000000.0), 6)
+                 END AS twa
+          FROM a ORDER BY g""",
+    // Same daily buckets; open/close as the lexicographic (ts, value)
+    // extrema via tie-broken row_number.
+    "q213_ohlc" ->
+      """WITH b AS (SELECT event_type AS g, date_trunc('day', ts) AS bar_start,
+                   ts, value AS v
+                 FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          o AS (SELECT g, bar_start, v,
+                  row_number() OVER (PARTITION BY g, bar_start ORDER BY ts, v) AS rn_a,
+                  row_number() OVER (PARTITION BY g, bar_start ORDER BY ts DESC, v DESC) AS rn_d
+                FROM b)
+          SELECT g AS event_type, bar_start, count(*) AS n_ticks,
+                 min(CASE WHEN rn_a = 1 THEN v END) AS open,
+                 max(v) AS high, min(v) AS low,
+                 min(CASE WHEN rn_d = 1 THEN v END) AS close
+          FROM o GROUP BY g, bar_start ORDER BY g, bar_start""",
     // One SELECT per column over the same table, unioned — the same
     // statistics the single-pass engine aggregate emits.
     "q209_profile" ->

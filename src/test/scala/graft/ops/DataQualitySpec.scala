@@ -425,6 +425,49 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.autocorrelation(alt, "g", "x", "v", maxLag = 0))
   }
 
+  test("weightedMedian: mass-weighted center, dominance, and tie blocks") {
+    val df = Seq(
+      // g1: values 1..4 weight 1 except v=4 carries half the mass
+      ("g1", 1.0, 1.0), ("g1", 2.0, 1.0), ("g1", 3.0, 1.0), ("g1", 4.0, 3.0),
+      // g2: one heavy row dominates regardless of the others
+      ("g2", 10.0, 100.0), ("g2", 99.0, 1.0), ("g2", -5.0, 1.0),
+      // g3: threshold lands inside an equal-value tie block
+      ("g3", 7.0, 1.0), ("g3", 7.0, 1.0), ("g3", 8.0, 1.0)).toDF("g", "v", "w")
+    val r = DataQuality.weightedMedian(df, "g", "v", "w")
+      .orderBy("g").select("g", "n", "total_weight", "wmedian")
+      .as[(String, Long, Double, Double)].collect()
+    // g1 total 6: cum at v=3 is 3, 2*3 >= 6 -> median 3
+    assert(r(0) == (("g1", 4L, 6.0, 3.0)), r(0).toString)
+    assert(r(1) == (("g2", 3L, 102.0, 10.0)), r(1).toString)
+    assert(r(2) == (("g3", 3L, 3.0, 7.0)), r(2).toString)
+    // zero/negative weights are dropped, not poison
+    val z = Seq(("z", 1.0, 0.0), ("z", 2.0, 1.0)).toDF("g", "v", "w")
+    assert(DataQuality.weightedMedian(z, "g", "v", "w")
+      .select("n", "wmedian").as[(Long, Double)].head() == ((1L, 2.0)))
+  }
+
+  test("corrMatrix: exact +1/-1 on linear pairs, pairwise null deletion, constants null") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(-1.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(-2.0), Some(5.0)),
+      (Some(3.0), Some(6.0), Some(-3.0), Some(5.0)),
+      (Some(4.0), None, Some(9.0), Some(5.0))).toDF("x", "y2", "yn", "c")
+    val r = DataQuality.corrMatrix(df, Seq("x", "y2", "yn", "c"))
+      .collect().map(row => (row.getString(0), row.getString(1),
+        row.getLong(2), if (row.isNullAt(3)) None else Some(row.getDouble(3))))
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // y2 = 2x on the 3 rows where both present -> +1
+    assert(r(("x", "y2")) == ((3L, Some(1.0))), r.toString)
+    // yn = -x on the first 3 rows, row 4 breaks it: hand moments
+    // n=4, covn=58, vx=20, vy=371 -> 58/sqrt(7420)
+    assert(r(("x", "yn")) == ((4L, Some(0.673327))), r.toString)
+    // constant column -> null corr, full n
+    assert(r(("x", "c")) == ((4L, None)), r.toString)
+    intercept[IllegalArgumentException](DataQuality.corrMatrix(df, Seq("x")))
+    intercept[IllegalArgumentException](
+      DataQuality.corrMatrix(df, Seq("x", "x")))
+  }
+
   test("profile: one-pass per-column stats with numeric/string/other extremes") {
     val df = Seq(
       (Some(1L), Some("ab"), Some(1.5)),

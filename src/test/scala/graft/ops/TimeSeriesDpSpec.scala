@@ -401,4 +401,42 @@ class TimeSeriesDpSpec extends SparkSpec {
       .as[(String, Boolean)].collect()
     assert(out.length == 5 && out.forall(!_._2))
   }
+
+  test("timeWeightedAvg: holds values over gaps; bursts don't over-weight") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // v=10 for 9s, v=20 for 1s -> TWA (90+20)/10 = 11; arith mean 15
+    val df = Seq(("g", t(0), 10.0), ("g", t(9), 20.0), ("g", t(10), 0.0))
+      .toDF("g", "ts", "v")
+    val r = TimeSeries.timeWeightedAvg(df, "g", "ts", "v")
+      .select("n_points", "twa").as[(Long, Double)].head()
+    assert(r == ((3L, 11.0)), r.toString)
+    // a burst of 5 identical readings in one second barely moves it
+    val burst = (0 to 4).map(i => ("b", new java.sql.Timestamp(9000L + i * 200), 20.0))
+    val df2 = (Seq(("b", t(0), 10.0), ("b", t(10), 0.0)) ++ burst).toDF("g", "ts", "v")
+    val r2 = TimeSeries.timeWeightedAvg(df2, "g", "ts", "v")
+      .select("twa").as[Double].head()
+    assert(r2 == 11.0, r2.toString)
+    // single point: no duration -> null
+    val one = Seq(("x", t(0), 5.0)).toDF("g", "ts", "v")
+    assert(TimeSeries.timeWeightedAvg(one, "g", "ts", "v")
+      .select("twa").collect().head.isNullAt(0))
+  }
+
+  test("ohlcBars: struct extrema pick open/close deterministically under ties") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("g", t("2024-01-01 00:00:01"), 5.0),
+      ("g", t("2024-01-01 08:00:00"), 9.0),
+      ("g", t("2024-01-01 09:00:00"), 1.0),
+      // tie on the closing timestamp: lexicographic (ts, v) max -> 7.0
+      ("g", t("2024-01-01 23:00:00"), 3.0),
+      ("g", t("2024-01-01 23:00:00"), 7.0),
+      ("g", t("2024-01-02 00:00:01"), 4.0)).toDF("g", "ts", "v")
+    val r = TimeSeries.ohlcBars(df, "g", "ts", "v", "1 day")
+      .orderBy("bar_start")
+      .select("n_ticks", "open", "high", "low", "close")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(r(0) == ((5L, 5.0, 9.0, 1.0, 7.0)), r(0).toString)
+    assert(r(1) == ((1L, 4.0, 4.0, 4.0, 4.0)), r(1).toString)
+  }
 }

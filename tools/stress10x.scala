@@ -187,7 +187,7 @@ def runNew(tag: String, d: DataFrame, c: DataFrame,
 }
 
 // round-11 additions: basket pair rules (pair join bounded by basket
-// width — must grow ~linearly in baskets), multi-source BFS (frontier
+// width -- must grow ~linearly in baskets), multi-source BFS (frontier
 // joins scan the 10x edge table; levels stay fixed), Kaplan-Meier
 // (subject table 10x, per-time aggregate domain fixed).
 val lp1 = spark.read.parquet(dir + "/lineitem.parquet")

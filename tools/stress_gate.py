@@ -32,6 +32,13 @@ BOUNDS = {
     "q138_mondrian": 3.5,
     "q171_phash": 3.0,
     "q174_entity_res": 3.0,
+    # round-11 ops: pair join bounded by basket width / fixed-level
+    # frontier joins / fixed-domain per-time aggregate -- all ~linear;
+    # headroom reflects their small 1x denominators (sub-second to ~5 s,
+    # where fixed per-job overhead inflates the ratio).
+    "q206_assoc": 5.0,
+    "q208_bfs": 8.0,
+    "q202_km": 5.0,
 }
 
 
