@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Dedup, EventAnalytics, Generalization, KMap, Ranking, RecordLinkage, Sampling, Sketches, Skyline, TimeSeries}
+import graft.ops.{Cdc, Dedup, EventAnalytics, Evaluation, Generalization, KMap, Ranking, RecordLinkage, Sampling, Sketches, Skyline, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -260,6 +260,27 @@ object CurationQueries {
             .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
           "day", "user_id", b = 6)
         .orderBy("day")
+    }),
+
+    // Inter-annotator agreement between the gold lang label and a
+    // deterministically-corrupted second rater (doc_id%10 flipped to
+    // 'en'): raw agreement overstates quality under label skew; kappa
+    // subtracts chance. Exact integer identity (d*n - S)/(n^2 - S).
+    "q215_cohens_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("rater_b",
+          when(col("doc_id") % 10 === 0, lit("en")).otherwise(col("lang")))
+      Evaluation.cohensKappa(d, "lang", "rater_b")
+    }),
+
+    // Per-class precision/recall/F1 of the corrupted rater against the
+    // gold label — the classification-report primitive for label audits.
+    "q216_class_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("rater_b",
+          when(col("doc_id") % 10 === 0, lit("en")).otherwise(col("lang")))
+      Evaluation.classificationReport(d, "lang", "rater_b")
+        .orderBy("label")
     }),
 
     // Rolling 7-day distinct users per day from the same daily
@@ -630,6 +651,54 @@ object CurationQueries {
                             ELSE 0.709 * 64 * 64 / den END, 6) AS hll_est
           FROM est ORDER BY day"""
     },
+    // Same confusion cells, same exact integer kappa identity.
+    "q215_cohens_kappa" ->
+      """WITH d AS (SELECT lang AS a,
+                   CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE lang END AS b
+                 FROM documents WHERE lang IS NOT NULL),
+          cells AS (SELECT a, b, count(*) AS c FROM d GROUP BY a, b),
+          ra AS (SELECT a AS k, sum(c) AS ra FROM cells GROUP BY a),
+          cb AS (SELECT b AS k, sum(c) AS cb FROM cells GROUP BY b),
+          s AS (SELECT sum(CAST(ra.ra AS HUGEINT) * cb.cb) AS s
+                FROM ra JOIN cb ON ra.k = cb.k),
+          t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS d
+                FROM cells)
+          SELECT n,
+                 round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+                 round(CAST(s AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS pe,
+                 CASE WHEN CAST(n AS HUGEINT) * n <> s
+                      THEN round(CAST(CAST(d AS HUGEINT) * n - s AS DOUBLE)
+                                 / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
+                 END AS kappa
+          FROM t CROSS JOIN s""",
+    // Same cells; per-label margins, integer-form F1.
+    "q216_class_report" ->
+      """WITH d AS (SELECT lang AS a,
+                   CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE lang END AS p
+                 FROM documents WHERE lang IS NOT NULL),
+          cells AS (SELECT a, p, count(*) AS c FROM d GROUP BY a, p),
+          act AS (SELECT a AS label, CAST(sum(c) AS BIGINT) AS support
+                  FROM cells GROUP BY a),
+          prd AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS pred
+                  FROM cells GROUP BY p),
+          dg AS (SELECT a AS label, CAST(c AS BIGINT) AS tp
+                 FROM cells WHERE a = p),
+          j AS (SELECT coalesce(act.label, prd.label) AS label,
+                       coalesce(support, 0) AS support,
+                       coalesce(tp, 0) AS tp,
+                       coalesce(pred, 0) - coalesce(tp, 0) AS fp,
+                       coalesce(support, 0) - coalesce(tp, 0) AS fn
+                FROM act FULL OUTER JOIN prd ON act.label = prd.label
+                         LEFT JOIN dg ON dg.label = coalesce(act.label, prd.label))
+          SELECT label, support, tp, fp, fn,
+                 CASE WHEN tp + fp > 0
+                      THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+                 CASE WHEN tp + fn > 0
+                      THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+                 CASE WHEN tp * 2 + fp + fn > 0
+                      THEN round(CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
+          FROM j ORDER BY label""",
     "q210_hll_rolling" -> {
       val hv = phashSql("'graft-hll|' || CAST(user_id AS VARCHAR)")
       s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
