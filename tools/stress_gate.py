@@ -6,10 +6,12 @@ pinned growth factor exits non-zero — the stress class that caught the
 Mondrian checkpoint-stats blowup and the phash hot-bucket blowup (both
 invisible at 1x) now FAILS the round instead of decorating a doc table.
 
-Bounds rationale (see PERFORMANCE.md "10x scale stress"): near-linear
-ops get ~1.5x headroom over the measured r10 factors for session noise;
-q160's cell-routed search is pinned sublinear; q174 is pinned post-cap
-(the uncapped block product grew 6.7x and is the regression this guards).
+Bounds rationale (see PERFORMANCE.md "stress-gate hardening"): ratio
+bounds for density-preserved workloads with >=1.4x headroom over idle
+min-of-2 measurements; ABSOLUTE 10x-wall caps for the two workloads
+whose 10x output is quadratic by construction (ratio would measure the
+1x leg's overhead, not the operator). q174 is pinned post-cap (the
+uncapped block product grew 6.7x and is the regression this guards).
 
 Usage: python3 tools/stress_gate.py [--out STRESS_rN.json]
 Round N defaults to newest CORRECTNESS_r*.json round + 1 (the round in
@@ -25,18 +27,30 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# op prefix -> max allowed 10x/1x wall-clock growth factor
+# Two bound kinds:
+#   float           -> max allowed 10x/1x wall-clock growth ratio
+#   {"abs10x": s}   -> max allowed ABSOLUTE 10x wall seconds
+# The absolute form is for ops whose 10x corpus is output-quadratic BY
+# CONSTRUCTION (the replicas are mutual near-dups at the op's threshold:
+# q171's pair output grows 46,475x, q36's 724x -- r10's table records
+# this), where a wall RATIO is meaningless: r11's min-of-2-reps runs
+# showed the old 3.0x q171 pin had only ever passed because a slow
+# single-shot 1x leg inflated the denominator (3.05 s single-shot vs
+# 0.67 s steady-state). The absolute cap still catches the bug class
+# this gate exists for -- banding-topology blowups (the pre-fix q171
+# hot bucket took 1,289 s on the same workload; broken q36 banding
+# would be the same two orders of magnitude).
 BOUNDS = {
-    "q36_minhash": 5.0,
+    "q36_minhash": {"abs10x": 40.0},
     "q160_ivfpq_search": 2.0,
     "q138_mondrian": 3.5,
-    "q171_phash": 3.0,
-    "q174_entity_res": 3.0,
+    "q171_phash": {"abs10x": 30.0},
+    "q174_entity_res": 4.5,
     # round-11 ops: pair join bounded by basket width / fixed-level
     # frontier joins / fixed-domain per-time aggregate -- all ~linear;
     # headroom reflects their small 1x denominators (sub-second to ~5 s,
     # where fixed per-job overhead inflates the ratio).
-    "q206_assoc": 5.0,
+    "q206_assoc": 8.0,
     "q208_bfs": 8.0,
     "q202_km": 5.0,
 }
@@ -85,14 +99,22 @@ def main():
             continue
         growth = round(t10 / t1, 2) if t1 > 0 else None
         bound = BOUNDS.get(op)
-        ok = bound is None or (growth is not None and growth <= bound)
+        if isinstance(bound, dict):
+            cap = bound["abs10x"]
+            ok = t10 <= cap
+            label = f" (cap {cap}s abs)"
+            fail_msg = f"{op}: 10x wall {t10}s > cap {cap}s"
+        else:
+            cap = None
+            ok = bound is None or (growth is not None and growth <= bound)
+            label = "" if bound is None else f" (bound {bound}x)"
+            fail_msg = f"{op}: growth {growth}x > bound {bound}x"
         report[op] = {"sec_1x": t1, "sec_10x": t10, "growth": growth,
                       "bound": bound, "pass": ok}
         if not ok:
-            failures.append(f"{op}: growth {growth}x > bound {bound}x")
+            failures.append(fail_msg)
         flag = "" if bound is None else (" OK" if ok else " FAIL")
-        print(f"{op}: {t1:.2f}s -> {t10:.2f}s = {growth}x"
-              f"{'' if bound is None else f' (bound {bound}x)'}{flag}")
+        print(f"{op}: {t1:.2f}s -> {t10:.2f}s = {growth}x{label}{flag}")
     with open(out_path, "w") as f:
         json.dump({"round": n, "bounds": BOUNDS, "ops": report}, f, indent=2)
         f.write("\n")
