@@ -29,10 +29,16 @@ object Association {
   def pairRules(df: DataFrame, basketCol: String, itemCol: String,
                 minPairs: Long = 2L): DataFrame = {
     require(minPairs >= 1, s"pairRules: minPairs=$minPairs must be >= 1")
+    // the distinct (basket, item) table feeds FOUR consumers (basket
+    // count, item supports, both sides of the pair join); persist it so
+    // the corpus-sized distinct runs once — released via the
+    // QueryCleanup handover contract
     val bi = df.select(col(basketCol).as("__b"),
         col(itemCol).cast("string").as("__i"))
       .filter(col("__i").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => bi.unpersist())
     val nBaskets = bi.agg(countDistinct(col("__b")).as("__nb"))
     val itemCounts = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = bi.as("l")

@@ -426,6 +426,11 @@ object DataQuality {
       .withColumn("__t",
         row_number().over(Window.partitionBy(col("__g")).orderBy(col("__x"))))
       .select(col("__g"), col("__t"), col("__zmu"))
+      // z feeds three consumers (denominator, both sides of the lag
+      // join); persist the series-sized table so the standardization
+      // windows run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => z.unpersist())
     // cast BEFORE multiplying: micro z-scores are bounded (|z| <= sqrt n),
     // but long*long-then-widen is the overflow pattern this file bans
     val den = z.groupBy(col("__g"))
