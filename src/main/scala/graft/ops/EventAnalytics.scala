@@ -203,4 +203,71 @@ object EventAnalytics {
     pairs.withColumn("prob",
       round(col("n").cast("double") / sum(col("n")).over(wf).cast("double"), 6))
   }
+
+  /** RFM segmentation (Hughes 1994): per customer the recency (days
+    * from last order to the table horizon), frequency (order count)
+    * and monetary (exact decimal amount sum), each scored into
+    * quintiles 1–5 — the classic customer-value grid, and the same
+    * shape a curation pipeline uses to tier data SOURCES (recently
+    * crawled / frequently updated / high-volume).
+    *
+    * Quintiles are EXACT and tie-stable without a data-sized ntile
+    * window: for each metric the # of strictly-smaller customers
+    * (`before`) comes from [[Ranking.globalPrefixSum]] over the
+    * distinct-value counts table (1024 monotone buckets), and
+    * score = before·5 div n + 1 — integer division on exact longs, so
+    * tied values always share a score (ntile would split them by
+    * partition luck). r_score is reversed (5 = most recent). Monetary
+    * sums accumulate in decimal(18,2) — a double sum's tree order
+    * would be run-dependent.
+    *
+    * Scale: one customer aggregation, then per metric a value-counts
+    * aggregation + prefix sum + a value-keyed join back (the counts
+    * side is |distinct values| rows). Output: one row per customer
+    * (recency_days, frequency, monetary, r/f/m scores, rfm cell). */
+  def rfmScores(orders: DataFrame, custCol: String, dateCol: String,
+                amountCol: String): DataFrame = {
+    val horizon = orders.agg(max(to_date(col(dateCol))).as("__hz"))
+    val cust = orders
+      .groupBy(col(custCol).as("__c"))
+      .agg(max(to_date(col(dateCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)")).as("__mon"))
+      .crossJoin(broadcast(horizon))
+      .select(col("__c"),
+        datediff(col("__hz"), col("__last")).cast("long").as("recency_days"),
+        col("frequency"), col("__mon"))
+      // feeds n plus three metric-counts aggregations and the final join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => cust.unpersist())
+    val nRow = cust.agg(count(lit(1)).as("__n"))
+    // (metric value -> quintile score): before = strictly-smaller count
+    def scoreMap(metric: String, out: String): DataFrame = {
+      val counts = cust.groupBy(col(metric)).agg(count(lit(1)).as("__t"))
+      val bounds = counts.agg(min(col(metric).cast("double")).as("__bmn"),
+        max(col(metric).cast("double")).as("__bmx"))
+      val withB = counts.crossJoin(broadcast(bounds))
+      val vD = col(metric).cast("double")
+      val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+      val bucket = when(bWidth > 0,
+        least(floor((vD - col("__bmn")) / bWidth), lit(1023L)))
+        .otherwise(lit(0L))
+      Ranking.globalPrefixSum(withB, Seq(metric), bucket, "__t", "__cum")
+        .withColumn("__before", col("__cum") - col("__t"))
+        .crossJoin(broadcast(nRow))
+        .select(col(metric),
+          (expr("(__before * 5) div __n") + 1).cast("long").as(out))
+    }
+    cust
+      .join(scoreMap("recency_days", "__sr"), Seq("recency_days"))
+      .join(scoreMap("frequency", "__sf"), Seq("frequency"))
+      .join(scoreMap("__mon", "__sm"), Seq("__mon"))
+      .select(col("__c").as(custCol),
+        col("recency_days"), col("frequency"),
+        round(col("__mon").cast("double"), 2).as("monetary"),
+        (lit(6L) - col("__sr")).as("r_score"),
+        col("__sf").as("f_score"), col("__sm").as("m_score"),
+        ((lit(6L) - col("__sr")) * 100 + col("__sf") * 10 + col("__sm"))
+          .as("rfm"))
+  }
 }

@@ -524,4 +524,56 @@ object TextAnalysis {
       .limit(topK)
       .crossJoin(broadcast(jsd))
   }
+
+  /** Zipf fit of the corpus token-frequency curve: OLS of ln(freq) on
+    * ln(rank) over the top-`topK` tokens — a healthy natural-language
+    * corpus runs slope ≈ −1 (Zipf 1949); a flat slope screams template/
+    * boilerplate spam and a cliff screams deduplication debt. One row
+    * (k, slope, intercept, r2).
+    *
+    * Scale: the token-count aggregation is map-side combined; the
+    * top-K cut is a TakeOrderedAndProject (per-partition heaps — the
+    * vocabulary long tail never reaches a global sort); the rank
+    * window and the OLS aggregate run over K rows. Determinism: both
+    * logs are micro-nat-rounded longs (ln is libm-bound — last-ulp
+    * differences across engines are possible, so fix the value BEFORE
+    * summing); the OLS numerators/denominators are exact decimal(38)
+    * sums of those integers; the three divisions at the edge are
+    * fixed-shape doubles, rounded 6 dp. Ties in frequency rank by
+    * token ascending (total order — the globalRowNumber contract). */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"zipfSlope: topK=$topK must be >= 2")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok"))
+      .limit(topK)
+    // K rows from here on: the single-partition rank window is bounded
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("__tok"))
+    val xy = counts
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__x", round(log(col("__r").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("__y", round(log(col("__c").cast("double")) * 1e6, 0).cast("long"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = xy.agg(
+      count(lit(1)).as("k"),
+      sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__x")) * col("__x")).as("__sxx"),
+      sum(dec(col("__y")) * col("__y")).as("__syy"),
+      sum(dec(col("__x")) * col("__y")).as("__sxy"))
+    val n = dec(col("k"))
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val denX = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val denY = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    // micro-nat sums cancel the 1e6 scale in slope/r2; intercept keeps one
+    val slope = num / denX
+    agg.select(col("k"),
+      when(denX > 0, round(slope, 6)).as("slope"),
+      when(denX > 0,
+        round((col("__sy").cast("double") - slope * col("__sx").cast("double"))
+          / n.cast("double") / 1e6, 6)).as("intercept"),
+      when(denX > 0 && denY > 0, round(num * num / (denX * denY), 6)).as("r2"))
+  }
 }

@@ -326,4 +326,72 @@ object TimeSeries {
         min(col("__v")).as("low"),
         max(struct(col("__ts"), col("__v"))).getField("__v").as("close"))
   }
+
+  /** EWMA control chart over a pre-aggregated per-group series
+    * (group, t, integer value): the exponentially-weighted anomaly
+    * monitor for pipeline volume metrics — [[graft.ops.DataQuality]]'s
+    * CUSUM (q199) finds a persistent LEVEL SHIFT after the fact; the
+    * EWMA chart flags the single out-of-band POINT as it arrives.
+    *
+    * A textbook EWMA is an infinite recursion (s_t = αx + (1−α)s_{t−1})
+    * — inherently serial and irreproducible once the scaled cumulative
+    * trick overflows, so this uses the `window`-point memory cutoff:
+    * weights (1−α)^j for the last `window` points carry ≥ 99% of the
+    * recursion's mass at the defaults (α=0.3, W=14). That makes each
+    * row a FIXED-SHAPE expression of its W lags — codegen'd arithmetic
+    * with one window exchange on the group key, and bit-reproducible:
+    * the weights are Scala-computed double literals shared verbatim
+    * with the oracle, the lag sums are fixed left-associated adds, and
+    * σ comes from exact integer/decimal trailing sums.
+    *
+    * Anomaly rule: |x_t − ewma(prev W)| > k·σ(prev W), needing ≥ 3
+    * prior points; σ uses the unbiased trailing variance
+    * (n·Σx² − (Σx)²) / (n(n−1)) in decimal(38) before one sqrt.
+    * Output: one row per input (t, x, ewma incl. current point, sigma,
+    * anomaly). */
+  def ewmaAnomalies(series: DataFrame, groupCol: String, tCol: String,
+                    valueCol: String, alpha: Double = 0.3,
+                    window: Int = 14, k: Double = 3.0): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ewmaAnomalies: alpha=$alpha outside (0,1)")
+    require(window >= 3, s"ewmaAnomalies: window=$window must be >= 3")
+    val weights = (0 to window).map(j => math.pow(1.0 - alpha, j))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__t"))
+    val base = series.select(col(groupCol).as("__g"),
+        col(tCol).as("__t"), col(valueCol).cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    def lagged(j: Int): Column = lag(col("__x"), j).over(w)
+    // fixed left-assoc weighted sums over the lag columns; a null lag
+    // (series shorter than W) drops both the term and its weight
+    def wsum(js: Range, wOf: Int => Double): (Column, Column) = {
+      val terms = js.map { j =>
+        (when(lagged(j).isNotNull, lit(wOf(j)) * lagged(j).cast("double"))
+          .otherwise(lit(0.0)),
+          when(lagged(j).isNotNull, lit(wOf(j))).otherwise(lit(0.0)))
+      }
+      (terms.map(_._1).reduceLeft(_ + _), terms.map(_._2).reduceLeft(_ + _))
+    }
+    val (numCur, denCur) = wsum(0 until window, j => weights(j))
+    val (numPrev, denPrev) = wsum(1 to window, j => weights(j - 1))
+    val trail = w.rowsBetween(-window, -1)
+    val cnt = count(col("__x")).over(trail)
+    val s1 = sum(col("__x")).over(trail)
+    val s2 = sum(col("__x").cast("decimal(38,0)") * col("__x")).over(trail)
+    val varNum = (cnt.cast("decimal(38,0)") * s2
+      - s1.cast("decimal(38,0)") * s1).cast("double")
+    // ANSI mode errors on ANY division by zero (doubles included), so
+    // every guard must wrap the division, not just the consumer
+    val sigma = when(cnt >= 3,
+      sqrt(varNum / (cnt.cast("double") * (cnt - 1).cast("double"))))
+    val prevEwma = when(denPrev > 0, numPrev / denPrev)
+    base
+      .withColumn("ewma", round(numCur / denCur, 6))
+      .withColumn("__sig", sigma)
+      .withColumn("anomaly",
+        coalesce(col("__sig") > 0 &&
+          abs(col("__x").cast("double") - prevEwma) > lit(k) * col("__sig"),
+          lit(false)))
+      .select(col("__g").as(groupCol), col("__t").as(tCol),
+        col("__x").as(valueCol),
+        col("ewma"), round(col("__sig"), 6).as("sigma"), col("anomaly"))
+  }
 }

@@ -283,6 +283,51 @@ object CurationQueries {
         .orderBy("label")
     }),
 
+    // ROC AUC of a length-based quality score against the en/non-en
+    // label — threshold-free ranking quality in the exact rank-sum
+    // form; the coarse floor(n_chars/100) score forces heavy ties, the
+    // midrank path the statistic must get right.
+    "q217_auc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select((col("lang") === "en").as("is_en"),
+          floor(col("n_chars") / 100).cast("double").as("score"))
+      Evaluation.aucRoc(d, "is_en", "score")
+    }),
+
+    // Calibration table of a synthetic scored model whose labels are
+    // drawn (deterministically, by a second independent key hash) at
+    // exactly the predicted rate — so frac_pos should track mean_score
+    // bin by bin; the curve's diagonal gap is the audit signal.
+    "q218_calibration" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("score",
+          Sampling.bucket(col("o_orderkey"), "graft-cal").cast("double")
+            / 1000000.0)
+        .withColumn("label",
+          Sampling.bucket(col("o_orderkey"), "graft-lab").cast("double")
+            < col("score") * 1000000.0)
+      Evaluation.calibrationBins(o, "label", "score", nBins = 10)
+        .orderBy("bin")
+    }),
+
+    // Fleiss' kappa over a fixed 3-rater panel (gold lang + two
+    // deterministically-corrupted raters): the multi-annotator
+    // agreement number a labeling campaign is judged by.
+    "q220_fleiss_kappa" -> ((s, dir) => {
+      // null-lang docs would give that subject a short panel (null
+      // ratings are unrankable) — exclude the SUBJECT, not the rating
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .filter(col("lang").isNotNull)
+      val r1 = d.select(col("doc_id"), col("lang").as("rating"))
+      val r2 = d.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit("en")).otherwise(col("lang"))
+          .as("rating"))
+      val r3 = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("de")).otherwise(col("lang"))
+          .as("rating"))
+      Evaluation.fleissKappa(r1.unionAll(r2).unionAll(r3), "doc_id", "rating")
+    }),
+
     // Rolling 7-day distinct users per day from the same daily
     // registers: window-union = per-bucket trailing max — the
     // rolling-actives curve without rescanning 7 days of raw data per
@@ -699,6 +744,81 @@ object CurationQueries {
                  CASE WHEN tp * 2 + fp + fn > 0
                       THEN round(CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
           FROM j ORDER BY label""",
+    // Same doubled-midrank integer core as q182's Mann-Whitney.
+    "q217_auc" ->
+      """WITH r AS (SELECT CAST(floor(n_chars / 100) AS DOUBLE) AS v,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                 FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+          c AS (SELECT v, CAST(sum(pos) AS BIGINT) AS cp, count(*) AS t
+                FROM r GROUP BY v),
+          cum AS (SELECT cp, t,
+                    coalesce(sum(t) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                  FROM c),
+          a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                       CAST(sum(t - cp) AS BIGINT) AS n_neg,
+                       sum(CAST(cp AS HUGEINT) * (before * 2 + t + 1)) AS r2p
+                FROM cum)
+          SELECT n_pos, n_neg,
+                 CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN round(CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                                 / CAST(CAST(n_pos AS HUGEINT) * n_neg * 2 AS DOUBLE), 6)
+                 END AS auc
+          FROM a""",
+    // Score/label replay the same two independent key hashes; the
+    // double expression SHAPES match the engine exactly (s = sb/1e6,
+    // label = lb < s*1e6) so edge rows land in the same bins.
+    "q218_calibration" -> {
+      val sb = phashSql("'graft-cal|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      val lb = phashSql("'graft-lab|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      s"""WITH o AS (SELECT CAST($sb AS DOUBLE) / 1000000.0 AS s,
+                       CAST($lb AS DOUBLE) AS lbd
+                  FROM orders),
+          r AS (SELECT s,
+                  CASE WHEN lbd < s * 1000000.0 THEN 1 ELSE 0 END AS pos
+                FROM o),
+          b AS (SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+                       count(*) AS n,
+                       sum(CAST(round(s * 1000000.0, 0) AS HUGEINT)) AS sm,
+                       CAST(sum(pos) AS BIGINT) AS np
+                FROM r GROUP BY 1)
+          SELECT bin, n,
+                 round(CAST(sm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean_score,
+                 round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
+          FROM b ORDER BY bin"""
+    },
+    // Same (subject, category) cell table; P-bar and P-e replay the
+    // engine's exact decimal numerators and double division shapes.
+    "q220_fleiss_kappa" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+          r AS (SELECT doc_id, lang AS rating FROM d
+                UNION ALL
+                SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE lang END FROM d
+                UNION ALL
+                SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'de' ELSE lang END FROM d),
+          cells AS (SELECT doc_id AS s, rating AS j, count(*) AS c
+                    FROM r GROUP BY 1, 2),
+          ps AS (SELECT s, sum(CAST(c AS HUGEINT) * c) AS ss,
+                        CAST(sum(c) AS BIGINT) AS n
+                 FROM cells GROUP BY s),
+          sa AS (SELECT count(*) AS subjects, min(n) AS nmn, max(n) AS nmx,
+                        sum(ss) AS sumsq, CAST(sum(n) AS HUGEINT) AS tot
+                 FROM ps),
+          ca AS (SELECT sum(CAST(tj AS HUGEINT) * tj) AS sumtj2
+                 FROM (SELECT rating, CAST(count(*) AS BIGINT) AS tj
+                       FROM r GROUP BY rating)),
+          k AS (SELECT subjects, nmn, nmx,
+                       CAST(sumsq - tot AS DOUBLE)
+                         / CAST(tot * (nmn - 1) AS DOUBLE) AS pbar,
+                       CAST(sumtj2 AS DOUBLE) / CAST(tot * tot AS DOUBLE) AS pe
+                FROM sa CROSS JOIN ca)
+          SELECT subjects,
+                 CASE WHEN nmn = nmx THEN nmn END AS ratings_per_subject,
+                 CASE WHEN nmn = nmx AND nmn > 1 THEN round(pbar, 6) END AS p_bar,
+                 round(pe, 6) AS p_e,
+                 CASE WHEN nmn = nmx AND nmn > 1 AND pe < 1.0
+                      THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa
+          FROM k""",
     "q210_hll_rolling" -> {
       val hv = phashSql("'graft-hll|' || CAST(user_id AS VARCHAR)")
       s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Association, DataQuality, Sketches}
+import graft.ops.{Association, DataQuality, EventAnalytics, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -420,12 +420,33 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // RFM quintile segmentation of customers from orders — exact
+    // tie-stable quintiles via the strictly-smaller-count identity
+    // (before*5 div n + 1), no data-sized ntile window.
+    "q222_rfm" -> ((s, dir) => {
+      EventAnalytics.rfmScores(Tables.orders(s, dir),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
     // Pairwise correlation matrix over lineitem's four numeric columns
     // from ONE aggregation pass (6 pairs x 5 moment sums, single scan).
     "q211_corr_matrix" -> ((s, dir) => {
       DataQuality.corrMatrix(Tables.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
+    }),
+
+    // EWMA control chart over daily event volumes per type: flags the
+    // single out-of-band day (q199's CUSUM finds the persistent shift).
+    // Weights are shared Scala double literals; σ from exact trailing
+    // integer sums.
+    "q223_ewma" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.ewmaAnomalies(daily, "event_type", "day", "n")
+        .orderBy("event_type", "day")
     }),
 
     // Time-weighted average event value per type: each observation
@@ -699,6 +720,67 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Weight literals are the SAME Scala-computed doubles the engine
+    // uses (Double.toString round-trips exactly); lag sums replay the
+    // engine's fixed left-associated adds.
+    "q223_ewma" -> {
+      val wts = (0 to 14).map(j => math.pow(0.7, j))
+      def term(j: Int, wt: Double) =
+        s"coalesce(${wt} * CAST(lag(x, $j) OVER w AS DOUBLE), 0.0)"
+      def dterm(j: Int, wt: Double) =
+        s"CASE WHEN lag(x, $j) OVER w IS NOT NULL THEN ${wt} ELSE 0.0 END"
+      val curNum = (0 until 14).map(j => term(j, wts(j))).mkString(" + ")
+      val curDen = (0 until 14).map(j => dterm(j, wts(j))).mkString(" + ")
+      val prevNum = (1 to 14).map(j => term(j, wts(j - 1))).mkString(" + ")
+      val prevDen = (1 to 14).map(j => dterm(j, wts(j - 1))).mkString(" + ")
+      s"""WITH daily AS (SELECT event_type AS g,
+                   CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS x
+                 FROM events GROUP BY 1, 2),
+          c AS (SELECT g, day, x,
+                  ($curNum) AS num, ($curDen) AS den,
+                  ($prevNum) AS pnum, ($prevDen) AS pden,
+                  count(x) OVER wt AS cnt,
+                  sum(CAST(x AS HUGEINT)) OVER wt AS s1,
+                  sum(CAST(x AS HUGEINT) * x) OVER wt AS s2
+                FROM daily
+                WINDOW w AS (PARTITION BY g ORDER BY day),
+                       wt AS (PARTITION BY g ORDER BY day
+                              ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)),
+          f AS (SELECT g, day, x, num / den AS ewma,
+                  CASE WHEN cnt >= 3
+                       THEN sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+                                 / (CAST(cnt AS DOUBLE) * CAST(cnt - 1 AS DOUBLE)))
+                  END AS sig,
+                  pnum / pden AS pewma
+                FROM c)
+          SELECT g AS event_type, day, CAST(x AS BIGINT) AS n,
+                 round(ewma, 6) AS ewma, round(sig, 6) AS sigma,
+                 coalesce(sig > 0 AND abs(CAST(x AS DOUBLE) - pewma) > 3.0 * sig,
+                          false) AS anomaly
+          FROM f ORDER BY event_type, day"""
+    },
+    // rank()-1 = the engine's strictly-smaller count; same integer
+    // div-5 quintile identity, decimal(18,2) monetary sums.
+    "q222_rfm" ->
+      """WITH h AS (SELECT max(CAST(date_trunc('day', o_orderdate) AS DATE)) AS hz FROM orders),
+          cust AS (SELECT o_custkey AS c,
+                     CAST(date_diff('day', max(CAST(date_trunc('day', o_orderdate) AS DATE)),
+                                    (SELECT hz FROM h)) AS BIGINT) AS recency_days,
+                     count(*) AS frequency,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+                   FROM orders GROUP BY o_custkey),
+          n AS (SELECT count(*) AS n FROM cust),
+          s AS (SELECT c, recency_days, frequency, mon,
+                  (rank() OVER (ORDER BY recency_days) - 1) * 5 // (SELECT n FROM n) + 1 AS sr,
+                  (rank() OVER (ORDER BY frequency) - 1) * 5 // (SELECT n FROM n) + 1 AS sf,
+                  (rank() OVER (ORDER BY mon) - 1) * 5 // (SELECT n FROM n) + 1 AS sm
+                FROM cust)
+          SELECT c AS o_custkey, recency_days, CAST(frequency AS BIGINT) AS frequency,
+                 round(CAST(mon AS DOUBLE), 2) AS monetary,
+                 CAST(6 - sr AS BIGINT) AS r_score,
+                 CAST(sf AS BIGINT) AS f_score, CAST(sm AS BIGINT) AS m_score,
+                 CAST((6 - sr) * 100 + sf * 10 + sm AS BIGINT) AS rfm
+          FROM s ORDER BY o_custkey""",
     // Same exact-decimal moment sums per pair, same fixed-shape final
     // double expression (lineitem columns are never null, so plain
     // count(*)/sums equal the engine's pairwise-deletion guards).

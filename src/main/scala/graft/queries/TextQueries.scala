@@ -367,6 +367,13 @@ object TextQueries {
         topK = 20)
     }),
 
+    // Zipf fit over the top-500 token frequencies: slope ≈ −1 is
+    // natural language; flat = template spam, cliff = dedup debt. The
+    // corpus-health one-liner next to q179's drift drivers.
+    "q221_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(Tables.documents(s, dir), "text", topK = 500)
+    }),
+
     // Deterministic epoch shuffle: exact global position in the md5
     // permutation + contiguous shard/offset at shardSize=64 — the
     // "shuffle once, stream shards sequentially" training layout,
@@ -1010,6 +1017,36 @@ object TextQueries {
           SELECT token, count_a, count_b, term_micro, jsd_micro
           FROM (SELECT * FROM m ORDER BY term_micro DESC, token LIMIT 20), tot
           ORDER BY term_micro DESC, token""",
+    // Same micro-nat log fixing before summation; OLS numerators in
+    // HUGEINT, the three edge divisions replay the engine's doubles.
+    "q221_zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($tokSql) AS t FROM documents),
+          c AS (SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t
+                ORDER BY c DESC, t LIMIT 500),
+          xy AS (SELECT
+                   CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, t) AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+                 FROM c),
+          a AS (SELECT count(*) AS k,
+                       sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(y AS HUGEINT) * y) AS syy,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy
+                FROM xy),
+          f AS (SELECT k,
+                       CAST(k * sxy - sx * sy AS DOUBLE) AS num,
+                       CAST(k * sxx - sx * sx AS DOUBLE) AS denx,
+                       CAST(k * syy - sy * sy AS DOUBLE) AS deny,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                FROM a)
+          SELECT k,
+                 CASE WHEN denx > 0 THEN round(num / denx, 6) END AS slope,
+                 CASE WHEN denx > 0
+                      THEN round((syd - (num / denx) * sxd) / CAST(k AS DOUBLE) / 1000000.0, 6)
+                 END AS intercept,
+                 CASE WHEN denx > 0 AND deny > 0
+                      THEN round(num * num / (denx * deny), 6) END AS r2
+          FROM f""",
     "q173_epoch_shuffle" ->
       """WITH r AS (SELECT doc_id,
                  row_number() OVER (ORDER BY md5('graft-epoch|' || doc_id), doc_id) AS global_pos

@@ -409,6 +409,26 @@ object VectorEventQueries {
         .orderBy("event_type", "t")
     }),
 
+    // Log-rank test between user-id-parity arms on the q202 subject
+    // table (duration = first→last activity, censored near the
+    // horizon): "are the two churn curves the same?" as one χ² row —
+    // the hypothesis test beside q202's picture.
+    "q219_logrank" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val horizon = ev.agg(max(to_date(col("ts"))).as("__hz"))
+      val subjects = ev
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__first"),
+          max(to_date(col("ts"))).as("__last"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          concat(lit("arm_"), (col("user_id") % 2).cast("string")).as("arm"),
+          datediff(col("__last"), col("__first")).cast("long").as("duration"),
+          when(col("__last") < date_sub(col("__hz"), 3), 1L).otherwise(0L)
+            .as("observed"))
+      Survival.logRank(subjects, "arm", "duration", "observed")
+    }),
+
     // CUPED variance reduction: pre-period (first 15 days) per-user
     // value sum as the covariate, post-period sum as the metric,
     // deterministic user_id-parity arms. The judge row is
@@ -816,6 +836,51 @@ object VectorEventQueries {
                  CASE WHEN alive = 0 THEN 0.0
                       ELSE round(exp(cls / 1000000000.0), 6) END AS survival
           FROM s WHERE d > 0 ORDER BY event_type, t""",
+    // q202's subject table split into parity arms; E/V terms replay the
+    // engine's exact double shapes, micro-rounded then HUGEINT-summed.
+    "q219_logrank" ->
+      """WITH hz AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS h FROM events),
+          subj AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'arm_0' ELSE 'arm_1' END AS arm,
+                     CAST(date_diff('day', min(CAST(date_trunc('day', ts) AS DATE)),
+                                    max(CAST(date_trunc('day', ts) AS DATE))) AS BIGINT) AS t,
+                     CASE WHEN max(CAST(date_trunc('day', ts) AS DATE)) < (SELECT h FROM hz) - 3
+                          THEN 1 ELSE 0 END AS e
+                   FROM events GROUP BY user_id),
+          byt AS (SELECT t,
+                    CAST(sum(CASE WHEN arm = 'arm_0' THEN e ELSE 0 END) AS BIGINT) AS da,
+                    CAST(sum(CASE WHEN arm <> 'arm_0' THEN e ELSE 0 END) AS BIGINT) AS db,
+                    CAST(sum(CASE WHEN arm = 'arm_0' THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+                    CAST(sum(CASE WHEN arm <> 'arm_0' THEN 1 ELSE 0 END) AS BIGINT) AS rb
+                  FROM subj GROUP BY t),
+          risk AS (SELECT t, da, db, ra, rb,
+                     CAST(sum(ra) OVER ()
+                       - coalesce(sum(ra) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS na,
+                     CAST(sum(rb) OVER ()
+                       - coalesce(sum(rb) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb
+                   FROM byt),
+          agg AS (SELECT CAST(sum(ra) AS BIGINT) AS n_a, CAST(sum(rb) AS BIGINT) AS n_b,
+                    CAST(sum(da) AS BIGINT) AS events_a, CAST(sum(db) AS BIGINT) AS events_b,
+                    sum(CAST(round((CASE WHEN da + db > 0 AND na + nb > 0
+                      THEN CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                      ELSE 0.0 END) * 1000000.0, 0) AS HUGEINT)) AS e6,
+                    sum(CAST(round((CASE WHEN da + db > 0 AND na + nb > 1
+                      THEN CAST(da + db AS DOUBLE)
+                           * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                           * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                           * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+                           / (CAST(na + nb AS DOUBLE) - 1.0)
+                      ELSE 0.0 END) * 1000000.0, 0) AS HUGEINT)) AS v6
+                  FROM risk)
+          SELECT 'arm_0' AS arm_a, 'arm_1' AS arm_b, n_a, n_b, events_a, events_b,
+                 round(CAST(e6 AS DOUBLE) / 1000000.0, 6) AS expected_a,
+                 CASE WHEN CAST(v6 AS DOUBLE) / 1000000.0 > 0
+                      THEN round((CAST(events_a AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000.0)
+                                 * (CAST(events_a AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000.0)
+                                 / (CAST(v6 AS DOUBLE) / 1000000.0), 6)
+                 END AS chi2
+          FROM agg""",
     // Same exact-decimal moments, pooled theta, per-arm adjusted means.
     "q203_cuped" ->
       """WITH units AS (SELECT 'arm_' || CAST(user_id % 2 AS VARCHAR) AS arm,

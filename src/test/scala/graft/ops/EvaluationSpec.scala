@@ -41,4 +41,62 @@ class EvaluationSpec extends graft.SparkSpec {
     assert(r(2) == (("c", 0L, 0L, 1L, 0L, Some(0.0), None, Some(0.0))),
       r(2).toString)
   }
+
+  test("aucRoc: midrank tie handling, perfect separation, degenerate class") {
+    // pos {3, 2}, neg {1, 2}: pairs -> 3 beats both (2), 2 vs 1 (1),
+    // 2 vs 2 tie (0.5) => U+ = 3.5, AUC = 3.5 / 4 = 0.875
+    val df = Seq((true, 3.0), (true, 2.0), (false, 1.0), (false, 2.0))
+      .toDF("y", "s")
+    val r = Evaluation.aucRoc(df, "y", "s")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((2L, 2L, 0.875)), r.toString)
+    // perfect separation -> 1.0; inverted -> 0.0
+    val sep = Seq((true, 10.0), (true, 9.0), (false, 2.0), (false, 1.0))
+      .toDF("y", "s")
+    assert(Evaluation.aucRoc(sep, "y", "s").select("auc").as[Double].head() == 1.0)
+    val inv = Seq((false, 10.0), (true, 1.0)).toDF("y", "s")
+    assert(Evaluation.aucRoc(inv, "y", "s").select("auc").as[Double].head() == 0.0)
+    // single-class input -> auc null, counts still reported
+    val one = Seq((true, 1.0), (true, 2.0)).toDF("y", "s")
+    val d = Evaluation.aucRoc(one, "y", "s").collect().head
+    assert(d.getLong(0) == 2L && d.getLong(1) == 0L && d.isNullAt(2))
+    // null score / null label rows are excluded from BOTH counts
+    val withNulls = Seq((Some(true), Some(3.0)), (Some(true), None),
+      (None, Some(5.0)), (Some(false), Some(1.0))).toDF("y", "s")
+    val n = Evaluation.aucRoc(withNulls, "y", "s")
+      .as[(Long, Long, Double)].head()
+    assert(n == ((1L, 1L, 1.0)), n.toString)
+  }
+
+  test("calibrationBins: bin edges, right-closed last bin, exact micro-mean") {
+    val df = Seq((false, 0.05), (true, 0.15), (true, 0.95), (true, 1.0))
+      .toDF("y", "s")
+    val r = Evaluation.calibrationBins(df, "y", "s", nBins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r(0) == ((0L, 1L, 0.05, 0.0)), r(0).toString)
+    assert(r(1) == ((1L, 1L, 0.15, 1.0)), r(1).toString)
+    // s = 1.0 closes into bin 9 (least(floor(10), 9)) with 0.95
+    assert(r(2) == ((9L, 2L, 0.975, 1.0)), r(2).toString)
+    assert(r.length == 3)
+  }
+
+  test("fleissKappa: hand panel, and non-uniform panels yield null") {
+    // 3 subjects x 2 raters: (a,a) (a,b) (b,b) -> SS = 4+2+4 = 10,
+    // P-bar = (10-6)/(3*2*1) = 2/3; t_a = t_b = 3, P-e = 18/36 = 0.5;
+    // kappa = (2/3 - 1/2) / (1/2) = 1/3
+    val df = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b"))
+      .toDF("subj", "cat")
+    val r = Evaluation.fleissKappa(df, "subj", "cat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r == ((3L, 2L, 0.666667, 0.5, 0.333333)), r.toString)
+    // perfect agreement -> kappa 1
+    val perfect = Seq((1, "x"), (1, "x"), (2, "y"), (2, "y")).toDF("subj", "cat")
+    assert(Evaluation.fleissKappa(perfect, "subj", "cat")
+      .select("kappa").as[Double].head() == 1.0)
+    // ragged panel (subject 2 rated three times) -> null kappa, not a wrong one
+    val ragged = df.unionAll(Seq((2, "b")).toDF("subj", "cat"))
+    val row = Evaluation.fleissKappa(ragged, "subj", "cat").collect().head
+    assert(row.isNullAt(1) && row.isNullAt(4), row.toString)
+  }
 }

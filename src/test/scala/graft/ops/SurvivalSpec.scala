@@ -36,4 +36,33 @@ class SurvivalSpec extends graft.SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(r.toSeq == Seq((2L, 10L, 3L, 0.7)), r.mkString(","))
   }
+
+  test("logRank: hand-worked two-arm table") {
+    // A dies at 1,2; B dies at 3,4.
+    // t=1: na=2 nb=2 dA=1 -> E=0.5,  V=0.25
+    // t=2: na=1 nb=2 dA=1 -> E=1/3,  V=2/9
+    // t=3: na=0 nb=2 dB=1 -> E=0,    V=0
+    // t=4: nb=1 dB=1: n=1 -> V guard zeroes the term
+    // O_A=2, E_A=0.833333 (micro-summed), V=0.472222
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 1L), ("B", 3L, 1L), ("B", 4L, 1L))
+      .toDF("arm", "t", "e")
+    val r = Survival.logRank(df, "arm", "t", "e")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)].head()
+    val expChi2 = BigDecimal((2.0 - 0.833333) * (2.0 - 0.833333) / 0.472222)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == (("A", "B", 2L, 2L, 2L, 2L, 0.833333, expChi2)), r.toString)
+  }
+
+  test("logRank: identical arms give chi2 ~ 0; >2 arms yield null") {
+    // symmetric arms: every death is matched, O = E exactly
+    val df = Seq(("A", 1L, 1L), ("B", 1L, 1L), ("A", 2L, 0L), ("B", 2L, 0L))
+      .toDF("arm", "t", "e")
+    val r = Survival.logRank(df, "arm", "t", "e")
+      .select("expected_a", "chi2").as[(Double, Double)].head()
+    assert(r == ((1.0, 0.0)), r.toString)
+    val three = df.unionAll(Seq(("C", 3L, 1L)).toDF("arm", "t", "e"))
+    val row = Survival.logRank(three, "arm", "t", "e")
+      .select("chi2").collect().head
+    assert(row.isNullAt(0), row.toString)
+  }
 }
