@@ -225,6 +225,42 @@ object EventAnalytics {
     * aggregation + prefix sum + a value-keyed join back (the counts
     * side is |distinct values| rows). Output: one row per customer
     * (recency_days, frequency, monetary, r/f/m scores, rfm cell). */
+  /** Top-K session opening paths: the first `depth` event types of each
+    * gap-defined session, joined with ">" — the entry-flow table behind
+    * a funnel hypothesis ([[funnelDepth]] checks ONE prescribed path;
+    * this surfaces which paths actually happen, and a bot farm shows up
+    * as one über-dominant exact path).
+    *
+    * Determinism: within-session order is (ts, event_id) — a total
+    * order; the per-session list is collected AFTER the rn <= depth cut
+    * (≤ depth elements) and array_sort'ed on (rn, type), so
+    * collect_list's partition order can't leak. Ranking ties break by
+    * path ascending.
+    *
+    * Scale: sessionize's lag, the row_number, and the (user, session)
+    * path aggregation all live inside ONE user-keyed exchange (same
+    * partition key, finer grouping); the path-count aggregation
+    * map-side combines; top-K is a TakeOrderedAndProject. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int, depth: Int = 3,
+                   topK: Int = 20): DataFrame = {
+    require(depth >= 1 && topK >= 1,
+      s"sessionPaths: depth=$depth and topK=$topK must be >= 1")
+    val sess = TimeSeries.sessionize(events, gapMinutes)
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sess
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn").as("r"),
+          col("event_type").as("t")))),
+        x => x.getField("t")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   def rfmScores(orders: DataFrame, custCol: String, dateCol: String,
                 amountCol: String): DataFrame = {
     val horizon = orders.agg(max(to_date(col(dateCol))).as("__hz"))

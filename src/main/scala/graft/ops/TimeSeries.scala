@@ -71,6 +71,66 @@ object TimeSeries {
         col("n_events"), col("avg_value"))
   }
 
+  /** [[resampleFill]]'s linear-interpolation sibling: the same per-key
+    * regular grid, but an empty bucket takes the straight line between
+    * its nearest present neighbors instead of carrying the last value
+    * forward (ffill is right for state snapshots; interpolation is
+    * right for sampled continuous signals). Leading gaps take the first
+    * present value, trailing gaps the last.
+    *
+    * Determinism: bucket means are the exact micro-unit averages of
+    * resampleFill; the interpolation weight (b − prevB)/(nextB − prevB)
+    * and blend are fixed-shape double expressions over those 6-dp
+    * values, rounded 6 dp at the edge. nextB > prevB is structural in
+    * the interpolating branch (both neighbors exist and the bucket
+    * itself is empty), so the ANSI division is safe by construction.
+    *
+    * Scale: grid rows are calendar-bounded (span/step per key, not
+    * event volume); the prev/next scans are two frames over ONE
+    * key-partitioned window ordering. */
+  def resampleInterpolate(events: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String,
+                          stepSeconds: Long = 3600L): DataFrame = {
+    val step = lit(stepSeconds)
+    val bucketed = events
+      .select(col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / step) * step).as("__b"),
+        col(valueCol))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(round(sum(round(col(valueCol) * 1000000).cast("long")) /
+          (count(lit(1)) * 1000000.0), 6).as("__avg"),
+        count(lit(1)).as("__n"))
+    val bounds = bucketed.agg(min("__b").as("__lo"), max("__b").as("__hi"))
+    val grid = bucketed.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"), step)).as("__b"))
+    val wPast = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFut = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = grid.join(bucketed, Seq(keyCol, "__b"), "left")
+      .withColumn("__pv", last(col("__avg"), ignoreNulls = true).over(wPast))
+      .withColumn("__pb",
+        last(when(col("__avg").isNotNull, col("__b")), ignoreNulls = true)
+          .over(wPast))
+      .withColumn("__nv", first(col("__avg"), ignoreNulls = true).over(wFut))
+      .withColumn("__nb",
+        first(when(col("__avg").isNotNull, col("__b")), ignoreNulls = true)
+          .over(wFut))
+    joined
+      .withColumn("n_events", coalesce(col("__n"), lit(0L)))
+      .withColumn("value",
+        when(col("__avg").isNotNull, col("__avg"))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(round(col("__pv") + (col("__nv") - col("__pv"))
+            * (col("__b") - col("__pb")).cast("double")
+            / (col("__nb") - col("__pb")).cast("double"), 6)))
+      .select(col(keyCol),
+        date_format(timestamp_seconds(col("__b")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_events"), col("value"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * user's previous event exceeds `gapMinutes`. session_seq is the
     * per-user session ordinal (cumulative sum over the new-session flag). */

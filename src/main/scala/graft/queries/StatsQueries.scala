@@ -437,6 +437,17 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // Weight-of-Evidence / Information-Value of order totalprice
+    // against the urgent-priority label — the feature-screening table
+    // (IV < 0.02 = no signal) with micro-nat-fixed WoE.
+    "q226_woe_iv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("urgent",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      DataQuality.woeIv(o, "urgent", "o_totalprice", nBins = 10)
+        .orderBy("bin")
+    }),
+
     // EWMA control chart over daily event volumes per type: flags the
     // single out-of-band day (q199's CUSUM finds the persistent shift).
     // Weights are shared Scala double literals; σ from exact trailing
@@ -720,6 +731,43 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same bin/count shapes as the engine; WoE micro-nat-fixed before
+    // the IV product, one-sided bins null out and charge 0 to IV.
+    "q226_woe_iv" ->
+      """WITH r AS (SELECT o_totalprice AS v,
+                      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END AS g
+                 FROM orders
+                 WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+          bd AS (SELECT min(v) AS mn, max(v) AS mx FROM r),
+          c AS (SELECT CASE WHEN (mx - mn) / 10.0 > 0
+                         THEN CAST(least(floor((v - mn) / ((mx - mn) / 10.0)), 9) AS BIGINT)
+                         ELSE 0 END AS bin,
+                       count(*) AS n, CAST(sum(g) AS BIGINT) AS n_pos
+                FROM r CROSS JOIN bd GROUP BY 1),
+          t AS (SELECT bin, n, n_pos, n - n_pos AS n_neg,
+                       CAST(sum(n_pos) OVER () AS BIGINT) AS gt,
+                       CAST(sum(n - n_pos) OVER () AS BIGINT) AS bt
+                FROM c),
+          w AS (SELECT bin, n, n_pos, n_neg, gt, bt,
+                  CASE WHEN n_pos > 0 AND n_neg > 0 AND gt > 0 AND bt > 0
+                       THEN CAST(round(ln(CAST(CAST(n_pos AS HUGEINT) * bt AS DOUBLE)
+                                          / CAST(CAST(n_neg AS HUGEINT) * gt AS DOUBLE))
+                                       * 1000000.0, 0) AS BIGINT)
+                  END AS wm
+                FROM t),
+          f AS (SELECT bin, n, n_pos, n_neg, wm,
+                  CASE WHEN wm IS NOT NULL
+                       THEN CAST(round((CAST(n_pos AS DOUBLE) / CAST(gt AS DOUBLE)
+                                        - CAST(n_neg AS DOUBLE) / CAST(bt AS DOUBLE))
+                                       * (CAST(wm AS DOUBLE) / 1000000.0)
+                                       * 1000000.0, 0) AS BIGINT)
+                       ELSE 0 END AS ivt
+                FROM w)
+          SELECT bin, n, n_pos, n_neg,
+                 round(CAST(wm AS DOUBLE) / 1000000.0, 6) AS woe,
+                 round(CAST(sum(ivt) OVER () AS DOUBLE) / 1000000.0, 6) AS iv
+          FROM f ORDER BY bin""",
     // Weight literals are the SAME Scala-computed doubles the engine
     // uses (Double.toString round-trips exactly); lag sums replay the
     // engine's fixed left-associated adds.

@@ -510,6 +510,21 @@ object VectorEventQueries {
         .orderBy("event_id")
     }),
 
+    // Top-20 session opening paths (first 3 event types, ">"-joined)
+    // over q40's 30-minute sessions: which entry flows actually happen.
+    "q224_session_paths" -> ((s, dir) => {
+      graft.ops.EventAnalytics.sessionPaths(Tables.events(s, dir),
+        gapMinutes = 30, depth = 3, topK = 20)
+    }),
+
+    // q136's grid with linear interpolation instead of ffill — the
+    // right gap policy for sampled continuous signals.
+    "q225_resample_interp" -> ((s, dir) => {
+      TimeSeries.resampleInterpolate(Tables.events(s, dir),
+          "event_type", "ts", "value", stepSeconds = 3600L)
+        .orderBy("event_type", "bucket")
+    }),
+
     // Tumbling 1-hour windowed aggregation (batch twin of the streaming
     // path in graft.streaming.EventStream). Window start rendered as a
     // string so timestamp precision never affects the compare.
@@ -1000,6 +1015,58 @@ object VectorEventQueries {
                    ROWS UNBOUNDED PRECEDING) AS avg_value
           FROM grid LEFT JOIN b USING (event_type, b)
           ORDER BY event_type, b""",
+    // q40's session CTE + ordered string_agg of the first 3 types.
+    "q224_session_paths" ->
+      """WITH s AS (SELECT event_id, user_id, ts, event_type,
+                      CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+                 FROM (SELECT event_id, user_id, ts, event_type,
+                         CASE WHEN prev IS NULL OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+                              THEN 1 ELSE 0 END AS ns
+                       FROM (SELECT event_id, user_id, ts, event_type,
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                             FROM events))),
+          r AS (SELECT user_id, sess, event_type,
+                  row_number() OVER (PARTITION BY user_id, sess
+                    ORDER BY ts, event_id) AS rn
+                FROM s),
+          p AS (SELECT user_id, sess,
+                  string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 3 GROUP BY user_id, sess)
+          SELECT path, count(*) AS n_sessions
+          FROM p GROUP BY path
+          ORDER BY n_sessions DESC, path LIMIT 20""",
+    // q136's grid; interpolation blends the IGNORE-NULLS neighbor scans
+    // with the engine's exact double shapes.
+    "q225_resample_interp" ->
+      """WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                      round(sum(CAST(round(value * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS avg_v,
+                      count(*) AS n
+                    FROM events GROUP BY 1, 2),
+          bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM b),
+          grid AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+                   FROM (SELECT DISTINCT event_type FROM b) CROSS JOIN bounds),
+          j AS (SELECT event_type, b, avg_v, coalesce(n, 0) AS n_events,
+                  last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS pv,
+                  last_value(CASE WHEN avg_v IS NOT NULL THEN b END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS pb,
+                  first_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN avg_v IS NOT NULL THEN b END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+                FROM grid LEFT JOIN b USING (event_type, b))
+          SELECT event_type, strftime(make_timestamp(b * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket,
+                 n_events,
+                 CASE WHEN avg_v IS NOT NULL THEN avg_v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE round(pv + (nv - pv) * CAST(b - pb AS DOUBLE)
+                                 / CAST(nb - pb AS DOUBLE), 6)
+                 END AS value
+          FROM j ORDER BY event_type, b""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

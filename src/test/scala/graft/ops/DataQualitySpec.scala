@@ -504,4 +504,23 @@ class DataQualitySpec extends SparkSpec {
     // all-zero mass: gini undefined -> null
     assert(r(3) == (("zero", 2L, 0.0, None)), r(3).toString)
   }
+
+  test("woeIv: hand table, one-sided bin nulls out and charges 0 to IV") {
+    // nBins=2 over values {0,0,1,1}: bin0 = (T,T) -> one-sided, woe
+    // null; bin1 = (T,F): woe = ln((1*1)/(1*3)) = -1.098612,
+    // iv = (1/3 - 1)*(-1.098612) = 0.732408
+    val df = Seq((true, 0.0), (true, 0.0), (true, 1.0), (false, 1.0))
+      .toDF("y", "v")
+    val r = DataQuality.woeIv(df, "y", "v", nBins = 2)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "n_neg", "woe", "iv")
+      .as[(Long, Long, Long, Long, Option[Double], Double)].collect()
+    assert(r(0) == ((0L, 2L, 2L, 0L, None, 0.732408)), r(0).toString)
+    assert(r(1) == ((1L, 2L, 1L, 1L, Some(-1.098612), 0.732408)), r(1).toString)
+    // constant feature: single bin, woe = ln(B*g/(b*G)) at the priors
+    val const = Seq((true, 5.0), (false, 5.0), (false, 5.0)).toDF("y", "v")
+    val c = DataQuality.woeIv(const, "y", "v", nBins = 4)
+      .select("bin", "n", "woe").as[(Long, Long, Option[Double])].collect()
+    assert(c.toSeq == Seq((0L, 3L, Some(0.0))), c.mkString(","))
+  }
 }

@@ -131,4 +131,42 @@ class EventAnalyticsSpec extends SparkSpec {
       ("A", "A", 1L, 0.333333), ("A", "B", 2L, 0.666667),
       ("B", "A", 1L, 1.0), ("C", "D", 1L, 1.0)), r.mkString(","))
   }
+
+  test("sessionPaths: depth cut, session split on gap, count-desc path-asc order") {
+    val ev = Seq(
+      // user 1, session 1: a > b > c (d beyond the depth cut)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "c"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "d"),
+      // user 1, session 2 after a 2h gap: lone x
+      (5L, ts("2024-01-01 13:00:00"), 1L, "x"),
+      // user 2: a > b > c again -> that path counts 2
+      (6L, ts("2024-01-02 09:00:00"), 2L, "a"),
+      (7L, ts("2024-01-02 09:10:00"), 2L, "b"),
+      (8L, ts("2024-01-02 09:20:00"), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventAnalytics.sessionPaths(ev, gapMinutes = 30, depth = 3, topK = 10)
+      .as[(String, Long)].collect()
+    assert(r.toSeq == Seq(("a>b>c", 2L), ("x", 1L)), r.mkString(","))
+  }
+
+  test("rfmScores: exact quintiles share scores on ties, reversed recency") {
+    // 5 customers, one order each on distinct days; amounts ascending.
+    // before*5 div 5 = rank-1 -> f_score all 1 (frequency ties), m_score
+    // = 1..5, r_score 5 for the most recent customer.
+    val o = (1 to 5).map { i =>
+      (i.toLong, ts(f"2024-01-0$i%d 00:00:00"), i * 100.0)
+    }.toDF("c", "d", "amt")
+    val r = EventAnalytics.rfmScores(o, "c", "d", "amt")
+      .orderBy("c")
+      .select("c", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm")
+      .as[(Long, Long, Long, Double, Long, Long, Long, Long)].collect()
+    // customer 5 ordered last (recency 0) -> r 5; customer 1 -> r 1
+    assert(r(0) == ((1L, 4L, 1L, 100.0, 1L, 1L, 1L, 111L)), r(0).toString)
+    assert(r(4) == ((5L, 0L, 1L, 500.0, 5L, 1L, 5L, 515L)), r(4).toString)
+    // all five share the frequency tie -> same f_score
+    assert(r.map(_._6).toSet == Set(1L))
+  }
 }

@@ -439,4 +439,37 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(r(0) == ((5L, 5.0, 9.0, 1.0, 7.0)), r(0).toString)
     assert(r(1) == ((1L, 4.0, 4.0, 4.0, 4.0)), r(1).toString)
   }
+
+  test("resampleInterpolate: straight line through gaps, edge gaps clamp") {
+    // key k: values 1.0 @ h0 and 4.0 @ h3 -> h1 = 2.0, h2 = 3.0;
+    // key m: single point @ h1 -> leading h0 and trailing h2/h3 clamp
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1.0),
+      ("k", ts("2024-01-01 03:00:00"), 4.0),
+      ("m", ts("2024-01-01 01:30:00"), 9.0))
+      .toDF("g", "ts", "v")
+    val r = TimeSeries.resampleInterpolate(df, "g", "ts", "v", 3600L)
+      .orderBy("g", "bucket")
+      .select("g", "n_events", "value")
+      .as[(String, Long, Double)].collect()
+    assert(r.take(4).toSeq == Seq(("k", 1L, 1.0), ("k", 0L, 2.0),
+      ("k", 0L, 3.0), ("k", 1L, 4.0)), r.mkString(","))
+    assert(r.drop(4).toSeq == Seq(("m", 0L, 9.0), ("m", 1L, 9.0),
+      ("m", 0L, 9.0), ("m", 0L, 9.0)), r.mkString(","))
+  }
+
+  test("ewmaAnomalies: constant series never flags; an injected spike does") {
+    // 10 constant days then a 100x spike: sigma of the trailing window
+    // is 0 until the spike day, where |x - prev_ewma| >> 3 sigma... but
+    // sigma is 0 -> the rule needs sigma > 0, so seed tiny jitter
+    val base = (1 to 12).map(d => ("g", d.toLong, if (d % 2 == 0) 11L else 9L))
+    val spiked = base :+ (("g", 13L, 1000L))
+    val r = TimeSeries.ewmaAnomalies(spiked.toDF("g", "t", "x"), "g", "t", "x")
+      .orderBy("t").select("t", "anomaly").as[(Long, Boolean)].collect()
+    assert(r.count(_._2) == 1 && r.last == ((13L, true)), r.mkString(","))
+    // ewma of the first row is the value itself
+    val first = TimeSeries.ewmaAnomalies(spiked.toDF("g", "t", "x"), "g", "t", "x")
+      .orderBy("t").select("ewma").as[Double].head()
+    assert(first == 9.0)
+  }
 }
