@@ -379,4 +379,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(exchanges(p) == 2, p) // arm hash + 2-row single partition
   }
+
+  test("aucRoc: rank sums ride the bucket scheme — no data-sized score window") {
+    val df = (1 to 400).map(i => (i % 3 == 0, (i * 37 % 97).toDouble))
+      .toDF("y", "s")
+    val p = plan(Evaluation.aucRoc(df, "y", "s"))
+    assert(!p.contains("CartesianProduct"), p)
+    // a bare ORDER BY score global window would print
+    // windowspecdefinition(__v ...; the rank-offset shape partitions
+    // every score-ordered window by the bucket
+    assert(!p.contains("windowspecdefinition(__v"), p)
+    assert(p.contains("windowspecdefinition(__psb"), p)
+  }
+
+  test("zipfSlope: top-K is a TakeOrderedAndProject, never a global sort") {
+    val p = plan(TextAnalysis.zipfSlope(docs, "text", topK = 50))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p) // token counts combine map-side
+  }
+
+  test("rfmScores: quintiles ride prefix sums — no ntile, no global sort window") {
+    val o = (1L to 300L).map { i =>
+      (i % 40, new java.sql.Timestamp(1700000000000L + i * 86400000L), i * 2.5)
+    }.toDF("c", "d", "amt")
+    val p = plan(EventAnalytics.rfmScores(o, "c", "d", "amt"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ntile"), p)
+    // every metric-ordered window is bucket-partitioned
+    assert(p.contains("windowspecdefinition(__psb"), p)
+    assert(!p.contains("windowspecdefinition(recency_days#"), p)
+  }
+
+  test("sessionPaths: session windows share the user exchange; top-K via heaps") {
+    val p = plan(EventAnalytics.sessionPaths(events, 30, 3, 10))
+    assertNoQuadratic(p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // user window; the (user, session) window + path agg satisfy the
+    // same user hash clustering; path counts add the one extra exchange
+    assert(exchanges(p) <= 3, p)
+  }
+
+  test("ewmaAnomalies: one group exchange, pure window arithmetic, no join") {
+    val series = (1 to 60).map(i => ("g", i.toLong, (i % 7).toLong))
+      .toDF("g", "t", "x")
+    val p = plan(TimeSeries.ewmaAnomalies(series, "g", "t", "x"))
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p) == 1, p)
+  }
+
+  test("resampleInterpolate: both neighbor scans share ONE key window order") {
+    val p = plan(TimeSeries.resampleInterpolate(events, "event_type", "ts",
+      "value", 3600L))
+    assert(!p.contains("CartesianProduct"), p)
+    // wPast and wFut differ only in frame -> one Window operator pair
+    // behind one (key) sort; the grid join is an equi join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
