@@ -182,6 +182,61 @@ object Evaluation {
           .as("frac_pos"))
   }
 
+  /** Cumulative gains / lift table: score-rank `nTiles`-iles (tile
+    * `nTiles` = highest scores) with, walking DOWN from the top tile,
+    * the cumulative share of positives captured and the lift over the
+    * base rate — "the top 20% of scores capture 54% of positives at
+    * 2.7× lift", the business-facing readout between [[aucRoc]]'s one
+    * number and [[calibrationBins]]'s probability audit.
+    *
+    * Tiles are the exact tie-stable quantiles of the RFM identity
+    * (before·`nTiles` div n + 1, computed on the distinct-score counts
+    * table via [[Ranking.globalPrefixSum]] — no ntile, no data-sized
+    * sort window, tied scores always share a tile). Heavy ties can
+    * leave some tiles empty; rows are emitted for present tiles only.
+    * Counts are exact longs; capture and lift are fixed-shape double
+    * divisions at the edge, rounded 6 dp. */
+  def liftTable(df: DataFrame, labelCol: String, scoreCol: String,
+                nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2, s"liftTable: nTiles=$nTiles must be >= 2")
+    val rows = df.select(col(scoreCol).cast("double").as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
+      .filter(col("__v").isNotNull && col(labelCol).isNotNull)
+    val counts = rows.groupBy(col("__v"))
+      .agg(sum(col("__pos")).as("__cp"), count(lit(1)).as("__t"))
+    val bounds = counts.agg(min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
+    val withB = counts.crossJoin(broadcast(bounds))
+    val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+    val bucket = when(bWidth > 0,
+      least(floor((col("__v") - col("__bmn")) / bWidth), lit(1023L)))
+      .otherwise(lit(0L))
+    val nRow = counts.agg(sum(col("__t")).as("__n"))
+    val tiles = Ranking.globalPrefixSum(withB, Seq("__v"), bucket, "__t", "__cum")
+      .withColumn("__before", col("__cum") - col("__t"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("tile",
+        (expr(s"(__before * $nTiles) div __n") + 1).cast("long"))
+      .groupBy(col("tile"))
+      .agg(sum(col("__t")).as("n"), sum(col("__cp")).as("n_pos"))
+    // everything below runs over <= nTiles rows
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wTop = org.apache.spark.sql.expressions.Window.orderBy(col("tile").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tiles
+      .withColumn("__gt", sum(col("n_pos")).over(wAll))
+      .withColumn("__nt", sum(col("n")).over(wAll))
+      .withColumn("__cp", sum(col("n_pos")).over(wTop))
+      .withColumn("__cn", sum(col("n")).over(wTop))
+      .select(col("tile"), col("n"), col("n_pos"),
+        when(col("__gt") > 0,
+          round(col("__cp").cast("double") / col("__gt").cast("double"), 6))
+          .as("cum_capture"),
+        when(col("__gt") > 0,
+          round((col("__cp").cast("double") / col("__cn").cast("double"))
+            / (col("__gt").cast("double") / col("__nt").cast("double")), 6))
+          .as("lift"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for N
     * raters, the multi-annotator generalization of [[cohensKappa]]
     * (which only compares two): input is one row per RATING

@@ -214,6 +214,21 @@ object Sampling {
     df.withColumn(outCol, expr)
   }
 
+  /** Deterministic k-fold assignment by key hash — [[hashSplit]]'s
+    * cross-validation sibling: fold = phash(salt|key) mod k, a pure
+    * scan-side projection (no shuffle, portable to any engine, stable
+    * under repartitioning), so every derived table folds the same keys
+    * together and fold i's train/test sets are reproducible without
+    * storing an assignment table. */
+  def kFoldAssign(df: DataFrame, keyCol: String, k: Int,
+                  salt: String = "graft-fold",
+                  outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"kFoldAssign: k=$k must be >= 2")
+    df.withColumn(outCol,
+      pmod(PortableHash.phash(
+        concat_ws("|", lit(salt), col(keyCol).cast("string"))), lit(k.toLong)))
+  }
+
   /** Deterministic global training shuffle: assign each row a shard
     * (`pmod(hash, nShards)`) and a position within its shard (rank by the
     * portable hash, ties on the key) — the "shuffle once, read in order"

@@ -541,6 +541,40 @@ object TextAnalysis {
     * sums of those integers; the three divisions at the edge are
     * fixed-shape doubles, rounded 6 dp. Ties in frequency rank by
     * token ascending (total order — the globalRowNumber contract). */
+  /** Flesch reading ease per document from portable counting
+    * heuristics: sentences = non-empty [.!?]-separated spans, words =
+    * whitespace tokens, syllables = vowel-group count floored at the
+    * word count (every word carries ≥ 1 syllable — "rhythm" has no
+    * vowel letter but still one group of breath). The classic
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), the
+    * quality-score sibling of [[corpusFilter]] that grades READING
+    * LEVEL rather than spam-likelihood (90+ ≈ grade school, < 30 ≈
+    * academic; machine-generated keyword stuffing scores absurdly at
+    * either end).
+    *
+    * Pure per-row regexp/array arithmetic — no shuffle, fully inside
+    * WholeStageCodegen, and every count is an exact integer so the one
+    * fixed-shape double expression replays in any engine. Documents
+    * with no words yield null (not a division error — ANSI). */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lower = org.apache.spark.sql.functions.lower(trim(col(textCol)))
+    val nWords = size(filter(split(lower, "\\s+"), t => t =!= ""))
+    val nSents = size(filter(split(lower, "[.!?]+"), s => trim(s) =!= ""))
+    val vowelGroups = size(regexp_extract_all(lower, lit("[aeiouy]+"), lit(0)))
+    docs
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("n_sentences", greatest(nSents.cast("long"), lit(1L)))
+      .withColumn("n_syllables",
+        greatest(vowelGroups.cast("long"), nWords.cast("long")))
+      .select(col(idCol), col("n_sentences"), col("n_words"), col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double")
+              / col("n_sentences").cast("double")
+            - lit(84.6) * col("n_syllables").cast("double")
+              / col("n_words").cast("double"), 6)).as("flesch"))
+  }
+
   def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
     require(topK >= 2, s"zipfSlope: topK=$topK must be >= 2")
     val counts = docs

@@ -387,6 +387,60 @@ object TimeSeries {
         max(struct(col("__ts"), col("__v"))).getField("__v").as("close"))
   }
 
+  /** Additive seasonal decomposition (STL-lite) of daily per-group
+    * volumes: trend = centered 7-point moving average (full windows
+    * only), seasonal = per-day-of-week mean of the detrended series,
+    * remainder = observed − trend − seasonal. The "is Tuesday always
+    * like this, or is today actually anomalous?" separation that a raw
+    * threshold (or [[ewmaAnomalies]], which sees weekly rhythm as
+    * noise) can't make.
+    *
+    * Determinism: daily counts are exact longs; trend is one fixed
+    * division of a 7-integer window sum; seasonal fixes detrended
+    * values to micro-units before the per-DOW mean (order-free); the
+    * remainder is a fixed-shape double chain on 6-dp values. Operates
+    * on the PRESENT-day series (compose with [[resampleFill]] first if
+    * zero-event days must count as zeros — they usually should).
+    *
+    * Scale: one (group, day) aggregation; the trend window runs over
+    * the calendar-bounded daily table and the DOW means over ≤ 7·|groups|
+    * rows, broadcast back. */
+  def seasonalDecompose(events: DataFrame, groupCol: String,
+                        tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).as("__x"))
+    val wC = Window.partitionBy(col("__g")).orderBy(col("__d"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        when(count(col("__x")).over(wC) === 7,
+          round(sum(col("__x")).over(wC).cast("double") / 7.0, 6)))
+      .withColumn("__det", col("__x").cast("double") - col("trend"))
+      .withColumn("__dow", dayofweek(col("__d")))
+    // the DOW mean S/k CAN land on an exact 7-digit half (unlike the
+    // /7 trend, whose period-6 expansion never ties), and a half is
+    // where Spark's string-based round and an external engine's
+    // binary round disagree — so round half-away-from-zero in exact
+    // INTEGER micro arithmetic: (|2S| + k) div 2k, re-signed
+    val seasonal = trended.filter(col("__det").isNotNull)
+      .groupBy(col("__g"), col("__dow"))
+      .agg(sum(round(col("__det") * 1e6, 0).cast("decimal(38,0)")).as("__s"),
+        count(lit(1)).as("__k"))
+      .withColumn("__q",
+        expr("CASE WHEN __s >= 0 THEN (abs(__s) * 2 + __k) div (__k * 2) " +
+          "ELSE -((abs(__s) * 2 + __k) div (__k * 2)) END"))
+      .select(col("__g"), col("__dow"),
+        round(col("__q").cast("double") / 1e6, 6).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("__g", "__dow"), "left")
+      .select(col("__g").as(groupCol), col("__d").as("day"),
+        col("__x").as("n"), col("trend"), col("seasonal"),
+        round(col("__x").cast("double") - col("trend") - col("seasonal"), 6)
+          .as("remainder"))
+  }
+
   /** EWMA control chart over a pre-aggregated per-group series
     * (group, t, integer value): the exponentially-weighted anomaly
     * monitor for pipeline volume metrics — [[graft.ops.DataQuality]]'s

@@ -310,6 +310,22 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // Cumulative gains/lift by exact score decile on q218's scored
+    // model: "the top decile captures X% of positives at Y× lift" —
+    // the targeting readout between AUC's one number and the
+    // calibration curve.
+    "q228_lift" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("score",
+          Sampling.bucket(col("o_orderkey"), "graft-cal").cast("double")
+            / 1000000.0)
+        .withColumn("label",
+          Sampling.bucket(col("o_orderkey"), "graft-lab").cast("double")
+            < col("score") * 1000000.0)
+      Evaluation.liftTable(o, "label", "score", nTiles = 10)
+        .orderBy(col("tile").desc)
+    }),
+
     // Fleiss' kappa over a fixed 3-rater panel (gold lang + two
     // deterministically-corrupted raters): the multi-annotator
     // agreement number a labeling campaign is judged by.
@@ -786,6 +802,39 @@ object CurationQueries {
                  round(CAST(sm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean_score,
                  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
           FROM b ORDER BY bin"""
+    },
+    // q218's score/label hashes; rank()-1 = the strictly-smaller count,
+    // same div-10 tile identity, cumulative windows over the tile table.
+    "q228_lift" -> {
+      val sb = phashSql("'graft-cal|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      val lb = phashSql("'graft-lab|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      s"""WITH o AS (SELECT CAST($sb AS DOUBLE) / 1000000.0 AS s,
+                       CAST($lb AS DOUBLE) AS lbd
+                  FROM orders),
+          r AS (SELECT s,
+                  CASE WHEN lbd < s * 1000000.0 THEN 1 ELSE 0 END AS pos
+                FROM o),
+          t AS (SELECT CAST((rank() OVER (ORDER BY s) - 1) * 10
+                            // (SELECT count(*) FROM r) + 1 AS BIGINT) AS tile,
+                       pos
+                FROM r),
+          g AS (SELECT tile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+                FROM t GROUP BY tile),
+          w AS (SELECT tile, n, n_pos,
+                  CAST(sum(n_pos) OVER () AS BIGINT) AS gt,
+                  CAST(sum(n) OVER () AS BIGINT) AS nt,
+                  CAST(sum(n_pos) OVER (ORDER BY tile DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+                  CAST(sum(n) OVER (ORDER BY tile DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+                FROM g)
+          SELECT tile, n, n_pos,
+                 CASE WHEN gt > 0
+                      THEN round(CAST(cp AS DOUBLE) / CAST(gt AS DOUBLE), 6) END AS cum_capture,
+                 CASE WHEN gt > 0
+                      THEN round((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                                 / (CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) END AS lift
+          FROM w ORDER BY tile DESC"""
     },
     // Same (subject, category) cell table; P-bar and P-e replay the
     // engine's exact decimal numerators and double division shapes.

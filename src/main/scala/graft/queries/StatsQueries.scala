@@ -437,6 +437,15 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // Additive weekly decomposition of daily event volumes: trend
+    // (7-day centered MA), day-of-week seasonal, remainder — separates
+    // "Tuesdays are always like this" from "today is anomalous".
+    "q230_seasonal" -> ((s, dir) => {
+      graft.ops.TimeSeries.seasonalDecompose(Tables.events(s, dir),
+          "event_type", "ts")
+        .orderBy("event_type", "day")
+    }),
+
     // Weight-of-Evidence / Information-Value of order totalprice
     // against the urgent-priority label — the feature-screening table
     // (IV < 0.02 = no signal) with micro-nat-fixed WoE.
@@ -731,6 +740,36 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same present-day series; dayofweek differs by +1 across engines
+    // but only partitions the seasonal mean, so groups are identical.
+    "q230_seasonal" ->
+      """WITH daily AS (SELECT event_type AS g,
+                   CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+                 FROM events GROUP BY 1, 2),
+          tr AS (SELECT g, d, x,
+                   CASE WHEN count(x) OVER wc = 7
+                        THEN round(CAST(sum(x) OVER wc AS DOUBLE) / 7.0, 6)
+                   END AS trend
+                 FROM daily
+                 WINDOW wc AS (PARTITION BY g ORDER BY d
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          det AS (SELECT g, d, x, trend,
+                    CAST(x AS DOUBLE) - trend AS dt, dayofweek(d) AS dow
+                  FROM tr),
+          sm AS (SELECT g, dow,
+                   sum(CAST(round(dt * 1000000.0, 0) AS HUGEINT)) AS s,
+                   CAST(count(*) AS HUGEINT) AS k
+                 FROM det WHERE dt IS NOT NULL GROUP BY g, dow),
+          se AS (SELECT g, dow,
+                   round(CAST((CASE WHEN s >= 0 THEN (abs(s) * 2 + k) // (k * 2)
+                               ELSE -((abs(s) * 2 + k) // (k * 2)) END) AS DOUBLE)
+                         / 1000000.0, 6) AS seasonal
+                 FROM sm)
+          SELECT det.g AS event_type, det.d AS day, CAST(det.x AS BIGINT) AS n,
+                 det.trend, se.seasonal,
+                 round(CAST(det.x AS DOUBLE) - det.trend - se.seasonal, 6) AS remainder
+          FROM det LEFT JOIN se ON se.g = det.g AND se.dow = det.dow
+          ORDER BY event_type, day""",
     // Same bin/count shapes as the engine; WoE micro-nat-fixed before
     // the IV product, one-sided bins null out and charge 0 to IV.
     "q226_woe_iv" ->

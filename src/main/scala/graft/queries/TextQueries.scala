@@ -374,6 +374,23 @@ object TextQueries {
       TextAnalysis.zipfSlope(Tables.documents(s, dir), "text", topK = 500)
     }),
 
+    // Flesch reading ease per document from portable counting
+    // heuristics — grades reading LEVEL where q32 grades spam-likeness.
+    "q227_readability" -> ((s, dir) => {
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Stratified k-fold balance audit: hash-fold assignment is a pure
+    // scan-side projection; the (lang, fold) counts are the
+    // imbalance-check a CV harness runs before trusting fold metrics.
+    "q229_kfold" -> ((s, dir) => {
+      Sampling.kFoldAssign(Tables.documents(s, dir), "doc_id", k = 5)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "fold")
+    }),
+
     // Deterministic epoch shuffle: exact global position in the md5
     // permutation + contiguous shard/offset at shardSize=64 — the
     // "shuffle once, stream shards sequentially" training layout,
@@ -1017,6 +1034,29 @@ object TextQueries {
           SELECT token, count_a, count_b, term_micro, jsd_micro
           FROM (SELECT * FROM m ORDER BY term_micro DESC, token LIMIT 20), tot
           ORDER BY term_micro DESC, token""",
+    // Same portable counting heuristics (vowel-group syllables floored
+    // at the word count), one fixed-shape double at the edge.
+    "q227_readability" ->
+      """WITH c AS (SELECT doc_id,
+                      greatest(CAST(len(list_filter(string_split_regex(lower(trim(text)), '[.!?]+'),
+                                         s -> trim(s) <> '')) AS BIGINT), 1) AS n_sentences,
+                      CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               t -> t <> '')) AS BIGINT) AS n_words,
+                      CAST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')) AS BIGINT) AS vg
+                 FROM documents)
+          SELECT doc_id, n_sentences, n_words,
+                 greatest(vg, n_words) AS n_syllables,
+                 CASE WHEN n_words > 0
+                      THEN round(206.835
+                                 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                                 - 84.6 * CAST(greatest(vg, n_words) AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                 END AS flesch
+          FROM c ORDER BY doc_id""",
+    "q229_kfold" -> {
+      val fv = phashSql("'graft-fold|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, CAST($fv % 5 AS BIGINT) AS fold, count(*) AS n
+          FROM documents GROUP BY 1, 2 ORDER BY lang, fold"""
+    },
     // Same micro-nat log fixing before summation; OLS numerators in
     // HUGEINT, the three edge divisions replay the engine's doubles.
     "q221_zipf_slope" ->

@@ -81,6 +81,18 @@ class EvaluationSpec extends graft.SparkSpec {
     assert(r.length == 3)
   }
 
+  test("liftTable: tie-stable tiles, top-down capture and lift") {
+    // 5 rows at score 1.0 (1 positive), 5 at 2.0 (4 positives), 2 tiles:
+    // tile 2 = the high-score half -> capture 4/5, lift (4/5)/(5/10)=1.6
+    val df = (Seq.fill(1)((true, 1.0)) ++ Seq.fill(4)((false, 1.0)) ++
+      Seq.fill(4)((true, 2.0)) ++ Seq.fill(1)((false, 2.0))).toDF("y", "s")
+    val r = Evaluation.liftTable(df, "y", "s", nTiles = 2)
+      .orderBy($"tile".desc)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r(0) == ((2L, 5L, 4L, 0.8, 1.6)), r(0).toString)
+    assert(r(1) == ((1L, 5L, 1L, 1.0, 1.0)), r(1).toString)
+  }
+
   test("fleissKappa: hand panel, and non-uniform panels yield null") {
     // 3 subjects x 2 raters: (a,a) (a,b) (b,b) -> SS = 4+2+4 = 10,
     // P-bar = (10-6)/(3*2*1) = 2/3; t_a = t_b = 3, P-e = 18/36 = 0.5;

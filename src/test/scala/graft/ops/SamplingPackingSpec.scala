@@ -222,4 +222,18 @@ class SamplingPackingSpec extends SparkSpec {
       .select("id", "global_pos").as[(Long, Long)].collect().toMap
     assert(out.exists { case (id, g, _, _) => other(id) != g })
   }
+
+  test("kFoldAssign: folds in range, deterministic, partition-independent") {
+    val df = (1L to 200L).toDF("id")
+    val f1 = Sampling.kFoldAssign(df, "id", k = 5)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(f1.values.forall(f => f >= 0 && f < 5))
+    assert(f1.values.toSet.size == 5) // every fold hit at n = 200
+    val f2 = Sampling.kFoldAssign(df.repartition(7), "id", k = 5)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(f1 == f2)
+    intercept[IllegalArgumentException] {
+      Sampling.kFoldAssign(df, "id", k = 1)
+    }
+  }
 }

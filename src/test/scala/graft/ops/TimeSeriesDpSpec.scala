@@ -458,6 +458,28 @@ class TimeSeriesDpSpec extends SparkSpec {
       ("m", 0L, 9.0), ("m", 0L, 9.0)), r.mkString(","))
   }
 
+  test("seasonalDecompose: pure weekly pattern = flat trend, zero remainder") {
+    // 21 days, volume = 7*(dayIndex%7 + 1): every 7-day window sums to
+    // 196 -> trend 28.0 on interior days; seasonal soaks the pattern,
+    // remainder exactly 0; edge days (incomplete window) stay null
+    val rows = (0 until 21).flatMap { i =>
+      val day = ts(f"2024-01-${i + 1}%02d 12:00:00")
+      Seq.fill(7 * (i % 7 + 1))(("g", day))
+    }
+    val r = TimeSeries.seasonalDecompose(rows.toDF("g", "ts"), "g", "ts")
+      .orderBy("day")
+      .select("n", "trend", "seasonal", "remainder")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(r.length == 21)
+    val interior = r.slice(3, 18)
+    assert(interior.forall(x => x._2 == Some(28.0) && x._4 == Some(0.0)),
+      interior.mkString(","))
+    // seasonal is the same for the same weekday, edge days included
+    assert(r(0)._3 == r(7)._3 && r(0)._2.isEmpty && r(0)._4.isEmpty, r(0).toString)
+    // day 4 (index 3) has volume 28 -> seasonal 0
+    assert(r(3)._3 == Some(0.0), r(3).toString)
+  }
+
   test("ewmaAnomalies: constant series never flags; an injected spike does") {
     // 10 constant days then a 100x spike: sigma of the trailing window
     // is 0 until the spike day, where |x - prev_ewma| >> 3 sigma... but
