@@ -225,4 +225,55 @@ object Graph {
     graft.QueryCleanup.register(() => snapshot.foreach(f => f()))
     visited
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all directed edge instances (each undirected
+    * edge counted both ways) — r > 0 means hubs prefer hubs (social
+    * graphs), r < 0 means hubs fan out to leaves (the web, and most
+    * bot/spam farms, which is why it's a useful structural audit next
+    * to [[triangleCounts]]).
+    *
+    * Determinism: degrees are exact longs; the five moment sums
+    * accumulate in decimal(38) (degrees ≤ n, so Σjk ≤ m·n² — far past
+    * a 64-bit product at 1e12 edges); one fixed-shape double at the
+    * edge, rounded 6 dp, null when either variance is 0 (a regular
+    * graph has undefined assortativity).
+    *
+    * Scale: canonical distinct edges (one exchange) → degree
+    * aggregation → two node-keyed joins back → one 1-row aggregate.
+    * Output: one row (n_nodes, m_edges, r). */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => e.unpersist())
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // both directions of every undirected edge — the standard estimator
+    val directed = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+    val joined = directed
+      .join(deg.withColumnsRenamed(Map("v" -> "s", "d" -> "__j")), "s")
+      .join(deg.withColumnsRenamed(Map("v" -> "t", "d" -> "__k")), "t")
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(38,0)")
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val agg = joined.agg(
+      count(lit(1)).as("__m"),
+      sum(dec(col("__j"))).as("__sj"), sum(dec(col("__k"))).as("__sk"),
+      sum(dec(col("__j")) * col("__j")).as("__sjj"),
+      sum(dec(col("__k")) * col("__k")).as("__skk"),
+      sum(dec(col("__j")) * col("__k")).as("__sjk"))
+    val m = dec(col("__m"))
+    val num = (m * col("__sjk") - col("__sj") * col("__sk")).cast("double")
+    val venJ = (m * col("__sjj") - col("__sj") * col("__sj")).cast("double")
+    val venK = (m * col("__skk") - col("__sk") * col("__sk")).cast("double")
+    agg.crossJoin(broadcast(nodes)).select(
+      col("n_nodes"),
+      expr("__m div 2").as("m_edges"),
+      when(venJ > 0 && venK > 0, round(num / sqrt(venJ * venK), 6)).as("r"))
+  }
 }

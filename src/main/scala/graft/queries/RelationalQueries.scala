@@ -329,6 +329,19 @@ object RelationalQueries {
       graft.ops.Graph.clusteringCoefficient(pairs, "pk", "pk2").orderBy("node")
     }),
 
+    // Degree assortativity on the q127 co-order graph: one number for
+    // "do hub parts co-order with hub parts?" — a structural audit the
+    // triangle/coefficient tables don't summarize.
+    "q231_assortativity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+        .filter(col("pk") < col("pk2"))
+      graft.ops.Graph.assortativity(pairs, "pk", "pk2")
+    }),
+
     // Hierarchical aggregate: ROLLUP over (status, priority) — partial
     // aggregation handles the super-aggregate rows in the same shuffle.
     "q47_rollup" -> ((s, dir) => {
@@ -460,6 +473,32 @@ object RelationalQueries {
           i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
           SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
+    // q127's canonical edges doubled into directed instances; exact
+    // HUGEINT moment sums, one Pearson double at the edge.
+    "q231_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_quantity >= 40),
+          e AS (SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+          deg AS (SELECT v, count(*) AS d
+                  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+          dir AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+          j AS (SELECT ds.d AS j, dt.d AS k
+                FROM dir JOIN deg ds ON dir.s = ds.v JOIN deg dt ON dir.t = dt.v),
+          a AS (SELECT count(*) AS m,
+                       sum(CAST(j AS HUGEINT)) AS sj, sum(CAST(k AS HUGEINT)) AS sk,
+                       sum(CAST(j AS HUGEINT) * j) AS sjj,
+                       sum(CAST(k AS HUGEINT) * k) AS skk,
+                       sum(CAST(j AS HUGEINT) * k) AS sjk
+                FROM j),
+          n AS (SELECT count(*) AS n_nodes FROM deg)
+          SELECT n_nodes, CAST(m // 2 AS BIGINT) AS m_edges,
+                 CASE WHEN CAST(m * sjj - sj * sj AS DOUBLE) > 0
+                       AND CAST(m * skk - sk * sk AS DOUBLE) > 0
+                      THEN round(CAST(m * sjk - sj * sk AS DOUBLE)
+                                 / sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
+                                        * CAST(m * skk - sk * sk AS DOUBLE)), 6)
+                 END AS r
+          FROM a CROSS JOIN n""",
     "q127_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_quantity >= 40),
           e AS (SELECT DISTINCT least(a.pk, b.pk) AS a, greatest(a.pk, b.pk) AS b

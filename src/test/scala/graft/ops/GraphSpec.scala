@@ -149,4 +149,26 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 33))
   }
+
+  test("assortativity: star graph is exactly -1; regular graph is null") {
+    // K_{1,3}: hub degree 3, leaves 1 -> maximally disassortative
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.assortativity(star, "a", "b")
+      .as[(Long, Long, Option[Double])].head()
+    graft.QueryCleanup.drain()
+    assert(r == ((4L, 3L, Some(-1.0))), r.toString)
+    // C4 cycle: every degree 2, zero variance -> undefined, null not NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val c = Graph.assortativity(cyc, "a", "b")
+      .as[(Long, Long, Option[Double])].head()
+    graft.QueryCleanup.drain()
+    assert(c == ((4L, 4L, None)), c.toString)
+    // duplicate + reversed edge rows collapse to one undirected edge
+    val dup = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("a", "b")
+    val d = Graph.assortativity(dup, "a", "b")
+      .as[(Long, Long, Option[Double])].head()
+    graft.QueryCleanup.drain()
+    assert(d == ((4L, 3L, Some(-1.0))), d.toString)
+  }
 }
