@@ -33,10 +33,30 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Equal-width bucket of a non-negative column into [0, 2^bits) given
+    * its max value — the RANGE binning [[zValue]] callers should prefer
+    * over pmod when the two dimensions' domains differ: pmod keeps a
+    * small domain's HIGH bits permanently zero, so the interleave is
+    * dominated by the wide column and the z-curve degrades to a
+    * single-column sort for the narrow one (measured: the suppkey
+    * dimension got ZERO file-skipping under pmod bucketing at sf0.1;
+    * see PERFORMANCE.md "z-order file skipping"). Range binning spends
+    * all `bits` of both dimensions regardless of domain width. */
+  def rangeBucket(c: Column, maxVal: Long, bits: Int): Column = {
+    require(maxVal >= 0, s"maxVal=$maxVal must be >= 0")
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of (0, 31]")
+    least(floor(c.cast("double") * (1L << bits).toDouble / (maxVal + 1.0)),
+      lit((1L << bits) - 1L)).cast("long")
+  }
+
   /** Rewrite a parquet directory z-ordered on two bucketed keys:
     * ceil(inputBytes / targetBytes) files, each covering a tight square
     * of the (xCol, yCol) plane instead of a stripe of one column.
-    * EAGER, like [[Compaction.compact]]. Returns the file count. */
+    * EAGER, like [[Compaction.compact]]. Returns the file count.
+    *
+    * Buckets by RANGE against the columns' observed max (one 1-row
+    * probe) so both dimensions spend all their bits — see
+    * [[rangeBucket]] for why pmod is wrong when domains differ. */
   def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
                     xCol: String, yCol: String, bits: Int,
                     targetBytes: Long): Int = {
@@ -44,9 +64,10 @@ object ZOrder {
     val df = spark.read.parquet(inDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = math.max(1L, (bytes.toLong + targetBytes - 1) / targetBytes).toInt
+    val mx = df.agg(max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head
     val z = zValue(
-      pmod(col(xCol).cast("long"), lit(1L << bits)),
-      pmod(col(yCol).cast("long"), lit(1L << bits)), bits)
+      rangeBucket(col(xCol).cast("long"), mx.getLong(0), bits),
+      rangeBucket(col(yCol).cast("long"), mx.getLong(1), bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")

@@ -53,4 +53,20 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(outZ).select("payload").as[Long].collect().sorted
       .sameElements(0L until 4096L))
   }
+
+  test("rangeBucket spends all bits on a narrow domain where pmod cannot") {
+    // domain [0, 1000) into 2^15 pmod buckets: the high 5 bits are
+    // always zero, so the interleave is dominated by the other column;
+    // range bucketing spreads the same values across the full range
+    val vals = spark.range(1000).select($"id".as("v"))
+    val rb = vals.select(ZOrder.rangeBucket($"v", 999L, 15).as("b"))
+      .agg(min("b"), max("b")).as[(Long, Long)].head()
+    assert(rb._1 == 0L && rb._2 > 32000L, rb.toString)
+    // monotone: raw-value range predicates still align with the curve
+    val pairs = vals.select($"v", ZOrder.rangeBucket($"v", 999L, 15).as("b"))
+      .orderBy("v").as[(Long, Long)].collect()
+    assert(pairs.sliding(2).forall(w => w(0)._2 <= w(1)._2))
+    // max value stays inside the bucket space
+    assert(pairs.last._2 < (1L << 15))
+  }
 }
