@@ -997,6 +997,38 @@ object DataQuality {
       .select("bin", "count_a", "count_b", "term_micro", "psi_micro")
   }
 
+  /** Per-group dispersion profile of an integer-valued series: mean,
+    * unbiased variance, the Fano factor var/mean (= 1 for a Poisson
+    * process — uniform arrivals; ≫ 1 = bursty, the bot/batch-upload
+    * signature; ≪ 1 = suspiciously regular, the cron signature) and
+    * the coefficient of variation. The one-row-per-group burstiness
+    * audit that says WHETHER a series needs [[graft.ops.TimeSeries]]'s
+    * charts at all.
+    *
+    * Exact long/decimal(38) moment sums (value² at 1e12-count days is
+    * past a 64-bit product), fixed-shape double divisions at the edge,
+    * rounded 6 dp; degenerate denominators yield null. One map-side-
+    * combining aggregation. */
+  def dispersion(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__x"))).as("__s"),
+        sum(dec(col("__x")) * col("__x")).as("__ss"))
+    val n = dec(col("n"))
+    val mean = col("__s").cast("double") / col("n").cast("double")
+    val varNum = (n * col("__ss") - col("__s") * col("__s")).cast("double")
+    val variance = varNum / (col("n").cast("double") * (col("n") - 1).cast("double"))
+    agg.select(col("__g").as(groupCol), col("n"),
+      round(mean, 6).as("mean"),
+      when(col("n") > 1, round(variance, 6)).as("variance"),
+      when(col("n") > 1 && mean =!= 0.0, round(variance / mean, 6)).as("fano"),
+      when(col("n") > 1 && mean > 0.0, round(sqrt(variance) / mean, 6)).as("cv"))
+  }
+
   /** Weight-of-Evidence / Information-Value table (the credit-scoring
     * standard, Siddiqi 2006): equal-width bins of a numeric feature
     * against a binary label; per bin WoE = ln((g·B)/(b·G)) — how much

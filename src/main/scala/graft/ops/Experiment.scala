@@ -120,4 +120,45 @@ object Experiment {
           round((pa - pb) / sqrt(pool * (lit(1.0) - pool)
             * (lit(1.0) / na + lit(1.0) / nb)), 6)).as("z"))
   }
+
+  /** Two-proportion power analysis from OBSERVED data: per arm-pairable
+    * metric (here the observed base rate of each group), the minimum
+    * per-arm sample size to detect a relative lift `mde` at 5%
+    * two-sided significance and 80% power —
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / (p₂−p₁)²
+    * (Fleiss, Statistical Methods for Rates and Proportions). The
+    * planning companion to [[twoProportionZ]]: that one judges an
+    * experiment after the fact; this one says how much traffic the
+    * NEXT one needs, per segment, straight off the segment's live rate.
+    *
+    * The normal quantiles are fixed literals (z = 1.959964, 0.841621)
+    * shared verbatim with the oracle — neither engine has an inverse
+    * normal. Counts are exact longs; the sizing formula is one
+    * fixed-shape double expression, ceil'd to a whole unit. Output: one
+    * row per group (n, base_rate, target_rate, n_per_arm); null when
+    * the base rate is degenerate (0, 1) or the lifted rate leaves
+    * (0, 1). */
+  def powerAnalysis(units: DataFrame, groupCol: String, successCol: String,
+                    mde: Double = 0.05): DataFrame = {
+    require(mde > 0, s"powerAnalysis: mde=$mde must be > 0")
+    val zA = 1.959964 // Phi^-1(0.975)
+    val zB = 0.841621 // Phi^-1(0.80)
+    val per = units
+      .select(col(groupCol).as("__g"),
+        when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("__s"))
+      .filter(col(successCol).isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__k"))
+    val p1 = col("__k").cast("double") / col("n").cast("double")
+    val p2 = p1 * (1.0 + mde)
+    val pBar = (p1 + p2) / 2
+    val num = lit(zA) * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+      lit(zB) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val d = p2 - p1
+    per.select(col("__g").as(groupCol), col("n"),
+      round(p1, 6).as("base_rate"),
+      round(p2, 6).as("target_rate"),
+      when(p1 > 0 && p1 < 1 && p2 > 0 && p2 < 1,
+        ceil(num * num / (d * d)).cast("long")).as("n_per_arm"))
+  }
 }

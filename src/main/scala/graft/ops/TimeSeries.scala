@@ -387,6 +387,35 @@ object TimeSeries {
         max(struct(col("__ts"), col("__v"))).getField("__v").as("close"))
   }
 
+  /** Period-over-period change of daily per-group volumes: each day
+    * against the same weekday `lagPeriods` back (default 7 — WoW) —
+    * the comparison that nulls out weekly rhythm where a day-over-day
+    * delta just measures the weekend. Null change when the reference
+    * day is absent or zero (not a division error — ANSI, and a 0→n
+    * jump has no finite percentage).
+    *
+    * Lag is ROW-based over the present-day series; compose with
+    * [[resampleFill]] first when zero-event days must count (a missing
+    * day shifts which row sits 7 back). One group exchange; exact
+    * integer counts, one fixed-shape double at the edge. */
+  def periodChange(events: DataFrame, groupCol: String, tsCol: String,
+                   lagPeriods: Int = 7): DataFrame = {
+    require(lagPeriods >= 1, s"periodChange: lagPeriods=$lagPeriods must be >= 1")
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).as("__x"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+    daily
+      .withColumn("__prev", lag(col("__x"), lagPeriods).over(w))
+      .select(col("__g").as(groupCol), col("__d").as("day"),
+        col("__x").as("n"), col("__prev").as("n_prev"),
+        when(col("__prev") > 0,
+          round((col("__x") - col("__prev")).cast("double")
+            / col("__prev").cast("double"), 6)).as("pct_change"))
+  }
+
   /** Additive seasonal decomposition (STL-lite) of daily per-group
     * volumes: trend = centered 7-point moving average (full windows
     * only), seasonal = per-day-of-week mean of the detrended series,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Association, DataQuality, EventAnalytics, Sketches}
+import graft.ops.{Association, DataQuality, EventAnalytics, Experiment, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -437,6 +437,34 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // Per-type burstiness profile of daily volumes: Fano factor 1 =
+    // Poisson, >>1 = bot/batch bursts, <<1 = cron-regular.
+    "q232_dispersion" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      DataQuality.dispersion(daily, "event_type", "n")
+        .orderBy("event_type")
+    }),
+
+    // Week-over-week change per event type: same-weekday comparison
+    // nulls out the weekly rhythm a day-over-day delta just measures.
+    "q233_period_change" -> ((s, dir) => {
+      graft.ops.TimeSeries.periodChange(Tables.events(s, dir),
+          "event_type", "ts", lagPeriods = 7)
+        .orderBy("event_type", "day")
+    }),
+
+    // Per-status power analysis off the observed urgent-order rate: how
+    // much traffic the NEXT experiment needs to detect a 5% lift.
+    "q234_power" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("urgent",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      Experiment.powerAnalysis(o, "o_orderstatus", "urgent", mde = 0.05)
+        .orderBy("o_orderstatus")
+    }),
+
     // Additive weekly decomposition of daily event volumes: trend
     // (7-day centered MA), day-of-week seasonal, remainder — separates
     // "Tuesdays are always like this" from "today is anomalous".
@@ -740,6 +768,57 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same exact HUGEINT moment sums; fano/cv replay the engine's
+    // unrounded variance/mean double shapes.
+    "q232_dispersion" ->
+      """WITH daily AS (SELECT event_type AS g,
+                   CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+                 FROM events GROUP BY 1, 2),
+          a AS (SELECT g, count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+                       sum(CAST(x AS HUGEINT) * x) AS ss
+                FROM daily GROUP BY g),
+          f AS (SELECT g, n,
+                  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  CAST(n * ss - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var
+                FROM a)
+          SELECT g AS event_type, n, round(mean, 6) AS mean,
+                 CASE WHEN n > 1 THEN round(var, 6) END AS variance,
+                 CASE WHEN n > 1 AND mean <> 0.0 THEN round(var / mean, 6) END AS fano,
+                 CASE WHEN n > 1 AND mean > 0.0 THEN round(sqrt(var) / mean, 6) END AS cv
+          FROM f ORDER BY event_type""",
+    "q233_period_change" ->
+      """WITH daily AS (SELECT event_type AS g,
+                   CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+                 FROM events GROUP BY 1, 2),
+          l AS (SELECT g, d, x,
+                  lag(x, 7) OVER (PARTITION BY g ORDER BY d) AS prev
+                FROM daily)
+          SELECT g AS event_type, d AS day, CAST(x AS BIGINT) AS n,
+                 CAST(prev AS BIGINT) AS n_prev,
+                 CASE WHEN prev > 0
+                      THEN round(CAST(x - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+                 END AS pct_change
+          FROM l ORDER BY event_type, day""",
+    // Fixed z literals shared with the engine (no inverse normal in
+    // either); Fleiss sizing formula as one double chain.
+    "q234_power" ->
+      """WITH per AS (SELECT o_orderstatus AS g, count(*) AS n,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+                 FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+          p AS (SELECT g, n, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1 FROM per),
+          q AS (SELECT g, n, p1, p1 * 1.05 AS p2 FROM p),
+          f AS (SELECT g, n, p1, p2,
+                  1.959964 * sqrt(2.0 * ((p1 + p2) / 2) * (1.0 - (p1 + p2) / 2))
+                    + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num,
+                  p2 - p1 AS d
+                FROM q)
+          SELECT g AS o_orderstatus, n,
+                 round(p1, 6) AS base_rate, round(p2, 6) AS target_rate,
+                 CASE WHEN p1 > 0 AND p1 < 1 AND p2 > 0 AND p2 < 1
+                      THEN CAST(ceil(num * num / (d * d)) AS BIGINT) END AS n_per_arm
+          FROM f ORDER BY o_orderstatus""",
     // Same present-day series; dayofweek differs by +1 across engines
     // but only partitions the seasonal mean, so groups are identical.
     "q230_seasonal" ->

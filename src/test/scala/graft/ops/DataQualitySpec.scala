@@ -505,6 +505,24 @@ class DataQualitySpec extends SparkSpec {
     assert(r(3) == (("zero", 2L, 0.0, None)), r(3).toString)
   }
 
+  test("dispersion: Poisson-ish fano near 1, constant series fano 0") {
+    // values 2,4,6,8: mean 5, var (4*120-400)/12 = 80/12 = 6.666667
+    val df = Seq(("g", 2L), ("g", 4L), ("g", 6L), ("g", 8L),
+      ("c", 5L), ("c", 5L), ("c", 5L)).toDF("k", "v")
+    val r = DataQuality.dispersion(df, "k", "v")
+      .orderBy("k")
+      .select("k", "n", "mean", "variance", "fano", "cv")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(r(0) == (("c", 3L, 5.0, Some(0.0), Some(0.0), Some(0.0))), r(0).toString)
+    assert(r(1) == (("g", 4L, 5.0, Some(6.666667), Some(1.333333),
+      Some(0.516398))), r(1).toString)
+    // single point: variance undefined -> nulls, not zero
+    val one = Seq(("x", 9L)).toDF("k", "v")
+    val o = DataQuality.dispersion(one, "k", "v").collect().head
+    assert(o.isNullAt(3) && o.isNullAt(4) && o.isNullAt(5), o.toString)
+  }
+
   test("woeIv: hand table, one-sided bin nulls out and charges 0 to IV") {
     // nBins=2 over values {0,0,1,1}: bin0 = (T,T) -> one-sided, woe
     // null; bin1 = (T,F): woe = ln((1*1)/(1*3)) = -1.098612,

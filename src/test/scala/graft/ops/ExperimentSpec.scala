@@ -57,4 +57,27 @@ class ExperimentSpec extends graft.SparkSpec {
     val one = Seq(("a", 1L), ("a", 0L)).toDF("arm", "s")
     assert(Experiment.twoProportionZ(one, "arm", "s").count() == 0)
   }
+
+  test("powerAnalysis: Fleiss sizing replayed, degenerate rates null") {
+    import org.apache.spark.sql.functions.lit
+    // 1000 units, 100 successes -> p1 = 0.1; replicate the exact double
+    // chain the operator builds
+    val units = ((1 to 100).map(i => ("g", true)) ++
+      (1 to 900).map(i => ("g", false)) ++
+      Seq.fill(5)(("all", true))).toDF("seg", "ok")
+    val r = Experiment.powerAnalysis(units, "seg", "ok", mde = 0.05)
+      .orderBy("seg")
+      .select("seg", "n", "base_rate", "target_rate", "n_per_arm")
+      .as[(String, Long, Double, Double, Option[Long])].collect()
+    val p1 = 100.0 / 1000.0; val p2 = p1 * 1.05; val pb = (p1 + p2) / 2
+    val num = 1.959964 * math.sqrt(2.0 * pb * (1.0 - pb)) +
+      0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    val d = p2 - p1
+    val exp = math.ceil(num * num / (d * d)).toLong
+    // "all" converts 100%: lifted rate leaves (0,1) -> null sizing
+    assert(r(0) == (("all", 5L, 1.0, 1.05, None)), r(0).toString)
+    assert(r(1) == (("g", 1000L, 0.1, 0.105, Some(exp))), r(1).toString)
+    // ~56k per arm to see a 5% relative lift on a 10% base — sanity band
+    assert(exp > 50000L && exp < 60000L, exp.toString)
+  }
 }

@@ -458,6 +458,20 @@ class TimeSeriesDpSpec extends SparkSpec {
       ("m", 0L, 9.0), ("m", 0L, 9.0)), r.mkString(","))
   }
 
+  test("periodChange: same-weekday deltas, zero/missing reference nulls") {
+    // one event on day d repeated d times, days 1..9: day 8 vs day 1 =
+    // +700%, day 9 vs day 2 = +250%; first 7 days have no reference
+    val rows = (1 to 9).flatMap { d =>
+      Seq.fill(d)(("g", ts(f"2024-01-0$d%d 08:00:00")))
+    }
+    val r = TimeSeries.periodChange(rows.toDF("g", "ts"), "g", "ts", 7)
+      .orderBy("day").select("n", "n_prev", "pct_change")
+      .as[(Long, Option[Long], Option[Double])].collect()
+    assert(r.take(7).forall(x => x._2.isEmpty && x._3.isEmpty), r.mkString(","))
+    assert(r(7) == ((8L, Some(1L), Some(7.0))), r(7).toString)
+    assert(r(8) == ((9L, Some(2L), Some(3.5))), r(8).toString)
+  }
+
   test("seasonalDecompose: pure weekly pattern = flat trend, zero remainder") {
     // 21 days, volume = 7*(dayIndex%7 + 1): every 7-day window sums to
     // 196 -> trend 28.0 on interior days; seasonal soaks the pattern,
