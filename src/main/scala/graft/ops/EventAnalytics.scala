@@ -204,6 +204,85 @@ object EventAnalytics {
       round(col("n").cast("double") / sum(col("n")).over(wf).cast("double"), 6))
   }
 
+  /** First-touch / last-touch conversion attribution: every conversion
+    * event's value is credited to the channel (event type) of the
+    * user's FIRST and of their LAST preceding non-conversion event —
+    * the two bookends of the attribution-model spectrum, reported side
+    * by side per channel so their disagreement (first-touch favors
+    * discovery channels, last-touch favors closers) is the readout.
+    *
+    * Determinism: within-user order is the total (ts, tieCol) order;
+    * both touches are IGNORE-NULLS scans over frames ending at the row
+    * BEFORE the conversion (a conversion never attributes to itself or
+    * to later events); values accumulate in decimal(18,6).
+    * Conversions with no preceding touch drop (nothing to credit).
+    *
+    * Scale: both touch scans are two frames over ONE user-keyed window
+    * ordering; the two per-channel aggregations run over the
+    * conversions only and full-outer join on the ≤|channels| key. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, valueCol: String, tieCol: String,
+                  conversionType: String): DataFrame = {
+    val touch = when(col(typeCol) =!= conversionType, col(typeCol))
+    val wPast = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val conv = events
+      .withColumn("__first", first(touch, ignoreNulls = true).over(wPast))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(wPast))
+      .filter(col(typeCol) === conversionType)
+      .select(col("__first"), col("__last"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val byFirst = conv.filter(col("__first").isNotNull)
+      .groupBy(col("__first").as("channel"))
+      .agg(count(lit(1)).as("n_first"), sum(col("__v")).as("__vf"))
+    val byLast = conv.filter(col("__last").isNotNull)
+      .groupBy(col("__last").as("channel"))
+      .agg(count(lit(1)).as("n_last"), sum(col("__v")).as("__vl"))
+    byFirst.join(byLast, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        round(coalesce(col("__vf"), lit(0)).cast("double"), 6)
+          .as("value_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        round(coalesce(col("__vl"), lit(0)).cast("double"), 6)
+          .as("value_last"))
+  }
+
+  /** Time-to-convert distribution: per user the seconds from their
+    * first `startType` event to their first `endType` event AT OR
+    * AFTER it, summarized as user count + exact p50/p90 — the latency
+    * number behind any funnel ("how long from first view to first
+    * purchase"). Users who never complete are counted separately
+    * (`n_started`), not silently dropped into a biased median.
+    *
+    * Scale: the first-start scan is one user-keyed window; the
+    * completion is a conditional aggregation in the SAME user grouping
+    * — no self-join of the event table against itself. The exact
+    * percentile is a driver-bounded aggregation buffer (the q50
+    * contract; swap to the grouped quantile sketch at lake scale). */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, startType: String,
+                    endType: String): DataFrame = {
+    val wUser = Window.partitionBy(col(userCol))
+    val perUser = events
+      .withColumn("__start",
+        min(when(col(typeCol) === startType, col(tsCol))).over(wUser))
+      .filter(col("__start").isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === endType &&
+          col(tsCol) >= col("__start"), col(tsCol))).as("__end"),
+        min(col("__start")).as("__s"))
+      .select(
+        (unix_timestamp(col("__end")) - unix_timestamp(col("__s")))
+          .as("__delta"))
+    perUser.agg(
+      count(lit(1)).as("n_started"),
+      sum(when(col("__delta").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+      round(expr("percentile(__delta, 0.5)"), 6).as("p50_seconds"),
+      round(expr("percentile(__delta, 0.9)"), 6).as("p90_seconds"))
+  }
+
   /** RFM segmentation (Hughes 1994): per customer the recency (days
     * from last order to the table horizon), frequency (order count)
     * and monetary (exact decimal amount sum), each scored into

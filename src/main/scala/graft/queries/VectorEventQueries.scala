@@ -510,6 +510,22 @@ object VectorEventQueries {
         .orderBy("event_id")
     }),
 
+    // First-touch vs last-touch purchase attribution per channel: the
+    // two bookend models side by side — their disagreement is the
+    // readout (discovery channels vs closers).
+    "q235_attribution" -> ((s, dir) => {
+      EventAnalytics.attribution(Tables.events(s, dir), "user_id", "ts",
+          "event_type", "value", "event_id", conversionType = "purchase")
+        .orderBy("channel")
+    }),
+
+    // Seconds from first view to first purchase at-or-after it, exact
+    // p50/p90 over users; never-converters counted, not dropped.
+    "q236_time_to_convert" -> ((s, dir) => {
+      EventAnalytics.timeToConvert(Tables.events(s, dir), "user_id", "ts",
+        "event_type", startType = "view", endType = "purchase")
+    }),
+
     // Top-20 session opening paths (first 3 event types, ">"-joined)
     // over q40's 30-minute sessions: which entry flows actually happen.
     "q224_session_paths" -> ((s, dir) => {
@@ -1015,6 +1031,46 @@ object VectorEventQueries {
                    ROWS UNBOUNDED PRECEDING) AS avg_value
           FROM grid LEFT JOIN b USING (event_type, b)
           ORDER BY event_type, b""",
+    // Same IGNORE-NULLS bookend scans over the (ts, event_id) order.
+    "q235_attribution" ->
+      """WITH w AS (SELECT user_id, event_type, value,
+                      first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+                      last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+                 FROM events),
+          c AS (SELECT f, l, CAST(value AS DECIMAL(18,6)) AS v
+                FROM w WHERE event_type = 'purchase'),
+          bf AS (SELECT f AS channel, count(*) AS n_first, sum(v) AS vf
+                 FROM c WHERE f IS NOT NULL GROUP BY f),
+          bl AS (SELECT l AS channel, count(*) AS n_last, sum(v) AS vl
+                 FROM c WHERE l IS NOT NULL GROUP BY l)
+          SELECT coalesce(bf.channel, bl.channel) AS channel,
+                 coalesce(n_first, 0) AS n_first,
+                 round(CAST(coalesce(vf, 0) AS DOUBLE), 6) AS value_first,
+                 coalesce(n_last, 0) AS n_last,
+                 round(CAST(coalesce(vl, 0) AS DOUBLE), 6) AS value_last
+          FROM bf FULL OUTER JOIN bl ON bf.channel = bl.channel
+          ORDER BY channel""",
+    // First-start via one grouped scan; completion is a conditional min
+    // in the same user grouping. percentile == quantile_cont replay.
+    "q236_time_to_convert" ->
+      """WITH s AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN ts END) AS st
+                 FROM events GROUP BY user_id),
+          p AS (SELECT e.user_id, min(e.ts) AS en
+                FROM events e JOIN s ON e.user_id = s.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= s.st
+                GROUP BY e.user_id),
+          d AS (SELECT CAST(floor(epoch(en)) - floor(epoch(st)) AS BIGINT) AS delta
+                FROM s LEFT JOIN p USING (user_id) WHERE st IS NOT NULL)
+          SELECT count(*) AS n_started,
+                 CAST(sum(CASE WHEN delta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                 round(quantile_cont(delta, 0.5), 6) AS p50_seconds,
+                 round(quantile_cont(delta, 0.9), 6) AS p90_seconds
+          FROM d""",
     // q40's session CTE + ordered string_agg of the first 3 types.
     "q224_session_paths" ->
       """WITH s AS (SELECT event_id, user_id, ts, event_type,

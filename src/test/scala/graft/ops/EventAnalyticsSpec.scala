@@ -151,6 +151,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L), ("x", 1L)), r.mkString(","))
   }
 
+  test("attribution: bookend touches exclude conversions and later events") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 10.0),
+      // second purchase: the earlier purchase must NOT become a touch
+      (4L, ts("2024-01-01 10:20:00"), 1L, "purchase", 5.0),
+      // user 2 converts with no preceding touch -> dropped entirely
+      (5L, ts("2024-01-02 09:00:00"), 2L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.attribution(ev, "user_id", "ts", "event_type",
+        "value", "event_id", "purchase")
+      .orderBy("channel")
+      .as[(String, Long, Double, Long, Double)].collect()
+    assert(r.toSeq == Seq(("click", 0L, 0.0, 2L, 15.0),
+      ("view", 2L, 15.0, 0L, 0.0)), r.mkString(","))
+  }
+
+  test("timeToConvert: pre-start conversions don't count; non-starters excluded") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:01:40"), 1L, "purchase", 1.0), // +100 s
+      // user 2 purchased BEFORE their first view: started, not converted
+      (3L, ts("2024-01-02 08:00:00"), 2L, "purchase", 1.0),
+      (4L, ts("2024-01-02 09:00:00"), 2L, "view", 0.0),
+      // user 3 never viewed: not in the population at all
+      (5L, ts("2024-01-03 09:00:00"), 3L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.timeToConvert(ev, "user_id", "ts", "event_type",
+        "view", "purchase")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((2L, 1L, 100.0, 100.0)), r.toString)
+  }
+
   test("rfmScores: exact quintiles share scores on ties, reversed recency") {
     // 5 customers, one order each on distinct days; amounts ascending.
     // before*5 div 5 = rank-1 -> f_score all 1 (frequency ties), m_score
