@@ -336,6 +336,60 @@ object Sketches {
         .otherwise(0.0).as("kmv_intersect_est"))
   }
 
+  /** All-pairs group overlap from per-group KMV sketches: for every
+    * unordered group pair the estimated union size, intersection size
+    * and Jaccard — the source×source / shard×shard contamination
+    * matrix ("how much vocabulary/content do these two crawls share")
+    * at O(|groups|²·k) cost, INDEPENDENT of data size, where the exact
+    * answer is a full |data|×|data| semi-join per pair.
+    *
+    * Estimator: per pair, the bottom-k of the two sketches' union is a
+    * valid KMV sketch of the union ([[kmvMerge]]'s law); the fraction
+    * of those k hashes present in BOTH original sketches estimates
+    * |A∩B|/|A∪B| (Beyer et al. 2007), so intersection = union-est ×
+    * that fraction. Exact when the union holds < k hashes.
+    *
+    * Scale: one data pass for the grouped sketches; everything after
+    * operates on |groups|·k rows (pair fan-out join, per-pair bottom-k
+    * window, per-pair aggregate). Output: (group_a, group_b,
+    * union_est, intersect_est, jaccard_est), ga < gb. */
+  def kmvPairwiseOverlap(df: DataFrame, groupCol: String, keyCol: String,
+                         k: Int = 256,
+                         salt: String = "graft-kmv"): DataFrame = {
+    val s = kmvSketchGrouped(df, groupCol, keyCol, k, salt)
+      .select(col(groupCol).as("__g"), col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => s.unpersist())
+    val gs = s.select(col("__g")).distinct()
+    val pr = gs.select(col("__g").as("ga"))
+      .join(gs.select(col("__g").as("gb")), col("ga") < col("gb"))
+    val fromA = pr.join(s.withColumnRenamed("__g", "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("u"),
+        lit(1L).as("__ia"), lit(0L).as("__ib"))
+    val fromB = pr.join(s.withColumnRenamed("__g", "gb"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("u"),
+        lit(0L).as("__ia"), lit(1L).as("__ib"))
+    val merged = fromA.unionByName(fromB)
+      .groupBy(col("ga"), col("gb"), col("u"))
+      .agg(max(col("__ia")).as("__ia"), max(col("__ib")).as("__ib"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("ga"), col("gb")).orderBy(col("u"))))
+      .filter(col("__rn") <= k)
+    val agg = merged.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("__nm"), max(col("u")).as("__uk"),
+        sum(col("__ia") * col("__ib")).as("__nboth"))
+    val unionEst = when(col("__nm") < k, col("__nm").cast("double"))
+      .otherwise((lit(k) - 1) / col("__uk"))
+    agg.select(col("ga").as("group_a"), col("gb").as("group_b"),
+      round(unionEst, 6).as("union_est"),
+      when(col("__nm") > 0,
+        round(unionEst * col("__nboth") / col("__nm"), 6))
+        .otherwise(0.0).as("intersect_est"),
+      when(col("__nm") > 0,
+        round(col("__nboth").cast("double") / col("__nm").cast("double"), 6))
+        .otherwise(0.0).as("jaccard_est"))
+  }
+
   // ---- HyperLogLog ------------------------------------------------------
 
   /** HLL bit budget: the portable hash is 60 bits (15 md5 hex chars), so

@@ -374,6 +374,38 @@ object TextQueries {
       TextAnalysis.zipfSlope(Tables.documents(s, dir), "text", topK = 500)
     }),
 
+    // Tokenizer fertility per language: chars per whitespace token —
+    // the budget number a multilingual corpus planner reads (CJK text
+    // costs more tokens per char under any subword scheme).
+    "q237_token_fertility" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          length(col("text")).cast("long").as("__chars"),
+          size(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
+            .cast("long").as("__toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__toks")).as("n_tokens"),
+          sum(col("__chars")).as("n_chars"))
+        .withColumn("chars_per_token",
+          when(col("n_tokens") > 0,
+            round(col("n_chars").cast("double")
+              / col("n_tokens").cast("double"), 6)))
+        .orderBy("lang")
+    }),
+
+    // Source x source vocabulary overlap from per-source KMV sketches:
+    // the contamination matrix at O(|sources|^2 * k), independent of
+    // corpus size — the exact answer is a data-sized semi-join per pair.
+    "q238_source_overlap" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      Sketches.kmvPairwiseOverlap(toks, "source", "tok", k = 256)
+        .orderBy("group_a", "group_b")
+    }),
+
     // Flesch reading ease per document from portable counting
     // heuristics — grades reading LEVEL where q32 grades spam-likeness.
     "q227_readability" -> ((s, dir) => {
@@ -1034,6 +1066,53 @@ object TextQueries {
           SELECT token, count_a, count_b, term_micro, jsd_micro
           FROM (SELECT * FROM m ORDER BY term_micro DESC, token LIMIT 20), tot
           ORDER BY term_micro DESC, token""",
+    "q237_token_fertility" ->
+      s"""SELECT lang, count(*) AS n_docs,
+            CAST(sum(len(list_filter($tokSql, t -> t <> ''))) AS BIGINT) AS n_tokens,
+            CAST(sum(length(text)) AS BIGINT) AS n_chars,
+            CASE WHEN sum(len(list_filter($tokSql, t -> t <> ''))) > 0
+                 THEN round(CAST(sum(length(text)) AS DOUBLE)
+                            / CAST(sum(len(list_filter($tokSql, t -> t <> ''))) AS DOUBLE), 6)
+            END AS chars_per_token
+          FROM documents GROUP BY lang ORDER BY lang""",
+    // Same per-source bottom-k hash sketches; the pair estimator is
+    // union-est x shared-fraction (Beyer et al.), replayed row-exact.
+    "q238_source_overlap" -> {
+      val u = s"(${phashSql("'graft-kmv|' || tok")} % 1000000 + 0.5) / 1000000.0"
+      s"""WITH t AS (SELECT source, unnest($tokSql) AS tok FROM documents),
+          h AS (SELECT DISTINCT source AS g, $u AS u
+                FROM t WHERE tok <> ''),
+          sk AS (SELECT g, u FROM (SELECT g, u,
+                   row_number() OVER (PARTITION BY g ORDER BY u) AS rn FROM h)
+                 WHERE rn <= 256),
+          gs AS (SELECT DISTINCT g FROM sk),
+          pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+          m AS (SELECT ga, gb, u, max(ia) AS ia, max(ib) AS ib
+                FROM (SELECT pr.ga, pr.gb, sk.u, 1 AS ia, 0 AS ib
+                      FROM pr JOIN sk ON sk.g = pr.ga
+                      UNION ALL
+                      SELECT pr.ga, pr.gb, sk.u, 0 AS ia, 1 AS ib
+                      FROM pr JOIN sk ON sk.g = pr.gb)
+                GROUP BY ga, gb, u),
+          mk AS (SELECT * FROM (SELECT m.*,
+                   row_number() OVER (PARTITION BY ga, gb ORDER BY u) AS rn FROM m)
+                 WHERE rn <= 256),
+          a AS (SELECT ga, gb, count(*) AS nm, max(u) AS uk,
+                       CAST(sum(ia * ib) AS BIGINT) AS nboth
+                FROM mk GROUP BY ga, gb),
+          f AS (SELECT ga, gb, nm, nboth,
+                  CASE WHEN nm < 256 THEN CAST(nm AS DOUBLE)
+                       ELSE (256 - 1) / uk END AS ue
+                FROM a)
+          SELECT ga AS group_a, gb AS group_b,
+                 round(ue, 6) AS union_est,
+                 CASE WHEN nm > 0 THEN round(ue * nboth / nm, 6)
+                      ELSE 0.0 END AS intersect_est,
+                 CASE WHEN nm > 0
+                      THEN round(CAST(nboth AS DOUBLE) / CAST(nm AS DOUBLE), 6)
+                      ELSE 0.0 END AS jaccard_est
+          FROM f ORDER BY group_a, group_b"""
+    },
     // Same portable counting heuristics (vowel-group syllables floored
     // at the word count), one fixed-shape double at the edge.
     "q227_readability" ->

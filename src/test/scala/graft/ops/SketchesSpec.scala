@@ -361,4 +361,24 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.hllSlidingCurve(rows, "day", "user_id", width = 0))
   }
+
+  test("kmvPairwiseOverlap: identical groups jaccard 1, disjoint 0, below-k exact") {
+    // groups small enough that every sketch is exact (< k hashes)
+    val rows = ((1 to 50).map(i => ("a", s"k$i")) ++
+      (1 to 50).map(i => ("b", s"k$i")) ++          // b == a
+      (1 to 50).map(i => ("c", s"x$i")) ++          // c disjoint from a/b
+      (1 to 25).map(i => ("d", s"k$i")) ++          // d = half of a
+      (1 to 25).map(i => ("d", s"y$i")))
+      .toDF("g", "key")
+    val r = Sketches.kmvPairwiseOverlap(rows, "g", "key", k = 256)
+      .orderBy("group_a", "group_b")
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    graft.QueryCleanup.drain()
+    assert(r(("a", "b")) == ((50.0, 50.0, 1.0)), r(("a", "b")).toString)
+    assert(r(("a", "c")) == ((100.0, 0.0, 0.0)), r(("a", "c")).toString)
+    // a ∪ d = 50 + 25 new = 75; a ∩ d = 25; jaccard 25/75
+    assert(r(("a", "d")) == ((75.0, 25.0, 0.333333)), r(("a", "d")).toString)
+    assert(r.size == 6) // 4 groups -> 6 unordered pairs
+  }
 }
