@@ -997,6 +997,39 @@ object DataQuality {
       .select("bin", "count_a", "count_b", "term_micro", "psi_micro")
   }
 
+  /** Schema profile of a semi-structured JSON column: one row per key
+    * with presence count, null count, distinct values, and a
+    * string-shape type census (int / float / bool / other) — the
+    * "what's actually in props" audit that decides whether a
+    * semi-structured column can be promoted to real columns.
+    * [[profile]]'s sibling for the schemaless tail of a table.
+    *
+    * Values are compared in their UNQUOTED string form (Spark's
+    * from_json to map<string,string> and DuckDB's json_extract_string
+    * agree on scalars); type classes are portable regexes over that
+    * form, so the census never depends on either engine's JSON value
+    * typing. Scalar contract: nested objects/arrays count as 'other'.
+    *
+    * Scale: one projection + explode + map-side-combining aggregation
+    * to |keys| rows; the JSON parse is per-row codegen. */
+  def jsonProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val kv = df
+      .select(explode(from_json(col(jsonCol), MapType(StringType, StringType)))
+        .as(Seq("key", "__v")))
+    kv.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("__v")).as("n_distinct"),
+        sum(when(col("__v").rlike("^-?\\d+$"), 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("__v").rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$"), 1L)
+          .otherwise(0L)).as("n_float"),
+        sum(when(col("__v").isin("true", "false"), 1L).otherwise(0L))
+          .as("n_bool"))
+      .withColumn("n_other",
+        col("n") - col("n_null") - col("n_int") - col("n_float") - col("n_bool"))
+  }
+
   /** Per-group dispersion profile of an integer-valued series: mean,
     * unbiased variance, the Fano factor var/mean (= 1 for a Poisson
     * process — uniform arrivals; ≫ 1 = bursty, the bot/batch-upload

@@ -267,6 +267,14 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Schema profile of the semi-structured props column: per JSON key
+    // the presence/null/distinct counts and a portable string-shape
+    // type census — "can props.k be promoted to a real column?"
+    "q239_json_profile" -> ((s, dir) => {
+      graft.ops.DataQuality.jsonProfile(Tables.events(s, dir), "props")
+        .orderBy("key")
+    }),
+
     // PageRank over the symmetrized supplier↔customer trade graph
     // (distinct lineitem⋈orders pairs; supplier keys offset into their
     // own id space). Fixed-point micro-rank integers: long sums commute
@@ -445,6 +453,22 @@ object RelationalQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id""",
     "q47_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // Same unquoted scalar string forms + portable shape regexes.
+    "q239_json_profile" ->
+      """WITH kv AS (SELECT k AS key,
+                       json_extract_string(props, '$.' || k) AS v
+                 FROM (SELECT unnest(json_keys(props)) AS k, props FROM events))
+          SELECT key, count(*) AS n,
+                 CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                 CAST(sum(CASE WHEN regexp_matches(v, '^-?\d+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+                 CAST(sum(CASE WHEN regexp_matches(v, '^-?\d+\.\d+([eE][+-]?\d+)?$') THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+                 CAST(sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+                 CAST(count(*) - sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN regexp_matches(v, '^-?\d+$') THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN regexp_matches(v, '^-?\d+\.\d+([eE][+-]?\d+)?$') THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+          FROM kv GROUP BY key ORDER BY key""",
     // Same graph, recursive-CTE BFS; UNION-dedup on (node, hops)
     // states keeps the recursion level-bounded, min() picks the first
     // level each node was reached at.
