@@ -997,6 +997,36 @@ object DataQuality {
       .select("bin", "count_a", "count_b", "term_micro", "psi_micro")
   }
 
+  /** Herfindahl-Hirschman concentration of a mass column over the
+    * members of each group: Σ share² ∈ (1/n, 1] — 1/n = perfectly even,
+    * 1 = one member holds everything; the antitrust-style "how
+    * concentrated is this corpus on its top sources" number, and
+    * [[gini]]'s square-law sibling (HHI weights the HEAD harder, so a
+    * single mega-source moves it where gini barely shifts).
+    *
+    * Exact integer core: member masses fix to micro-units, Σm² and
+    * (Σm)² are decimal(38) products (micro-mass² at 1e12 rows is far
+    * past 64 bits), HHI = Σm²/(Σm)² is one double division rounded
+    * 6 dp. Also emits the effective member count 1/HHI. Two map-side-
+    * combining aggregations (member, then group). */
+  def hhi(df: DataFrame, groupCol: String, memberCol: String,
+          valueCol: String): DataFrame = {
+    val members = df.select(col(groupCol).as("__g"), col(memberCol).as("__m"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__m"))
+      .agg(sum(round(col("__v") * 1e6, 0).cast("decimal(38,0)")).as("__mass"))
+    val agg = members.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__mass")).as("__tot"),
+        sum(col("__mass") * col("__mass")).as("__sq"))
+    val hhiCol = col("__sq").cast("double") /
+      (col("__tot") * col("__tot")).cast("double")
+    agg.select(col("__g").as(groupCol), col("n_members"),
+      when(col("__tot") > 0, round(hhiCol, 6)).as("hhi"),
+      when(col("__tot") > 0, round(lit(1.0) / hhiCol, 6)).as("effective_n"))
+  }
+
   /** Schema profile of a semi-structured JSON column: one row per key
     * with presence count, null count, distinct values, and a
     * string-shape type census (int / float / bool / other) — the

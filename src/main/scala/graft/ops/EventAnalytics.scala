@@ -204,6 +204,32 @@ object EventAnalytics {
       round(col("n").cast("double") / sum(col("n")).over(wf).cast("double"), 6))
   }
 
+  /** Cohort-value (LTV) triangle: users grouped by first-seen week,
+    * each later event credited to the cohort's age in weeks — one row
+    * per (cohort_week, age_week) with active users and value sum, the
+    * matrix whose rows are read as "how does a January user's spend
+    * decay" and whose columns fund the retention forecast.
+    * [[weeklyRetention]]'s value-weighted generalization.
+    *
+    * Determinism: cohort = ISO Monday-truncated week of the user's min
+    * timestamp (one user window); age = floor(day-diff/7) integer
+    * arithmetic; values sum in micro-unit decimals. Scale: one
+    * user-keyed window exchange, then a map-side-combining
+    * (cohort, age) aggregation — |weeks|² output rows. */
+  def cohortValueMatrix(events: DataFrame, userCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
+    val wUser = Window.partitionBy(col(userCol))
+    events
+      .withColumn("__cw",
+        date_trunc("week", min(col(tsCol)).over(wUser)).cast("date"))
+      .withColumn("__age",
+        floor(datediff(to_date(col(tsCol)), col("__cw")) / 7).cast("long"))
+      .groupBy(col("__cw").as("cohort_week"), col("__age").as("age_week"))
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        round(sum(round(col(valueCol) * 1e6, 0).cast("decimal(38,0)"))
+          .cast("double") / 1e6, 6).as("value"))
+  }
+
   /** First-touch / last-touch conversion attribution: every conversion
     * event's value is credited to the channel (event type) of the
     * user's FIRST and of their LAST preceding non-conversion event —

@@ -525,6 +525,41 @@ object TextAnalysis {
       .crossJoin(broadcast(jsd))
   }
 
+  /** Corpus saturation audit via Good-Turing / Chao1: from the token
+    * count-of-counts, the unseen probability mass P(next token is
+    * novel) ≈ f₁/N (Good 1953) and the Chao1 richness floor
+    * V + f₁²/(2f₂) (Chao 1984) — "is more crawling still buying new
+    * vocabulary, and how much is left?" The scaling-decision number
+    * [[zipfSlope]]'s shape statistic doesn't give.
+    *
+    * Everything is exact integer arithmetic over the count-of-counts
+    * table (two map-side-combining aggregations: token counts, then
+    * counts-of-counts — the second input is vocabulary-sized, its
+    * output a handful of rows); the two ratios are fixed-shape double
+    * divisions rounded 6 dp. f₂ = 0 ⇒ Chao1 null (standard: the
+    * estimator needs doubletons). Output: one row
+    * (n_tokens, vocab, f1, f2, unseen_mass, chao1). */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = counts.agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+    agg.select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+      when(col("n_tokens") > 0,
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 6))
+        .as("unseen_mass"),
+      when(col("f2") > 0,
+        round(col("vocab").cast("double")
+          + (dec(col("f1")) * col("f1")).cast("double")
+            / (lit(2.0) * col("f2").cast("double")), 6)).as("chao1"))
+  }
+
   /** Zipf fit of the corpus token-frequency curve: OLS of ln(freq) on
     * ln(rank) over the top-`topK` tokens — a healthy natural-language
     * corpus runs slope ≈ −1 (Zipf 1949); a flat slope screams template/

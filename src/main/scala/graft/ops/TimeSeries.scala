@@ -387,6 +387,33 @@ object TimeSeries {
         max(struct(col("__ts"), col("__v"))).getField("__v").as("close"))
   }
 
+  /** Inter-event gap distribution: per group, the seconds between a
+    * user's consecutive events of that group, summarized as count +
+    * mean + exact p50/p90 — the arrival-process fingerprint (a human's
+    * gaps are heavy-tailed; a bot's cluster at fixed intervals, which
+    * also shows as [[graft.ops.DataQuality.dispersion]] ≪ 1 on the
+    * derived series).
+    *
+    * Gaps are exact long seconds (unix-second difference over the
+    * total (ts, tieCol) order); the mean divides one decimal sum; the
+    * percentiles are the q50 exact contract. One (group, user)-keyed
+    * window exchange feeding a map-side-combining group aggregation. */
+  def interEventGaps(events: DataFrame, groupCol: String, userCol: String,
+                     tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol), col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__gap",
+        unix_timestamp(col(tsCol)) - lag(unix_timestamp(col(tsCol)), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("__gap").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_seconds"),
+        round(expr("percentile(__gap, 0.5)"), 6).as("p50_seconds"),
+        round(expr("percentile(__gap, 0.9)"), 6).as("p90_seconds"))
+  }
+
   /** Period-over-period change of daily per-group volumes: each day
     * against the same weekday `lagPeriods` back (default 7 — WoW) —
     * the comparison that nulls out weekly rhythm where a day-over-day

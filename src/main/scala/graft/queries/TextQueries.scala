@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Dedup, Packing, Sampling, Sketches, TextAnalysis}
+import graft.ops.{Cdc, DataQuality, Dedup, Packing, Sampling, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -372,6 +372,20 @@ object TextQueries {
     // corpus-health one-liner next to q179's drift drivers.
     "q221_zipf_slope" -> ((s, dir) => {
       TextAnalysis.zipfSlope(Tables.documents(s, dir), "text", topK = 500)
+    }),
+
+    // Good-Turing/Chao1 saturation: unseen-vocabulary mass + richness
+    // floor — "is more crawling still buying new vocabulary?"
+    "q240_good_turing" -> ((s, dir) => {
+      TextAnalysis.goodTuring(Tables.documents(s, dir), "text")
+    }),
+
+    // Source-concentration HHI per language (char-mass weighted): the
+    // head-weighted sibling of q207's gini; effective_n is "how many
+    // sources is this corpus REALLY drawing on".
+    "q241_hhi" -> ((s, dir) => {
+      DataQuality.hhi(Tables.documents(s, dir), "lang", "source", "n_chars")
+        .orderBy("lang")
     }),
 
     // Tokenizer fertility per language: chars per whitespace token —
@@ -1066,6 +1080,42 @@ object TextQueries {
           SELECT token, count_a, count_b, term_micro, jsd_micro
           FROM (SELECT * FROM m ORDER BY term_micro DESC, token LIMIT 20), tot
           ORDER BY term_micro DESC, token""",
+    // Count-of-counts in exact integers; the two ratios replay the
+    // engine's double shapes (chao1 numerator widens to HUGEINT first).
+    "q240_good_turing" ->
+      s"""WITH tok AS (SELECT unnest($tokSql) AS t FROM documents),
+          c AS (SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+          a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+                FROM c)
+          SELECT n_tokens, vocab, f1, f2,
+                 CASE WHEN n_tokens > 0
+                      THEN round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 END AS unseen_mass,
+                 CASE WHEN f2 > 0
+                      THEN round(CAST(vocab AS DOUBLE)
+                                 + CAST(CAST(f1 AS HUGEINT) * f1 AS DOUBLE)
+                                   / (2.0 * CAST(f2 AS DOUBLE)), 6)
+                 END AS chao1
+          FROM a""",
+    // Micro-mass HUGEINT squares; hhi and 1/hhi replay the engine's
+    // single double division.
+    "q241_hhi" ->
+      """WITH m AS (SELECT lang AS g, source AS mm,
+                      sum(CAST(round(n_chars * 1000000.0, 0) AS HUGEINT)) AS mass
+                 FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+          a AS (SELECT g, count(*) AS n_members, sum(mass) AS tot,
+                       sum(mass * mass) AS sq
+                FROM m GROUP BY g)
+          SELECT g AS lang, n_members,
+                 CASE WHEN tot > 0
+                      THEN round(CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6)
+                 END AS hhi,
+                 CASE WHEN tot > 0
+                      THEN round(1.0 / (CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE)), 6)
+                 END AS effective_n
+          FROM a ORDER BY lang""",
     "q237_token_fertility" ->
       s"""SELECT lang, count(*) AS n_docs,
             CAST(sum(len(list_filter($tokSql, t -> t <> ''))) AS BIGINT) AS n_tokens,

@@ -510,6 +510,22 @@ object VectorEventQueries {
         .orderBy("event_id")
     }),
 
+    // Inter-event gap distribution per type: the arrival-process
+    // fingerprint — bot traffic clusters at fixed gaps.
+    "q242_interevent" -> ((s, dir) => {
+      TimeSeries.interEventGaps(Tables.events(s, dir), "event_type",
+          "user_id", "ts", "event_id")
+        .orderBy("event_type")
+    }),
+
+    // Cohort-value (LTV) triangle: first-seen-week cohorts × age-week,
+    // active users + micro-exact value sums.
+    "q243_cohort_ltv" -> ((s, dir) => {
+      EventAnalytics.cohortValueMatrix(Tables.events(s, dir),
+          "user_id", "ts", "value")
+        .orderBy("cohort_week", "age_week")
+    }),
+
     // First-touch vs last-touch purchase attribution per channel: the
     // two bookend models side by side — their disagreement is the
     // readout (discovery channels vs closers).
@@ -1031,6 +1047,37 @@ object VectorEventQueries {
                    ROWS UNBOUNDED PRECEDING) AS avg_value
           FROM grid LEFT JOIN b USING (event_type, b)
           ORDER BY event_type, b""",
+    // Exact long-second gaps over the same total order; percentile ==
+    // quantile_cont replay.
+    "q242_interevent" ->
+      """WITH e AS (SELECT event_type AS t, user_id, event_id, ts,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                 FROM events),
+          g AS (SELECT t,
+                  sec - lag(sec) OVER (PARTITION BY t, user_id
+                    ORDER BY ts, event_id) AS gap
+                FROM e)
+          SELECT t AS event_type, count(*) AS n_gaps,
+                 round(CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS mean_seconds,
+                 round(quantile_cont(gap, 0.5), 6) AS p50_seconds,
+                 round(quantile_cont(gap, 0.9), 6) AS p90_seconds
+          FROM g WHERE gap IS NOT NULL GROUP BY t ORDER BY t""",
+    // Monday-truncated cohorts in both engines; integer week ages,
+    // micro-unit value sums.
+    "q243_cohort_ltv" ->
+      """WITH w AS (SELECT user_id, ts, value,
+                      CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) AS cw
+                 FROM events),
+          r AS (SELECT cw,
+                  CAST(floor(date_diff('day', cw, CAST(date_trunc('day', ts) AS DATE)) / 7) AS BIGINT) AS age,
+                  user_id, value
+                FROM w)
+          SELECT cw AS cohort_week, age AS age_week,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                 round(CAST(sum(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE)
+                       / 1000000.0, 6) AS value
+          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     // Same IGNORE-NULLS bookend scans over the (ts, event_id) order.
     "q235_attribution" ->
       """WITH w AS (SELECT user_id, event_type, value,

@@ -505,6 +505,19 @@ class DataQualitySpec extends SparkSpec {
     assert(r(3) == (("zero", 2L, 0.0, None)), r(3).toString)
   }
 
+  test("hhi: 3:1 split, even split, monopoly") {
+    val df = Seq(("g", "m1", 3.0), ("g", "m2", 1.0),
+      ("e", "a", 2.0), ("e", "b", 2.0),
+      ("solo", "only", 7.0)).toDF("grp", "member", "v")
+    val r = DataQuality.hhi(df, "grp", "member", "v")
+      .orderBy("grp")
+      .as[(String, Long, Double, Double)].collect()
+    // even: 0.5 -> effective 2; 3:1: (9+1)/16 = 0.625 -> 1.6; monopoly 1
+    assert(r(0) == (("e", 2L, 0.5, 2.0)), r(0).toString)
+    assert(r(1) == (("g", 2L, 0.625, 1.6)), r(1).toString)
+    assert(r(2) == (("solo", 1L, 1.0, 1.0)), r(2).toString)
+  }
+
   test("dispersion: Poisson-ish fano near 1, constant series fano 0") {
     // values 2,4,6,8: mean 5, var (4*120-400)/12 = 80/12 = 6.666667
     val df = Seq(("g", 2L), ("g", 4L), ("g", 6L), ("g", 8L),

@@ -151,6 +151,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L), ("x", 1L)), r.mkString(","))
   }
 
+  test("cohortValueMatrix: Monday cohorts, integer week ages, micro-exact sums") {
+    // 2024-01-01 is a Monday; users 1 and 2 share the cohort week
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "x", 1.5),
+      (2L, ts("2024-01-09 09:00:00"), 1L, "x", 2.5),  // age 1
+      (3L, ts("2024-01-03 09:00:00"), 2L, "x", 1.0))  // age 0, same cohort
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.cohortValueMatrix(ev, "user_id", "ts", "value")
+      .orderBy("cohort_week", "age_week")
+      .select("cohort_week", "age_week", "n_users", "value")
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    val monday = java.sql.Date.valueOf("2024-01-01")
+    assert(r.toSeq == Seq((monday, 0L, 2L, 2.5), (monday, 1L, 1L, 2.5)),
+      r.mkString(","))
+  }
+
   test("attribution: bookend touches exclude conversions and later events") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),

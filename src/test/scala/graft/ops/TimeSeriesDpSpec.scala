@@ -458,6 +458,22 @@ class TimeSeriesDpSpec extends SparkSpec {
       ("m", 0L, 9.0), ("m", 0L, 9.0)), r.mkString(","))
   }
 
+  test("interEventGaps: per-user gaps within the group, singles excluded") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", 0.0),
+      (2L, ts("2024-01-01 10:00:10"), 1L, "A", 0.0),  // gap 10
+      (3L, ts("2024-01-01 10:00:30"), 1L, "A", 0.0),  // gap 20
+      // other user's event must NOT create a cross-user gap
+      (4L, ts("2024-01-01 10:00:05"), 2L, "A", 0.0),
+      (5L, ts("2024-01-01 11:00:00"), 1L, "B", 0.0))  // single -> no gap
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = TimeSeries.interEventGaps(ev, "event_type", "user_id", "ts",
+        "event_id")
+      .as[(String, Long, Double, Double, Double)].collect()
+    // mean 15; p50 interpolates {10,20} -> 15; p90 -> 19
+    assert(r.toSeq == Seq(("A", 2L, 15.0, 15.0, 19.0)), r.mkString(","))
+  }
+
   test("periodChange: same-weekday deltas, zero/missing reference nulls") {
     // one event on day d repeated d times, days 1..9: day 8 vs day 1 =
     // +700%, day 9 vs day 2 = +250%; first 7 days have no reference
