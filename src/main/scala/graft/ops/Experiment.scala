@@ -121,6 +121,108 @@ object Experiment {
             * (lit(1.0) / na + lit(1.0) / nb)), 6)).as("z"))
   }
 
+  /** Difference-in-differences: the 2×2 (arm × pre/post) mean table
+    * and DiD = (T̄post − T̄pre) − (C̄post − C̄pre) — the causal-effect
+    * estimate when treatment wasn't randomized but both groups share a
+    * trend (the parallel-trends assumption this output lets you
+    * eyeball: compare the two pre means). The lexicographically
+    * smaller arm is CONTROL (deterministic, caller-order-free); more
+    * than two arms yields null, not a wrong number.
+    *
+    * One aggregation: values fix to micro-units and the four cell sums
+    * accumulate in decimal(38); each mean is one double division
+    * rounded 6 dp, and DiD is the same arithmetic on the unrounded
+    * means. Output: one row. */
+  def diffInDiff(units: DataFrame, armCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    val armIds = units.select(col(armCol).cast("string").as("__arm"))
+      .agg(min(col("__arm")).as("__armc"),
+        countDistinct(col("__arm")).as("__narm"))
+    val rows = units.select(col(armCol).cast("string").as("__arm"),
+        col(postCol).cast("boolean").as("__post"),
+        round(col(valueCol).cast("double") * 1e6, 0).cast("decimal(38,0)")
+          .as("__vm"))
+      .filter(col("__vm").isNotNull && col("__post").isNotNull)
+      .crossJoin(broadcast(armIds))
+      .withColumn("__isc", col("__arm") === col("__armc"))
+    def cell(isC: Boolean, post: Boolean): (Column, Column) = {
+      val in = (col("__isc") === isC) && (col("__post") === post)
+      (sum(when(in, col("__vm"))), sum(when(in, 1L).otherwise(0L)))
+    }
+    val (scPre, ncPre) = cell(isC = true, post = false)
+    val (scPost, ncPost) = cell(isC = true, post = true)
+    val (stPre, ntPre) = cell(isC = false, post = false)
+    val (stPost, ntPost) = cell(isC = false, post = true)
+    val agg = rows.agg(
+      max(col("__armc")).as("arm_control"),
+      max(when(col("__isc") === false, col("__arm"))).as("arm_treat"),
+      max(col("__narm")).as("__narm"),
+      scPre.as("__scpre"), ncPre.as("__ncpre"),
+      scPost.as("__scpost"), ncPost.as("__ncpost"),
+      stPre.as("__stpre"), ntPre.as("__ntpre"),
+      stPost.as("__stpost"), ntPost.as("__ntpost"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / 1e6 / col(n).cast("double")
+    val ok = col("__narm") === 2 && col("__ncpre") > 0 && col("__ncpost") > 0 &&
+      col("__ntpre") > 0 && col("__ntpost") > 0
+    agg.select(col("arm_control"), col("arm_treat"),
+      when(col("__ncpre") > 0, round(mean("__scpre", "__ncpre"), 6)).as("mean_c_pre"),
+      when(col("__ncpost") > 0, round(mean("__scpost", "__ncpost"), 6)).as("mean_c_post"),
+      when(col("__ntpre") > 0, round(mean("__stpre", "__ntpre"), 6)).as("mean_t_pre"),
+      when(col("__ntpost") > 0, round(mean("__stpost", "__ntpost"), 6)).as("mean_t_post"),
+      when(ok, round((mean("__stpost", "__ntpost") - mean("__stpre", "__ntpre"))
+        - (mean("__scpost", "__ncpost") - mean("__scpre", "__ncpre")), 6))
+        .as("did"))
+  }
+
+  /** Per-group mean with a 95% Poisson-bootstrap CI — the DISTRIBUTED
+    * bootstrap (Chamandy et al., Google 2012): instead of resampling
+    * n rows with replacement (which needs global coordination), each
+    * row enters resample b with an independent Poisson(1) weight, a
+    * pure function of phash(salt|b|id) against fixed cumulative-CDF
+    * thresholds — deterministic, engine-replayable, and
+    * embarrassingly parallel. B resamples = one explode + one
+    * map-side-combining (group, b) aggregation; the CI is the exact
+    * 2.5/97.5 percentile over the B per-resample means (a B-row
+    * aggregate per group).
+    *
+    * Weights truncate at 8 (P(Poisson(1) > 8) < 1e-6 — negligible
+    * and documented); values fix to micro-units, per-resample sums
+    * accumulate in decimal(38). */
+  def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                         valueCol: String, b: Int = 32,
+                         salt: String = "graft-boot"): DataFrame = {
+    require(b >= 8, s"poissonBootstrapCi: b=$b resamples must be >= 8")
+    // cumulative CDF of Poisson(1) at k = 0..7, Scala-computed literals
+    // shared with the oracle
+    val cdf = (0 to 7).scanLeft(0.0) { case (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).foldLeft(1.0)(_ * _)
+    }.tail
+    val rows = df.select(col(groupCol).as("__g"),
+        col(idCol).cast("string").as("__id"),
+        round(col(valueCol).cast("double") * 1e6, 0).cast("decimal(38,0)")
+          .as("__vm"))
+      .filter(col("__vm").isNotNull)
+      .withColumn("__b", explode(array((0 until b).map(lit): _*)))
+    val u = graft.functions.PortableHash.puniform(
+      concat_ws("|", lit(salt), col("__b").cast("string"), col("__id")))
+    val w = cdf.map(t => when(u > t, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val perB = rows
+      .withColumn("__w", w)
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__vm") * col("__w")).as("__s"),
+        sum(col("__w")).as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__mean",
+        col("__s").cast("double") / 1e6 / col("__n").cast("double"))
+    perB.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_resamples"),
+        round(expr("percentile(__mean, 0.5)"), 6).as("mean_med"),
+        round(expr("percentile(__mean, 0.025)"), 6).as("lo95"),
+        round(expr("percentile(__mean, 0.975)"), 6).as("hi95"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Two-proportion power analysis from OBSERVED data: per arm-pairable
     * metric (here the observed base rate of each group), the minimum
     * per-arm sample size to detect a relative lift `mde` at 5%

@@ -437,6 +437,15 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // Poisson-bootstrap 95% CI on mean order value per status — the
+    // distributed bootstrap (per-row Poisson(1) weights from the
+    // portable hash; no with-replacement coordination).
+    "q245_bootstrap" -> ((s, dir) => {
+      Experiment.poissonBootstrapCi(Tables.orders(s, dir),
+          "o_orderstatus", "o_orderkey", "o_totalprice", b = 32)
+        .orderBy("o_orderstatus")
+    }),
+
     // Per-type burstiness profile of daily volumes: Fano factor 1 =
     // Poisson, >>1 = bot/batch bursts, <<1 = cron-regular.
     "q232_dispersion" -> ((s, dir) => {
@@ -768,6 +777,32 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same Poisson(1) CDF threshold literals (Scala-computed, shared
+    // verbatim); per-resample micro sums in HUGEINT; percentile ==
+    // quantile_cont replay over the 32 per-resample means.
+    "q245_bootstrap" -> {
+      val cdf = (0 to 7).scanLeft(0.0) { case (acc, k) =>
+        acc + math.exp(-1.0) / (1 to k).foldLeft(1.0)(_ * _)
+      }.tail
+      val wSql = cdf.map(t => s"(CASE WHEN u > ${t} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val uSql = "(CAST('0x' || substr(md5('graft-boot|' || b || '|' || id), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0"
+      s"""WITH r AS (SELECT o_orderstatus AS g, CAST(o_orderkey AS VARCHAR) AS id,
+                       CAST(round(o_totalprice * 1000000.0, 0) AS HUGEINT) AS vm
+                  FROM orders WHERE o_totalprice IS NOT NULL),
+          e AS (SELECT g, id, vm, unnest(range(0, 32)) AS b FROM r),
+          wt AS (SELECT g, b, vm, ($wSql) AS w
+                 FROM (SELECT g, b, vm, $uSql AS u FROM e)),
+          pb AS (SELECT g, b, sum(vm * w) AS s, CAST(sum(w) AS BIGINT) AS n
+                 FROM wt GROUP BY g, b),
+          m AS (SELECT g, CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean
+                FROM pb WHERE n > 0)
+          SELECT g AS o_orderstatus, count(*) AS n_resamples,
+                 round(quantile_cont(mean, 0.5), 6) AS mean_med,
+                 round(quantile_cont(mean, 0.025), 6) AS lo95,
+                 round(quantile_cont(mean, 0.975), 6) AS hi95
+          FROM m GROUP BY g ORDER BY g"""
+    },
     // Same exact HUGEINT moment sums; fano/cv replay the engine's
     // unrounded variance/mean double shapes.
     "q232_dispersion" ->

@@ -510,6 +510,17 @@ object VectorEventQueries {
         .orderBy("event_id")
     }),
 
+    // Difference-in-differences across q203's parity arms and 15-day
+    // periods: the causal estimate when treatment wasn't randomized;
+    // the two pre means are the parallel-trends eyeball.
+    "q244_did" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("arm",
+          concat(lit("arm_"), (col("user_id") % 2).cast("string")))
+        .withColumn("post", to_date(col("ts")) >= to_date(lit("2024-01-16")))
+      Experiment.diffInDiff(ev, "arm", "post", "value")
+    }),
+
     // Inter-event gap distribution per type: the arrival-process
     // fingerprint — bot traffic clusters at fixed gaps.
     "q242_interevent" -> ((s, dir) => {
@@ -1047,6 +1058,39 @@ object VectorEventQueries {
                    ROWS UNBOUNDED PRECEDING) AS avg_value
           FROM grid LEFT JOIN b USING (event_type, b)
           ORDER BY event_type, b""",
+    // Same micro-unit cell sums; DiD replays the engine's unrounded
+    // mean arithmetic. Control = lexicographic min arm ('arm_0').
+    "q244_did" ->
+      """WITH r AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'arm_0' ELSE 'arm_1' END AS arm,
+                      CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16' AS post,
+                      CAST(round(value * 1000000.0, 0) AS HUGEINT) AS vm
+                 FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+          a AS (SELECT
+                  sum(CASE WHEN arm = 'arm_0' AND NOT post THEN vm END) AS scpre,
+                  CAST(sum(CASE WHEN arm = 'arm_0' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS ncpre,
+                  sum(CASE WHEN arm = 'arm_0' AND post THEN vm END) AS scpost,
+                  CAST(sum(CASE WHEN arm = 'arm_0' AND post THEN 1 ELSE 0 END) AS BIGINT) AS ncpost,
+                  sum(CASE WHEN arm <> 'arm_0' AND NOT post THEN vm END) AS stpre,
+                  CAST(sum(CASE WHEN arm <> 'arm_0' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS ntpre,
+                  sum(CASE WHEN arm <> 'arm_0' AND post THEN vm END) AS stpost,
+                  CAST(sum(CASE WHEN arm <> 'arm_0' AND post THEN 1 ELSE 0 END) AS BIGINT) AS ntpost
+                FROM r),
+          m AS (SELECT
+                  CAST(scpre AS DOUBLE) / 1000000.0 / CAST(ncpre AS DOUBLE) AS mcpre,
+                  CAST(scpost AS DOUBLE) / 1000000.0 / CAST(ncpost AS DOUBLE) AS mcpost,
+                  CAST(stpre AS DOUBLE) / 1000000.0 / CAST(ntpre AS DOUBLE) AS mtpre,
+                  CAST(stpost AS DOUBLE) / 1000000.0 / CAST(ntpost AS DOUBLE) AS mtpost,
+                  ncpre, ncpost, ntpre, ntpost
+                FROM a)
+          SELECT 'arm_0' AS arm_control, 'arm_1' AS arm_treat,
+                 CASE WHEN ncpre > 0 THEN round(mcpre, 6) END AS mean_c_pre,
+                 CASE WHEN ncpost > 0 THEN round(mcpost, 6) END AS mean_c_post,
+                 CASE WHEN ntpre > 0 THEN round(mtpre, 6) END AS mean_t_pre,
+                 CASE WHEN ntpost > 0 THEN round(mtpost, 6) END AS mean_t_post,
+                 CASE WHEN ncpre > 0 AND ncpost > 0 AND ntpre > 0 AND ntpost > 0
+                      THEN round((mtpost - mtpre) - (mcpost - mcpre), 6)
+                 END AS did
+          FROM m""",
     // Exact long-second gaps over the same total order; percentile ==
     // quantile_cont replay.
     "q242_interevent" ->

@@ -58,6 +58,38 @@ class ExperimentSpec extends graft.SparkSpec {
     assert(Experiment.twoProportionZ(one, "arm", "s").count() == 0)
   }
 
+  test("diffInDiff: hand 2x2 table; >2 arms null") {
+    val units = Seq(
+      ("c", false, 8.0), ("c", false, 12.0),   // c pre mean 10
+      ("c", true, 12.0), ("c", true, 12.0),    // c post mean 12
+      ("t", false, 10.0), ("t", false, 10.0),  // t pre mean 10
+      ("t", true, 15.0), ("t", true, 15.0))    // t post mean 15
+      .toDF("arm", "post", "v")
+    val r = Experiment.diffInDiff(units, "arm", "post", "v")
+      .as[(String, String, Double, Double, Double, Double, Double)].head()
+    // DiD = (15 - 10) - (12 - 10) = 3
+    assert(r == (("c", "t", 10.0, 12.0, 10.0, 15.0, 3.0)), r.toString)
+    val three = units.unionAll(Seq(("x", true, 1.0)).toDF("arm", "post", "v"))
+    val row = Experiment.diffInDiff(three, "arm", "post", "v")
+      .select("did").collect().head
+    assert(row.isNullAt(0), row.toString)
+  }
+
+  test("poissonBootstrapCi: deterministic, ordered, brackets the true mean") {
+    val df = (1 to 200).map(i => ("g", i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val r = Experiment.poissonBootstrapCi(df, "k", "id", "v", b = 32)
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(r._2 == 32L, r.toString)
+    assert(r._4 <= r._3 && r._3 <= r._5, r.toString)   // lo <= med <= hi
+    // true mean 100.5; a 200-point bootstrap CI comfortably brackets it
+    assert(r._4 < 100.5 && 100.5 < r._5, r.toString)
+    assert(r._5 - r._4 < 30.0, r.toString)             // and is not vacuous
+    // pure function of (salt, id): identical on a rerun and repartition
+    val again = Experiment.poissonBootstrapCi(df.repartition(7), "k", "id", "v",
+      b = 32).as[(String, Long, Double, Double, Double)].head()
+    assert(r == again)
+  }
+
   test("powerAnalysis: Fleiss sizing replayed, degenerate rates null") {
     import org.apache.spark.sql.functions.lit
     // 1000 units, 100 successes -> p1 = 0.1; replicate the exact double
