@@ -229,6 +229,54 @@ object Sampling {
         concat_ws("|", lit(salt), col(keyCol).cast("string"))), lit(k.toLong)))
   }
 
+  /** Deterministic negative sampling for training pairs: for every
+    * (anchor, positive) row, draw `k` pseudo-random candidates from the
+    * item universe by hashing (salt|anchor|j) into the universe's dense
+    * rank space, then anti-join the anchor's OBSERVED positives away —
+    * the contrastive-training companion of [[hashSplit]] (recsys /
+    * embedding losses need negatives, and an RNG draw would be
+    * irreproducible across retries, engines, and partitionings; this
+    * is a pure function of the keys).
+    *
+    * Collisions with a positive are DROPPED, not resampled (expected
+    * loss k·|positives(anchor)|/|universe| — negligible when the
+    * universe is large, and documented rather than hidden behind an
+    * unbounded retry loop). Draws j and j' can collide with each other
+    * too; `distinct` keeps one (same argument). So `n_neg ≤ k` per
+    * anchor, with equality in the common case.
+    *
+    * Scale: the universe gets dense ranks once (the rank-offset scheme
+    * — no global sort); candidates explode k per anchor, join the
+    * universe on the rank key, and anti-join positives on
+    * (anchor, item) — all hash equi-joins on uniform keys. */
+  def negativeSample(positives: DataFrame, anchorCol: String, itemCol: String,
+                     universe: DataFrame, universeItemCol: String, k: Int,
+                     salt: String = "graft-neg"): DataFrame = {
+    require(k >= 1, s"negativeSample: k=$k must be >= 1")
+    val items = universe.select(col(universeItemCol).as("__item")).distinct()
+    val bounds = items.agg(count(lit(1)).as("__n"))
+    // dense 0-based rank via the bucket scheme (monotone md5 prefix)
+    val ranked = Ranking.globalRowNumber(
+      items.withColumn("__h", md5(col("__item").cast("string"))),
+      Seq("__h", "__item"), substring(col("__h"), 1, 2), "__r")
+      .select((col("__r") - 1).as("__r"), col("__item"))
+    val anchors = positives.select(col(anchorCol).as("__a")).distinct()
+      .crossJoin(broadcast(bounds))
+    val cands = anchors
+      .withColumn("__j", explode(array((0 until k).map(lit): _*)))
+      .withColumn("__r",
+        pmod(graft.functions.PortableHash.phash(
+          concat_ws("|", lit(salt), col("__a").cast("string"),
+            col("__j").cast("string"))), col("__n")))
+      .select(col("__a"), col("__r"))
+      .distinct()
+    cands.join(ranked, Seq("__r"))
+      .join(positives.select(col(anchorCol).as("__a"),
+          col(itemCol).as("__item")).distinct(),
+        Seq("__a", "__item"), "left_anti")
+      .select(col("__a").as(anchorCol), col("__item").as("negative"))
+  }
+
   /** Deterministic global training shuffle: assign each row a shard
     * (`pmod(hash, nShards)`) and a position within its shard (rank by the
     * portable hash, ties on the key) — the "shuffle once, read in order"

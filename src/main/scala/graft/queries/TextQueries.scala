@@ -374,6 +374,18 @@ object TextQueries {
       TextAnalysis.zipfSlope(Tables.documents(s, dir), "text", topK = 500)
     }),
 
+    // Deterministic negative sampling: for each sampled order, 3 parts
+    // it did NOT contain, drawn by hashing into the part universe's
+    // dense rank space — contrastive-training pairs with no RNG.
+    "q246_negative_sample" -> ((s, dir) => {
+      val pos = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      Sampling.negativeSample(pos, "l_orderkey", "l_partkey",
+          Tables.part(s, dir), "p_partkey", k = 3)
+        .orderBy("l_orderkey", "negative")
+    }),
+
     // Good-Turing/Chao1 saturation: unseen-vocabulary mass + richness
     // floor — "is more crawling still buying new vocabulary?"
     "q240_good_turing" -> ((s, dir) => {
@@ -1080,6 +1092,26 @@ object TextQueries {
           SELECT token, count_a, count_b, term_micro, jsd_micro
           FROM (SELECT * FROM m ORDER BY term_micro DESC, token LIMIT 20), tot
           ORDER BY term_micro DESC, token""",
+    // Same md5-rank universe indexing + hash draws; collisions with a
+    // positive drop via the same anti-join.
+    "q246_negative_sample" -> {
+      val draw = phashSql("'graft-neg|' || a || '|' || j")
+      s"""WITH items AS (SELECT DISTINCT p_partkey AS item FROM part),
+          nn AS (SELECT count(*) AS n FROM items),
+          ranked AS (SELECT row_number() OVER (ORDER BY md5(CAST(item AS VARCHAR)), item) - 1 AS r,
+                            item
+                     FROM items),
+          anchors AS (SELECT DISTINCT l_orderkey AS a FROM lineitem
+                      WHERE l_orderkey % 10 = 0),
+          cands AS (SELECT DISTINCT a, $draw % (SELECT n FROM nn) AS r
+                    FROM anchors CROSS JOIN (SELECT unnest(range(0, 3)) AS j)),
+          pos AS (SELECT DISTINCT l_orderkey AS a, l_partkey AS item
+                  FROM lineitem WHERE l_orderkey % 10 = 0)
+          SELECT c.a AS l_orderkey, ranked.item AS negative
+          FROM cands c JOIN ranked ON ranked.r = c.r
+          ANTI JOIN pos ON pos.a = c.a AND pos.item = ranked.item
+          ORDER BY l_orderkey, negative"""
+    },
     // Count-of-counts in exact integers; the two ratios replay the
     // engine's double shapes (chao1 numerator widens to HUGEINT first).
     "q240_good_turing" ->

@@ -223,6 +223,23 @@ class SamplingPackingSpec extends SparkSpec {
     assert(out.exists { case (id, g, _, _) => other(id) != g })
   }
 
+  test("negativeSample: never emits a positive, deterministic, bounded per anchor") {
+    val universe = (1L to 100L).toDF("item")
+    // anchor 7 has observed items 1..30; anchor 8 has none
+    val pos = (1L to 30L).map(i => (7L, i)).toDF("a", "item")
+      .unionAll(Seq((8L, 999L)).toDF("a", "item")) // 999 outside universe
+    val r = Sampling.negativeSample(pos, "a", "item", universe, "item", k = 5)
+      .as[(Long, Long)].collect()
+    val byAnchor = r.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byAnchor.keySet == Set(7L, 8L))
+    assert(byAnchor(7L).forall(i => i > 30L && i <= 100L), byAnchor(7L).toString)
+    assert(byAnchor.values.forall(s => s.nonEmpty && s.size <= 5))
+    // pure function of keys: identical under repartitioning
+    val again = Sampling.negativeSample(pos.repartition(5), "a", "item",
+      universe.repartition(3), "item", k = 5).as[(Long, Long)].collect()
+    assert(r.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("kFoldAssign: folds in range, deterministic, partition-independent") {
     val df = (1L to 200L).toDF("id")
     val f1 = Sampling.kFoldAssign(df, "id", k = 5)
