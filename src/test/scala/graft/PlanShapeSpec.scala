@@ -428,6 +428,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) == 1, p)
   }
 
+  test("kmvPairwiseOverlap: one data pass, pair machinery on sketch-sized tables") {
+    val rows = (1 to 500).map(i => (s"g${i % 6}", s"k${i % 97}")).toDF("g", "k")
+    val p = plan(Sketches.kmvPairwiseOverlap(rows, "g", "k", k = 64))
+    graft.QueryCleanup.drain()
+    assert(!p.contains("CartesianProduct"), p)
+    // the ga < gb pair fan-out is a nested-loop BY DESIGN — over the
+    // |groups|-row distinct table, never the data; it appears once per
+    // side branch (A-rows, B-rows), everything data-sized hash-aggregates
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    // the grouped sketch cuts map-side: WindowGroupLimit before the
+    // group exchange, so a billion-key group ships <= k rows per
+    // partition
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("poissonBootstrapCi: B-fold explode feeds ONE combining agg, no join") {
+    val df = (1 to 300).map(i => ("g", i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val p = plan(Experiment.poissonBootstrapCi(df, "k", "id", "v", b = 16))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    // (group, b) agg + B-row percentile agg: two exchanges total
+    assert(exchanges(p) == 2, p)
+  }
+
+  test("negativeSample: hash equi-joins only; the 1-row count is the sole BNLJ") {
+    val pos = (1 to 80).map(i => (i.toLong % 20, i.toLong)).toDF("a", "item")
+    val uni = (1L to 200L).toDF("item")
+    val p = plan(Sampling.negativeSample(pos, "a", "item", uni, "item", k = 3))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("resampleInterpolate: both neighbor scans share ONE key window order") {
     val p = plan(TimeSeries.resampleInterpolate(events, "event_type", "ts",
       "value", 3600L))
