@@ -525,6 +525,46 @@ object TextAnalysis {
       .crossJoin(broadcast(jsd))
   }
 
+  /** Encoding-health audit per group: counts of control characters
+    * (C0 minus tab/newline/CR), U+FFFD replacement characters (the
+    * smoking gun of a bad decode), and NBSP — reported as exact counts
+    * and parts-per-million of character mass. A crawl source whose
+    * repl_ppm jumps was re-encoded somewhere upstream; [[corpusFilter]]
+    * drops bad DOCUMENTS, this fingers the bad SOURCE.
+    *
+    * Pure per-row regexp counting (codegen) + one map-side-combining
+    * aggregation; the character-class regexes are portable (DuckDB RE2
+    * and Java regex agree on explicit code-point classes). ppm = one
+    * integer-ratio double per group, rounded 2 dp. */
+  def encodingAudit(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      when(t.isNull, 0L)
+        .otherwise(size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = docs
+      .withColumn("__nc", coalesce(length(t).cast("long"), lit(0L)))
+      .withColumn("__ctl", cnt("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+      .withColumn("__rep", cnt("\\x{fffd}"))
+      .withColumn("__nbsp", cnt("\\x{00a0}"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("n_chars"),
+        sum(col("__ctl")).as("n_ctrl"),
+        sum(col("__rep")).as("n_replacement"),
+        sum(col("__nbsp")).as("n_nbsp"),
+        sum(when(col("__ctl") + col("__rep") > 0, 1L).otherwise(0L))
+          .as("n_bad_docs"))
+    def ppm(c: String): Column =
+      when(col("n_chars") > 0,
+        round((dec(col(c)) * 1000000).cast("double")
+          / col("n_chars").cast("double"), 2))
+    agg.select(col(groupCol), col("n_docs"), col("n_chars"),
+      col("n_ctrl"), col("n_replacement"), col("n_nbsp"), col("n_bad_docs"),
+      ppm("n_ctrl").as("ctrl_ppm"), ppm("n_replacement").as("repl_ppm"))
+  }
+
   /** Corpus saturation audit via Good-Turing / Chao1: from the token
     * count-of-counts, the unseen probability mass P(next token is
     * novel) ≈ f₁/N (Good 1953) and the Chao1 richness floor

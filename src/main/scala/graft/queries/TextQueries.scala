@@ -374,6 +374,14 @@ object TextQueries {
       TextAnalysis.zipfSlope(Tables.documents(s, dir), "text", topK = 500)
     }),
 
+    // Encoding-health audit per source: control/U+FFFD/NBSP character
+    // mass — the bad-decode fingerprint that fingers a SOURCE where
+    // q72 only drops documents.
+    "q247_encoding_audit" -> ((s, dir) => {
+      TextAnalysis.encodingAudit(Tables.documents(s, dir), "source", "text")
+        .orderBy("source")
+    }),
+
     // Deterministic negative sampling: for each sampled order, 3 parts
     // it did NOT contain, drawn by hashing into the part universe's
     // dense rank space — contrastive-training pairs with no RNG.
@@ -1092,6 +1100,33 @@ object TextQueries {
           SELECT token, count_a, count_b, term_micro, jsd_micro
           FROM (SELECT * FROM m ORDER BY term_micro DESC, token LIMIT 20), tot
           ORDER BY term_micro DESC, token""",
+    // Same explicit code-point classes (RE2 and Java regex agree);
+    // exact counts, ppm = one integer-ratio double.
+    "q247_encoding_audit" ->
+      """WITH c AS (SELECT source,
+                      coalesce(length(text), 0) AS nc,
+                      CASE WHEN text IS NULL THEN 0
+                           ELSE len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) END AS ctl,
+                      CASE WHEN text IS NULL THEN 0
+                           ELSE len(regexp_extract_all(text, '\x{fffd}')) END AS rep,
+                      CASE WHEN text IS NULL THEN 0
+                           ELSE len(regexp_extract_all(text, '\x{00a0}')) END AS nbsp
+                 FROM documents),
+          a AS (SELECT source, count(*) AS n_docs,
+                       CAST(sum(nc) AS BIGINT) AS n_chars,
+                       CAST(sum(ctl) AS BIGINT) AS n_ctrl,
+                       CAST(sum(rep) AS BIGINT) AS n_replacement,
+                       CAST(sum(nbsp) AS BIGINT) AS n_nbsp,
+                       CAST(sum(CASE WHEN ctl + rep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_docs
+                FROM c GROUP BY source)
+          SELECT source, n_docs, n_chars, n_ctrl, n_replacement, n_nbsp, n_bad_docs,
+                 CASE WHEN n_chars > 0
+                      THEN round(CAST(CAST(n_ctrl AS HUGEINT) * 1000000 AS DOUBLE)
+                                 / CAST(n_chars AS DOUBLE), 2) END AS ctrl_ppm,
+                 CASE WHEN n_chars > 0
+                      THEN round(CAST(CAST(n_replacement AS HUGEINT) * 1000000 AS DOUBLE)
+                                 / CAST(n_chars AS DOUBLE), 2) END AS repl_ppm
+          FROM a ORDER BY source""",
     // Same md5-rank universe indexing + hash draws; collisions with a
     // positive drop via the same anti-join.
     "q246_negative_sample" -> {
