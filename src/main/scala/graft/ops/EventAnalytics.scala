@@ -117,6 +117,63 @@ object EventAnalytics {
     * `percentile` here for oracle replay; at lake scale swap in the
     * mergeable [[Sketches.quantileSketchGrouped]] bounds, same clip
     * expression. */
+  /** Exact per-group trimmed mean: drop the floor(n·trim) smallest and
+    * largest values (by the total (value, tie) order) and average the
+    * middle — the robust center that, unlike [[winsorize]] (which
+    * CLAMPS tails into the envelope), removes their influence
+    * entirely; raw-minus-trimmed is itself the outlier-mass readout.
+    *
+    * Determinism: ranks come from [[graft.ops.Ranking.groupRowNumber]]
+    * under the total (value, tie) order, so tied values at the cut are
+    * admitted by tie-key — exact and stable, where a
+    * percentile-threshold filter would admit ALL ties and change n.
+    * Values fix to micro-units; sums are decimal(38); each mean is one
+    * double division rounded 6 dp.
+    *
+    * Scale: one group-bucketed rank pass (micro-value prefix buckets —
+    * no data-sized per-group sort window funneling a hot group) + a
+    * |groups|-row counts broadcast + one aggregation. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, trim: Double = 0.05): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trimmedMean: trim=$trim outside (0, 0.5)")
+    val rows = df.select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * 1e6, 0).cast("long").as("__vm"),
+        col(tieCol).as("__t"))
+      .filter(col("__vm").isNotNull)
+    val counts = rows.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    // monotone bucket (the groupRowNumber contract): equal-width bins
+    // against the GLOBAL value bounds — pmod would wrap and break the
+    // rank-offset ordering
+    val bounds = rows.agg(min(col("__vm")).as("__bmn"), max(col("__vm")).as("__bmx"))
+    val withB = rows.crossJoin(broadcast(bounds))
+    val bWidth = (col("__bmx") - col("__bmn")).cast("double") / 64.0
+    val bucket = when(bWidth > 0,
+      least(floor((col("__vm") - col("__bmn")).cast("double") / bWidth), lit(63L)))
+      .otherwise(lit(0L))
+    val ranked = Ranking.groupRowNumber(withB, Seq("__g"),
+      Seq("__vm", "__t"), bucket, "__r")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // the cut is INTEGER arithmetic (n·trim as a basis-point product
+    // with integral division) — a double CAST truncates in Spark but
+    // ROUNDS in DuckDB, so floor(n·0.05) would diverge on exact halves
+    val bp = math.round(trim * 10000).toInt
+    ranked.join(broadcast(counts), Seq("__g"))
+      .withColumn("__lo", expr(s"(__n * $bp) div 10000"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"),
+        sum(dec(col("__vm"))).as("__sall"),
+        sum(when(col("__r") > col("__lo") && col("__r") <= col("__n") - col("__lo"),
+          dec(col("__vm")))).as("__skept"),
+        sum(when(col("__r") > col("__lo") && col("__r") <= col("__n") - col("__lo"),
+          1L).otherwise(0L)).as("n_kept"))
+      .select(col("__g").as(groupCol), col("n"), col("n_kept"),
+        round(col("__sall").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("mean_raw"),
+        when(col("n_kept") > 0,
+          round(col("__skept").cast("double") / 1e6
+            / col("n_kept").cast("double"), 6)).as("mean_trimmed"))
+  }
+
   def winsorize(events: DataFrame, groupCol: String, valueCol: String,
                 loQ: Double, hiQ: Double,
                 outCol: String = "winsorized"): DataFrame = {

@@ -437,6 +437,17 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // Exact 5% trimmed mean per return flag: the robust center that
+    // REMOVES tail influence (winsorize clamps it); raw − trimmed is
+    // the outlier-mass readout.
+    "q248_trimmed_mean" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("tie", col("l_orderkey") * 10 + col("l_linenumber"))
+      EventAnalytics.trimmedMean(li, "l_returnflag", "l_extendedprice",
+          "tie", trim = 0.05)
+        .orderBy("l_returnflag")
+    }),
+
     // Poisson-bootstrap 95% CI on mean order value per status — the
     // distributed bootstrap (per-row Poisson(1) weights from the
     // portable hash; no with-replacement coordination).
@@ -777,6 +788,32 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same micro-value total order (value, orderkey*10+linenumber);
+    // rank cuts replay with row_number, sums in HUGEINT.
+    "q248_trimmed_mean" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+                      CAST(round(l_extendedprice * 1000000.0, 0) AS BIGINT) AS vm,
+                      l_orderkey * 10 + l_linenumber AS tie
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          k AS (SELECT g, vm,
+                  row_number() OVER (PARTITION BY g ORDER BY vm, tie) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+                FROM r),
+          a AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                       sum(CAST(vm AS HUGEINT)) AS sall,
+                       sum(CASE WHEN rn > (n * 500) // 10000
+                                 AND rn <= n - (n * 500) // 10000
+                                THEN CAST(vm AS HUGEINT) END) AS skept,
+                       CAST(sum(CASE WHEN rn > (n * 500) // 10000
+                                      AND rn <= n - (n * 500) // 10000
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+                FROM k GROUP BY g)
+          SELECT g AS l_returnflag, n, n_kept,
+                 round(CAST(sall AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean_raw,
+                 CASE WHEN n_kept > 0
+                      THEN round(CAST(skept AS DOUBLE) / 1000000.0 / CAST(n_kept AS DOUBLE), 6)
+                 END AS mean_trimmed
+          FROM a ORDER BY l_returnflag""",
     // Same Poisson(1) CDF threshold literals (Scala-computed, shared
     // verbatim); per-resample micro sums in HUGEINT; percentile ==
     // quantile_cont replay over the 32 per-resample means.

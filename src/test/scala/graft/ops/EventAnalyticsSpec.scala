@@ -151,6 +151,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L), ("x", 1L)), r.mkString(","))
   }
 
+  test("trimmedMean: one mega-outlier vanishes; cut is exact integer rank math") {
+    // values 1..9 plus 1000: raw mean 104.5; trim 10% drops rank 1 and
+    // rank 10 -> mean of 2..9 = 5.5
+    val df = ((1 to 9).map(i => ("g", i.toDouble, i.toLong)) :+
+      (("g", 1000.0, 10L))).toDF("k", "v", "id")
+    val r = EventAnalytics.trimmedMean(df, "k", "v", "id", trim = 0.1)
+      .as[(String, Long, Long, Double, Double)].head()
+    assert(r == (("g", 10L, 8L, 104.5, 5.5)), r.toString)
+    // n*trim < 1 -> nothing trimmed, means equal
+    val tiny = Seq(("g", 3.0, 1L), ("g", 5.0, 2L)).toDF("k", "v", "id")
+    val t = EventAnalytics.trimmedMean(tiny, "k", "v", "id", trim = 0.1)
+      .as[(String, Long, Long, Double, Double)].head()
+    assert(t == (("g", 2L, 2L, 4.0, 4.0)), t.toString)
+  }
+
   test("cohortValueMatrix: Monday cohorts, integer week ages, micro-exact sums") {
     // 2024-01-01 is a Monday; users 1 and 2 share the cohort week
     val ev = Seq(
