@@ -997,6 +997,53 @@ object DataQuality {
       .select("bin", "count_a", "count_b", "term_micro", "psi_micro")
   }
 
+  /** Pareto cut: members ranked by mass with cumulative share and an
+    * in_head flag for the prefix that covers `target` of the total —
+    * "which 4 of the 20 sources are 80% of the corpus", the
+    * prioritization readout next to [[hhi]]'s one-number concentration.
+    * The crossing member is INCLUDED (the head is the minimal prefix
+    * reaching the target).
+    *
+    * Determinism: masses fix to micro-unit decimals; rank order is the
+    * total (mass desc, member asc); the head test compares exact
+    * decimals cross-multiplied against the target's basis points —
+    * no double share ever decides membership. Shares are display-only
+    * doubles rounded 6 dp.
+    *
+    * Scale: one data aggregation to |members| rows; the rank/cumsum
+    * windows run over that table (members are a curated dimension —
+    * sources, shards, tenants — not data-sized). */
+  def paretoCut(df: DataFrame, memberCol: String, valueCol: String,
+                target: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(target > 0 && target < 1, s"paretoCut: target=$target outside (0,1)")
+    val bp = math.round(target * 10000)
+    val members = df.select(col(memberCol).as("__m"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__m"))
+      .agg(sum(round(col("__v") * 1e6, 0).cast("decimal(38,0)")).as("__mass"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("__mass").desc, col("__m"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    members
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__mass").desc, col("__m")))
+          .cast("long"))
+      .withColumn("__tot", sum(col("__mass")).over(wAll))
+      .withColumn("__cum", sum(col("__mass")).over(wCum))
+      .select(col("rank"), col("__m").as(memberCol),
+        round(col("__mass").cast("double") / 1e6, 6).as("mass"),
+        round(col("__mass").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_share"),
+        // head = rows whose PREDECESSOR cumulative hadn't reached the
+        // target: (cum - mass) * 10000 < tot * bp, exact decimals
+        ((col("__cum") - col("__mass")) * 10000 < col("__tot") * bp)
+          .as("in_head"))
+  }
+
   /** Herfindahl-Hirschman concentration of a mass column over the
     * members of each group: Σ share² ∈ (1/n, 1] — 1/n = perfectly even,
     * 1 = one member holds everything; the antitrust-style "how

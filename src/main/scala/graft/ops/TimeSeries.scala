@@ -387,6 +387,54 @@ object TimeSeries {
         max(struct(col("__ts"), col("__v"))).getField("__v").as("close"))
   }
 
+  /** Lead/lag cross-correlation between two event types' daily volume
+    * series: Pearson corr(A_t, B_{t+lag}) for every lag in
+    * [−maxLag, maxLag] — the "errors spike two days after signups"
+    * detector; the argmax row is the lead time, and
+    * [[graft.ops.DataQuality.autocorrelation]] is the A = B special
+    * case.
+    *
+    * Determinism: daily counts are exact longs; per-lag moments
+    * accumulate in decimal(38) over the inner-joined day pairs; one
+    * fixed-shape Pearson double per lag, rounded 6 dp, null when a
+    * side is constant. Days with zero events are ABSENT (inner join on
+    * the present-day series — compose with [[resampleFill]] when zeros
+    * must count; they usually should for sparse types).
+    *
+    * Scale: one aggregation to the calendar-bounded daily table; the
+    * lag fan-out multiplies DAYS (not events) by 2·maxLag+1 and joins
+    * day-keyed; per-lag reduction is map-side combined. */
+  def crossCorrelation(events: DataFrame, typeCol: String, tsCol: String,
+                       typeA: String, typeB: String,
+                       maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"crossCorrelation: maxLag=$maxLag must be >= 1")
+    val daily = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col("__t"), col("__d"))
+      .agg(count(lit(1)).as("__x"))
+    val a = daily.filter(col("__t") === typeA).select(col("__d"), col("__x").as("__xa"))
+    val b = daily.filter(col("__t") === typeB)
+      .select(col("__d").as("__db"), col("__x").as("__xb"))
+    val lagged = a.withColumn("lag",
+      explode(array((-maxLag to maxLag).map(l => lit(l)): _*)))
+    val j = lagged.join(b, col("__db") === date_add(col("__d"), col("lag")))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = j.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("__xa"))).as("__sa"), sum(dec(col("__xb"))).as("__sb"),
+        sum(dec(col("__xa")) * col("__xa")).as("__saa"),
+        sum(dec(col("__xb")) * col("__xb")).as("__sbb"),
+        sum(dec(col("__xa")) * col("__xb")).as("__sab"))
+    val n = dec(col("n_days"))
+    val num = (n * col("__sab") - col("__sa") * col("__sb")).cast("double")
+    val da = (n * col("__saa") - col("__sa") * col("__sa")).cast("double")
+    val db = (n * col("__sbb") - col("__sb") * col("__sb")).cast("double")
+    m.select(col("lag").cast("long").as("lag"), col("n_days"),
+      when(da > 0 && db > 0, round(num / sqrt(da * db), 6)).as("corr"))
+  }
+
   /** Inter-event gap distribution: per group, the seconds between a
     * user's consecutive events of that group, summarized as count +
     * mean + exact p50/p90 — the arrival-process fingerprint (a human's

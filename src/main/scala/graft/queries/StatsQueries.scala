@@ -437,6 +437,24 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // Lead/lag cross-correlation between click and purchase daily
+    // volumes: the argmax lag is the lead time ("purchases follow
+    // clicks by N days").
+    "q249_xcorr" -> ((s, dir) => {
+      graft.ops.TimeSeries.crossCorrelation(Tables.events(s, dir),
+          "event_type", "ts", "click", "purchase", maxLag = 7)
+        .orderBy("lag")
+    }),
+
+    // Pareto cut of corpus mass by source: the minimal source prefix
+    // covering 80% of characters — the prioritization table next to
+    // q241's one-number HHI.
+    "q250_pareto" -> ((s, dir) => {
+      DataQuality.paretoCut(Tables.documents(s, dir), "source", "n_chars",
+          target = 0.8)
+        .orderBy("rank")
+    }),
+
     // Exact 5% trimmed mean per return flag: the robust center that
     // REMOVES tail influence (winsorize clamps it); raw − trimmed is
     // the outlier-mass readout.
@@ -788,6 +806,51 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same day-keyed lag join over the present-day series; per-lag
+    // Pearson from HUGEINT moments.
+    "q249_xcorr" ->
+      """WITH daily AS (SELECT event_type AS t,
+                   CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+                 FROM events WHERE event_type IN ('click', 'purchase')
+                 GROUP BY 1, 2),
+          a AS (SELECT d, x AS xa FROM daily WHERE t = 'click'),
+          b AS (SELECT d AS db, x AS xb FROM daily WHERE t = 'purchase'),
+          l AS (SELECT a.d, a.xa, lag
+                FROM a CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag)),
+          j AS (SELECT lag, xa, xb
+                FROM l JOIN b ON b.db = l.d + CAST(l.lag AS INTEGER)),
+          m AS (SELECT lag, count(*) AS n_days,
+                       sum(CAST(xa AS HUGEINT)) AS sa, sum(CAST(xb AS HUGEINT)) AS sb,
+                       sum(CAST(xa AS HUGEINT) * xa) AS saa,
+                       sum(CAST(xb AS HUGEINT) * xb) AS sbb,
+                       sum(CAST(xa AS HUGEINT) * xb) AS sab
+                FROM j GROUP BY lag)
+          SELECT CAST(lag AS BIGINT) AS lag, n_days,
+                 CASE WHEN CAST(n_days * saa - sa * sa AS DOUBLE) > 0
+                       AND CAST(n_days * sbb - sb * sb AS DOUBLE) > 0
+                      THEN round(CAST(n_days * sab - sa * sb AS DOUBLE)
+                                 / sqrt(CAST(n_days * saa - sa * sa AS DOUBLE)
+                                        * CAST(n_days * sbb - sb * sb AS DOUBLE)), 6)
+                 END AS corr
+          FROM m ORDER BY lag""",
+    // Same exact decimal head test (cum - mass)*10000 < tot*8000 —
+    // no double share decides membership.
+    "q250_pareto" ->
+      """WITH m AS (SELECT source,
+                      sum(CAST(round(n_chars * 1000000.0, 0) AS HUGEINT)) AS mass
+                 FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+          r AS (SELECT source, mass,
+                  CAST(row_number() OVER (ORDER BY mass DESC, source) AS BIGINT) AS rank,
+                  sum(mass) OVER () AS tot,
+                  sum(mass) OVER (ORDER BY mass DESC, source
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM m)
+          SELECT rank, source,
+                 round(CAST(mass AS DOUBLE) / 1000000.0, 6) AS mass,
+                 round(CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+                 round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+                 (cum - mass) * 10000 < tot * 8000 AS in_head
+          FROM r ORDER BY rank""",
     // Same micro-value total order (value, orderkey*10+linenumber);
     // rank cuts replay with row_number, sums in HUGEINT.
     "q248_trimmed_mean" ->

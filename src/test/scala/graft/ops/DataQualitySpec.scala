@@ -505,6 +505,20 @@ class DataQualitySpec extends SparkSpec {
     assert(r(3) == (("zero", 2L, 0.0, None)), r(3).toString)
   }
 
+  test("paretoCut: minimal prefix, exact-boundary member excluded from head") {
+    // masses 50/30/15/5: cum shares .5/.8/.95/1 — the head stops at the
+    // member that REACHES 0.8 (rank 2); rank 3 starts AT 0.8, not below
+    val df = Seq(("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0))
+      .toDF("m", "v")
+    val r = DataQuality.paretoCut(df, "m", "v", target = 0.8)
+      .orderBy("rank")
+      .select("rank", "m", "share", "cum_share", "in_head")
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(r.map(x => (x._2, x._5)).toSeq ==
+      Seq(("a", true), ("b", true), ("c", false), ("d", false)), r.mkString(","))
+    assert(r(1)._4 == 0.8 && r(3)._4 == 1.0, r.mkString(","))
+  }
+
   test("hhi: 3:1 split, even split, monopoly") {
     val df = Seq(("g", "m1", 3.0), ("g", "m2", 1.0),
       ("e", "a", 2.0), ("e", "b", 2.0),

@@ -458,6 +458,22 @@ class TimeSeriesDpSpec extends SparkSpec {
       ("m", 0L, 9.0), ("m", 0L, 9.0)), r.mkString(","))
   }
 
+  test("crossCorrelation: a shifted copy peaks at exactly its lag") {
+    // B's daily volume = A's two days later: corr at lag +2 must be 1.0
+    val vols = Seq(5, 9, 2, 7, 4, 8, 3, 6)
+    val rows = vols.zipWithIndex.flatMap { case (v, i) =>
+      Seq.fill(v)(("A", ts(f"2024-01-${i + 1}%02d 10:00:00"))) ++
+        Seq.fill(v)(("B", ts(f"2024-01-${i + 3}%02d 10:00:00")))
+    }
+    val r = TimeSeries.crossCorrelation(rows.toDF("event_type", "ts"),
+        "event_type", "ts", "A", "B", maxLag = 3)
+      .orderBy("lag").select("lag", "corr")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(r(2L) == Some(1.0), r.toString)
+    // at other lags the permuted series can't also be perfectly aligned
+    assert(r(0L) != Some(1.0) && r(-2L) != Some(1.0), r.toString)
+  }
+
   test("interEventGaps: per-user gaps within the group, singles excluded") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "A", 0.0),
