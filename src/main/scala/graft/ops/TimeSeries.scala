@@ -387,6 +387,55 @@ object TimeSeries {
         max(struct(col("__ts"), col("__v"))).getField("__v").as("close"))
   }
 
+  /** Rolling correlation between two event types' daily volumes: per
+    * day, Pearson over the trailing `window` joint observations — the
+    * RELATIONSHIP drift detector ([[crossCorrelation]] finds the lag
+    * once; this watches whether the coupling itself decays, the
+    * leading indicator of an instrumentation break).
+    *
+    * Determinism: exact integer daily counts; trailing moments are
+    * integer/decimal window sums (order-free); one fixed-shape Pearson
+    * double per day, rounded 6 dp, null below `minPeriods` joint days
+    * or when a side is locally constant. Days missing EITHER series
+    * are absent (inner join; resampleFill composes when zeros count).
+    *
+    * Scale: one aggregation to the calendar-bounded daily table; the
+    * trailing window runs single-partition over that day table (the
+    * q202 calendar-domain contract), never the events. */
+  def rollingCorr(events: DataFrame, typeCol: String, tsCol: String,
+                  typeA: String, typeB: String, window: Int = 14,
+                  minPeriods: Int = 5): DataFrame = {
+    require(window >= 2 && minPeriods >= 2 && minPeriods <= window,
+      s"rollingCorr: need 2 <= minPeriods=$minPeriods <= window=$window")
+    val daily = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col("__t"), col("__d"))
+      .agg(count(lit(1)).as("__x"))
+    val a = daily.filter(col("__t") === typeA).select(col("__d"), col("__x").as("__xa"))
+    val b = daily.filter(col("__t") === typeB).select(col("__d"), col("__x").as("__xb"))
+    val j = a.join(b, Seq("__d"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("__d"))
+      .rowsBetween(-(window - 1), 0)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val withM = j
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sa", sum(dec(col("__xa"))).over(w))
+      .withColumn("__sb", sum(dec(col("__xb"))).over(w))
+      .withColumn("__saa", sum(dec(col("__xa")) * col("__xa")).over(w))
+      .withColumn("__sbb", sum(dec(col("__xb")) * col("__xb")).over(w))
+      .withColumn("__sab", sum(dec(col("__xa")) * col("__xb")).over(w))
+    val n = dec(col("__n"))
+    val num = (n * col("__sab") - col("__sa") * col("__sb")).cast("double")
+    val da = (n * col("__saa") - col("__sa") * col("__sa")).cast("double")
+    val db = (n * col("__sbb") - col("__sb") * col("__sb")).cast("double")
+    withM.select(col("__d").as("day"),
+      col("__xa").as("n_a"), col("__xb").as("n_b"), col("__n").as("n_window"),
+      when(col("__n") >= minPeriods && da > 0 && db > 0,
+        round(num / sqrt(da * db), 6)).as("corr"))
+  }
+
   /** Lead/lag cross-correlation between two event types' daily volume
     * series: Pearson corr(A_t, B_{t+lag}) for every lag in
     * [−maxLag, maxLag] — the "errors spike two days after signups"
@@ -543,6 +592,41 @@ object TimeSeries {
         col("__x").as("n"), col("trend"), col("seasonal"),
         round(col("__x").cast("double") - col("trend") - col("seasonal"), 6)
           .as("remainder"))
+  }
+
+  /** Seasonal-adjusted anomalies — the payoff of
+    * [[seasonalDecompose]]: flag days whose decomposition REMAINDER
+    * sits more than k MADs from the group's median remainder. Raw
+    * thresholds (and the EWMA chart) see weekly rhythm as noise;
+    * operating on the remainder asks the right question — "is today
+    * anomalous FOR a Tuesday in this trend?" — and MAD keeps the
+    * threshold itself outlier-proof (a σ-based band widens to admit
+    * exactly the spikes it should catch).
+    *
+    * Determinism: remainders are the decomposition's 6-dp values; the
+    * two exact medians per group (median, then MAD) use `percentile`
+    * over the calendar-bounded daily table (the q50 contract); the
+    * flag compares fixed-shape doubles. Edge days without a full
+    * trend window carry null remainder and never flag. */
+  def seasonalAnomalies(events: DataFrame, groupCol: String, tsCol: String,
+                        k: Double = 3.0): DataFrame = {
+    require(k > 0, s"seasonalAnomalies: k=$k must be > 0")
+    val d = seasonalDecompose(events, groupCol, tsCol)
+    val med = d.filter(col("remainder").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(round(expr("percentile(remainder, 0.5)"), 6).as("__med"))
+    val withMed = d.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn("__dev",
+        when(col("remainder").isNotNull,
+          round(abs(col("remainder") - col("__med")), 6)))
+    val mad = withMed.filter(col("__dev").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(round(expr("percentile(__dev, 0.5)"), 6).as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol), "left")
+      .select(col(groupCol), col("day"), col("n"), col("remainder"),
+        col("__mad").as("mad"),
+        coalesce(col("__mad") > 0 && col("__dev") > lit(k) * col("__mad"),
+          lit(false)).as("anomaly"))
   }
 
   /** EWMA control chart over a pre-aggregated per-group series

@@ -437,6 +437,23 @@ object StatsQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // Rolling 14-day correlation between click and purchase volumes:
+    // watches whether the coupling itself decays — the leading
+    // indicator of an instrumentation break.
+    "q251_rolling_corr" -> ((s, dir) => {
+      graft.ops.TimeSeries.rollingCorr(Tables.events(s, dir),
+          "event_type", "ts", "click", "purchase", window = 14, minPeriods = 5)
+        .orderBy("day")
+    }),
+
+    // Seasonal-adjusted anomalies: |remainder − median| > 3·MAD on
+    // q230's decomposition — "anomalous FOR a Tuesday in this trend".
+    "q252_seasonal_anomaly" -> ((s, dir) => {
+      graft.ops.TimeSeries.seasonalAnomalies(Tables.events(s, dir),
+          "event_type", "ts", k = 3.0)
+        .orderBy("event_type", "day")
+    }),
+
     // Lead/lag cross-correlation between click and purchase daily
     // volumes: the argmax lag is the lead time ("purchases follow
     // clicks by N days").
@@ -806,6 +823,74 @@ object StatsQueries {
                  round(CAST(max(tot) AS DOUBLE) / 1000000.0, 6) AS total_weight,
                  min(v) AS wmedian
           FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+    // Same trailing HUGEINT moment windows over the joined day table.
+    "q251_rolling_corr" ->
+      """WITH daily AS (SELECT event_type AS t,
+                   CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+                 FROM events WHERE event_type IN ('click', 'purchase')
+                 GROUP BY 1, 2),
+          a AS (SELECT d, x AS xa FROM daily WHERE t = 'click'),
+          b AS (SELECT d, x AS xb FROM daily WHERE t = 'purchase'),
+          j AS (SELECT a.d, xa, xb FROM a JOIN b USING (d)),
+          w AS (SELECT d, xa, xb,
+                  count(*) OVER tw AS n,
+                  sum(CAST(xa AS HUGEINT)) OVER tw AS sa,
+                  sum(CAST(xb AS HUGEINT)) OVER tw AS sb,
+                  sum(CAST(xa AS HUGEINT) * xa) OVER tw AS saa,
+                  sum(CAST(xb AS HUGEINT) * xb) OVER tw AS sbb,
+                  sum(CAST(xa AS HUGEINT) * xb) OVER tw AS sab
+                FROM j
+                WINDOW tw AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT d AS day, CAST(xa AS BIGINT) AS n_a, CAST(xb AS BIGINT) AS n_b,
+                 CAST(n AS BIGINT) AS n_window,
+                 CASE WHEN n >= 5 AND CAST(n * saa - sa * sa AS DOUBLE) > 0
+                       AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+                      THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+                 END AS corr
+          FROM w ORDER BY day""",
+    // q230's decomposition chain + two exact medians (quantile_cont ==
+    // percentile replay); flag on fixed-shape doubles.
+    "q252_seasonal_anomaly" ->
+      """WITH daily AS (SELECT event_type AS g,
+                   CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+                 FROM events GROUP BY 1, 2),
+          tr AS (SELECT g, d, x,
+                   CASE WHEN count(x) OVER wc = 7
+                        THEN round(CAST(sum(x) OVER wc AS DOUBLE) / 7.0, 6)
+                   END AS trend
+                 FROM daily
+                 WINDOW wc AS (PARTITION BY g ORDER BY d
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          det AS (SELECT g, d, x, trend,
+                    CAST(x AS DOUBLE) - trend AS dt, dayofweek(d) AS dow
+                  FROM tr),
+          sm AS (SELECT g, dow,
+                   sum(CAST(round(dt * 1000000.0, 0) AS HUGEINT)) AS s,
+                   CAST(count(*) AS HUGEINT) AS k
+                 FROM det WHERE dt IS NOT NULL GROUP BY g, dow),
+          se AS (SELECT g, dow,
+                   round(CAST((CASE WHEN s >= 0 THEN (abs(s) * 2 + k) // (k * 2)
+                               ELSE -((abs(s) * 2 + k) // (k * 2)) END) AS DOUBLE)
+                         / 1000000.0, 6) AS seasonal
+                 FROM sm),
+          rem AS (SELECT det.g, det.d, det.x,
+                    round(CAST(det.x AS DOUBLE) - det.trend - se.seasonal, 6) AS remainder
+                  FROM det LEFT JOIN se ON se.g = det.g AND se.dow = det.dow),
+          md AS (SELECT g, round(quantile_cont(remainder, 0.5), 6) AS med
+                 FROM rem WHERE remainder IS NOT NULL GROUP BY g),
+          dv AS (SELECT rem.g, rem.d, rem.x, rem.remainder,
+                   CASE WHEN rem.remainder IS NOT NULL
+                        THEN round(abs(rem.remainder - md.med), 6) END AS dev
+                 FROM rem LEFT JOIN md ON md.g = rem.g),
+          mad AS (SELECT g, round(quantile_cont(dev, 0.5), 6) AS mad
+                  FROM dv WHERE dev IS NOT NULL GROUP BY g)
+          SELECT dv.g AS event_type, dv.d AS day, CAST(dv.x AS BIGINT) AS n,
+                 dv.remainder, mad.mad AS mad,
+                 coalesce(mad.mad > 0 AND dv.dev > 3.0 * mad.mad, false) AS anomaly
+          FROM dv LEFT JOIN mad ON mad.g = dv.g
+          ORDER BY event_type, day""",
     // Same day-keyed lag join over the present-day series; per-lag
     // Pearson from HUGEINT moments.
     "q249_xcorr" ->

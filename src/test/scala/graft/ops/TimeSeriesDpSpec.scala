@@ -458,6 +458,35 @@ class TimeSeriesDpSpec extends SparkSpec {
       ("m", 0L, 9.0), ("m", 0L, 9.0)), r.mkString(","))
   }
 
+  test("rollingCorr: linear coupling reads 1.0; below minPeriods reads null") {
+    // B = 2*A daily: every window with >= minPeriods days has corr 1
+    val vols = Seq(5, 9, 2, 7, 4, 8, 3, 6)
+    val rows = vols.zipWithIndex.flatMap { case (v, i) =>
+      Seq.fill(v)(("A", ts(f"2024-01-${i + 1}%02d 10:00:00"))) ++
+        Seq.fill(2 * v)(("B", ts(f"2024-01-${i + 1}%02d 10:00:00")))
+    }
+    val r = TimeSeries.rollingCorr(rows.toDF("event_type", "ts"),
+        "event_type", "ts", "A", "B", window = 14, minPeriods = 5)
+      .orderBy("day").select("n_window", "corr")
+      .as[(Long, Option[Double])].collect()
+    assert(r.take(4).forall(_._2.isEmpty), r.mkString(","))   // < minPeriods
+    assert(r.drop(4).forall(_._2 == Some(1.0)), r.mkString(","))
+  }
+
+  test("seasonalAnomalies: weekly rhythm never flags; a broken Tuesday does") {
+    // 3 clean weekly-patterned weeks, then one day at 10x its weekday
+    val base = (0 until 28).map(i => (i, 7 * (i % 7 + 1)))
+    val rows = base.flatMap { case (i, v) =>
+      val n = if (i == 23) v * 10 else v
+      Seq.fill(n)(("g", ts(f"2024-01-${i + 1}%02d 12:00:00")))
+    }
+    val r = TimeSeries.seasonalAnomalies(rows.toDF("g", "ts"), "g", "ts", 3.0)
+      .orderBy("day").select("anomaly").as[Boolean].collect()
+    // the spike day flags; the weekly rhythm itself never does
+    assert(r(23), r.mkString(","))
+    assert(r.count(identity) <= 3, r.mkString(","))  // spike + trend bleed only
+  }
+
   test("crossCorrelation: a shifted copy peaks at exactly its lag") {
     // B's daily volume = A's two days later: corr at lag +2 must be 1.0
     val vols = Seq(5, 9, 2, 7, 4, 8, 3, 6)
