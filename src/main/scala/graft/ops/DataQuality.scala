@@ -1034,9 +1034,14 @@ object DataQuality {
       .withColumn("__cum", sum(col("__mass")).over(wCum))
       .select(col("rank"), col("__m").as(memberCol),
         round(col("__mass").cast("double") / 1e6, 6).as("mass"),
-        round(col("__mass").cast("double") / col("__tot").cast("double"), 6)
+        // guard wraps the division (ANSI raises on double/0 too): a
+        // zero total mass — every member 0, or signed masses canceling
+        // — yields null shares, not a crash
+        when(col("__tot") =!= 0,
+          round(col("__mass").cast("double") / col("__tot").cast("double"), 6))
           .as("share"),
-        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+        when(col("__tot") =!= 0,
+          round(col("__cum").cast("double") / col("__tot").cast("double"), 6))
           .as("cum_share"),
         // head = rows whose PREDECESSOR cumulative hadn't reached the
         // target: (cum - mass) * 10000 < tot * bp, exact decimals

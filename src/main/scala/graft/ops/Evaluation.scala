@@ -202,8 +202,12 @@ object Evaluation {
     val rows = df.select(col(scoreCol).cast("double").as("__v"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
       .filter(col("__v").isNotNull && col(labelCol).isNotNull)
+    // the distinct-score counts feed three consumers (bounds probe,
+    // row total, prefix-sum pass): persist so the data aggregates once
     val counts = rows.groupBy(col("__v"))
       .agg(sum(col("__pos")).as("__cp"), count(lit(1)).as("__t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => counts.unpersist())
     val bounds = counts.agg(min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
     val withB = counts.crossJoin(broadcast(bounds))
     val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)

@@ -104,19 +104,6 @@ object EventAnalytics {
       .drop("__med", "__mad")
   }
 
-  /** Per-group winsorization: clip `valueCol` into its group's
-    * [loQ, hiQ] exact-percentile envelope — the outlier TREATMENT twin
-    * of [[zScoreOutliers]]'s detection (robust feature prep: tame heavy
-    * tails without dropping rows). Appends `outCol` (the 6dp-rounded
-    * clipped value) plus the per-group bounds `__wlo`/`__whi` the caller
-    * may drop or keep for audit.
-    *
-    * Scale: one aggregation computes both bounds per group (map-side
-    * partial into a tiny |groups|-row table) and broadcasts back — no
-    * window over the data, no second exchange of the input. Exact
-    * `percentile` here for oracle replay; at lake scale swap in the
-    * mergeable [[Sketches.quantileSketchGrouped]] bounds, same clip
-    * expression. */
   /** Exact per-group trimmed mean: drop the floor(n·trim) smallest and
     * largest values (by the total (value, tie) order) and average the
     * middle — the robust center that, unlike [[winsorize]] (which
@@ -174,6 +161,19 @@ object EventAnalytics {
             / col("n_kept").cast("double"), 6)).as("mean_trimmed"))
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [loQ, hiQ] exact-percentile envelope — the outlier TREATMENT twin
+    * of [[zScoreOutliers]]'s detection (robust feature prep: tame heavy
+    * tails without dropping rows). Appends `outCol` (the 6dp-rounded
+    * clipped value) plus the per-group bounds `__wlo`/`__whi` the caller
+    * may drop or keep for audit.
+    *
+    * Scale: one aggregation computes both bounds per group (map-side
+    * partial into a tiny |groups|-row table) and broadcasts back — no
+    * window over the data, no second exchange of the input. Exact
+    * `percentile` here for oracle replay; at lake scale swap in the
+    * mergeable [[Sketches.quantileSketchGrouped]] bounds, same clip
+    * expression. */
   def winsorize(events: DataFrame, groupCol: String, valueCol: String,
                 loQ: Double, hiQ: Double,
                 outCol: String = "winsorized"): DataFrame = {
@@ -366,27 +366,6 @@ object EventAnalytics {
       round(expr("percentile(__delta, 0.9)"), 6).as("p90_seconds"))
   }
 
-  /** RFM segmentation (Hughes 1994): per customer the recency (days
-    * from last order to the table horizon), frequency (order count)
-    * and monetary (exact decimal amount sum), each scored into
-    * quintiles 1–5 — the classic customer-value grid, and the same
-    * shape a curation pipeline uses to tier data SOURCES (recently
-    * crawled / frequently updated / high-volume).
-    *
-    * Quintiles are EXACT and tie-stable without a data-sized ntile
-    * window: for each metric the # of strictly-smaller customers
-    * (`before`) comes from [[Ranking.globalPrefixSum]] over the
-    * distinct-value counts table (1024 monotone buckets), and
-    * score = before·5 div n + 1 — integer division on exact longs, so
-    * tied values always share a score (ntile would split them by
-    * partition luck). r_score is reversed (5 = most recent). Monetary
-    * sums accumulate in decimal(18,2) — a double sum's tree order
-    * would be run-dependent.
-    *
-    * Scale: one customer aggregation, then per metric a value-counts
-    * aggregation + prefix sum + a value-keyed join back (the counts
-    * side is |distinct values| rows). Output: one row per customer
-    * (recency_days, frequency, monetary, r/f/m scores, rfm cell). */
   /** Top-K session opening paths: the first `depth` event types of each
     * gap-defined session, joined with ">" — the entry-flow table behind
     * a funnel hypothesis ([[funnelDepth]] checks ONE prescribed path;
@@ -423,6 +402,27 @@ object EventAnalytics {
       .limit(topK)
   }
 
+  /** RFM segmentation (Hughes 1994): per customer the recency (days
+    * from last order to the table horizon), frequency (order count)
+    * and monetary (exact decimal amount sum), each scored into
+    * quintiles 1–5 — the classic customer-value grid, and the same
+    * shape a curation pipeline uses to tier data SOURCES (recently
+    * crawled / frequently updated / high-volume).
+    *
+    * Quintiles are EXACT and tie-stable without a data-sized ntile
+    * window: for each metric the # of strictly-smaller customers
+    * (`before`) comes from [[Ranking.globalPrefixSum]] over the
+    * distinct-value counts table (1024 monotone buckets), and
+    * score = before·5 div n + 1 — integer division on exact longs, so
+    * tied values always share a score (ntile would split them by
+    * partition luck). r_score is reversed (5 = most recent). Monetary
+    * sums accumulate in decimal(18,2) — a double sum's tree order
+    * would be run-dependent.
+    *
+    * Scale: one customer aggregation, then per metric a value-counts
+    * aggregation + prefix sum + a value-keyed join back (the counts
+    * side is |distinct values| rows). Output: one row per customer
+    * (recency_days, frequency, monetary, r/f/m scores, rfm cell). */
   def rfmScores(orders: DataFrame, custCol: String, dateCol: String,
                 amountCol: String): DataFrame = {
     val horizon = orders.agg(max(to_date(col(dateCol))).as("__hz"))

@@ -262,6 +262,10 @@ object Sampling {
       .select((col("__r") - 1).as("__r"), col("__item"))
     val anchors = positives.select(col(anchorCol).as("__a")).distinct()
       .crossJoin(broadcast(bounds))
+      // an empty universe would make the pmod below a modulo-by-zero
+      // (ANSI runtime error); with the filter it yields zero rows,
+      // which IS the right answer for "sample from nothing"
+      .filter(col("__n") > 0)
     val cands = anchors
       .withColumn("__j", explode(array((0 until k).map(lit): _*)))
       .withColumn("__r",

@@ -600,22 +600,6 @@ object TextAnalysis {
             / (lit(2.0) * col("f2").cast("double")), 6)).as("chao1"))
   }
 
-  /** Zipf fit of the corpus token-frequency curve: OLS of ln(freq) on
-    * ln(rank) over the top-`topK` tokens — a healthy natural-language
-    * corpus runs slope ≈ −1 (Zipf 1949); a flat slope screams template/
-    * boilerplate spam and a cliff screams deduplication debt. One row
-    * (k, slope, intercept, r2).
-    *
-    * Scale: the token-count aggregation is map-side combined; the
-    * top-K cut is a TakeOrderedAndProject (per-partition heaps — the
-    * vocabulary long tail never reaches a global sort); the rank
-    * window and the OLS aggregate run over K rows. Determinism: both
-    * logs are micro-nat-rounded longs (ln is libm-bound — last-ulp
-    * differences across engines are possible, so fix the value BEFORE
-    * summing); the OLS numerators/denominators are exact decimal(38)
-    * sums of those integers; the three divisions at the edge are
-    * fixed-shape doubles, rounded 6 dp. Ties in frequency rank by
-    * token ascending (total order — the globalRowNumber contract). */
   /** Flesch reading ease per document from portable counting
     * heuristics: sentences = non-empty [.!?]-separated spans, words =
     * whitespace tokens, syllables = vowel-group count floored at the
@@ -650,6 +634,22 @@ object TextAnalysis {
               / col("n_words").cast("double"), 6)).as("flesch"))
   }
 
+  /** Zipf fit of the corpus token-frequency curve: OLS of ln(freq) on
+    * ln(rank) over the top-`topK` tokens — a healthy natural-language
+    * corpus runs slope ≈ −1 (Zipf 1949); a flat slope screams template/
+    * boilerplate spam and a cliff screams deduplication debt. One row
+    * (k, slope, intercept, r2).
+    *
+    * Scale: the token-count aggregation is map-side combined; the
+    * top-K cut is a TakeOrderedAndProject (per-partition heaps — the
+    * vocabulary long tail never reaches a global sort); the rank
+    * window and the OLS aggregate run over K rows. Determinism: both
+    * logs are micro-nat-rounded longs (ln is libm-bound — last-ulp
+    * differences across engines are possible, so fix the value BEFORE
+    * summing); the OLS numerators/denominators are exact decimal(38)
+    * sums of those integers; the three divisions at the edge are
+    * fixed-shape doubles, rounded 6 dp. Ties in frequency rank by
+    * token ascending (total order — the globalRowNumber contract). */
   def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
     require(topK >= 2, s"zipfSlope: topK=$topK must be >= 2")
     val counts = docs

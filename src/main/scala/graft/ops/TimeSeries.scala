@@ -413,6 +413,10 @@ object TimeSeries {
       .filter(col("__d").isNotNull)
       .groupBy(col("__t"), col("__d"))
       .agg(count(lit(1)).as("__x"))
+      // the daily table feeds both series filters: persist so the
+      // event scan runs once (QueryCleanup handover)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => daily.unpersist())
     val a = daily.filter(col("__t") === typeA).select(col("__d"), col("__x").as("__xa"))
     val b = daily.filter(col("__t") === typeB).select(col("__d"), col("__x").as("__xb"))
     val j = a.join(b, Seq("__d"))
@@ -463,6 +467,10 @@ object TimeSeries {
       .filter(col("__d").isNotNull)
       .groupBy(col("__t"), col("__d"))
       .agg(count(lit(1)).as("__x"))
+      // the daily table feeds both series filters: persist so the
+      // event scan runs once (QueryCleanup handover)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => daily.unpersist())
     val a = daily.filter(col("__t") === typeA).select(col("__d"), col("__x").as("__xa"))
     val b = daily.filter(col("__t") === typeB)
       .select(col("__d").as("__db"), col("__x").as("__xb"))
@@ -611,7 +619,12 @@ object TimeSeries {
   def seasonalAnomalies(events: DataFrame, groupCol: String, tsCol: String,
                         k: Double = 3.0): DataFrame = {
     require(k > 0, s"seasonalAnomalies: k=$k must be > 0")
+    // the decomposition feeds three consumers (median, MAD, final
+    // select): persist the calendar-bounded daily table so the event
+    // scan + trend/seasonal chain runs once (QueryCleanup handover)
     val d = seasonalDecompose(events, groupCol, tsCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => d.unpersist())
     val med = d.filter(col("remainder").isNotNull)
       .groupBy(col(groupCol))
       .agg(round(expr("percentile(remainder, 0.5)"), 6).as("__med"))

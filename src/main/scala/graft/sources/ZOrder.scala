@@ -42,11 +42,16 @@ object ZOrder {
     * dimension got ZERO file-skipping under pmod bucketing at sf0.1;
     * see PERFORMANCE.md "z-order file skipping"). Range binning spends
     * all `bits` of both dimensions regardless of domain width. */
-  def rangeBucket(c: Column, maxVal: Long, bits: Int): Column = {
-    require(maxVal >= 0, s"maxVal=$maxVal must be >= 0")
+  def rangeBucket(c: Column, minVal: Long, maxVal: Long, bits: Int): Column = {
+    require(maxVal >= minVal, s"maxVal=$maxVal must be >= minVal=$minVal")
     require(bits >= 1 && bits <= 31, s"bits=$bits out of (0, 31]")
-    least(floor(c.cast("double") * (1L << bits).toDouble / (maxVal + 1.0)),
-      lit((1L << bits) - 1L)).cast("long")
+    // clamp BOTH ends: a value outside the probed range (or any
+    // negative offset) must never reach zValue — a negative bucket
+    // would interleave sign-extended garbage silently
+    greatest(lit(0L),
+      least(floor((c - minVal).cast("double") * (1L << bits).toDouble
+          / (maxVal - minVal + 1.0)),
+        lit((1L << bits) - 1L))).cast("long")
   }
 
   /** Rewrite a parquet directory z-ordered on two bucketed keys:
@@ -64,10 +69,17 @@ object ZOrder {
     val df = spark.read.parquet(inDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = math.max(1L, (bytes.toLong + targetBytes - 1) / targetBytes).toInt
-    val mx = df.agg(max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head
+    val mx = df.agg(min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head
+    if (mx.isNullAt(0) || mx.isNullAt(2)) {
+      // empty (or all-null-key) input: nothing to cluster — write the
+      // empty frame so the output directory is still readable
+      df.write.mode("overwrite").parquet(outDir)
+      return n
+    }
     val z = zValue(
-      rangeBucket(col(xCol).cast("long"), mx.getLong(0), bits),
-      rangeBucket(col(yCol).cast("long"), mx.getLong(1), bits), bits)
+      rangeBucket(col(xCol).cast("long"), mx.getLong(0), mx.getLong(1), bits),
+      rangeBucket(col(yCol).cast("long"), mx.getLong(2), mx.getLong(3), bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")

@@ -30,11 +30,13 @@ class ZOrderSpec extends SparkSpec {
     val outZ = s"/tmp/graft_zorder_out_${System.nanoTime()}"
     val outX = s"/tmp/graft_xsort_out_${System.nanoTime()}"
     grid.write.parquet(in)
-    // target sized to produce several files from this tiny input
+    // target sized to produce enough files that z-squares are clearly
+    // tighter than the 2x bound (at ~8 files the y-spread sits right at
+    // the boundary and file-cut jitter flips the assertion)
     val n = ZOrder.compactZOrder(spark, in, outZ, "x", "y", bits = 6,
-      targetBytes = 8L * 1024)
-    Compaction.compact(spark, in, outX, "x", targetBytes = 8L * 1024)
-    assert(n >= 4, s"fixture too small to test layout: $n file(s)")
+      targetBytes = 4L * 1024)
+    Compaction.compact(spark, in, outX, "x", targetBytes = 4L * 1024)
+    assert(n >= 8, s"fixture too small to test layout: $n file(s)")
     def spreads(dir: String): (Double, Double) = {
       val s = spark.read.parquet(dir)
         .select(input_file_name().as("f"), $"x", $"y")
@@ -59,14 +61,25 @@ class ZOrderSpec extends SparkSpec {
     // always zero, so the interleave is dominated by the other column;
     // range bucketing spreads the same values across the full range
     val vals = spark.range(1000).select($"id".as("v"))
-    val rb = vals.select(ZOrder.rangeBucket($"v", 999L, 15).as("b"))
+    val rb = vals.select(ZOrder.rangeBucket($"v", 0L, 999L, 15).as("b"))
       .agg(min("b"), max("b")).as[(Long, Long)].head()
     assert(rb._1 == 0L && rb._2 > 32000L, rb.toString)
     // monotone: raw-value range predicates still align with the curve
-    val pairs = vals.select($"v", ZOrder.rangeBucket($"v", 999L, 15).as("b"))
+    val pairs = vals.select($"v", ZOrder.rangeBucket($"v", 0L, 999L, 15).as("b"))
       .orderBy("v").as[(Long, Long)].collect()
     assert(pairs.sliding(2).forall(w => w(0)._2 <= w(1)._2))
     // max value stays inside the bucket space
     assert(pairs.last._2 < (1L << 15))
+    // out-of-range and negative values clamp instead of interleaving
+    // sign-extended garbage
+    val edge = Seq(-50L, 0L, 999L, 5000L).toDF("v")
+      .select(ZOrder.rangeBucket($"v", 0L, 999L, 15).as("b"))
+      .as[Long].collect()
+    assert(edge.forall(b => b >= 0 && b < (1L << 15)), edge.mkString(","))
+    // negative domain shifts cleanly through minVal
+    val neg = Seq(-100L, -1L).toDF("v")
+      .select(ZOrder.rangeBucket($"v", -100L, -1L, 6).as("b"))
+      .as[Long].collect()
+    assert(neg(0) == 0L && neg(1) == 63L, neg.mkString(","))
   }
 }

@@ -8,9 +8,10 @@
 // dimensions, and a single-column sort leaves the second column's
 // per-file ranges as wide as the table). Results -> PERFORMANCE.md.
 //
-// partkey/suppkey domains at sf0.1 fit in 15 bits, so the pmod bucketing
-// inside compactZOrder is the identity and raw-value range predicates
-// align with the curve.
+// compactZOrder range-buckets both keys against their observed
+// min/max (monotone in the raw values), so raw-value range predicates
+// align with the curve and BOTH dimensions spend all their bits even
+// with mismatched domains (partkey ~20k vs suppkey ~1k here).
 //
 // Usage:
 //   /opt/spark/bin/spark-shell --master 'local[32]' \
@@ -27,7 +28,7 @@ val (pMax, sMax) = {
   val r = base.agg(max("l_partkey"), max("l_suppkey")).head
   (r.getLong(0), r.getLong(1))
 }
-require(pMax < (1L << 15) && sMax < (1L << 15), s"domains $pMax/$sMax need <2^15")
+// rangeBucket normalizes any domain into the 15-bit space; no cap needed
 
 val tag = System.nanoTime()
 val dirNat = s"/tmp/graft_zskip_natural_$tag"
