@@ -125,14 +125,7 @@ object Evaluation {
       .filter(col("__v").isNotNull && col(labelCol).isNotNull)
     val counts = rows.groupBy(col("__v"))
       .agg(sum(col("__pos")).as("__cp"), count(lit(1)).as("__t"))
-    val bounds = counts.agg(min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
-    val withB = counts.crossJoin(broadcast(bounds))
-    val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
-    val bucket = when(bWidth > 0,
-      least(floor((col("__v") - col("__bmn")) / bWidth), lit(1023L)))
-      .otherwise(lit(0L))
-    val cum = Ranking.globalPrefixSum(withB, Seq("__v"), bucket, "__t", "__cumt")
-      .withColumn("__before", col("__cumt") - col("__t"))
+    val cum = Ranking.valueCountsBefore(counts, "__v", "__t")
     val agg = cum.agg(
       sum(col("__cp")).as("n_pos"),
       sum(col("__t") - col("__cp")).as("n_neg"),
@@ -208,15 +201,8 @@ object Evaluation {
       .agg(sum(col("__pos")).as("__cp"), count(lit(1)).as("__t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     graft.QueryCleanup.register(() => counts.unpersist())
-    val bounds = counts.agg(min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
-    val withB = counts.crossJoin(broadcast(bounds))
-    val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
-    val bucket = when(bWidth > 0,
-      least(floor((col("__v") - col("__bmn")) / bWidth), lit(1023L)))
-      .otherwise(lit(0L))
     val nRow = counts.agg(sum(col("__t")).as("__n"))
-    val tiles = Ranking.globalPrefixSum(withB, Seq("__v"), bucket, "__t", "__cum")
-      .withColumn("__before", col("__cum") - col("__t"))
+    val tiles = Ranking.valueCountsBefore(counts, "__v", "__t")
       .crossJoin(broadcast(nRow))
       .withColumn("tile",
         (expr(s"(__before * $nTiles) div __n") + 1).cast("long"))

@@ -442,16 +442,7 @@ object EventAnalytics {
     // (metric value -> quintile score): before = strictly-smaller count
     def scoreMap(metric: String, out: String): DataFrame = {
       val counts = cust.groupBy(col(metric)).agg(count(lit(1)).as("__t"))
-      val bounds = counts.agg(min(col(metric).cast("double")).as("__bmn"),
-        max(col(metric).cast("double")).as("__bmx"))
-      val withB = counts.crossJoin(broadcast(bounds))
-      val vD = col(metric).cast("double")
-      val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
-      val bucket = when(bWidth > 0,
-        least(floor((vD - col("__bmn")) / bWidth), lit(1023L)))
-        .otherwise(lit(0L))
-      Ranking.globalPrefixSum(withB, Seq(metric), bucket, "__t", "__cum")
-        .withColumn("__before", col("__cum") - col("__t"))
+      Ranking.valueCountsBefore(counts, metric, "__t")
         .crossJoin(broadcast(nRow))
         .select(col(metric),
           (expr("(__before * 5) div __n") + 1).cast("long").as(out))

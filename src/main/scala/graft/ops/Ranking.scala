@@ -56,6 +56,29 @@ object Ranking {
       .drop("__psb", "__psr", "__pso")
   }
 
+  /** Append `__before` = the number of UNITS strictly smaller than
+    * each row's `valueCol`, given a (value, per-value count) table —
+    * the shared preamble of every exact rank statistic built on the
+    * distinct-value counts (AUC midranks, quantile tiles, RFM scores):
+    * 1024 equal-width value buckets from a 1-row bounds probe (a
+    * monotone coarse prefix of the value order — the
+    * [[globalPrefixSum]] contract), cumulative counts, minus the row's
+    * own count. Degenerate single-value domains collapse to bucket 0.
+    * The input must be value-DISTINCT (one row per value). */
+  def valueCountsBefore(counts: DataFrame, valueCol: String,
+                        countCol: String): DataFrame = {
+    val bounds = counts.agg(min(col(valueCol)).as("__bmn"),
+      max(col(valueCol)).as("__bmx"))
+    val withB = counts.crossJoin(broadcast(bounds))
+    val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+    val bucket = when(bWidth > 0,
+      least(floor((col(valueCol) - col("__bmn")) / bWidth), lit(1023L)))
+      .otherwise(lit(0L))
+    globalPrefixSum(withB, Seq(valueCol), bucket, countCol, "__cumt")
+      .withColumn("__before", col("__cumt") - col(countCol))
+      .drop("__bmn", "__bmx", "__cumt")
+  }
+
   /** Append `outCol` = the 1-based global row number of each row in
     * `orderCols` order. Rows with a NULL first order key are excluded
     * (their global position is undefined). */
