@@ -671,6 +671,12 @@ object Dedup {
     * that keeps the inverted index linear in matches, not quadratic in a
     * ubiquitous phrase's document frequency.
     *
+    * Both `shared` and the per-doc counts |fp| are taken WITHIN the
+    * retained (post-df-cap) fingerprint space — numerator and denominator
+    * measure the same set, so two near-identical boilerplate-heavy docs
+    * still score ~1.0 (a pre-cap denominator would systematically deflate
+    * exactly those pairs).
+    *
     * Scale: the self-join is an equi-join on fp_hash over the df-capped
     * index; per-doc fingerprint counts ride the same pass (window count),
     * so one shuffle builds the index and one aggregates pairs. */
@@ -679,9 +685,9 @@ object Dedup {
                          maxDf: Int = 50): DataFrame = {
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
-      .withColumn("__nf", count(lit(1)).over(Window.partitionBy(col("__id"))))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__df") <= maxDf)
+      .withColumn("__nf", count(lit(1)).over(Window.partitionBy(col("__id"))))
     val a = fp.select(col("__id").as("id_a"), col("__h"), col("__nf").as("__na"))
     val b = fp.select(col("__id").as("id_b"), col("__h"), col("__nf").as("__nb"))
     a.join(b, Seq("__h")).filter(col("id_a") < col("id_b"))

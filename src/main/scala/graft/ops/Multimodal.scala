@@ -502,14 +502,38 @@ object Multimodal {
                 (implicit spark: SparkSession): DataFrame =
     nearDupFromHashes(dctHash(media).toDF(), maxHamming)
 
+  /** Compound keys holding more than this many DISTINCT hashes are "hot"
+    * and get a third pigeonhole level ([[nearDupFromHashes]]) before the
+    * candidate self-join — the knob trading one broadcast + explode
+    * against a |bucket|² candidate surface. */
+  val HotKeyThreshold: Int = 1000
+
   /** The banded near-dup core over any (doc_id, phash) table — shared
     * by the aHash and DCT paths; see [[phashNearDup]]'s scaladoc for
-    * the two structural defenses and the multi-index scheme. */
-  def nearDupFromHashes(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    * the two structural defenses and the multi-index scheme.
+    *
+    * THIRD pigeonhole level for hot keys: low-entropy corpora leave some
+    * compound keys holding thousands of distinct hashes (a near-constant
+    * aHash band), and the candidate self-join is |bucket|² — the one
+    * superlinear spot in the 10× stress. Keys past `hotThreshold` are
+    * refined by the REMAINING 36 bits (the 3 complement sub-bands the
+    * key didn't match): ≤ 3 diffs over 4 disjoint 9-bit chunks leaves
+    * ≥ 1 chunk clean, so every true pair inside a hot bucket still
+    * shares ≥ 1 refined key — lossless, same argument as the first two
+    * levels, with 37 bits now pinned per bucket instead of 28. Cold keys
+    * keep the plain two-level join. */
+  def nearDupFromHashes(hashed: DataFrame, maxHamming: Int,
+                        hotThreshold: Int = HotKeyThreshold): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming out of [0,3]: the 4-band + 4-subband " +
         "compound scheme is only lossless up to 3")
-    val members = hashed.select(col("phash"), col("doc_id"))
+    require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be >= 1")
+    // the hash column usually rides on a per-row DECODE (mapPartitions
+    // over payload bytes) — cache it: members feeds the hamming-0 join,
+    // the distinct-hash index, and both expansion joins, and recomputing
+    // the decode per consumer would dominate the whole operator
+    val members = hashed.select(col("phash"), col("doc_id")).persist()
+    graft.QueryCleanup.register(() => members.unpersist())
     // hamming-0 pairs: within-group self-join (the pairs ARE the output)
     val within = members.as("x").join(members.as("y"),
         col("x.phash") === col("y.phash") && col("x.doc_id") < col("y.doc_id"))
@@ -525,14 +549,24 @@ object Multimodal {
       val sub = substring(complement, j * 3 + 1, 3)
       concat(lit(s"$i|"), band, lit(s"|$j|"), sub)
     }
+    // cached: consumed by the hot-key aggregation, the cold anti-join,
+    // the hot semi-join, and (through allKeyed) both candidate sides
     val keyed = distinctH.select(col("phash"),
       explode(array(compoundKeys: _*)).as("key"))
+      .persist()
+    graft.QueryCleanup.register(() => keyed.unpersist())
+    val hotKeys = keyed.groupBy(col("key")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold).select("key")
+    // EAGER probe over the cached index (one cheap aggregation): a
+    // corpus with no hot key — the usual case — keeps the plain
+    // two-level join with zero extra joins in the plan
+    val allKeyed = if (hotKeys.isEmpty) keyed else hotSplit(keyed, hotKeys)
     val dist = (0 until 16).map(j =>
       expr(s"bit_count(cast(conv(substring(pa, ${j + 1}, 1), 16, 10) as long) ^ " +
         s"cast(conv(substring(pb, ${j + 1}, 1), 16, 10) as long))"))
       .reduce(_ + _)
-    val repPairs = keyed.select(col("key"), col("phash").as("pa"))
-      .join(keyed.select(col("key"), col("phash").as("pb")), Seq("key"))
+    val repPairs = allKeyed.select(col("key"), col("phash").as("pa"))
+      .join(allKeyed.select(col("key"), col("phash").as("pb")), Seq("key"))
       .filter(col("pa") < col("pb"))
       .select("pa", "pb").distinct()
       .withColumn("hamming", dist.cast("long"))
@@ -544,5 +578,35 @@ object Multimodal {
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
     within.unionByName(cross)
+  }
+
+  /** Third-pigeonhole refinement of an over-threshold compound-key index
+    * ([[nearDupFromHashes]]): cold keys pass through; rows of hot keys
+    * re-derive their key's (i, j) from the key string and are re-keyed by
+    * each 9-bit chunk of the REMAINING 36 bits the compound key did not
+    * match. ≤ 3 diffs over 4 disjoint chunks leave ≥ 1 chunk clean, so a
+    * true pair inside a hot bucket still shares ≥ 1 refined key. The
+    * 16-way when-chain only ever evaluates on hot rows — the all-cold
+    * corpus never reaches this method at all. */
+  private def hotSplit(keyed: DataFrame, hotKeys: DataFrame): DataFrame = {
+    val coldKeyed = keyed.join(broadcast(hotKeys), Seq("key"), "left_anti")
+    val rest36 = (for (i <- 0 until 4; j <- 0 until 4) yield {
+      val complement = concat((0 until 4).filter(_ != i)
+        .map(b => substring(col("phash"), b * 4 + 1, 4)): _*)
+      val hex9 = concat((0 until 4).filter(_ != j)
+        .map(jj => substring(complement, jj * 3 + 1, 3)): _*)
+      (lit(s"$i|$j"), conv(hex9, 16, 10).cast("long"))
+    }).foldRight(lit(-1L)) { case ((tag, v), acc) =>
+      when(concat(substring(col("key"), 1, 1), lit("|"),
+        substring(col("key"), 8, 1)) === tag, v).otherwise(acc)
+    }
+    val hotKeyed = keyed.join(broadcast(hotKeys), Seq("key"), "left_semi")
+      .withColumn("__rest", rest36)
+      .select(col("phash"), explode(array((0 until 4).map(kk =>
+        concat(col("key"), lit(s"|$kk|"),
+          shiftright(col("__rest"), 9 * kk).bitwiseAND(lit(511L))
+            .cast("string"))): _*)).as("key"))
+    coldKeyed.select("key", "phash")
+      .unionByName(hotKeyed.select("key", "phash"))
   }
 }

@@ -99,11 +99,23 @@ object RecordLinkage {
     require(maxBlockPairs >= 1, s"maxBlockPairs=$maxBlockPairs must be >= 1")
     require(w >= 1, s"window of $w neighbors is empty")
     val bc = blockCols.map(col)
-    // per-block side counts; only blocks present on BOTH sides matter
-    val hot = a.groupBy(bc: _*).agg(count(lit(1)).as("__na"))
-      .join(b.groupBy(bc: _*).agg(count(lit(1)).as("__nb")), blockCols)
+    // per-block side counts in ONE pass (union + conditional sums — no
+    // join); a block absent from either side has a zero product and is
+    // never hot, which matches "only blocks present on BOTH sides matter"
+    val hotAll = a.select(bc :+ lit(0).as("__side"): _*)
+      .unionByName(b.select(bc :+ lit(1).as("__side"): _*))
+      .groupBy(bc: _*)
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nb"))
       .filter(col("__na").cast("decimal(38,0)") * col("__nb") > maxBlockPairs)
       .select(bc: _*)
+    // EAGER gate (one aggregation job, short-circuiting take(1)): with no
+    // hot block the whole anti-join/rank/union machinery would be plan
+    // deadweight — the common case keeps scoreBlocked's exact plan, and
+    // only an actually-skewed input pays for the capped topology
+    if (hotAll.isEmpty) return scoreBlocked(a, b, blockCols, fields)
+    val hot = hotAll.persist()
+    graft.QueryCleanup.register(() => hot.unpersist())
     // cold path: the exact full product, hot blocks excluded
     val cold = scoreBlocked(a.join(broadcast(hot), blockCols, "left_anti"),
       b.join(broadcast(hot), blockCols, "left_anti"), blockCols, fields)

@@ -33,6 +33,13 @@ object TCloseness {
     * reference's sorted-unique `label_to_pos` (t-closeness.py:62-63).
     * Broadcast-joins a tiny dictionary; no global window at scale.
     */
+  /** Widest sensitive-attribute domain [[ordinal]] will dictionary-encode.
+    * The dictionary is collected to the driver and broadcast, so the bound
+    * is what stands between a mistaken high-cardinality column and a
+    * driver OOM. 10k ordinal positions broadcast as ~a few hundred KB —
+    * far past any real sensitive attribute (the reference's domain is 2). */
+  val MaxOrdinalDomain = 10000
+
   def ordinal(df: DataFrame, c: String, outCol: String): DataFrame = {
     // Sensitive-attribute domains are tiny by assumption (the reference's
     // is 2 values): collect the sorted domain and broadcast a dictionary.
@@ -42,8 +49,17 @@ object TCloseness {
     // the join key is the string rendering, matching Spark's own cast.
     val spark = df.sparkSession
     import spark.implicits._
+    // LIMIT-capped collect (the groupEmdAgg idiom): orderBy+limit plans as
+    // TakeOrdered, so the driver never holds more than MaxOrdinalDomain+1
+    // values even when the column is mistakenly high-cardinality — fail
+    // fast instead of OOM
     val values = df.select(col(c)).distinct().orderBy(col(c))
+      .limit(MaxOrdinalDomain + 1)
       .select(col(c).cast("string")).as[String].collect()
+    require(values.length <= MaxOrdinalDomain,
+      s"TCloseness.ordinal: column '$c' has > $MaxOrdinalDomain distinct " +
+        "values — not an ordinal sensitive attribute. Bin it first " +
+        "(Generalization.binEquiWidth / binEdges) and ordinal-encode the bins.")
     val dict = values.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toSeq
       .toDF("__ord_k", outCol)
     df.join(broadcast(dict), col(c).cast("string") === col("__ord_k"))

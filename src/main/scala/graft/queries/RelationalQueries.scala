@@ -38,16 +38,18 @@ object RelationalQueries {
     // result exact across engines.
     "q193_bucketed_join" -> ((s, dir) => {
       import graft.sources.BucketedTable
+      val (to, tl) = (graft.util.Scratch.table(s, "g_orders_bkt"),
+        graft.util.Scratch.table(s, "g_lineitem_bkt"))
       BucketedTable.write(
         Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
-        "g_orders_bkt", "o_orderkey", 8)
+        to, "o_orderkey", 8)
       BucketedTable.write(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("o_orderkey"),
             col("l_quantity"), col("l_extendedprice")),
-        "g_lineitem_bkt", "o_orderkey", 8)
-      BucketedTable.read(s, "g_orders_bkt")
-        .join(BucketedTable.read(s, "g_lineitem_bkt"), "o_orderkey")
+        tl, "o_orderkey", 8)
+      BucketedTable.read(s, to)
+        .join(BucketedTable.read(s, tl), "o_orderkey")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
@@ -253,7 +255,7 @@ object RelationalQueries {
     "q18_csv_roundtrip" -> ((s, dir) => {
       val slice = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
-      val path = s"/tmp/graft_csv_roundtrip_${dir.hashCode.toHexString}"
+      val path = graft.util.Scratch.dir(s, "csv_roundtrip")
       graft.sources.CsvSource.write(slice, path)
       graft.sources.CsvSource.read(s, path, slice.schema)
         .orderBy("o_orderkey")

@@ -150,7 +150,7 @@ object StatsQueries {
     "q59_partitioned_roundtrip" -> ((s, dir) => {
       val slice = Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-      val path = s"/tmp/graft_part_orders_${dir.hashCode.toHexString}"
+      val path = graft.util.Scratch.dir(s, "part_orders")
       slice.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
       s.read.parquet(path)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -163,17 +163,17 @@ object StatsQueries {
     // tables. BucketingSpec asserts the exchange-free plan; the oracle
     // checks the result equals a plain join.
     "q95_bucketed_join" -> ((s, dir) => {
-      val suf = dir.hashCode.toHexString
       val o = Tables.orders(s, dir)
         .select(col("o_custkey").as("custkey"), col("o_totalprice"))
       val c = Tables.customer(s, dir)
         .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
-      graft.sources.Bucketing.writeBucketed(o, s"graft_bkt_orders_$suf",
-        s"/tmp/graft_bkt_orders_$suf", "custkey", 8)
-      graft.sources.Bucketing.writeBucketed(c, s"graft_bkt_customer_$suf",
-        s"/tmp/graft_bkt_customer_$suf", "custkey", 8)
-      graft.sources.Bucketing.bucketedEquiJoin(s,
-        s"graft_bkt_orders_$suf", s"graft_bkt_customer_$suf", "custkey")
+      val (to, tc) = (graft.util.Scratch.table(s, "graft_bkt_orders"),
+        graft.util.Scratch.table(s, "graft_bkt_customer"))
+      graft.sources.Bucketing.writeBucketed(o, to,
+        graft.util.Scratch.dir(s, "bkt_orders"), "custkey", 8)
+      graft.sources.Bucketing.writeBucketed(c, tc,
+        graft.util.Scratch.dir(s, "bkt_customer"), "custkey", 8)
+      graft.sources.Bucketing.bucketedEquiJoin(s, to, tc, "custkey")
         .groupBy("custkey", "c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))
@@ -183,9 +183,8 @@ object StatsQueries {
     // Small-file compaction roundtrip: 64 tiny fragments rewritten into
     // range-clustered target-size files; content must survive bit-exact.
     "q96_compact_roundtrip" -> ((s, dir) => {
-      val suf = dir.hashCode.toHexString
-      val frag = s"/tmp/graft_frag_docs_$suf"
-      val comp = s"/tmp/graft_compact_docs_$suf"
+      val frag = graft.util.Scratch.dir(s, "frag_docs")
+      val comp = graft.util.Scratch.dir(s, "compact_docs")
       Tables.documents(s, dir).repartition(64).write.mode("overwrite").parquet(frag)
       graft.sources.Compaction.compact(s, frag, comp, "doc_id",
         targetBytes = 128L * 1024 * 1024)
@@ -222,9 +221,8 @@ object StatsQueries {
     // loses nothing. ZOrderSpec proves the locality property (bounded
     // per-file ranges in BOTH dimensions) that makes it a layout op.
     "q120_zorder_layout" -> ((s, dir) => {
-      val suf = dir.hashCode.toHexString
-      val in = s"/tmp/graft_zin_$suf"
-      val out = s"/tmp/graft_zout_$suf"
+      val in = graft.util.Scratch.dir(s, "zin")
+      val out = graft.util.Scratch.dir(s, "zout")
       Tables.orders(s, dir).write.mode("overwrite").parquet(in)
       graft.sources.ZOrder.compactZOrder(s, in, out,
         "o_custkey", "o_orderkey", bits = 8, targetBytes = 16L * 1024 * 1024)
@@ -333,12 +331,10 @@ object StatsQueries {
       import graft.sources.{IncrementalView, SnapshotStore}
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-      val table = s"/tmp/graft_ivmq_t_${dir.hashCode.toHexString}"
-      val view = s"/tmp/graft_ivmq_v_${dir.hashCode.toHexString}"
-      val fs = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(table), true)
-      fs.delete(new org.apache.hadoop.fs.Path(view), true)
+      // per-invocation scratch: a fixed path here let a concurrent run
+      // commit/delete under this one mid-read (the round-11 hash flake)
+      val table = graft.util.Scratch.dir(s, "ivmq_t")
+      val view = graft.util.Scratch.dir(s, "ivmq_v")
       val keys = Seq("o_orderstatus", "o_orderpriority")
       SnapshotStore.commit(o.filter(col("o_orderkey") % 3 === 0), table, "b0")
       IncrementalView.build(s, table, view, keys, Seq("o_totalprice"))

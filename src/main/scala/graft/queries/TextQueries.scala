@@ -147,10 +147,7 @@ object TextQueries {
     // full corpus-side recompute.
     "q161_neardup_index" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "text")
-      val idx = s"/tmp/graft_ndidx_${dir.hashCode.toHexString}"
-      val fs = new org.apache.hadoop.fs.Path(idx)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val idx = graft.util.Scratch.dir(s, "ndidx")
       val even = d.filter(col("doc_id") % 2 === 0)
       graft.pipelines.NearDupIndex.update(s, idx,
         even.filter(col("doc_id") % 4 === 0), "doc_id", "text",
@@ -243,7 +240,7 @@ object TextQueries {
     "q83_jsonl_roundtrip" -> ((s, dir) => {
       val slice = Tables.documents(s, dir)
         .select("doc_id", "source", "lang", "n_chars", "text")
-      val path = s"/tmp/graft_jsonl_roundtrip_${dir.hashCode.toHexString}"
+      val path = graft.util.Scratch.dir(s, "jsonl_roundtrip")
       graft.sources.JsonlSource.write(slice, path)
       graft.sources.JsonlSource.read(s, path, slice.schema)
         .orderBy("doc_id")
@@ -589,10 +586,7 @@ object TextQueries {
       val bench = d.filter(col("doc_id") % 50 === 0)
       val b1 = d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 50 =!= 0)
       val b2 = d.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 50 =!= 0)
-      val table = s"/tmp/graft_incq_${dir.hashCode.toHexString}"
-      val fs = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val table = graft.util.Scratch.dir(s, "incq")
       graft.pipelines.IncrementalCorpus.ingest(s, table, b1, bench,
         "doc_id", "text", decontamN = 8, meta = "crawl-1")
       graft.pipelines.IncrementalCorpus.ingest(s, table, b2, bench,
@@ -614,11 +608,7 @@ object TextQueries {
             .otherwise(col("text")).as("text"))
         .unionByName(d.filter(col("doc_id") % 19 === 5)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val table = s"/tmp/graft_tt_${dir.hashCode.toHexString}"
-      // rebuild the two versions deterministically per dataset
-      val fs = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val table = graft.util.Scratch.dir(s, "tt")
       graft.sources.SnapshotStore.commit(d, table, meta = "base")
       graft.sources.SnapshotStore.commit(after, table, meta = "refresh")
       graft.sources.SnapshotStore.diffVersions(s, table, 1L, 2L,
@@ -880,9 +870,9 @@ object TextQueries {
                        count(*) OVER (PARTITION BY doc_id) AS n FROM g),
           fp AS (SELECT DISTINCT doc_id, mch // 2097152 AS h FROM m
                  WHERE pos <= greatest(1, n - 3)),
-          fc AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nf,
-                        count(*) OVER (PARTITION BY h) AS df FROM fp),
-          fx AS (SELECT * FROM fc WHERE df <= 50),
+          fc AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM fp),
+          fx AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nf
+                 FROM fc WHERE df <= 50),
           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
                        any_value(a.nf) AS na, any_value(b.nf) AS nb
                 FROM fx a JOIN fx b ON a.h = b.h AND a.doc_id < b.doc_id

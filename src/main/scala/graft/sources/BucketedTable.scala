@@ -34,6 +34,13 @@ object BucketedTable {
   def write(df: DataFrame, table: String, bucketCol: String,
             numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(numBuckets > 0, s"numBuckets=$numBuckets must be positive")
+    // simple identifiers only: a 'db.tbl' name maps to warehouse/db.db/tbl
+    // (not warehouse/db.tbl), so the stale-location pre-delete below would
+    // miss the real path — and a path-ish name must never reach a
+    // recursive delete
+    require(table.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"BucketedTable: table name '$table' must be a simple unqualified " +
+        "identifier ([A-Za-z][A-Za-z0-9_]*)")
     val spark = df.sparkSession
     // the session catalog is in-memory but the warehouse DIR persists
     // across JVMs: a location left by a previous process is unknown to

@@ -84,13 +84,17 @@ object SnapshotStore {
 
   /** Write `df` as the next version and atomically publish it. Returns
     * the committed version. `meta` lands in the marker body (replay
-    * keys, audit notes). A crash before the marker rename leaves the
-    * table at its previous version; the orphan `v-N` dir is overwritten
-    * by the next successful commit of version N. */
+    * keys, audit notes). The data is STAGED in a unique `.tmp-` dir and
+    * renamed into `v-N` — a racing committer that computed the same N can
+    * therefore never overwrite data another committer already renamed
+    * (let alone published); it fails at the rename or at the marker
+    * create. A crash before publish leaves the table at its previous
+    * version with at most an orphan dir ([[vacuum]] reclaims it; the
+    * next commit of version N also clears an unpublished orphan `v-N`). */
   def commit(df: DataFrame, tableDir: String, meta: String = ""): Long = {
     val spark = df.sparkSession
     val v = committedVersion(spark, tableDir).getOrElse(0L) + 1L
-    df.write.mode("overwrite").parquet(dataPath(tableDir, v).toString)
+    stageAndRename(df, tableDir, v, manifest = None)
     publish(spark, tableDir, v, meta)
     v
   }
@@ -130,17 +134,56 @@ object SnapshotStore {
           s"commitAppend: delta schema ${ds.toSeq.sortBy(_._1)} != table " +
             s"schema ${ps.toSeq.sortBy(_._1)} — evolve via a full commit")
         val v = parent + 1L
-        delta.write.mode("overwrite").parquet(dataPath(tableDir, v).toString)
-        writeManifest(spark, tableDir, v,
-          manifestDirs(spark, tableDir, parent) :+ dirName(v))
+        stageAndRename(delta, tableDir, v,
+          manifest = Some(manifestDirs(spark, tableDir, parent) :+ dirName(v)))
         publish(spark, tableDir, v, meta)
         v
     }
   }
 
   private val ManifestFile = "_dirs"
+  private val TmpPrefix = ".tmp-"
 
   private def dirName(v: Long) = f"v-$v%010d"
+
+  /** Stage `df` (plus an optional append-chain manifest) in a unique
+    * `.tmp-` dir under `tableDir`, then move the COMPLETE dir into `v-N`.
+    * The rename is the publication of the data files: published data is
+    * never written through, so a slow racing committer cannot corrupt a
+    * version another committer already renamed or published — it loses
+    * here (or at the marker create) instead. An existing `v-N` WITHOUT a
+    * marker is a crashed commit's orphan and is cleared first; with a
+    * marker it is someone else's committed version and this commit fails.
+    * (The orphan check-then-clear is not itself atomic — crash RECOVERY
+    * concurrent with live committers needs a single writer, as any
+    * marker-file table format does.) */
+  private[graft] def stageAndRename(df: DataFrame, tableDir: String, v: Long,
+                                    manifest: Option[Seq[String]]): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, tableDir)
+    val tmp = new Path(tableDir, TmpPrefix + dirName(v) + "-" +
+      java.util.UUID.randomUUID.toString.take(8))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    manifest.foreach { dirs =>
+      val out = f.create(new Path(tmp, ManifestFile), true)
+      try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+    val dest = dataPath(tableDir, v)
+    if (f.exists(dest)) {
+      if (commitMeta(spark, tableDir, v).isDefined) {
+        f.delete(tmp, true)
+        throw new IllegalStateException(
+          s"SnapshotStore: version $v of $tableDir was committed concurrently")
+      }
+      f.delete(dest, true)
+    }
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, true)
+      throw new IllegalStateException(
+        s"SnapshotStore: could not move staged version $v into place at " +
+          s"$dest — a concurrent committer won the race")
+    }
+  }
 
   /** Data dirs composing a version: its manifest if present (append
     * chain), else just its own dir (plain commit). */
@@ -155,13 +198,6 @@ object SnapshotStore {
         .split("\n").toSeq.filter(_.nonEmpty)
       finally in.close()
     }
-  }
-
-  private def writeManifest(spark: SparkSession, tableDir: String, v: Long,
-                            dirs: Seq[String]): Unit = {
-    val f = fs(spark, tableDir)
-    val out = f.create(new Path(dataPath(tableDir, v), ManifestFile), true)
-    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** Publish a written `v-N` data dir by creating its marker with
@@ -267,8 +303,17 @@ object SnapshotStore {
   /** Drop all but the newest `keepLast` committed versions (markers
     * first, then data — a reader that already resolved an old marker
     * may still be scanning it, so retention should cover reader
-    * lifetimes). Also reclaims orphan data dirs newer than the last
-    * commit. Returns the versions removed. */
+    * lifetimes). Data is reclaimed by a DIR-LEVEL sweep, not from the
+    * marker list: any `v-*` dir with no surviving marker and no retained
+    * manifest reference is garbage — dropped versions, crashed-commit
+    * orphans, and delta dirs a PREVIOUS vacuum stranded (their marker
+    * dropped while a then-retained manifest still referenced them; once
+    * that manifest is itself dropped, only a dir sweep can ever see them
+    * again — a marker-only enumeration leaks them forever). Abandoned
+    * `.tmp-` staging dirs are swept too, so vacuum must run from the
+    * single writer (an in-flight committer's staging dir is
+    * indistinguishable from an abandoned one). Returns the versions
+    * whose markers were removed. */
   def vacuum(spark: SparkSession, tableDir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the live version")
     val f = fs(spark, tableDir)
@@ -283,10 +328,13 @@ object SnapshotStore {
     // no retained manifest needs it
     val referenced = versions.takeRight(keepLast)
       .flatMap(v => manifestDirs(spark, tableDir, v)).toSet
-    drop.foreach { v =>
-      f.delete(markerPath(tableDir, v), false)
-      if (!referenced.contains(dirName(v)))
-        f.delete(dataPath(tableDir, v), true)
+    drop.foreach(v => f.delete(markerPath(tableDir, v), false))
+    f.listStatus(new Path(tableDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(TmpPrefix)) f.delete(st.getPath, true)
+      else if (n.matches("v-\\d{10}") && !referenced.contains(n) &&
+          !f.exists(markerPath(tableDir, n.drop(2).toLong)))
+        f.delete(st.getPath, true)
     }
     drop
   }

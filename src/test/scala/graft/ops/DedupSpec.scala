@@ -548,6 +548,24 @@ class DedupSpec extends SparkSpec {
       minShared = 1, maxDf = 1).count() == 0)
   }
 
+  test("winnowOverlapPairs: overlap is measured within the retained fingerprint space") {
+    // docs 1 and 2 are identical and MOSTLY boilerplate shared with six
+    // other docs; with maxDf=2 the boilerplate fingerprints drop, and
+    // overlap must still be 1.0 over what remains — a denominator counted
+    // BEFORE the cap would deflate exactly these boilerplate-heavy pairs
+    val boiler = "common header text repeated across every document in " +
+      "this corpus for padding and more padding lines of the same header"
+    val d = (Seq(
+        (1L, s"$boiler unique pair signature alpha beta gamma"),
+        (2L, s"$boiler unique pair signature alpha beta gamma")) ++
+      Seq.tabulate(6)(i => (10L + i, s"$boiler distinct tail number$i")))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlapPairs(d, "doc_id", "text", 3, 4,
+        minShared = 1, maxDf = 2)
+      .select("id_a", "id_b", "overlap").as[(Long, Long, Double)].collect().toMap2
+    assert(got.get((1L, 2L)).contains(1.0), got.toString)
+  }
+
   private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap

@@ -225,6 +225,40 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute, s"banded=$banded brute=$brute")
   }
 
+  test("nearDupFromHashes: hot-key third level stays lossless (banded = brute force)") {
+    implicit val s = spark
+    // 40 distinct hashes ALL sharing compound key (band0="0000",
+    // subband0="000") — the key goes hot at threshold 4 and its
+    // candidates route through the 9-bit-chunk refinement; the output
+    // pair set must be exactly the brute-force one
+    val rnd = new scala.util.Random(7)
+    def hex9(): String =
+      (1 to 9).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+    val bases = Seq.fill(20)("0000" + "000" + hex9()).distinct
+    val planted = bases.zipWithIndex.map { case (h, i) =>
+      val v = java.lang.Long.parseLong(h.substring(7), 16)
+      val flipped = v ^ ((1L << (i % 9)) | (1L << ((i * 3 + 5) % 36)))
+      "0000" + "000" + f"$flipped%09x"
+    }
+    val all = (bases ++ planted).distinct.zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val df = all.toDF("doc_id", "phash")
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = hamming(ha, hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must contain true near-dup pairs")
+    val banded = Multimodal.nearDupFromHashes(df, maxHamming = 3,
+        hotThreshold = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"hot-path banded (${banded.size}) != brute force (${brute.size})")
+    // and the default threshold (nothing hot) agrees too
+    val cold = Multimodal.nearDupFromHashes(df, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cold == brute)
+  }
+
   test("phashNearDup rejects thresholds the banding cannot guarantee") {
     implicit val s = spark
     val media = Seq((0L, "x".getBytes("UTF-8"), "image")).toDF("doc_id", "payload", "media_type")

@@ -143,4 +143,12 @@ class TClosenessSpec extends SparkSpec {
       .select("v", "idx").as[(Int, Long)].collect().toSet
     assert(enc == Set((2, 0L), (10, 1L), (100, 2L))) // lexicographic would rank 10 < 2
   }
+
+  test("ordinal fails fast on a high-cardinality column instead of collecting it") {
+    val wide = spark.range(TCloseness.MaxOrdinalDomain + 5L).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      TCloseness.ordinal(wide, "v", "idx")
+    }
+    assert(e.getMessage.contains("Bin it first"), e.getMessage)
+  }
 }

@@ -154,6 +154,49 @@ class SnapshotStoreSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("vacuum reclaims delta dirs stranded by an earlier vacuum — no permanent leak") {
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "p"), dir)          // v1: base
+    SnapshotStore.commitAppend(Seq((2L, "b")).toDF("id", "p"), dir)    // v2 -> refs v1
+    SnapshotStore.commitAppend(Seq((3L, "c")).toDF("id", "p"), dir)    // v3 -> refs v1,v2
+    SnapshotStore.compact(spark, dir)                                  // v4: chain reset
+    // first vacuum: v1/v2 markers drop but their DATA stays (v3's
+    // manifest still references it)
+    SnapshotStore.vacuum(spark, dir, keepLast = 2)
+    val f = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def dataDirs() = f.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("v-")).toSet
+    assert(dataDirs() == Set("v-0000000001", "v-0000000002", "v-0000000003",
+      "v-0000000004"))
+    // second vacuum drops v3 — with a marker-only enumeration the v1/v2
+    // dirs (marker already gone, reference now gone) would leak FOREVER;
+    // the dir-level sweep reclaims them
+    SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    assert(dataDirs() == Set("v-0000000004"),
+      s"stranded delta dirs must be reclaimed, got ${dataDirs()}")
+    assert(SnapshotStore.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("a racing committer can never overwrite a PUBLISHED version's data") {
+    val dir = tmpTable()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "p"), dir)
+    SnapshotStore.commit(Seq((1L, "good")).toDF("id", "p"), dir)  // v2 published
+    // a slow racer that computed v=2 before the winner published: its
+    // staged write must FAIL without touching the winner's data (the old
+    // mode-overwrite write clobbered v-2 in place before its marker
+    // create failed)
+    intercept[IllegalStateException] {
+      SnapshotStore.stageAndRename(Seq((1L, "CORRUPT")).toDF("id", "p"),
+        dir, 2L, manifest = None)
+    }
+    assert(SnapshotStore.readVersion(spark, dir, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "good")))
+    // and no staging litter is left behind
+    val f = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!f.listStatus(new Path(dir)).exists(_.getPath.getName.startsWith(".tmp-")))
+  }
+
   test("vacuum keeps the newest versions and drops markers+data for the rest") {
     val dir = tmpTable()
     (1 to 4).foreach(i => SnapshotStore.commit(Seq((i.toLong, s"v$i")).toDF("id", "p"), dir))
