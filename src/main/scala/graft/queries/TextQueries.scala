@@ -1057,6 +1057,105 @@ object TextQueries {
             CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt) / 512.0) AS BIGINT) AS bin
           FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS nt FROM documents)
           ORDER BY doc_id""",
+    // END-TO-END pipeline replay: normalize → quality → exact dedup →
+    // MinHash-LSH near-dup canonicalization (candidates + exact-Jaccard
+    // verify + recursive-CTE connected components) → 8-gram benchmark
+    // decontamination → hash split → sequence packing, all in one SQL
+    // chain composed from the per-stage oracles (q87/q72/q34/q36/q97/
+    // q77/q74/q75) with the pipeline's own parameters. The composition —
+    // not just each stage — is hash-checked.
+    "q88_corpus_pipeline" -> {
+      val T = """string_split_regex(text, '\s+')"""
+      def norm(x: String) =
+        s"""lower(trim(regexp_replace(regexp_replace(nfc_normalize($x), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))"""
+      def grams8 =
+        (1 to 8).map(k => s"$T[i+$k]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE
+          nrm AS (SELECT doc_id, source, ${norm("text")} AS text FROM documents WHERE doc_id % 50 <> 0),
+          q AS (SELECT doc_id, source, text FROM (
+                  SELECT doc_id, source, text,
+                    CAST(len($T) AS BIGINT) AS nt,
+                    length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len($T) AS mtl,
+                    len(list_filter($T, t -> t IN ('the','a','an','and','of','to','in','is','it','for'))) * 1.0 / len($T) AS sw,
+                    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text) AS pr
+                  FROM nrm)
+                WHERE nt BETWEEN 5 AND 100000 AND mtl BETWEEN 1.0 AND 20.0 AND pr <= 0.5 AND sw >= 0.0),
+          ex AS (SELECT q.* FROM q JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) k USING (doc_id)),
+          sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(len($T) - 1), i -> $T[i+1] || ' ' || $T[i+2]))) AS s
+                 FROM ex WHERE len($T) >= 2),
+          th AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+          p AS (SELECT id_a, id_b FROM (
+                  SELECT id_a, id_b,
+                    len(list_intersect(x.s, y.s)) * 1.0 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+                  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+                WHERE jac >= 0.8),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+          reach AS (SELECT src AS id, dst AS r FROM edges
+                    UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+          near AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)),
+          bn AS (SELECT ${norm("text")} AS text FROM documents WHERE doc_id % 50 = 0),
+          tr8 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len($T) - 7), i -> $grams8))) AS g FROM near),
+          be8 AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len($T) - 7), i -> $grams8))) AS g FROM bn),
+          cont AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN be8 USING (g)),
+          clean AS (SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+          sp AS (SELECT doc_id, source,
+                   CASE WHEN sb < 900000 THEN 'train' WHEN sb < 950000 THEN 'val' ELSE 'test' END AS split,
+                   CAST(len($T) AS BIGINT) AS n_tokens
+                 FROM (SELECT *, CAST('0x' || substr(md5('graft-split|' || doc_id), 1, 15) AS BIGINT) % 1000000 AS sb FROM clean))
+          SELECT doc_id, source, split, n_tokens,
+            CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
+          FROM sp ORDER BY doc_id"""
+    },
+    // Full BPE merge-loop replay: per distinct word, a recursive CTE
+    // applies the best-ranked pair present (ONE left-to-right pass per
+    // step — DOUBLE-space separators make SQL replace() scan symbols
+    // exactly like the kernel's j+=2 walk, no flank-space stealing on
+    // adjacent occurrences) until no table pair remains; doc counts sum
+    // the per-word survivors and the q75 window replays the packing.
+    // The merges VALUES are generated from the SAME classpath table the
+    // native kernel loads.
+    "q89_bpe_pack" -> {
+      val vals = graft.functions.BpeImpl.mergePairs.zipWithIndex
+        .map { case ((l, r), i) => s"(' $l  $r ', ' $l$r ', $i)" }
+        .mkString(", ")
+      s"""WITH RECURSIVE
+          merges(pair, merged, rank) AS (VALUES $vals),
+          dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+                 FROM documents),
+          uw AS (SELECT DISTINCT word FROM dw WHERE word <> ''),
+          tok(word, s, it) AS (
+              SELECT word,
+                     ' ' || array_to_string(list_transform(range(1, length(word)+1), i -> word[i]), '  ') || ' ',
+                     0
+              FROM uw
+            UNION ALL
+              SELECT t.word, replace(t.s, b.pair, b.merged), t.it + 1
+              FROM tok t, LATERAL (
+                SELECT m.pair, m.merged FROM merges m
+                WHERE position(m.pair IN t.s) > 0
+                ORDER BY m.rank LIMIT 1) b
+          ),
+          final AS (SELECT word, max_by(s, it) AS s FROM tok GROUP BY word),
+          wc AS (SELECT word, len(string_split(trim(s, ' '), '  ')) AS n FROM final),
+          nb AS (SELECT d.doc_id, d.source,
+                        CAST(coalesce(t.nb, 0) AS BIGINT) AS n_bpe
+                 FROM documents d LEFT JOIN
+                   (SELECT dw.doc_id, sum(wc.n) AS nb
+                    FROM dw JOIN wc USING (word) GROUP BY dw.doc_id) t
+                 USING (doc_id))
+          SELECT doc_id, source, n_bpe,
+                 CAST(floor((sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_bpe) / 2048.0) AS BIGINT) AS bin
+          FROM nb ORDER BY doc_id"""
+    },
     // JSD with integer-count lns: p/m = 2*ca*nb/(ca*nb + cb*na); per-
     // token terms micro-rounded; top-20 by (term desc, token).
     "q179_token_drift" ->
