@@ -43,6 +43,7 @@ object Bench {
       SparkInternals.flushListenerBus(spark.sparkContext)
       metricsListener.resetPeak()
       val before = metricsListener.totals
+      val beforeCommitSec = graft.sources.SnapshotStore.commitSeconds
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // Execute the query's own physical plan (all output columns
@@ -57,7 +58,9 @@ object Bench {
         QueryCleanup.drain() // release caches the query handed over (untimed)
         r
       }
-      val snap = BenchMetrics.snapshot(spark.sparkContext, metricsListener, before)
+      val snap = BenchMetrics.snapshot(spark.sparkContext, metricsListener, before,
+        commitSec =
+          (graft.sources.SnapshotStore.commitSeconds - beforeCommitSec) / reps)
       // Additive counters accumulated across `reps` executions — divide to
       // a per-execution figure (peak and RSS are maxima, left as-is).
       val perExec = snap.copy(

@@ -67,11 +67,12 @@ object BenchMetrics {
   final case class ResourceSnapshot(shuffleReadMb: Double, shuffleWriteMb: Double,
                                     inputMb: Double, spillMb: Double,
                                     peakExecMemMb: Double, rssMb: Double,
-                                    rssHwmMb: Double) {
+                                    rssHwmMb: Double, commitSec: Double = 0.0) {
     def json: String =
       f"""{"shuffle_read_mb":$shuffleReadMb%.3f,"shuffle_write_mb":$shuffleWriteMb%.3f,""" +
         f""""input_mb":$inputMb%.3f,"spill_mb":$spillMb%.3f,""" +
-        f""""peak_exec_mem_mb":$peakExecMemMb%.3f,"rss_mb":$rssMb%.1f,"rss_hwm_mb":$rssHwmMb%.1f}"""
+        f""""peak_exec_mem_mb":$peakExecMemMb%.3f,"rss_mb":$rssMb%.1f,"rss_hwm_mb":$rssHwmMb%.1f,""" +
+        f""""commit_sec":$commitSec%.3f}"""
   }
 
   private def mb(bytes: Long): Double = bytes / (1024.0 * 1024.0)
@@ -97,14 +98,16 @@ object BenchMetrics {
 
   /** Drain the listener bus, then diff the listener's cumulative totals
     * against `prev` (a previous `totals` tuple) into a per-query snapshot,
-    * and rearm the peak counter for the next query. */
+    * and rearm the peak counter for the next query. `commitSec` is the
+    * caller-computed SnapshotStore commit-time delta (per-execution). */
   def snapshot(sc: SparkContext, listener: BenchMetricsListener,
-               prev: (Long, Long, Long, Long, Long)): ResourceSnapshot = {
+               prev: (Long, Long, Long, Long, Long),
+               commitSec: Double = 0.0): ResourceSnapshot = {
     graft.SparkInternals.flushListenerBus(sc)
     val (sr, sw, in, sp, pk) = listener.totals
     listener.resetPeak()
     val (rss, hwm) = rssMb
     ResourceSnapshot(mb(sr - prev._1), mb(sw - prev._2), mb(in - prev._3),
-      mb(sp - prev._4), mb(pk), rss, hwm)
+      mb(sp - prev._4), mb(pk), rss, hwm, commitSec)
   }
 }

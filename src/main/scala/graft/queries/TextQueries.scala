@@ -726,6 +726,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Distributed BPE merge TRAINING (the learning half of the q89
+    // kernel): 8 rounds of corpus-wide best-pair selection over the
+    // distinct-word vocabulary, exact integer counts, total tie-break —
+    // the oracle unrolls the same 8 rounds in SQL and the learned table
+    // replays bit-for-bit.
+    "q253_bpe_train" -> ((s, dir) => {
+      graft.ops.BpeTrain.trainDf(Tables.documents(s, dir), "text",
+        numMerges = 8)
+        .orderBy("rank")
+    }),
+
     // Sequence packing on REAL BPE token counts (the production variant
     // of q75): the graft_bpe_count native kernel runs the merges-table
     // loop per row inside WholeStageCodegen, then the same one-window
@@ -1114,6 +1125,37 @@ object TextQueries {
           SELECT doc_id, source, split, n_tokens,
             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
           FROM sp ORDER BY doc_id"""
+    },
+    // BPE TRAINING replay: 8 unrolled rounds, each a vocab-wide pair
+    // count (overlapping occurrences, weighted by word frequency), a
+    // (n DESC, "l r" ASC) argmax, and a double-space replace() merge
+    // pass — the same greedy left-to-right walk the engine's fold does.
+    "q253_bpe_train" -> {
+      val rounds = (0 until 8).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT l, r, n FROM (
+               SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+                 SELECT cnt, unnest(list_transform(range(len(ls) - 1), i -> [ls[i+1], ls[i+2]])) AS pr
+                 FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS ls FROM s$k))
+               GROUP BY 1, 2)
+             ORDER BY n DESC, l || ' ' || r ASC LIMIT 1),
+           s${k + 1} AS MATERIALIZED (SELECT word, cnt,
+               replace(s, ' ' || (SELECT l FROM p$k) || '  ' || (SELECT r FROM p$k) || ' ',
+                       ' ' || (SELECT l FROM p$k) || (SELECT r FROM p$k) || ' ') AS s
+             FROM s$k)"""
+      }.mkString(",\n")
+      val unions = (0 until 8)
+        .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", n FROM p$k""")
+        .mkString(" UNION ALL ")
+      s"""WITH
+          wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
+                   (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word FROM documents)
+                 WHERE word <> '' GROUP BY word),
+          s0 AS MATERIALIZED (SELECT word, cnt,
+                   ' ' || array_to_string(list_transform(range(1, length(word)+1), i -> word[i]), '  ') || ' ' AS s
+                 FROM wc),
+          $rounds
+          SELECT CAST(rank AS BIGINT) AS rank, "left", "right", n
+          FROM ($unions) ORDER BY rank"""
     },
     // Full BPE merge-loop replay: per distinct word, a recursive CTE
     // applies the best-ranked pair present (ONE left-to-right pass per

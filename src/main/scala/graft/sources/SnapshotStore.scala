@@ -45,6 +45,20 @@ object SnapshotStore {
 
   private val CommitsDir = "_commits"
 
+  /** Cumulative wall-clock seconds spent inside [[commit]] /
+    * [[commitAppend]] (stage write + rename + marker publish) — bench
+    * telemetry. Storage-contract queries (q184/q185's IVF-PQ maintenance)
+    * are dominated by artifact commits, and an artifact-format change
+    * needs this split out of the query medians to have a baseline. */
+  private val commitNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def commitSeconds: Double = commitNanosAcc.get / 1e9
+
+  private def timedCommit[A](f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally commitNanosAcc.addAndGet(System.nanoTime() - t0)
+  }
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -91,7 +105,10 @@ object SnapshotStore {
     * create. A crash before publish leaves the table at its previous
     * version with at most an orphan dir ([[vacuum]] reclaims it; the
     * next commit of version N also clears an unpublished orphan `v-N`). */
-  def commit(df: DataFrame, tableDir: String, meta: String = ""): Long = {
+  def commit(df: DataFrame, tableDir: String, meta: String = ""): Long =
+    timedCommit(commitImpl(df, tableDir, meta))
+
+  private def commitImpl(df: DataFrame, tableDir: String, meta: String): Long = {
     val spark = df.sparkSession
     val v = committedVersion(spark, tableDir).getOrElse(0L) + 1L
     stageAndRename(df, tableDir, v, manifest = None)
@@ -117,10 +134,10 @@ object SnapshotStore {
     * never deletes a dir still referenced by a RETAINED version's
     * manifest). On a table with no committed version this degrades to a
     * plain first commit. */
-  def commitAppend(delta: DataFrame, tableDir: String, meta: String = ""): Long = {
+  def commitAppend(delta: DataFrame, tableDir: String, meta: String = ""): Long = timedCommit {
     val spark = delta.sparkSession
     committedVersion(spark, tableDir) match {
-      case None => commit(delta, tableDir, meta)
+      case None => commitImpl(delta, tableDir, meta) // already inside timedCommit
       case Some(parent) =>
         // schema drift must fail LOUDLY: the multi-dir read resolves one
         // schema by name, so a delta with an extra/renamed/retyped column

@@ -55,6 +55,24 @@ class AdultGoldenSpec extends SparkSpec {
     assert(adult.count() == 29111L) // 32,561 raw; '?' rows dropped (S1+S2)
   }
 
+  test("URL ingest: the reference's own fetch form (skipped offline)") {
+    // naive-suppresion.py:13-14 reads the UCI census CSV straight from
+    // its URL; the engine contract is fetch-to-local then load. This
+    // sandbox has zero egress, so the download failing cancels (not
+    // fails) the case — on a networked machine it runs for real.
+    val url = "https://archive.ics.uci.edu/ml/machine-learning-databases/adult/adult.data"
+    val dest = java.nio.file.Files.createTempDirectory("adult_url")
+      .resolve("adult.data").toString
+    val fetched =
+      try CsvSource.fetch(url, dest, connectTimeoutMs = 5000, readTimeoutMs = 30000)
+      catch {
+        case e: java.io.IOException =>
+          cancel(s"offline sandbox, URL ingest skipped: ${e.getMessage}")
+      }
+    val df = AdultSchema.load(spark, fetched)
+    assert(df.count() == 30162L) // the reference's post-dropna row count (README.md:3)
+  }
+
   test("golden E1: naive suppression metrics at study scale") {
     val r = NaiveSuppressionPipeline.run(adult, qis, k = 5)
     assert(r.report.originalRows == 29111L)
