@@ -112,6 +112,63 @@ object DifferentialPrivacy {
     * release, so an external engine replays the released bin set
     * bit-for-bit. Scale: one aggregation + a codegen'd per-row filter;
     * the unreleased tail never leaves the executors. */
+  /** Widest category domain [[randomizedResponseFreq]] will encode. */
+  val MaxRrDomain = 10000
+
+  /** LOCAL differential privacy: generalized randomized response
+    * (Warner 1965; k-RR, Kairouz-Oh-Viswanath 2016) over a categorical
+    * column. Each ROW (not the aggregator) perturbs its own value —
+    * reported = true category with probability p = 3/4, else uniform
+    * over the other k-1 — so the collector never holds a truthful
+    * table; the LDP guarantee is eps = ln(p(k-1)/(1-p)) = ln(3(k-1)).
+    * The frequency estimate debiases with the closed form
+    * (c_v - n*q)/(p - q), which at p=3/4 reduces to integers:
+    * (4(k-1)*c_v - n) / (3(k-1) - 1), released as an IEEE division of
+    * exact integers rounded 6 dp — any engine replays it bit-for-bit.
+    *
+    * Per-row "randomness" is the PortableHash of (salt|rowKey):
+    * deterministic and partition-independent (the q42 idiom) — swap a
+    * real RNG in deployment. The category domain is collected with a
+    * LIMIT-capped probe (max [[MaxRrDomain]]) and broadcast; k-RR is
+    * only sensible on small domains anyway. One pass, one aggregation:
+    * the perturbation is a codegen'd projection. */
+  def randomizedResponseFreq(df: DataFrame, categoryCol: String,
+                             rowKey: Column,
+                             salt: String = "graft-rr"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dom = df.select(col(categoryCol).cast("string")).distinct()
+      .orderBy(col(categoryCol)).limit(MaxRrDomain + 1)
+      .as[String].collect()
+    require(dom.length <= MaxRrDomain,
+      s"randomizedResponseFreq: > $MaxRrDomain categories in '$categoryCol'" +
+        " — k-RR needs a small public domain; bin or bucket first")
+    require(dom.length >= 2, "randomizedResponseFreq: need >= 2 categories")
+    val k = dom.length
+    val dict = dom.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toSeq
+      .toDF("__cat", "__idx")
+    val keep = pmod(graft.functions.PortableHash.phash(
+      concat_ws("|", lit(salt + "-keep"), rowKey.cast("string"))), lit(4L)) < 3
+    val pick = pmod(graft.functions.PortableHash.phash(
+      concat_ws("|", lit(salt + "-pick"), rowKey.cast("string"))), lit((k - 1).toLong))
+    val reported = df
+      .join(broadcast(dict), col(categoryCol).cast("string") === col("__cat"))
+      .select(when(keep, col("__idx"))
+        .when(pick >= col("__idx"), pick + 1)
+        .otherwise(pick).as("__idx"))
+      .groupBy("__idx").agg(count(lit(1)).as("n_reported"))
+    // n = sum of reported counts (every row reports exactly once) — no
+    // second scan of df
+    val totals = reported.agg(sum(col("n_reported")).as("__n"))
+    dict.join(reported, Seq("__idx"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__cat").as(categoryCol),
+        coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+        round((lit(4.0 * (k - 1)) * coalesce(col("n_reported"), lit(0L))
+          - col("__n").cast("double")) / lit(3.0 * (k - 1) - 1.0), 6)
+          .as("n_est"))
+  }
+
   def dpHistogram(df: DataFrame, groupCols: Seq[String], epsilon: Double,
                   delta: Double, seed: Long): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")

@@ -369,6 +369,32 @@ object StatsQueries {
     // drift accumulators in exact micro-units, alarms where they cross
     // 4σ. q196's robust-trend companion — Theil-Sen says how fast a
     // series drifts, CUSUM says WHEN it shifted.
+    // Hampel filter: rolling 7-day median + rolling MAD per event type,
+    // the robust outlier flag a telemetry pipeline runs where a rolling
+    // MEAN would be hijacked by the very spike it is looking for. Exact
+    // small-window medians via sorted frame arrays (deterministic:
+    // collect_list follows the window order); only full windows flag.
+    // One group-keyed exchange; frame arrays are 7 doubles, never
+    // data-sized.
+    "q257_rolling_median" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      daily.withColumn("__win", collect_list(col("y")).over(w))
+        .filter(size(col("__win")) === 7)
+        .withColumn("med", element_at(array_sort(col("__win")), 4))
+        .withColumn("mad", element_at(
+          array_sort(transform(col("__win"), v => abs(v - col("med")))), 4))
+        .select(col("event_type"), col("day"), col("y"), col("med"), col("mad"),
+          (col("mad") > 0 &&
+            abs(col("y") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
+            .as("is_outlier"))
+        .orderBy("event_type", "day")
+    }),
+
     "q199_cusum" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -769,6 +795,23 @@ object StatsQueries {
           FROM c""",
     // Same micro-unit z-scores, running sums and running mins — the
     // max(0, ...) recursion replayed as P_t - min(0, min prefix).
+    // Hampel replay: list() over the same 7-row frame, list_sort medians.
+    "q257_rolling_median" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS y
+                 FROM events GROUP BY 1, 2),
+          fr AS (SELECT event_type, day, y,
+                        list(y) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+                 FROM daily),
+          m AS (SELECT event_type, day, y, list_sort(win)[4] AS med, win
+                FROM fr WHERE len(win) = 7)
+          SELECT event_type, day, y, med,
+                 list_sort(list_transform(win, v -> abs(v - med)))[4] AS mad,
+                 (list_sort(list_transform(win, v -> abs(v - med)))[4] > 0 AND
+                  abs(y - med) > 3.0 * 1.4826 * list_sort(list_transform(win, v -> abs(v - med)))[4]) AS is_outlier
+          FROM m ORDER BY event_type, day""",
     "q199_cusum" ->
       """WITH daily AS (SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
                    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)

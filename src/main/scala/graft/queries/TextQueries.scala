@@ -52,6 +52,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Language-ID confusion matrix: declared lang x predicted lang with
+    // counts — the audit view that turns q31's per-doc prediction into
+    // the per-corpus "which languages does the heuristic confuse" report
+    // (the first thing to check before trusting lang-filtered mixes).
+    "q259_langid_confusion" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     // Composite quality score from length/punct/stopword signals (same
     // arithmetic as TextAnalysis.qualityScore, over a staged token column).
     "q32_quality" -> ((s, dir) => {
@@ -726,6 +737,83 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-document n-gram NOVELTY: the share of a doc's distinct 8-grams
+    // whose FIRST occurrence (min doc_id) is this doc — the per-crawl
+    // freshness signal a dedup pipeline trends (novelty collapsing toward
+    // 0 means the crawler is re-reading the same web). Inverted-index
+    // shape: one shuffle on the gram hash for first-owners, one join
+    // back; grams travel as 60-bit hashes, never strings.
+    "q258_ngram_novelty" -> ((s, dir) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      val grams = Tables.documents(s, dir).select(col("doc_id"),
+          explode(when(size(tk) >= 8,
+            array_distinct(transform(sequence(lit(1), size(tk) - 7),
+              i => graft.functions.PortableHash.phash(
+                concat_ws(" ", (0 until 8).map(o => element_at(tk, i + o)): _*)))))
+            .otherwise(array().cast("array<long>"))).as("g"))
+      val first = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
+      grams.join(first, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty", round(col("n_novel") / col("n_grams")
+          .cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): adjacent
+    // content-word pairs (stopwords and short tokens dropped, both ends
+    // eligible) form an undirected co-occurrence graph; 3 rounds of the
+    // q125 integer-micro PageRank score the words; top 25 by (rank DESC,
+    // word) is the keyword list. Nodes travel as 60-bit word hashes so
+    // the rank loop stays on longs; the join back to words is
+    // vocab-sized. The oracle replays hash, graph, and all 3 rounds.
+    "q254_textrank" -> ((s, dir) => {
+      val stop = TextAnalysis.Stopwords
+      val tk = TextAnalysis.tokens(col("text"))
+      val ok = (w: org.apache.spark.sql.Column) => length(w) >= 4 && !w.isInCollection(stop)
+      val adj = Tables.documents(s, dir).select(
+        explode(filter(transform(sequence(lit(1), size(tk) - 1),
+            i => struct(element_at(tk, i).as("a"), element_at(tk, i + 1).as("b"))),
+          p => ok(p("a")) && ok(p("b")) && p("a") =!= p("b"))).as("p"))
+      val und = adj.select(least(col("p.a"), col("p.b")).as("a"),
+          greatest(col("p.a"), col("p.b")).as("b")).distinct()
+        .persist()
+      graft.QueryCleanup.register(() => und.unpersist())
+      val h = (c: org.apache.spark.sql.Column) => graft.functions.PortableHash.phash(c)
+      val edges = und.select(h(col("a")).as("src"), h(col("b")).as("dst"))
+        .unionByName(und.select(h(col("b")).as("src"), h(col("a")).as("dst")))
+      val ranked = graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst",
+        iterations = 3)
+      val words = und.select(col("a").as("word"))
+        .unionByName(und.select(col("b").as("word"))).distinct()
+      words.join(ranked, h(col("word")) === col("node"))
+        .select(col("word"), col("rank").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("word"))
+        .limit(25)
+    }),
+
+    // Token-budget corpus selection: the greedy "best docs under a
+    // 40k-token budget" pass a fine-tuning set is cut with — order by
+    // (stopword-ratio quality DESC, doc_id), keep docs whose INCLUSIVE
+    // running token total fits. The running total is the distributed
+    // bucket-offset prefix sum (Ranking.globalPrefixSum), not a
+    // single-task global window.
+    "q255_budget_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.stopwordRatio(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("__negq", -col("quality"))
+      graft.ops.Ranking.globalPrefixSum(d, Seq("__negq", "doc_id"),
+          bucketExpr = floor(col("__negq") * 20), valueCol = "n_tokens",
+          outCol = "cum_tokens")
+        .filter(col("cum_tokens") <= 15000L)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Distributed BPE merge TRAINING (the learning half of the q89
     // kernel): 8 rounds of corpus-wide best-pair selection over the
     // distinct-word vocabulary, exact integer counts, total tie-break —
@@ -839,6 +927,9 @@ object TextQueries {
           FROM documents) ORDER BY doc_id""",
     "q31_langid" ->
       s"""SELECT doc_id, lang, lang_pred FROM $langScoreSql ORDER BY doc_id""",
+    "q259_langid_confusion" ->
+      s"""SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM $langScoreSql GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     "q32_quality" ->
       s"""SELECT doc_id, round(
             least(n_chars / 500.0, 1.0) * 0.4
@@ -1125,6 +1216,64 @@ object TextQueries {
           SELECT doc_id, source, split, n_tokens,
             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
           FROM sp ORDER BY doc_id"""
+    },
+    // Novelty replay: same 8-gram hashes, min-owner, novel share.
+    "q258_ngram_novelty" -> {
+      val ph = (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+      val g8 = (1 to 8).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+          grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(len(t) - 7), i -> ${ph(g8)}))) AS g
+                    FROM tk WHERE len(t) >= 8),
+          fst AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                 round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+          FROM grams JOIN fst USING (g)
+          GROUP BY doc_id ORDER BY doc_id"""
+    },
+    // TextRank replay: same eligibility filter, undirected-pair dedup,
+    // 60-bit word hash, and the q125 3-round integer-micro PageRank.
+    "q254_textrank" -> {
+      val stop = graft.ops.TextAnalysis.Stopwords
+        .map(w => s"'$w'").mkString(", ")
+      val ph = (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+      s"""WITH t AS (SELECT $tokSql AS tk FROM documents),
+          pr AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+                   SELECT tk[i+1] AS a, tk[i+2] AS b
+                   FROM (SELECT tk, unnest(range(len(tk) - 1)) AS i FROM t))
+                 WHERE length(a) >= 4 AND length(b) >= 4
+                   AND a NOT IN ($stop) AND b NOT IN ($stop) AND a <> b),
+          e AS (SELECT ${ph("a")} AS src, ${ph("b")} AS dst FROM pr
+                UNION SELECT ${ph("b")}, ${ph("a")} FROM pr),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node)),
+          w AS (SELECT a AS word FROM pr UNION SELECT b FROM pr)
+          SELECT word, CAST(r AS BIGINT) AS rank_micro
+          FROM w JOIN r3 ON ${ph("word")} = r3.node
+          ORDER BY rank_micro DESC, word LIMIT 25"""
+    },
+    // Budget selection replay: plain global window (the oracle side can
+    // afford the single-task sort DuckDB does anyway).
+    "q255_budget_select" -> {
+      val stop = graft.ops.TextAnalysis.Stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+                 round(len(list_filter($tokSql, t -> t IN ($stop))) * 1.0 / len($tokSql), 6) AS quality,
+                 CAST(len($tokSql) AS BIGINT) AS n_tokens
+               FROM documents)
+          SELECT doc_id, quality, n_tokens, cum_tokens FROM (
+            SELECT doc_id, quality, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM d)
+          WHERE cum_tokens <= 15000 ORDER BY doc_id"""
     },
     // BPE TRAINING replay: 8 unrolled rounds, each a vocab-wide pair
     // count (overlapping occurrences, weighted by word frequency), a

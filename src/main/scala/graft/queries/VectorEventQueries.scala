@@ -587,6 +587,18 @@ object VectorEventQueries {
         .orderBy("event_type")
     }),
 
+    // LOCAL-DP frequency estimation via k-ary randomized response: each
+    // event row perturbs its own event_type (keep w.p. 3/4, else uniform
+    // other — eps = ln(3(k-1))), the collector sees only reported values,
+    // and the debiased estimate is a closed-form over exact integers.
+    // The central-DP q42 trusts the aggregator; this is the no-trusted-
+    // curator counterpart.
+    "q256_rr_frequency" -> ((s, dir) => {
+      DifferentialPrivacy.randomizedResponseFreq(Tables.events(s, dir),
+        "event_type", rowKey = col("event_id"))
+        .orderBy("event_type")
+    }),
+
     // DP sum of `value` clipped to [0, 200], ε=0.5.
     "q43_dp_sum" -> ((s, dir) => {
       DifferentialPrivacy.dpSum(Tables.events(s, dir), Seq("event_type"),
@@ -1231,6 +1243,29 @@ object VectorEventQueries {
           FROM (SELECT event_type, count(*) AS c, ${uSql("event_type", 42L)} AS u
                 FROM events GROUP BY event_type)
           ORDER BY event_type""",
+    // k-RR replay: same ordinal domain, hash coins, report rule, and
+    // integer-exact debias (all IEEE ops on exactly-representable ints).
+    "q256_rr_frequency" -> {
+      val ph = (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+      s"""WITH dom AS (SELECT event_type,
+                 CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+               FROM (SELECT DISTINCT event_type FROM events)),
+          kk AS (SELECT count(*) AS k FROM dom),
+          r AS (SELECT d.idx AS own,
+                  ${ph("'graft-rr-keep|' || event_id")} % 4 AS keep4,
+                  ${ph("'graft-rr-pick|' || event_id")} % (kk.k - 1) AS pick
+                FROM events e JOIN dom d USING (event_type) CROSS JOIN kk),
+          rep AS (SELECT CASE WHEN keep4 < 3 THEN own
+                              WHEN pick >= own THEN pick + 1
+                              ELSE pick END AS idx FROM r),
+          c AS (SELECT idx, CAST(count(*) AS BIGINT) AS n_reported FROM rep GROUP BY idx),
+          tot AS (SELECT CAST(sum(n_reported) AS BIGINT) AS n FROM c)
+          SELECT d.event_type, coalesce(c.n_reported, 0) AS n_reported,
+                 round((4.0 * (kk.k - 1) * coalesce(c.n_reported, 0) - tot.n)
+                       / (3.0 * (kk.k - 1) - 1.0), 6) AS n_est
+          FROM dom d LEFT JOIN c USING (idx) CROSS JOIN kk CROSS JOIN tot
+          ORDER BY event_type"""
+    },
     "q43_dp_sum" ->
       s"""SELECT event_type, ${lapSql("sm", "event_type", "200.0 / 0.5")} AS dp_sum
           FROM (SELECT event_type, sum(greatest(least(value, 200.0), 0.0)) AS sm, ${uSql("event_type", 7L)} AS u

@@ -103,6 +103,30 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(math.abs(a("click") - clicks) < 20)
   }
 
+  test("randomizedResponseFreq: estimates sum to n, are near truth, and the domain is guarded") {
+    val n = 4000
+    val df = spark.range(n).selectExpr("id",
+      "CASE WHEN id % 10 < 6 THEN 'a' WHEN id % 10 < 9 THEN 'b' ELSE 'c' END AS cat")
+    val got = DifferentialPrivacy.randomizedResponseFreq(df, "cat", col("id"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // debias identity: sum of estimates = n exactly (closed form telescopes)
+    assert(math.abs(got.values.map(_._2).sum - n) < 1e-3, got.toString)
+    // each estimate within a few sampling sigmas of the truth (n large,
+    // hash coins ~ uniform): sigma ~ sqrt(n*q(1-q))/(p-q) ~ 55 here
+    assert(math.abs(got("a")._2 - 2400) < 300, got.toString)
+    assert(math.abs(got("b")._2 - 1200) < 300, got.toString)
+    assert(math.abs(got("c")._2 - 400) < 300, got.toString)
+    // raw reported counts are perturbed AWAY from truth (the collector
+    // never sees the true histogram): reported('c') >> true 400's share
+    assert(got("c")._1 > 500, got.toString)
+    // degenerate domains refuse
+    val e = intercept[IllegalArgumentException] {
+      DifferentialPrivacy.randomizedResponseFreq(
+        spark.range(5).selectExpr("id", "'x' AS cat"), "cat", col("id"))
+    }
+    assert(e.getMessage.contains(">= 2 categories"))
+  }
+
   test("dpSum clips values before summing") {
     val got = DifferentialPrivacy.dpSum(events, Seq("event_type"), "value",
       0.0, 100.0, 1000.0, 42L).as[(String, Double)].collect().toMap
