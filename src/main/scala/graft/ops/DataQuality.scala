@@ -645,6 +645,50 @@ object DataQuality {
     * Scale: meant for AGGREGATED series (a metric per day per source) —
     * every window partitions by group, so cost is bounded by the longest
     * series, not the corpus. */
+  /** Welch's unequal-variance two-sample t-test per group: `condCol`
+    * (boolean) splits each group into cohorts A (true) / B (false);
+    * output is the t statistic (micro-rounded) and the Welch-
+    * Satterthwaite degrees of freedom (6 dp). Moments are exact decimal
+    * sums cast to double once (the q199 idiom), so the statistic
+    * replays bit-for-bit in any IEEE engine; no p-value on purpose —
+    * the normal/t CDF needs erf, which plain SQL lacks, and the
+    * t-vs-critical comparison belongs to the caller's alpha anyway.
+    * One aggregation per group pair of cohorts; nothing driver-side. */
+  def welchTTest(df: DataFrame, groupCol: String, condCol: String,
+                 valueCol: String): DataFrame = {
+    val pts = df.select(col(groupCol).as("__g"),
+        col(condCol).cast("boolean").as("__c"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__c").isNotNull && col("__v").isNotNull)
+    def side(flag: Boolean, c: Column) = sum(when(col("__c") === flag, c))
+    val agg = pts.groupBy(col("__g")).agg(
+      side(true, lit(1L)).as("__na"),
+      side(true, col("__v").cast("decimal(28,6)")).cast("double").as("__sa"),
+      side(true, (col("__v") * col("__v")).cast("decimal(38,12)"))
+        .cast("double").as("__ssa"),
+      side(false, lit(1L)).as("__nb"),
+      side(false, col("__v").cast("decimal(28,6)")).cast("double").as("__sb"),
+      side(false, (col("__v") * col("__v")).cast("decimal(38,12)"))
+        .cast("double").as("__ssb"))
+    val va = (col("__ssa") - col("__sa") * col("__sa") / col("__na")) /
+      (col("__na") - 1) / col("__na")
+    val vb = (col("__ssb") - col("__sb") * col("__sb") / col("__nb")) /
+      (col("__nb") - 1) / col("__nb")
+    agg.filter(col("__na") > 1 && col("__nb") > 1)
+      .withColumn("__va", va).withColumn("__vb", vb)
+      .filter(col("__va") + col("__vb") > 0)
+      .select(col("__g").as(groupCol),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round((col("__sa") / col("__na") - col("__sb") / col("__nb")) /
+          sqrt(col("__va") + col("__vb")) * 1e6, 0).cast("long")
+          .as("t_micro"),
+        // explicit x*x, not pow(x, 2): libm pow is not guaranteed
+        // correctly rounded, multiplication is
+        round((col("__va") + col("__vb")) * (col("__va") + col("__vb")) /
+          (col("__va") * col("__va") / (col("__na") - 1) +
+            col("__vb") * col("__vb") / (col("__nb") - 1)), 6).as("df_w"))
+  }
+
   def cusum(df: DataFrame, groupCol: String, orderCol: String, valueCol: String,
             slack: Double = 0.5, threshold: Double = 4.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -141,6 +141,47 @@ object Dedup {
 
   /** Exploded LSH band keys (__id, __bidx, __bkey) from the minhash
     * signature of a shingle relation. */
+  /** Estimator-quality audit of the MinHash signature itself: for every
+    * banded candidate pair, the SIGNATURE Jaccard estimate (agreeing
+    * positions / 16) next to the exact shingle Jaccard and their
+    * absolute error — "measure the sketch, don't trust it": a drifting
+    * error distribution means the 16-hash budget (or the shingle n) no
+    * longer fits the corpus, BEFORE the dedup threshold silently moves.
+    * Same hashes/signature/banding as [[minhashLsh]], so the q36 oracle
+    * chain replays it with one extra zip. Output: (id_a, id_b, jaccard,
+    * est_jaccard, abs_err) for pairs with exact J >= threshold. */
+  def minhashEstimateError(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = shingleToks(df, idCol, textCol, shingleN)
+    val sigs = toks
+      .withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
+      .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
+      .select(col("__id"), col("__sig"))
+    val banded = bandedKeys(toks)
+    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val est = round(aggregate(
+      zip_with(col("__sig_a"), col("__sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(16.0), 6)
+    cand
+      .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        est.as("est_jaccard"),
+        round(abs(est - col("jaccard")), 6).as("abs_err"))
+  }
+
   private def bandedKeys(toks: DataFrame): DataFrame =
     toks.withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
       .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))

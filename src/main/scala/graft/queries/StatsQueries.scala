@@ -369,6 +369,17 @@ object StatsQueries {
     // drift accumulators in exact micro-units, alarms where they cross
     // 4σ. q196's robust-trend companion — Theil-Sen says how fast a
     // series drifts, CUSUM says WHEN it shifted.
+    // Welch's unequal-variance t-test per event type: even- vs odd-user
+    // cohorts on event value — the A/B significance primitive q205's
+    // proportion z-test lacks for CONTINUOUS metrics. Exact decimal
+    // moments, micro-rounded t, Welch-Satterthwaite df.
+    "q260_welch_ttest" -> ((s, dir) => {
+      DataQuality.welchTTest(
+        Tables.events(s, dir).withColumn("__cohort", col("user_id") % 2 === 0),
+        "event_type", "__cohort", "value")
+        .orderBy("event_type")
+    }),
+
     // Hampel filter: rolling 7-day median + rolling MAD per event type,
     // the robust outlier flag a telemetry pipeline runs where a rolling
     // MEAN would be hijacked by the very spike it is looking for. Exact
@@ -795,6 +806,24 @@ object StatsQueries {
           FROM c""",
     // Same micro-unit z-scores, running sums and running mins — the
     // max(0, ...) recursion replayed as P_t - min(0, min prefix).
+    // Welch replay: conditional decimal moments, same IEEE chain.
+    "q260_welch_ttest" ->
+      """WITH m AS (SELECT event_type,
+                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sa,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE) AS ssa,
+                 sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb,
+                 CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sb,
+                 CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE) AS ssb
+               FROM events GROUP BY event_type),
+          v AS (SELECT event_type, na, nb, sa, sb,
+                 (ssa - sa * sa / na) / (na - 1) / na AS va,
+                 (ssb - sb * sb / nb) / (nb - 1) / nb AS vb
+                FROM m WHERE na > 1 AND nb > 1)
+          SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                 CAST(round((sa / na - sb / nb) / sqrt(va + vb) * 1000000, 0) AS BIGINT) AS t_micro,
+                 round((va + vb) * (va + vb) / (va * va / (na - 1) + vb * vb / (nb - 1)), 6) AS df_w
+          FROM v WHERE va + vb > 0 ORDER BY event_type""",
     // Hampel replay: list() over the same 7-row frame, list_sort medians.
     "q257_rolling_median" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

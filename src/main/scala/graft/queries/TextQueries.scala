@@ -737,6 +737,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Sketch-quality audit: per near-dup candidate pair, the MinHash
+    // SIGNATURE Jaccard estimate (agreeing positions / 16) against the
+    // exact shingle Jaccard and their absolute error — trending this
+    // error tells you when the 16-hash budget stops fitting the corpus,
+    // before the dedup threshold silently drifts.
+    "q261_minhash_estimate" -> ((s, dir) => {
+      Dedup.minhashEstimateError(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-document n-gram NOVELTY: the share of a doc's distinct 8-grams
     // whose FIRST occurrence (min doc_id) is this doc — the per-crawl
     // freshness signal a dedup pipeline trends (novelty collapsing toward
@@ -1217,6 +1228,29 @@ object TextQueries {
             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
           FROM sp ORDER BY doc_id"""
     },
+    // Estimator-audit replay: q36's chain + one zip over the signatures.
+    "q261_minhash_estimate" ->
+      s"""WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(len($tokSql) - 1), i -> $tokSql[i+1] || ' ' || $tokSql[i+2]))) AS s FROM documents WHERE len($tokSql) >= 2),
+          th AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+          j AS (SELECT id_a, id_b,
+                  round(len(list_intersect(x.s, y.s)) * 1.0
+                        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+                FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+          e AS (SELECT id_a, id_b, jaccard,
+                  round(len(list_filter(range(16), i -> sa.sg[i+1] = sb.sg[i+1])) / 16.0, 6) AS est_jaccard
+                FROM j JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+                WHERE jaccard >= 0.3)
+          SELECT id_a, id_b, jaccard, est_jaccard,
+                 round(abs(est_jaccard - jaccard), 6) AS abs_err
+          FROM e ORDER BY id_a, id_b""",
     // Novelty replay: same 8-gram hashes, min-owner, novel share.
     "q258_ngram_novelty" -> {
       val ph = (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"

@@ -568,4 +568,32 @@ class DataQualitySpec extends SparkSpec {
       .select("bin", "n", "woe").as[(Long, Long, Option[Double])].collect()
     assert(c.toSeq == Seq((0L, 3L, Some(0.0))), c.mkString(","))
   }
+
+  test("welchTTest: hand-computed two-cohort case; degenerate groups drop") {
+    // A = (1,2,3): mean 2, var 1; B = (6,8): mean 7, var 2
+    // t = (2-7)/sqrt(1/3 + 2/2) = -5/sqrt(4/3) = -4.330127...
+    // df = (4/3)^2 / ((1/3)^2/2 + 1^2/1) = (16/9)/(1/18 + 1) = 32/19
+    val df = Seq(
+      ("g", true, 1.0), ("g", true, 2.0), ("g", true, 3.0),
+      ("g", false, 6.0), ("g", false, 8.0),
+      ("tiny", true, 1.0), ("tiny", false, 2.0) // na=nb=1 -> dropped
+    ).toDF("grp", "cohort", "v")
+    val got = DataQuality.welchTTest(df, "grp", "cohort", "v")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1, got.mkString(","))
+    val (g, na, nb, t, dfw) = got.head
+    assert(g == "g" && na == 3 && nb == 2)
+    assert(t == -4330127L, s"t_micro $t")
+    assert(math.abs(dfw - 32.0 / 19.0) < 1e-6, s"df_w $dfw")
+  }
+
+  test("minhashEstimateError: identical docs estimate 1.0 with zero error") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val got = Dedup.minhashEstimateError(d, "doc_id", "text", 2, 0.3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1, got.mkString(","))
+    assert(got.head == ((1L, 2L, 1.0, 1.0, 0.0)), got.head.toString)
+  }
 }

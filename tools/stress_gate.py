@@ -45,7 +45,15 @@ BOUNDS = {
     "q160_ivfpq_search": 2.0,
     "q138_mondrian": 3.5,
     "q171_phash": {"abs10x": 30.0},
-    "q174_entity_res": 4.5,
+    # r12: the eager below-cap gate made the 1x leg ~3x cheaper (1.57 s
+    # vs r11's 4.79 s -- below the cap the plan IS the exact uncapped
+    # scoreBlocked), while the 10x leg still trips the 50k-pair cap and
+    # runs the sorted-neighborhood regime. 1x and 10x therefore execute
+    # DIFFERENT algorithms and their ratio measures the gate's savings,
+    # not growth (the same category error the r11 postmortem fixed for
+    # q171/q36). Pin the absolute 10x wall instead: measured 14.0 s in
+    # r12 (r11: 16.6 s), cap 25 s (~1.7x headroom).
+    "q174_entity_res": {"abs10x": 25.0},
     # round-11 ops: pair join bounded by basket width / fixed-level
     # frontier joins / fixed-domain per-time aggregate -- all ~linear;
     # headroom reflects their small 1x denominators (sub-second to ~5 s,
