@@ -469,4 +469,61 @@ class PlanShapeSpec extends SparkSpec {
     // behind one (key) sort; the grid join is an equi join
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("globalPrefixSum (q255): bucket-partitioned cumsum, broadcast offsets, no global window") {
+    val d = docs.select(col("doc_id"), (col("doc_id") % 7).cast("double").as("q"),
+        (col("doc_id") % 50 + 1).as("nt"))
+      .withColumn("__negq", -col("q"))
+    val p = plan(Ranking.globalPrefixSum(d, Seq("__negq", "doc_id"),
+      bucketExpr = floor(col("__negq") * 20), valueCol = "nt",
+      outCol = "cum"))
+    assertNoQuadratic(p)
+    // every data-sized window is partitioned by the bucket; the only
+    // unpartitioned window is the bucket-count-sized offset prefix sum
+    assert(!p.contains("windowspecdefinition(__negq"), p)
+    assert(p.contains("windowspecdefinition(__psb"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("welchTTest (q260): ONE group aggregation exchange, no join") {
+    val p = plan(DataQuality.welchTTest(
+      events.withColumn("c", col("user_id") % 2 === 0),
+      "event_type", "c", "value"))
+    assertNoQuadratic(p)
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p) == 1, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("rolling median (q257): one group-keyed exchange drives daily agg + frame windows") {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val p = plan(daily.withColumn("__win", collect_list(col("y")).over(w))
+      .filter(size(col("__win")) === 7))
+    assertNoQuadratic(p)
+    // agg on (type, day), window on (type): two key exchanges, no more
+    assert(exchanges(p) <= 2, s"${exchanges(p)} exchanges:\n$p")
+  }
+
+  test("ngramNovelty (q258): inverted-index equi-joins only, never all-pairs") {
+    val tk = TextAnalysis.tokens(col("text"))
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(tk) >= 8,
+        array_distinct(transform(sequence(lit(1), size(tk) - 7),
+          i => graft.functions.PortableHash.phash(
+            concat_ws(" ", (0 until 8).map(o => element_at(tk, i + o)): _*)))))
+        .otherwise(array().cast("array<long>"))).as("g"))
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
+    val p = plan(grams.join(first, Seq("g")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n")))
+    assertNoQuadratic(p)
+  }
+
+  test("minhashEstimateError (q261): band equi-joins only, never all-pairs") {
+    val p = plan(Dedup.minhashEstimateError(docs, "doc_id", "text", 2, 0.3))
+    assertNoQuadratic(p)
+  }
 }
