@@ -69,6 +69,33 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  /** Contrastive HARD-negative mining: for each query, the top-k most
+    * similar corpus vectors with a DIFFERENT label — the negatives that
+    * actually move a contrastive loss (random negatives, q246, are
+    * mostly easy; the hard ones sit just across the decision boundary).
+    * Same broadcast+window shape as [[knnBruteForce]] with the label
+    * inequality fused into the join condition, so mismatched pairs are
+    * dropped BEFORE scoring; at scale route through the IVF cells first
+    * ([[knnIvfTrained]]) and apply the same label filter inside probed
+    * cells. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    labelCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("__ql"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("__cl"),
+      col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("vec_id") && col("__ql") =!= col("__cl"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
   /** Element-wise mean vector per cell: the coarse centroid table.
     * posexplode + group — one shuffle over (cell, pos), tiny output. */
   def centroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =

@@ -121,6 +121,36 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Keyed pseudonymization with referential integrity: events and a
+    // separately-built user dimension both pseudonymize user_id under
+    // one key, then JOIN ON THE PSEUDONYM — per-type activity (row count
+    // + distinct users) must equal what the raw ids would give, while no
+    // raw id crosses the join. Key rotation = changing the salt.
+    "q263_pseudonymize" -> ((s, dir) => {
+      val key = "rotation-2026q3"
+      val ev = graft.ops.Pseudonym.pseudonymize(
+        Tables.events(s, dir).select("user_id", "event_type"),
+        Seq("user_id"), key)
+      val users = graft.ops.Pseudonym.pseudonymize(
+        Tables.events(s, dir).select("user_id").distinct(),
+        Seq("user_id"), key)
+      ev.join(users, Seq("user_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("nd_users"))
+        .orderBy("event_type")
+    }),
+
+    // Contrastive hard-negative mining: top-5 most-similar OTHER-label
+    // vectors per query — q246's random negatives are easy; these sit
+    // just across the boundary, where a contrastive loss learns.
+    "q262_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "label", "embedding", K)
+        .orderBy("qid", "rank")
+    }),
+
     // IVF-style two-level search (nprobe=1, per-label mean centroids).
     "q39_knn_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -748,6 +778,26 @@ object VectorEventQueries {
       s"""WITH $knnCore,
           sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+          r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    // Pseudonym replay: same keyed hash, join on the pseudonym.
+    "q263_pseudonymize" ->
+      """WITH ev AS (SELECT CAST('0x' || substr(md5('rotation-2026q3|' || user_id), 1, 15) AS BIGINT) AS pid,
+                            event_type
+                     FROM events WHERE user_id IS NOT NULL),
+          u AS (SELECT DISTINCT CAST('0x' || substr(md5('rotation-2026q3|' || user_id), 1, 15) AS BIGINT) AS pid
+                FROM events WHERE user_id IS NOT NULL)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT pid) AS BIGINT) AS nd_users
+          FROM ev JOIN u USING (pid)
+          GROUP BY event_type ORDER BY event_type""",
+    // q38's scorer with the label inequality fused in.
+    "q262_hard_negatives" ->
+      s"""WITH ql AS (SELECT vec_id AS qid, label AS qlab, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < $NQueries),
+          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM ql CROSS JOIN embeddings e
+                 WHERE e.vec_id <> qid AND e.label <> qlab),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
     "q82_knn_topk_agg" ->
