@@ -755,8 +755,13 @@ object TextQueries {
     // shape: one shuffle on the gram hash for first-owners, one join
     // back; grams travel as 60-bit hashes, never strings.
     "q258_ngram_novelty" -> ((s, dir) => {
-      val tk = TextAnalysis.tokens(col("text"))
-      val grams = Tables.documents(s, dir).select(col("doc_id"),
+      // token array STAGED as a column: referencing the split expression
+      // inside the gram lambdas would re-tokenize the text once per
+      // element (the minhashLsh staging lesson — measured 50 s -> ~1 s)
+      val tk = col("__tk")
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"),
           explode(when(size(tk) >= 8,
             array_distinct(transform(sequence(lit(1), size(tk) - 7),
               i => graft.functions.PortableHash.phash(
@@ -782,12 +787,15 @@ object TextQueries {
     // vocab-sized. The oracle replays hash, graph, and all 3 rounds.
     "q254_textrank" -> ((s, dir) => {
       val stop = TextAnalysis.Stopwords
-      val tk = TextAnalysis.tokens(col("text"))
+      // staged token column — see q258's re-tokenize note
+      val tk = col("__tk")
       val ok = (w: org.apache.spark.sql.Column) => length(w) >= 4 && !w.isInCollection(stop)
-      val adj = Tables.documents(s, dir).select(
-        explode(filter(transform(sequence(lit(1), size(tk) - 1),
-            i => struct(element_at(tk, i).as("a"), element_at(tk, i + 1).as("b"))),
-          p => ok(p("a")) && ok(p("b")) && p("a") =!= p("b"))).as("p"))
+      val adj = Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(col("text")).as("__tk"))
+        .select(
+          explode(filter(transform(sequence(lit(1), size(tk) - 1),
+              i => struct(element_at(tk, i).as("a"), element_at(tk, i + 1).as("b"))),
+            p => ok(p("a")) && ok(p("b")) && p("a") =!= p("b"))).as("p"))
       val und = adj.select(least(col("p.a"), col("p.b")).as("a"),
           greatest(col("p.a"), col("p.b")).as("b")).distinct()
         .persist()

@@ -509,13 +509,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ngramNovelty (q258): inverted-index equi-joins only, never all-pairs") {
-    val tk = TextAnalysis.tokens(col("text"))
-    val grams = docs.select(col("doc_id"),
-      explode(when(size(tk) >= 8,
-        array_distinct(transform(sequence(lit(1), size(tk) - 7),
-          i => graft.functions.PortableHash.phash(
-            concat_ws(" ", (0 until 8).map(o => element_at(tk, i + o)): _*)))))
-        .otherwise(array().cast("array<long>"))).as("g"))
+    val tk = col("__tk")
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"),
+        explode(when(size(tk) >= 8,
+          array_distinct(transform(sequence(lit(1), size(tk) - 7),
+            i => graft.functions.PortableHash.phash(
+              concat_ws(" ", (0 until 8).map(o => element_at(tk, i + o)): _*)))))
+          .otherwise(array().cast("array<long>"))).as("g"))
     val first = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
     val p = plan(grams.join(first, Seq("g")).groupBy("doc_id")
       .agg(count(lit(1)).as("n")))
