@@ -183,6 +183,64 @@ object AnonymityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Mondrian replay: 12 unrolled MATERIALIZED levels (levels past the
+    // natural recursion depth are no-op identities — no partition still
+    // qualifies to split, so extra rounds are harmless). Per level: exact
+    // interpolated medians (quantile_cont == Spark percentile), candidate
+    // dims ranked by the same (negWidth, qiIndex) struct sort, first dim
+    // with >= k rows on BOTH sides wins, left/right renumber. Double
+    // renders agree (shortest-roundtrip, plain-decimal range).
+    "q138_mondrian" -> {
+      val K = 25
+      val levels = (0 until 12).map { k =>
+        s"""st$k AS MATERIALIZED (
+             SELECT pid, count(*) AS n,
+                    min(d0) AS mn0, max(d0) AS mx0, quantile_cont(d0, 0.5) AS md0,
+                    min(d1) AS mn1, max(d1) AS mx1, quantile_cont(d1, 0.5) AS md1
+             FROM s$k GROUP BY pid),
+           sc$k AS MATERIALIZED (
+             SELECT s.pid,
+                    sum(CASE WHEN s.d0 <= t.md0 THEN 1 ELSE 0 END) AS le0,
+                    sum(CASE WHEN s.d1 <= t.md1 THEN 1 ELSE 0 END) AS le1
+             FROM s$k s JOIN st$k t USING (pid) GROUP BY s.pid),
+           cut$k AS MATERIALIZED (
+             SELECT pid, ch.dim AS sdim, ch.med AS smed FROM (
+               SELECT t.pid,
+                 list_filter(list_sort(list_filter([
+                     {'negw': CASE WHEN g.r0 > 0 THEN (t.mn0 - t.mx0)/g.r0 ELSE 0 END, 'qidx': 0, 'dim': 0, 'med': t.md0},
+                     {'negw': CASE WHEN g.r1 > 0 THEN (t.mn1 - t.mx1)/g.r1 ELSE 0 END, 'qidx': 1, 'dim': 1, 'med': t.md1}
+                   ], d -> d.negw < 0)),
+                   d -> CASE WHEN d.dim = 0 THEN c.le0 >= $K AND t.n - c.le0 >= $K
+                             ELSE c.le1 >= $K AND t.n - c.le1 >= $K END)[1] AS ch
+               FROM st$k t JOIN sc$k c USING (pid) CROSS JOIN g
+               WHERE t.n >= ${2 * K})
+             WHERE ch IS NOT NULL),
+           s${k + 1} AS MATERIALIZED (
+             SELECT s.c_custkey, s.c_nationkey, s.c_acctbal, s.d0, s.d1,
+                    CASE WHEN c.pid IS NULL THEN s.pid
+                         WHEN (CASE WHEN c.sdim = 0 THEN s.d0 <= c.smed ELSE s.d1 <= c.smed END)
+                           THEN s.pid*2+1 ELSE s.pid*2+2 END AS pid
+             FROM s$k s LEFT JOIN cut$k c USING (pid))"""
+      }.mkString(",\n")
+      s"""WITH s0 AS MATERIALIZED (SELECT c_custkey, c_nationkey, c_acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS d0, CAST(c_acctbal AS DOUBLE) AS d1,
+                 CAST(0 AS BIGINT) AS pid FROM customer),
+          g AS MATERIALIZED (SELECT greatest(max(d0)-min(d0),0) AS r0,
+                 greatest(max(d1)-min(d1),0) AS r1 FROM s0),
+          $levels,
+          fin AS (SELECT c_custkey,
+                   min(c_nationkey) OVER (PARTITION BY pid) AS n_lo,
+                   max(c_nationkey) OVER (PARTITION BY pid) AS n_hi,
+                   min(c_acctbal) OVER (PARTITION BY pid) AS a_lo,
+                   max(c_acctbal) OVER (PARTITION BY pid) AS a_hi,
+                   count(*) OVER (PARTITION BY pid) AS group_size
+                 FROM s12)
+          SELECT c_custkey,
+                 n_lo::VARCHAR || '-' || n_hi::VARCHAR AS c_nationkey_range,
+                 a_lo::VARCHAR || '-' || a_hi::VARCHAR AS c_acctbal_range,
+                 CAST(group_size AS BIGINT) AS group_size
+          FROM fin ORDER BY c_custkey"""
+    },
     // min value with cum >= u — cum strictly increasing, so min_by is
     // exactly the engine's first-matching-CASE arm.
     "q181_synthetic_marginals" -> {
