@@ -645,6 +645,46 @@ object DataQuality {
     * Scale: meant for AGGREGATED series (a metric per day per source) —
     * every window partitions by group, so cost is bounded by the longest
     * series, not the corpus. */
+  /** Score each probe row against a REFERENCE distribution: `ref_pct` =
+    * (# reference values <= probe value) / |reference| — the per-row
+    * percentile a feature store stamps on serving data to catch drift
+    * (a feature whose scores pile up at 0.99 has left its training
+    * distribution; PSI (q169) sees it per-bin, this sees it per-row).
+    *
+    * Topology: tag-union both sides, one INCLUSIVE prefix sum of the
+    * reference indicator in (value, ref-first) order via the bucketed
+    * [[Ranking.globalPrefixSum]] — ref rows sort before probe rows at
+    * equal values, so ties count as <=. No join against the reference,
+    * no per-row subquery: one union-sized exchange at any scale. */
+  def refPercentile(ref: DataFrame, probe: DataFrame, probeKeyCol: String,
+                    valueCol: String, outCol: String = "ref_pct"): DataFrame = {
+    val r = ref.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val tagged = r
+      .select(col("__v"), lit(1L).as("__isref"),
+        lit(null).cast("long").as("__k"))
+      .unionByName(probe
+        .select(col(valueCol).cast("double").as("__v"), lit(0L).as("__isref"),
+          col(probeKeyCol).cast("long").as("__k"))
+        .filter(col("__v").isNotNull))
+      .withColumn("__negr", -col("__isref"))
+    // equal-width value buckets from a 1-row bounds probe — the monotone
+    // coarse prefix globalPrefixSum requires; degenerate domains -> 0
+    val b = tagged.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx")).head()
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val bucket =
+      if (mx > mn)
+        least(floor((col("__v") - lit(mn)) / lit(mx - mn) * 1024), lit(1023.0))
+      else lit(0.0)
+    val refN = r.count()
+    require(refN > 0, "refPercentile: empty reference distribution")
+    Ranking.globalPrefixSum(tagged, Seq("__v", "__negr", "__k"),
+        bucketExpr = bucket, valueCol = "__isref", outCol = "__cum")
+      .filter(col("__isref") === 0)
+      .select(col("__k").as(probeKeyCol), col("__v").as(valueCol),
+        round(col("__cum") / lit(refN.toDouble), 6).as(outCol))
+  }
+
   /** Welch's unequal-variance two-sample t-test per group: `condCol`
     * (boolean) splits each group into cohorts A (true) / B (false);
     * output is the t statistic (micro-rounded) and the Welch-

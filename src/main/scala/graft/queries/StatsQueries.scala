@@ -369,6 +369,19 @@ object StatsQueries {
     // drift accumulators in exact micro-units, alarms where they cross
     // 4σ. q196's robust-trend companion — Theil-Sen says how fast a
     // series drifts, CUSUM says WHEN it shifted.
+    // Reference-distribution percentile scoring: every third order's
+    // total price scored against the OTHER orders' price distribution —
+    // the per-row drift stamp a feature store applies at serving time
+    // (PSI q169 is the binned corpus view; this is the row view).
+    "q264_ref_percentile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      DataQuality.refPercentile(
+        o.filter(col("o_orderkey") % 3 =!= 0),
+        o.filter(col("o_orderkey") % 3 === 0),
+        "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Welch's unequal-variance t-test per event type: even- vs odd-user
     // cohorts on event value — the A/B significance primitive q205's
     // proportion z-test lacks for CONTINUOUS metrics. Exact decimal
@@ -806,6 +819,20 @@ object StatsQueries {
           FROM c""",
     // Same micro-unit z-scores, running sums and running mins — the
     // max(0, ...) recursion replayed as P_t - min(0, min prefix).
+    // Percentile-scoring replay: one tagged union + running ref count,
+    // ref rows first at equal values so ties count as <=.
+    "q264_ref_percentile" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 3 <> 0),
+          n AS (SELECT count(*) AS rn FROM ref),
+          u AS (SELECT v, 1 AS r, NULL::BIGINT AS k FROM ref
+                UNION ALL
+                SELECT o_totalprice, 0, o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+          c AS (SELECT k, v, r,
+                       sum(r) OVER (ORDER BY v ASC, r DESC, k ROWS UNBOUNDED PRECEDING) AS cum
+                FROM u)
+          SELECT k AS o_orderkey, v AS o_totalprice,
+                 round(cum * 1.0 / (SELECT rn FROM n), 6) AS ref_pct
+          FROM c WHERE r = 0 ORDER BY o_orderkey""",
     // Welch replay: conditional decimal moments, same IEEE chain.
     "q260_welch_ttest" ->
       """WITH m AS (SELECT event_type,

@@ -528,4 +528,15 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Dedup.minhashEstimateError(docs, "doc_id", "text", 2, 0.3))
     assertNoQuadratic(p)
   }
+
+  test("refPercentile (q264): bucket-partitioned cumsum, no ref join, no global data window") {
+    val ref = events.select(col("value").as("v"))
+    val probe = events.select(col("event_id").as("k"), col("value").as("v"))
+    val p = plan(DataQuality.refPercentile(ref, probe, "k", "v"))
+    assertNoQuadratic(p)
+    // every data-sized window is bucket-partitioned; only the 1024-row
+    // offset table runs unpartitioned
+    assert(!p.contains("windowspecdefinition(__v"), p)
+    assert(p.contains("windowspecdefinition(__psb"), p)
+  }
 }

@@ -587,6 +587,21 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(dfw - 32.0 / 19.0) < 1e-6, s"df_w $dfw")
   }
 
+  test("refPercentile: ties count as <=, bounds score 1.0/low, empty ref refuses") {
+    val ref = Seq(1.0, 2.0, 2.0, 3.0, 4.0).toDF("v")
+    val probe = Seq((10L, 2.0), (11L, 0.5), (12L, 9.0), (13L, 3.5)).toDF("k", "v")
+    val got = DataQuality.refPercentile(ref, probe, "k", "v")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(10L) == 0.6, got.toString)  // 1,2,2 <= 2  -> 3/5
+    assert(got(11L) == 0.0, got.toString)  // below the reference
+    assert(got(12L) == 1.0, got.toString)  // above everything
+    assert(got(13L) == 0.8, got.toString)  // 1,2,2,3 <= 3.5 -> 4/5
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.refPercentile(ref.filter(col("v") > 99), probe, "k", "v")
+    }
+    assert(e.getMessage.contains("empty reference"))
+  }
+
   test("minhashEstimateError: identical docs estimate 1.0 with zero error") {
     val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
