@@ -49,13 +49,15 @@ object Bench {
         // Execute the query's own physical plan (all output columns
         // materialized). A bare .count() would let Catalyst prune every
         // per-row projection and time an empty scan instead.
-        val r = Try(fn(spark, sfDir).queryExecution.toRdd.count()) match {
+        val r = Try(QueryCleanup.scoped(name) {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+        }) match {
           case Success(_) => Some((System.nanoTime() - t0) / 1e9)
           case Failure(e) =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
             None
         }
-        QueryCleanup.drain() // release caches the query handed over (untimed)
+        QueryCleanup.drain(name) // release THIS query's caches (untimed)
         r
       }
       val snap = BenchMetrics.snapshot(spark.sparkContext, metricsListener, before,

@@ -361,11 +361,13 @@ object SelfChecks {
     checks.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        val scope = s"selfcheck:$name"
         val r =
-          try fn(spark, sfDir)
+          try QueryCleanup.scoped(scope)(fn(spark, sfDir))
           catch { case e: Throwable =>
             Result(pass = false, s"check threw ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
+          finally QueryCleanup.drain(scope)
         System.err.println(s"[selfcheck] ${fmt(r.pass)} $name — ${r.detail}")
         name -> r
       }

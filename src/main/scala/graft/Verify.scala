@@ -20,12 +20,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // construction AND consumption run inside the query's hook scope;
+      // the drain then releases ONLY this query's caches/scratch — never
+      // another in-flight query's (the q198 gate-only poisoning channel)
+      try QueryCleanup.scoped(name) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally QueryCleanup.drain() // release caches the query handed over
+      finally QueryCleanup.drain(name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

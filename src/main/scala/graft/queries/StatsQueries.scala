@@ -342,10 +342,26 @@ object StatsQueries {
       IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
       SnapshotStore.commitAppend(o.filter(col("o_orderkey") % 3 === 2), table, "b2")
       IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
-      IncrementalView.read(s, view)
+      val out = IncrementalView.read(s, view)
         .select(col("o_orderstatus"), col("o_orderpriority"), col("n_rows"),
           col("sum_o_totalprice"))
         .orderBy("o_orderstatus", "o_orderpriority")
+      // The view is group-sized (|statuses| × |priorities| keys), so pin
+      // the rows HERE, while this invocation's scratch chain is known
+      // intact — the returned frame then has no dependence on scratch
+      // storage whose lifetime the harness controls (bounded-by-contract
+      // collect, same family as the DP ledger / PQ codebooks). First
+      // assert the merged view accounts for every corpus row: a poisoned
+      // chain (e.g. scratch swept mid-sequence → refresh silently no-ops)
+      // keeps all keys but drops a batch — right rows, wrong values. Fail
+      // LOUDLY instead of dumping a silently-wrong result.
+      val rows = out.collect()
+      val viewTotal = rows.map(_.getLong(rows.head.fieldIndex("n_rows"))).sum
+      val corpusTotal = o.count()
+      require(viewTotal == corpusTotal,
+        s"q198: merged view covers $viewTotal rows but the corpus has " +
+          s"$corpusTotal — an append/refresh was lost (poisoned scratch chain?)")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // Per-type Theil-Sen robust trend of the daily mean event value —
