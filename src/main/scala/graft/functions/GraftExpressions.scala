@@ -127,6 +127,33 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Exact Jaccard of two SORTED-DISTINCT string arrays (the invariant
+    * [[shingles]] guarantees: TreeSet natural order = UTF8String binary
+    * order) as ONE merge scan — no hash-set builds, no union array
+    * materialization. Bit-identical to
+    * `round(size(array_intersect(a,b)) / size(array_union(a,b)), 6)` on
+    * such inputs: |∪| = |a|+|b|−|∩| exactly for distinct arrays, the
+    * division is the same IEEE op, and the rounding is Spark round's own
+    * BigDecimal HALF_UP. Null when either side has null elements or is
+    * empty (callers filter empties; the builtin's 0/0 NaN never feeds a
+    * downstream round here). UNDEFINED on unsorted input — callers own
+    * the precondition. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (hasNullElement(a) || hasNullElement(b)) return null
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 || nb == 0) return null
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - c
+    java.lang.Double.valueOf(BigDecimal(c.toDouble / union)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   /** 32-bit SimHash over pre-hashed (60-bit) token hashes; null (boxed)
     * if any element is null. */
   def simhash(hashes: ArrayData): java.lang.Long = {
@@ -284,6 +311,28 @@ case class GraftSimHash(child: Expression)
     copy(child = newChild)
 }
 
+/** See [[TextHashImpl.jaccardSorted]] — callers own the sorted-distinct
+  * precondition (shingle arrays are TreeSet-ordered by construction). */
+case class GraftJaccardSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  // null on empty inputs or null elements
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.TextHashImpl.jaccardSorted($a, $b);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? Double.NaN : $boxed.doubleValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftJaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 case class GraftCosine(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -384,6 +433,58 @@ case class GraftJaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bloom-filter membership probe as a COMPILED predicate — the codegen
+  * replacement for a Scala `udf` wrapper, which would break the
+  * WholeStageCodegen span of the probe side's scan+filter stage (the one
+  * place [[graft.ops.Skew.bloomSemiJoin]] saves its shuffle bytes). The
+  * filter object rides the plan via `addReferenceObj` (task binaries are
+  * broadcast once per stage, so a megabyte filter ships once per
+  * executor, not per task). Not registry-registered — it closes over a
+  * runtime object, so callers bind it through a per-invocation closure
+  * builder (see bloomSemiJoin). NULL keys are absent by definition
+  * (false, matching `k != null && mightContain(k)`).
+  *
+  * Key encodings match `DataFrameStatFunctions.bloomFilter`'s puts:
+  * string keys probe the UTF-8 bytes (≡ mightContainString), integral
+  * keys probe mightContainLong. */
+case class GraftBloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  private val isString: Boolean = child.dataType match {
+    case StringType => true
+    case LongType => false
+    case other => throw new IllegalArgumentException(
+      s"GraftBloomMightContain expects string or long key, got $other")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else if (isString) bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    else bloom.mightContainLong(v.asInstanceOf[Long])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bf = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val childGen = child.genCode(ctx)
+    val call =
+      if (isString) s"$bf.mightContainBinary(${childGen.value}.getBytes())"
+      else s"$bf.mightContainLong(${childGen.value})"
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) { ${ev.value} = $call; }
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftBloomMightContain =
+    copy(child = newChild)
+}
+
 /** Registration: either imperatively (`GraftFunctions.ensureRegistered`)
   * on a live session, or declaratively via
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -396,6 +497,7 @@ object GraftFunctions {
     "graft_minhash_sig" -> (args => GraftMinHashSig(args.head)),
     "graft_simhash" -> (args => GraftSimHash(args.head)),
     "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
+    "graft_jaccard_sorted" -> (args => GraftJaccardSorted(args(0), args(1))),
     "graft_normalize_text" -> (args => GraftNormalizeText(args.head)),
     "graft_jaro_winkler" -> (args => GraftJaroWinkler(args(0), args(1))),
     "graft_bpe_count" -> (args => GraftBpeCount(args.head)),
@@ -419,6 +521,8 @@ object GraftFunctions {
   def minhashSigNative(hashes: Column): Column = call_function("graft_minhash_sig", hashes)
   def simhashNative(hashes: Column): Column = call_function("graft_simhash", hashes)
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def jaccardSortedNative(a: Column, b: Column): Column =
+    call_function("graft_jaccard_sorted", a, b)
   def topKNative(sim: Column, id: Column, k: Int): Column =
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
   def normalizeTextNative(text: Column): Column =

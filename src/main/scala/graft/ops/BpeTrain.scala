@@ -50,22 +50,91 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** How many top pairs one round's argmax job collects — the batching
+    * window. Only a SAFE prefix of these is applied (see [[safeBatch]]);
+    * the window just bounds the driver row count per round. */
+  private val BatchWindow = 16
+
+  /** The longest prefix of one round's (count desc, "l r" asc)-sorted top
+    * pairs that provably replays the SEQUENTIAL merge order when applied
+    * together — exactness, not heuristics, so the SQL oracle's one-merge-
+    * per-round unroll still matches bit-for-bit:
+    *
+    *  - members are pairwise SYMBOL-DISJOINT, and no member's symbol
+    *    equals another member's concatenation: applying one member can
+    *    then neither destroy nor create occurrences of another, so every
+    *    member's count is exactly its sequential-round count;
+    *  - the last member's count strictly exceeds the first EXCLUDED
+    *    pair's (`nextN`): every pair a merge destroys only loses count,
+    *    and every pair a merge CREATES (those containing the new `l+r`
+    *    symbol) is bounded by the old count of some non-member pair
+    *    (a new "x·lr" adjacency was an old "x·l" one) — strictly below
+    *    the whole batch, so no new pair can out-rank a member at its
+    *    sequential turn (ties included: strictness absorbs them).
+    *
+    * BpeTrainSpec pins batched ≡ sequential on fixtures that exercise
+    * both exclusion reasons. */
+  private[graft] def safeBatch(sorted: Seq[(String, String, Long)],
+                               nextN: Long): Seq[(String, String, Long)] = {
+    // 1) longest DISJOINT prefix, stopping at the first conflicting pair
+    //    (no skips — a skipped conflicting pair could morph into a new
+    //    pair that outranks a later member)
+    val used = scala.collection.mutable.Set.empty[String]
+    var j = 0
+    var stop = false
+    while (j < sorted.length && !stop) {
+      val (l, r, _) = sorted(j)
+      if (used.contains(l) || used.contains(r) || used.contains(l + r))
+        stop = true
+      else { used += l; used += r; used += (l + r); j += 1 }
+    }
+    var batch = sorted.take(j)
+    // 2) boundary gap: every member AFTER the first must strictly exceed
+    //    the best excluded count (new pairs are bounded by excluded old
+    //    counts; strictness absorbs tie-break re-ranking). The first
+    //    member alone IS the sequential argmax — always safe.
+    def boundary(sz: Int): Long =
+      if (sz < sorted.length) sorted(sz)._3 else nextN
+    while (batch.size >= 2 && boundary(batch.size) >= 0 &&
+           batch.last._3 <= boundary(batch.size))
+      batch = batch.dropRight(1)
+    if (batch.isEmpty && sorted.nonEmpty) sorted.take(1) else batch
+  }
+
   /** Learn up to `numMerges` ranked merges from the corpus. Stops early
-    * when no adjacent pair occurs at least `minCount` times. */
+    * when no adjacent pair occurs at least `minCount` times.
+    *
+    * Round cadence (the 32k-vocab scale path): each cluster round
+    * collects the top [[BatchWindow]]+1 pairs, applies the provably-safe
+    * batch prefix ([[safeBatch]]) in ONE projection, and checkpoints
+    * every `checkpointEvery` rounds instead of every merge — a 32k-merge
+    * production vocabulary runs ~5-10× fewer sequential jobs while the
+    * learned table stays bit-identical to one-merge-at-a-time training. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L): Seq[Merge] = {
+            minCount: Long = 2L, checkpointEvery: Int = 2): Seq[Merge] =
+    train(docs, textCol, numMerges, minCount, checkpointEvery, BatchWindow)
+
+  /** Test seam: `batchWindow = 1` forces one-merge-per-round training —
+    * the sequential baseline the batched path must replay bit-for-bit. */
+  private[graft] def train(docs: DataFrame, textCol: String, numMerges: Int,
+                           minCount: Long, checkpointEvery: Int,
+                           batchWindow: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery must be >= 1")
+    require(batchWindow >= 1, s"batchWindow=$batchWindow must be >= 1")
     var state = wordCounts(docs, textCol)
       .withColumn("syms",
         transform(sequence(lit(1), length(col("word"))),
           i => substring(col("word"), i, lit(1))))
       .localCheckpoint(true)
     graft.QueryCleanup.register(() => state.unpersist())
+    var lastCheckpoint = state
+    var roundsSinceCkpt = 0
     val out = Seq.newBuilder[Merge]
     var k = 0
     var done = false
     while (k < numMerges && !done) {
-      val best = state
+      val window = state
         .select(col("cnt"), explode(when(size(col("syms")) >= 2,
             transform(sequence(lit(1), size(col("syms")) - 1),
               i => struct(element_at(col("syms"), i).as("l"),
@@ -75,19 +144,35 @@ object BpeTrain {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, concat(col("l"), lit(" "), col("r")).asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getAs[Long]("n") < minCount) done = true
+        .limit(batchWindow + 1).collect()
+        .map(row => (row.getAs[String]("l"), row.getAs[String]("r"),
+          row.getAs[Long]("n")))
+        .toSeq
+      // members must clear minCount; excluded sub-minCount pairs need no
+      // boundary check (their counts — and any new pair they bound — sit
+      // strictly below every member already)
+      val eligible = window.take(batchWindow).takeWhile(_._3 >= minCount)
+      if (eligible.isEmpty) done = true
       else {
-        val l: String = best(0).getAs[String]("l")
-        val r: String = best(0).getAs[String]("r")
-        val n: Long = best(0).getAs[Long]("n")
-        out += Merge(k, l, r, n)
-        val prev = state
-        state = state.withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint(true)
-        prev.unpersist()
-        graft.QueryCleanup.register(() => state.unpersist())
-        k += 1
+        // first count beyond the eligible window (window row batchWindow,
+        // or the first sub-minCount row); -1 when nothing was excluded
+        val nextN = window.drop(eligible.size).headOption.map(_._3).getOrElse(-1L)
+        val batch = safeBatch(eligible, nextN).take(numMerges - k)
+        batch.foreach { case (l, r, n) => out += Merge(k, l, r, n); k += 1 }
+        val merged = batch.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+          applyMerge(c, l, r)
+        }
+        state = state.withColumn("syms", merged)
+        roundsSinceCkpt += 1
+        // no checkpoint after the FINAL round — state is never read again
+        if (roundsSinceCkpt >= checkpointEvery && k < numMerges) {
+          val prev = lastCheckpoint
+          state = state.localCheckpoint(true)
+          prev.unpersist()
+          lastCheckpoint = state
+          roundsSinceCkpt = 0
+          graft.QueryCleanup.register(() => state.unpersist())
+        }
       }
     }
     out.result()

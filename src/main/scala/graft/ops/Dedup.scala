@@ -84,6 +84,16 @@ object Dedup {
     round(size(array_intersect(a, b)).cast("double")
       / size(array_union(a, b)).cast("double"), 6)
 
+  /** [[jaccard]] for SORTED-distinct arrays (every shingle relation here —
+    * [[GraftFunctions.shinglesNative]] emits TreeSet order): one compiled
+    * merge scan instead of two hash-set builds, bit-identical output
+    * (DedupSpec pins it against the builtin form). The verify join over
+    * banded candidates is the near-dup pipeline's per-pair hot loop — at
+    * the 10× stress the candidate surface is output-quadratic by
+    * construction, so per-pair cost is the wall clock. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftFunctions.jaccardSortedNative(a, b)
+
   /** MinHash+LSH near-duplicate pairs: docs sharing >= 1 LSH band, verified
     * with exact token-set Jaccard >= threshold. Output (id_a, id_b, jaccard)
     * with id_a < id_b.
@@ -115,17 +125,19 @@ object Dedup {
     // returned (lazy) result is done being consumed.
     val toks = shingleToks(df, idCol, textCol, shingleN)
     val banded = bandedKeys(toks)
-    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
-      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
-        Seq("__bidx", "__bkey"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"),
+        col("__sz").as("__sza"))
+      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b"),
+        col("__sz").as("__szb")), Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b") &&
+        sizeRatioOk(col("__sza"), col("__szb"), threshold))
       .select("id_a", "id_b")
       .distinct()
     cand
       .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
       .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+        jaccardSorted(col("__toks_a"), col("__toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -159,10 +171,12 @@ object Dedup {
       .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
       .select(col("__id"), col("__sig"))
     val banded = bandedKeys(toks)
-    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
-      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
-        Seq("__bidx", "__bkey"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"),
+        col("__sz").as("__sza"))
+      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b"),
+        col("__sz").as("__szb")), Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b") &&
+        sizeRatioOk(col("__sza"), col("__szb"), threshold))
       .select("id_a", "id_b")
       .distinct()
     val est = round(aggregate(
@@ -173,7 +187,7 @@ object Dedup {
       .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
       .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+        jaccardSorted(col("__toks_a"), col("__toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
       .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
@@ -185,9 +199,23 @@ object Dedup {
   private def bandedKeys(toks: DataFrame): DataFrame =
     toks.withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
       .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
-      .select(col("__id"), explode(bands(col("__sig"))).as("__band"))
-      .select(col("__id"),
+      .select(col("__id"), size(col("__toks")).as("__sz"),
+        explode(bands(col("__sig"))).as("__band"))
+      .select(col("__id"), col("__sz"),
         col("__band.band_idx").as("__bidx"), col("__band.band_key").as("__bkey"))
+
+  /** PPJoin length filter as a band-join candidate gate: J(a,b) ≥ t forces
+    * min(|a|,|b|)/max(|a|,|b|) ≥ t, so a candidate failing the SIZE ratio
+    * can never verify — drop it before the distinct/array-fetch stages.
+    * Sizes ride the band rows as one long each. The margin absorbs both
+    * the IEEE products here and the verify side's 6-dp rounding (a pair
+    * whose round(J,6) crosses t from below must survive the gate), so the
+    * output pair set is untouched — this only prunes hot natural bands
+    * (common-bigram minima collide short docs with long ones; their size
+    * ratio kills them here instead of after two array joins). */
+  private def sizeRatioOk(sa: Column, sb: Column, threshold: Double): Column =
+    least(sa, sb).cast("double") >=
+      (lit(threshold) - lit(1e-6)) * greatest(sa, sb).cast("double")
 
   /** CROSS-corpus near-duplicate pairs: every (a-side, b-side) document
     * pair whose n-gram Jaccard clears `threshold`, found via the same
@@ -209,16 +237,19 @@ object Dedup {
     GraftFunctions.ensureRegistered(a.sparkSession)
     val ta = shingleToks(a, idCol, textCol, shingleN)
     val tb = shingleToks(b, idCol, textCol, shingleN)
-    val cand = bandedKeys(ta).withColumnRenamed("__id", "id_a")
-      .join(bandedKeys(tb).withColumnRenamed("__id", "id_b"),
+    val cand = bandedKeys(ta)
+      .withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza")
+      .join(bandedKeys(tb)
+        .withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"),
         Seq("__bidx", "__bkey"))
+      .filter(sizeRatioOk(col("__sza"), col("__szb"), threshold))
       .select("id_a", "id_b")
       .distinct()
     cand
       .join(ta.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
       .join(tb.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+        jaccardSorted(col("__toks_a"), col("__toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -259,19 +290,22 @@ object Dedup {
     GraftFunctions.ensureRegistered(batch.sparkSession)
     val tb = shingleToks(batch, idCol, textCol, shingleN)
     val corpusBands = index
-      .select(col("id").as("id_a"), explode(col("bands")).as("__band"))
-      .select(col("id_a"),
+      .select(col("id").as("id_a"), size(col("toks")).as("__sza"),
+        explode(col("bands")).as("__band"))
+      .select(col("id_a"), col("__sza"),
         col("__band.band_idx").as("__bidx"), col("__band.band_key").as("__bkey"))
     val cand = corpusBands
-      .join(bandedKeys(tb).select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
+      .join(bandedKeys(tb).select(col("__bidx"), col("__bkey"),
+        col("__id").as("id_b"), col("__sz").as("__szb")),
         Seq("__bidx", "__bkey"))
+      .filter(sizeRatioOk(col("__sza"), col("__szb"), threshold))
       .select("id_a", "id_b")
       .distinct()
     cand
       .join(index.select(col("id").as("id_a"), col("toks").as("__toks_a")), Seq("id_a"))
       .join(tb.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__toks_a"), col("__toks_b")).as("jaccard"))
+        jaccardSorted(col("__toks_a"), col("__toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -198,20 +198,34 @@ object Experiment {
     val cdf = (0 to 7).scanLeft(0.0) { case (acc, k) =>
       acc + math.exp(-1.0) / (1 to k).foldLeft(1.0)(_ * _)
     }.tail
-    val rows = df.select(col(groupCol).as("__g"),
+    // One corpus pass, NO ×B row explode: the B weights materialize as one
+    // array-valued projection (B hashes per row, computed once), and the B
+    // (sum, n) pairs fold into 2·B conditional aggregates of a single
+    // groupBy(group) — map-side combine leaves one 2·B-column row per
+    // group per partition instead of B× duplicated rows through the
+    // exchange. The per-resample relation is then rebuilt group-locally by
+    // exploding the B (s, n) structs — identical integers to the exploded
+    // form, so the SQL oracle is unchanged.
+    val base = df.select(col(groupCol).as("__g"),
         col(idCol).cast("string").as("__id"),
         round(col(valueCol).cast("double") * 1e6, 0).cast("decimal(38,0)")
           .as("__vm"))
       .filter(col("__vm").isNotNull)
-      .withColumn("__b", explode(array((0 until b).map(lit): _*)))
-    val u = graft.functions.PortableHash.puniform(
-      concat_ws("|", lit(salt), col("__b").cast("string"), col("__id")))
-    val w = cdf.map(t => when(u > t, 1L).otherwise(0L)).reduceLeft(_ + _)
-    val perB = rows
-      .withColumn("__w", w)
-      .groupBy(col("__g"), col("__b"))
-      .agg(sum(col("__vm") * col("__w")).as("__s"),
-        sum(col("__w")).as("__n"))
+    def weight(bi: Int): Column = {
+      val u = graft.functions.PortableHash.puniform(
+        concat_ws("|", lit(salt), lit(bi.toString), col("__id")))
+      cdf.map(t => when(u > t, 1L).otherwise(0L)).reduceLeft(_ + _)
+    }
+    val withW = base.withColumn("__ws", array((0 until b).map(weight): _*))
+    val aggs = (0 until b).flatMap { bi =>
+      Seq(sum(col("__vm") * element_at(col("__ws"), bi + 1)).as(s"__s$bi"),
+        sum(element_at(col("__ws"), bi + 1)).as(s"__n$bi"))
+    }
+    val perG = withW.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    val perB = perG
+      .select(col("__g"), explode(array((0 until b).map(bi =>
+        struct(col(s"__s$bi").as("__s"), col(s"__n$bi").as("__n"))): _*)).as("__sn"))
+      .select(col("__g"), col("__sn.__s").as("__s"), col("__sn.__n").as("__n"))
       .filter(col("__n") > 0)
       .withColumn("__mean",
         col("__s").cast("double") / 1e6 / col("__n").cast("double"))

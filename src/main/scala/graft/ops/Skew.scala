@@ -83,16 +83,51 @@ object Skew {
     * convention as the dedup ingest bloom). The filter itself is a
     * bounded driver artifact (like PQ codebooks): `expectedItems` keys
     * at `fpp` ≈ `-1.44·log2(fpp)` bits/key. */
+  /** Conservative per-key footprint of a broadcast hash relation — the
+    * regime gate's unit (key + hash-map overhead). */
+  private val BroadcastKeyBytes = 24L
+
   def bloomSemiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
                     buildKey: String, expectedItems: Long,
-                    fpp: Double = 0.01): DataFrame = {
+                    fpp: Double = 0.01, forceBloom: Boolean = false): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
-    val bloom = build.stat.bloomFilter(col(buildKey).cast("string"),
+    val spark = probe.sparkSession
+    val semiRight = build.select(col(buildKey).as(probeKey))
+    // REGIME GATE (asserted by SkewSpec): when the build key set fits the
+    // session's broadcast threshold, the plain semi join already sends
+    // every probe row through an EXACT broadcast hash lookup — a bloom
+    // pre-pass there is pure overhead (build pass + probe hashing) with
+    // zero shuffle saved, which is precisely how the r12 bench measured
+    // it (bloom 0.50 s vs plain 0.37 s at 1×). The bloom's regime starts
+    // where broadcast ends; below the crossover this IS the plain join.
+    val broadcastable =
+      expectedItems * BroadcastKeyBytes <=
+        spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (broadcastable && !forceBloom)
+      return probe.join(semiRight, Seq(probeKey), "left_semi")
+    // integral keys build/probe the bloom on raw longs (no string render
+    // on the 100 TB side); anything else uses the canonical string form
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    val longKeys = integral.contains(probe.schema(probeKey).dataType) &&
+      integral.contains(build.schema(buildKey).dataType)
+    val keyCast = if (longKeys) "long" else "string"
+    val bloom = build.stat.bloomFilter(col(buildKey).cast(keyCast),
       expectedItems, fpp)
-    val bloomBc = probe.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+    // the predicate closes over the filter object, so it binds through a
+    // per-invocation registry closure (compiled expression — a Scala udf
+    // here would sever WholeStageCodegen exactly where the probe scan
+    // does its work); the entry is reclaimed after consumption
+    val fnName = "graft_bloom_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fnName,
+      args => graft.functions.GraftBloomMightContain(args.head, bloom), "built-in")
+    graft.QueryCleanup.register(() =>
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)))
     probe
-      .filter(mightContain(col(probeKey).cast("string")))
-      .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
+      .filter(call_function(fnName, col(probeKey).cast(keyCast)))
+      .join(semiRight, Seq(probeKey), "left_semi")
   }
 }

@@ -616,26 +616,46 @@ object TimeSeries {
     * over the calendar-bounded daily table (the q50 contract); the
     * flag compares fixed-shape doubles. Edge days without a full
     * trend window carry null remainder and never flag. */
+  /** Spark `percentile(x, 0.5)`'s exact interpolation over an ASCENDING
+    * array: the middle element (odd n), or lo + (hi − lo)·0.5 (even n) —
+    * the same IEEE expression shape the builtin evaluates, so folding the
+    * median into an array projection changes nothing the oracle sees. */
+  private def exactMedian(arr: Column): Column = {
+    val n = size(arr)
+    val lo = element_at(arr, ((n + 1) / 2).cast("int"))
+    val hi = element_at(arr, (n / 2 + 1).cast("int"))
+    // odd n: lo == hi == the middle element; even n: interpolate at 0.5
+    when(n % 2 === 1, lo).otherwise(lo + (hi - lo) * lit(0.5))
+  }
+
   def seasonalAnomalies(events: DataFrame, groupCol: String, tsCol: String,
                         k: Double = 3.0): DataFrame = {
     require(k > 0, s"seasonalAnomalies: k=$k must be > 0")
-    // the decomposition feeds three consumers (median, MAD, final
+    // the decomposition feeds two consumers (the stats pass and the final
     // select): persist the calendar-bounded daily table so the event
     // scan + trend/seasonal chain runs once (QueryCleanup handover)
     val d = seasonalDecompose(events, groupCol, tsCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.QueryCleanup.register(() => d.unpersist())
-    val med = d.filter(col("remainder").isNotNull)
+    // BOTH medians in ONE group-sized aggregation: remainders collect to
+    // a per-group sorted array (calendar-bounded — ≤ |days| elements), the
+    // median and the MAD fold out of it as projections replicating the
+    // builtin percentile's interpolation bit-for-bit. The r12 shape ran
+    // median and MAD as two separate broadcast-subquery jobs, each racing
+    // to materialize the persisted daily table — one stats job removes
+    // the race and a whole broadcast round.
+    val stats = d.filter(col("remainder").isNotNull)
       .groupBy(col(groupCol))
-      .agg(round(expr("percentile(remainder, 0.5)"), 6).as("__med"))
-    val withMed = d.join(broadcast(med), Seq(groupCol), "left")
+      .agg(sort_array(collect_list(col("remainder"))).as("__arr"))
+      .withColumn("__med", round(exactMedian(col("__arr")), 6))
+      .withColumn("__devs", sort_array(
+        transform(col("__arr"), x => round(abs(x - col("__med")), 6))))
+      .withColumn("__mad", round(exactMedian(col("__devs")), 6))
+      .select(col(groupCol), col("__med"), col("__mad"))
+    d.join(broadcast(stats), Seq(groupCol), "left")
       .withColumn("__dev",
         when(col("remainder").isNotNull,
           round(abs(col("remainder") - col("__med")), 6)))
-    val mad = withMed.filter(col("__dev").isNotNull)
-      .groupBy(col(groupCol))
-      .agg(round(expr("percentile(__dev, 0.5)"), 6).as("__mad"))
-    withMed.join(broadcast(mad), Seq(groupCol), "left")
       .select(col(groupCol), col("day"), col("n"), col("remainder"),
         col("__mad").as("mad"),
         coalesce(col("__mad") > 0 && col("__dev") > lit(k) * col("__mad"),

@@ -103,8 +103,12 @@ object RelationalQueries {
     // order is URGENT — exact semi-join semantics, bloom pre-filter
     // drops non-matching probe rows before the shuffle (the 100 TB path
     // when the key set out-sizes a broadcast but its bloom doesn't).
-    // The oracle is the PLAIN semi join: the bloom must be invisible in
-    // the result.
+    // At THIS scale the 200k-key build fits the broadcast threshold, so
+    // the regime gate routes to the plain broadcast semi join — the r12
+    // bench measured the bloom as pure overhead below that crossover
+    // (0.50 s vs 0.37 s); the bloom path itself is spec-pinned with
+    // forceBloom. The oracle is the PLAIN semi join either way: the
+    // bloom must be invisible in the result.
     "q168_bloom_semijoin" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)

@@ -196,21 +196,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"), p2)
   }
 
-  test("bloomSemiJoin: the bloom filter prunes BELOW the join's exchange") {
-    // a Range source (not a LocalRelation) keeps the UDF filter in the
+  test("bloomSemiJoin: the bloom probe prunes BELOW the join's exchange, codegen'd") {
+    // a Range source (not a LocalRelation) keeps the probe filter in the
     // physical plan — ConvertToLocalRelation would fold it over local
     // data at optimization time and hide the shape under test
     val probe = spark.range(1, 501).select($"id".as("k"), ($"id" * 2).as("payload"))
     val build = (1L to 500L by 7L).toDF("k0")
-    val p = plan(Skew.bloomSemiJoin(probe, build, "k", "k0", 100L))
+    // forceBloom: the regime gate would bypass a 100-key (broadcastable)
+    // build — the gated plan shape is pinned in TimeSeriesDpSpec
+    val p = plan(Skew.bloomSemiJoin(probe, build, "k", "k0", 100L,
+      forceBloom = true))
+    graft.QueryCleanup.drain()
     assertNoQuadratic(p)
-    // the UDF filter must sit on the probe side BELOW any exchange the
+    // the bloom probe must sit on the probe side BELOW any exchange the
     // semi join introduces: everything shuffled has already passed the
     // bloom (string order in the plan tree: the join prints first, the
-    // probe-side Filter with the UDF deeper)
+    // probe-side Filter deeper). It is a native expression now — no
+    // UDF( marker, nothing severing WholeStageCodegen on the scan.
     val joinAt = p.indexOf("Join")
-    val filterAt = p.indexOf("UDF(")
+    val filterAt = p.toLowerCase.indexOf("graftbloommightcontain")
     assert(joinAt >= 0 && filterAt > joinAt, p)
+    assert(!p.contains("UDF("), "bloom probe must not be a Scala udf: " + p)
   }
 
   test("shuffleOrder: broadcast offsets, no sort-merge join, no data-wide global sort") {
@@ -443,13 +449,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("poissonBootstrapCi: B-fold explode feeds ONE combining agg, no join") {
+  test("poissonBootstrapCi: one pass, 2·B conditional aggs, ONE exchange, no join") {
     val df = (1 to 300).map(i => ("g", i.toLong, i.toDouble)).toDF("k", "id", "v")
     val p = plan(Experiment.poissonBootstrapCi(df, "k", "id", "v", b = 16))
     assert(!p.contains("Join"), p)
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
-    // (group, b) agg + B-row percentile agg: two exchanges total
-    assert(exchanges(p) == 2, p)
+    // the B resample sums fold into one groupBy(group) (map-side
+    // combined), the per-resample relation re-explodes group-locally,
+    // and the percentile agg rides the SAME group partitioning: exactly
+    // one exchange — the r12 shape exploded every row ×B before the
+    // (group, b) aggregate and paid a second exchange on top
+    assert(exchanges(p) == 1, p)
+    // no ×B row explode below the exchange: the only Generate sits above
+    // it (B structs per GROUP, not per input row)
+    val genAt = p.indexOf("Generate")
+    val exAt = p.indexOf("Exchange")
+    assert(genAt >= 0 && exAt >= 0 && genAt < exAt, p)
   }
 
   test("negativeSample: hash equi-joins only; the 1-row count is the sole BNLJ") {

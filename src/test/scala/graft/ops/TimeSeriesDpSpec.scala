@@ -322,16 +322,44 @@ class TimeSeriesDpSpec extends SparkSpec {
     val expected = probe.join(build.withColumnRenamed("k0", "k"), Seq("k"), "left_semi")
       .as[(Long, String)].collect().toSet
     // fpp=0.4 floods the pre-filter with false positives; the exact semi
-    // join must eliminate every one of them.
+    // join must eliminate every one of them. forceBloom pins the BLOOM
+    // path — the regime gate would otherwise bypass a 100-key build.
     val got = Skew.bloomSemiJoin(probe, build, "k", "k0",
-        expectedItems = 100L, fpp = 0.4)
+        expectedItems = 100L, fpp = 0.4, forceBloom = true)
       .as[(Long, String)].collect().toSet
     assert(got == expected && got.nonEmpty)
     // null probe keys never match (semi-join semantics)
     val withNull = probe.unionAll(Seq((null.asInstanceOf[java.lang.Long], "pnull"))
       .toDF("k", "payload").select($"k".cast("long"), $"payload"))
-    val gotNull = Skew.bloomSemiJoin(withNull, build, "k", "k0", 100L, 0.4)
+    val gotNull = Skew.bloomSemiJoin(withNull, build, "k", "k0", 100L, 0.4,
+      forceBloom = true)
     assert(!gotNull.as[(Long, String)].collect().exists(_._2 == "pnull"))
+    graft.QueryCleanup.drain()
+  }
+
+  test("bloomSemiJoin: string keys through the bloom path match the plain semi join") {
+    val probe = (1L to 300L).map(i => (s"key$i", i)).toDF("k", "payload")
+    val build = (1L to 300L by 5L).map(i => s"key$i").toDF("k0")
+    val expected = probe.join(build.withColumnRenamed("k0", "k"), Seq("k"), "left_semi")
+      .as[(String, Long)].collect().toSet
+    val got = Skew.bloomSemiJoin(probe, build, "k", "k0", 60L, 0.2,
+        forceBloom = true)
+      .as[(String, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    graft.QueryCleanup.drain()
+  }
+
+  test("bloomSemiJoin regime gate: a broadcastable build set bypasses the bloom") {
+    val probe = (1L to 100L).map(i => (i, i)).toDF("k", "payload")
+    val build = (1L to 100L by 3L).toDF("k0")
+    val gated = Skew.bloomSemiJoin(probe, build, "k", "k0", expectedItems = 100L)
+    // the bypass plan is the PLAIN semi join: no bloom probe anywhere
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("graftbloom"), plan)
+    val expected = probe.join(build.withColumnRenamed("k0", "k"), Seq("k"), "left_semi")
+      .count()
+    assert(gated.count() == expected)
+    graft.QueryCleanup.drain()
   }
 
   test("dpHistogram: stability threshold suppresses thin bins, release replays") {
