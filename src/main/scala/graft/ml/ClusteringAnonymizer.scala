@@ -62,4 +62,37 @@ object ClusteringAnonymizer {
     ClusteringResult(clustered,
       Generalization.generalize(clustered, "cluster", genCols))
   }
+
+  /** [[anonymize]] with [[DeterministicKMeans]] in place of MLlib's —
+    * identical pipeline semantics (alphabetAsc label encode,
+    * standardize, cluster, per-cluster min-max generalize) but every
+    * stage replays bit-for-bit in plain SQL, so the E2 release is
+    * oracle-checkable end to end (the q45/q69 path; MLlib stays behind
+    * [[anonymize]] for the recall-band trainers).
+    *
+    * Label encoding here is the broadcast form of alphabetAsc: the tiny
+    * distinct-value table ranks once (row_number over value order, 0-
+    * based — sklearn LabelEncoder parity) and joins back, instead of
+    * StringIndexer's driver-collected labels array — same codes, no
+    * whole-column collect. */
+  def anonymizeDeterministic(df: DataFrame, numericCols: Seq[String],
+                             categoricalCols: Seq[String], nClusters: Int,
+                             iters: Int = 8,
+                             generalizeColsOpt: Option[Seq[String]] = None): ClusteringResult = {
+    var encoded = df
+    categoricalCols.foreach { c =>
+      val codes = df.select(col(c)).distinct()
+        .select(col(c), (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(c))) - 1)
+          .cast("double").as(s"__idx_$c"))
+      encoded = encoded.join(broadcast(codes), Seq(c))
+    }
+    val features = numericCols ++ categoricalCols.map(c => s"__idx_$c")
+    val genCols = generalizeColsOpt.getOrElse(numericCols)
+    val dropCols = categoricalCols.map(c => s"__idx_$c").filterNot(genCols.contains)
+    val clustered = DeterministicKMeans.assign(encoded, features, nClusters, iters)
+      .drop(dropCols: _*)
+    ClusteringResult(clustered,
+      Generalization.generalize(clustered, "cluster", genCols))
+  }
 }

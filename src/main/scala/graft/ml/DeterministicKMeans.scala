@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means in EXACT integer-micro arithmetic with a deterministic
+  * init — the clustering-anonymization quantizer (reference E2,
+  * clustering-anon.py:37-51) rebuilt so the whole fit REPLAYS BIT-FOR-BIT
+  * in any engine, SQL included. MLlib's KMeans (still used by the IVF/PQ
+  * trainers, where recall bands are the contract) seeds from k-means||
+  * random sampling and averages in IEEE registers, so its assignments are
+  * engine-private; an ANONYMIZATION grouping wants the opposite — the
+  * same release every run, auditable by an external replay (the q138
+  * Mondrian standard, now applied to the reference's own E2 pipeline).
+  *
+  * Determinism contract, stage by stage:
+  *  - standardization: per-feature mean/std from EXACT decimal sums
+  *    (sample std, the sklearn/MLlib ddof=1 convention), one IEEE
+  *    division/sqrt at the edge, then values fix to integer MICROS
+  *    (round half-away-from-zero) — all later arithmetic is integral;
+  *  - init: the k evenly-spaced elements (ranks ⌊i·nd/k⌋+1, i=0..k−1) of
+  *    the DISTINCT standardized tuples in ascending tuple order — a
+  *    quantile-spread seeding with no randomness; cluster ids are the
+  *    seeds' tuple order (0..k−1). Fewer than k distinct tuples yield
+  *    fewer centers (the GraftKMeans degenerate contract);
+  *  - `iters` fixed Lloyd rounds: assignment = argmin of the exact
+  *    integer squared distance, ties to the LOWEST cluster id; update =
+  *    count-weighted integer mean per dimension (half-away-from-zero),
+  *    empty clusters keep their previous centroid.
+  *
+  * Scale: points dedupe to DISTINCT standardized tuples weighted by
+  * count (vocabulary-style state, like BPE training), localCheckpointed
+  * once; each round is one tiny aggregation over them with the k·d
+  * centroid table as compiled literals (a bounded driver artifact, k·d
+  * longs — the PQ-codebook contract). The init's rank pass runs one
+  * global window over the distinct tuples — at a truly huge distinct
+  * domain, seed from a hash sample first; for QI-style features the
+  * distinct domain is far below the corpus.
+  */
+object DeterministicKMeans {
+
+  private val Micro = 1e6
+
+  /** Half-away-from-zero integer mean of decimal-sum column `s` over
+    * count column `n` — the engine's standard replayable division idiom
+    * (q252's DOW seasonal means), as the same SQL text the oracle runs. */
+  private def intMean(s: String, n: String): Column =
+    expr(s"CASE WHEN $s >= 0 THEN (abs($s) * 2 + $n) div ($n * 2) " +
+      s"ELSE -((abs($s) * 2 + $n) div ($n * 2)) END").cast("long")
+
+  /** Fit on `featureCols` (numeric, non-null — callers own the NA drop,
+    * as the reference pipeline does) and return `df` + an integer
+    * `cluster` column. */
+  def assign(df: DataFrame, featureCols: Seq[String], k: Int,
+             iters: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    val d = featureCols.size
+
+    // per-feature mean/std from exact decimal sums, cast to double once
+    // (the q260 Welch moment idiom, hash-proven cross-engine) — ONE 1-row
+    // aggregate for every feature
+    val statAggs = featureCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(col(c).cast("decimal(28,6)")).cast("double").as(s"__sx$i"),
+        sum((col(c).cast("double") * col(c).cast("double"))
+          .cast("decimal(38,12)")).cast("double").as(s"__sxx$i"),
+        count(col(c)).as(s"__n$i"))
+    }
+    val stats = df.agg(statAggs.head, statAggs.tail: _*)
+
+    def zCol(i: Int, c: String): Column = {
+      val n = col(s"__n$i").cast("double")
+      val mean = col(s"__sx$i") / n
+      // unbiased sample variance from the exact moments (q260's shape)
+      val variance =
+        (col(s"__sxx$i") - col(s"__sx$i") * col(s"__sx$i") / n) / (n - 1)
+      val std = sqrt(variance)
+      when(std > 0,
+          round((col(c).cast("double") - mean) / std * Micro, 0).cast("long"))
+        .otherwise(lit(0L))
+        .as(s"__z$i")
+    }
+
+    val withZ = df.crossJoin(broadcast(stats))
+      .select(df.columns.map(col) ++ featureCols.zipWithIndex.map {
+        case (c, i) => zCol(i, c) } : _*)
+
+    // distinct-tuple weighted points: the Lloyd state (vocab-scaled)
+    val zCols = (0 until d).map(i => col(s"__z$i"))
+    val pts = withZ.groupBy(zCols: _*).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    graft.QueryCleanup.register(() => pts.unpersist())
+
+    // deterministic quantile-spread init over the ordered distinct tuples
+    val ranked = pts.select(zCols :+
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(zCols: _*)).as("__rn") :+
+      count(lit(1)).over().as("__nd"): _*)
+    val seeds = ranked
+      .filter((0 until k).map(i =>
+        expr(s"__rn = ($i * __nd) div $k + 1")).reduce(_ || _))
+      .orderBy(zCols: _*)
+      .select(zCols: _*)
+      .collect()
+    // duplicate ranks (nd < k) hit the same row once: fewer centers
+    var cents: IndexedSeq[(Int, IndexedSeq[Long])] = seeds.toIndexedSeq
+      .map(r => (0 until d).map(i => r.getLong(i)))
+      .zipWithIndex.map { case (c, i) => (i, c) }
+
+    def bestCid(cs: IndexedSeq[(Int, IndexedSeq[Long])]): Column = {
+      val scored = cs.map { case (cid, cv) =>
+        val dist = (0 until d).map { i =>
+          val diff = col(s"__z$i") - lit(cv(i))
+          diff * diff
+        }.reduceLeft(_ + _)
+        struct(dist.as("d"), lit(cid).as("cid"))
+      }
+      if (scored.size == 1) lit(0) // degenerate single-center fit
+      else least(scored: _*).getField("cid")
+    }
+
+    var it = 0
+    while (it < iters) {
+      val updAggs = (0 until d).flatMap(i => Seq(
+        sum((col(s"__z$i") * col("__cnt")).cast("decimal(38,0)")).as(s"__s$i"))) :+
+        sum(col("__cnt")).as("__w")
+      val upd = pts.withColumn("__cid", bestCid(cents))
+        .groupBy(col("__cid"))
+        .agg(updAggs.head, updAggs.tail: _*)
+        .select(col("__cid") +: (0 until d).map(i =>
+          intMean(s"__s$i", "__w").as(s"__c$i")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until d).map(i => r.getLong(i + 1)))
+        .toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, cv) => (cid, upd.getOrElse(cid, cv)) }
+      it += 1
+    }
+
+    withZ.withColumn("cluster", bestCid(cents))
+      .drop((0 until d).map(i => s"__z$i"): _*)
+  }
+}

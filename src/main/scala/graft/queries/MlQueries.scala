@@ -15,10 +15,15 @@ object MlQueries {
 
   val queries: Map[String, Q] = Map(
     // E2: cluster customers on (acctbal, mktsegment), generalize acctbal
-    // to per-cluster min-max ranges.
+    // to per-cluster min-max ranges. Deterministic integer-micro KMeans
+    // (DeterministicKMeans) — the full fit unrolls in the SQL oracle, so
+    // assignments AND ranges are hash-checked, not just invariant-checked.
     "q45_cluster_generalize" -> ((s, dir) => {
+      // pre-fix the (2-dp) balance to decimal so the rendered range
+      // strings are the engine-stable decimal form (the q14 contract)
       val c = Tables.customer(s, dir)
-      ClusteringAnonymizer.anonymize(c,
+        .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)"))
+      ClusteringAnonymizer.anonymizeDeterministic(c,
         numericCols = Seq("c_acctbal"),
         categoricalCols = Seq("c_mktsegment"),
         nClusters = 10).generalized
@@ -67,7 +72,8 @@ object MlQueries {
     // cluster's min-max range.
     "q69_multicol_generalize" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      ClusteringAnonymizer.anonymize(c,
+        .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)"))
+      ClusteringAnonymizer.anonymizeDeterministic(c,
         numericCols = Seq("c_acctbal"),
         categoricalCols = Seq("c_mktsegment"),
         nClusters = 10,
@@ -78,5 +84,103 @@ object MlQueries {
         .orderBy("c_custkey")
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB replay of the ENTIRE deterministic E2 fit (q45/q69): label
+    * encode, exact-moment standardization to integer micros, the
+    * quantile-spread init, `Iters` unrolled Lloyd rounds (assignment =
+    * integer argmin with cid tie-break, update = half-away integer means,
+    * empty clusters carry forward), final assignment, per-cluster min-max
+    * range render. Every stage is the same arithmetic the Scala side
+    * runs (DeterministicKMeans scaladoc maps the stages); CTEs are
+    * MATERIALIZED — an inlined unroll would replay the whole chain once
+    * per reference and explode exponentially. */
+  private val Iters = 8
+  private val K = 10
+
+  private def kmeansOracleSql(multiCol: Boolean): String = {
+    val seedRanks = (0 until K)
+      .map(i => s"rn = ($i * nd) // $K + 1").mkString(" OR ")
+    def iterBlock(t: Int): String = {
+      val prev = if (t == 1) "k0" else s"k${t - 1}"
+      s"""a$t AS MATERIALIZED (
+            SELECT p.z0, p.z1, p.cnt, c.cid,
+                   row_number() OVER (PARTITION BY p.z0, p.z1
+                     ORDER BY (p.z0-c.c0)*(p.z0-c.c0) + (p.z1-c.c1)*(p.z1-c.c1), c.cid) AS rk
+            FROM pts p CROSS JOIN $prev c),
+          u$t AS MATERIALIZED (
+            SELECT cid,
+              CASE WHEN s0 >= 0 THEN (abs(s0)*2 + w) // (w*2) ELSE -((abs(s0)*2 + w) // (w*2)) END AS c0,
+              CASE WHEN s1 >= 0 THEN (abs(s1)*2 + w) // (w*2) ELSE -((abs(s1)*2 + w) // (w*2)) END AS c1
+            FROM (SELECT cid, sum(CAST(z0 AS HUGEINT) * cnt) AS s0,
+                         sum(CAST(z1 AS HUGEINT) * cnt) AS s1,
+                         CAST(sum(cnt) AS HUGEINT) AS w
+                  FROM a$t WHERE rk = 1 GROUP BY cid)),
+          k$t AS MATERIALIZED (
+            SELECT p.cid, CAST(COALESCE(u.c0, p.c0) AS BIGINT) AS c0,
+                   CAST(COALESCE(u.c1, p.c1) AS BIGINT) AS c1
+            FROM $prev p LEFT JOIN u$t u USING (cid)),"""
+    }
+    val rangeCols =
+      if (multiCol)
+        """CAST(min(c_acctbal) AS VARCHAR) || '-' || CAST(max(c_acctbal) AS VARCHAR) AS r0,
+           CAST(min(idx) AS VARCHAR) || '-' || CAST(max(idx) AS VARCHAR) AS r1"""
+      else
+        "CAST(min(c_acctbal) AS VARCHAR) || '-' || CAST(max(c_acctbal) AS VARCHAR) AS r0"
+    val finalSelect =
+      if (multiCol)
+        """SELECT f.c_custkey, f.cid AS cluster, r.r0 AS c_acctbal,
+                  r.r1 AS mktsegment_range"""
+      else
+        "SELECT f.c_custkey, f.cid AS cluster, r.r0 AS c_acctbal"
+    s"""WITH codes AS MATERIALIZED (
+          SELECT c_mktsegment,
+                 CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS DOUBLE) AS idx
+          FROM (SELECT DISTINCT c_mktsegment FROM customer)),
+        base AS MATERIALIZED (
+          SELECT c.c_custkey, CAST(c.c_acctbal AS DECIMAL(18,2)) AS c_acctbal, co.idx
+          FROM customer c JOIN codes co USING (c_mktsegment)),
+        stats AS MATERIALIZED (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sx0,
+                 CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) * CAST(c_acctbal AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sxx0,
+                 count(c_acctbal) AS n0,
+                 CAST(sum(CAST(idx AS DECIMAL(28,6))) AS DOUBLE) AS sx1,
+                 CAST(sum(CAST(idx * idx AS DECIMAL(38,12))) AS DOUBLE) AS sxx1,
+                 count(idx) AS n1
+          FROM base),
+        z AS MATERIALIZED (
+          SELECT c_custkey, c_acctbal, idx,
+            CASE WHEN sqrt((sxx0 - sx0*sx0/n0)/(n0-1)) > 0
+                 THEN CAST(round((CAST(c_acctbal AS DOUBLE) - sx0/n0)
+                      / sqrt((sxx0 - sx0*sx0/n0)/(n0-1)) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS z0,
+            CASE WHEN sqrt((sxx1 - sx1*sx1/n1)/(n1-1)) > 0
+                 THEN CAST(round((idx - sx1/n1)
+                      / sqrt((sxx1 - sx1*sx1/n1)/(n1-1)) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS z1
+          FROM base CROSS JOIN stats),
+        pts AS MATERIALIZED (
+          SELECT z0, z1, count(*) AS cnt FROM z GROUP BY 1, 2),
+        ranked AS MATERIALIZED (
+          SELECT z0, z1, row_number() OVER (ORDER BY z0, z1) AS rn,
+                 count(*) OVER () AS nd FROM pts),
+        k0 AS MATERIALIZED (
+          SELECT z0 AS c0, z1 AS c1,
+                 row_number() OVER (ORDER BY z0, z1) - 1 AS cid
+          FROM ranked WHERE $seedRanks),
+        ${(1 to Iters).map(iterBlock).mkString("\n")}
+        asg AS MATERIALIZED (
+          SELECT z.c_custkey, z.c_acctbal, z.idx, c.cid,
+                 row_number() OVER (PARTITION BY z.c_custkey
+                   ORDER BY (z.z0-c.c0)*(z.z0-c.c0) + (z.z1-c.c1)*(z.z1-c.c1), c.cid) AS rk
+          FROM z CROSS JOIN k$Iters c),
+        fin AS MATERIALIZED (
+          SELECT c_custkey, c_acctbal, idx, cid FROM asg WHERE rk = 1),
+        rng AS MATERIALIZED (
+          SELECT cid, $rangeCols FROM fin GROUP BY cid)
+        $finalSelect
+        FROM fin f JOIN rng r USING (cid) ORDER BY c_custkey"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q45_cluster_generalize" -> kmeansOracleSql(multiCol = false),
+    "q69_multicol_generalize" -> kmeansOracleSql(multiCol = true))
 }
