@@ -660,12 +660,15 @@ object DataQuality {
                     valueCol: String, outCol: String = "ref_pct"): DataFrame = {
     val r = ref.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
+    // the probe key rides through UNCAST in its own type (a string key
+    // under ANSI would otherwise fail — or silently null — at a long cast)
+    val keyType = probe.schema(probeKeyCol).dataType
     val tagged = r
       .select(col("__v"), lit(1L).as("__isref"),
-        lit(null).cast("long").as("__k"))
+        lit(null).cast(keyType).as("__k"))
       .unionByName(probe
         .select(col(valueCol).cast("double").as("__v"), lit(0L).as("__isref"),
-          col(probeKeyCol).cast("long").as("__k"))
+          col(probeKeyCol).as("__k"))
         .filter(col("__v").isNotNull))
       .withColumn("__negr", -col("__isref"))
     // equal-width value buckets from a 1-row bounds probe — the monotone

@@ -790,11 +790,17 @@ object TextQueries {
       // staged token column — see q258's re-tokenize note
       val tk = col("__tk")
       val ok = (w: org.apache.spark.sql.Column) => length(w) >= 4 && !w.isInCollection(stop)
+      // size guard (the q258 / repetitionStats idiom): sequence(1, 0) on a
+      // <2-token doc is the DESCENDING [1, 0] and element_at(tk, 0) throws —
+      // short documents must contribute no pairs, as the oracle's empty
+      // range() does
       val adj = Tables.documents(s, dir)
         .select(TextAnalysis.tokens(col("text")).as("__tk"))
         .select(
-          explode(filter(transform(sequence(lit(1), size(tk) - 1),
-              i => struct(element_at(tk, i).as("a"), element_at(tk, i + 1).as("b"))),
+          explode(filter(when(size(tk) >= 2,
+              transform(sequence(lit(1), size(tk) - 1),
+                i => struct(element_at(tk, i).as("a"), element_at(tk, i + 1).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>")),
             p => ok(p("a")) && ok(p("b")) && p("a") =!= p("b"))).as("p"))
       val und = adj.select(least(col("p.a"), col("p.b")).as("a"),
           greatest(col("p.a"), col("p.b")).as("b")).distinct()
@@ -814,7 +820,7 @@ object TextQueries {
     }),
 
     // Token-budget corpus selection: the greedy "best docs under a
-    // 40k-token budget" pass a fine-tuning set is cut with — order by
+    // 15k-token budget" pass a fine-tuning set is cut with — order by
     // (stopword-ratio quality DESC, doc_id), keep docs whose INCLUSIVE
     // running token total fits. The running total is the distributed
     // bucket-offset prefix sum (Ranking.globalPrefixSum), not a

@@ -99,12 +99,13 @@ object SnapshotStore {
   /** Write `df` as the next version and atomically publish it. Returns
     * the committed version. `meta` lands in the marker body (replay
     * keys, audit notes). The data is STAGED in a unique `.tmp-` dir and
-    * renamed into `v-N` — a racing committer that computed the same N can
-    * therefore never overwrite data another committer already renamed
-    * (let alone published); it fails at the rename or at the marker
-    * create. A crash before publish leaves the table at its previous
-    * version with at most an orphan dir ([[vacuum]] reclaims it; the
-    * next commit of version N also clears an unpublished orphan `v-N`). */
+    * renamed into `v-N`; a racing committer that computed the same N is
+    * detected at the rename, at the post-rename nesting check, or at the
+    * marker create — but commit, like vacuum and crash recovery, assumes
+    * a SINGLE WRITER per table (see [[stageAndRename]]). A crash before
+    * publish leaves the table at its previous version with at most an
+    * orphan dir ([[vacuum]] reclaims it; the next commit of version N
+    * also clears an unpublished orphan `v-N`). */
   def commit(df: DataFrame, tableDir: String, meta: String = ""): Long =
     timedCommit(commitImpl(df, tableDir, meta))
 
@@ -165,15 +166,16 @@ object SnapshotStore {
 
   /** Stage `df` (plus an optional append-chain manifest) in a unique
     * `.tmp-` dir under `tableDir`, then move the COMPLETE dir into `v-N`.
-    * The rename is the publication of the data files: published data is
-    * never written through, so a slow racing committer cannot corrupt a
-    * version another committer already renamed or published — it loses
-    * here (or at the marker create) instead. An existing `v-N` WITHOUT a
-    * marker is a crashed commit's orphan and is cleared first; with a
-    * marker it is someone else's committed version and this commit fails.
-    * (The orphan check-then-clear is not itself atomic — crash RECOVERY
-    * concurrent with live committers needs a single writer, as any
-    * marker-file table format does.) */
+    * The rename is the data-file publication step; the MARKER create is
+    * the only operation here that is atomic by itself. The
+    * exists→clear→rename sequence is NOT atomic: COMMIT (like crash
+    * recovery and [[vacuum]]) assumes a SINGLE WRITER per table — two
+    * live committers racing the same version can interleave between the
+    * orphan check and the rename (Hadoop local rename onto an existing
+    * dest dir nests the source INSIDE it rather than failing). The
+    * post-rename nesting check below converts that interleaving into a
+    * loud loser instead of a silently mixed `v-N`; readers are safe
+    * either way (they only resolve marker-published versions). */
   private[graft] def stageAndRename(df: DataFrame, tableDir: String, v: Long,
                                     manifest: Option[Seq[String]]): Unit = {
     val spark = df.sparkSession
@@ -199,6 +201,18 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"SnapshotStore: could not move staged version $v into place at " +
           s"$dest — a concurrent committer won the race")
+    }
+    // rename onto a dest a racing committer re-created between the check
+    // and our rename NESTS the staging dir inside it (local-FS semantics)
+    // — detect, clean our nested dir, and lose loudly rather than let
+    // publish stamp our meta over the other committer's data
+    val nested = new Path(dest, tmp.getName)
+    if (f.exists(nested)) {
+      f.delete(nested, true)
+      throw new IllegalStateException(
+        s"SnapshotStore: staged version $v of $tableDir was nested under a " +
+          "concurrently re-created dest — a racing committer won; commit " +
+          "requires a single writer per table")
     }
   }
 
