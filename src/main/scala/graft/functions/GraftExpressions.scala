@@ -154,6 +154,37 @@ object TextHashImpl {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  /** Poisson(1) CDF at k = 0..7 — the distributed-bootstrap weight
+    * thresholds (Chamandy et al. 2012). Computed with the same Scala
+    * expression the SQL oracle embeds as literals, so the draws replay. */
+  val PoissonCdf: Array[Double] = (0 to 7).scanLeft(0.0) { case (acc, k) =>
+    acc + math.exp(-1.0) / (1 to k).foldLeft(1.0)(_ * _)
+  }.tail.toArray
+
+  /** All `b` Poisson(1) bootstrap weights of one row in ONE compiled
+    * call: weight i counts CDF thresholds below
+    * u_i = (phash("salt|i|id") mod 1e6 + 0.5) / 1e6 — bit-identical to
+    * the declarative per-(row, b) form (same md5-derived phash, same
+    * IEEE chain), but 32 raw digests instead of 32 full
+    * concat_ws→md5→hex→conv→pmod expression trees per row (the q245
+    * hot loop: ~5 M rows × b at sf0.1 bench scale). */
+  def poissonWeights(salt: UTF8String, id: UTF8String, b: Int): ArrayData = {
+    val prefix = salt.toString + "|"
+    val suffix = "|" + id.toString
+    val out = new Array[Long](b)
+    var i = 0
+    while (i < b) {
+      val h = phash(UTF8String.fromString(prefix + i + suffix))
+      val u = (h % 1000000L + 0.5) / 1000000.0
+      var w = 0L
+      var k = 0
+      while (k < 8) { if (u > PoissonCdf(k)) w += 1; k += 1 }
+      out(i) = w
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash over pre-hashed (60-bit) token hashes; null (boxed)
     * if any element is null. */
   def simhash(hashes: ArrayData): java.lang.Long = {
@@ -309,6 +340,26 @@ case class GraftSimHash(child: Expression)
     })
   override protected def withNewChildInternal(newChild: Expression): GraftSimHash =
     copy(child = newChild)
+}
+
+/** See [[TextHashImpl.poissonWeights]]. Args: (salt, id, b). */
+case class GraftPoissonWeights(first: Expression, second: Expression,
+                               third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(salt: Any, id: Any, b: Any): Any =
+    TextHashImpl.poissonWeights(salt.asInstanceOf[UTF8String],
+      id.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, i, b) =>
+      s"""
+         |${ev.value} = graft.functions.TextHashImpl.poissonWeights($s, $i, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): GraftPoissonWeights =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** See [[TextHashImpl.jaccardSorted]] — callers own the sorted-distinct
@@ -498,6 +549,7 @@ object GraftFunctions {
     "graft_simhash" -> (args => GraftSimHash(args.head)),
     "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
     "graft_jaccard_sorted" -> (args => GraftJaccardSorted(args(0), args(1))),
+    "graft_poisson_weights" -> (args => GraftPoissonWeights(args(0), args(1), args(2))),
     "graft_normalize_text" -> (args => GraftNormalizeText(args.head)),
     "graft_jaro_winkler" -> (args => GraftJaroWinkler(args(0), args(1))),
     "graft_bpe_count" -> (args => GraftBpeCount(args.head)),
@@ -523,6 +575,8 @@ object GraftFunctions {
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def jaccardSortedNative(a: Column, b: Column): Column =
     call_function("graft_jaccard_sorted", a, b)
+  def poissonWeightsNative(salt: Column, id: Column, b: Column): Column =
+    call_function("graft_poisson_weights", salt, id, b)
   def topKNative(sim: Column, id: Column, k: Int): Column =
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
   def normalizeTextNative(text: Column): Column =

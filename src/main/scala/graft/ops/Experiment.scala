@@ -193,39 +193,37 @@ object Experiment {
                          valueCol: String, b: Int = 32,
                          salt: String = "graft-boot"): DataFrame = {
     require(b >= 8, s"poissonBootstrapCi: b=$b resamples must be >= 8")
-    // cumulative CDF of Poisson(1) at k = 0..7, Scala-computed literals
-    // shared with the oracle
-    val cdf = (0 to 7).scanLeft(0.0) { case (acc, k) =>
-      acc + math.exp(-1.0) / (1 to k).foldLeft(1.0)(_ * _)
-    }.tail
-    // One corpus pass, NO ×B row explode: the B weights materialize as one
-    // array-valued projection (B hashes per row, computed once), and the B
-    // (sum, n) pairs fold into 2·B conditional aggregates of a single
-    // groupBy(group) — map-side combine leaves one 2·B-column row per
-    // group per partition instead of B× duplicated rows through the
-    // exchange. The per-resample relation is then rebuilt group-locally by
-    // exploding the B (s, n) structs — identical integers to the exploded
-    // form, so the SQL oracle is unchanged.
-    val base = df.select(col(groupCol).as("__g"),
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // The B per-row draws come from ONE compiled kernel call per row
+    // (GraftPoissonWeights, bit-identical u/weight arithmetic to the
+    // declarative per-(row, b) form the SQL oracle replays) and fan out
+    // through posexplode — the Generate evaluates its child array ONCE,
+    // so the corpus pays B raw digests per row, not B full
+    // concat→md5→hex→conv expression trees (which dominated the r12
+    // wall at 1.5 µs each), and never B duplicated value columns. The
+    // (group, b) aggregate map-side combines to |groups|·B rows before
+    // its exchange; the percentile aggregate rides a second,
+    // metadata-sized one.
+    val narrow = df.select(col(groupCol).as("__g"),
         col(idCol).cast("string").as("__id"),
         round(col(valueCol).cast("double") * 1e6, 0).cast("decimal(38,0)")
           .as("__vm"))
       .filter(col("__vm").isNotNull)
-    def weight(bi: Int): Column = {
-      val u = graft.functions.PortableHash.puniform(
-        concat_ws("|", lit(salt), lit(bi.toString), col("__id")))
-      cdf.map(t => when(u > t, 1L).otherwise(0L)).reduceLeft(_ + _)
-    }
-    val withW = base.withColumn("__ws", array((0 until b).map(weight): _*))
-    val aggs = (0 until b).flatMap { bi =>
-      Seq(sum(col("__vm") * element_at(col("__ws"), bi + 1)).as(s"__s$bi"),
-        sum(element_at(col("__ws"), bi + 1)).as(s"__n$bi"))
-    }
-    val perG = withW.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
-    val perB = perG
-      .select(col("__g"), explode(array((0 until b).map(bi =>
-        struct(col(s"__s$bi").as("__s"), col(s"__n$bi").as("__n"))): _*)).as("__sn"))
-      .select(col("__g"), col("__sn.__s").as("__s"), col("__sn.__n").as("__n"))
+    // the B-digest projection is pure CPU: when the SOURCE has fewer
+    // partitions than the cluster has slots (a 20 MB parquet at bench
+    // scale reads as ONE split), one skinny-row exchange buys full
+    // parallelism for the hash loop; at real scale inputs out-partition
+    // the cluster and this is a no-op
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val base = if (narrow.rdd.getNumPartitions < slots)
+      narrow.repartition(slots) else narrow
+    val perB = base
+      .select(col("__g"), col("__vm"),
+        posexplode(graft.functions.GraftFunctions.poissonWeightsNative(
+          lit(salt), col("__id"), lit(b))).as(Seq("__b", "__w")))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__vm") * col("__w")).as("__s"),
+        sum(col("__w")).as("__n"))
       .filter(col("__n") > 0)
       .withColumn("__mean",
         col("__s").cast("double") / 1e6 / col("__n").cast("double"))

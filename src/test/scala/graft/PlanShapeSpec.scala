@@ -449,22 +449,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("poissonBootstrapCi: one pass, 2·B conditional aggs, ONE exchange, no join") {
+  test("poissonBootstrapCi: ONE kernel call per row feeds the combining agg, no join") {
     val df = (1 to 300).map(i => ("g", i.toLong, i.toDouble)).toDF("k", "id", "v")
     val p = plan(Experiment.poissonBootstrapCi(df, "k", "id", "v", b = 16))
     assert(!p.contains("Join"), p)
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
-    // the B resample sums fold into one groupBy(group) (map-side
-    // combined), the per-resample relation re-explodes group-locally,
-    // and the percentile agg rides the SAME group partitioning: exactly
-    // one exchange — the r12 shape exploded every row ×B before the
-    // (group, b) aggregate and paid a second exchange on top
-    assert(exchanges(p) == 1, p)
-    // no ×B row explode below the exchange: the only Generate sits above
-    // it (B structs per GROUP, not per input row)
-    val genAt = p.indexOf("Generate")
-    val exAt = p.indexOf("Exchange")
-    assert(genAt >= 0 && exAt >= 0 && genAt < exAt, p)
+    // (group, b) combining agg + metadata-sized percentile agg
+    assert(exchanges(p) == 2, p)
+    // the B draws come from the compiled batch kernel (one call per row,
+    // evaluated once by the Generate) — NOT B inlined md5 expression
+    // trees: Catalyst's element_at(array(...)) simplification would
+    // otherwise re-derive one digest chain per aggregate expression
+    assert(p.toLowerCase.contains("graftpoissonweights") ||
+      p.toLowerCase.contains("graft_poisson_weights"), p)
+    assert(!p.contains("md5("), "no inlined md5 chains in the plan: " + p)
   }
 
   test("negativeSample: hash equi-joins only; the 1-row count is the sole BNLJ") {

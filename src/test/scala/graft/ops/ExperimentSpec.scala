@@ -90,6 +90,22 @@ class ExperimentSpec extends graft.SparkSpec {
     assert(r == again)
   }
 
+  test("poisson weight kernel is bit-equal to the declarative puniform form") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cdf = graft.functions.TextHashImpl.PoissonCdf.toSeq
+    val ids = (1 to 500).map(_.toString).toDF("id")
+    val rows = ids.select(col("id"),
+      posexplode(graft.functions.GraftFunctions.poissonWeightsNative(
+        lit("graft-boot"), col("id"), lit(32))).as(Seq("b", "wk")))
+    val u = graft.functions.PortableHash.puniform(
+      concat_ws("|", lit("graft-boot"), col("b").cast("string"), col("id")))
+    val ref = cdf.map(t => when(u > t, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val bad = rows.withColumn("wref", ref)
+      .filter(col("wk") =!= col("wref")).count()
+    assert(bad == 0L, s"$bad kernel weights differ from the declarative form")
+  }
+
   test("powerAnalysis: Fleiss sizing replayed, degenerate rates null") {
     import org.apache.spark.sql.functions.lit
     // 1000 units, 100 successes -> p1 = 0.1; replicate the exact double
