@@ -115,15 +115,15 @@ object Dedup {
     // 60s -> ~2s at sf0.1).
     GraftFunctions.ensureRegistered(df.sparkSession)
     // Shingle relation (id, token set) — banding consumes it to build
-    // signatures; the verification join-backs re-read it (recomputing only
-    // tokenize+shingle, never the signature) so the band join itself stays
-    // payload-free. That is a deliberate recompute-for-shuffle trade: the
-    // lineage is evaluated up to three times, so callers whose input is
-    // not already materialized (or whose tokenization dominates) should
-    // .persist()/checkpoint the input DataFrame before calling — the
-    // operator does not cache internally because it cannot know when the
-    // returned (lazy) result is done being consumed.
+    // signatures; the verification join-backs re-read it, so the band
+    // join itself stays payload-free. The relation is PERSISTED for the
+    // three consumers (tokenize+md5-shingle every document 3× dominated
+    // the 10× stress leg) — since cleanup hooks became query-scoped the
+    // operator can safely hand its cache to QueryCleanup instead of
+    // pushing the persist burden onto callers.
     val toks = shingleToks(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => toks.unpersist())
     val banded = bandedKeys(toks)
     val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"),
         col("__sz").as("__sza"))

@@ -46,11 +46,16 @@ println(s"docs10=${docs10.count()} emb10=${emb10.count()}")
 // two idle runs of the SAME build); the min is the steady-state cost a
 // growth law should be pinned against.
 def time[A](label: String)(f: => A): Unit = {
+  // drain per rep like Bench does: operators hand persists/scratch to the
+  // scoped QueryCleanup registry, and leaking them across ops would let
+  // one op's cache warm (or memory-starve) the next
   val t0 = System.nanoTime()
   val r = f
+  graft.QueryCleanup.drain()
   val s1 = (System.nanoTime() - t0) / 1e9
   val t1 = System.nanoTime()
   f
+  graft.QueryCleanup.drain()
   val s2 = (System.nanoTime() - t1) / 1e9
   val s = math.min(s1, s2)
   println(f"STRESS $label $s%.2f s -> $r")

@@ -41,7 +41,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # hot bucket took 1,289 s on the same workload; broken q36 banding
 # would be the same two orders of magnitude).
 BOUNDS = {
-    "q36_minhash": {"abs10x": 40.0},
+    # r13: shingle relation persisted inside minhashLsh (was recomputed
+    # 3x) — measured 7.9 s / 6.6x growth on the output-quadratic corpus
+    # (724x pairs); cap tightened 40 -> 15 (~1.9x headroom)
+    "q36_minhash": {"abs10x": 15.0},
     "q160_ivfpq_search": 2.0,
     "q138_mondrian": 3.5,
     "q171_phash": {"abs10x": 30.0},
