@@ -1099,34 +1099,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Edit-distance-1 similarity self-join via DELETION NEIGHBORHOODS
+  /** Edit-distance similarity self-join via DELETION NEIGHBORHOODS
     * (the SymSpell blocking scheme): every distinct string emits itself
-    * plus each single-character deletion as candidate keys; two strings
-    * within edit distance 1 ALWAYS share a key (equal → the string
-    * itself; substitution → the deletion at that position; insert/delete
-    * → the longer one's deletion equals the shorter), so the blocking is
-    * LOSSLESS for ed <= 1 and candidates are verified with one exact
-    * levenshtein call. Output: (name_a, name_b, dist), name_a < name_b.
+    * plus every way of deleting up to `maxDist` characters as candidate
+    * keys. If ed(a, b) <= k, the alignment shows deletion variants
+    * a' == b' where each side deletes at most k characters (a drops the
+    * characters aligned to substitutions and a-side deletions, b those
+    * aligned to substitutions and insertions) — so the blocking is
+    * LOSSLESS for ed <= maxDist and candidates are verified with one
+    * exact levenshtein call. Output: (name_a, name_b, dist),
+    * name_a < name_b.
     *
     * Scale: the naive formulation is an O(n²) cross join with
     * levenshtein on every pair (the oracle runs exactly that at test
-    * scale); this one exchanges ~|s|+1 short keys per DISTINCT string,
-    * groups them hash-wise, and runs the quadratic verification only
-    * inside same-key groups — the standard spell-correction join
-    * topology. ed <= 2 would need recursive deletions (neighborhood
-    * size ~|s|²); not implemented, the parameter exists to make the
-    * contract explicit. */
+    * scale); this one exchanges the deletion keys per DISTINCT string
+    * (|s|+1 at k=1, ~|s|²/2 at k=2 — the honest neighborhood-size trade
+    * SymSpell documents), groups them hash-wise, length-gates candidates
+    * (||a|−|b|| <= k, a free lower bound on ed), and runs the quadratic
+    * verification only inside same-key groups — the standard
+    * spell-correction join topology. k >= 3 neighborhoods grow |s|³-ish;
+    * deliberately unsupported. */
   def editDistancePairs(df: DataFrame, strCol: String,
                         maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1,
-      "deletion-neighborhood blocking implemented for maxDist = 1 only")
+    require(maxDist == 1 || maxDist == 2,
+      "deletion-neighborhood blocking implemented for maxDist in {1, 2}")
     val s = col("__s")
     val names = df.select(col(strCol).as("__s")).distinct()
-    val dels = transform(sequence(lit(0), length(s) - 1), i =>
-      concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
-    val keyed = names.select(s, explode(array_union(array(s), dels)).as("__k"))
+    // all single-character deletions of a (lambda-var) string; empty and
+    // 1-char strings yield no deletions — the q254 sequence(1, 0) guard
+    def delsOf(t: Column): Column =
+      when(length(t) >= 1, transform(sequence(lit(0), length(t) - 1), i =>
+        concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t)))))
+        .otherwise(array().cast("array<string>"))
+    val d1 = delsOf(s)
+    val keys =
+      if (maxDist == 1) array_union(array(s), d1)
+      else array_distinct(concat(array(s), d1,
+        flatten(transform(d1, t => delsOf(t)))))
+    val keyed = names.select(s, length(s).as("__len"), explode(keys).as("__k"))
     keyed.as("a").join(keyed.as("b"),
-        col("a.__k") === col("b.__k") && col("a.__s") < col("b.__s"))
+        col("a.__k") === col("b.__k") && col("a.__s") < col("b.__s") &&
+          abs(col("a.__len") - col("b.__len")) <= maxDist)
       .select(col("a.__s").as("name_a"), col("b.__s").as("name_b"))
       .distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))

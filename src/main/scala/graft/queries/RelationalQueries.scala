@@ -30,6 +30,21 @@ object RelationalQueries {
         .orderBy("name_a", "name_b")
     }),
 
+    // ed <= 2 over supplier names: the two-deletion SymSpell neighborhood
+    // (closing the r12 "ed >= 2 fails fast" gap) — lossless blocking,
+    // exact levenshtein verify, quadratic oracle. Every third supplier:
+    // serial TPC-H names put ALL their entropy in 4 digit positions, the
+    // adversarial extreme for deletion blocking (near-all pairs qualify
+    // and every pair shares ~|s| keys) — the slice keeps that density
+    // honest in the demo without letting the pathological multiplicity
+    // dominate the suite; DedupSpec fuzzes the diverse-string regime.
+    "q265_edit_distance2" -> ((s, dir) => {
+      graft.ops.Dedup.editDistancePairs(
+          Tables.supplier(s, dir).filter(col("s_suppkey") % 3 === 0), "s_name",
+          maxDist = 2)
+        .orderBy("name_a", "name_b")
+    }),
+
     // Bucketed fact-to-fact join: both sides land in 8 catalog-managed
     // buckets on the ORDER key, so the join and the per-order pre-
     // aggregation run with ZERO shuffle exchange (plan-pinned in
@@ -413,6 +428,13 @@ object RelationalQueries {
                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
          FROM n a JOIN n b ON a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 1
+         ORDER BY name_a, name_b""",
+    "q265_edit_distance2" ->
+      """WITH n AS (SELECT DISTINCT s_name FROM supplier WHERE s_suppkey % 3 = 0)
+         SELECT a.s_name AS name_a, b.s_name AS name_b,
+                CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+         FROM n a JOIN n b ON a.s_name < b.s_name
+         WHERE levenshtein(a.s_name, b.s_name) <= 2
          ORDER BY name_a, name_b""",
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(avg(l_discount),6) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",

@@ -357,6 +357,30 @@ class DedupSpec extends SparkSpec {
     assert(naive == got)
   }
 
+  test("editDistancePairs maxDist=2: two-deletion blocking is lossless vs the quadratic join") {
+    // all four edit shapes at distance 2, plus boundary cases (ed exactly
+    // 3 excluded; empty and 1-char strings must not crash the deletion
+    // lambda), plus a fuzzed batch compared against brute force
+    val fixed = Seq("abcdef", "abXdYf", // 2 substitutions
+      "abdef",    // 1 deletion (also ed1 to abcdef)
+      "abef",     // 2 deletions vs abcdef
+      "abcdefgh", // 2 insertions vs abcdef
+      "aXcdeYgh", // vs abcdefgh: 2 subs; vs abcdef: 4 — must NOT pair
+      "zzzzzz", "a", "", "ab")
+    val fuzz = (1 to 120).map(i =>
+      ("supplier" + (i % 40)).take(4 + i % 8) + (i % 13))
+    val df = (fixed ++ fuzz).toDF("nm")
+    val got = Dedup.editDistancePairs(df, "nm", maxDist = 2)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    val names = df.select("nm").distinct()
+    val naive = names.as("a").crossJoin(names.as("b"))
+      .filter($"a.nm" < $"b.nm" && levenshtein($"a.nm", $"b.nm") <= 2)
+      .select($"a.nm", $"b.nm").as[(String, String)].collect().toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    assert(got.contains(("abcdef", "abef")) && got.contains(("abcdef", "abcdefgh")))
+    assert(!got.contains(("aXcdeYgh", "abcdef")))
+  }
+
   test("duplicateSpans flags docs repeating an n-token window, first occurrence exempt") {
     val df = Seq(
       (1L, "a b c d e f g h"),          // source of the window
