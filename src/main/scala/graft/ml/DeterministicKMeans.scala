@@ -141,4 +141,140 @@ object DeterministicKMeans {
     withZ.withColumn("cluster", bestCid(cents))
       .drop((0 until d).map(i => s"__z$i"): _*)
   }
+
+  /** [[assign]]'s RAW-VECTOR sibling for array columns (the IVF coarse-
+    * quantizer shape): no standardization — vector elements fix straight
+    * to integer micros and Lloyd runs the same exact integer protocol
+    * (lexicographic quantile-spread init over the distinct micro
+    * vectors, argmin ties to the lowest cell, half-away integer-mean
+    * updates, empty cells carry forward). Returns the micro centroids in
+    * cell order plus the input with a `cell` column (argmin against the
+    * FINAL centroids). Replayable: the whole fit unrolls in SQL exactly
+    * like [[assign]]'s (q67's oracle generates it). */
+  def fitArrayMicros(df: DataFrame, vecCol: String, k: Int,
+                     iters: Int = 8): (IndexedSeq[(Int, IndexedSeq[Long])], DataFrame) = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val toMicros = transform(col(vecCol).cast("array<double>"),
+      v => round(v * Micro, 0).cast("long"))
+    val withZ = df.withColumn("__z", toMicros)
+    val pts = withZ.select(col("__z")).groupBy(col("__z"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    graft.QueryCleanup.register(() => pts.unpersist())
+
+    val ranked = pts.select(col("__z"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__z"))).as("__rn"),
+      count(lit(1)).over().as("__nd"))
+    val seeds = ranked
+      .filter((0 until k).map(i =>
+        expr(s"__rn = ($i * __nd) div $k + 1")).reduce(_ || _))
+      .orderBy(col("__z"))
+      .select(col("__z"))
+      .collect()
+    var cents: IndexedSeq[(Int, IndexedSeq[Long])] = seeds.toIndexedSeq
+      .map(_.getSeq[Long](0).toIndexedSeq)
+      .zipWithIndex.map { case (c, i) => (i, c) }
+
+    def bestCell(cs: IndexedSeq[(Int, IndexedSeq[Long])]): Column = {
+      val scored = cs.map { case (cid, cv) =>
+        val dist = aggregate(
+          zip_with(col("__z"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(dist.as("d"), lit(cid).as("cid"))
+      }
+      if (scored.size == 1) lit(0)
+      else least(scored: _*).getField("cid")
+    }
+
+    var it = 0
+    while (it < iters) {
+      val upd = pts.withColumn("__cell", bestCell(cents))
+        .select(col("__cell"), col("__cnt"),
+          posexplode(col("__z")).as(Seq("__d", "__v")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum((col("__v") * col("__cnt")).cast("decimal(38,0)")).as("__s"),
+          sum(col("__cnt")).as("__w"))
+        .select(col("__cell"), col("__d"), intMean("__s", "__w").as("__c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq }
+      cents = cents.map { case (cid, cv) => (cid, upd.getOrElse(cid, cv)) }
+      it += 1
+    }
+    (cents, withZ.withColumn("cell", bestCell(cents)).drop("__z"))
+  }
+
+  /** [[fitArrayMicros]] for MANY INDEPENDENT fits in shared jobs — the
+    * product-quantization shape: one Lloyd protocol per `groupCol` value
+    * (PQ subspace), but each round is ONE cluster job over the union
+    * state instead of |groups| separate fits (8 MLlib fits → 8 shared
+    * rounds). Same exact integer protocol per group: quantile-spread
+    * init over the group's ordered distinct micro vectors, argmin ties
+    * to the lowest cell, half-away integer means, empty cells carry
+    * forward. Returns group → (cell, centroidMicros) in cell order. */
+  def fitGroupedArrayMicros(df: DataFrame, groupCol: String, vecCol: String,
+                            k: Int, iters: Int = 8): Map[Int, IndexedSeq[(Int, IndexedSeq[Long])]] = {
+    require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
+    val toMicros = transform(col(vecCol).cast("array<double>"),
+      v => round(v * Micro, 0).cast("long"))
+    val pts = df.select(col(groupCol).cast("int").as("__j"), toMicros.as("__z"))
+      .groupBy(col("__j"), col("__z")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    graft.QueryCleanup.register(() => pts.unpersist())
+
+    val wj = org.apache.spark.sql.expressions.Window.partitionBy(col("__j"))
+    val ranked = pts.select(col("__j"), col("__z"),
+      row_number().over(wj.orderBy(col("__z"))).as("__rn"),
+      count(lit(1)).over(wj).as("__nd"))
+    val seeds = ranked
+      .filter((0 until k).map(i =>
+        expr(s"__rn = ($i * __nd) div $k + 1")).reduce(_ || _))
+      .orderBy(col("__j"), col("__z"))
+      .select(col("__j"), col("__z"))
+      .collect()
+    var cents: Map[Int, IndexedSeq[(Int, IndexedSeq[Long])]] =
+      seeds.groupBy(_.getInt(0)).map { case (j, rows) =>
+        j -> rows.toIndexedSeq // orderBy order survives the groupBy
+          .map(_.getSeq[Long](1).toIndexedSeq)
+          .zipWithIndex.map { case (c, i) => (i, c) }
+      }
+
+    def bestOf(cs: IndexedSeq[(Int, IndexedSeq[Long])]): Column = {
+      val scored = cs.map { case (cid, cv) =>
+        val dist = aggregate(
+          zip_with(col("__z"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(dist.as("d"), lit(cid).as("cid"))
+      }
+      if (scored.size == 1) lit(0) else least(scored: _*).getField("cid")
+    }
+    def bestCell(cs: Map[Int, IndexedSeq[(Int, IndexedSeq[Long])]]): Column =
+      cs.toSeq.sortBy(_._1).foldLeft(lit(-1)) { case (acc, (j, c)) =>
+        when(col("__j") === j, bestOf(c)).otherwise(acc)
+      }
+
+    var it = 0
+    while (it < iters) {
+      val upd = pts.withColumn("__cell", bestCell(cents))
+        .select(col("__j"), col("__cell"), col("__cnt"),
+          posexplode(col("__z")).as(Seq("__d", "__v")))
+        .groupBy(col("__j"), col("__cell"), col("__d"))
+        .agg(sum((col("__v") * col("__cnt")).cast("decimal(38,0)")).as("__s"),
+          sum(col("__cnt")).as("__w"))
+        .select(col("__j"), col("__cell"), col("__d"),
+          intMean("__s", "__w").as("__c"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((j, cell), rows) =>
+          (j, cell) -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toIndexedSeq }
+      cents = cents.map { case (j, cs) =>
+        j -> cs.map { case (cid, cv) => (cid, upd.getOrElse((j, cid), cv)) }
+      }
+      it += 1
+    }
+    cents
+  }
 }

@@ -108,6 +108,17 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, threshold: Double): DataFrame = {
+    val (pairs, release) = minhashLshReleasable(df, idCol, textCol,
+      shingleN, threshold)
+    graft.QueryCleanup.register(release)
+    pairs
+  }
+
+  /** [[minhashLsh]] returning its cache-release hook instead of handing
+    * it to [[graft.QueryCleanup]] — for composite owners (the corpus
+    * pipeline) whose own unpersist() must account for every cache. */
+  def minhashLshReleasable(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, threshold: Double): (DataFrame, () => Unit) = {
     // Staged projections: tokens -> shingles -> element hashes -> signature.
     // Each stage materializes a column so the next stage's lambdas read an
     // attribute; collapsing them into one expression would re-split the
@@ -118,12 +129,9 @@ object Dedup {
     // signatures; the verification join-backs re-read it, so the band
     // join itself stays payload-free. The relation is PERSISTED for the
     // three consumers (tokenize+md5-shingle every document 3× dominated
-    // the 10× stress leg) — since cleanup hooks became query-scoped the
-    // operator can safely hand its cache to QueryCleanup instead of
-    // pushing the persist burden onto callers.
+    // the 10× stress leg).
     val toks = shingleToks(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.QueryCleanup.register(() => toks.unpersist())
     val banded = bandedKeys(toks)
     val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"),
         col("__sz").as("__sza"))
@@ -133,12 +141,13 @@ object Dedup {
         sizeRatioOk(col("__sza"), col("__szb"), threshold))
       .select("id_a", "id_b")
       .distinct()
-    cand
+    val pairs = cand
       .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")), Seq("id_a"))
       .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("__toks_a"), col("__toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, () => { toks.unpersist(); () })
   }
 
   /** Shingle relation (__id, __toks) — the staged projection feeding both

@@ -154,6 +154,26 @@ object Similarity {
     IvfIndex(assignments, cents)
   }
 
+  /** [[trainIvf]] with the DETERMINISTIC integer-micro Lloyd quantizer
+    * ([[graft.ml.DeterministicKMeans.fitArrayMicros]]) instead of MLlib —
+    * the coarse quantizer whose whole fit replays bit-for-bit in SQL, so
+    * a trained-IVF search can be ORACLE-checked end to end (q67) rather
+    * than recall-banded. Centroids surface as micros/1e6 doubles — the
+    * same 6-dp-quantized form [[GraftKMeans.roundedCenters]] feeds the
+    * shared search core, and exactly what the oracle's integer unroll
+    * divides out. */
+  def trainIvfDeterministic(corpus: DataFrame, idCol: String, vecCol: String,
+                            nlist: Int, iters: Int = 8): IvfIndex = {
+    val (cents, assigned) = graft.ml.DeterministicKMeans.fitArrayMicros(
+      corpus.select(col(idCol), col(vecCol)), vecCol, nlist, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = cents
+      .map { case (cell, cv) => (cell, cv.map(_ / 1e6).toSeq) }
+      .toDF("cell", "centroid")
+    IvfIndex(assigned.select(col(idCol), col("cell")), centsDf)
+  }
+
   /** IVF search against a trained (or loaded) index. */
   def knnIvfTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, index: IvfIndex, k: Int,
@@ -302,6 +322,28 @@ object Similarity {
       val model = graft.ml.GraftKMeans.estimator(ksub, seed + j, "__fv", "__c")
         .fit(slices)
       graft.ml.GraftKMeans.roundedCenters(model)
+    }
+    PqIndex(books, m, ksub, subDim)
+  }
+
+  /** [[trainPq]] with the DETERMINISTIC integer-micro Lloyd per subspace
+    * ([[graft.ml.DeterministicKMeans.fitGroupedArrayMicros]] — all m
+    * fits share each round's job) instead of m MLlib KMeans fits. The
+    * codebooks replay bit-for-bit in SQL (micros / 1e6, the q67
+    * contract), which upgrades every PQ/IVF-PQ consumer from rows-only
+    * recall bands to full hash-checked oracles. */
+  def trainPqDeterministic(corpus: DataFrame, vecCol: String, m: Int = 8,
+                           ksub: Int = 16, iters: Int = 8): PqIndex = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val sliced = corpus.select(posexplode(array((0 until m).map(j =>
+      slice(col(vecCol), j * subDim + 1, subDim).cast("array<double>")): _*))
+      .as(Seq("__j", "__sub")))
+    val fits = graft.ml.DeterministicKMeans.fitGroupedArrayMicros(
+      sliced, "__j", "__sub", ksub, iters)
+    val books = (0 until m).map { j =>
+      fits(j).sortBy(_._1).map(_._2.map(_ / 1e6).toIndexedSeq).toIndexedSeq
     }
     PqIndex(books, m, ksub, subDim)
   }

@@ -83,8 +83,13 @@ object CorpusPipeline {
     // 4: near-dup canonicalization — LSH pairs, CC labels, keep min-id.
     // dedupClusters is an eager driver loop; computing the pairs populates
     // the `exact` cache even in lazy mode.
-    val pairs = Dedup.minhashLsh(exact, idCol, textCol, shingleN, nearDupThreshold)
+    val (pairs, releaseToks) = Dedup.minhashLshReleasable(
+      exact, idCol, textCol, shingleN, nearDupThreshold)
     val (clusters, releaseClusters) = Dedup.dedupClustersReleasable(pairs)
+    // the CC loop above consumed the pairs eagerly; the shingle cache
+    // has served all its consumers and the PIPELINE owns its release
+    // (the spec's no-leaked-caches contract)
+    releaseToks()
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     val near = exact.join(losers, Seq(idCol), "left_anti")

@@ -78,9 +78,9 @@ object VectorEventQueries {
     fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
     val base = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
     val pq = pqIncrCache.computeIfAbsent(dir,
-      _ => Similarity.trainPq(base, "embedding", m = 8, ksub = 16, seed = 42L))
+      _ => Similarity.trainPqDeterministic(base, "embedding", m = 8, ksub = 16))
     val ivf = ivfIncrCache.computeIfAbsent(dir,
-      _ => Similarity.trainIvf(base, "vec_id", "embedding", nlist = 10, seed = 42L))
+      _ => Similarity.trainIvfDeterministic(base, "vec_id", "embedding", nlist = 10))
     Similarity.saveIvfPqIndex(
       Similarity.encodeWithStoredIndex(base, "vec_id", "embedding",
         ivf.centroids, pq),
@@ -202,13 +202,17 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
-    // Trained IVF: KMeans coarse quantizer (fixed seed) + nprobe=2 search.
-    // Centroids are not oracle-replayable (Lloyd init differs per engine),
-    // so this entry is rows-only checked; SimilaritySpec bands its
-    // recall@k against brute force.
+    // Trained IVF: deterministic integer-micro Lloyd coarse quantizer
+    // (DeterministicKMeans.fitArrayMicros) + nprobe=2 search. Since r13
+    // the ENTIRE fit — micro quantization, quantile-spread init, 8 Lloyd
+    // rounds, final assignment — unrolls in the SQL oracle, so the
+    // trained search is hash-checked end to end (it was rows-only for
+    // 12 rounds because MLlib's k-means|| seeding is engine-private).
+    // SimilaritySpec still bands recall@k against brute force.
     "q67_knn_ivf_trained" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val idx = Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L)
+      val idx = Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
+        nlist = 10)
       Similarity.knnIvfTrained(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", idx, K, nprobe = 2)
         .orderBy("qid", "rank")
@@ -230,7 +234,7 @@ object VectorEventQueries {
     "q114_knn_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val idx = pqIndexCache.computeIfAbsent(dir,
-        _ => Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L))
+        _ => Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16))
       val codes = Similarity.encodePq(e, "vec_id", "embedding", idx)
       Similarity.knnPqRefined(codes, e, e.filter(col("vec_id") < NQueries),
           "vec_id", "embedding", idx, K, shortlist = 8 * K)
@@ -249,9 +253,9 @@ object VectorEventQueries {
     "q160_knn_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val pq = pqIndexCache.computeIfAbsent(dir,
-        _ => Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L))
+        _ => Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16))
       val ivf = ivfIndexCache.computeIfAbsent(dir,
-        _ => Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L))
+        _ => Similarity.trainIvfDeterministic(e, "vec_id", "embedding", nlist = 10))
       val encoded = Similarity.encodeIvfPq(e, "vec_id", "embedding", ivf, pq)
       Similarity.knnIvfPqRefined(encoded, e, e.filter(col("vec_id") < NQueries),
           "vec_id", "embedding", ivf.centroids, pq, K, nprobe = 4,
@@ -272,9 +276,9 @@ object VectorEventQueries {
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
       val pq = pqIndexCache.computeIfAbsent(dir,
-        _ => Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L))
+        _ => Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16))
       val ivf = ivfIndexCache.computeIfAbsent(dir,
-        _ => Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L))
+        _ => Similarity.trainIvfDeterministic(e, "vec_id", "embedding", nlist = 10))
       Similarity.saveIvfPqIndex(
         Similarity.encodeIvfPq(e, "vec_id", "embedding", ivf, pq),
         ivf.centroids, pq, idxDir, meta = "q167")
@@ -322,9 +326,9 @@ object VectorEventQueries {
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
       val pq = pqIndexCache.computeIfAbsent(dir,
-        _ => Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L))
+        _ => Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16))
       val ivf = ivfIndexCache.computeIfAbsent(dir,
-        _ => Similarity.trainIvf(e, "vec_id", "embedding", nlist = 10, seed = 42L))
+        _ => Similarity.trainIvfDeterministic(e, "vec_id", "embedding", nlist = 10))
       val encodedBase = Similarity.encodeWithStoredIndex(e, "vec_id",
         "embedding", ivf.centroids, pq)
       Similarity.saveIvfPqIndex(encodedBase, ivf.centroids, pq, idxDir,
@@ -764,7 +768,321 @@ object VectorEventQueries {
   private val knnCore =
     s"""q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NQueries)"""
 
+  /** SQL replay of the deterministic IVF coarse-quantizer fit
+    * ([[graft.ml.DeterministicKMeans.fitArrayMicros]]): micro-fix the
+    * vectors, quantile-spread init over the ordered distinct micro
+    * vectors, `iters` unrolled Lloyd rounds (exact HUGEINT distances,
+    * cid tie-break, half-away integer-mean updates, empty cells carry
+    * forward), final per-vector assignment. Ends in `cent(cell,
+    * centroid DOUBLE[])` and `asgf(vec_id, cell)` CTEs for the search
+    * to consume. MATERIALIZED throughout (the Mondrian/q45 rule). */
+  private def ivfFitSql(k: Int, iters: Int, trainWhere: String = "",
+                        emitAsg: Boolean = true): String = {
+    val distTo = (zc: String, cc: String) =>
+      s"list_sum(list_transform(list_zip($zc, $cc), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    val seedRanks = (0 until k).map(i => s"rn = ($i * nd) // $k + 1").mkString(" OR ")
+    def iterBlock(t: Int): String = {
+      val prev = s"ik${t - 1}"
+      s"""ia$t AS MATERIALIZED (
+            SELECT p.z, p.cnt, c.cid,
+                   row_number() OVER (PARTITION BY p.z
+                     ORDER BY ${distTo("p.z", "c.c")}, c.cid) AS rk
+            FROM ipts p CROSS JOIN $prev c),
+          iu$t AS MATERIALIZED (
+            SELECT cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c FROM (
+              SELECT cid, d,
+                CASE WHEN s >= 0 THEN (abs(s)*2 + w) // (w*2)
+                     ELSE -((abs(s)*2 + w) // (w*2)) END AS cm
+              FROM (SELECT cid, d, sum(CAST(v AS HUGEINT) * cnt) AS s,
+                           CAST(sum(cnt) AS HUGEINT) AS w
+                    FROM (SELECT cid, cnt, unnest(z) AS v,
+                                 generate_subscripts(z, 1) AS d
+                          FROM ia$t WHERE rk = 1) GROUP BY cid, d))
+            GROUP BY cid),
+          ik$t AS MATERIALIZED (
+            SELECT p.cid, COALESCE(u.c, p.c) AS c
+            FROM $prev p LEFT JOIN iu$t u USING (cid)),"""
+    }
+    s"""iemb AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding::DOUBLE[],
+            v -> CAST(round(v * 1000000.0, 0) AS BIGINT)) AS z
+          FROM embeddings),
+        ipts AS MATERIALIZED (
+          SELECT z, count(*) AS cnt FROM iemb $trainWhere GROUP BY z),
+        iranked AS MATERIALIZED (
+          SELECT z, row_number() OVER (ORDER BY z) AS rn,
+                 count(*) OVER () AS nd FROM ipts),
+        ik0 AS MATERIALIZED (
+          SELECT z AS c, row_number() OVER (ORDER BY z) - 1 AS cid
+          FROM iranked WHERE $seedRanks),
+        ${(1 to iters).map(iterBlock).mkString("\n")}
+        cent AS MATERIALIZED (
+          SELECT cid AS cell, list_transform(c, x -> x / 1000000.0) AS centroid
+          FROM ik$iters)""" + (if (!emitAsg) "" else s""",
+        asg AS MATERIALIZED (
+          SELECT e.vec_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${distTo("e.z", "c.c")}, c.cid) AS rk
+          FROM iemb e CROSS JOIN ik$iters c),
+        asgf AS MATERIALIZED (SELECT vec_id, cell FROM asg WHERE rk = 1)""")
+  }
+
+  /** SQL replay of the deterministic PQ fit
+    * ([[graft.ml.DeterministicKMeans.fitGroupedArrayMicros]] over the m
+    * subvector slices): all m Lloyd protocols unroll TOGETHER, grouped
+    * by subspace j — one CTE chain, not m. Ends in `book(j, cid, bc
+    * DOUBLE[])` plus `psub(vec_id, j, sub DOUBLE[])` for the encode /
+    * LUT stages. */
+  private def pqFitSql(m: Int, subDim: Int, ksub: Int, iters: Int,
+                       trainWhere: String = ""): String = {
+    val distTo = (zc: String, cc: String) =>
+      s"list_sum(list_transform(list_zip($zc, $cc), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    val seedRanks = (0 until ksub).map(i => s"rn = ($i * nd) // $ksub + 1").mkString(" OR ")
+    val slices = (0 until m).map { j =>
+      s"SELECT vec_id, $j AS j, (embedding::DOUBLE[])[${j * subDim + 1}:${(j + 1) * subDim}] AS sub FROM embeddings"
+    }.mkString("\n UNION ALL ")
+    def iterBlock(t: Int): String = {
+      val prev = s"pk${t - 1}"
+      s"""pa$t AS MATERIALIZED (
+            SELECT p.j, p.z, p.cnt, c.cid,
+                   row_number() OVER (PARTITION BY p.j, p.z
+                     ORDER BY ${distTo("p.z", "c.c")}, c.cid) AS rk
+            FROM ppts p JOIN $prev c ON c.j = p.j),
+          pu$t AS MATERIALIZED (
+            SELECT j, cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c FROM (
+              SELECT j, cid, d,
+                CASE WHEN s >= 0 THEN (abs(s)*2 + w) // (w*2)
+                     ELSE -((abs(s)*2 + w) // (w*2)) END AS cm
+              FROM (SELECT j, cid, d, sum(CAST(v AS HUGEINT) * cnt) AS s,
+                           CAST(sum(cnt) AS HUGEINT) AS w
+                    FROM (SELECT j, cid, cnt, unnest(z) AS v,
+                                 generate_subscripts(z, 1) AS d
+                          FROM pa$t WHERE rk = 1) GROUP BY j, cid, d))
+            GROUP BY j, cid),
+          pk$t AS MATERIALIZED (
+            SELECT p.j, p.cid, COALESCE(u.c, p.c) AS c
+            FROM $prev p LEFT JOIN pu$t u ON u.j = p.j AND u.cid = p.cid),"""
+    }
+    s"""psub AS MATERIALIZED ($slices),
+        ppz AS MATERIALIZED (
+          SELECT vec_id, j, list_transform(sub,
+            v -> CAST(round(v * 1000000.0, 0) AS BIGINT)) AS z FROM psub),
+        ppts AS MATERIALIZED (
+          SELECT j, z, count(*) AS cnt FROM ppz $trainWhere GROUP BY j, z),
+        pranked AS MATERIALIZED (
+          SELECT j, z, row_number() OVER (PARTITION BY j ORDER BY z) AS rn,
+                 count(*) OVER (PARTITION BY j) AS nd FROM ppts),
+        pk0 AS MATERIALIZED (
+          SELECT j, z AS c,
+                 row_number() OVER (PARTITION BY j ORDER BY z) - 1 AS cid
+          FROM pranked WHERE $seedRanks),
+        ${(1 to iters).map(iterBlock).mkString("\n")}
+        book AS MATERIALIZED (
+          SELECT j, cid, list_transform(c, x -> x / 1000000.0) AS bc
+          FROM pk$iters)"""
+  }
+
+  /** Encode + per-query LUT CTEs over `book`/`psub` (from [[pqFitSql]]):
+    * `codes(vec_id, j, cid)` and `lut(qid, j, cid, ld)`. */
+  private val pqEncodeSql: String =
+    s"""cdist AS MATERIALIZED (
+          SELECT s.vec_id, s.j, b.cid,
+                 round(list_sum(list_transform(list_zip(s.sub, b.bc),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))), 9) AS d
+          FROM psub s JOIN book b ON b.j = s.j),
+        codes AS MATERIALIZED (
+          SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rk
+            FROM cdist) WHERE rk = 1),
+        lut AS MATERIALIZED (
+          SELECT vec_id AS qid, j, cid, d AS ld FROM cdist
+          WHERE vec_id < $NQueries)"""
+
+  /** ADC shortlist + exact-refine replay over an `adc(qid, vec_id, d2)`
+    * CTE ([[graft.ops.Similarity.knnPqRefined]]'s tail). */
+  private def pqRefineSql(k: Int, shortlist: Int): String =
+    s"""short AS MATERIALIZED (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(d2, 9), vec_id) AS rk
+            FROM adc) WHERE rk <= $shortlist),
+        refine AS MATERIALIZED (
+          SELECT s.qid, s.vec_id,
+                 round(list_sum(list_transform(
+                   list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))), 9) AS d2
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.qid
+          JOIN embeddings e ON e.vec_id = s.vec_id),
+        rr AS (SELECT qid, vec_id, d2,
+                 row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+               FROM refine)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+               round(d2, 6) AS l2_dist
+        FROM rr WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** The flat-PQ ADC scan: every non-self corpus vector is a candidate. */
+  private val pqFullScanAdc: String =
+    s"""adc AS MATERIALIZED (
+          SELECT l.qid, c.vec_id,
+                 list_sum(list(l.ld ORDER BY l.j)) AS d2
+          FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.cid
+          WHERE l.qid <> c.vec_id
+          GROUP BY l.qid, c.vec_id)"""
+
+  /** The IVF-routed ADC scan: candidates are the vectors of each query's
+    * `nprobe` nearest coarse cells (exact 9-dp L2 routing, cell-asc
+    * ties) — [[graft.ops.Similarity.knnIvfPq]]'s pruning replayed over
+    * the `cent`/`asgf` CTEs from [[ivfFitSql]]. */
+  private def pqIvfRoutedAdc(nprobe: Int, asgRel: String = "asgf"): String =
+    s"""ivfroute AS MATERIALIZED (
+          SELECT q.vec_id AS qid, c.cell,
+                 round(list_sum(list_transform(
+                   list_zip(q.embedding::DOUBLE[], c.centroid),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))), 9) AS cd2
+          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < $NQueries),
+        probed AS MATERIALIZED (
+          SELECT qid, cell FROM (
+            SELECT qid, cell,
+                   row_number() OVER (PARTITION BY qid ORDER BY cd2, cell) AS r
+            FROM ivfroute) WHERE r <= $nprobe),
+        adc AS MATERIALIZED (
+          SELECT l.qid, c.vec_id,
+                 list_sum(list(l.ld ORDER BY l.j)) AS d2
+          FROM codes c
+          JOIN $asgRel a ON a.vec_id = c.vec_id
+          JOIN probed p ON p.cell = a.cell
+          JOIN lut l ON l.j = c.j AND l.cid = c.cid AND l.qid = p.qid
+          WHERE l.qid <> c.vec_id
+          GROUP BY l.qid, c.vec_id)"""
+
+  private val ivfPqOracle: String =
+    s"""WITH ${ivfFitSql(k = 10, iters = 8)},
+        ${pqFitSql(m = 8, subDim = 8, ksub = 16, iters = 8)},
+        $pqEncodeSql,
+        ${pqIvfRoutedAdc(nprobe = 4)},
+        ${pqRefineSql(k = K, shortlist = 8 * K)}"""
+
+  /** q184: artifacts trained on the EVEN half only ("day 0"); codes for
+    * the full corpus come from the STORED-artifact encode path, whose
+    * cell assignment is the 9-dp DOUBLE routing (assignCells), not the
+    * trainer's integer-micro argmin — `asgall` replays exactly that. The
+    * grown table is provably identical to a full re-encode (the
+    * engine-side self-check), so the oracle just encodes everything. */
+  private val ivfPqIncrementalOracle: String =
+    s"""WITH ${ivfFitSql(k = 10, iters = 8,
+          trainWhere = "WHERE vec_id % 2 = 0", emitAsg = false)},
+        ${pqFitSql(m = 8, subDim = 8, ksub = 16, iters = 8,
+          trainWhere = "WHERE vec_id % 2 = 0")},
+        $pqEncodeSql,
+        asgall AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round(list_sum(list_transform(
+                       list_zip(e.embedding::DOUBLE[], c.centroid),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 9), c.cell) AS r
+            FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+        ${pqIvfRoutedAdc(nprobe = 4, asgRel = "asgall")},
+        ${pqRefineSql(k = K, shortlist = 8 * K)}"""
+
+  /** q185: the quantizer-staleness monitor replayed end to end — full-
+    * corpus deterministic IVF fit, double-routed cell assignments
+    * (count_a), the hash-perturbed drifted crawl of the hottest cell
+    * (PortableHash noise → bit-replayable vectors; DuckDB's lambda index
+    * is 1-based, hence `i - 1`), its routed cells, and the integer
+    * micro-nat PSI terms of [[graft.ops.DataQuality.psiTermsFromCounts]].
+    * PQ plays no part — occupancy is a cells-only statistic. */
+  private val ivfPqDriftOracle: String = {
+    def mn(c: String) =
+      s"CAST(round(ln(CAST($c AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"
+    s"""WITH ${ivfFitSql(k = 10, iters = 8, emitAsg = false)},
+        asgall AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round(list_sum(list_transform(
+                       list_zip(e.embedding::DOUBLE[], c.centroid),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 9), c.cell) AS r
+            FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+        counta AS MATERIALIZED (
+          SELECT cell, count(*) AS count_a FROM asgall GROUP BY cell),
+        hot AS MATERIALIZED (
+          SELECT cell FROM counta ORDER BY count_a DESC, cell LIMIT 1),
+        drift AS MATERIALIZED (
+          SELECT e.vec_id, r.r,
+                 list_transform(e.embedding::DOUBLE[], (x, i) ->
+                   x + 0.02 * (CAST('0x' || substr(md5('drift|' ||
+                     CAST(e.vec_id AS VARCHAR) || '|' || CAST(r.r AS VARCHAR) ||
+                     '|' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT)
+                     / 576460752303423488.0 - 1.0)) AS v
+          FROM embeddings e
+          JOIN asgall a ON a.vec_id = e.vec_id
+          JOIN hot h ON h.cell = a.cell
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r),
+        driftcell AS MATERIALIZED (
+          SELECT vec_id, r, cell FROM (
+            SELECT d.vec_id, d.r, c.cell,
+                   row_number() OVER (PARTITION BY d.vec_id, d.r ORDER BY
+                     round(list_sum(list_transform(list_zip(d.v, c.centroid),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 9), c.cell) AS rk
+            FROM drift d CROSS JOIN cent c) WHERE rk = 1),
+        countb AS MATERIALIZED (
+          SELECT cell, count(*) AS count_b FROM (
+            SELECT cell FROM asgall UNION ALL SELECT cell FROM driftcell)
+          GROUP BY cell),
+        counts AS MATERIALIZED (
+          SELECT COALESCE(a.cell, b.cell) AS bin,
+                 COALESCE(a.count_a, 0) AS count_a,
+                 COALESCE(b.count_b, 0) AS count_b
+          FROM counta a FULL OUTER JOIN countb b ON b.cell = a.cell),
+        tot AS (SELECT sum(count_a) AS na, sum(count_b) AS nb FROM counts),
+        terms AS (
+          SELECT bin, count_a, count_b,
+                 CAST(round((CAST(count_a * 2 + 1 AS DOUBLE) / CAST(na * 2 + 10 AS DOUBLE)
+                   - CAST(count_b * 2 + 1 AS DOUBLE) / CAST(nb * 2 + 10 AS DOUBLE))
+                   * CAST((${mn("count_a * 2 + 1")} - ${mn("count_b * 2 + 1")}
+                     - ${mn("na * 2 + 10")} + ${mn("nb * 2 + 10")}) AS DOUBLE), 0) AS BIGINT)
+                   AS term_micro
+          FROM counts CROSS JOIN tot)
+        SELECT bin, count_a, count_b, term_micro,
+               sum(term_micro) OVER () AS psi_micro
+        FROM terms ORDER BY bin"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q185_ivfpq_drift" -> ivfPqDriftOracle,
+    "q114_knn_pq" ->
+      s"""WITH ${pqFitSql(m = 8, subDim = 8, ksub = 16, iters = 8)},
+          $pqEncodeSql,
+          $pqFullScanAdc,
+          ${pqRefineSql(k = K, shortlist = 8 * K)}""",
+    // the stored round-trip (q167) must be row-identical to the
+    // in-process search (q160) — one oracle text, two queries
+    "q160_knn_ivfpq" -> ivfPqOracle,
+    "q167_knn_ivfpq_stored" -> ivfPqOracle,
+    "q184_ivfpq_incremental" -> ivfPqIncrementalOracle,
+    "q67_knn_ivf_trained" ->
+      s"""WITH ${ivfFitSql(k = 10, iters = 8)},
+          $knnCore,
+          routed AS (SELECT q.qid, q.qv, c.cell,
+                       round(list_cosine_similarity(q.qv, c.centroid), 6) AS csim
+                     FROM q CROSS JOIN cent c),
+          best AS (SELECT qid, qv, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY csim DESC, cell) AS r FROM routed) WHERE r <= 2),
+          sc AS (SELECT b.qid, a.vec_id,
+                   round(list_cosine_similarity(b.qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM best b JOIN asgf a ON a.cell = b.cell
+                 JOIN embeddings e ON e.vec_id = a.vec_id
+                 WHERE a.vec_id <> b.qid),
+          r AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
+          FROM r WHERE rank <= $K ORDER BY qid, rank""",
     "q119_knn_join_cells" ->
       s"""WITH sc AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

@@ -83,10 +83,10 @@ def run(tag: String, d: DataFrame, e: DataFrame, c: DataFrame): Unit = {
     graft.ops.Dedup.dedupClustersStar(pairs).count()
   }
   time(s"q114_pq_train_$tag") {
-    graft.ops.Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L)
+    graft.ops.Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16)
       .codebooks.map(_.size).sum
   }
-  val idx = graft.ops.Similarity.trainPq(e, "embedding", m = 8, ksub = 16, seed = 42L)
+  val idx = graft.ops.Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16)
   time(s"q114_pq_search_$tag") {
     val codes = graft.ops.Similarity.encodePq(e, "vec_id", "embedding", idx)
     graft.ops.Similarity.knnPqRefined(codes, e,
@@ -97,8 +97,8 @@ def run(tag: String, d: DataFrame, e: DataFrame, c: DataFrame): Unit = {
   // cached table and time the SEARCH alone -- flat PQ's scan grows with
   // the corpus; the cell-routed scan should grow sublinearly (only
   // probed cells' codes are touched).
-  val ivf = graft.ops.Similarity.trainIvf(e, "vec_id", "embedding",
-    nlist = 10, seed = 42L)
+  val ivf = graft.ops.Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
+    nlist = 10)
   val enc = graft.ops.Similarity.encodeIvfPq(e, "vec_id", "embedding", ivf, idx)
     .cache()
   enc.count()
