@@ -419,12 +419,22 @@ object EventAnalytics {
     * sums accumulate in decimal(18,2) — a double sum's tree order
     * would be run-dependent.
     *
-    * Scale: one customer aggregation, then per metric a value-counts
-    * aggregation + prefix sum + a value-keyed join back (the counts
-    * side is |distinct values| rows). Output: one row per customer
-    * (recency_days, frequency, monetary, r/f/m scores, rfm cell). */
+    * Scale: one customer aggregation, then ONE tagged rank pipeline for
+    * all three metrics — the per-customer metrics melt to (key, tag,
+    * value) rows (decimal(28,2) holds every metric exactly: recency and
+    * frequency are small integers, monetary is already that type), the
+    * strictly-smaller counts come from a single
+    * [[Ranking.valueCountsBeforeByTag]] pass, and scores fold back with
+    * one (tag, value) join + one per-customer pivot aggregation. Round
+    * 13 measured the previous three-parallel-pipeline form at ~18
+    * stages whose task-setup/closure-deserialization overhead — not row
+    * count — dominated the query (q222 bench history); stage count is
+    * the real cost of rank preambles over reduced tables. Output: one
+    * row per customer (recency_days, frequency, monetary, r/f/m scores,
+    * rfm cell). */
   def rfmScores(orders: DataFrame, custCol: String, dateCol: String,
                 amountCol: String): DataFrame = {
+    val dec = "decimal(28,2)"
     val horizon = orders.agg(max(to_date(col(dateCol))).as("__hz"))
     val cust = orders
       .groupBy(col(custCol).as("__c"))
@@ -435,22 +445,30 @@ object EventAnalytics {
       .select(col("__c"),
         datediff(col("__hz"), col("__last")).cast("long").as("recency_days"),
         col("frequency"), col("__mon"))
-      // feeds n plus three metric-counts aggregations and the final join
+      // feeds n, the melted metric pass, and the final join
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.QueryCleanup.register(() => cust.unpersist())
     val nRow = cust.agg(count(lit(1)).as("__n"))
-    // (metric value -> quintile score): before = strictly-smaller count
-    def scoreMap(metric: String, out: String): DataFrame = {
-      val counts = cust.groupBy(col(metric)).agg(count(lit(1)).as("__t"))
-      Ranking.valueCountsBefore(counts, metric, "__t")
-        .crossJoin(broadcast(nRow))
-        .select(col(metric),
-          (expr("(__before * 5) div __n") + 1).cast("long").as(out))
-    }
-    cust
-      .join(scoreMap("recency_days", "__sr"), Seq("recency_days"))
-      .join(scoreMap("frequency", "__sf"), Seq("frequency"))
-      .join(scoreMap("__mon", "__sm"), Seq("__mon"))
+    // (key, tag, value): every metric of every customer, exactly typed
+    val melted = cust.select(col("__c"), explode(array(
+        struct(lit("r").as("__tag"), col("recency_days").cast(dec).as("__v")),
+        struct(lit("f").as("__tag"), col("frequency").cast(dec).as("__v")),
+        struct(lit("m").as("__tag"), col("__mon").cast(dec).as("__v"))))
+        .as("__x"))
+      .select(col("__c"), col("__x.__tag").as("__tag"), col("__x.__v").as("__v"))
+    val counts = melted.groupBy(col("__tag"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+    // (tag, value -> quintile score): before = strictly-smaller count
+    val scored = Ranking.valueCountsBeforeByTag(counts, "__tag", "__v", "__t")
+      .crossJoin(broadcast(nRow))
+      .select(col("__tag"), col("__v"),
+        (expr("(__before * 5) div __n") + 1).cast("long").as("__s"))
+    val perCust = melted.join(scored, Seq("__tag", "__v"))
+      .groupBy(col("__c"))
+      .agg(max(when(col("__tag") === "r", col("__s"))).as("__sr"),
+        max(when(col("__tag") === "f", col("__s"))).as("__sf"),
+        max(when(col("__tag") === "m", col("__s"))).as("__sm"))
+    cust.join(perCust, Seq("__c"))
       .select(col("__c").as(custCol),
         col("recency_days"), col("frequency"),
         round(col("__mon").cast("double"), 2).as("monetary"),

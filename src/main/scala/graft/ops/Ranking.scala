@@ -131,4 +131,57 @@ object Ranking {
       .withColumn(outCol, col("__rkr") + col("__rko"))
       .drop("__rkb", "__rkr", "__rko")
   }
+
+  /** Per-GROUP [[globalPrefixSum]]: `outCol` = the inclusive running sum
+    * of `valueCol` within each `groupCols` group in `orderCols` order.
+    * Same rank-offset scheme and monotone-bucket / total-order contract,
+    * scoped per group: in-bucket running sums window over (group,
+    * bucket); per-(group, bucket) totals prefix-sum into offsets via a
+    * window over the tiny counts table and broadcast back. */
+  def groupPrefixSum(df: DataFrame, groupCols: Seq[String],
+                     orderCols: Seq[String], bucketExpr: Column,
+                     valueCol: String, outCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val gc = groupCols.map(col)
+    val base = df.filter(col(orderCols.head).isNotNull)
+      .withColumn("__psb", bucketExpr)
+    val runW = Window.partitionBy(gc :+ col("__psb"): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offW = Window.partitionBy(gc: _*).orderBy(col("__psb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(gc :+ col("__psb"): _*)
+      .agg(sum(col(valueCol)).as("__psn"))
+      .withColumn("__pso", coalesce(sum(col("__psn")).over(offW), lit(0L)))
+      .drop("__psn")
+    base.withColumn("__psr", sum(col(valueCol)).over(runW))
+      .join(broadcast(offsets), groupCols :+ "__psb")
+      .withColumn(outCol, col("__psr") + col("__pso"))
+      .drop("__psb", "__psr", "__pso")
+  }
+
+  /** [[valueCountsBefore]] for SEVERAL metrics in ONE pipeline: the input
+    * carries a `tagCol` naming which metric each (value, count) row
+    * belongs to, and every stage runs per tag — one bounds aggregate (a
+    * |tags|-row broadcast), one bucketed grouped prefix sum, one output.
+    * Folding k metrics into one tagged pass replaces k parallel
+    * exchange+window+broadcast pipelines with one — the fixed per-stage
+    * cost (task setup, closure deserialization, tiny-table windows) is
+    * what dominates rank preambles over reduced tables, so stage count,
+    * not row count, is the bill (measured on q222: three pipelines =
+    * ~18 stages for a 10k-row input). Input must be (tag, value)-DISTINCT. */
+  def valueCountsBeforeByTag(counts: DataFrame, tagCol: String,
+                             valueCol: String, countCol: String): DataFrame = {
+    val bounds = counts.groupBy(col(tagCol))
+      .agg(min(col(valueCol)).as("__bmn"), max(col(valueCol)).as("__bmx"))
+    val withB = counts.join(broadcast(bounds), Seq(tagCol))
+    val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+    val bucket = when(bWidth > 0,
+      least(floor((col(valueCol) - col("__bmn")) / bWidth), lit(1023L)))
+      .otherwise(lit(0L))
+    groupPrefixSum(withB, Seq(tagCol), Seq(valueCol), bucket, countCol, "__cumt")
+      .withColumn("__before", col("__cumt") - col(countCol))
+      .drop("__bmn", "__bmx", "__cumt")
+  }
 }

@@ -334,4 +334,63 @@ object Sampling {
       .withColumn("offset", pmod(col("global_pos") - 1, lit(shardSize)))
       .drop("__sk")
   }
+
+  /** Per-domain token quota — the Common-Crawl-style curation rule "no
+    * single site contributes more than `budget` tokens": within each
+    * domain, documents rank by the portable hash of (salt, key) — an
+    * unbiased, reproducible shuffle, so the kept prefix is a uniform
+    * sample of the domain, not its earliest or longest pages — and a doc
+    * survives while the cumulative token count THROUGH ITSELF stays
+    * within the budget (strict quota: a doc that would overflow it is
+    * dropped, as is everything after it in hash order). Appends
+    * `cum_tokens` (the inclusive running total) to the kept rows.
+    *
+    * Scale: one exchange on the domain key feeding a windowed running
+    * sum — per-domain state only; the filter is scan-side after the
+    * window. A pathological mega-domain funnels through one task; that
+    * is inherent to an exact per-domain prefix (the quota is tiny by
+    * construction, so the window input can be pre-truncated by any
+    * upper bound on docs-per-budget if a domain is genuinely hot). */
+  def domainTokenQuota(df: DataFrame, keyCol: String, domainCol: String,
+                       tokenCol: String, budget: Long,
+                       salt: String = "graft-quota"): DataFrame = {
+    require(budget >= 1, s"budget $budget must be positive")
+    val hv = PortableHash.phash(
+      concat_ws("|", lit(salt), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__hv"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__hv", hv)
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__hv")
+  }
+
+  /** Token-balanced shard assignment by snake (boustrophedon) dealing:
+    * sort documents by token count DESCENDING (key tiebreak) and deal
+    * them across `nShards` shards in alternating direction — rank r maps
+    * to shard r%S on even passes and S−1−(r%S) on odd passes. The
+    * classic deterministic near-LPT heuristic for equalizing per-shard
+    * token totals when a trainer reads whole shards (plain hash
+    * assignment balances COUNTS, not tokens; one shard catching the long
+    * tail of a skewed length distribution becomes the epoch straggler).
+    * Appends `rank` (0-based global) and `shard`.
+    *
+    * Scale: the global descending rank uses the rank-offset scheme
+    * ([[Ranking.globalRowNumber]]) over the NEGATED token count with a
+    * coarse monotone bucket — no single-partition sort; the serial step
+    * is the bucket-count offset table. */
+  def snakeShards(df: DataFrame, keyCol: String, tokenCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be positive")
+    val keyed = df.withColumn("__negt", -col(tokenCol).cast("long"))
+    Ranking.globalRowNumber(keyed, Seq("__negt", keyCol),
+        bucketExpr = floor(col("__negt") / lit(16L)), outCol = "rank")
+      .withColumn("rank", col("rank").cast("long") - 1)
+      .withColumn("shard",
+        when(pmod(floor(col("rank") / nShards), lit(2L)) === 0,
+          pmod(col("rank"), lit(nShards.toLong)))
+        .otherwise(lit(nShards.toLong) - 1 - pmod(col("rank"), lit(nShards.toLong))))
+      .drop("__negt")
+  }
 }

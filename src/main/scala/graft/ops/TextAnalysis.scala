@@ -269,6 +269,147 @@ object TextAnalysis {
         .as("mean_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram mean log-prob per document (Kneser &
+    * Ney 1995; the Chen & Goodman 1999 formulation) with the standard
+    * fixed discount D = 0.75 — the smoothing rung above the unsmoothed
+    * conditional of [[bigramLogProb]], and the model class real LM-quality
+    * filters (CCNet's KenLM stage) score with:
+    *
+    *   P(w2|w1) = (c(w1 w2) − D)/c(w1 ·)
+    *            + D · N1+(w1 ·)/c(w1 ·) · N1+(· w2)/N1+(· ·)
+    *
+    * where c(w1 ·) is the context total, N1+(w1 ·) the distinct
+    * continuations of w1, N1+(· w2) the distinct left-contexts of w2 (the
+    * continuation count that makes KN KN), and N1+(· ·) = T the distinct
+    * bigram types. Only OBSERVED bigrams are scored (c >= 1, so the
+    * discounted term is positive and the max(·,0) clamp is vacuous).
+    *
+    * Determinism: every factor is an integer count and D = 3/4, so P is
+    * the exact rational ((4c−3)·T + 3·n1f·cont) / (4·ctx·T). Both engines
+    * evaluate ONE double division and one ln() on identical integers,
+    * quantize to micro-nats, and the per-doc weighted mean is exact
+    * integer arithmetic — order-independent (the [[unigramLogProb]]
+    * protocol). The integer products stay below 2^63 while c·T < 2^61;
+    * web-scale corpora switch the two products to double (the operands
+    * are exactly-representable integers, so both engines still agree).
+    *
+    * Scale: per-doc bigrams reduce to (doc, bigram, count) on the first
+    * exchange (map-side combine); the three context statistics are
+    * windows over the REDUCED distinct-bigram table (one w1-partition
+    * exchange serving sum+count, one w2-partition exchange) — vocabulary-
+    * scaled, never corpus-scaled; T broadcasts as one row; scoring joins
+    * back on the bigram key (no vocabulary broadcast). */
+  def kneserNeyLogProb(docs: DataFrame, idCol: String,
+                       textCol: String = "text"): DataFrame = {
+    val wCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("__g"), " ", 1))
+    val wCont = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("__g"), " ", -1))
+    val docBg = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(
+          transform(sequence(lit(1), size(col("__tk")) - 1),
+            i => concat_ws(" ", element_at(col("__tk"), i),
+              element_at(col("__tk"), i + 1)))).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__dc"))
+    val bg = docBg.groupBy(col("__g")).agg(sum("__dc").as("__c"))
+    val types = bg.agg(count(lit(1)).as("__t"))
+    val stats = bg
+      .withColumn("__ctx", sum("__c").over(wCtx))
+      .withColumn("__n1f", count(lit(1)).over(wCtx))
+      .withColumn("__cont", count(lit(1)).over(wCont))
+      .crossJoin(broadcast(types))
+      .select(col("__g"),
+        round(log(
+          ((lit(4L) * col("__c") - lit(3L)) * col("__t")
+            + lit(3L) * col("__n1f") * col("__cont")).cast("double")
+          / (lit(4L) * col("__ctx") * col("__t"))) * 1e6, 0)
+          .cast("long").as("__lpu"))
+    docBg.join(stats, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__dc") * col("__lpu")) / sum("__dc") / 1e6, 6)
+        .as("mean_logprob"))
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each document scores
+    * sum over its token occurrences of ln(P_target(t) / P_raw(t)) under
+    * add-one-smoothed unigram models, where the target model trains on
+    * the rows satisfying `targetPred` (the domain you want more of) and
+    * the raw model on the whole corpus. Ranking raw documents by this
+    * score and keeping the top slice is the deterministic (greedy) form
+    * of DSIR's Gumbel-top-k resampling — the standard cheap recipe for
+    * steering a 100 TB crawl toward a high-quality seed domain.
+    *
+    * Determinism: per-token weights quantize to integer micro-nats
+    * (round((ln((ct+1)/(Tt+V)) − ln((cr+1)/(Tr+V)))·1e6)) so per-doc
+    * sums are exact integers; ties in the downstream top-k break on the
+    * document key.
+    *
+    * Scale: one exchange reduces tokens to the (token, raw count, target
+    * count) vocabulary table (map-side combine; the target count rides
+    * the same aggregate as a conditional sum — not a second pass); the
+    * three totals broadcast as one row; scoring joins tokens back on the
+    * token key — a plain shuffle join, because a web-scale vocabulary
+    * does not broadcast. Returns (idCol, score). */
+  def importanceScores(docs: DataFrame, idCol: String, targetPred: Column,
+                       textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col(idCol), targetPred.as("__tgt"),
+        explode(tokens(col(textCol))).as("__w"))
+    val vocab = tk.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val totals = vocab.agg(sum("__cr").as("__tr"), sum("__ct").as("__tt"),
+      count(lit(1)).as("__nv"))
+    val weights = vocab.crossJoin(broadcast(totals))
+      .select(col("__w"),
+        round((log((col("__ct") + lit(1L)).cast("double")
+            / (col("__tt") + col("__nv")))
+          - log((col("__cr") + lit(1L)).cast("double")
+            / (col("__tr") + col("__nv")))) * 1e6, 0)
+          .cast("long").as("__lpu"))
+    tk.join(weights, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(round(sum("__lpu") / 1e6, 6).as("score"))
+  }
+
+  /** Boilerplate-line removal (the CCNet / Gopher line-frequency rule):
+    * drop every line that occurs in at least `minDocFreq` DISTINCT
+    * documents (nav bars, cookie banners, "subscribe" footers — content
+    * that repeats across a site survives exact and near dedup because
+    * each PAGE is unique, yet poisons an LM with memorized templates).
+    * Unlike [[Dedup.paragraphDedup]] (which keeps the FIRST copy of a
+    * duplicated paragraph), the frequency rule removes ALL copies once a
+    * line crosses the threshold. Returns (idCol, text_clean = surviving
+    * lines rejoined in original order, n_dropped).
+    *
+    * Scale: lines reduce to (line-hash, doc) DISTINCT pairs then to a
+    * (line-hash, df) table on one exchange chain (map-side partial
+    * distinct); the document-frequency join is on the line hash (8-byte
+    * md5 prefix key, no text payload); reassembly is one doc-keyed
+    * aggregation sorting each doc's surviving (pos, line) structs —
+    * per-doc state only, never a global sort. collect_list drops the
+    * nulls `when` produces for boilerplate lines, so kept-vs-dropped is
+    * decided inside the single aggregate (no second pass). */
+  def stripBoilerplate(docs: DataFrame, idCol: String, minDocFreq: Int,
+                       textCol: String = "text"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq $minDocFreq must be >= 2")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__h", md5(col("__line")))
+    val df = lines.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    lines.join(df, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__df") < minDocFreq,
+            struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("text_clean"),
+        sum(when(col("__df") >= minDocFreq, 1L).otherwise(0L))
+          .as("n_dropped"))
+  }
+
   /** Top-k TF-IDF terms per document — the classic salience ranking
     * (tf · ln(N/df), raw counts, no smoothing: every term scored has
     * df >= 1 by construction). The workhorse behind keyword extraction

@@ -900,6 +900,61 @@ object TextQueries {
           TextAnalysis.meanTokenLength(t).as("mean_tok_len"),
           TextAnalysis.stopwordRatio(t).as("stopword_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // Interpolated Kneser–Ney bigram LM score per doc (D = 0.75): the
+    // smoothed rung above q135's unsmoothed conditional — exact-rational
+    // probabilities, micro-nat quantization, integer per-doc means.
+    "q266_kneser_ney" -> ((s, dir) => {
+      TextAnalysis.kneserNeyLogProb(Tables.documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance selection: score every doc by the add-one-smoothed
+    // unigram likelihood ratio of the English slice vs the whole corpus,
+    // keep the deterministic top 100 (integer-micro scores, doc_id ties).
+    "q267_dsir_select" -> ((s, dir) => {
+      TextAnalysis.importanceScores(Tables.documents(s, dir), "doc_id",
+          targetPred = col("lang") === "en")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+    }),
+
+    // Per-domain token quota (no source may contribute > 800 tokens):
+    // docs rank by portable hash within their source; the kept prefix's
+    // inclusive running token total must stay within budget.
+    "q268_domain_quota" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.domainTokenQuota(d, "doc_id", "source", "n_tokens",
+          budget = 800L)
+        .orderBy("doc_id")
+    }),
+
+    // Boilerplate line removal: every doc gets a per-source footer line
+    // planted by construction (df = docs-per-source >= threshold, must
+    // drop from ALL docs) plus a doc-keyed unique line (df = 1, must
+    // survive); the body text survives unless genuinely repeated.
+    "q269_boilerplate_lines" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit("\nfooter "), col("source"), lit(" subscribe now"),
+            lit("\ndoc "), col("doc_id"), lit(" unique")).as("text"))
+      TextAnalysis.stripBoilerplate(aug, "doc_id", minDocFreq = 10)
+        .orderBy("doc_id")
+    }),
+
+    // Token-balanced sharding: snake-deal docs across 8 shards in
+    // descending token-count order (rank-offset global rank, no
+    // single-partition sort) so shard token totals equalize.
+    "q270_snake_shards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.snakeShards(d, "doc_id", "n_tokens", nShards = 8)
+        .orderBy("doc_id")
     }))
 
   private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1867,6 +1922,82 @@ object TextQueries {
             FROM documents)
           WHERE nt BETWEEN 20 AND 70 AND mtl BETWEEN 3.0 AND 5.0 AND pr <= 0.05 AND sw >= 0.02
           ORDER BY doc_id""",
+    // Interpolated Kneser–Ney (D = 3/4): the probability of each observed
+    // bigram is the exact rational ((4c−3)T + 3·n1f·cont) / (4·ctx·T) —
+    // one double division + one ln on identical integers in both engines,
+    // micro-nat quantization, integer per-doc weighted mean.
+    "q266_kneser_ney" ->
+      s"""WITH bgdoc AS (SELECT doc_id, g, count(*) AS dc
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(len($tokSql) - 1),
+                           i -> $tokSql[i+1] || ' ' || $tokSql[i+2])) AS g
+                       FROM documents WHERE len($tokSql) >= 2)
+                 GROUP BY doc_id, g),
+          bg AS (SELECT g, sum(dc) AS c FROM bgdoc GROUP BY g),
+          st AS (SELECT g, c,
+                   sum(c) OVER (PARTITION BY split_part(g, ' ', 1)) AS ctx,
+                   count(*) OVER (PARTITION BY split_part(g, ' ', 1)) AS n1f,
+                   count(*) OVER (PARTITION BY split_part(g, ' ', 2)) AS cont,
+                   (SELECT count(*) FROM bg) AS t
+                 FROM bg),
+          lp AS (SELECT g, CAST(round(ln(
+                   CAST((4*c - 3)*t + 3*n1f*cont AS DOUBLE) / (4*ctx*t)) * 1e6, 0) AS BIGINT) AS lpu
+                 FROM st)
+          SELECT doc_id, round(sum(dc * lpu) * 1.0 / sum(dc) / 1e6, 6) AS mean_logprob
+          FROM bgdoc JOIN lp USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    // DSIR importance selection: add-one-smoothed unigram likelihood
+    // ratio (target = lang 'en' vs the whole corpus), integer micro-nat
+    // token weights, exact integer per-doc sums, doc_id tiebreak.
+    "q267_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, unnest($tokSql) AS w FROM documents),
+          v AS (SELECT w, count(*) AS cr, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                FROM tk GROUP BY w),
+          tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS nv FROM v),
+          wt AS (SELECT w, CAST(round((ln(CAST(ct + 1 AS DOUBLE) / (tt + nv))
+                                     - ln(CAST(cr + 1 AS DOUBLE) / (tr + nv))) * 1e6, 0) AS BIGINT) AS lpu
+                 FROM v CROSS JOIN tot)
+          SELECT doc_id, round(sum(lpu) / 1e6, 6) AS score
+          FROM tk JOIN wt USING (w) GROUP BY doc_id
+          ORDER BY round(sum(lpu) / 1e6, 6) DESC, doc_id LIMIT 100""",
+    // Per-source 800-token quota: portable-hash priority order, keep
+    // while the INCLUSIVE running token total stays within budget.
+    "q268_domain_quota" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens,
+                   ${phashSql("'graft-quota|' || CAST(doc_id AS VARCHAR)")} AS hv
+                   FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM t)
+          SELECT doc_id, source, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= 800 ORDER BY doc_id""",
+    // Boilerplate line-frequency removal over the constructed 3-line docs
+    // (body | per-source footer | doc-keyed unique line): lines in >= 10
+    // distinct docs drop from ALL docs; survivors rejoin in order.
+    "q269_boilerplate_lines" ->
+      """WITH aug AS (SELECT doc_id,
+                 text || chr(10) || 'footer ' || source || ' subscribe now'
+                      || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' unique' AS text
+               FROM documents),
+          l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+          ln_ AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[CAST(pos AS INT) + 1] AS line
+                  FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS pos FROM l0)),
+          dfq AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS df FROM ln_ GROUP BY 1)
+          SELECT doc_id,
+            coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE df < 10), chr(10)), '') AS text_clean,
+            CAST(count(*) FILTER (WHERE df >= 10) AS BIGINT) AS n_dropped
+          FROM ln_ JOIN dfq ON md5(line) = h
+          GROUP BY doc_id ORDER BY doc_id""",
+    // Snake sharding: global 0-based rank in (tokens DESC, doc_id) order,
+    // dealt boustrophedon across 8 shards.
+    "q270_snake_shards" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+          r AS (SELECT doc_id, n_tokens,
+                  CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rank
+                FROM t)
+          SELECT doc_id, n_tokens, rank,
+                 CAST(CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8 ELSE 7 - rank % 8 END AS BIGINT) AS shard
+          FROM r ORDER BY doc_id""",
     "q37_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${phashSql("t")} AS h
                  FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)),
