@@ -732,6 +732,60 @@ object DataQuality {
             col("__vb") * col("__vb") / (col("__nb") - 1)), 6).as("df_w"))
   }
 
+  /** Standard normal CDF via the Zelen & Severo polynomial (Abramowitz &
+    * Stegun 26.2.17, |error| < 7.5e-8) — a PORTABLE approximation both a
+    * JVM engine and any SQL engine evaluate with the identical finite
+    * expression tree (multiply/add/divide plus one exp), where a true
+    * erf would be libm-bound and non-replayable. Intended for p-values
+    * feeding RANK-based procedures (the polynomial is strictly monotone,
+    * so orderings are exact even where the 8th decimal is not); callers
+    * must round before any equality-sensitive use. Input z should be
+    * pre-rounded by the caller so engines agree on the argument bits. */
+  def normalCdf(z: Column): Column = {
+    val x = abs(z)
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = ((((lit(1.330274429) * k - lit(1.821255978)) * k
+      + lit(1.781477937)) * k - lit(0.356563782)) * k + lit(0.319381530)) * k
+    val phi = exp(-x * x / lit(2.0)) / lit(2.5066282746310002) // sqrt(2*pi)
+    val upper = lit(1.0) - phi * poly
+    when(z >= 0, upper).otherwise(lit(1.0) - upper)
+  }
+
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995) over a
+    * table of per-hypothesis p-values: rank p ascending (key tiebreak),
+    * a hypothesis passes at rank i when p_(i) <= i·alpha/m, and ALL
+    * hypotheses up to the LARGEST passing rank are discoveries (the
+    * step-up rule — a non-passing p below a later passing one is still
+    * rejected). The multiple-testing gate every per-segment A/B scan
+    * needs before paging on its best-looking segment.
+    *
+    * Appends (rank, bh_thresh, discovery). Thresholds round to 9 dp so
+    * a last-ulp division difference cannot flip a boundary comparison;
+    * `pCol` should arrive pre-rounded for the same reason.
+    *
+    * Scale: the input is the HYPOTHESES table (one row per test —
+    * metadata-sized by construction; the data-sized work already
+    * happened in the test statistics), so the single-partition rank
+    * window is over m rows, the same deliberate tiny-table pattern as
+    * temperatureSample's rate table. */
+  def bhFdr(tests: DataFrame, keyCol: String, pCol: String,
+            alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bhFdr: alpha=$alpha outside (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col(pCol), col(keyCol))
+    val wAll = Window.partitionBy()
+    tests
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("bh_thresh",
+        round(col("rank") * lit(alpha) / col("__m"), 9))
+      .withColumn("__kmax",
+        max(when(col(pCol) <= col("bh_thresh"), col("rank"))).over(wAll))
+      .withColumn("discovery",
+        coalesce(col("rank") <= col("__kmax"), lit(false)))
+      .drop("__m", "__kmax")
+  }
+
   def cusum(df: DataFrame, groupCol: String, orderCol: String, valueCol: String,
             slack: Double = 0.5, threshold: Double = 4.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -36,6 +36,28 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .drop("__h")
 
+  /** Template dedup: group documents identical UP TO DIGIT RUNS (every
+    * [0-9]+ run canonicalizes to a single '0') — the crawl pathology
+    * exact dedup misses and near-dup over-pays for: order-confirmation /
+    * profile / listing pages that differ only in ids, counts, dates, or
+    * prices. Returns one row per doc in a template class of >= 2 members:
+    * (idCol, template_id = min member id, n_members). Classes of one are
+    * not templates and are dropped.
+    *
+    * Scale: one exchange on the 128-bit canonical-text md5 (same
+    * collision reasoning as [[exact]]); class stats are windows over
+    * that single exchange — no second shuffle, no text payload past the
+    * hash. */
+  def templateDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    df.select(col(idCol),
+        md5(regexp_replace(col(textCol), "[0-9]+", "0")).as("__h"))
+      .withColumn("template_id", min(col(idCol)).over(w))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("n_members") >= 2)
+      .select(col(idCol), col("template_id"), col("n_members"))
+  }
+
   // ---- MinHash ----------------------------------------------------------
 
   /** Universal-hash family h_j(x) = (a_j * x + b_j) mod P over [0, P).

@@ -69,6 +69,42 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): recall@k of PREFIX-TRUNCATED embeddings
+    * against the full-dimension exact top-k — the measurement that
+    * decides how many leading dimensions a serving index can keep (MRL
+    * models pack information front-loaded; ad-hoc embeddings may not).
+    * For each d in `dims`: run the same exact scorer on the first d
+    * components, count how many of the full-dim top-k survive, and
+    * report mean recall over the query set. One row per d.
+    *
+    * Scale: the ground truth is computed ONCE and persisted (k·|queries|
+    * id pairs — bounded); each truncation reuses the [[knnBruteForce]]
+    * shape (broadcast queries, scan-side slice, per-query top-k window).
+    * At corpus scale the caller swaps the brute scorer for the IVF
+    * routed one; the audit arithmetic is unchanged. */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "matryoshkaRecall: dims empty")
+    require(dims.forall(_ >= 1), s"matryoshkaRecall: dims $dims not all >= 1")
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    val full = knnBruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => full.unpersist())
+    dims.map { d =>
+      def trunc(df: DataFrame) = df.withColumn(vecCol, slice(col(vecCol), 1, d))
+      knnBruteForce(trunc(corpus), trunc(queries), idCol, vecCol, k)
+        .select(col("qid"), col("vec_id"))
+        .join(full, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(d.toLong).as("dims"),
+          round(col("__hits") / (col("__nq") * k).cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Contrastive HARD-negative mining: for each query, the top-k most
     * similar corpus vectors with a DIFFERENT label — the negatives that
     * actually move a contrastive loss (random negatives, q246, are

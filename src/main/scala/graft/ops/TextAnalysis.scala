@@ -410,6 +410,60 @@ object TextAnalysis {
           .as("n_dropped"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus' own top-k
+    * vocabulary (count-desc, token-asc ties — the deterministic cut a
+    * tokenizer-training pipeline uses before committing a vocab): the
+    * share of token OCCURRENCES outside the top `vocabSize` types. High
+    * OOV marks gibberish, code, or off-distribution text that a fixed
+    * vocabulary will shred into bytes.
+    *
+    * Scale: tokens reduce to the (token, count) vocabulary on one
+    * exchange; the top-k cut is TakeOrderedAndProject (per-partition
+    * k-heaps, k rows to the driver merge — no global sort) and the
+    * resulting vocab is k rows, broadcast back by CONTRACT (vocabSize is
+    * caller-bounded, e.g. 32k–256k — always broadcastable). Scoring is
+    * a broadcast left join + one per-doc aggregate. */
+  def oovRate(docs: DataFrame, idCol: String, vocabSize: Int,
+              textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize $vocabSize must be positive")
+    val tk = docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    val vocab = tk.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
+      .select(col("__w"), lit(1).as("__in"))
+    tk.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(when(col("__in").isNull, 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("oov_rate"))
+  }
+
+  /** Share of n-gram OCCURRENCES belonging to n-grams repeated within
+    * the same document (the Gopher "duplicate n-gram fraction" family,
+    * Rae et al. 2021 Table A1): where [[repetitionStats]] reports the
+    * single hottest n-gram's share, this reports the TOTAL mass of all
+    * within-doc repeats — the signal that catches diffuse templating
+    * (every paragraph lightly recycled) rather than one hot header.
+    * Docs with fewer than n tokens have no n-grams and are not scored.
+    *
+    * Scale: one exchange reduces to (doc, gram, count) with map-side
+    * combine; the share is a per-doc conditional aggregate over that
+    * reduced table. */
+  def dupNgramShare(docs: DataFrame, idCol: String, n: Int,
+                    textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n $n must be >= 2")
+    val grams = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), explode(
+          transform(sequence(lit(1), size(col("__tk")) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("__tk"), i + j)): _*)))
+        .as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    grams.groupBy(col(idCol))
+      .agg(round(sum(when(col("__c") >= 2, col("__c")).otherwise(0L))
+        / sum("__c").cast("double"), 6).as("dup_share"))
+  }
+
   /** Top-k TF-IDF terms per document — the classic salience ranking
     * (tf · ln(N/df), raw counts, no smoothing: every term scored has
     * df >= 1 by construction). The workhorse behind keyword extraction

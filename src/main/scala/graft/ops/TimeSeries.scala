@@ -729,4 +729,61 @@ object TimeSeries {
         col("__x").as(valueCol),
         col("ewma"), round(col("__sig"), 6).as("sigma"), col("anomaly"))
   }
+
+  /** Holt double-exponential smoothing per group (Holt 1957; the linear-
+    * trend rung above [[ewmaAnomalies]]' level-only EWMA): fold the
+    * time-ordered series through
+    *
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * with l_1 = y_1, b_1 = 0, and report the final level, trend, and the
+    * `horizon`-step-ahead forecast l + h·b — the capacity-planning
+    * number ("where is this series heading") a daily-volume monitor
+    * actually pages on.
+    *
+    * Determinism: the recursion is inherently sequential, so it runs as
+    * ONE ordered fold (`aggregate` over the group's time-sorted value
+    * array) — both engines evaluate the identical double expressions in
+    * the identical order (an external engine replays it as a recursive
+    * CTE in lockstep on the row index), and defaults α = 0.5, β = 0.25
+    * are exactly representable. Rounding happens once, at output.
+    *
+    * Scale: one exchange on the group key; per-group state is the
+    * series itself, which for CALENDAR-indexed series is bounded by the
+    * date range (150 days at sf0.1, ~3.7k rows for a decade of days) —
+    * the same per-group-array contract as the Hampel/rolling-median
+    * family, NOT a corpus-sized array. */
+  def holtSmoothing(series: DataFrame, groupCol: String, tCol: String,
+                    valueCol: String, alpha: Double = 0.5,
+                    beta: Double = 0.25, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"holtSmoothing: alpha=$alpha outside (0,1)")
+    require(beta > 0 && beta < 1, s"holtSmoothing: beta=$beta outside (0,1)")
+    require(horizon >= 0, s"holtSmoothing: horizon=$horizon negative")
+    val base = series.select(col(groupCol).as("__g"), col(tCol).as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    val xs = transform(
+      array_sort(collect_list(struct(col("__t"), col("__x")))),
+      e => e.getField("__x"))
+    def l(acc: Column) = acc.getField("l")
+    def b(acc: Column) = acc.getField("b")
+    def lNew(acc: Column, y: Column) =
+      lit(alpha) * y + lit(1.0 - alpha) * (l(acc) + b(acc))
+    val folded = aggregate(
+      slice(col("__xs"), lit(2), greatest(size(col("__xs")) - 1, lit(0))),
+      struct(element_at(col("__xs"), 1).as("l"), lit(0.0).as("b")),
+      (acc, y) => struct(
+        lNew(acc, y).as("l"),
+        (lit(beta) * (lNew(acc, y) - l(acc)) + lit(1.0 - beta) * b(acc)).as("b")))
+    base.groupBy(col("__g"))
+      .agg(xs.as("__xs"))
+      .withColumn("__st", folded)
+      .select(col("__g").as(groupCol),
+        size(col("__xs")).cast("long").as("n_points"),
+        round(col("__st.l"), 6).as("level"),
+        round(col("__st.b"), 6).as("trend"),
+        round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
+          .as(s"forecast$horizon"))
+  }
 }

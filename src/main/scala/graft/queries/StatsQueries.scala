@@ -409,6 +409,32 @@ object StatsQueries {
         .orderBy("event_type")
     }),
 
+    // Benjamini-Hochberg FDR over the q260 Welch tests: p-values from the
+    // portable A&S 26.2.17 normal CDF on the micro-rounded z (df_w is in
+    // the thousands, so normal ~ t), step-up rule at alpha = 0.05.
+    "q276_bh_fdr" -> ((s, dir) => {
+      val t = DataQuality.welchTTest(
+        Tables.events(s, dir).withColumn("__cohort", col("user_id") % 2 === 0),
+        "event_type", "__cohort", "value")
+      val withP = t.select(col("event_type"), col("t_micro"),
+        round(lit(2.0) * (lit(1.0)
+          - DataQuality.normalCdf(abs(col("t_micro") / lit(1e6)))), 9)
+          .as("p_value"))
+      DataQuality.bhFdr(withP, "event_type", "p_value", alpha = 0.05)
+        .orderBy("event_type")
+    }),
+
+    // Holt double-exponential smoothing of daily volumes per event type:
+    // final level/trend and the 7-day-ahead forecast from one ordered
+    // fold (the oracle replays it as a lockstep recursive CTE).
+    "q275_holt_forecast" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.holtSmoothing(daily, "event_type", "day", "x")
+        .orderBy("event_type")
+    }),
+
     // Hampel filter: rolling 7-day median + rolling MAD per event type,
     // the robust outlier flag a telemetry pipeline runs where a rolling
     // MEAN would be hijacked by the very spike it is looking for. Exact
@@ -867,6 +893,64 @@ object StatsQueries {
                  CAST(round((sa / na - sb / nb) / sqrt(va + vb) * 1000000, 0) AS BIGINT) AS t_micro,
                  round((va + vb) * (va + vb) / (va * va / (na - 1) + vb * vb / (nb - 1)), 6) AS df_w
           FROM v WHERE va + vb > 0 ORDER BY event_type""",
+    // q260's Welch CTE -> micro-rounded z -> A&S 26.2.17 CDF (the exact
+    // expression shape the engine evaluates, including the 1-(1-x)
+    // non-simplification) -> BH step-up at alpha=0.05.
+    "q276_bh_fdr" ->
+      """WITH m AS (SELECT event_type,
+                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sa,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE) AS ssa,
+                 sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb,
+                 CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sb,
+                 CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE) AS ssb
+               FROM events GROUP BY event_type),
+          v AS (SELECT event_type, na, nb, sa, sb,
+                 (ssa - sa * sa / na) / (na - 1) / na AS va,
+                 (ssb - sb * sb / nb) / (nb - 1) / nb AS vb
+                FROM m WHERE na > 1 AND nb > 1),
+          z AS (SELECT event_type,
+                 CAST(round((sa / na - sb / nb) / sqrt(va + vb) * 1000000, 0) AS BIGINT) AS t_micro
+                FROM v WHERE va + vb > 0),
+          c AS (SELECT event_type, t_micro, abs(t_micro / 1000000.0) AS x FROM z),
+          k AS (SELECT event_type, t_micro, x, 1.0 / (1.0 + 0.2316419 * x) AS kk FROM c),
+          p AS (SELECT event_type, t_micro,
+                 round(2.0 * (1.0 - (1.0 - exp(-x * x / 2.0) / 2.5066282746310002
+                   * (((((1.330274429 * kk - 1.821255978) * kk + 1.781477937) * kk
+                       - 0.356563782) * kk + 0.319381530) * kk))), 9) AS p_value
+                FROM k),
+          r AS (SELECT event_type, t_micro, p_value,
+                 CAST(row_number() OVER (ORDER BY p_value, event_type) AS BIGINT) AS rank,
+                 count(*) OVER () AS mm
+                FROM p),
+          th AS (SELECT event_type, t_micro, p_value, rank,
+                  round(rank * 0.05 / mm, 9) AS bh_thresh FROM r),
+          km AS (SELECT *, max(CASE WHEN p_value <= bh_thresh THEN rank END) OVER () AS kmax FROM th)
+          SELECT event_type, t_micro, p_value, rank, bh_thresh,
+                 coalesce(rank <= kmax, false) AS discovery
+          FROM km ORDER BY event_type""",
+    // Lockstep recursive replay of the ordered Holt fold: state at day
+    // index i joins state at i-1 per group; identical double expression
+    // shapes (alpha=0.5, beta=0.25 exactly representable).
+    "q275_holt_forecast" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+                 SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+                        CAST(count(*) AS DOUBLE) AS x
+                 FROM events GROUP BY 1, 2),
+          idx AS MATERIALIZED (
+                 SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY day) AS i FROM daily),
+          st AS (SELECT g, i, x AS l, CAST(0.0 AS DOUBLE) AS b FROM idx WHERE i = 1
+                 UNION ALL
+                 SELECT d.g, d.i,
+                        0.5 * d.x + 0.5 * (st.l + st.b),
+                        0.25 * ((0.5 * d.x + 0.5 * (st.l + st.b)) - st.l) + 0.75 * st.b
+                 FROM st JOIN idx d ON d.g = st.g AND d.i = st.i + 1),
+          lastd AS (SELECT g, max(i) AS mi FROM idx GROUP BY g)
+          SELECT st.g AS event_type, CAST(st.i AS BIGINT) AS n_points,
+                 round(st.l, 6) AS level, round(st.b, 6) AS trend,
+                 round(st.l + 7.0 * st.b, 6) AS forecast7
+          FROM st JOIN lastd ON lastd.g = st.g AND st.i = lastd.mi
+          ORDER BY event_type""",
     // Hampel replay: list() over the same 7-row frame, list_sort medians.
     "q257_rolling_median" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

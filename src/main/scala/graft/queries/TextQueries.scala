@@ -955,6 +955,37 @@ object TextQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       Sampling.snakeShards(d, "doc_id", "n_tokens", nShards = 8)
         .orderBy("doc_id")
+    }),
+
+    // OOV rate against the corpus' own top-20 vocabulary (the synthetic
+    // corpus has 31 token types, so the cut bites; count-desc/token-asc
+    // tie order is pinned in both engines).
+    "q271_oov_rate" -> ((s, dir) => {
+      TextAnalysis.oovRate(Tables.documents(s, dir), "doc_id", vocabSize = 20)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher duplicate-bigram mass: total share of bigram occurrences
+    // belonging to within-doc repeats (q79 reports only the hottest
+    // bigram's share; this catches diffuse templating).
+    "q272_dup_bigram_share" -> ((s, dir) => {
+      TextAnalysis.dupNgramShare(Tables.documents(s, dir), "doc_id", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Template dedup over digit runs: two planted variants per doc
+    // ("page <k>" suffixes with different k) collapse to one template
+    // class after [0-9]+ -> '0' canonicalization; bases with digit-free
+    // identical text would group too (none exist — every class here is
+    // exactly the planted pair).
+    "q273_template_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = d.select(col("doc_id"),
+          concat(col("text"), lit(" page "), col("doc_id") % 7).as("text"))
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" page "), col("doc_id") % 5 + 10).as("text")))
+      Dedup.templateDedup(aug, "doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1998,6 +2029,38 @@ object TextQueries {
           SELECT doc_id, n_tokens, rank,
                  CAST(CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8 ELSE 7 - rank % 8 END AS BIGINT) AS shard
           FROM r ORDER BY doc_id""",
+    // Top-20 vocabulary by (count DESC, token ASC), OOV share per doc.
+    "q271_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+          v AS (SELECT w, 1 AS inv FROM (
+                  SELECT w, count(*) AS c FROM tk GROUP BY w
+                  ORDER BY c DESC, w LIMIT 20))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+          FROM tk LEFT JOIN v USING (w) GROUP BY doc_id ORDER BY doc_id""",
+    // Mass of within-doc repeated bigrams over all bigram occurrences.
+    "q272_dup_bigram_share" ->
+      s"""WITH bg AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(len($tokSql) - 1),
+                           i -> $tokSql[i+1] || ' ' || $tokSql[i+2])) AS g
+                       FROM documents WHERE len($tokSql) >= 2)
+                 GROUP BY doc_id, g)
+          SELECT doc_id, round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_share
+          FROM bg GROUP BY doc_id ORDER BY doc_id""",
+    // Digit-run canonicalization groups the two planted "page <k>"
+    // variants of every doc into one template class.
+    "q273_template_dedup" ->
+      """WITH aug AS (SELECT doc_id, text || ' page ' || CAST(doc_id % 7 AS VARCHAR) AS text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000, text || ' page ' || CAST(doc_id % 5 + 10 AS VARCHAR) FROM documents),
+          h AS (SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS hh FROM aug),
+          g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS template_id,
+                       count(*) OVER (PARTITION BY hh) AS n_members
+                FROM h)
+          SELECT doc_id, CAST(template_id AS BIGINT) AS template_id,
+                 CAST(n_members AS BIGINT) AS n_members
+          FROM g WHERE n_members >= 2 ORDER BY doc_id""",
     "q37_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${phashSql("t")} AS h
                  FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)),

@@ -121,6 +121,15 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Matryoshka truncation audit: recall@10 of the 8/16/32-dim prefixes
+    // vs the full 64-dim exact top-10, mean over 40 queries.
+    "q274_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.matryoshkaRecall(e, e.filter(col("vec_id") < 40),
+          "vec_id", "embedding", k = 10, dims = Seq(8, 16, 32))
+        .orderBy("dims")
+    }),
+
     // Keyed pseudonymization with referential integrity: events and a
     // separately-built user dimension both pseudonymize user_id under
     // one key, then JOIN ON THE PSEUDONYM — per-type activity (row count
@@ -1098,6 +1107,32 @@ object VectorEventQueries {
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    // q38's scorer replayed at full dims (ground truth) and per prefix
+    // length; recall = surviving pairs / (|queries| * k).
+    "q274_matryoshka_recall" -> {
+      def topk(cte: String, simExpr: String) =
+        s"""$cte AS (SELECT qid, vec_id FROM (
+              SELECT qid, e.vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY round($simExpr, 6) DESC, e.vec_id) AS rk
+              FROM mq CROSS JOIN embeddings e WHERE e.vec_id <> qid)
+            WHERE rk <= 10)"""
+      val fullSim = "list_cosine_similarity(qv, e.embedding::DOUBLE[])"
+      def dimSim(d: Int) =
+        s"list_cosine_similarity(qv[1:$d], (e.embedding::DOUBLE[])[1:$d])"
+      val dimCtes = Seq(8, 16, 32)
+        .map(d => topk(s"t$d", dimSim(d))).mkString(",\n          ")
+      val legs = Seq(8, 16, 32).map(d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims,
+              round((SELECT count(*) FROM t$d JOIN fullr USING (qid, vec_id)) * 1.0
+                    / ((SELECT count(*) FROM mq) * 10), 6) AS recall""")
+        .mkString("\n          UNION ALL ")
+      s"""WITH mq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 40),
+          ${topk("fullr", fullSim)},
+          $dimCtes
+          $legs
+          ORDER BY dims"""
+    },
     // Pseudonym replay: same keyed hash, join on the pseudonym.
     "q263_pseudonymize" ->
       """WITH ev AS (SELECT CAST('0x' || substr(md5('rotation-2026q3|' || user_id), 1, 15) AS BIGINT) AS pid,

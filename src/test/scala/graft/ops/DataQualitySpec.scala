@@ -611,4 +611,37 @@ class DataQualitySpec extends SparkSpec {
     assert(got.length == 1, got.mkString(","))
     assert(got.head == ((1L, 2L, 1.0, 1.0, 0.0)), got.head.toString)
   }
+
+  test("normalCdf: A&S polynomial within 1e-6 of known values, symmetric") {
+    import org.apache.spark.sql.functions._
+    val zs = Seq(-2.5, -1.96, -1.0, 0.0, 0.5, 1.0, 1.644854, 1.96, 2.5, 3.5)
+    val want = Seq(0.0062097, 0.0249979, 0.1586553, 0.5, 0.6914625,
+      0.8413447, 0.95, 0.9750021, 0.9937903, 0.9997674)
+    val got = zs.toDF("z").select(DataQuality.normalCdf(col("z")))
+      .as[Double].collect()
+    zs.indices.foreach { i =>
+      assert(math.abs(got(i) - want(i)) < 1e-6, s"z=${zs(i)}: ${got(i)}")
+    }
+    // strictly monotone over the grid (rank-safety is the contract)
+    assert(got.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("bhFdr implements the step-up rule (rank-1 fail rescued by rank-3 pass)") {
+    import org.apache.spark.sql.functions._
+    // m=4, alpha=.05 -> thresholds .0125 .025 .0375 .05
+    // p=.013 fails its own rank-1 threshold but ranks 2 and 3 pass, so
+    // the step-up rule rejects ranks 1..3; .19 stays null.
+    val tests = Seq(("h1", 0.013), ("h2", 0.014), ("h3", 0.015), ("h4", 0.19))
+      .toDF("hyp", "p_value")
+    val got = DataQuality.bhFdr(tests, "hyp", "p_value", alpha = 0.05)
+      .select("hyp", "rank", "discovery").as[(String, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("h1" -> ((1L, true)), "h2" -> ((2L, true)),
+      "h3" -> ((3L, true)), "h4" -> ((4L, false))))
+    // nothing passes -> no discoveries (kmax null path)
+    val none = DataQuality.bhFdr(
+        Seq(("a", 0.9), ("b", 0.8)).toDF("hyp", "p_value"), "hyp", "p_value")
+      .select("discovery").as[Boolean].collect()
+    assert(none.forall(!_))
+  }
 }

@@ -149,6 +149,53 @@ class DataSelectionSpec extends SparkSpec {
     assert(got.nonEmpty && want.values.max <= 60L)
   }
 
+  test("oovRate scores occurrences outside the deterministic top-k vocab") {
+    // counts: x=4, y=3, z=2, q=1 -> top-2 vocab {x, y}
+    val docs = Seq(
+      (1L, "x x y z"),   // 1 of 4 occurrences OOV
+      (2L, "x y z q"),   // 2 of 4
+      (3L, "x x y y"))   // 0 of 4
+    val got = TextAnalysis.oovRate(docs.toDF("doc_id", "text"), "doc_id", 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((4L, 0.25)), 2L -> ((4L, 0.5)), 3L -> ((4L, 0.0))))
+    // tie at the cut breaks token-ascending: with k=3, z (2) beats q (1);
+    // under a z/q tie ('x x y z' -> z=2... make one: add a q doc)
+    val tied = Seq((1L, "x x y y z q"))
+    val r = TextAnalysis.oovRate(tied.toDF("doc_id", "text"), "doc_id", 3)
+      .as[(Long, Long, Double)].collect().head
+    // counts x=2,y=2,z=1,q=1: top-3 = x,y,q (token-asc tie) -> z is OOV
+    assert(r == ((1L, 6L, round6(1.0 / 6))))
+  }
+
+  test("dupNgramShare reports repeated-gram mass; short docs unscored") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // bigrams: ab,ba,ab,ba -> all repeated -> 1.0
+      (2L, "a b c d"),     // all distinct -> 0.0
+      (3L, "a b a c"),     // ab,ba,ac -> none repeated -> 0.0
+      (4L, "solo"))        // < 2 tokens -> unscored
+    val got = TextAnalysis.dupNgramShare(docs.toDF("doc_id", "text"), "doc_id", 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
+    // trigrams on doc 1: aba,bab,aba -> 2 of 3 occurrences repeated
+    val tri = TextAnalysis.dupNgramShare(docs.toDF("doc_id", "text"), "doc_id", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(tri(1L) == round6(2.0 / 3))
+  }
+
+  test("templateDedup groups digit-run variants, drops singleton classes") {
+    val docs = Seq(
+      (1L, "order 123 shipped to bay 7"),
+      (2L, "order 99 shipped to bay 12"),  // same template as 1
+      (3L, "order 123 returned"),           // singleton
+      (4L, "no digits here"),
+      (5L, "no digits here"))               // exact dup of 4 groups too
+    val got = Dedup.templateDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L)), 2L -> ((1L, 2L)),
+      4L -> ((4L, 2L)), 5L -> ((4L, 2L))))
+  }
+
   test("snakeShards balances token totals and matches the hand snake") {
     val rows = (1L to 32L).map(i => (i, 100L - i)) // distinct token counts
     val got = Sampling.snakeShards(rows.toDF("doc_id", "n_tokens"),

@@ -617,4 +617,20 @@ class SimilaritySpec extends SparkSpec {
       .select("psi_micro").as[Long].head()
     assert(drift > 1000000L, drift.toString)
   }
+
+  test("matryoshkaRecall: full-width prefix is perfect, a misleading prefix is not") {
+    import org.apache.spark.sql.functions._
+    // Query v1 = [1, 0]. Full cosine puts v4/v5 (nearly parallel) on top;
+    // the 1-dim prefix of positive scalars ties every sim at 1.0, so the
+    // id tiebreak picks {v2, v3} — recall 0 at d=1, 1 at d=2.
+    val rows = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 10f)), (3L, Array(1f, 20f)),
+      (4L, Array(0.9f, 0.001f)), (5L, Array(0.95f, 0.002f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(rows, rows.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 2, dims = Seq(1, 2))
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) == 1.0, got.toString)  // identical scorer at full width
+    assert(got(1L) == 0.0, got.toString)  // degenerate prefix loses recall
+  }
 }

@@ -621,4 +621,31 @@ class TimeSeriesDpSpec extends SparkSpec {
       .orderBy("t").select("ewma").as[Double].head()
     assert(first == 9.0)
   }
+
+  test("holtSmoothing matches a plain-Scala fold; degenerate groups behave") {
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 15.0), ("a", 4L, 19.0),
+      ("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0),
+      ("c", 1L, 42.0)) // single point: level = y, trend = 0
+    val got = TimeSeries.holtSmoothing(rows.toDF("g", "t", "x"), "g", "t", "x",
+        alpha = 0.5, beta = 0.25, horizon = 7)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def ref(ys: Seq[Double]): (Double, Double) =
+      ys.tail.foldLeft((ys.head, 0.0)) { case ((l, b), y) =>
+        val ln = 0.5 * y + 0.5 * (l + b)
+        (ln, 0.25 * (ln - l) + 0.75 * b)
+      }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Seq("a" -> Seq(10.0, 12.0, 15.0, 19.0), "b" -> Seq(5.0, 5.0, 5.0),
+        "c" -> Seq(42.0)).foreach { case (g, ys) =>
+      val (l, b) = ref(ys)
+      assert(got(g) == ((ys.size.toLong, r6(l), r6(b), r6(l + 7 * b))), g)
+    }
+    // a flat series forecasts itself; the single point has zero trend
+    assert(got("b")._4 == 5.0 && got("c") == ((1L, 42.0, 0.0, 42.0)))
+    // a rising series forecasts above its last level
+    assert(got("a")._4 > got("a")._2)
+  }
 }
