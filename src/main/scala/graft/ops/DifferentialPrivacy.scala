@@ -381,7 +381,7 @@ object BudgetLedger {
     require(SnapshotStore.committedVersion(spark, dir).isEmpty,
       s"ledger at $dir is already initialized")
     import spark.implicits._
-    SnapshotStore.commit(
+    SnapshotStore.commitSmall(
       Seq((TotalId, total, meta)).toDF("release_id", "amount", "meta"),
       dir, meta)
   }
@@ -423,7 +423,8 @@ object BudgetLedger {
           f"privacy budget exhausted: spent $sp%.6f + $amount%.6f > $total%.6f ($dir)")
       import spark.implicits._
       SnapshotStore.commitAppend(
-        Seq((releaseId, amount, meta)).toDF("release_id", "amount", "meta"),
+        Seq((releaseId, amount, meta)).toDF("release_id", "amount", "meta")
+          .coalesce(1), // 1-row delta: one writer task, not defaultParallelism
         dir, s"charge:$releaseId")
     }
     remaining(spark, dir)

@@ -523,13 +523,13 @@ object Similarity {
     val spark = encoded.sparkSession
     import spark.implicits._
     graft.sources.SnapshotStore.commit(encoded, s"$dir/codes", meta)
-    graft.sources.SnapshotStore.commit(cents, s"$dir/centroids", meta)
+    graft.sources.SnapshotStore.commitSmall(cents, s"$dir/centroids", meta)
     val rows = for { j <- 0 until pq.m; c <- pq.codebooks(j).indices }
       yield (j, c, pq.codebooks(j)(c).toSeq)
     val books = rows.toDF("j", "c", "centroid")
       .withColumn("m", lit(pq.m)).withColumn("ksub", lit(pq.ksub))
       .withColumn("sub_dim", lit(pq.subDim))
-    graft.sources.SnapshotStore.commit(books, s"$dir/codebooks", meta)
+    graft.sources.SnapshotStore.commitSmall(books, s"$dir/codebooks", meta)
   }
 
   /** Load a persisted IVF-PQ index: (codes, centroids, PqIndex). The

@@ -52,7 +52,7 @@ object IncrementalView {
         s"IncrementalView: no committed corpus under $tableDir"))
     val agg = aggregate(SnapshotStore.readVersion(spark, tableDir, corpusV),
       keyCols, sumCols)
-    SnapshotStore.commit(agg, viewDir, meta = s"covers=$corpusV")
+    SnapshotStore.commitSmall(agg, viewDir, meta = s"covers=$corpusV")
   }
 
   /** Corpus version the current view version covers (from commit meta). */
@@ -88,7 +88,7 @@ object IncrementalView {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"),
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
-    SnapshotStore.commit(merged, viewDir, meta = s"covers=$corpusV")
+    SnapshotStore.commitSmall(merged, viewDir, meta = s"covers=$corpusV")
   }
 
   /** The current view content. */

@@ -66,7 +66,7 @@ object StreamCdc {
             case None =>
               Cdc.compact(batch, keyCols, versionCol, deletedCol)
           }
-          SnapshotStore.commit(merged, targetDir, batchMeta(batchId))
+          SnapshotStore.commitSmall(merged, targetDir, batchMeta(batchId))
           ()
         }
       }

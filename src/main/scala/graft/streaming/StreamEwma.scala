@@ -57,7 +57,7 @@ object StreamEwma {
                 .groupBy("g", "t").agg(sum(col("x")).as("x"))
             case None => fresh
           }
-          SnapshotStore.commit(merged, targetDir, batchMeta(batchId))
+          SnapshotStore.commitSmall(merged, targetDir, batchMeta(batchId))
           ()
         }
       }

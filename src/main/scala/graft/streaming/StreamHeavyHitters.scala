@@ -75,7 +75,7 @@ object StreamHeavyHitters {
                 capacity)
             case None => mgSummary(batchCounts, capacity)
           }
-          SnapshotStore.commit(merged, targetDir, batchMeta(batchId))
+          SnapshotStore.commitSmall(merged, targetDir, batchMeta(batchId))
           ()
         }
       }

@@ -76,7 +76,7 @@ object StreamStats {
               mergeStates(SnapshotStore.readVersion(spark, targetDir, v), fresh, k)
             case None => fresh
           }
-          SnapshotStore.commit(merged, targetDir, batchMeta(batchId))
+          SnapshotStore.commitSmall(merged, targetDir, batchMeta(batchId))
           ()
         }
       }
