@@ -226,6 +226,79 @@ object Graph {
     visited
   }
 
+  /** k-core of an undirected graph (Seidman 1983): iteratively peel
+    * every node of degree < k until the remainder is stable — the
+    * maximal subgraph where every node keeps >= k neighbors. The
+    * standard structural filter before community/influence analytics
+    * (pendant chains and barely-connected crawl debris peel away;
+    * genuinely dense cores survive). Returns the surviving nodes with
+    * their WITHIN-CORE degree.
+    *
+    * Exact set semantics — integer degrees, no floats — so the result
+    * is engine-independent; an external oracle replays it as `maxRounds`
+    * unrolled peel levels (peeling is idempotent after the fixpoint, so
+    * unrolling more rounds than needed changes nothing). The engine
+    * iterates to the ACTUAL fixpoint and fails loudly if `maxRounds`
+    * does not reach it, keeping engine and replay in lockstep — the
+    * Mondrian bounded-unroll contract. Worst-case round count is the
+    * longest peel cascade (a bare path peels one layer per round);
+    * real graphs converge in a handful.
+    *
+    * Scale: edges canonicalize + symmetrize behind one exchange and
+    * persist; each round is one degree aggregation and one
+    * survivor-keyed double semi-join of the shrinking edge table —
+    * nothing node-sized ever reaches the driver (the per-round
+    * convergence probe is a count). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"kCore: k=$k must be >= 1")
+    require(maxRounds >= 1 && maxRounds <= 40,
+      s"kCore: maxRounds=$maxRounds out of [1, 40]")
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    var dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cleanups += { val d = dir; () => d.unpersist() }
+    var edgeCount = dir.count()
+    var rounds = 0
+    var converged = edgeCount == 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val keep = dir.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src").as("node"))
+      // eager localCheckpoint, NOT persist: the round's plan references
+      // the previous round THREE times (dir + both keep semi-joins), so
+      // lineage grows 3^rounds — the plan tree alone OOMs the driver by
+      // round ~10 (persist caches data but keeps the logical plan).
+      // Checkpointing cuts each round to a leaf. The checkpoints are
+      // round-count many edge tables, freed by the cleanup hooks.
+      val next = dir
+        .join(keep.select(col("node").as("src")), Seq("src"))
+        .join(keep.select(col("node").as("dst")), Seq("dst"))
+        .select("src", "dst")
+        .localCheckpoint(true)
+      cleanups += { val d = next; () => d.unpersist() }
+      val nextCount = next.count()
+      converged = nextCount == edgeCount
+      edgeCount = nextCount
+      dir = next
+      if (edgeCount == 0) converged = true
+    }
+    require(converged,
+      s"kCore: no fixpoint after $maxRounds rounds — raise maxRounds " +
+        s"(the oracle unroll must be raised with it)")
+    val snapshot = cleanups.toList
+    graft.QueryCleanup.register(() => snapshot.foreach(f => f()))
+    dir.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over all directed edge instances (each undirected
     * edge counted both ways) — r > 0 means hubs prefer hubs (social

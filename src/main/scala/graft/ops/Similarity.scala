@@ -890,6 +890,51 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  /** kNN label-noise audit (the cheap core of Confident Learning,
+    * Northcutt et al. 2021): every vector gets a deterministic
+    * hyperplane cell (one [[hyperplanes]] table, 2^nPlanes cells), its
+    * k nearest SAME-CELL neighbors are ranked exactly, and its
+    * disagreement score is the share of those neighbors carrying a
+    * DIFFERENT label — a point whose local neighborhood votes against
+    * its own label is a mislabel suspect (or sits on a genuine class
+    * boundary; both belong in a curation queue). Output: one row per
+    * vector (idCol, labelCol, n_neighbors, disagreement), disagreement
+    * rounded 6 dp.
+    *
+    * Scale: the corpus-wide kNN is [[knnJoinWithinCells]] (cell-keyed
+    * join + in-partition window — the whole corpus is the query set, so
+    * nothing broadcasts); the label join rides the same exchanges.
+    * nPlanes sizes the cells: 2^nPlanes should grow with the corpus so
+    * per-cell pair counts stay bounded. */
+  def knnLabelNoise(corpus: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, dim: Int, k: Int, nPlanes: Int = 3,
+                    tag: String = "graft-noise"): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 16, s"nPlanes=$nPlanes out of [1,16]")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val planes = hyperplanes(tag, 1, nPlanes, dim).head
+    val cell = (0 until nPlanes).map { p =>
+      when(cosine(col(vecCol), typedLit(planes(p).toSeq)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // double-widen once (exact for float inputs) so plane and neighbor
+    // cosines run on the same type the SQL replay uses (::DOUBLE[])
+    val withCell = corpus
+      .withColumn(vecCol, col(vecCol).cast("array<double>"))
+      .withColumn("__cell", cell)
+    val labels = withCell.select(col(idCol), col(labelCol))
+    val nn = knnJoinWithinCells(withCell, idCol, vecCol, "__cell", k)
+      .join(labels.select(col(idCol).as("qid"), col(labelCol).as("__ql")),
+        Seq("qid"))
+      .join(labels.select(col(idCol).as("vec_id"), col(labelCol).as("__nl")),
+        Seq("vec_id"))
+    nn.groupBy(col("qid"), col("__ql"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        round(sum(when(col("__nl") =!= col("__ql"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("disagreement"))
+      .select(col("qid").as(idCol), col("__ql").as(labelCol),
+        col("n_neighbors"), col("disagreement"))
+  }
+
   /** Per-label centroids and their pairwise cosine similarity — the
     * "class confusion geometry" report (which label clusters are
     * embedding-space neighbors; the dataset-curation signal for label

@@ -437,6 +437,39 @@ object TextAnalysis {
           / count(lit(1)).cast("double"), 6).as("oov_rate"))
   }
 
+  /** Vocabulary coverage curve: for each target coverage p, the number
+    * of token TYPES (taken most-frequent-first, token-asc ties) needed
+    * to cover >= p of all token OCCURRENCES — the curve a tokenizer
+    * budget is read off of ("32k types cover 99.2%"), and the
+    * complement of [[oovRate]] (which fixes the vocab and reports the
+    * uncovered mass). One row per requested coverage.
+    *
+    * Exactness: cumulative mass is an integer running sum in frequency
+    * order, so n_types = |{types with cum < p·total}| + 1 — one
+    * conditional aggregate, no rank column. The prefix sum is the
+    * rank-offset scheme ([[graft.ops.Ranking.globalPrefixSum]] over the
+    * negated count with a coarse monotone bucket) — no single-partition
+    * sort over the vocabulary. */
+  def vocabCoverage(docs: DataFrame, coverages: Seq[Double],
+                    textCol: String = "text"): DataFrame = {
+    require(coverages.nonEmpty, "vocabCoverage: coverages empty")
+    require(coverages.forall(p => p > 0 && p <= 1),
+      s"vocabCoverage: coverages $coverages outside (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .withColumn("__negc", -col("__c"))
+    val cum = graft.ops.Ranking.globalPrefixSum(counts,
+      Seq("__negc", "__w"), floor(col("__negc") / lit(16L)), "__c", "__cum")
+    val total = counts.agg(sum("__c").as("__tot"))
+    val cov = coverages.toDF("coverage")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(cov))
+      .groupBy(col("coverage"))
+      .agg((sum(when(col("__cum") < col("coverage") * col("__tot"), 1L)
+        .otherwise(0L)) + 1L).as("n_types"))
+  }
+
   /** Share of n-gram OCCURRENCES belonging to n-grams repeated within
     * the same document (the Gopher "duplicate n-gram fraction" family,
     * Rae et al. 2021 Table A1): where [[repetitionStats]] reports the

@@ -332,6 +332,26 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // 2-core of the trade graph with a planted 20-node path (peels layer
+    // by layer over 10 rounds — the worst-case cascade shape) and a
+    // planted 12-ring (must survive with core degree 2). Iterates to the
+    // true fixpoint; the oracle unrolls 12 idempotent peel levels.
+    "q278_kcore" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("a"),
+          col("o_custkey").as("b"))
+        .distinct()
+      import s.implicits._
+      val path = (1 until 20).map(i => (20000000L + i, 20000000L + i + 1))
+      val ring = (1 to 12).map(i => (30000000L + i, 30000000L + (i % 12) + 1))
+      val planted = (path ++ ring).toDF("a", "b")
+      graft.ops.Graph.kCore(pairs.unionByName(planted), "a", "b", k = 2,
+          maxRounds = 12)
+        .orderBy("node")
+    }),
+
     // Per-node triangle counts on the part co-occurrence graph (parts
     // sharing a high-quantity order line). Degree-ordered orientation
     // caps wedge fan-out at O(sqrt(m)) per node; exact integer counts
@@ -500,6 +520,30 @@ object RelationalQueries {
     // Same graph, recursive-CTE BFS; UNION-dedup on (node, hops)
     // states keeps the recursion level-bounded, min() picks the first
     // level each node was reached at.
+    // 12 unrolled peel levels (idempotent past the fixpoint — the engine
+    // converges at round 10 on this graph and fail-fasts past 12).
+    "q278_kcore" -> {
+      val rounds = (1 to 12).map { r =>
+        s"""k$r AS (SELECT src FROM d${r - 1} GROUP BY src HAVING count(*) >= 2),
+          d$r AS MATERIALIZED (SELECT d.src, d.dst FROM d${r - 1} d
+                 JOIN k$r x ON d.src = x.src JOIN k$r y ON d.dst = y.src)"""
+      }.mkString(",\n          ")
+      s"""WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS a, o_custkey AS b
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          planted AS (SELECT 20000000 + i AS a, 20000001 + i AS b
+                      FROM (SELECT unnest(range(1, 20)) AS i)
+                      UNION ALL
+                      SELECT 30000000 + i, 30000000 + (i % 12) + 1
+                      FROM (SELECT unnest(range(1, 13)) AS i)),
+          und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                  FROM (SELECT a, b FROM pairs UNION ALL SELECT a, b FROM planted)
+                  WHERE a <> b),
+          d0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und),
+          $rounds
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+          FROM d12 GROUP BY src ORDER BY node"""
+    },
     "q208_bfs_hops" ->
       """WITH RECURSIVE pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

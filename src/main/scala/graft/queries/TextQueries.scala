@@ -973,6 +973,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary coverage curve: types needed (frequency-desc, token-asc)
+    // to cover 50/90/99% of token occurrences.
+    "q277_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir),
+          coverages = Seq(0.5, 0.9, 0.99))
+        .orderBy("coverage")
+    }),
+
     // Template dedup over digit runs: two planted variants per doc
     // ("page <k>" suffixes with different k) collapse to one template
     // class after [0-9]+ -> '0' canonicalization; bases with digit-free
@@ -2048,6 +2056,19 @@ object TextQueries {
                  GROUP BY doc_id, g)
           SELECT doc_id, round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_share
           FROM bg GROUP BY doc_id ORDER BY doc_id""",
+    // Integer cumulative mass in (count DESC, token ASC) order; n_types
+    // = strictly-below count + 1. Coverages cast to DOUBLE (a DECIMAL
+    // literal would move the p*total threshold off the engine's double).
+    "q277_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest($tokSql) AS w FROM documents),
+          c AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+          cum AS (SELECT w, c, sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+          tot AS (SELECT sum(c) AS tot FROM c)
+          SELECT coverage,
+                 CAST(sum(CASE WHEN cum < coverage * tot THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_types
+          FROM cum CROSS JOIN tot
+               CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS coverage)
+          GROUP BY coverage ORDER BY coverage""",
     // Digit-run canonicalization groups the two planted "page <k>"
     // variants of every doc into one template class.
     "q273_template_dedup" ->

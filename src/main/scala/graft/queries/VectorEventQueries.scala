@@ -121,6 +121,14 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // kNN label-noise audit: hyperplane cells (2^3), exact top-10
+    // same-cell neighbors, disagreement = share with a different label.
+    "q279_label_noise" -> ((s, dir) => {
+      Similarity.knnLabelNoise(Tables.embeddings(s, dir), "vec_id", "label",
+          "embedding", dim = 64, k = 10, nPlanes = 3)
+        .orderBy("vec_id")
+    }),
+
     // Matryoshka truncation audit: recall@10 of the 8/16/32-dim prefixes
     // vs the full 64-dim exact top-10, mean over 40 queries.
     "q274_matryoshka_recall" -> ((s, dir) => {
@@ -1107,6 +1115,33 @@ object VectorEventQueries {
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    // Plane-cell assignment (q65's plane replay, one table), exact
+    // within-cell top-10, label-disagreement share.
+    "q279_label_noise" ->
+      """WITH planes AS (
+            SELECT b, list(w ORDER BY j) AS w FROM (
+              SELECT b.range AS b, j.range AS j,
+                     CAST('0x' || substr(md5('graft-noise|0|' || b.range || '|' || j.range), 1, 15) AS BIGINT)
+                       / 576460752303423488.0 - 1.0 AS w
+              FROM range(3) b, range(64) j)
+            GROUP BY b),
+          v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          cells AS (
+            SELECT c.vec_id,
+                   CAST(sum(CASE WHEN round(list_cosine_similarity(c.v, p.w), 6) >= 0
+                                 THEN CAST(1 AS BIGINT) << p.b ELSE 0 END) AS BIGINT) AS cell
+            FROM v c CROSS JOIN planes p GROUP BY c.vec_id),
+          sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   round(list_cosine_similarity(x.v, y.v), 6) AS sim
+                 FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                 JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id),
+          r AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+                FROM sc)
+          SELECT qid AS vec_id, x.label, CAST(count(*) AS BIGINT) AS n_neighbors,
+                 round(sum(CASE WHEN y.label <> x.label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS disagreement
+          FROM r JOIN v x ON x.vec_id = r.qid JOIN v y ON y.vec_id = r.nid
+          WHERE rk <= 10 GROUP BY qid, x.label ORDER BY vec_id""",
     // q38's scorer replayed at full dims (ground truth) and per prefix
     // length; recall = surviving pairs / (|queries| * k).
     "q274_matryoshka_recall" -> {

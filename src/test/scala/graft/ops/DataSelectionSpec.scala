@@ -196,6 +196,16 @@ class DataSelectionSpec extends SparkSpec {
       4L -> ((4L, 2L)), 5L -> ((4L, 2L))))
   }
 
+  test("vocabCoverage: types needed for mass targets, frequency-desc order") {
+    // occurrences: a=5, b=3, c=1, d=1 (total 10)
+    val docs = Seq((1L, "a a a b b"), (2L, "a a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, Seq(0.5, 0.8, 1.0))
+      .as[(Double, Long)].collect().toMap
+    // cum: a->5, b->8, c->9, d->10
+    // p=0.5: 5 >= 5 -> 1 type; p=0.8: 8 >= 8 -> 2; p=1.0: all 4
+    assert(got == Map(0.5 -> 1L, 0.8 -> 2L, 1.0 -> 4L), got.toString)
+  }
+
   test("snakeShards balances token totals and matches the hand snake") {
     val rows = (1L to 32L).map(i => (i, 100L - i)) // distinct token counts
     val got = Sampling.snakeShards(rows.toDF("doc_id", "n_tokens"),

@@ -171,4 +171,36 @@ class GraphSpec extends SparkSpec {
     graft.QueryCleanup.drain()
     assert(d == ((4L, 3L, Some(-1.0))), d.toString)
   }
+
+  test("kCore: path peels layer by layer, ring survives, clique keeps k-1 degrees") {
+    // 10-node path (peels over 5 rounds) + 5-ring + K4 on 100..103
+    val path = (1L until 10L).map(i => (i, i + 1))
+    val ring = (1 to 5).map(i => (20L + i, 20L + (i % 5) + 1))
+    val k4 = (for { i <- 100L to 103L; j <- (i + 1) to 103L } yield (i, j))
+    val edges = (path ++ ring ++ k4).toDF("a", "b")
+    val core2 = Graph.kCore(edges, "a", "b", k = 2, maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    // path gone entirely; ring nodes at degree 2; K4 at degree 3
+    assert(core2.keySet == ((21L to 25L) ++ (100L to 103L)).toSet, core2.toString)
+    assert((21L to 25L).forall(core2(_) == 2L) && (100L to 103L).forall(core2(_) == 3L))
+    // 3-core: only the K4 survives
+    val core3 = Graph.kCore(edges, "a", "b", k = 3, maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(core3.keySet == (100L to 103L).toSet && core3.values.forall(_ == 3L))
+    // insufficient maxRounds fails loudly instead of returning a non-fixpoint
+    val err = intercept[Exception] {
+      Graph.kCore(path.toDF("a", "b"), "a", "b", k = 2, maxRounds = 2).count()
+    }
+    graft.QueryCleanup.drain()
+    assert(err.getMessage.contains("no fixpoint"), err.getMessage)
+    // duplicate/reversed/self edges canonicalize away
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("a", "b")
+    val m = Graph.kCore(messy, "a", "b", k = 2, maxRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(m == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), m.toString)
+  }
 }

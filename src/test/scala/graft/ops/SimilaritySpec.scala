@@ -618,6 +618,29 @@ class SimilaritySpec extends SparkSpec {
     assert(drift > 1000000L, drift.toString)
   }
 
+  test("knnLabelNoise: a mislabeled point in a tight cluster scores 1.0") {
+    import org.apache.spark.sql.functions._
+    // two tight clusters along different axes; id 5 sits in cluster A
+    // but carries label B -> all its neighbors disagree. nPlanes=1 so
+    // at most 2 cells; same-axis vectors share a cell for any plane.
+    def v(axis: Int, eps: Float): Array[Float] =
+      Array.tabulate(4)(j => if (j == axis) 1f else eps)
+    val rows = Seq(
+      (1L, 0, v(0, 0.01f)), (2L, 0, v(0, 0.02f)), (3L, 0, v(0, 0.03f)),
+      (4L, 0, v(0, 0.04f)), (5L, 1, v(0, 0.05f))) // mislabel suspect
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnLabelNoise(rows, "vec_id", "label", "embedding",
+        dim = 4, k = 3, nPlanes = 1)
+      .select("vec_id", "n_neighbors", "disagreement")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.values.forall(_._1 == 3L), got.toString) // cell holds all 5
+    assert(got(5L)._2 == 1.0, got.toString) // every neighbor disagrees
+    // vec 1's nearest 3 are the eps-closest 2,3,4 (cos decays with
+    // eps-distance) — all label 0, so the suspect is NOT its neighbor set
+    assert(got(1L)._2 == 0.0, got.toString)
+  }
+
   test("matryoshkaRecall: full-width prefix is perfect, a misleading prefix is not") {
     import org.apache.spark.sql.functions._
     // Query v1 = [1, 0]. Full cosine puts v4/v5 (nearly parallel) on top;
