@@ -412,9 +412,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(EventAnalytics.rfmScores(o, "c", "d", "amt"))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("ntile"), p)
-    // every metric-ordered window is bucket-partitioned
-    assert(p.contains("windowspecdefinition(__psb"), p)
+    // r13 fold: ONE tagged prefix-sum pipeline serves all three metrics —
+    // every metric-ordered window is (tag, bucket)-partitioned, and no
+    // window orders the raw metric or melted value globally
+    assert(p.contains("windowspecdefinition(__tag"), p)
     assert(!p.contains("windowspecdefinition(recency_days#"), p)
+    assert(!p.contains("windowspecdefinition(__v#"), p)
   }
 
   test("sessionPaths: session windows share the user exchange; top-K via heaps") {
