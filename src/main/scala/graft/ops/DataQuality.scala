@@ -1341,4 +1341,164 @@ object DataQuality {
       .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
         col("woe"), col("iv"))
   }
+
+  /** Ingest quarantine triage: classify every row by the FIRST failing
+    * rule (rules are (name, is-bad predicate) pairs, priority = list
+    * order) and report row counts per reason, 'ok' for clean rows — the
+    * one-pass summary an ingest job emits before deciding whether a
+    * batch's malformation rate is within tolerance. Rules compose
+    * try_cast/regex predicates; the first-match priority mirrors how a
+    * parser actually fails (you can't judge the date field of a row
+    * whose delimiter was already broken).
+    *
+    * Scale: a single map-side-combined aggregation over one scan — the
+    * reason expression is a scan-side CASE chain, reasons are bounded by
+    * the rule list. */
+  def quarantineReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "quarantineReport: no rules")
+    val reason = rules.reverse.foldLeft(lit("ok")) {
+      case (acc, (name, bad)) => when(bad, lit(name)).otherwise(acc)
+    }
+    df.groupBy(reason.as("reason")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Schema-drift report between two relations (yesterday's snapshot vs
+    * today's ingest): one row per column name appearing on EITHER side,
+    * with presence, declared type, null rate, and the null-rate delta —
+    * the admission check that catches a dropped field, a silent type
+    * widening, or an upstream null regression BEFORE a 100 TB backfill
+    * bakes it in. Complements [[profile]] (one table's content stats)
+    * with the two-table structural diff.
+    *
+    * Scale: each side is ONE map-side-combined aggregate emitting a
+    * single row of per-column null counts (the column list is schema
+    * metadata, driver-bounded by definition); the report joins two
+    * |columns|-row tables. Null rates are single double divisions of
+    * exact longs, rounded 6 dp. */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val fields = df.schema.fields
+      val aggs = count(lit(1)).as("__n") +: fields.map(f =>
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"))
+      val stackArgs = fields.map(f =>
+        s"'${f.name}', '${f.dataType.simpleString}', `__nn_${f.name}`")
+        .mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("__n",
+          s"stack(${fields.length}, $stackArgs) AS (column, dtype_$tag, __nn)")
+        .select(col("column"), col(s"dtype_$tag"),
+          round(col("__nn").cast("double") / col("__n").cast("double"), 6)
+            .as(s"null_rate_$tag"))
+    }
+    side(a, "a").join(side(b, "b"), Seq("column"), "full_outer")
+      .select(col("column"),
+        col("dtype_a").isNotNull.as("in_a"),
+        col("dtype_b").isNotNull.as("in_b"),
+        col("dtype_a"), col("dtype_b"),
+        (col("dtype_a").isNotNull && col("dtype_b").isNotNull
+          && col("dtype_a") =!= col("dtype_b")).as("type_changed"),
+        col("null_rate_a"), col("null_rate_b"),
+        when(col("null_rate_a").isNotNull && col("null_rate_b").isNotNull,
+          round(col("null_rate_b") - col("null_rate_a"), 6))
+          .as("null_rate_delta"))
+  }
+
+  /** One-way ANOVA F statistic across the levels of `groupCol` — the
+    * k-sample generalization of [[welchTTest]] (equal-variance form):
+    * does the metric's mean differ across ANY segment, asked once,
+    * instead of k² pairwise t-tests with an FDR bill ([[bhFdr]]).
+    * Returns one row: k, n, f (6 dp) and eta_sq (6 dp, SSB/SST — the
+    * effect size the F number alone hides).
+    *
+    * Determinism: per-group sums are exact decimals; the cross-group
+    * sums Σ S_g²/n_g and Σ SS_g quantize each group's term to integer
+    * micro-units first, so the k-term additions are exact integer
+    * arithmetic and can never depend on which group a partial aggregate
+    * saw first. F and eta² are then single double divisions of identical
+    * integers on every engine.
+    *
+    * Scale: one map-side-combined aggregation to k rows, then a k-row
+    * aggregate — the segment count, not the table, bounds everything
+    * after the first exchange. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__g")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(28,6)")).cast("double").as("__s"),
+        sum((col("__v") * col("__v")).cast("decimal(38,12)")).cast("double").as("__ss"))
+    g.agg(
+        count(lit(1)).as("__k"),
+        sum(col("__n")).as("__nt"),
+        sum(col("__s").cast("decimal(28,6)")).cast("double").as("__st"),
+        // per-group between/within terms in exact micro-units
+        sum(round(col("__s") * col("__s") / col("__n") * 1e6, 0).cast("long")).as("__bm"),
+        sum(round(col("__ss") * 1e6, 0).cast("long")).as("__ssm"))
+      .filter(col("__k") >= 2 && col("__nt") > col("__k"))
+      .withColumn("__cf", round(col("__st") * col("__st") / col("__nt") * 1e6, 0).cast("long"))
+      .withColumn("__ssb", (col("__bm") - col("__cf")).cast("double") / 1e6)
+      .withColumn("__ssw", (col("__ssm") - col("__bm")).cast("double") / 1e6)
+      .withColumn("__sst", (col("__ssm") - col("__cf")).cast("double") / 1e6)
+      .select(col("__k").as("k"), col("__nt").as("n"),
+        round((col("__ssb") / (col("__k") - 1)) /
+          (col("__ssw") / (col("__nt") - col("__k"))), 6).as("f"),
+        round(col("__ssb") / col("__sst"), 6).as("eta_sq"))
+  }
+
+  /** Delete-one-bucket jackknife standard error of a per-group ratio
+    * metric Σ num / Σ den (Quenouille/Tukey; the delete-a-group form is
+    * how ratio-metric experiment readouts get error bars when rows within
+    * a user are correlated — bucket by the randomization unit). For each
+    * group: the point ratio, the jackknife SE over `nBuckets` hash
+    * buckets of `unitCol`, and the bucket count actually used.
+    *
+    * Determinism: leave-one-out ratios R_i are single double divisions of
+    * exact decimal sums, quantized to integer micro-units before the
+    * cross-bucket mean and squared-deviation sums — bucket order can
+    * never reach the result. SE's sqrt is the one libm call, applied to
+    * an exact integer ratio and rounded to 6 dp (sqrt is IEEE
+    * correctly-rounded, portable).
+    *
+    * Scale: one aggregation to (group × nBuckets) rows, then windows over
+    * that bounded table. The data is touched once. */
+  def jackknifeRatio(df: DataFrame, groupCol: String, unitCol: String,
+                     numCol: Column, denCol: Column,
+                     nBuckets: Int = 50,
+                     salt: String = "graft-jk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"jackknifeRatio: nBuckets=$nBuckets must be >= 2")
+    val cells = df.select(col(groupCol).as("__g"),
+        pmod(graft.functions.PortableHash.phash(
+          concat_ws("|", lit(salt), col(unitCol).cast("string"))),
+          lit(nBuckets.toLong)).as("__b"),
+        numCol.cast("decimal(28,6)").as("__num"),
+        denCol.cast("decimal(28,6)").as("__den"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__num")).as("__sn"), sum(col("__den")).as("__sd"))
+    val wg = Window.partitionBy(col("__g"))
+    val loo = cells
+      .withColumn("__tn", sum(col("__sn")).over(wg))
+      .withColumn("__td", sum(col("__sd")).over(wg))
+      .filter(col("__td") - col("__sd") > 0)
+      // leave-one-out ratio in exact micro-units
+      .withColumn("__ri", round((col("__tn") - col("__sn")).cast("double")
+        / (col("__td") - col("__sd")).cast("double") * 1e6, 0).cast("long"))
+      .withColumn("__b2", count(lit(1)).over(wg))
+      .withColumn("__rbar_num", sum(col("__ri")).over(wg))
+    // squared deviation of micro-ints around the exact rational mean,
+    // carried as (b·r_i − Σr)² / b² in decimal so the square can't
+    // overflow a long (d ≤ ~1e12 → d² ≤ 1e24, inside decimal(38,0))
+    val d = (col("__b2") * col("__ri") - col("__rbar_num")).cast("decimal(19,0)")
+    loo
+      .withColumn("__dev", d * d)
+      .groupBy(col("__g"), col("__tn"), col("__td"), col("__b2"))
+      .agg(sum(col("__dev")).as("__sumdev"))
+      .select(col("__g").as(groupCol),
+        col("__b2").cast("long").as("n_buckets"),
+        round(col("__tn").cast("double") / col("__td").cast("double"), 6).as("ratio"),
+        round(sqrt((col("__sumdev").cast("double")
+            / (col("__b2") * col("__b2")).cast("double"))
+          * (col("__b2") - 1).cast("double") / col("__b2").cast("double")) / 1e6, 6)
+          .as("se_jack"))
+  }
 }

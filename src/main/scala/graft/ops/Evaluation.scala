@@ -278,4 +278,153 @@ object Evaluation {
       when(col("__nmn") === col("__nmx") && nPer > 1 && pE < 1.0,
         round((pBar - pE) / (lit(1.0) - pE), 6)).as("kappa"))
   }
+
+  /** Isotonic (monotone non-decreasing) calibration of a binary-label
+    * score via pool-adjacent-violators, computed in its minimax closed
+    * form (Ayer et al. 1955; Robertson/Wright/Dykstra 1988 §1.2):
+    * over score bins i, iso(i) = max_{a≤i} min_{b≥i} pooledRate(a..b).
+    * The sequential PAV sweep and this closed form are the same
+    * function; the closed form is ORDER-FREE, so it replays in any SQL
+    * engine and never depends on partitioning. The output extends
+    * [[calibrationBins]] with the isotonic fit — the post-hoc
+    * calibrator (Platt's rival) a quality-scored corpus applies before
+    * thresholding on predicted probabilities.
+    *
+    * Determinism: pooled rates are single double divisions of exact
+    * long counts (identical bit patterns on every IEEE engine), so the
+    * min/max lattice is exact; the fit rounds 6 dp at the edge.
+    *
+    * Scale: ONE data-sized aggregation to ≤ nBins rows; the minimax
+    * triple join is nBins³ ≤ 8000 metadata rows. The monotone-fit
+    * output is the nBins-row calibration table a serving layer
+    * broadcasts — never a data-sized structure. */
+  def isotonicCalibration(df: DataFrame, labelCol: String, scoreCol: String,
+                          nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"isotonicCalibration: nBins=$nBins outside [2,64]")
+    val cells = df.select(col(scoreCol).cast("double").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
+      .filter(col("__s").isNotNull && col(labelCol).isNotNull
+        && col("__s") >= 0 && col("__s") <= 1)
+      .withColumn("bin",
+        least(floor(col("__s") * nBins), lit(nBins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => cells.unpersist())
+    val spans = cells.select(col("bin").as("__a"))
+      .crossJoin(cells.select(col("bin").as("__b")))
+      .filter(col("__a") <= col("__b"))
+      .join(cells, col("bin").between(col("__a"), col("__b")))
+      .groupBy(col("__a"), col("__b"))
+      .agg((sum(col("n_pos")).cast("double") / sum(col("n")).cast("double"))
+        .as("__rate"))
+    val iso = cells.select(col("bin").as("__i"))
+      .join(spans, col("__a") <= col("__i") && col("__b") >= col("__i"))
+      .groupBy(col("__i"), col("__a")).agg(min(col("__rate")).as("__mn"))
+      .groupBy(col("__i")).agg(max(col("__mn")).as("__iso"))
+    cells.join(iso, col("bin") === col("__i"))
+      .select(col("bin"), col("n"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        round(col("__iso"), 6).as("iso_fit"))
+  }
+
+  /** Split-conformal prediction interval (Papadopoulos et al. 2002;
+    * Lei et al. 2018) around a per-category mean predictor: the
+    * calibration set's ⌈(n+1)(1−α)⌉-th smallest absolute residual is
+    * the one-size-fits-all half-width q̂ with finite-sample marginal
+    * coverage ≥ 1−α, audited here on a held-out test set per category.
+    * Output: (category, q_hat, n_test, n_covered, coverage).
+    *
+    * Determinism: the predictor is an exact-decimal mean rounded 6 dp;
+    * residuals round 6 dp; q̂ is an EXACT order statistic (k-th
+    * smallest via distinct-value prefix counts — no interpolation, no
+    * percentile_approx). Every engine picks the identical residual.
+    *
+    * Scale: predictor = one aggregation to |categories| rows
+    * (broadcast); q̂ = one aggregation to the distinct-residual table +
+    * the 1024-bucket prefix-sum scheme ([[Ranking.valueCountsBefore]] —
+    * no global sort, no data-sized window); the audit is a broadcast
+    * join + one aggregation. Three passes, all map-side-combined. */
+  def conformalInterval(train: DataFrame, calib: DataFrame, test: DataFrame,
+                        catCol: String, yCol: String,
+                        alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"conformalInterval: alpha=$alpha outside (0,1)")
+    val pred = train.select(col(catCol).as("__c"),
+        col(yCol).cast("decimal(28,6)").as("__y"))
+      .filter(col("__c").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__c"))
+      .agg(round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("__pred"))
+    val resid = calib.select(col(catCol).as("__c"),
+        col(yCol).cast("double").as("__yv"))
+      .filter(col("__c").isNotNull && col("__yv").isNotNull)
+      .join(broadcast(pred), Seq("__c"))
+      .select(round(abs(col("__yv") - col("__pred")), 6).as("__r"))
+    val counts = resid.groupBy(col("__r")).agg(count(lit(1)).as("__cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => counts.unpersist())
+    val nCal = counts.agg(sum(col("__cnt")).as("__n"))
+    // k = min(n, ceil((n+1)(1-alpha))): the exact split-conformal rank
+    val qhat = Ranking.valueCountsBefore(counts, "__r", "__cnt")
+      .crossJoin(broadcast(nCal))
+      .withColumn("__k", least(col("__n"),
+        ceil((col("__n") + 1) * lit(1.0 - alpha)).cast("long")))
+      .filter(col("__before") < col("__k")
+        && col("__before") + col("__cnt") >= col("__k"))
+      .agg(min(col("__r")).as("q_hat"))
+    test.select(col(catCol).as("__c"), col(yCol).cast("double").as("__yv"))
+      .filter(col("__c").isNotNull && col("__yv").isNotNull)
+      .join(broadcast(pred), Seq("__c"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("__c"), col("q_hat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(round(abs(col("__yv") - col("__pred")), 6) <= col("q_hat"),
+          1L).otherwise(0L)).as("n_covered"))
+      .select(col("__c").as(catCol), col("q_hat"),
+        col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** NDCG@k of a ranked retrieval table with binary relevance
+    * (Järvelin & Kekäläinen 2002): per query,
+    * DCG = Σ_{r≤k} rel_r / log₂(r+1) against the ideal ordering of the
+    * same retrieved list — the ranking-quality readout for an ANN /
+    * search stack where [[aucRoc]]'s global number can't see per-query
+    * position errors. Input is any (query, rank, relevance) table (e.g.
+    * a kNN join's output); output one row per query.
+    *
+    * Determinism: the rank discounts 1/log₂(r+1) quantize ONCE, here in
+    * driver code, to integer micro-units inlined into both the plan and
+    * any replaying oracle — so DCG/IDCG are exact integer sums (never a
+    * per-engine libm log), and NDCG is one double division rounded 6 dp.
+    *
+    * Scale: one map-side-combined aggregation per query key over the
+    * (already bounded) top-k table; the discount table is k literals. */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"ndcgAtK: k=$k outside [1,1000]")
+    val disc = discountMicros(k)
+    val prefix = disc.scanLeft(0L)(_ + _).tail // prefix(i) = ideal DCG of i hits
+    val discCol = element_at(
+      array(disc.map(lit): _*), col("__r").cast("int"))
+    val idealCol = element_at(
+      array(prefix.map(lit): _*), col("__nrel").cast("int"))
+    ranked.select(col(queryCol).as("__q"), col(rankCol).cast("long").as("__r"),
+        when(col(relCol).cast("boolean"), 1L).otherwise(0L).as("__rel"))
+      .filter(col("__r").between(1, k))
+      .groupBy(col("__q"))
+      .agg(sum(col("__rel") * discCol).as("__dcg"),
+        sum(col("__rel")).as("__nrel"))
+      .select(col("__q").as(queryCol), col("__nrel").as("n_rel"),
+        when(col("__nrel") === 0, lit(0.0))
+          .otherwise(round(col("__dcg").cast("double")
+            / idealCol.cast("double"), 6)).as("ndcg"))
+  }
+
+  /** The micro-unit rank discounts ndcgAtK inlines: round(1e6·ln2/ln(r+1))
+    * for r = 1..k. Public so a generated oracle embeds the identical
+    * integers. */
+  def discountMicros(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 * math.log(2.0) / math.log(r + 1.0)))
 }

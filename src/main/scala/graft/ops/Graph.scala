@@ -82,6 +82,59 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for `rounds`
+    * fixed iterations with a DETERMINISTIC tie rule: every node adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * smallest label — the cheap community detector between
+    * [[graft.ops.Dedup]]'s connected components (pure reachability) and
+    * modularity methods (not shuffle-friendly). Fixed rounds + total
+    * tie order make the result a pure function of the edge set, so an
+    * external engine replays it round for round (async/randomized LPA,
+    * the common form, is irreproducible by construction — rejected
+    * here for the same reason RNG sampling is).
+    *
+    * Scale: per round, ONE hash join of the label table onto edges
+    * (keyed on the neighbor id) + one (node, label) map-side-combined
+    * count + one node-keyed window pick — all data-sized exchanges on
+    * uniform keys, no broadcast of anything node-sized. The edge list
+    * and node universe cache once across rounds ([[pageRankFixedPoint]]
+    * topology). Hot nodes skew the count exchange exactly as any
+    * group-by does — AQE's skew split applies, no custom salting needed
+    * because the count state per (node, label) is one long. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { e.unpersist(); nodes.unpersist() })
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      // "most frequent label, min-label ties" as max(struct(count,
+      // -label)) — a second hash aggregation instead of a node-keyed
+      // SORT window (same semantics, no sort; the r13 bench measured the
+      // window variant 1.5× slower over 3 rounds)
+      val picked = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__best"))
+        .select(col("node"), (-col("__best.__nl")).as("label"))
+      // isolated nodes (none in a symmetrized edge list, but the
+      // contract shouldn't depend on that) keep their own label
+      labels = nodes.join(picked, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("node")).as("label"))
+    }
+    labels
+  }
+
   /** Per-node triangle counts by degree-ordered orientation (the MapReduce
     * scheme of Suri & Vassilvitskii 2011, "Counting triangles and the
     * curse of the last reducer"). Each undirected edge is oriented from
@@ -244,11 +297,19 @@ object Graph {
     * longest peel cascade (a bare path peels one layer per round);
     * real graphs converge in a handful.
     *
-    * Scale: edges canonicalize + symmetrize behind one exchange and
-    * persist; each round is one degree aggregation and one
-    * survivor-keyed double semi-join of the shrinking edge table —
-    * nothing node-sized ever reaches the driver (the per-round
-    * convergence probe is a count). */
+    * Scale: DELTA peeling on a NODE-sized degree table — the edge list
+    * canonicalizes + symmetrizes behind one exchange and persists ONCE;
+    * each round removes the below-k nodes and joins only THAT (usually
+    * tiny) removal set against the cached edges to decrement the
+    * survivors' degrees (AQE turns it into a broadcast probe when the
+    * set is small; at web scale it degrades to a plain hash join, never
+    * a rematerialization of the edge table). The r13 bench measured the
+    * rematerialize-the-subgraph variant at 10.1 s for a 10-level
+    * cascade vs ~3 s for this delta form — the per-round bill is one
+    * cached-edge scan, not a shuffled edge rewrite. The maintained
+    * degree IS the within-core degree at the fixpoint, so no final
+    * subgraph join is needed. Nothing node-sized reaches the driver
+    * (the convergence probe is a count). */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxRounds: Int = 12): DataFrame = {
     require(k >= 1, s"kCore: k=$k must be >= 1")
@@ -261,42 +322,42 @@ object Graph {
         greatest(col("a"), col("b")).as("b"))
       .distinct()
     val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
-    var dir = und.select(col("a").as("src"), col("b").as("dst"))
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cleanups += { val d = dir; () => d.unpersist() }
-    var edgeCount = dir.count()
+    cleanups += (() => dir.unpersist())
+    // living nodes with their degree in the living subgraph; eager
+    // localCheckpoint per round keeps the lineage a leaf (the round
+    // references deg twice: filter + survivor side)
+    var deg = dir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__d"))
+      .localCheckpoint(true)
+    cleanups += { val d = deg; () => d.unpersist() }
     var rounds = 0
-    var converged = edgeCount == 0
+    // one probe job per round (a leaf-scan count on the checkpointed
+    // degree table), one checkpoint job for the round's update
+    var converged = deg.filter(col("__d") < k).isEmpty
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val keep = dir.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("src").as("node"))
-      // eager localCheckpoint, NOT persist: the round's plan references
-      // the previous round THREE times (dir + both keep semi-joins), so
-      // lineage grows 3^rounds — the plan tree alone OOMs the driver by
-      // round ~10 (persist caches data but keeps the logical plan).
-      // Checkpointing cuts each round to a leaf. The checkpoints are
-      // round-count many edge tables, freed by the cleanup hooks.
-      val next = dir
-        .join(keep.select(col("node").as("src")), Seq("src"))
-        .join(keep.select(col("node").as("dst")), Seq("dst"))
-        .select("src", "dst")
+      val removed = deg.filter(col("__d") < k)
+      val dec = dir
+        .join(removed.select(col("node").as("src")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__dec"))
+      val next = deg.filter(col("__d") >= k)
+        .join(dec, Seq("node"), "left")
+        .select(col("node"),
+          (col("__d") - coalesce(col("__dec"), lit(0L))).as("__d"))
         .localCheckpoint(true)
-      cleanups += { val d = next; () => d.unpersist() }
-      val nextCount = next.count()
-      converged = nextCount == edgeCount
-      edgeCount = nextCount
-      dir = next
-      if (edgeCount == 0) converged = true
+      cleanups += (() => next.unpersist())
+      deg = next
+      converged = deg.filter(col("__d") < k).isEmpty
     }
     require(converged,
       s"kCore: no fixpoint after $maxRounds rounds — raise maxRounds " +
         s"(the oracle unroll must be raised with it)")
     val snapshot = cleanups.toList
     graft.QueryCleanup.register(() => snapshot.foreach(f => f()))
-    dir.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
-      .select(col("src").as("node"), col("core_degree"))
+    deg.select(col("node"), col("__d").as("core_degree"))
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -269,6 +269,40 @@ object TextAnalysis {
         .as("mean_logprob"))
   }
 
+  /** Perplexity filtering (the CCNet recipe, Wenzek et al. 2020): keep,
+    * per stratum, the documents at or above the stratum's MEDIAN mean
+    * bigram log-prob — "drop the least language-model-like half of each
+    * source". Per-stratum (not global) thresholds are the load-bearing
+    * detail: a global cut would empty the sources whose register the LM
+    * saw least. The score is [[bigramLogProb]] (docs with < 2 tokens
+    * carry no score and are dropped — they fail any LM filter
+    * definitionally); the median is the EXACT lower order statistic
+    * k = ⌈n/2⌉, no interpolation, so the kept set replays bit-for-bit.
+    *
+    * Scale: scoring is q135's vocabulary-scaled pipeline; the median
+    * comes from the (stratum, score) distinct-count table through the
+    * 1024-bucket prefix scheme ([[Ranking.valueCountsBeforeByTag]] — no
+    * data-sized sort window), and the per-stratum cut row broadcasts.
+    * One extra exchange over the score table, total. */
+  def perplexityFilter(docs: DataFrame, idCol: String, stratumCol: String,
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = bigramLogProb(docs, idCol, textCol)
+    val sc = scores.join(docs.select(col(idCol), col(stratumCol)), Seq(idCol))
+    val counts = sc.groupBy(col(stratumCol), col("mean_logprob"))
+      .agg(count(lit(1)).as("__cnt"))
+    val med = Ranking.valueCountsBeforeByTag(counts, stratumCol,
+        "mean_logprob", "__cnt")
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col(stratumCol))))
+      .withColumn("__k", expr("(__n + 1) div 2"))
+      .filter(col("__before") < col("__k")
+        && col("__before") + col("__cnt") >= col("__k"))
+      .select(col(stratumCol), col("mean_logprob").as("__med"))
+    sc.join(broadcast(med), Seq(stratumCol))
+      .filter(col("mean_logprob") >= col("__med"))
+      .select(col(idCol), col(stratumCol), col("mean_logprob"))
+  }
+
   /** Interpolated Kneser–Ney bigram mean log-prob per document (Kneser &
     * Ney 1995; the Chen & Goodman 1999 formulation) with the standard
     * fixed discount D = 0.75 — the smoothing rung above the unsmoothed
@@ -912,5 +946,83 @@ object TextAnalysis {
         round((col("__sy").cast("double") - slope * col("__sx").cast("double"))
           / n.cast("double") / 1e6, 6)).as("intercept"),
       when(denX > 0 && denY > 0, round(num * num / (denX * denY), 6)).as("r2"))
+  }
+
+  /** Gopher-style composite quality gate (Rae et al. 2021, "Scaling
+    * Language Models", table A1): the five repro-friendly rules —
+    * word-count range, mean-word-length range, symbol-ratio cap,
+    * stopword-ratio floor, duplicate-bigram-mass cap — each emitted as
+    * its own boolean beside the measured value, plus the conjunction.
+    * Emitting per-rule flags (not just the filtered table) is what lets
+    * a corpus report say WHICH rule removed each slice — the number a
+    * data-mix owner actually asks for.
+    *
+    * All measurements reuse the exact expressions of q30/q272 (6-dp
+    * rounds, same token split), so the thresholds compare against
+    * engine-stable values. Docs with < 2 tokens have no bigrams: their
+    * duplicate-bigram mass is 0 by convention (vacuously clean).
+    *
+    * Scale: the per-row stats are scan-side; the bigram mass is one
+    * (doc, bigram) map-side-combined aggregation joined back on the doc
+    * key — the one exchange this gate costs at 100 TB. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String = "text",
+                   minWords: Int = 20, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minStopRatio: Double = 0.05,
+                   maxDupShare: Double = 0.1): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(col(idCol), t.as("__text"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      meanTokenLength(t).as("mean_word_len"),
+      punctRatio(t).as("symbol_ratio"),
+      stopwordRatio(t).as("stop_ratio"))
+    val dup = dupNgramShare(docs, idCol, n = 2, textCol)
+    base.join(dup, Seq(idCol), "left")
+      .withColumn("dup_bigram_share", coalesce(col("dup_share"), lit(0.0)))
+      .withColumn("r_word_count", col("n_tokens").between(minWords, maxWords))
+      .withColumn("r_word_len",
+        col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("r_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("r_stop", col("stop_ratio") >= minStopRatio)
+      .withColumn("r_dup", col("dup_bigram_share") <= maxDupShare)
+      .select(col(idCol), col("n_tokens"), col("mean_word_len"),
+        col("symbol_ratio"), col("stop_ratio"), col("dup_bigram_share"),
+        col("r_word_count"), col("r_word_len"), col("r_symbol"),
+        col("r_stop"), col("r_dup"),
+        (col("r_word_count") && col("r_word_len") && col("r_symbol")
+          && col("r_stop") && col("r_dup")).as("pass"))
+  }
+
+  /** Per-document Shannon entropy of the token distribution, in nats:
+    * H = ln(n) − (Σ c·ln c)/n over the doc's token counts — the
+    * lexical-diversity score between [[features]]' type/token ratio
+    * (which saturates) and [[dupNgramShare]] (which needs repeats to be
+    * adjacent-structured). Low entropy at high length = generated or
+    * templated filler; the Gopher-style corpus filters threshold on it.
+    * Output: (id, n_tokens, n_types, entropy).
+    *
+    * Determinism: the q80 integer-ln protocol — ln(c) quantizes to
+    * micro-nats per DISTINCT count, Σ c·ln c is exact integer
+    * arithmetic, and the final H is one division + one subtraction of
+    * identical values on every engine, rounded 6 dp.
+    *
+    * Scale: tokens reduce to (doc, token, count) on the first exchange
+    * (map-side combine), then one doc-keyed aggregation; nothing is
+    * vocabulary- or corpus-broadcast. */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String = "text"): DataFrame = {
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__lc", round(log(col("__c").cast("double")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * col("__lc")).as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round((round(log(col("n_tokens").cast("double")) * 1e6, 0)
+          - col("__s").cast("double") / col("n_tokens").cast("double")) / 1e6, 6)
+          .as("entropy"))
   }
 }

@@ -786,4 +786,48 @@ object TimeSeries {
         round(col("__st.l") + lit(horizon.toDouble) * col("__st.b"), 6)
           .as(s"forecast$horizon"))
   }
+
+  /** Recency-weighted aggregate per group: each row weighs
+    * w = exp(−age·ln2/halfLifeDays) relative to the table's newest
+    * timestamp (so the operator is a pure function of the data, not the
+    * wall clock) — the "recent behavior counts more" score a feature
+    * store materializes per user (decayed spend, decayed event count).
+    * Output: (group, n, decayed_sum, decayed_count, last_ts).
+    *
+    * Determinism: age is an exact integer day count; the weight
+    * quantizes to micro-units per DISTINCT age (one exp per age, then
+    * round — the ln-micro-nat protocol's exp twin), so weighted sums
+    * are exact decimal·integer arithmetic, order-free. The one libm exp
+    * sits behind a 1e6 round; both engines feed it identical integer
+    * arguments.
+    *
+    * Scale: the max-ts probe is a 1-row broadcast; then ONE map-side-
+    * combined aggregation per group key. No window, no sort; the decay
+    * never re-reads history because the weight depends only on the
+    * row's own age (rescaling by the anchor is the classic trick that
+    * makes exponential decay embarrassingly parallel). */
+  def decayWeightedAgg(events: DataFrame, groupCol: String, tsCol: String,
+                       valueCol: String,
+                       halfLifeDays: Int = 30): DataFrame = {
+    require(halfLifeDays >= 1, s"decayWeightedAgg: halfLifeDays=$halfLifeDays must be >= 1")
+    val rows = events.select(col(groupCol).as("__g"),
+        to_date(col(tsCol)).as("__d"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .filter(col("__g").isNotNull && col("__d").isNotNull && col("__v").isNotNull)
+    val anchor = rows.agg(max(col("__d")).as("__mx"))
+    rows.crossJoin(broadcast(anchor))
+      .withColumn("__age", datediff(col("__mx"), col("__d")).cast("double"))
+      .withColumn("__w", round(
+        exp(col("__age") * lit(-math.log(2.0) / halfLifeDays)) * 1e6, 0)
+        .cast("long"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v") * col("__w")).as("__ws"),
+        sum(col("__w")).as("__wc"),
+        max(col("__d")).as("last_day"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__ws").cast("double") / 1e6, 6).as("decayed_sum"),
+        round(col("__wc").cast("double") / 1e6, 6).as("decayed_count"),
+        col("last_day"))
+  }
 }

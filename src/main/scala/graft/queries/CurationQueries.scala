@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Dedup, EventAnalytics, Evaluation, Generalization, KMap, Ranking, RecordLinkage, Sampling, Sketches, Skyline, TimeSeries}
+import graft.ops.{Cdc, Dedup, EventAnalytics, Evaluation, Features, Generalization, KMap, Ranking, RecordLinkage, Sampling, Sketches, Skyline, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,46 @@ object CurationQueries {
             < col("score") * 1000000.0)
       Evaluation.calibrationBins(o, "label", "score", nBins = 10)
         .orderBy("bin")
+    }),
+
+    // Out-of-fold target encoding of order priority against the F-status
+    // label: every row's encode uses only the OTHER four folds' label
+    // stats (prior included) — the leakage-safe mean-encode a feature
+    // pipeline ships where naive target means would overfit.
+    "q284_target_encode" -> ((s, dir) => {
+      Features.oofTargetEncode(Tables.orders(s, dir), "o_orderkey",
+          "o_orderpriority", col("o_orderstatus") === "F",
+          k = 5, smoothing = 20.0)
+        .orderBy("o_orderkey")
+    }),
+
+    // Isotonic calibration (PAV in its order-free minimax closed form)
+    // of q218's synthetic scored model over 20 bins: the monotone fit a
+    // serving layer broadcasts to turn raw scores into probabilities.
+    "q285_isotonic" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("score",
+          Sampling.bucket(col("o_orderkey"), "graft-cal").cast("double")
+            / 1000000.0)
+        .withColumn("label",
+          Sampling.bucket(col("o_orderkey"), "graft-lab").cast("double")
+            < col("score") * 1000000.0)
+      Evaluation.isotonicCalibration(o, "label", "score", nBins = 20)
+        .orderBy("bin")
+    }),
+
+    // Split-conformal interval around a per-priority mean-price
+    // predictor (train/calibrate/test = key mod 3): the calibration
+    // set's exact ⌈(n+1)·0.9⌉-th absolute residual is the half-width;
+    // the audit reports per-priority coverage on held-out orders.
+    "q286_conformal" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Evaluation.conformalInterval(
+          o.filter(col("o_orderkey") % 3 === 0),
+          o.filter(col("o_orderkey") % 3 === 1),
+          o.filter(col("o_orderkey") % 3 === 2),
+          "o_orderpriority", "o_totalprice", alpha = 0.1)
+        .orderBy("o_orderpriority")
     }),
 
     // Cumulative gains/lift by exact score decile on q218's scored
@@ -803,6 +843,86 @@ object CurationQueries {
                  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
           FROM b ORDER BY bin"""
     },
+    // oofTargetEncode replay: md5 fold assignment, (cat, fold) cells,
+    // cat/fold/global marginal windows, the identical smoothed-mean
+    // expression shape.
+    "q284_target_encode" -> {
+      val fold = phashSql("'graft-te|' || CAST(o_orderkey AS VARCHAR)") + " % 5"
+      s"""WITH r AS (SELECT o_orderkey, o_orderpriority AS cat,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                $fold AS fold
+              FROM orders),
+          c AS (SELECT cat, fold, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+                FROM r GROUP BY cat, fold),
+          m AS (SELECT cat, fold, n, s,
+                sum(n) OVER (PARTITION BY cat) AS tn,
+                sum(s) OVER (PARTITION BY cat) AS ts,
+                sum(n) OVER (PARTITION BY fold) AS fn,
+                sum(s) OVER (PARTITION BY fold) AS fs,
+                sum(n) OVER () AS gn, sum(s) OVER () AS gs FROM c),
+          e AS (SELECT cat, fold,
+                round((CAST(ts - s AS DOUBLE)
+                    + 20.0 * (CAST(gs - fs AS DOUBLE) / CAST(gn - fn AS DOUBLE)))
+                  / (CAST(tn - n AS DOUBLE) + 20.0), 6) AS te FROM m)
+          SELECT r.o_orderkey, r.cat AS o_orderpriority,
+            CAST(r.fold AS BIGINT) AS fold, e.te
+          FROM r JOIN e ON r.cat = e.cat AND r.fold = e.fold
+          ORDER BY r.o_orderkey"""
+    },
+    // isotonicCalibration replay: q218's score/label hashes, 20 bins,
+    // then the minimax lattice as the same relational triple join —
+    // pooled rates are single double divisions of exact counts.
+    "q285_isotonic" -> {
+      val sb = phashSql("'graft-cal|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      val lb = phashSql("'graft-lab|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      s"""WITH o AS (SELECT CAST($sb AS DOUBLE) / 1000000.0 AS s,
+                       CAST($lb AS DOUBLE) AS lbd FROM orders),
+          r AS (SELECT s, CASE WHEN lbd < s * 1000000.0 THEN 1 ELSE 0 END AS pos
+                FROM o WHERE s >= 0 AND s <= 1),
+          cells AS (SELECT CAST(least(floor(s * 20), 19) AS BIGINT) AS bin,
+                      count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+                    FROM r GROUP BY 1),
+          spans AS (SELECT a.bin AS sa, b.bin AS sb2 FROM cells a, cells b
+                    WHERE a.bin <= b.bin),
+          pooled AS (SELECT sa, sb2,
+                       CAST(sum(c.np) AS DOUBLE) / CAST(sum(c.n) AS DOUBLE) AS rate
+                     FROM spans JOIN cells c ON c.bin BETWEEN sa AND sb2
+                     GROUP BY sa, sb2),
+          mn AS (SELECT i.bin, p.sa, min(p.rate) AS m
+                 FROM cells i JOIN pooled p ON p.sa <= i.bin AND p.sb2 >= i.bin
+                 GROUP BY i.bin, p.sa),
+          iso AS (SELECT bin, max(m) AS iso FROM mn GROUP BY bin)
+          SELECT c.bin, c.n,
+            round(CAST(c.np AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS frac_pos,
+            round(i.iso, 6) AS iso_fit
+          FROM cells c JOIN iso i ON c.bin = i.bin ORDER BY c.bin"""
+    },
+    // conformalInterval replay: per-priority decimal-mean predictor from
+    // the train split, the exact ⌈(n+1)·0.9⌉-th smallest 6-dp residual
+    // via distinct-value cumulative counts, coverage on the test split.
+    "q286_conformal" ->
+      """WITH pred AS (SELECT o_orderpriority AS c,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                / count(*), 6) AS pred
+            FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderpriority),
+          resid AS (SELECT round(abs(CAST(o.o_totalprice AS DOUBLE) - p.pred), 6) AS r
+            FROM orders o JOIN pred p ON o.o_orderpriority = p.c
+            WHERE o.o_orderkey % 3 = 1),
+          nn AS (SELECT count(*) AS n FROM resid),
+          cum AS (SELECT r, sum(cnt) OVER (ORDER BY r) AS cum
+                  FROM (SELECT r, count(*) AS cnt FROM resid GROUP BY r)),
+          q AS (SELECT min(r) AS q_hat FROM cum, nn
+                WHERE cum >= least(nn.n,
+                  CAST(ceil((nn.n + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT))),
+          t AS (SELECT o.o_orderpriority AS c, q.q_hat,
+                  count(*) AS n_test,
+                  CAST(sum(CASE WHEN round(abs(CAST(o.o_totalprice AS DOUBLE) - p.pred), 6)
+                    <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+                FROM orders o JOIN pred p ON o.o_orderpriority = p.c, q
+                WHERE o.o_orderkey % 3 = 2 GROUP BY o.o_orderpriority, q.q_hat)
+          SELECT c AS o_orderpriority, q_hat, n_test, n_covered,
+            round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+          FROM t ORDER BY o_orderpriority""",
     // q218's score/label hashes; rank()-1 = the strictly-smaller count,
     // same div-10 tile identity, cumulative windows over the tile table.
     "q228_lift" -> {

@@ -314,6 +314,23 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Synchronous label propagation (3 fixed rounds, min-label ties)
+    // over the q125 trade graph: the cheap community detector between
+    // CC's pure reachability and modularity methods. Deterministic by
+    // construction, so the oracle unrolls it round for round.
+    "q290_label_prop" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+        .orderBy("node")
+    }),
+
     // Multi-source BFS hop distances over the q125 trade graph: which
     // nodes sit within 3 hops of customers {1,2,3}. Level-synchronous
     // frontier joins; the oracle replays it as a recursive CTE.
@@ -555,6 +572,27 @@ object RelationalQueries {
                 SELECT e.dst, b.hops + 1 FROM b JOIN e ON e.src = b.node
                 WHERE b.hops < 3)
           SELECT node, min(hops) AS hops FROM b GROUP BY node ORDER BY node""",
+    // labelPropagation replay: three unrolled rounds of (neighbor-label
+    // count, row_number pick with count-desc/label-asc order).
+    "q290_label_prop" -> {
+      def round(i: Int) =
+        s"""c$i AS (SELECT e.src AS node, l.label, count(*) AS c
+               FROM e JOIN l${i - 1} l ON e.dst = l.node GROUP BY e.src, l.label),
+            p$i AS (SELECT node, label FROM (
+               SELECT node, label,
+                 row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c$i) WHERE rn = 1),
+            l$i AS (SELECT n.node, coalesce(p.label, n.node) AS label
+               FROM n LEFT JOIN p$i p USING (node))"""
+      s"""WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          l0 AS (SELECT node, node AS label FROM n),
+          ${round(1)}, ${round(2)}, ${round(3)}
+          SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+          FROM l3 ORDER BY node"""
+    },
     "q125_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

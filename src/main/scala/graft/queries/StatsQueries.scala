@@ -790,9 +790,183 @@ object StatsQueries {
           round(sum(round(col("value") * 1000000).cast("long")) /
             (count(lit(1)) * 1000000.0), 6).as("avg_value"))
         .orderBy("dow", "hour")
+    }),
+
+    // Ingest quarantine triage: rows classified by the FIRST failing
+    // parse rule (price unparsable, then date unparsable), counts per
+    // reason — the malformation-rate gate an ingest batch passes before
+    // commit. try_cast predicates, scan-side CASE chain, one aggregate.
+    "q293_ingest_quarantine" -> ((s, dir) => {
+      val raw = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit("N/A"))
+          .otherwise(col("o_totalprice").cast("string")).as("price_raw"),
+        when(col("o_orderkey") % 13 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+          .as("date_raw"))
+      DataQuality.quarantineReport(raw, Seq(
+          "bad_price" -> expr("try_cast(price_raw AS double)").isNull,
+          "bad_date" -> expr("try_cast(date_raw AS timestamp)").isNull))
+        .orderBy("reason")
+    }),
+
+    // Schema-drift report between orders and a mutated "today's ingest"
+    // (priority column dropped, price silently restringed, a null
+    // regression on custkey, a new channel column): the structural diff
+    // + null-rate delta an admission gate checks before a backfill.
+    "q291_schema_drift" -> ((s, dir) => {
+      val a = Tables.orders(s, dir)
+      val b = a.drop("o_orderpriority")
+        .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+        .withColumn("o_channel", lit("web"))
+      DataQuality.schemaDrift(a, b).orderBy("column")
+    }),
+
+    // One-way ANOVA across event types: does mean value differ across
+    // ANY segment, asked once — the k-sample gate before q260's pairwise
+    // Welch scans (and q276's FDR bill). One exchange to k rows.
+    "q281_anova_f" -> ((s, dir) => {
+      DataQuality.anovaF(Tables.events(s, dir), "event_type", "value")
+    }),
+
+    // Delete-one-bucket jackknife SE of each event type's mean value,
+    // bucketed by user (the randomization unit) — the error bar a
+    // ratio-metric experiment readout needs when rows within a user
+    // correlate (per-row variance would understate it).
+    "q282_jackknife_ratio" -> ((s, dir) => {
+      DataQuality.jackknifeRatio(Tables.events(s, dir), "event_type",
+          "user_id", col("value"), lit(1.0), nBuckets = 50)
+        .orderBy("event_type")
+    }),
+
+    // Recency-decayed per-user activity score (30-day half-life,
+    // anchored at the table's newest day): the feature-store
+    // materialization where recent behavior counts more. Weights are
+    // micro-quantized per distinct age, so sums are exact integers.
+    "q283_decay_score" -> ((s, dir) => {
+      graft.ops.TimeSeries.decayWeightedAgg(Tables.events(s, dir),
+          "user_id", "ts", "value", halfLifeDays = 30)
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // quarantineReport replay: the same corruption, the same first-match
+    // CASE chain over TRY_CAST predicates.
+    "q293_ingest_quarantine" ->
+      """WITH raw AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 11 = 0 THEN 'N/A'
+                   ELSE CAST(o_totalprice AS VARCHAR) END AS price_raw,
+              CASE WHEN o_orderkey % 13 = 0 THEN 'not-a-date'
+                   ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS date_raw
+            FROM orders)
+          SELECT CASE WHEN try_cast(price_raw AS DOUBLE) IS NULL THEN 'bad_price'
+                      WHEN try_cast(date_raw AS TIMESTAMP) IS NULL THEN 'bad_date'
+                      ELSE 'ok' END AS reason, count(*) AS n
+          FROM raw GROUP BY 1 ORDER BY reason""",
+    // schemaDrift replay: both sides' per-column (type, null rate)
+    // profiles as explicit UNION ALL rows (the column lists are schema
+    // metadata — fixed), full-outer-joined on the column name.
+    "q291_schema_drift" ->
+      """WITH agg AS (SELECT count(*) AS n,
+              sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k1,
+              sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS k2,
+              sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS k3,
+              sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS k4,
+              sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS k5,
+              sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS k6,
+              sum(CASE WHEN o_orderkey % 10 = 0 OR o_custkey IS NULL THEN 1 ELSE 0 END) AS kb2
+            FROM orders),
+          pa AS (
+            SELECT 'o_orderkey' AS col, 'bigint' AS dt, round(CAST(k1 AS DOUBLE) / n, 6) AS nr FROM agg
+            UNION ALL SELECT 'o_custkey', 'bigint', round(CAST(k2 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_orderstatus', 'string', round(CAST(k3 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_totalprice', 'double', round(CAST(k4 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_orderdate', 'timestamp_ntz', round(CAST(k5 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_orderpriority', 'string', round(CAST(k6 AS DOUBLE) / n, 6) FROM agg),
+          pb AS (
+            SELECT 'o_orderkey' AS col, 'bigint' AS dt, round(CAST(k1 AS DOUBLE) / n, 6) AS nr FROM agg
+            UNION ALL SELECT 'o_custkey', 'bigint', round(CAST(kb2 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_orderstatus', 'string', round(CAST(k3 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_totalprice', 'string', round(CAST(k4 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_orderdate', 'timestamp_ntz', round(CAST(k5 AS DOUBLE) / n, 6) FROM agg
+            UNION ALL SELECT 'o_channel', 'string', 0.0 FROM agg)
+          SELECT coalesce(pa.col, pb.col) AS "column",
+            pa.col IS NOT NULL AS in_a, pb.col IS NOT NULL AS in_b,
+            pa.dt AS dtype_a, pb.dt AS dtype_b,
+            coalesce(pa.dt IS NOT NULL AND pb.dt IS NOT NULL AND pa.dt <> pb.dt, false) AS type_changed,
+            pa.nr AS null_rate_a, pb.nr AS null_rate_b,
+            CASE WHEN pa.nr IS NOT NULL AND pb.nr IS NOT NULL
+                 THEN round(pb.nr - pa.nr, 6) END AS null_rate_delta
+          FROM pa FULL OUTER JOIN pb ON pa.col = pb.col
+          ORDER BY "column"""",
+    // Replays anovaF's exact protocol: per-group decimal moments, the
+    // between/within terms micro-quantized per group before the k-term
+    // integer sums, then the fixed-shape F / eta² divisions.
+    "q281_anova_f" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+              CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ss
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type),
+          a AS (SELECT count(*) AS k, sum(n) AS nt,
+              CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS st,
+              sum(CAST(round(s * s / n * 1000000, 0) AS BIGINT)) AS bm,
+              sum(CAST(round(ss * 1000000, 0) AS BIGINT)) AS ssm FROM g),
+          d AS (SELECT k, nt,
+              CAST(bm - CAST(round(st * st / nt * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS ssb,
+              CAST(ssm - bm AS DOUBLE) / 1000000.0 AS ssw,
+              CAST(ssm - CAST(round(st * st / nt * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS sst
+            FROM a WHERE k >= 2 AND nt > k)
+          SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+            round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f,
+            round(ssb / sst, 6) AS eta_sq
+          FROM d""",
+    // Replays jackknifeRatio: 50 md5 user buckets, leave-one-out ratios
+    // micro-quantized, squared deviations as (b·r − Σr)² in DECIMAL so
+    // bucket order can't reach the SE.
+    "q282_jackknife_ratio" ->
+      """WITH c AS (SELECT event_type AS g,
+              CAST('0x' || substr(md5('graft-jk|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 50 AS b,
+              sum(CAST(value AS DECIMAL(28,6))) AS sn,
+              sum(CAST(1.0 AS DECIMAL(28,6))) AS sd
+            FROM events GROUP BY g, b),
+          t AS (SELECT g, b, sn, sd,
+              sum(sn) OVER (PARTITION BY g) AS tn,
+              sum(sd) OVER (PARTITION BY g) AS td FROM c),
+          l AS (SELECT g, tn, td,
+              CAST(round(CAST(tn - sn AS DOUBLE) / CAST(td - sd AS DOUBLE) * 1000000, 0) AS BIGINT) AS ri
+            FROM t WHERE td - sd > 0),
+          w AS (SELECT g, tn, td, ri,
+              count(*) OVER (PARTITION BY g) AS b2,
+              sum(ri) OVER (PARTITION BY g) AS rbar FROM l),
+          s AS (SELECT g, tn, td, b2,
+              sum(CAST(b2 * ri - rbar AS DECIMAL(19,0)) * CAST(b2 * ri - rbar AS DECIMAL(19,0))) AS sumdev
+            FROM w GROUP BY g, tn, td, b2)
+          SELECT g AS event_type, CAST(b2 AS BIGINT) AS n_buckets,
+            round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) AS ratio,
+            round(sqrt((CAST(sumdev AS DOUBLE) / CAST(b2 * b2 AS DOUBLE))
+              * CAST(b2 - 1 AS DOUBLE) / CAST(b2 AS DOUBLE)) / 1000000.0, 6) AS se_jack
+          FROM s ORDER BY event_type""",
+    // Replays decayWeightedAgg: integer day ages against the global max
+    // day, exp(-age·ln2/30) micro-quantized per distinct age, exact
+    // decimal·integer weighted sums.
+    "q283_decay_score" ->
+      s"""WITH r AS (SELECT user_id AS g, CAST(ts AS DATE) AS d,
+              CAST(value AS DECIMAL(18,6)) AS v
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+          a AS (SELECT max(d) AS mx FROM r),
+          w AS (SELECT g, v, d,
+              CAST(round(exp(CAST(date_diff('day', d, mx) AS DOUBLE)
+                * (${-math.log(2.0) / 30})) * 1000000, 0) AS BIGINT) AS wt
+            FROM r, a)
+          SELECT g AS user_id, count(*) AS n,
+            round(CAST(sum(v * wt) AS DOUBLE) / 1000000.0, 6) AS decayed_sum,
+            round(CAST(sum(wt) AS DOUBLE) / 1000000.0, 6) AS decayed_count,
+            max(d) AS last_day
+          FROM w GROUP BY g ORDER BY user_id""",
     "q108_dq_report" ->
       """WITH nullc AS (SELECT 'null:o_orderpriority' AS check_name,
               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,

@@ -981,6 +981,44 @@ object TextQueries {
         .orderBy("coverage")
     }),
 
+    // CCNet-style perplexity filter: keep each source's at-or-above-
+    // median half by mean bigram log-prob — per-SOURCE thresholds so no
+    // register gets emptied by a global cut. Exact lower-median order
+    // statistic; the kept set replays bit-for-bit.
+    "q292_perplexity_filter" -> ((s, dir) => {
+      TextAnalysis.perplexityFilter(Tables.documents(s, dir), "doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher composite quality gate: five rule booleans beside the
+    // measured values plus the conjunction — the per-rule attribution a
+    // corpus report needs ("symbol cap removed 3%, stopword floor 9%").
+    "q288_gopher_filter" -> ((s, dir) => {
+      TextAnalysis.gopherFilter(Tables.documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Packing-efficiency report per source over q75's 512-token bins:
+    // mean fill, underfull share, padding waste — the context-window
+    // utilization number that decides the packing budget.
+    "q289_packing_stats" -> ((s, dir) => {
+      val withTokens = Tables.documents(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val packed = Packing.packSequences(withTokens, "doc_id", "n_tokens",
+        "source", budget = 512)
+      Packing.packingStats(packed, "source", "n_tokens", budget = 512)
+        .orderBy("source")
+    }),
+
+    // Per-doc Shannon entropy of the token distribution (nats, the q80
+    // integer-ln protocol): the lexical-diversity filter between q30's
+    // type/token ratio and q272's duplicate-bigram mass — low entropy at
+    // high length is the generated-filler signature.
+    "q280_token_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Template dedup over digit runs: two planted variants per doc
     // ("page <k>" suffixes with different k) collapse to one template
     // class after [0-9]+ -> '0' canonicalization; bases with digit-free
@@ -1032,6 +1070,101 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // perplexityFilter replay: q135's score chain, per-source lower
+    // median as min(value with cum >= ceil(n/2)), at-or-above cut.
+    "q292_perplexity_filter" ->
+      s"""WITH bgdoc AS (SELECT doc_id, g, count(*) AS dc
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(len($tokSql) - 1),
+                           i -> $tokSql[i+1] || ' ' || $tokSql[i+2])) AS g
+                       FROM documents WHERE len($tokSql) >= 2)
+                 GROUP BY doc_id, g),
+          st AS (SELECT g, CAST(round(ln(CAST(c AS DOUBLE) / ctx) * 1e6, 0) AS BIGINT) AS lpu
+                 FROM (SELECT g, sum(dc) AS c,
+                         sum(sum(dc)) OVER (PARTITION BY split_part(g, ' ', 1)) AS ctx
+                       FROM bgdoc GROUP BY g)),
+          sc0 AS (SELECT doc_id, round(sum(dc * lpu) * 1.0 / sum(dc) / 1e6, 6) AS mean_logprob
+                  FROM bgdoc JOIN st USING (g) GROUP BY doc_id),
+          sc AS (SELECT s.doc_id, d.source, s.mean_logprob
+                 FROM sc0 s JOIN documents d USING (doc_id)),
+          c AS (SELECT source, mean_logprob, count(*) AS cnt
+                FROM sc GROUP BY source, mean_logprob),
+          w AS (SELECT source, mean_logprob, cnt,
+                  sum(cnt) OVER (PARTITION BY source ORDER BY mean_logprob) AS cum,
+                  sum(cnt) OVER (PARTITION BY source) AS n FROM c),
+          m AS (SELECT source, min(mean_logprob) AS med
+                FROM w WHERE cum >= (n + 1) // 2 GROUP BY source)
+          SELECT sc.doc_id, sc.source, sc.mean_logprob
+          FROM sc JOIN m USING (source)
+          WHERE sc.mean_logprob >= m.med ORDER BY sc.doc_id""",
+    // gopherFilter replay: q30's measured ratios + q272's dup-bigram
+    // mass (0 for bigram-free docs), thresholds compared on the same
+    // 6-dp-rounded values.
+    "q288_gopher_filter" ->
+      s"""WITH base AS (SELECT doc_id,
+              CAST(len($tokSql) AS BIGINT) AS n_tokens,
+              round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                * 1.0 / len($tokSql), 6) AS mean_word_len,
+              round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                * 1.0 / length(text), 6) AS symbol_ratio,
+              round(len(list_filter($tokSql, t -> t IN ($stopList)))
+                * 1.0 / len($tokSql), 6) AS stop_ratio
+            FROM documents),
+          bg AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(len($tokSql) - 1),
+                           i -> $tokSql[i+1] || ' ' || $tokSql[i+2])) AS g
+                       FROM documents WHERE len($tokSql) >= 2)
+                 GROUP BY doc_id, g),
+          dup AS (SELECT doc_id,
+                    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS ds
+                  FROM bg GROUP BY doc_id),
+          j AS (SELECT b.*, coalesce(d.ds, 0.0) AS dup_bigram_share
+                FROM base b LEFT JOIN dup d USING (doc_id))
+          SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stop_ratio,
+            dup_bigram_share,
+            n_tokens BETWEEN 20 AND 100000 AS r_word_count,
+            mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+            symbol_ratio <= 0.1 AS r_symbol,
+            stop_ratio >= 0.05 AS r_stop,
+            dup_bigram_share <= 0.1 AS r_dup,
+            (n_tokens BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+              AND symbol_ratio <= 0.1 AND stop_ratio >= 0.05
+              AND dup_bigram_share <= 0.1 AS pass
+          FROM j ORDER BY doc_id""",
+    // packingStats replay: q75's bin identity, then the per-(source,
+    // bin) token/doc sums and the fill/waste arithmetic.
+    "q289_packing_stats" ->
+      s"""WITH p AS (SELECT doc_id, source, nt,
+              CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - nt) / 512.0) AS BIGINT) AS bin
+            FROM (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS nt
+                  FROM documents)),
+          b AS (SELECT source, bin, CAST(sum(nt) AS BIGINT) AS tok,
+                  count(*) AS docs FROM p GROUP BY source, bin)
+          SELECT source, count(*) AS n_bins, CAST(sum(docs) AS BIGINT) AS n_docs,
+            round(CAST(sum(tok) AS DOUBLE) / CAST(count(*) * 512 AS DOUBLE), 6)
+              AS mean_fill,
+            round(CAST(sum(CASE WHEN tok < 409.6 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS underfull_share,
+            round(CAST(sum(greatest(512 - tok, 0)) AS DOUBLE)
+              / CAST(count(*) * 512 AS DOUBLE), 6) AS waste_share
+          FROM b GROUP BY source ORDER BY source""",
+    // tokenEntropy replay: per-(doc, token) counts, ln(c) micro-nats,
+    // exact integer Σ c·ln c, H = ln(n) − S/n at the edge.
+    "q280_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM t WHERE tok <> ''
+                GROUP BY doc_id, tok),
+          l AS (SELECT doc_id, c,
+                CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lc FROM c),
+          a AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+                sum(c * lc) AS s FROM l GROUP BY doc_id)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_types AS BIGINT) AS n_types,
+            round((round(ln(CAST(n_tokens AS DOUBLE)) * 1000000, 0)
+              - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1000000.0, 6) AS entropy
+          FROM a ORDER BY doc_id""",
     "q30_text_stats" ->
       s"""SELECT doc_id, n_tokens, n_uniq_tokens,
           round(n_nospace * 1.0 / n_tokens, 6) AS mean_tok_len,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.PortableHash
-import graft.ops.{DifferentialPrivacy, EventAnalytics, Experiment, Multimodal, Similarity, Survival, TimeSeries}
+import graft.ops.{DifferentialPrivacy, EventAnalytics, Evaluation, Experiment, Multimodal, Similarity, Survival, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,23 @@ object VectorEventQueries {
       Similarity.knnLabelNoise(Tables.embeddings(s, dir), "vec_id", "label",
           "embedding", dim = 64, k = 10, nPlanes = 3)
         .orderBy("vec_id")
+    }),
+
+    // NDCG@10 of exact cosine retrieval with same-label relevance over
+    // 40 queries: the position-aware ranking score an ANN stack reports
+    // where recall@k can't see WHERE in the list the hits landed. Rank
+    // discounts are driver-quantized micro-ints shared with the oracle.
+    "q287_ndcg" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val lab = e.select(col("vec_id"), col("label"))
+      val ranked = Similarity.knnBruteForce(e, e.filter(col("vec_id") < 40),
+        "vec_id", "embedding", 10)
+      val rel = ranked
+        .join(lab.select(col("vec_id").as("qid"), col("label").as("__ql")), Seq("qid"))
+        .join(lab.select(col("vec_id"), col("label").as("__nl")), Seq("vec_id"))
+        .withColumn("rel", col("__ql") === col("__nl"))
+      Evaluation.ndcgAtK(rel, "qid", "rank", "rel", k = 10)
+        .orderBy("qid")
     }),
 
     // Matryoshka truncation audit: recall@10 of the 8/16/32-dim prefixes
@@ -1109,6 +1126,30 @@ object VectorEventQueries {
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
           FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    // ndcgAtK replay: q38's exact ranking shape over 40 queries with
+    // same-label relevance; DCG/IDCG are integer sums of the SAME
+    // driver-quantized micro discounts the engine inlines.
+    "q287_ndcg" -> {
+      val discs = Evaluation.discountMicros(10)
+      val prefix = discs.scanLeft(0L)(_ + _).tail
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlab,
+                embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 40),
+          sc AS (SELECT qid, qlab, e.vec_id, e.label AS nl,
+                   round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+          r AS (SELECT qid, CASE WHEN nl = qlab THEN 1 ELSE 0 END AS rel,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                FROM sc),
+          a AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS nrel,
+                  CAST(sum(rel * ([${discs.mkString(", ")}])[rank]) AS BIGINT) AS dcg
+                FROM r WHERE rank <= 10 GROUP BY qid)
+          SELECT qid, nrel AS n_rel,
+            CASE WHEN nrel = 0 THEN 0.0
+                 ELSE round(CAST(dcg AS DOUBLE)
+                   / CAST(([${prefix.mkString(", ")}])[nrel] AS DOUBLE), 6)
+            END AS ndcg
+          FROM a ORDER BY qid"""
+    },
     "q38_knn_bruteforce" ->
       s"""WITH $knnCore,
           sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim

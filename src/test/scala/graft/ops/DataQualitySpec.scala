@@ -644,4 +644,85 @@ class DataQualitySpec extends SparkSpec {
       .select("discovery").as[Boolean].collect()
     assert(none.forall(!_))
   }
+
+  test("anovaF: hand fixture F=4.2, eta_sq=7/12; equal groups F=0") {
+    // a:[1,2,3] b:[2,4,6] c:[5,5,5] -> SSB=14, SSW=10, SST=24
+    // F = (14/2)/(10/6) = 4.2; eta² = 14/24 = 0.583333
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0),
+      ("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val r = DataQuality.anovaF(df, "g", "v")
+      .select("k", "n", "f", "eta_sq").as[(Long, Long, Double, Double)].head()
+    assert(r == ((3L, 9L, 4.2, 0.583333)), r.toString)
+    // identical distributions -> SSB = 0 -> F = 0
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r2 = DataQuality.anovaF(eq, "g", "v").select("f").as[Double].head()
+    assert(r2 == 0.0, r2.toString)
+  }
+
+  test("jackknifeRatio: constant metric has zero SE; algebra matches a replay") {
+    // constant values: every leave-one-out ratio identical -> se 0
+    val const = (1 to 40).map(i => ("g", i.toLong, 5.0)).toDF("g", "u", "v")
+    val c = DataQuality.jackknifeRatio(const, "g", "u", col("v"), lit(1.0),
+        nBuckets = 8)
+      .select("ratio", "se_jack").as[(Double, Double)].head()
+    assert(c == ((5.0, 0.0)), c.toString)
+    // independent replay: collect the op's own bucket sums (same portable
+    // hash), recompute the jackknife in plain Scala doubles
+    val data = (1 to 40).map(i => ("g", i.toLong, i.toDouble))
+    val df = data.toDF("g", "u", "v")
+    val nB = 8
+    val buckets = df.withColumn("b",
+        pmod(graft.functions.PortableHash.phash(
+          concat_ws("|", lit("graft-jk"), col("u").cast("string"))), lit(nB.toLong)))
+      .groupBy("b").agg(sum("v").as("sn"), count(lit(1)).as("sd"))
+      .as[(Long, Double, Long)].collect()
+    val tn = buckets.map(_._2).sum
+    val td = buckets.map(_._3).sum.toDouble
+    val ris = buckets.map { case (_, sn, sd) =>
+      math.round((tn - sn) / (td - sd) * 1e6) }
+    val b = ris.length
+    val rbar = ris.sum
+    val sumdev = ris.map(ri => { val d = BigInt(b.toLong * ri - rbar); d * d }).sum
+    val se = BigDecimal(math.sqrt((sumdev.toDouble / (b.toLong * b))
+      * (b - 1).toDouble / b) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = DataQuality.jackknifeRatio(df, "g", "u", col("v"), lit(1.0),
+        nBuckets = nB)
+      .select("n_buckets", "ratio", "se_jack")
+      .as[(Long, Double, Double)].head()
+    assert(got._1 == b.toLong && got._3 == se, s"$got vs se=$se b=$b")
+    assert(got._2 == BigDecimal(tn / td)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("schemaDrift: dropped/added/retyped columns and a null-rate regression") {
+    val a = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    val b = Seq((Some(1L), "1.0", 7), (None, "2.0", 8), (Some(3L), "3.0", 9),
+      (None, "4.0", 10)).toDF("id", "v", "w")
+    val got = DataQuality.schemaDrift(a, b).orderBy("column")
+      .select("column", "in_a", "in_b", "dtype_a", "dtype_b", "type_changed",
+        "null_rate_a", "null_rate_b")
+      .as[(String, Boolean, Boolean, Option[String], Option[String], Boolean,
+        Option[Double], Option[Double])].collect()
+    assert(got(0) == (("id", true, true, Some("bigint"), Some("bigint"),
+      false, Some(0.0), Some(0.5))), got(0).toString)
+    assert(got(1) == (("v", true, true, Some("double"), Some("string"),
+      true, Some(0.0), Some(0.0))), got(1).toString)
+    assert(got(2) == (("w", false, true, None, Some("int"),
+      false, None, Some(0.0))), got(2).toString)
+  }
+
+  test("quarantineReport: first-match priority and ok fallthrough") {
+    val df = Seq(("1.5", "2026-01-01 00:00:00"), ("N/A", "2026-01-01 00:00:00"),
+      ("2.0", "junk"), ("N/A", "junk")).toDF("p", "d")
+    val got = DataQuality.quarantineReport(df, Seq(
+        "bad_price" -> expr("try_cast(p AS double)").isNull,
+        "bad_date" -> expr("try_cast(d AS timestamp)").isNull))
+      .orderBy("reason").as[(String, Long)].collect()
+    // the doubly-bad row counts under the FIRST rule only
+    assert(got.toSeq == Seq(("bad_date", 1L), ("bad_price", 2L), ("ok", 1L)),
+      got.mkString(", "))
+  }
 }

@@ -111,4 +111,63 @@ class EvaluationSpec extends graft.SparkSpec {
     val row = Evaluation.fleissKappa(ragged, "subj", "cat").collect().head
     assert(row.isNullAt(1) && row.isNullAt(4), row.toString)
   }
+
+  test("isotonicCalibration: PAV pools the violating pair, leaves the rest") {
+    // bins (nBins=4): bin0 2/4=0.5, bin1 1/4=0.25 (violation), bin2 3/4
+    // PAV pools bins 0-1 to 3/8 = 0.375; bin2 stays 0.75
+    def rows(score: Double, pos: Int, n: Int) =
+      (0 until n).map(i => (score, i < pos))
+    val df = (rows(0.1, 2, 4) ++ rows(0.3, 1, 4) ++ rows(0.6, 3, 4))
+      .toDF("s", "y")
+    val r = Evaluation.isotonicCalibration(df, "y", "s", nBins = 4)
+      .orderBy("bin")
+      .select("bin", "n", "frac_pos", "iso_fit")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r.toSeq == Seq((0L, 4L, 0.5, 0.375), (1L, 4L, 0.25, 0.375),
+      (2L, 4L, 0.75, 0.75)), r.mkString(", "))
+    // already-monotone input is a fixed point
+    val mono = (rows(0.1, 1, 4) ++ rows(0.3, 2, 4) ++ rows(0.6, 3, 4))
+      .toDF("s", "y")
+    val m = Evaluation.isotonicCalibration(mono, "y", "s", nBins = 4)
+      .orderBy("bin").select("frac_pos", "iso_fit")
+      .as[(Double, Double)].collect()
+    assert(m.forall { case (f, i) => f == i }, m.mkString(", "))
+  }
+
+  test("conformalInterval: q_hat is the exact ceil((n+1)(1-alpha))-th residual") {
+    // predictor: mean 10 for cat x; calib residuals exactly 1..10;
+    // k = ceil(11 * 0.9) = 10 -> q_hat = 10
+    val train = Seq(("x", 10.0), ("x", 10.0)).toDF("c", "y")
+    val calib = (1 to 10).map(i => ("x", 10.0 + i)).toDF("c", "y")
+    val test0 = Seq(("x", 15.0), ("x", 25.0)).toDF("c", "y")
+    val r = Evaluation.conformalInterval(train, calib, test0, "c", "y",
+        alpha = 0.1)
+      .select("c", "q_hat", "n_test", "n_covered", "coverage")
+      .as[(String, Double, Long, Long, Double)].head()
+    assert(r == (("x", 10.0, 2L, 1L, 0.5)), r.toString)
+    // alpha = 0.5: k = ceil(11 * 0.5) = 6 -> q_hat = 6, nothing changes
+    // about the exactness (no interpolation)
+    val r2 = Evaluation.conformalInterval(train, calib, test0, "c", "y",
+        alpha = 0.5).select("q_hat").as[Double].head()
+    assert(r2 == 6.0, r2.toString)
+  }
+
+  test("ndcgAtK: hand DCG over the shared micro discounts; zero-rel guard") {
+    val disc = Evaluation.discountMicros(3)
+    val prefix = disc.scanLeft(0L)(_ + _).tail
+    // ranks 1..3 with rel (F, T, T): DCG = d2 + d3, IDCG = prefix(2)
+    val df = Seq((1L, 1L, false), (1L, 2L, true), (1L, 3L, true),
+      (2L, 1L, false), (2L, 2L, false)).toDF("q", "rank", "rel")
+    val got = Evaluation.ndcgAtK(df, "q", "rank", "rel", k = 3)
+      .orderBy("q").select("q", "n_rel", "ndcg")
+      .as[(Long, Long, Double)].collect()
+    val expected = BigDecimal((disc(1) + disc(2)).toDouble / prefix(1).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 2L, expected), (2L, 0L, 0.0)),
+      got.mkString(", "))
+    // perfect ranking -> 1.0
+    val perfect = Seq((1L, 1L, true), (1L, 2L, true)).toDF("q", "rank", "rel")
+    assert(Evaluation.ndcgAtK(perfect, "q", "rank", "rel", k = 3)
+      .select("ndcg").as[Double].head() == 1.0)
+  }
 }

@@ -203,4 +203,20 @@ class GraphSpec extends SparkSpec {
     graft.QueryCleanup.drain()
     assert(m == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), m.toString)
   }
+
+  test("labelPropagation: triangle+pendant converge to min label; 2-cycle oscillates deterministically") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4-1, disconnected pair {10,11}
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    // hand-traced synchronous rounds (min-label ties):
+    // r1: 1->2 2->1 3->1 4->1 10->11 11->10
+    // r2: 1->1 2->1 3->1 4->2 10->10 11->11
+    // r3: 1->1 2->1 3->1 4->1 10->11 11->10 (pair oscillates, by design)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 11L, 11L -> 10L), got.toString)
+  }
 }

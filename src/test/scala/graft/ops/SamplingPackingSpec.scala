@@ -253,4 +253,18 @@ class SamplingPackingSpec extends SparkSpec {
       Sampling.kFoldAssign(df, "id", k = 1)
     }
   }
+
+  test("packingStats: hand bins — fill, underfull share, waste") {
+    import spark.implicits._
+    // budget 10, tokens [6,6,6] in one shard -> bins [0,0,1]:
+    // bin0 holds 12 (overflow, waste 0), bin1 holds 6 (underfull, waste 4)
+    val df = Seq((1L, 6L, "s"), (2L, 6L, "s"), (3L, 6L, "s"))
+      .toDF("id", "nt", "shard")
+    val packed = Packing.packSequences(df, "id", "nt", "shard", budget = 10)
+    val r = Packing.packingStats(packed, "shard", "nt", budget = 10)
+      .select("shard", "n_bins", "n_docs", "mean_fill", "underfull_share",
+        "waste_share")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(r == (("s", 2L, 3L, 0.9, 0.5, 0.2)), r.toString)
+  }
 }

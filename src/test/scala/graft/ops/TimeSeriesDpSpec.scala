@@ -648,4 +648,21 @@ class TimeSeriesDpSpec extends SparkSpec {
     // a rising series forecasts above its last level
     assert(got("a")._4 > got("a")._2)
   }
+
+  test("decayWeightedAgg: anchor weighs 1, one half-life weighs exactly 0.5") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", Timestamp.valueOf("2026-03-31 10:00:00"), 2.0), // anchor day
+      ("u1", Timestamp.valueOf("2026-03-01 09:00:00"), 4.0), // 30 d before
+      ("u2", Timestamp.valueOf("2026-03-31 23:00:00"), 6.0))
+      .toDF("u", "ts", "v")
+    val got = TimeSeries.decayWeightedAgg(df, "u", "ts", "v",
+        halfLifeDays = 30)
+      .orderBy("u")
+      .select("u", "n", "decayed_sum", "decayed_count")
+      .as[(String, Long, Double, Double)].collect()
+    // u1: 2.0·1.0 + 4.0·0.5 = 4.0; weights 1.0 + 0.5
+    assert(got(0) == (("u1", 2L, 4.0, 1.5)), got(0).toString)
+    assert(got(1) == (("u2", 1L, 6.0, 1.0)), got(1).toString)
+  }
 }
