@@ -141,6 +141,41 @@ object Evaluation {
         .as("auc"))
   }
 
+  /** Per-segment ROC AUC — [[aucRoc]] computed independently within each
+    * level of `groupCol`, in one pipeline: the fairness/robustness audit
+    * that catches a scorer whose global AUC is fine but which ranks one
+    * language, source, or cohort no better than chance. Midrank tie
+    * handling and exact integer rank sums are identical to the global
+    * form; segments where either class is absent emit a null AUC rather
+    * than a misleading number.
+    *
+    * Scale: one (segment, score) map-side-combined aggregation, the
+    * per-TAG 1024-bucket prefix scheme ([[Ranking.valueCountsBeforeByTag]]
+    * — per-segment bounds broadcast, windows over the reduced distinct-
+    * score table only), then one segment-keyed aggregate. No data-sized
+    * sort window, no per-segment job fan-out. */
+  def aucRocBySegment(df: DataFrame, groupCol: String, labelCol: String,
+                      scoreCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
+      .filter(col("__v").isNotNull && col(labelCol).isNotNull
+        && col("__g").isNotNull)
+    val counts = rows.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__pos")).as("__cp"), count(lit(1)).as("__t"))
+    val cum = Ranking.valueCountsBeforeByTag(counts, "__g", "__v", "__t")
+    val agg = cum.groupBy(col("__g")).agg(
+      sum(col("__cp")).as("n_pos"),
+      sum(col("__t") - col("__cp")).as("n_neg"),
+      sum(dec(col("__cp")) * (col("__before") * 2 + col("__t") + 1)).as("__r2p"))
+    val u2p = col("__r2p") - dec(col("n_pos")) * (col("n_pos") + 1)
+    agg.select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(u2p.cast("double")
+          / (dec(col("n_pos")) * col("n_neg") * 2).cast("double"), 6))
+        .as("auc"))
+  }
+
   /** Calibration (reliability) table of a [0,1] score against a binary
     * label: `nBins` equal-width score bins, and per bin the count, the
     * mean predicted score, and the observed positive rate — the curve

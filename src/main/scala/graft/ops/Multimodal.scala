@@ -183,6 +183,67 @@ object Multimodal {
         md5(col("__frame")).as("frame_md5"))
   }
 
+  /** Typed record for a carved frame (payload slice) pre-hash. */
+  final case class FrameRow(doc_id: Long, media_type: String,
+                            frame_idx: Long, frame: Array[Byte])
+
+  /** Typed record leaving the per-frame hash stage. */
+  final case class FrameHash(doc_id: Long, media_type: String,
+                             frame_idx: Long, phash: String)
+
+  /** Keyframe selection: carve each payload into `nFrames` chunks
+    * ([[frameSample]]'s plumbing, stride 1), perceptual-hash every frame
+    * ([[averageHash64]] — the integer-exact aHash), and keep frame 0
+    * plus every frame whose Hamming distance from its PREDECESSOR is ≥
+    * `minHamming` — the shot-boundary pass a video pipeline runs so the
+    * embedding/caption stages see one frame per scene instead of 30/s
+    * of near-identical ones. A real build swaps the byte-chunk carve
+    * for codec frame extraction at the same mapPartitions seam; the
+    * selection logic, schema, and windowing are the production shape.
+    * Output: (doc_id, media_type, frame_idx, phash, hamming_prev) for
+    * kept frames (hamming_prev null on frame 0).
+    *
+    * Determinism: aHash bits are integer cross-comparisons (no float
+    * means); Hamming sums per hex nibble — bit-replayable in SQL.
+    *
+    * Scale: the explode happens scan-side BEFORE any shuffle; the only
+    * exchange is the per-document window over nFrames rows (bounded,
+    * never payload-sized — the hash already reduced each frame to 16
+    * chars). */
+  def keyframes(media: DataFrame, nFrames: Int = 8, minHamming: Int = 16)
+               (implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(nFrames >= 2, s"keyframes: nFrames=$nFrames must be >= 2")
+    require(minHamming >= 1 && minHamming <= 64,
+      s"keyframes: minHamming=$minHamming out of [1, 64]")
+    val flen = ceil(length(col("payload")).cast("double") / nFrames).cast("int")
+    val frames = media
+      .withColumn("__flen", flen)
+      .select(col("doc_id"), col("media_type"), posexplode(
+        transform(sequence(lit(0), lit(nFrames - 1)),
+          k => col("payload").substr(k * col("__flen") + 1, col("__flen"))))
+        .as(Seq("__i", "frame")))
+      .filter(length(col("frame")) > 0)
+      .select(col("doc_id"), col("media_type"),
+        col("__i").cast("long").as("frame_idx"), col("frame"))
+      .as[FrameRow]
+    val hashed = frames.mapPartitions(_.map(r =>
+      FrameHash(r.doc_id, r.media_type, r.frame_idx, averageHash64(r.frame))))
+      .toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val dist = (0 until 16).map(j =>
+      expr(s"bit_count(cast(conv(substring(phash, ${j + 1}, 1), 16, 10) as long)" +
+        s" ^ cast(conv(substring(__prev, ${j + 1}, 1), 16, 10) as long))"))
+      .reduce(_ + _)
+    hashed.withColumn("__prev", lag(col("phash"), 1).over(w))
+      .withColumn("hamming_prev",
+        when(col("__prev").isNotNull, dist.cast("long")))
+      .filter(col("__prev").isNull || col("hamming_prev") >= minHamming)
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        col("phash"), col("hamming_prev"))
+  }
+
   /** Fit (width, height) inside a `box`×`box` square preserving aspect
     * ratio, never upscaling — the resize-metadata step that runs BEFORE
     * the (stubbed) pixel resize so oversized payloads can be routed to a

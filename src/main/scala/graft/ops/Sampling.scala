@@ -393,4 +393,49 @@ object Sampling {
         .otherwise(lit(nShards.toLong) - 1 - pmod(col("rank"), lit(nShards.toLong))))
       .drop("__negt")
   }
+
+  /** Neyman-optimal allocation of a fixed audit/eval budget across
+    * strata (Neyman 1934): n_h ∝ N_h·S_h — big AND variable strata get
+    * more of the human-eval or recheck budget, uniform strata less; the
+    * variance-minimizing split a fixed-size labeling campaign should
+    * use instead of proportional allocation. Integerization is the
+    * deterministic largest-remainder method (floor everyone, hand the
+    * leftover seats to the largest fractional remainders, stratum-asc
+    * ties), then capped at the stratum size (a stratum can't supply
+    * more rows than it has; the cap is reported, not silently
+    * redistributed). Output: (stratum, n_rows, sd, n_alloc).
+    *
+    * Determinism: decimal moments → sd rounded 6 dp → weights as exact
+    * micro-longs; quotas and remainders are exact decimal arithmetic;
+    * the remainder ranking is total-ordered. One data aggregation to k
+    * stratum rows; every window here runs over those k rows. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"neymanAllocation: budget=$budget must be >= 1")
+    val g = df.select(col(stratumCol).as("__h"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__h").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__h")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(28,6)")).cast("double").as("__s"),
+        sum((col("__v") * col("__v")).cast("decimal(38,12)")).cast("double").as("__ss"))
+      .filter(col("__n") > 1)
+      .withColumn("sd", round(sqrt((col("__ss") - col("__s") * col("__s") / col("__n"))
+        / (col("__n") - 1)), 6))
+      .withColumn("__w", round(col("__n") * col("sd") * 1e6, 0).cast("decimal(28,0)"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("__rem").desc, col("__h"))
+    g.withColumn("__wt", sum(col("__w")).over(wAll))
+      .filter(col("__wt") > 0)
+      // exact rational quota: integral (budget·w) div Σw and its exact
+      // remainder — all decimal, no float quotient near-integer hazard
+      .withColumn("__bw", lit(budget.toLong) * col("__w"))
+      .withColumn("__q", expr("__bw div __wt"))
+      .withColumn("__rem", col("__bw") - col("__q") * col("__wt"))
+      .withColumn("__left", lit(budget.toLong) - sum(col("__q")).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .select(col("__h").as(stratumCol), col("__n").as("n_rows"), col("sd"),
+        least(col("__q") + when(col("__rk") <= col("__left"), 1L).otherwise(0L),
+          col("__n")).as("n_alloc"))
+  }
 }

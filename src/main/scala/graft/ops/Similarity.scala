@@ -968,5 +968,118 @@ object Similarity {
       .select(col("label_a"), col("label_b"),
         round(col("__dot") / (col("__na") * col("__nb")), 6).as("cosine"))
   }
+
+  /** Exact brute-force top-k by raw DOT PRODUCT (no normalization) —
+    * [[knnBruteForce]]'s unnormalized sibling; the ranking differs from
+    * cosine exactly where vector norms differ, which is what makes it a
+    * useful second voice in rank fusion. Index-ordered fold (`aggregate`
+    * evaluates left-to-right), rounded 6 dp before ranking. */
+  def knnBruteForceDot(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val dot = round(aggregate(zip_with(col("__qv"), col("__cv"), _ * _),
+      lit(0.0), _ + _), 6)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), dot.as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    * retrieval lists: fused score = Σ_lists 1/(k0 + rank), the
+    * training-free hybrid-search combiner every lexical+vector RAG stack
+    * ships (it needs no score calibration across lists — only ranks).
+    * Output: per query, the fused top `topK` with the fused rank and
+    * score. Items missing from a list simply contribute nothing — RRF's
+    * native behavior.
+    *
+    * Determinism: each contribution quantizes to round(1e6/(k0+rank)) —
+    * an integer lookup both engines compute identically — so fused
+    * scores are exact integer sums; the final ordering ties on item id.
+    *
+    * Scale: a union of already-bounded top-k tables (queries × k rows
+    * per list), one (query, item) aggregation, one per-query window over
+    * ≤ lists·k rows. Nothing corpus-sized. */
+  def rrfFusion(rankings: Seq[DataFrame], queryCol: String, itemCol: String,
+                rankCol: String, k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFusion: no rankings")
+    require(k0 >= 1, s"rrfFusion: k0=$k0 must be >= 1")
+    val rows = rankings.map(_.select(col(queryCol).as("__q"),
+        col(itemCol).as("__i"), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("rrf_micro").desc, col("__i"))
+    rows.groupBy(col("__q"), col("__i"))
+      .agg(sum(round(lit(1000000.0) / (lit(k0.toLong) + col("__r")), 0)
+        .cast("long")).as("rrf_micro"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .select(col("__q").as(queryCol), col("fused_rank"),
+        col("__i").as(itemCol), col("rrf_micro"))
+  }
+
+  /** Leading principal direction of the (uncentered) embedding matrix by
+    * `rounds` power-iteration steps v ← Xᵀ(Xv)/‖Xᵀ(Xv)‖ from the fixed
+    * seed e₁ — the PCA primitive behind embedding whitening, anisotropy
+    * audits ("is the index collapsing to one direction?"), and drift
+    * checks on the dominant axis. Fully dataflow: v is a dim-row table
+    * that broadcasts; NOTHING is collected — unlike an MLlib SVD, this
+    * runs as plain joins/aggregations and replays in any SQL engine.
+    * Output: (idx, loading, op_norm) with op_norm = ‖Xᵀ X v‖ of the last
+    * step (the operator-norm/eigenvalue estimate, since ‖v‖ = 1).
+    *
+    * Determinism protocol: each x·v term quantizes to 1e-8 units and
+    * each sᵢ·xᵢⱼ term to 1e-6 units BEFORE their cross-row integer sums
+    * (order-free by construction); the norm is one sqrt of an exact
+    * decimal sum of squares; v re-quantizes to 9 dp per round. Signs
+    * follow the e₁ seed, so the direction is reproducible, not just the
+    * axis. Rounding half-up matches both engines for negative terms
+    * (away-from-zero at .5 — the t_micro precedent).
+    *
+    * Scale: per round, two scans of the cached embedding table (score
+    * pass, accumulate pass) with map-side-combined aggregations; state
+    * between rounds is dim rows. rounds·2 passes total — at 100 TB this
+    * is the streaming-friendly form (no Gram matrix, no dim² shuffle). */
+  def pc1PowerIteration(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, rounds: Int = 3): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"pc1PowerIteration: dim=$dim out of [1, 4096]")
+    require(rounds >= 1 && rounds <= 10, s"pc1PowerIteration: rounds=$rounds out of [1, 10]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val x = emb
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__x"))
+      .filter(size(col("__x")) === dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => x.unpersist())
+    val xj = x.select(col("__id"),
+      posexplode(col("__x")).as(Seq("__j", "__xv")))
+    var v = (0 until dim).map(j => (j.toLong, if (j == 0) 1.0 else 0.0))
+      .toDF("idx", "__v")
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val s = xj.join(broadcast(v), col("__j") === col("idx"))
+        .groupBy(col("__id"))
+        .agg(sum(round(col("__xv") * col("__v") * 1e8, 0).cast("long")).as("__s"))
+      val u = xj.join(s, Seq("__id"))
+        .groupBy(col("__j"))
+        .agg(sum(round((col("__s") / 1e8) * col("__xv") * 1e6, 0).cast("long"))
+          .as("__u"))
+      val n2 = u.agg(sum(col("__u").cast("decimal(28,0)") * col("__u")).as("__n2"))
+      lastNorm = n2
+      v = u.crossJoin(broadcast(n2))
+        .select(col("__j").as("idx"),
+          round(col("__u").cast("double") / sqrt(col("__n2").cast("double")), 9)
+            .as("__v"))
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("idx"), col("__v").as("loading"),
+        round(sqrt(col("__n2").cast("double")) / 1e6, 6).as("op_norm"))
+  }
 }
 

@@ -310,6 +310,26 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // Per-source ROC AUC of the q217 length score: the fairness audit
+    // that catches a scorer ranking one source no better than chance
+    // while the GLOBAL AUC looks fine. One pipeline, no per-segment jobs.
+    "q296_auc_by_segment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), (col("lang") === "en").as("is_en"),
+          floor(col("n_chars") / 100).cast("double").as("score"))
+      Evaluation.aucRocBySegment(d, "source", "is_en", "score")
+        .orderBy("source")
+    }),
+
+    // Neyman-optimal split of a 1000-row audit budget across order
+    // priorities by N_h·S_h — the variance-minimizing labeling-campaign
+    // allocation, integerized by deterministic largest remainder.
+    "q297_neyman_alloc" -> ((s, dir) => {
+      Sampling.neymanAllocation(Tables.orders(s, dir), "o_orderpriority",
+          "o_totalprice", budget = 1000)
+        .orderBy("o_orderpriority")
+    }),
+
     // Out-of-fold target encoding of order priority against the F-status
     // label: every row's encode uses only the OTHER four folds' label
     // stats (prior included) — the leakage-safe mean-encode a feature
@@ -843,6 +863,50 @@ object CurationQueries {
                  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
           FROM b ORDER BY bin"""
     },
+    // aucRocBySegment replay: q217's midrank rank-sum per source
+    // (PARTITION BY added to the cumulative window, grouped final agg).
+    "q296_auc_by_segment" ->
+      """WITH r AS (SELECT source AS g, CAST(floor(n_chars / 100) AS DOUBLE) AS v,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                 FROM documents
+                 WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+          c AS (SELECT g, v, CAST(sum(pos) AS BIGINT) AS cp, count(*) AS t
+                FROM r GROUP BY g, v),
+          cum AS (SELECT g, cp, t,
+                    coalesce(sum(t) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                  FROM c),
+          a AS (SELECT g, CAST(sum(cp) AS BIGINT) AS n_pos,
+                       CAST(sum(t - cp) AS BIGINT) AS n_neg,
+                       sum(CAST(cp AS HUGEINT) * (before * 2 + t + 1)) AS r2p
+                FROM cum GROUP BY g)
+          SELECT g AS source, n_pos, n_neg,
+                 CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN round(CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                                 / CAST(CAST(n_pos AS HUGEINT) * n_neg * 2 AS DOUBLE), 6)
+                 END AS auc
+          FROM a ORDER BY source""",
+    // neymanAllocation replay: decimal moments -> 6-dp sd -> micro
+    // weights, integral quota + exact remainder, largest-remainder
+    // seats, stratum-size cap.
+    "q297_neyman_alloc" ->
+      """WITH g AS (SELECT o_orderpriority AS h, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS s,
+              CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS ss
+            FROM orders GROUP BY o_orderpriority),
+          w AS (SELECT h, n, round(sqrt((ss - s * s / n) / (n - 1)), 6) AS sd
+                FROM g WHERE n > 1),
+          w2 AS (SELECT h, n, sd,
+                   CAST(round(n * sd * 1000000, 0) AS HUGEINT) AS wm FROM w),
+          t AS (SELECT h, n, sd, wm, sum(wm) OVER () AS wt FROM w2),
+          q AS (SELECT h, n, sd, (1000 * wm) // wt AS q,
+                  (1000 * wm) % wt AS rem FROM t WHERE wt > 0),
+          fin AS (SELECT h, n, sd, q, rem,
+                    1000 - sum(q) OVER () AS leftover,
+                    row_number() OVER (ORDER BY rem DESC, h) AS rk FROM q)
+          SELECT h AS o_orderpriority, CAST(n AS BIGINT) AS n_rows, sd,
+            CAST(least(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n) AS BIGINT) AS n_alloc
+          FROM fin ORDER BY o_orderpriority""",
     // oofTargetEncode replay: md5 fold assignment, (cat, fold) cells,
     // cat/fold/global marginal windows, the identical smoothed-mean
     // expression shape.

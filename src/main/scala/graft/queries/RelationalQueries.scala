@@ -280,6 +280,19 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ORC round-trip: the columnar sibling of q18/q83 — write a slice as
+    // ORC (Spark-native, predicate-pushdown-capable like parquet), read
+    // it back, and hash-check content equality against the source table.
+    // The format is the variable; the rows are the invariant.
+    "q295_orc_roundtrip" -> ((s, dir) => {
+      val slice = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val path = graft.util.Scratch.dir(s, "orc_roundtrip")
+      slice.write.mode("overwrite").orc(path)
+      s.read.schema(slice.schema).orc(path)
+        .orderBy("o_orderkey")
+    }),
+
     // JSON extraction from the events props column (semi-structured path).
     "q19_json_extract" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -513,6 +526,10 @@ object RelationalQueries {
     "q17_count_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS nd_cust, count(DISTINCT o_orderstatus) AS nd_status, count(DISTINCT o_orderpriority) AS nd_prio, count(*) AS n_rows FROM orders""",
     "q18_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders ORDER BY o_orderkey""",
+    // content equality: DuckDB reads the SOURCE parquet; the engine reads
+    // its own ORC copy — a lossy format would hash-mismatch.
+    "q295_orc_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders ORDER BY o_orderkey""",
     "q19_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id""",

@@ -129,6 +129,31 @@ object VectorEventQueries {
         .orderBy("vec_id")
     }),
 
+    // Reciprocal-rank fusion of the cosine and raw-dot top-10 rankings
+    // (they disagree exactly where norms differ): the training-free
+    // hybrid-retrieval combiner, fused top-5 per query. Contributions
+    // are integer micro-units of 1/(60+rank) — exact on both engines.
+    "q299_rank_fusion" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+      val cos = Similarity.knnBruteForce(e, q, "vec_id", "embedding", K)
+      val dot = Similarity.knnBruteForceDot(e, q, "vec_id", "embedding", K)
+      Similarity.rrfFusion(Seq(cos, dot), "qid", "vec_id", "rank",
+          k0 = 60, topK = 5)
+        .orderBy("qid", "fused_rank")
+    }),
+
+    // Leading principal direction of the embedding matrix by 3 power-
+    // iteration steps from the e1 seed — the anisotropy/whitening audit,
+    // run as plain dataflow (v is a 64-row broadcast table, nothing
+    // collected, no Gram matrix). Exact-integer term quantization makes
+    // all three steps SQL-replayable.
+    "q294_pca_power" -> ((s, dir) => {
+      Similarity.pc1PowerIteration(Tables.embeddings(s, dir), "vec_id",
+          "embedding", dim = 64, rounds = 3)
+        .orderBy("idx")
+    }),
+
     // NDCG@10 of exact cosine retrieval with same-label relevance over
     // 40 queries: the position-aware ranking score an ANN stack reports
     // where recall@k can't see WHERE in the list the hits landed. Rank
@@ -785,6 +810,17 @@ object VectorEventQueries {
     "q81_frame_sample" -> ((s, dir) => {
       Multimodal.frameSample(Multimodal.asMediaTable(Tables.documents(s, dir)))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Keyframe selection: per-frame integer-exact aHash, keep frame 0 +
+    // frames ≥16 Hamming bits from their predecessor — the shot-boundary
+    // pass before per-frame embedding/captioning. Codec-free carve at
+    // the same seam a real frame extractor slots into.
+    "q298_keyframes" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.keyframes(Multimodal.asMediaTable(Tables.documents(s, dir)),
+          nFrames = 8, minHamming = 16)
+        .orderBy("doc_id", "frame_idx")
     }))
 
   private def lapSql(value: String, key: String, scale: String) =
@@ -1126,6 +1162,60 @@ object VectorEventQueries {
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
           FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    // rrfFusion replay: q38's cosine ranks + the same shape with a raw
+    // dot product (both sequential left-to-right folds on both engines),
+    // integer micro 1/(60+rank) contributions, item-asc ties.
+    "q299_rank_fusion" ->
+      s"""WITH $knnCore,
+          csc AS (SELECT qid, e.vec_id,
+                    round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+          cr AS (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                 FROM csc),
+          dsc AS (SELECT qid, e.vec_id,
+                    round(list_dot_product(qv, e.embedding::DOUBLE[]), 6) AS sim
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+          dr AS (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                 FROM dsc),
+          rr AS (SELECT qid, vec_id, rank FROM cr WHERE rank <= $K
+                 UNION ALL SELECT qid, vec_id, rank FROM dr WHERE rank <= $K),
+          sc AS (SELECT qid, vec_id,
+                   sum(CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT)) AS rrf_micro
+                 FROM rr GROUP BY qid, vec_id),
+          f AS (SELECT qid, vec_id, rrf_micro,
+                  row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, vec_id) AS fused_rank
+                FROM sc)
+          SELECT qid, CAST(fused_rank AS BIGINT) AS fused_rank, vec_id, rrf_micro
+          FROM f WHERE fused_rank <= 5 ORDER BY qid, fused_rank""",
+    // pc1PowerIteration replay: three unrolled v ← Xᵀ(Xv)/‖·‖ steps with
+    // the identical 1e-8/1e-6 term quantization, HUGEINT norm squares,
+    // 9-dp re-quantized v per step.
+    "q294_pca_power" -> {
+      def step(i: Int) =
+        s"""s$i AS (SELECT vec_id,
+                sum(CAST(round(t.xv * v.v * 100000000, 0) AS BIGINT)) AS s
+              FROM xj t JOIN v${i - 1} v ON t.j = v.idx GROUP BY vec_id),
+            u$i AS (SELECT t.j,
+                sum(CAST(round((s.s / 100000000.0) * t.xv * 1000000, 0) AS BIGINT)) AS u
+              FROM xj t JOIN s$i s USING (vec_id) GROUP BY t.j),
+            n$i AS (SELECT sum(CAST(u AS HUGEINT) * u) AS n2 FROM u$i),
+            v$i AS (SELECT j AS idx,
+                round(CAST(u AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 9) AS v
+              FROM u$i, n$i)"""
+      s"""WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+                     WHERE len(embedding) = 64),
+          xj AS (SELECT vec_id, i.range AS j, x[i.range + 1] AS xv
+                 FROM x, range(64) i),
+          v0 AS (SELECT i.range AS idx,
+                   CASE WHEN i.range = 0 THEN 1.0 ELSE 0.0 END AS v
+                 FROM range(64) i),
+          ${step(1)}, ${step(2)}, ${step(3)}
+          SELECT v3.idx, v3.v AS loading,
+            (SELECT round(sqrt(CAST(n2 AS DOUBLE)) / 1000000.0, 6) FROM n3) AS op_norm
+          FROM v3 ORDER BY v3.idx"""
+    },
     // ndcgAtK replay: q38's exact ranking shape over 40 queries with
     // same-label relevance; DCG/IDCG are integer sums of the SAME
     // driver-quantized micro discounts the engine inlines.
@@ -1955,6 +2045,57 @@ object VectorEventQueries {
           FROM documents ORDER BY doc_id""",
     // ASCII corpus: char and byte offsets coincide (same equivalence q44
     // relies on for md5(text) vs md5 of the utf-8 payload).
+    // keyframes replay: q81's frame carve (stride 1), the q171 byte-path
+    // aHash PER FRAME (integer cross-comparisons, nibble hex), lag +
+    // two-half Hamming (8-hex halves keep the BIGINT cast positive),
+    // keep frame 0 and jumps >= 16 bits.
+    "q298_keyframes" ->
+      """WITH m AS (SELECT doc_id, text,
+                  CAST(ceil(length(text) / 8.0) AS INT) AS flen FROM documents),
+          f AS (SELECT doc_id, k, substr(text, k * flen + 1, flen) AS frame
+                FROM m, (SELECT unnest(range(8)) AS k)
+                WHERE length(substr(text, k * flen + 1, flen)) > 0),
+          pos AS (SELECT doc_id, k, u.i AS i,
+                    ascii(substr(frame, CAST(u.i AS INT), 1)) AS bv,
+                    CAST((u.i - 1) * 64 // length(frame) AS INT) AS cell
+                  FROM f, UNNEST(range(1, length(frame) + 1)) u(i)),
+          cells AS (SELECT doc_id, k, cell, CAST(sum(bv) AS BIGINT) AS cs,
+                      CAST(count(*) AS BIGINT) AS cc
+                    FROM pos GROUP BY doc_id, k, cell),
+          tot AS (SELECT doc_id, k, CAST(sum(cs) AS BIGINT) AS s,
+                    CAST(sum(cc) AS BIGINT) AS nn
+                  FROM cells GROUP BY doc_id, k),
+          bits AS (SELECT t.doc_id, t.k, g.cell,
+                     CASE WHEN c.cc IS NOT NULL AND c.cs * t.nn > t.s * c.cc
+                          THEN 1 ELSE 0 END AS b
+                   FROM tot t
+                   CROSS JOIN (SELECT unnest(range(0, 64)) AS cell) g
+                   LEFT JOIN cells c ON c.doc_id = t.doc_id AND c.k = t.k
+                     AND c.cell = g.cell),
+          nib AS (SELECT doc_id, k, cell // 4 AS j,
+                    sum(b * CASE cell % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                          WHEN 2 THEN 2 ELSE 1 END) AS v
+                  FROM bits GROUP BY doc_id, k, cell // 4),
+          ph AS (SELECT doc_id, k,
+                   lower(string_agg(to_hex(CAST(v AS BIGINT)), '' ORDER BY j)) AS phash
+                 FROM nib GROUP BY doc_id, k),
+          lagd AS (SELECT doc_id, k, phash,
+                     lag(phash) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+                   FROM ph),
+          ham AS (SELECT doc_id, k, phash, prev,
+                    CASE WHEN prev IS NULL THEN NULL ELSE
+                      bit_count(xor(CAST('0x' || substr(phash, 1, 8) AS BIGINT),
+                                    CAST('0x' || substr(prev, 1, 8) AS BIGINT)))
+                    + bit_count(xor(CAST('0x' || substr(phash, 9, 8) AS BIGINT),
+                                    CAST('0x' || substr(prev, 9, 8) AS BIGINT)))
+                    END AS h
+                  FROM lagd)
+          SELECT doc_id,
+            (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+            CAST(k AS BIGINT) AS frame_idx, phash,
+            CAST(h AS BIGINT) AS hamming_prev
+          FROM ham WHERE prev IS NULL OR h >= 16
+          ORDER BY doc_id, frame_idx""",
     "q81_frame_sample" ->
       """WITH m AS (SELECT doc_id,
                   (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,

@@ -170,4 +170,21 @@ class EvaluationSpec extends graft.SparkSpec {
     assert(Evaluation.ndcgAtK(perfect, "q", "rank", "rel", k = 3)
       .select("ndcg").as[Double].head() == 1.0)
   }
+
+  test("aucRocBySegment: per-segment midranks match the global op per slice") {
+    // segment A reuses the aucRoc spec fixture (AUC 0.875); segment B is
+    // perfectly separated (AUC 1); segment C has one class only (null)
+    val df = Seq(("A", true, 3.0), ("A", true, 2.0), ("A", false, 1.0),
+      ("A", false, 2.0), ("B", true, 9.0), ("B", false, 1.0),
+      ("C", true, 5.0), ("C", true, 6.0)).toDF("seg", "y", "s")
+    val got = Evaluation.aucRocBySegment(df, "seg", "y", "s")
+      .orderBy("seg").collect()
+    assert(got(0).getAs[Double]("auc") == 0.875, got(0).toString)
+    assert(got(1).getAs[Double]("auc") == 1.0, got(1).toString)
+    assert(got(2).isNullAt(got(2).fieldIndex("auc")), got(2).toString)
+    // cross-check segment A against the global op on its slice
+    val global = Evaluation.aucRoc(df.filter($"seg" === "A"), "y", "s")
+      .select("auc").as[Double].head()
+    assert(got(0).getAs[Double]("auc") == global)
+  }
 }

@@ -266,4 +266,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.phashNearDup(media, maxHamming = 4)
     }
   }
+
+  test("keyframes: static payload keeps one frame; alternating scenes keep all") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // 64-byte frames so all 64 aHash cells are populated (one byte per
+    // cell): doc 1 repeats one chunk -> hamming 0 everywhere -> frame 0
+    // only; doc 2 alternates complementary low/high halves -> hamming 64
+    // at every boundary -> all 8 frames kept
+    val static = ("az" * 32) * 8
+    val scenes = (0 until 8).map(i =>
+      if (i % 2 == 0) "a" * 32 + "z" * 32 else "z" * 32 + "a" * 32).mkString
+    val media = Seq((1L, static.getBytes("UTF-8"), "video"),
+      (2L, scenes.getBytes("UTF-8"), "video"))
+      .toDF("doc_id", "payload", "media_type")
+    val got = Multimodal.keyframes(media, nFrames = 8, minHamming = 16)
+      .orderBy("doc_id", "frame_idx")
+      .select("doc_id", "frame_idx", "hamming_prev")
+      .as[(Long, Long, Option[Long])].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.toSeq == Seq((1L, 0L, None)), d1.mkString(", "))
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 8 && d2.tail.forall(_._3.contains(64L)),
+      d2.mkString(", "))
+  }
 }

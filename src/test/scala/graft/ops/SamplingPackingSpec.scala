@@ -267,4 +267,23 @@ class SamplingPackingSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double, Double)].head()
     assert(r == (("s", 2L, 3L, 0.9, 0.5, 0.2)), r.toString)
   }
+
+  test("neymanAllocation: largest-remainder seats, stratum cap, zero-sd stratum") {
+    // C and D identical (n=2, sd=sqrt(50)): budget 3 -> quotas 1+1, the
+    // leftover seat goes to C (remainder tie, stratum-asc)
+    val cd = Seq(("C", 0.0), ("C", 10.0), ("D", 0.0), ("D", 10.0))
+      .toDF("h", "v")
+    val got = Sampling.neymanAllocation(cd, "h", "v", budget = 3)
+      .orderBy("h").select("h", "n_rows", "sd", "n_alloc")
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.toSeq == Seq(("C", 2L, 7.071068, 2L), ("D", 2L, 7.071068, 1L)),
+      got.mkString(", "))
+    // a zero-variance stratum gets nothing; the variable one is capped
+    // at its own size even when the budget exceeds it
+    val ab = Seq(("A", 0.0), ("A", 10.0), ("B", 5.0), ("B", 5.0), ("B", 5.0))
+      .toDF("h", "v")
+    val got2 = Sampling.neymanAllocation(ab, "h", "v", budget = 5)
+      .orderBy("h").select("h", "n_alloc").as[(String, Long)].collect()
+    assert(got2.toSeq == Seq(("A", 2L), ("B", 0L)), got2.mkString(", "))
+  }
 }

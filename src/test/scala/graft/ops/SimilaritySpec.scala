@@ -656,4 +656,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) == 1.0, got.toString)  // identical scorer at full width
     assert(got(1L) == 0.0, got.toString)  // degenerate prefix loses recall
   }
+
+  test("pc1PowerIteration: rank-1 data recovers its direction and norm") {
+    import spark.implicits._
+    // rows k·(1,1,1,1): PC1 = (.5,.5,.5,.5), ‖XᵀXv‖ = 2·Σk² = 28·2 = 56
+    val df = Seq(1, 2, 3).map(k =>
+        (k.toLong, Seq.fill(4)(k.toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pc1PowerIteration(df, "vec_id", "embedding",
+        dim = 4, rounds = 3)
+      .orderBy("idx")
+      .select("idx", "loading", "op_norm")
+      .as[(Long, Double, Double)].collect()
+    graft.QueryCleanup.drain()
+    assert(got.length == 4)
+    got.foreach { case (_, l, _) => assert(math.abs(l - 0.5) < 1e-4, l) }
+    assert(math.abs(got.head._3 - 56.0) < 0.01, got.head.toString)
+    // unit norm
+    val n = got.map(r => r._2 * r._2).sum
+    assert(math.abs(n - 1.0) < 1e-6, n.toString)
+  }
+
+  test("rrfFusion: overlap wins, integer micro contributions, item ties") {
+    import spark.implicits._
+    // k0=1: rank 1 -> 500000, rank 2 -> 333333
+    val l1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q", "item", "rank")
+    val l2 = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q", "item", "rank")
+    val got = Similarity.rrfFusion(Seq(l1, l2), "q", "item", "rank",
+        k0 = 1, topK = 3)
+      .orderBy("fused_rank")
+      .select("fused_rank", "item", "rrf_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 11L, 833333L), (2L, 10L, 500000L),
+      (3L, 12L, 333333L)), got.mkString(", "))
+  }
 }
