@@ -411,6 +411,24 @@ object Dedup {
     * broadcast semi-join against each train partition's exploded shingles
     * — one pass over train, no train-side shuffle before the distinct on
     * the (small) flagged-id set. */
+  /** Documents sharing at least one word n-gram with ANOTHER document —
+    * [[contaminatedIds]]'s self-corpus form (the naive self-application
+    * would mark every doc via its own shingles). The corpus-card
+    * "verbatim n-gram overlap" rate rides on this set's size.
+    *
+    * Scale: (doc, shingle-hash) distinct pairs (8-byte keys, one
+    * exchange) -> a shingle-keyed window count -> distinct docs; the
+    * shingle key is uniform by construction, and nothing broadcasts. */
+  def sharedShingleDocs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__s"))
+    shingleHashes(docs, idCol, textCol, n, Nil)
+      .select(col("__id"), explode(col("__sh")).as("__s")).distinct()
+      .withColumn("__nd", count(lit(1)).over(w))
+      .filter(col("__nd") >= 2)
+      .select(col("__id").as(idCol)).distinct()
+  }
+
   def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
                       textCol: String, n: Int): DataFrame = {
     val t = shingleHashes(train, idCol, textCol, n, Nil)

@@ -182,6 +182,43 @@ object DifferentialPrivacy {
       .filter(col("dp_count") >= lit(math.rint(tau * 1e6) / 1e6))
   }
 
+  /** ε-DP top-k item selection by ONE-SHOT Gumbel noise (Durfee & Rogers
+    * 2019, "Practical Differentially Private Top-k Selection"): add
+    * G ~ Gumbel(k/ε) to each item's count and take the k largest — this
+    * is distributionally identical to k rounds of peeling with the
+    * exponential mechanism at ε/k each, in ONE pass instead of k
+    * sequential jobs. Only the RANKED ITEM LIST is released (selection,
+    * not estimation — release counts separately under their own Laplace
+    * budget if needed). Output: (rank, item).
+    *
+    * Determinism: G_v = −ln(−ln(U_v)) from the portable hash of
+    * (item, seed) — the [[dpMedianExp]] Gumbel-max convention; scores
+    * round to 6 dp before ranking, ties break on the item.
+    *
+    * Scale: one map-side-combined count aggregation; the noisy ranking
+    * is a TakeOrderedAndProject top-k (per-partition heaps), never a
+    * global sort. */
+  def dpTopK(df: DataFrame, itemCol: String, k: Int, epsilon: Double,
+             seed: Long): DataFrame = {
+    require(k >= 1, s"dpTopK: k=$k must be >= 1")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    import org.apache.spark.sql.expressions.Window
+    val u = puniform(concat_ws("|", col(itemCol).cast("string"), lit(seed)))
+    val gumbel = -log(-log(u))
+    // orderBy+limit = TakeOrderedAndProject (per-partition k-heaps, no
+    // global sort over the item domain); the rank window then runs over
+    // the k surviving rows only
+    val top = df.filter(col(itemCol).isNotNull)
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__score",
+        round(col("__c") + lit(k / epsilon) * gumbel, 6))
+      .orderBy(col("__score").desc, col(itemCol))
+      .limit(k)
+    val w = Window.orderBy(col("__score").desc, col(itemCol))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(itemCol))
+  }
+
   // ---- Exponential mechanism -------------------------------------------
 
   /** ε-DP median via the EXPONENTIAL MECHANISM (McSherry & Talwar, FOCS

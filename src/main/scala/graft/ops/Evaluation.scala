@@ -421,6 +421,46 @@ object Evaluation {
           .as("coverage"))
   }
 
+  /** Expected calibration error per segment: ECE = Σ_b (n_b/N)·|obs_b −
+    * conf_b| over `nBins` equal-width score bins, computed independently
+    * within each level of `groupCol` — the one-number-per-source audit
+    * that catches a quality scorer which is calibrated globally but
+    * systematically over-confident on one source (the per-bin curve is
+    * [[calibrationBins]]; this is its roll-up, segmented). Output:
+    * (segment, n, ece).
+    *
+    * Determinism: per-bin score mass accumulates in micro-longs; the
+    * per-bin |obs − conf| terms re-quantize to micro before the
+    * cross-bin weighted sum, so bin order can never reach the result;
+    * one double division per output row at the edge, rounded 6 dp.
+    *
+    * Scale: ONE (segment, bin) map-side-combined aggregation, then one
+    * segment-keyed aggregate of ≤ nBins rows per segment. */
+  def eceBySegment(df: DataFrame, groupCol: String, labelCol: String,
+                   scoreCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"eceBySegment: nBins=$nBins must be >= 2")
+    val rows = df.select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
+      .filter(col("__s").isNotNull && col(labelCol).isNotNull
+        && col("__g").isNotNull && col("__s") >= 0 && col("__s") <= 1)
+    val cells = rows
+      .withColumn("__b", least(floor(col("__s") * nBins), lit(nBins - 1L)))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__s") * 1e6, 0).cast("long")).as("__sm"),
+        sum(col("__pos")).as("__np"))
+    // per-bin gap in micro units: |np/n − sm/1e6/n|·1e6 = |np·1e6 − sm|/n
+    cells
+      .withColumn("__gap", round(abs(col("__np") * lit(1000000L) - col("__sm"))
+        .cast("double") / col("__n").cast("double"), 0).cast("long"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).as("n"),
+        round(sum(col("__gap") * col("__n")).cast("double")
+          / sum(col("__n")).cast("double") / 1e6, 6).as("ece"))
+      .select(col("__g").as(groupCol), col("n"), col("ece"))
+  }
+
   /** NDCG@k of a ranked retrieval table with binary relevance
     * (Järvelin & Kekäläinen 2002): per query,
     * DCG = Σ_{r≤k} rel_r / log₂(r+1) against the ideal ordering of the

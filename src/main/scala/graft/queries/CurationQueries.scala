@@ -310,6 +310,23 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // Expected calibration error per order priority on q218's scored
+    // model: the one-number-per-segment roll-up of the calibration curve
+    // (a scorer can be calibrated globally and over-confident on one
+    // segment). Micro-quantized bin gaps, exact weighted sum.
+    "q300_ece_by_segment" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("score",
+          Sampling.bucket(col("o_orderkey"), "graft-cal").cast("double")
+            / 1000000.0)
+        .withColumn("label",
+          Sampling.bucket(col("o_orderkey"), "graft-lab").cast("double")
+            < col("score") * 1000000.0)
+      Evaluation.eceBySegment(o, "o_orderpriority", "label", "score",
+          nBins = 10)
+        .orderBy("o_orderpriority")
+    }),
+
     // Per-source ROC AUC of the q217 length score: the fairness audit
     // that catches a scorer ranking one source no better than chance
     // while the GLOBAL AUC looks fine. One pipeline, no per-segment jobs.
@@ -862,6 +879,30 @@ object CurationQueries {
                  round(CAST(sm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean_score,
                  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
           FROM b ORDER BY bin"""
+    },
+    // eceBySegment replay: q218's hashes + segment, per-(segment, bin)
+    // micro score mass, |np·1e6 − sm|/n gap re-quantized before the
+    // weighted cross-bin sum.
+    "q300_ece_by_segment" -> {
+      val sb = phashSql("'graft-cal|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      val lb = phashSql("'graft-lab|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      s"""WITH o AS (SELECT o_orderpriority AS g,
+                       CAST($sb AS DOUBLE) / 1000000.0 AS s,
+                       CAST($lb AS DOUBLE) AS lbd FROM orders),
+          r AS (SELECT g, s, CASE WHEN lbd < s * 1000000.0 THEN 1 ELSE 0 END AS pos
+                FROM o WHERE s >= 0 AND s <= 1),
+          cells AS (SELECT g, CAST(least(floor(s * 10), 9) AS BIGINT) AS b,
+                      count(*) AS n,
+                      sum(CAST(round(s * 1000000, 0) AS BIGINT)) AS sm,
+                      CAST(sum(pos) AS BIGINT) AS np
+                    FROM r GROUP BY g, b),
+          gap AS (SELECT g, n,
+                    CAST(round(CAST(abs(np * 1000000 - sm) AS DOUBLE)
+                      / CAST(n AS DOUBLE), 0) AS BIGINT) AS gp
+                  FROM cells)
+          SELECT g AS o_orderpriority, CAST(sum(n) AS BIGINT) AS n,
+            round(CAST(sum(gp * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) / 1000000.0, 6) AS ece
+          FROM gap GROUP BY g ORDER BY g"""
     },
     // aucRocBySegment replay: q217's midrank rank-sum per source
     // (PARTITION BY added to the cumulative window, grouped final agg).

@@ -981,6 +981,68 @@ object TextQueries {
         .orderBy("coverage")
     }),
 
+    // Near-dup component-size histogram: how big do duplicate clusters
+    // get (the long tail is where template farms and mirror sites live).
+    // One groupBy over the CC labels, then a size histogram.
+    "q303_cluster_sizes" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+      val (clusters, release) = Dedup.dedupClustersReleasable(pairs)
+      graft.QueryCleanup.register(release)
+      clusters.groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+    // Corpus dedup summary: the three headline duplication rates (exact
+    // excess rows, docs in near-dup pairs, docs sharing an 8-gram with
+    // another doc) in ONE report table — the number a corpus card quotes
+    // before anyone asks for the pair lists.
+    "q301_dedup_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val total = d.agg(count(lit(1)).as("__total"))
+      val exact = d
+        .agg((count(lit(1)) - countDistinct(md5(col("text")))).as("n"))
+        .select(lit("exact_excess").as("metric"), col("n"))
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+      val near = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().agg(count(lit(1)).as("n"))
+        .select(lit("neardup_docs").as("metric"), col("n"))
+      val contam = Dedup.sharedShingleDocs(d, "doc_id", "text", n = 8)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("shared_8gram_docs").as("metric"), col("n"))
+      exact.unionByName(near).unionByName(contam)
+        .crossJoin(broadcast(total))
+        .select(col("metric"), col("n"),
+          round(col("n").cast("double") / col("__total").cast("double"), 6)
+            .as("share"))
+        .orderBy("metric")
+    }),
+
+    // Per-source Gopher gate report: pass rate + per-rule fail shares —
+    // "the symbol cap removed 3% of source X, the stopword floor 9%" —
+    // the attribution table a data-mix owner actually reads (q288 is the
+    // per-doc view; this is its roll-up).
+    "q302_gopher_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val flags = TextAnalysis.gopherFilter(d, "doc_id")
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      def failShare(c: String) =
+        round(sum(when(col(c), 0L).otherwise(1L)).cast("double")
+          / count(lit(1)).cast("double"), 6).as(s"fail_$c")
+      flags.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(col("pass"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("pass_rate"),
+          failShare("r_word_count"), failShare("r_word_len"),
+          failShare("r_symbol"), failShare("r_stop"), failShare("r_dup"))
+        .orderBy("source")
+    }),
+
     // CCNet-style perplexity filter: keep each source's at-or-above-
     // median half by mean bigram log-prob — per-SOURCE thresholds so no
     // register gets emptied by a global cut. Exact lower-median order
@@ -1070,6 +1132,82 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // cluster-size-histogram replay: the q130 CC chain, then two
+    // grouping levels (per-cluster size, per-size count).
+    "q303_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+          p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                    UNION SELECT id_b, id_a FROM p),
+          reach AS (SELECT src AS id, dst AS r FROM edges
+                    UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+          sz AS (SELECT cluster, count(*) AS s FROM lab GROUP BY cluster)
+          SELECT CAST(s AS BIGINT) AS cluster_size, count(*) AS n_clusters
+          FROM sz GROUP BY s ORDER BY cluster_size""",
+    // dedup-report replay: exact excess via distinct-md5, near-dup docs
+    // from the shared q36 pair chain, 8-gram sharers via a shingle-keyed
+    // window — one three-row report with shares.
+    "q301_dedup_report" -> {
+      val sh8 = s"list_transform(${shingleSqlN(8)}, g -> ${phashSql("g")})"
+      s"""WITH $minhashPairsCte,
+          tot AS (SELECT count(*) AS t FROM documents),
+          ex AS (SELECT 'exact_excess' AS metric,
+                   count(*) - count(DISTINCT md5(text)) AS n FROM documents),
+          nd AS (SELECT 'neardup_docs' AS metric, count(*) AS n FROM (
+                   SELECT DISTINCT id FROM (
+                     SELECT id_a AS id FROM j WHERE jaccard >= 0.3
+                     UNION ALL SELECT id_b FROM j WHERE jaccard >= 0.3))),
+          sg AS (SELECT DISTINCT doc_id, s FROM (
+                   SELECT doc_id, unnest($sh8) AS s FROM documents)),
+          sh8d AS (SELECT 'shared_8gram_docs' AS metric,
+                   count(DISTINCT doc_id) AS n FROM (
+                     SELECT doc_id, count(*) OVER (PARTITION BY s) AS c FROM sg)
+                   WHERE c >= 2),
+          u AS (SELECT * FROM ex UNION ALL SELECT * FROM nd UNION ALL SELECT * FROM sh8d)
+          SELECT metric, CAST(n AS BIGINT) AS n,
+            round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+          FROM u, tot ORDER BY metric"""
+    },
+    // gopher-report replay: q288's per-doc flags grouped by source with
+    // CASE-sum fail shares.
+    "q302_gopher_report" ->
+      s"""WITH base AS (SELECT doc_id,
+              CAST(len($tokSql) AS BIGINT) AS n_tokens,
+              round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                * 1.0 / len($tokSql), 6) AS mean_word_len,
+              round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                * 1.0 / length(text), 6) AS symbol_ratio,
+              round(len(list_filter($tokSql, t -> t IN ($stopList)))
+                * 1.0 / len($tokSql), 6) AS stop_ratio
+            FROM documents),
+          bg AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(len($tokSql) - 1),
+                           i -> $tokSql[i+1] || ' ' || $tokSql[i+2])) AS g
+                       FROM documents WHERE len($tokSql) >= 2)
+                 GROUP BY doc_id, g),
+          dup AS (SELECT doc_id,
+                    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS ds
+                  FROM bg GROUP BY doc_id),
+          fl AS (SELECT b.doc_id, d2.source,
+                   b.n_tokens BETWEEN 20 AND 100000 AS r1,
+                   b.mean_word_len BETWEEN 3.0 AND 10.0 AS r2,
+                   b.symbol_ratio <= 0.1 AS r3,
+                   b.stop_ratio >= 0.05 AS r4,
+                   coalesce(dp.ds, 0.0) <= 0.1 AS r5
+                 FROM base b
+                 LEFT JOIN dup dp ON b.doc_id = dp.doc_id
+                 JOIN documents d2 ON b.doc_id = d2.doc_id)
+          SELECT source, count(*) AS n,
+            round(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) * 1.0
+              / count(*), 6) AS pass_rate,
+            round(sum(CASE WHEN r1 THEN 0 ELSE 1 END) * 1.0 / count(*), 6) AS fail_r_word_count,
+            round(sum(CASE WHEN r2 THEN 0 ELSE 1 END) * 1.0 / count(*), 6) AS fail_r_word_len,
+            round(sum(CASE WHEN r3 THEN 0 ELSE 1 END) * 1.0 / count(*), 6) AS fail_r_symbol,
+            round(sum(CASE WHEN r4 THEN 0 ELSE 1 END) * 1.0 / count(*), 6) AS fail_r_stop,
+            round(sum(CASE WHEN r5 THEN 0 ELSE 1 END) * 1.0 / count(*), 6) AS fail_r_dup
+          FROM fl GROUP BY source ORDER BY source""",
     // perplexityFilter replay: q135's score chain, per-source lower
     // median as min(value with cum >= ceil(n/2)), at-or-above cut.
     "q292_perplexity_filter" ->

@@ -129,6 +129,15 @@ object VectorEventQueries {
         .orderBy("vec_id")
     }),
 
+    // ε-DP top-10 most-active users via ONE-SHOT Gumbel selection
+    // (Durfee-Rogers): the k-fold exponential-mechanism peel in a single
+    // pass — only the ranked list is released, never the counts.
+    "q304_dp_topk" -> ((s, dir) => {
+      DifferentialPrivacy.dpTopK(Tables.events(s, dir), "user_id",
+          k = 10, epsilon = 1.0, seed = 42L)
+        .orderBy("rank")
+    }),
+
     // Reciprocal-rank fusion of the cosine and raw-dot top-10 rankings
     // (they disagree exactly where norms differ): the training-free
     // hybrid-retrieval combiner, fused top-5 per query. Contributions
@@ -1162,6 +1171,20 @@ object VectorEventQueries {
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim
           FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    // dpTopK replay: hash-uniform Gumbel −ln(−ln(u)) at scale k/ε = 10,
+    // 6-dp scores, item-asc ties, top-10.
+    "q304_dp_topk" -> {
+      val u = "(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || '42'), 1, 15) AS BIGINT) % 1000000 + 0.5) / 1000000.0"
+      s"""WITH c AS (SELECT user_id, count(*) AS c FROM events
+                     WHERE user_id IS NOT NULL GROUP BY user_id),
+          sc AS (SELECT user_id,
+                   round(c + 10.0 * (-ln(-ln($u))), 6) AS score FROM c),
+          r AS (SELECT user_id, score,
+                  row_number() OVER (ORDER BY score DESC, user_id) AS rank
+                FROM sc)
+          SELECT CAST(rank AS BIGINT) AS rank, user_id
+          FROM r WHERE rank <= 10 ORDER BY rank"""
+    },
     // rrfFusion replay: q38's cosine ranks + the same shape with a raw
     // dot product (both sequential left-to-right folds on both engines),
     // integer micro 1/(60+rank) contributions, item-asc ties.

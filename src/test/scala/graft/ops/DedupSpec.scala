@@ -619,6 +619,15 @@ class DedupSpec extends SparkSpec {
     assert(got.get((1L, 2L)).contains(1.0), got.toString)
   }
 
+  test("sharedShingleDocs: only docs sharing an n-gram with ANOTHER doc") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sharedShingleDocs(df, "doc_id", "text", n = 2)
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L), got.toString)
+  }
+
   private implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap

@@ -187,4 +187,18 @@ class EvaluationSpec extends graft.SparkSpec {
       .select("auc").as[Double].head()
     assert(got(0).getAs[Double]("auc") == global)
   }
+
+  test("eceBySegment: hand gaps — (4·0.2 + 4·0.05)/8 = 0.125") {
+    // bin0: conf 0.05, obs 0.25 (gap 0.2); bin9: conf 0.95, obs 1.0 (gap 0.05)
+    val df = ((1 to 4).map(i => ("s", 0.05, i == 1)) ++
+      (1 to 4).map(_ => ("s", 0.95, true))).toDF("seg", "sc", "y")
+    val r = Evaluation.eceBySegment(df, "seg", "y", "sc", nBins = 10)
+      .select("seg", "n", "ece").as[(String, Long, Double)].head()
+    assert(r == (("s", 8L, 0.125)), r.toString)
+    // perfectly calibrated bins -> 0
+    val cal = ((1 to 4).map(i => ("s", 0.25, i == 1)) ++
+      (1 to 4).map(i => ("s", 0.75, i <= 3))).toDF("seg", "sc", "y")
+    assert(Evaluation.eceBySegment(cal, "seg", "y", "sc", nBins = 2)
+      .select("ece").as[Double].head() == 0.0)
+  }
 }

@@ -665,4 +665,21 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(got(0) == (("u1", 2L, 4.0, 1.5)), got(0).toString)
     assert(got(1) == (("u2", 1L, 6.0, 1.0)), got(1).toString)
   }
+
+  test("dpTopK: huge epsilon recovers the exact top-k; fixed seed deterministic") {
+    // counts: a=5, b=4, c=3, d=1
+    val df = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c")
+      ++ Seq("d")).toDF("item")
+    // eps huge: Gumbel noise at scale k/eps ~ 0 — ranking = true counts
+    val exact = DifferentialPrivacy.dpTopK(df, "item", k = 3,
+        epsilon = 1e9, seed = 1L)
+      .orderBy("rank").select("item").as[String].collect().toSeq
+    assert(exact == Seq("a", "b", "c"), exact.toString)
+    // fixed seed -> identical selection; k rows, ranks 1..k
+    val a1 = DifferentialPrivacy.dpTopK(df, "item", 2, 1.0, 7L)
+      .orderBy("rank").as[(Long, String)].collect().toSeq
+    val a2 = DifferentialPrivacy.dpTopK(df, "item", 2, 1.0, 7L)
+      .orderBy("rank").as[(Long, String)].collect().toSeq
+    assert(a1 == a2 && a1.map(_._1) == Seq(1L, 2L), a1.toString)
+  }
 }

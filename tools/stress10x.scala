@@ -264,12 +264,35 @@ def runR11(tag: String, lp: DataFrame, ords: DataFrame, ev: DataFrame): Unit = {
   graft.QueryCleanup.drain()
 }
 
+// round-13 additions: delta-peeling k-core and label propagation over
+// the q208 trade graph (10 disjoint replicas: edge volume 10x, peel
+// cascade depth / round count UNCHANGED — the regime where per-level
+// cost must grow ~linearly and the old rematerialize-the-subgraph
+// k-core would pay 10x edge rewrites per level).
+def runR13(tag: String, lp: DataFrame, ords: DataFrame): Unit = {
+  val pairs = lp.join(ords, col("l_orderkey") === col("o_orderkey"))
+    .select((col("l_partkey") + lit(1000000000L)).as("a"),
+      col("o_custkey").as("b"))
+    .distinct()
+  time(s"q278_kcore_$tag") {
+    graft.ops.Graph.kCore(pairs, "a", "b", k = 2, maxRounds = 12).count()
+  }
+  time(s"q290_labelprop_$tag") {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.ops.Graph.labelPropagation(edges, "src", "dst", rounds = 3).count()
+  }
+  graft.QueryCleanup.drain()
+}
+
 println("=== 1x (sf0.1) ===")
 run("1x", docs1, emb1, cust1)
 runNew("1x", docs1, cust1, li1, urg1)
 runR11("1x", lp1, ords1, ev1)
+runR13("1x", lp1, ords1)
 println("=== 10x ===")
 run("10x", docs10, emb10, cust10)
 runNew("10x", docs10, cust10, li10, urg10)
 runR11("10x", lp10, ords10, ev10)
+runR13("10x", lp10, ords10)
 System.exit(0)

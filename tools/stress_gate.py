@@ -64,6 +64,12 @@ BOUNDS = {
     "q206_assoc": 8.0,
     "q208_bfs": 8.0,
     "q202_km": 5.0,
+    # r13: delta-peeling k-core and label propagation over the 10x trade
+    # graph (edges 10x, round count structural): measured 1.95x / 2.35x;
+    # ~2x headroom over small 1x denominators (~2 s of per-round job
+    # overhead dominates locally)
+    "q278_kcore": 5.0,
+    "q290_labelprop": 5.0,
 }
 
 
