@@ -1024,6 +1024,54 @@ object Similarity {
         col("__i").as(itemCol), col("rrf_micro"))
   }
 
+  /** Per-vector anisotropy audit ("All-but-the-top", Mu & Viswanath
+    * 2018): center on the corpus mean, project on the [[pc1PowerIteration]]
+    * direction, and report (id, proj, resid_norm) — the decomposition
+    * that says how much of each embedding is the common direction
+    * (anisotropy) vs actual content. A whitening pass subtracts
+    * proj·u; this op is the audit that decides whether to.
+    *
+    * Determinism: the mean is an exact integer-micro componentwise sum;
+    * per-row dot/residual terms quantize to 1e-8 units before their
+    * sums (order-free); one sqrt at the edge, 6 dp outputs.
+    *
+    * Scale: the mean and u are dim-row broadcast tables; the audit is
+    * two passes over the exploded (id, j, x) table with map-side
+    * combine — corpus-sized work but nothing corpus-sized shuffles
+    * beyond the (id)-keyed aggregations. */
+  def anisotropyResidual(emb: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, rounds: Int = 3): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"anisotropyResidual: dim=$dim out of [1, 4096]")
+    val u = pc1PowerIteration(emb, idCol, vecCol, dim, rounds)
+      .select(col("idx"), col("loading"))
+    val xj = emb
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__x"))
+      .filter(size(col("__x")) === dim)
+      .select(col("__id"), posexplode(col("__x")).as(Seq("__j", "__xv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => xj.unpersist())
+    val mean = xj.groupBy(col("__j"))
+      .agg(sum(round(col("__xv") * 1e6, 0).cast("long")).as("__sm"),
+        count(lit(1)).as("__n"))
+      .select(col("__j"), (col("__sm").cast("double") / col("__n") / 1e6).as("__mu"))
+    val centered = xj.join(broadcast(mean), Seq("__j"))
+      .join(broadcast(u), col("__j") === col("idx"))
+      .select(col("__id"), col("__j"), (col("__xv") - col("__mu")).as("__xc"),
+        col("loading").as("__u"))
+    val proj = centered.groupBy(col("__id"))
+      .agg((sum(round(col("__xc") * col("__u") * 1e8, 0).cast("long"))
+        .cast("double") / 1e8).as("__p"))
+    centered.join(proj, Seq("__id"))
+      .select(col("__id"),
+        col("__p"),
+        (col("__xc") - col("__p") * col("__u")).as("__r"))
+      .groupBy(col("__id"), col("__p"))
+      .agg(sum(round(col("__r") * col("__r") * 1e8, 0).cast("long")).as("__rs"))
+      .select(col("__id").as(idCol),
+        round(col("__p"), 6).as("proj"),
+        round(sqrt(col("__rs").cast("double") / 1e8), 6).as("resid_norm"))
+  }
+
   /** Leading principal direction of the (uncentered) embedding matrix by
     * `rounds` power-iteration steps v ← Xᵀ(Xv)/‖Xᵀ(Xv)‖ from the fixed
     * seed e₁ — the PCA primitive behind embedding whitening, anisotropy

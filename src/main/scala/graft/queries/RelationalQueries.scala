@@ -280,6 +280,62 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Native unpivot/melt (q84's pivot inverse): the wide daily metrics
+    // table melted to (day, metric, value) long form — the shape every
+    // metrics warehouse stores.
+    "q308_unpivot" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"),
+          countDistinct(col("user_id")).cast("double").as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
+      daily.unpivot(Array(col("day")),
+          Array(col("n_events"), col("n_users"), col("sum_value")),
+          "metric", "value")
+        .orderBy("day", "metric")
+    }),
+
+    // The remaining rank-window surface in one query: percent_rank,
+    // cume_dist, ntile(4) over (priority, price) with a total tie order.
+    "q309_rank_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .orderBy("o_orderkey")
+    }),
+
+    // TPC-H Q5-style local-supplier volume per region: the 6-table star
+    // join (lineitem⋈orders⋈customer⋈supplier⋈nation⋈region, customer
+    // and supplier in the SAME nation) — the classic broadcast-chain
+    // plan: two fact-fact hash joins, then three dimension broadcasts;
+    // revenue accumulates in exact cents.
+    "q305_regional_volume" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100, 0).cast("decimal(28,0)")).cast("double") / 100.0, 2)
+            .as("revenue"))
+        .orderBy("r_name")
+    }),
+
     // ORC round-trip: the columnar sibling of q18/q83 — write a slice as
     // ORC (Spark-native, predicate-pushdown-capable like parquet), read
     // it back, and hash-check content equality against the source table.
@@ -527,6 +583,39 @@ object RelationalQueries {
       """SELECT count(DISTINCT o_custkey) AS nd_cust, count(DISTINCT o_orderstatus) AS nd_status, count(DISTINCT o_orderpriority) AS nd_prio, count(*) AS n_rows FROM orders""",
     "q18_csv_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders ORDER BY o_orderkey""",
+    // unpivot replay: UNION ALL of one select per metric.
+    "q308_unpivot" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+             FROM events GROUP BY day)
+          SELECT day, metric, value FROM (
+            SELECT day, 'n_events' AS metric, n_events AS value FROM d
+            UNION ALL SELECT day, 'n_users', n_users FROM d
+            UNION ALL SELECT day, 'sum_value', sum_value FROM d)
+          ORDER BY day, metric""",
+    // identical definitions in DuckDB; the (price, key) order is total
+    // so every rank statistic is tie-free deterministic.
+    "q309_rank_windows" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+            round(percent_rank() OVER w, 6) AS pct_rank,
+            round(cume_dist() OVER w, 6) AS cume,
+            CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          FROM orders WHERE o_orderkey % 100 = 0
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          ORDER BY o_orderkey""",
+    // Q5 replay: same join graph, revenue as exact integer cents.
+    "q305_regional_volume" ->
+      """SELECT r_name, count(*) AS n_lines,
+            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""",
     // content equality: DuckDB reads the SOURCE parquet; the engine reads
     // its own ORC copy — a lossy format would hash-mismatch.
     "q295_orc_roundtrip" ->

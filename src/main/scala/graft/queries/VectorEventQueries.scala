@@ -152,6 +152,16 @@ object VectorEventQueries {
         .orderBy("qid", "fused_rank")
     }),
 
+    // All-but-the-top anisotropy audit: per-vector common-direction
+    // projection + residual norm after centering — how much of each
+    // embedding is the corpus-wide direction vs content. Reuses the
+    // q294 power-iteration direction; everything stays dataflow.
+    "q306_anisotropy" -> ((s, dir) => {
+      Similarity.anisotropyResidual(Tables.embeddings(s, dir), "vec_id",
+          "embedding", dim = 64, rounds = 3)
+        .orderBy("vec_id")
+    }),
+
     // Leading principal direction of the embedding matrix by 3 power-
     // iteration steps from the e1 seed — the anisotropy/whitening audit,
     // run as plain dataflow (v is a 64-row broadcast table, nothing
@@ -612,6 +622,22 @@ object VectorEventQueries {
         .orderBy("event_id")
     }),
 
+    // Spark's NATIVE session_window operator (q40 builds sessions from
+    // window primitives; this exercises the built-in merging-session
+    // aggregation — half-open [start, last+gap) windows). The oracle
+    // replays it as the classic gaps-and-islands chain.
+    "q307_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Difference-in-differences across q203's parity arms and 15-day
     // periods: the causal estimate when treatment wasn't randomized;
     // the two pre means are the parallel-trends eyeball.
@@ -846,6 +872,31 @@ object VectorEventQueries {
 
   private val knnCore =
     s"""q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NQueries)"""
+
+  /** Shared q294/q306 power-iteration CTE chain: x/xj + v0 seed + three
+    * unrolled v ← Xᵀ(Xv)/‖·‖ steps (1e-8/1e-6 term quantization, HUGEINT
+    * norm squares, 9-dp v), ending at v3/n3. */
+  private val pcaChainSql: String = {
+    def step(i: Int) =
+      s"""s$i AS (SELECT vec_id,
+              sum(CAST(round(t.xv * v.v * 100000000, 0) AS BIGINT)) AS s
+            FROM xj t JOIN v${i - 1} v ON t.j = v.idx GROUP BY vec_id),
+          u$i AS (SELECT t.j,
+              sum(CAST(round((s.s / 100000000.0) * t.xv * 1000000, 0) AS BIGINT)) AS u
+            FROM xj t JOIN s$i s USING (vec_id) GROUP BY t.j),
+          n$i AS (SELECT sum(CAST(u AS HUGEINT) * u) AS n2 FROM u$i),
+          v$i AS (SELECT j AS idx,
+              round(CAST(u AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 9) AS v
+            FROM u$i, n$i)"""
+    s"""x AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+                WHERE len(embedding) = 64),
+        xj AS (SELECT vec_id, i.range AS j, x[i.range + 1] AS xv
+               FROM x, range(64) i),
+        v0 AS (SELECT i.range AS idx,
+                 CASE WHEN i.range = 0 THEN 1.0 ELSE 0.0 END AS v
+               FROM range(64) i),
+        ${step(1)}, ${step(2)}, ${step(3)}"""
+  }
 
   /** SQL replay of the deterministic IVF coarse-quantizer fit
     * ([[graft.ml.DeterministicKMeans.fitArrayMicros]]): micro-fix the
@@ -1215,30 +1266,31 @@ object VectorEventQueries {
     // pc1PowerIteration replay: three unrolled v ← Xᵀ(Xv)/‖·‖ steps with
     // the identical 1e-8/1e-6 term quantization, HUGEINT norm squares,
     // 9-dp re-quantized v per step.
-    "q294_pca_power" -> {
-      def step(i: Int) =
-        s"""s$i AS (SELECT vec_id,
-                sum(CAST(round(t.xv * v.v * 100000000, 0) AS BIGINT)) AS s
-              FROM xj t JOIN v${i - 1} v ON t.j = v.idx GROUP BY vec_id),
-            u$i AS (SELECT t.j,
-                sum(CAST(round((s.s / 100000000.0) * t.xv * 1000000, 0) AS BIGINT)) AS u
-              FROM xj t JOIN s$i s USING (vec_id) GROUP BY t.j),
-            n$i AS (SELECT sum(CAST(u AS HUGEINT) * u) AS n2 FROM u$i),
-            v$i AS (SELECT j AS idx,
-                round(CAST(u AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 9) AS v
-              FROM u$i, n$i)"""
-      s"""WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
-                     WHERE len(embedding) = 64),
-          xj AS (SELECT vec_id, i.range AS j, x[i.range + 1] AS xv
-                 FROM x, range(64) i),
-          v0 AS (SELECT i.range AS idx,
-                   CASE WHEN i.range = 0 THEN 1.0 ELSE 0.0 END AS v
-                 FROM range(64) i),
-          ${step(1)}, ${step(2)}, ${step(3)}
+    "q294_pca_power" ->
+      s"""WITH $pcaChainSql
           SELECT v3.idx, v3.v AS loading,
             (SELECT round(sqrt(CAST(n2 AS DOUBLE)) / 1000000.0, 6) FROM n3) AS op_norm
-          FROM v3 ORDER BY v3.idx"""
-    },
+          FROM v3 ORDER BY v3.idx""",
+    // anisotropyResidual replay: the q294 chain + integer-micro mean,
+    // 1e-8-quantized projection and residual sums, one sqrt at the edge.
+    "q306_anisotropy" ->
+      s"""WITH $pcaChainSql,
+          mu AS (SELECT j, CAST(sum(CAST(round(xv * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1000000.0 AS mu
+                 FROM xj GROUP BY j),
+          cen AS (SELECT xj.vec_id, xj.j, xj.xv - mu.mu AS xc, v3.v AS u
+                  FROM xj JOIN mu USING (j) JOIN v3 ON xj.j = v3.idx),
+          pr AS (SELECT vec_id,
+                   CAST(sum(CAST(round(xc * u * 100000000, 0) AS BIGINT)) AS DOUBLE)
+                     / 100000000.0 AS p
+                 FROM cen GROUP BY vec_id),
+          rs AS (SELECT c.vec_id, pr.p,
+                   sum(CAST(round((c.xc - pr.p * c.u) * (c.xc - pr.p * c.u)
+                     * 100000000, 0) AS BIGINT)) AS rsum
+                 FROM cen c JOIN pr USING (vec_id) GROUP BY c.vec_id, pr.p)
+          SELECT vec_id, round(p, 6) AS proj,
+            round(sqrt(CAST(rsum AS DOUBLE) / 100000000.0), 6) AS resid_norm
+          FROM rs ORDER BY vec_id""",
     // ndcgAtK replay: q38's exact ranking shape over 40 queries with
     // same-label relevance; DCG/IDCG are integer sums of the SAME
     // driver-quantized micro discounts the engine inlines.
@@ -1818,6 +1870,25 @@ object VectorEventQueries {
                                  / CAST(nb - pb AS DOUBLE), 6)
                  END AS value
           FROM j ORDER BY event_type, b""",
+    // session_window replay: gaps-and-islands with the built-in's exact
+    // semantics — new session when ts − prev >= gap (half-open window),
+    // end = last event + gap.
+    "q307_session_window" ->
+      """WITH l AS (SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+             FROM events),
+          s AS (SELECT user_id, ts, value,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM l)
+          SELECT user_id, min(ts) AS session_start,
+            max(ts) + INTERVAL 30 MINUTE AS session_end,
+            count(*) AS n_events,
+            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q40_sessionize" ->
       """SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM (SELECT event_id, user_id, ts,

@@ -677,6 +677,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-6, n.toString)
   }
 
+  test("anisotropyResidual: rank-1 data projects fully, residual 0") {
+    import spark.implicits._
+    // rows k·(1,1,1,1): centered = (k−2)·1 per comp, u = (.5,.5,.5,.5)
+    // -> proj = 2(k−2), residual exactly 0
+    val df = Seq(1, 2, 3).map(k => (k.toLong, Seq.fill(4)(k.toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.anisotropyResidual(df, "vec_id", "embedding",
+        dim = 4, rounds = 3)
+      .orderBy("vec_id").select("vec_id", "proj", "resid_norm")
+      .as[(Long, Double, Double)].collect()
+    graft.QueryCleanup.drain()
+    val projs = got.map(_._2)
+    assert(math.abs(projs(0) + 2.0) < 1e-3 && math.abs(projs(1)) < 1e-3
+      && math.abs(projs(2) - 2.0) < 1e-3, got.mkString(", "))
+    assert(got.forall(_._3 < 1e-3), got.mkString(", "))
+  }
+
   test("rrfFusion: overlap wins, integer micro contributions, item ties") {
     import spark.implicits._
     // k0=1: rank 1 -> 500000, rank 2 -> 333333
