@@ -1042,14 +1042,11 @@ object Similarity {
   def anisotropyResidual(emb: DataFrame, idCol: String, vecCol: String,
                          dim: Int, rounds: Int = 3): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"anisotropyResidual: dim=$dim out of [1, 4096]")
-    val u = pc1PowerIteration(emb, idCol, vecCol, dim, rounds)
-      .select(col("idx"), col("loading"))
-    val xj = emb
-      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__x"))
-      .filter(size(col("__x")) === dim)
-      .select(col("__id"), posexplode(col("__x")).as(Seq("__j", "__xv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.QueryCleanup.register(() => xj.unpersist())
+    // ONE cached explode serves both the power-iteration rounds and the
+    // mean/projection/residual audit passes
+    val xj = explodedVectors(emb, idCol, vecCol, dim)
+    val u = pc1Core(emb.sparkSession, xj, dim, rounds)._1
+      .select(col("idx"), col("__v").as("loading"))
     val mean = xj.groupBy(col("__j"))
       .agg(sum(round(col("__xv") * 1e6, 0).cast("long")).as("__sm"),
         count(lit(1)).as("__n"))
@@ -1098,15 +1095,32 @@ object Similarity {
                         dim: Int, rounds: Int = 3): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"pc1PowerIteration: dim=$dim out of [1, 4096]")
     require(rounds >= 1 && rounds <= 10, s"pc1PowerIteration: rounds=$rounds out of [1, 10]")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val x = emb
+    val xj = explodedVectors(emb, idCol, vecCol, dim)
+    val (v, lastNorm) = pc1Core(emb.sparkSession, xj, dim, rounds)
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("idx"), col("__v").as("loading"),
+        round(sqrt(col("__n2").cast("double")) / 1e6, 6).as("op_norm"))
+  }
+
+  /** Cached (id, j, x_j) exploded view of the embedding table — shared
+    * by the power-iteration loop and any audit passes over the same
+    * coordinates, so composite queries (q306) explode and cache ONCE. */
+  private def explodedVectors(emb: DataFrame, idCol: String, vecCol: String,
+                              dim: Int): DataFrame = {
+    val xj = emb
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__x"))
       .filter(size(col("__x")) === dim)
+      .select(col("__id"), posexplode(col("__x")).as(Seq("__j", "__xv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.QueryCleanup.register(() => x.unpersist())
-    val xj = x.select(col("__id"),
-      posexplode(col("__x")).as(Seq("__j", "__xv")))
+    graft.QueryCleanup.register(() => xj.unpersist())
+    xj
+  }
+
+  /** The v ← Xᵀ(Xv)/‖·‖ loop over a cached exploded table; returns the
+    * final (idx, __v) direction and the 1-row (__n2) norm table. */
+  private def pc1Core(spark: org.apache.spark.sql.SparkSession, xj: DataFrame,
+                      dim: Int, rounds: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
     var v = (0 until dim).map(j => (j.toLong, if (j == 0) 1.0 else 0.0))
       .toDF("idx", "__v")
     var lastNorm: DataFrame = null
@@ -1125,9 +1139,7 @@ object Similarity {
           round(col("__u").cast("double") / sqrt(col("__n2").cast("double")), 9)
             .as("__v"))
     }
-    v.crossJoin(broadcast(lastNorm))
-      .select(col("idx"), col("__v").as("loading"),
-        round(sqrt(col("__n2").cast("double")) / 1e6, 6).as("op_norm"))
+    (v, lastNorm)
   }
 }
 

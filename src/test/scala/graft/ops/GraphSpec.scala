@@ -219,4 +219,24 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 11L, 11L -> 10L), got.toString)
   }
+
+  test("labelPropagation and kCore are partition-independent") {
+    import spark.implicits._
+    val und = (1L to 40L).flatMap(i => Seq((i, i % 20 + 100L), (i % 7 + 200L, i)))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lp1 = graft.ops.Graph.labelPropagation(edges, "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    val lp2 = graft.ops.Graph.labelPropagation(edges.repartition(7), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(lp1 == lp2)
+    val kc1 = graft.ops.Graph.kCore(edges, "src", "dst", 2, 12)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    val kc2 = graft.ops.Graph.kCore(edges.repartition(7), "src", "dst", 2, 12)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(kc1 == kc2 && kc1.nonEmpty)
+  }
 }
