@@ -90,7 +90,11 @@ object Bench {
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_sec":$rs,"resources":$res,"failed":$fs,"reps":$reps,"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    // a filtered run (SPARK_GRAFT_ONLY) is an iteration probe — writing
+    // its 2-query detail over the round artifact silently destroys the
+    // full suite's record (it did, once); route it to a side file
+    val detailPath = java.nio.file.Paths.get(
+      if (only.isDefined) "bench_detail_only.json" else "bench_detail.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] full per-rep detail written to ${detailPath.toAbsolutePath}")
     // The ONE stdout JSON line must fit the 2000-char tail with room for

@@ -792,7 +792,6 @@ object TimeSeries {
     * timestamp (so the operator is a pure function of the data, not the
     * wall clock) — the "recent behavior counts more" score a feature
     * store materializes per user (decayed spend, decayed event count).
-    * Output: (group, n, decayed_sum, decayed_count, last_ts).
     *
     * Determinism: age is an exact integer day count; the weight
     * quantizes to micro-units per DISTINCT age (one exp per age, then
@@ -805,7 +804,8 @@ object TimeSeries {
     * combined aggregation per group key. No window, no sort; the decay
     * never re-reads history because the weight depends only on the
     * row's own age (rescaling by the anchor is the classic trick that
-    * makes exponential decay embarrassingly parallel). */
+    * makes exponential decay embarrassingly parallel). Output columns:
+    * (group, n, decayed_sum, decayed_count, last_day). */
   def decayWeightedAgg(events: DataFrame, groupCol: String, tsCol: String,
                        valueCol: String,
                        halfLifeDays: Int = 30): DataFrame = {
