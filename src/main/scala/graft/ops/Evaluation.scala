@@ -421,6 +421,60 @@ object Evaluation {
           .as("coverage"))
   }
 
+  /** GROUP-CONDITIONAL split conformal ("Mondrian conformal", Vovk
+    * 2012): [[conformalInterval]] computes ONE global q̂, which
+    * guarantees only marginal coverage — a category with larger noise
+    * silently under-covers while easy categories over-cover. This form
+    * computes the ⌈(n_g+1)(1−α)⌉-th residual PER CATEGORY, restoring
+    * the 1−α guarantee within every group. Output: (category, q_hat,
+    * n_test, n_covered, coverage).
+    *
+    * Determinism: identical to the global form — exact decimal mean
+    * predictor, 6-dp residuals, exact per-group order statistics via
+    * the tagged 1024-bucket prefix scheme.
+    *
+    * Scale: the per-group q̂ comes from
+    * [[Ranking.valueCountsBeforeByTag]] over the (category, residual)
+    * distinct-count table — one pass, no per-category job fan-out; the
+    * q̂ table is category-sized and broadcasts. */
+  def conformalIntervalByGroup(train: DataFrame, calib: DataFrame,
+                               test: DataFrame, catCol: String, yCol: String,
+                               alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"conformalIntervalByGroup: alpha=$alpha outside (0,1)")
+    val pred = train.select(col(catCol).as("__c"),
+        col(yCol).cast("decimal(28,6)").as("__y"))
+      .filter(col("__c").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__c"))
+      .agg(round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("__pred"))
+    val resid = calib.select(col(catCol).as("__c"),
+        col(yCol).cast("double").as("__yv"))
+      .filter(col("__c").isNotNull && col("__yv").isNotNull)
+      .join(broadcast(pred), Seq("__c"))
+      .select(col("__c"), round(abs(col("__yv") - col("__pred")), 6).as("__r"))
+    val counts = resid.groupBy(col("__c"), col("__r"))
+      .agg(count(lit(1)).as("__cnt"))
+    val qhat = Ranking.valueCountsBeforeByTag(counts, "__c", "__r", "__cnt")
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col("__c"))))
+      .withColumn("__k", least(col("__n"),
+        ceil((col("__n") + 1) * lit(1.0 - alpha)).cast("long")))
+      .filter(col("__before") < col("__k")
+        && col("__before") + col("__cnt") >= col("__k"))
+      .groupBy(col("__c")).agg(min(col("__r")).as("q_hat"))
+    test.select(col(catCol).as("__c"), col(yCol).cast("double").as("__yv"))
+      .filter(col("__c").isNotNull && col("__yv").isNotNull)
+      .join(broadcast(pred), Seq("__c"))
+      .join(broadcast(qhat), Seq("__c"))
+      .groupBy(col("__c"), col("q_hat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(round(abs(col("__yv") - col("__pred")), 6) <= col("q_hat"),
+          1L).otherwise(0L)).as("n_covered"))
+      .select(col("__c").as(catCol), col("q_hat"),
+        col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Expected calibration error per segment: ECE = Σ_b (n_b/N)·|obs_b −
     * conf_b| over `nBins` equal-width score bins, computed independently
     * within each level of `groupCol` — the one-number-per-source audit

@@ -32,6 +32,60 @@ object Experiment {
     * Scale: two aggregations (global moments — 1 row, broadcast back —
     * and per-arm moments) over the unit table; nothing is ever wider
     * than one row per unit. */
+  /** Positive-part James–Stein shrinkage of per-group means toward the
+    * grand mean (James & Stein 1961; Efron & Morris 1975) — the
+    * winner's-curse correction for "which segment has the best metric"
+    * readouts: with many segments, the extreme observed means are partly
+    * selection noise, and the JS estimator dominates the raw means in
+    * total squared error whenever k ≥ 4. b = max(0, 1 − (k−3)·se̅²/SSB)
+    * with se̅² the pooled within-group variance times the mean 1/n_g;
+    * shrunk_g = grand + b·(mean_g − grand). Output: (group, n, mean,
+    * shrunk, b) — b repeated per row for readability.
+    *
+    * Determinism: group means round to 6 dp; every cross-group sum
+    * (grand mean, pooled variance terms, 1/n terms, squared deviations)
+    * quantizes its k per-group terms to integer micro-units first, so
+    * group order can never reach b. Edge cases: k ≤ 3 → b = 1 (the JS
+    * correction does not apply); SSB = 0 → b = 0 (all means equal —
+    * shrinking is the identity anyway).
+    *
+    * Scale: one map-side-combined aggregation to k rows; every window
+    * here runs over those k rows. */
+  def jamesSteinMeans(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__g")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(28,6)")).cast("double").as("__s"),
+        sum((col("__v") * col("__v")).cast("decimal(38,12)")).cast("double").as("__ss"))
+      .filter(col("__n") > 1)
+      .withColumn("mean", round(col("__s") / col("__n"), 6))
+    val wAll = Window.partitionBy()
+    val stats = g
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__gm", round(sum(round(col("mean") * 1e6, 0).cast("long"))
+        .over(wAll).cast("double") / col("__k") / 1e6, 6))
+      .withColumn("__pv", sum(round((col("__ss") - col("__s") * col("__s") / col("__n"))
+        * 1e6, 0).cast("long")).over(wAll).cast("double") / 1e6
+        / sum(col("__n") - 1).over(wAll).cast("double"))
+      .withColumn("__invn", sum(round(lit(1e9) / col("__n"), 0).cast("long"))
+        .over(wAll).cast("double") / col("__k") / 1e9)
+      .withColumn("__ssb", sum(round((col("mean") - col("__gm"))
+        * (col("mean") - col("__gm")) * 1e6, 0).cast("long"))
+        .over(wAll).cast("double") / 1e6)
+    val b = when(col("__k") <= 3, lit(1.0))
+      .when(col("__ssb") <= 0, lit(0.0))
+      .otherwise(greatest(lit(0.0), round(lit(1.0)
+        - (col("__k") - 3) * col("__pv") * col("__invn") / col("__ssb"), 6)))
+    stats.withColumn("b", b)
+      .select(col("__g").as(groupCol), col("__n").as("n"), col("mean"),
+        round(col("__gm") + col("b") * (col("mean") - col("__gm")), 6)
+          .as("shrunk"),
+        col("b"))
+  }
+
   def cuped(units: DataFrame, armCol: String, preCol: String,
             postCol: String): DataFrame = {
     val x = col("__x")

@@ -787,6 +787,44 @@ object TimeSeries {
           .as(s"forecast$horizon"))
   }
 
+  /** One-step forecast backtest of the two baselines every forecasting
+    * effort must beat: naive (tomorrow = today) and seasonal-naive
+    * (tomorrow = same weekday last week), scored as MAE over the series
+    * — the sanity row above any Holt/ARIMA readout ([[holtSmoothing]]'s
+    * reality check; if a model doesn't beat snaive, ship snaive).
+    * Output: (group, method, n, mae) with one row per method.
+    *
+    * Determinism: per-day values are the exact micro-mean protocol;
+    * absolute errors quantize to micro before the cross-day sums; one
+    * division per output row at the edge, 6 dp. Only days where the
+    * lagged forecast EXISTS score (n differs per method, by design).
+    *
+    * Scale: one exchange to the per-(group, day) table; both lags ride
+    * ONE group-keyed window ordering; the method melt is a scan-side
+    * union of two bounded aggregates. */
+  def forecastBacktest(events: DataFrame, groupCol: String, tsCol: String,
+                       valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, s"forecastBacktest: season=$season must be >= 2")
+    val daily = events
+      .groupBy(col(groupCol).as("__g"), to_date(col(tsCol)).as("__d"))
+      .agg(round(sum(round(col(valueCol) * 1000000).cast("long")) /
+        (count(lit(1)) * 1000000.0), 6).as("__y"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+    val lagged = daily
+      .withColumn("__f1", lag(col("__y"), 1).over(w))
+      .withColumn("__fs", lag(col("__y"), season).over(w))
+    def mae(fc: String, name: String) = lagged
+      .filter(col(fc).isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(abs(col("__y") - col(fc)) * 1e6, 0).cast("long"))
+          .cast("double") / count(lit(1)) / 1e6, 6).as("mae"))
+      .select(col("__g").as(groupCol), lit(name).as("method"),
+        col("n"), col("mae"))
+    mae("__f1", "naive").unionByName(mae("__fs", "seasonal_naive"))
+      .orderBy(groupCol, "method")
+  }
+
   /** Recency-weighted aggregate per group: each row weighs
     * w = exp(−age·ln2/halfLifeDays) relative to the table's newest
     * timestamp (so the operator is a pure function of the data, not the

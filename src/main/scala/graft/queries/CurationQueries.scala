@@ -310,6 +310,21 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // Group-conditional (Mondrian) conformal: q286's global q-hat
+    // guarantees only MARGINAL coverage — this computes the
+    // ceil((n_g+1)·0.9)-th residual per priority, restoring the 90%
+    // guarantee within every group (watch q286's per-group coverage
+    // spread vs this one's).
+    "q310_group_conformal" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Evaluation.conformalIntervalByGroup(
+          o.filter(col("o_orderkey") % 3 === 0),
+          o.filter(col("o_orderkey") % 3 === 1),
+          o.filter(col("o_orderkey") % 3 === 2),
+          "o_orderpriority", "o_totalprice", alpha = 0.1)
+        .orderBy("o_orderpriority")
+    }),
+
     // Expected calibration error per order priority on q218's scored
     // model: the one-number-per-segment roll-up of the calibration curve
     // (a scorer can be calibrated globally and over-confident on one
@@ -880,6 +895,34 @@ object CurationQueries {
                  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
           FROM b ORDER BY bin"""
     },
+    // group-conformal replay: q286's chain with PARTITION BY category in
+    // the cumulative windows and a per-group min-over-threshold q-hat.
+    "q310_group_conformal" ->
+      """WITH pred AS (SELECT o_orderpriority AS c,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                / count(*), 6) AS pred
+            FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderpriority),
+          resid AS (SELECT p.c, round(abs(CAST(o.o_totalprice AS DOUBLE) - p.pred), 6) AS r
+            FROM orders o JOIN pred p ON o.o_orderpriority = p.c
+            WHERE o.o_orderkey % 3 = 1),
+          cum AS (SELECT c, r, cnt,
+                    sum(cnt) OVER (PARTITION BY c ORDER BY r) AS cum,
+                    sum(cnt) OVER (PARTITION BY c) AS n
+                  FROM (SELECT c, r, count(*) AS cnt FROM resid GROUP BY c, r)),
+          q AS (SELECT c, min(r) AS q_hat FROM cum
+                WHERE cum >= least(n,
+                  CAST(ceil((n + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT))
+                GROUP BY c),
+          t AS (SELECT o.o_orderpriority AS c, q.q_hat,
+                  count(*) AS n_test,
+                  CAST(sum(CASE WHEN round(abs(CAST(o.o_totalprice AS DOUBLE) - p.pred), 6)
+                    <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+                FROM orders o JOIN pred p ON o.o_orderpriority = p.c
+                JOIN q ON q.c = p.c
+                WHERE o.o_orderkey % 3 = 2 GROUP BY o.o_orderpriority, q.q_hat)
+          SELECT c AS o_orderpriority, q_hat, n_test, n_covered,
+            round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+          FROM t ORDER BY o_orderpriority""",
     // eceBySegment replay: q218's hashes + segment, per-(segment, bin)
     // micro score mass, |np·1e6 − sm|/n gap re-quantized before the
     // weighted cross-bin sum.

@@ -825,6 +825,24 @@ object StatsQueries {
       DataQuality.schemaDrift(a, b).orderBy("column")
     }),
 
+    // One-step backtest of the naive and seasonal-naive baselines on
+    // each event type's daily-mean series — the sanity row a Holt/ARIMA
+    // readout must beat (if a model loses to snaive, ship snaive).
+    "q312_forecast_backtest" -> ((s, dir) => {
+      graft.ops.TimeSeries.forecastBacktest(Tables.events(s, dir),
+          "event_type", "ts", "value", season = 7)
+    }),
+
+    // Positive-part James-Stein shrinkage of per-nation mean balances
+    // toward the grand mean — the winner's-curse correction before
+    // anyone celebrates the "best" segment (extreme observed means are
+    // partly selection noise; JS dominates raw means for k >= 4).
+    "q311_james_stein" -> ((s, dir) => {
+      Experiment.jamesSteinMeans(Tables.customer(s, dir), "c_nationkey",
+          "c_acctbal")
+        .orderBy("c_nationkey")
+    }),
+
     // One-way ANOVA across event types: does mean value differ across
     // ANY segment, asked once — the k-sample gate before q260's pairwise
     // Welch scans (and q276's FDR bill). One exchange to k rows.
@@ -902,6 +920,59 @@ object StatsQueries {
                  THEN round(pb.nr - pa.nr, 6) END AS null_rate_delta
           FROM pa FULL OUTER JOIN pb ON pa.col = pb.col
           ORDER BY "column"""",
+    // forecastBacktest replay: micro-mean daily series, lag-1 and lag-7
+    // forecasts in one window order, micro absolute errors.
+    "q312_forecast_backtest" ->
+      """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+              round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                / (count(*) * 1000000.0), 6) AS y
+            FROM events GROUP BY g, day),
+          l AS (SELECT g, day, y,
+                  lag(y, 1) OVER (PARTITION BY g ORDER BY day) AS f1,
+                  lag(y, 7) OVER (PARTITION BY g ORDER BY day) AS fs
+                FROM d),
+          m1 AS (SELECT g, 'naive' AS method, count(*) AS n,
+                   round(CAST(sum(CAST(round(abs(y - f1) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS mae
+                 FROM l WHERE f1 IS NOT NULL GROUP BY g),
+          ms AS (SELECT g, 'seasonal_naive' AS method, count(*) AS n,
+                   round(CAST(sum(CAST(round(abs(y - fs) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS mae
+                 FROM l WHERE fs IS NOT NULL GROUP BY g)
+          SELECT g AS event_type, method, n, mae
+          FROM (SELECT * FROM m1 UNION ALL SELECT * FROM ms)
+          ORDER BY event_type, method""",
+    // jamesSteinMeans replay: 6-dp group means, every cross-group sum
+    // micro-quantized per term, the same positive-part b and blend.
+    "q311_james_stein" ->
+      """WITH g AS (SELECT c_nationkey AS g, count(*) AS n,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS s,
+              CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(38,12))) AS DOUBLE) AS ss
+            FROM customer WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+            GROUP BY c_nationkey HAVING count(*) > 1),
+          m AS (SELECT g, n, s, ss, round(s / n, 6) AS mean FROM g),
+          a AS (SELECT count(*) AS k,
+                  sum(CAST(round(mean * 1000000, 0) AS BIGINT)) AS sm,
+                  sum(CAST(round((ss - s * s / n) * 1000000, 0) AS BIGINT)) AS pvn,
+                  sum(n - 1) AS pvd,
+                  sum(CAST(round(1000000000.0 / n, 0) AS BIGINT)) AS invn
+                FROM m),
+          gm AS (SELECT k, round(CAST(sm AS DOUBLE) / k / 1000000.0, 6) AS gm,
+                   CAST(pvn AS DOUBLE) / 1000000.0 / pvd AS pv,
+                   CAST(invn AS DOUBLE) / k / 1000000000.0 AS invm
+                 FROM a),
+          sb AS (SELECT sum(CAST(round((m.mean - gm.gm) * (m.mean - gm.gm)
+                   * 1000000, 0) AS BIGINT)) AS sb
+                 FROM m, gm),
+          bb AS (SELECT gm.gm,
+                   CASE WHEN gm.k <= 3 THEN 1.0
+                        WHEN CAST(sb.sb AS DOUBLE) / 1000000.0 <= 0 THEN 0.0
+                        ELSE greatest(0.0, round(1.0 - (gm.k - 3) * gm.pv * gm.invm
+                          / (CAST(sb.sb AS DOUBLE) / 1000000.0), 6)) END AS b
+                 FROM gm, sb)
+          SELECT m.g AS c_nationkey, CAST(m.n AS BIGINT) AS n, m.mean,
+            round(bb.gm + bb.b * (m.mean - bb.gm), 6) AS shrunk, bb.b
+          FROM m, bb ORDER BY c_nationkey""",
     // Replays anovaF's exact protocol: per-group decimal moments, the
     // between/within terms micro-quantized per group before the k-term
     // integer sums, then the fixed-shape F / eta² divisions.

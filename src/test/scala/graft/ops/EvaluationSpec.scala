@@ -188,6 +188,24 @@ class EvaluationSpec extends graft.SparkSpec {
     assert(got(0).getAs[Double]("auc") == global)
   }
 
+  test("conformalIntervalByGroup: per-category q_hat tracks each group's noise") {
+    // cat x residuals 1..10 (q_hat = 10), cat y residuals 10..100 by 10
+    // (q_hat = 100) — a global q_hat would mis-cover both
+    val train = Seq(("x", 10.0), ("x", 10.0), ("y", 50.0), ("y", 50.0))
+      .toDF("c", "y")
+    val calib = ((1 to 10).map(i => ("x", 10.0 + i)) ++
+      (1 to 10).map(i => ("y", 50.0 + 10 * i))).toDF("c", "y")
+    val test0 = Seq(("x", 15.0), ("x", 30.0), ("y", 100.0), ("y", 200.0))
+      .toDF("c", "y")
+    val got = Evaluation.conformalIntervalByGroup(train, calib, test0,
+        "c", "y", alpha = 0.1)
+      .orderBy("c").select("c", "q_hat", "n_covered")
+      .as[(String, Double, Long)].collect()
+    // x: |15-10|=5 <= 10 covered, |30-10|=20 not; y: 50 <= 100, 150 <= 100? no
+    assert(got.toSeq == Seq(("x", 10.0, 1L), ("y", 100.0, 1L)),
+      got.mkString(", "))
+  }
+
   test("eceBySegment: hand gaps — (4·0.2 + 4·0.05)/8 = 0.125") {
     // bin0: conf 0.05, obs 0.25 (gap 0.2); bin9: conf 0.95, obs 1.0 (gap 0.05)
     val df = ((1 to 4).map(i => ("s", 0.05, i == 1)) ++

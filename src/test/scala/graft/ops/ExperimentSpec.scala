@@ -128,4 +128,35 @@ class ExperimentSpec extends graft.SparkSpec {
     // ~56k per arm to see a 5% relative lift on a 10% base — sanity band
     assert(exp > 50000L && exp < 60000L, exp.toString)
   }
+
+  test("jamesSteinMeans: shrinks toward the grand mean; k<=3 and SSB=0 edges") {
+    import spark.implicits._
+    // 5 groups, wide spread, within-noise present -> 0 < b < 1 and every
+    // shrunk mean lies strictly between its raw mean and the grand mean
+    val data = (1 to 5).flatMap(g =>
+      (1 to 20).map(i => (s"g$g", g * 10.0 + (i % 5) - 2)))
+    val got = Experiment.jamesSteinMeans(data.toDF("g", "v"), "g", "v")
+      .orderBy("g").select("g", "mean", "shrunk", "b")
+      .as[(String, Double, Double, Double)].collect()
+    val grand = got.map(_._2).sum / got.length
+    val b = got.head._4
+    assert(b > 0 && b < 1, b.toString)
+    got.foreach { case (_, m, s, _) =>
+      if (math.abs(m - grand) > 1e-3)
+        assert(math.abs(s - grand) < math.abs(m - grand)
+          && math.abs(s - m) < math.abs(grand - m), s"$m -> $s (grand $grand)")
+    }
+    // k = 2 -> the correction doesn't apply, b = 1, shrunk = mean
+    val two = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val t = Experiment.jamesSteinMeans(two, "g", "v")
+      .select("mean", "shrunk", "b").as[(Double, Double, Double)].collect()
+    assert(t.forall(r => r._3 == 1.0 && r._1 == r._2), t.mkString(", "))
+    // identical group means -> SSB 0 -> b = 0, shrunk = grand = mean
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0),
+      ("c", 1.0), ("c", 3.0), ("d", 1.0), ("d", 3.0)).toDF("g", "v")
+    val e = Experiment.jamesSteinMeans(eq, "g", "v")
+      .select("mean", "shrunk", "b").as[(Double, Double, Double)].collect()
+    assert(e.forall(r => r._3 == 0.0 && r._1 == 2.0 && r._2 == 2.0),
+      e.mkString(", "))
+  }
 }

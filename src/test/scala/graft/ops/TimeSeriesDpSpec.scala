@@ -666,6 +666,20 @@ class TimeSeriesDpSpec extends SparkSpec {
     assert(got(1) == (("u2", 1L, 6.0, 1.0)), got(1).toString)
   }
 
+  test("forecastBacktest: hand MAE for naive and seasonal-naive") {
+    import spark.implicits._
+    // one event per day, values 1..10 -> naive MAE = 1 (9 days),
+    // season=3 -> snaive MAE = 3 (7 days)
+    val df = (1 to 10).map(i =>
+        ("g", Timestamp.valueOf(f"2026-03-$i%02d 12:00:00"), i.toDouble))
+      .toDF("g", "ts", "v")
+    val got = TimeSeries.forecastBacktest(df, "g", "ts", "v", season = 3)
+      .orderBy("method").select("method", "n", "mae")
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("naive", 9L, 1.0), ("seasonal_naive", 7L, 3.0)),
+      got.mkString(", "))
+  }
+
   test("dpTopK: huge epsilon recovers the exact top-k; fixed seed deterministic") {
     // counts: a=5, b=4, c=3, d=1
     val df = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c")
