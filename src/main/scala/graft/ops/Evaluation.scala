@@ -515,6 +515,67 @@ object Evaluation {
       .select(col("__g").as(groupCol), col("n"), col("ece"))
   }
 
+  /** Murphy decomposition of the Brier score per segment (Murphy 1973):
+    * over `nBins` score bins, BS = REL − RES + UNC with
+    * reliability REL = Σ n_b(conf_b − obs_b)²/N (calibration error,
+    * squared — [[eceBySegment]]'s L2 sibling), resolution
+    * RES = Σ n_b(obs_b − base)²/N (how much the score separates
+    * outcomes), and uncertainty UNC = base(1 − base) (the base rate's
+    * irreducible noise). The decomposition says WHY a Brier score is
+    * bad: miscalibration (fix with [[isotonicCalibration]]) vs no
+    * resolution (the score is uninformative — no recalibration helps).
+    * Output: (segment, n, brier, reliability, resolution, uncertainty).
+    *
+    * Determinism: binned-mean Brier (computed FROM the decomposition
+    * identity, so the three parts reconcile exactly); per-bin gap and
+    * resolution terms are fixed-shape doubles of exact integer counts,
+    * micro-quantized before the cross-bin sums; base rate is one exact
+    * division.
+    *
+    * Scale: one (segment, bin) map-side-combined aggregation + windows
+    * over the ≤ nBins-row per-segment cell table. */
+  def brierDecomposition(df: DataFrame, groupCol: String, labelCol: String,
+                         scoreCol: String, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, s"brierDecomposition: nBins=$nBins must be >= 2")
+    val rows = df.select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__pos"))
+      .filter(col("__s").isNotNull && col(labelCol).isNotNull
+        && col("__g").isNotNull && col("__s") >= 0 && col("__s") <= 1)
+    val cells = rows
+      .withColumn("__b", least(floor(col("__s") * nBins), lit(nBins - 1L)))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__s") * 1e6, 0).cast("long")).as("__sm"),
+        sum(col("__pos")).as("__np"))
+    val wg = Window.partitionBy(col("__g"))
+    val withTotals = cells
+      .withColumn("__nt", sum(col("__n")).over(wg))
+      .withColumn("__npt", sum(col("__np")).over(wg))
+      // conf and obs per bin; base per segment — single divisions of ints
+      .withColumn("__conf", col("__sm").cast("double") / col("__n") / 1e6)
+      .withColumn("__obs", col("__np").cast("double") / col("__n"))
+      .withColumn("__base", col("__npt").cast("double") / col("__nt"))
+      // per-bin REL and RES terms in micro units (weighted by n_b)
+      .withColumn("__relT", round((col("__conf") - col("__obs"))
+        * (col("__conf") - col("__obs")) * col("__n") * 1e6, 0).cast("long"))
+      .withColumn("__resT", round((col("__obs") - col("__base"))
+        * (col("__obs") - col("__base")) * col("__n") * 1e6, 0).cast("long"))
+    withTotals.groupBy(col("__g"), col("__nt"), col("__base"))
+      .agg(sum(col("__relT")).as("__rel"), sum(col("__resT")).as("__res"))
+      .withColumn("reliability",
+        round(col("__rel").cast("double") / col("__nt") / 1e6, 6))
+      .withColumn("resolution",
+        round(col("__res").cast("double") / col("__nt") / 1e6, 6))
+      .withColumn("uncertainty",
+        round(col("__base") * (lit(1.0) - col("__base")), 6))
+      .select(col("__g").as(groupCol), col("__nt").as("n"),
+        round(col("reliability") - col("resolution") + col("uncertainty"), 6)
+          .as("brier"),
+        col("reliability"), col("resolution"), col("uncertainty"))
+  }
+
   /** NDCG@k of a ranked retrieval table with binary relevance
     * (Järvelin & Kekäläinen 2002): per query,
     * DCG = Σ_{r≤k} rel_r / log₂(r+1) against the ideal ordering of the

@@ -310,6 +310,23 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // Murphy decomposition of the Brier score per priority on q218's
+    // scored model: REL − RES + UNC — says WHY a score is bad
+    // (miscalibration -> recalibrate; no resolution -> the score is
+    // uninformative and no recalibration helps).
+    "q313_brier_decomp" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("score",
+          Sampling.bucket(col("o_orderkey"), "graft-cal").cast("double")
+            / 1000000.0)
+        .withColumn("label",
+          Sampling.bucket(col("o_orderkey"), "graft-lab").cast("double")
+            < col("score") * 1000000.0)
+      Evaluation.brierDecomposition(o, "o_orderpriority", "label", "score",
+          nBins = 10)
+        .orderBy("o_orderpriority")
+    }),
+
     // Group-conditional (Mondrian) conformal: q286's global q-hat
     // guarantees only MARGINAL coverage — this computes the
     // ceil((n_g+1)·0.9)-th residual per priority, restoring the 90%
@@ -894,6 +911,45 @@ object CurationQueries {
                  round(CAST(sm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean_score,
                  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos
           FROM b ORDER BY bin"""
+    },
+    // brierDecomposition replay: q218 hashes + segment cells, per-bin
+    // REL/RES micro terms weighted by n_b, exact base rate, the same
+    // REL − RES + UNC reconstruction.
+    "q313_brier_decomp" -> {
+      val sb = phashSql("'graft-cal|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      val lb = phashSql("'graft-lab|' || CAST(o_orderkey AS VARCHAR)") + " % 1000000"
+      s"""WITH o AS (SELECT o_orderpriority AS g,
+                       CAST($sb AS DOUBLE) / 1000000.0 AS s,
+                       CAST($lb AS DOUBLE) AS lbd FROM orders),
+          r AS (SELECT g, s, CASE WHEN lbd < s * 1000000.0 THEN 1 ELSE 0 END AS pos
+                FROM o WHERE s >= 0 AND s <= 1),
+          cells AS (SELECT g, CAST(least(floor(s * 10), 9) AS BIGINT) AS b,
+                      count(*) AS n,
+                      sum(CAST(round(s * 1000000, 0) AS BIGINT)) AS sm,
+                      CAST(sum(pos) AS BIGINT) AS np
+                    FROM r GROUP BY g, b),
+          t AS (SELECT g, b, n, sm, np,
+                  sum(n) OVER (PARTITION BY g) AS nt,
+                  sum(np) OVER (PARTITION BY g) AS npt
+                FROM cells),
+          terms AS (SELECT g, nt,
+                      CAST(npt AS DOUBLE) / nt AS base,
+                      CAST(round((CAST(sm AS DOUBLE) / n / 1000000.0 - CAST(np AS DOUBLE) / n)
+                        * (CAST(sm AS DOUBLE) / n / 1000000.0 - CAST(np AS DOUBLE) / n)
+                        * n * 1000000, 0) AS BIGINT) AS relt,
+                      CAST(round((CAST(np AS DOUBLE) / n - CAST(npt AS DOUBLE) / nt)
+                        * (CAST(np AS DOUBLE) / n - CAST(npt AS DOUBLE) / nt)
+                        * n * 1000000, 0) AS BIGINT) AS rest
+                    FROM t),
+          agg AS (SELECT g, nt, base,
+                    round(CAST(sum(relt) AS DOUBLE) / nt / 1000000.0, 6) AS reliability,
+                    round(CAST(sum(rest) AS DOUBLE) / nt / 1000000.0, 6) AS resolution,
+                    round(base * (1.0 - base), 6) AS uncertainty
+                  FROM terms GROUP BY g, nt, base)
+          SELECT g AS o_orderpriority, CAST(nt AS BIGINT) AS n,
+            round(reliability - resolution + uncertainty, 6) AS brier,
+            reliability, resolution, uncertainty
+          FROM agg ORDER BY o_orderpriority"""
     },
     // group-conformal replay: q286's chain with PARTITION BY category in
     // the cumulative windows and a per-group min-over-threshold q-hat.

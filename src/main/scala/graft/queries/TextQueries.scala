@@ -981,6 +981,27 @@ object TextQueries {
         .orderBy("coverage")
     }),
 
+    // Corpus funnel: docs surviving each pipeline stage (normalize ->
+    // quality -> exact dedup -> near-dup -> decontaminate) — the
+    // data-loss attribution table a corpus card leads with. Counts come
+    // from the pipeline's own collectCounts instrumentation (bounded
+    // driver artifact: six longs).
+    "q314_pipeline_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val res = graft.pipelines.CorpusPipeline.run(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        collectCounts = true)
+      graft.QueryCleanup.register(() => res.unpersist())
+      val c = res.counts.get
+      Seq(("1_input", c.input), ("2_normalized", c.normalized),
+        ("3_quality", c.quality), ("4_exact_dedup", c.exactDedup),
+        ("5_near_dedup", c.nearDedup), ("6_decontaminated", c.decontaminated))
+        .toDF("stage", "n_docs")
+        .orderBy("stage")
+    }),
+
     // Near-dup component-size histogram: how big do duplicate clusters
     // get (the long tail is where template farms and mirror sites live).
     // One groupBy over the CC labels, then a size histogram.
@@ -1129,6 +1150,53 @@ object TextQueries {
       s"WHEN $s = __best AND __best > 0 THEN '$lang'"
     }.mkString(" ")
     s"(SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred FROM (SELECT doc_id, lang, text, $best AS __best FROM documents))"
+  }
+
+  /** q88's staged corpus chain (normalize -> quality -> exact dedup ->
+    * near-dup CC -> decontaminate), hoisted so the funnel report (q314)
+    * replays the IDENTICAL stages. Ends at `clean`. */
+  private val corpusChainSql: String = {
+    val T = """string_split_regex(text, '\s+')"""
+    def norm(x: String) =
+      s"""lower(trim(regexp_replace(regexp_replace(nfc_normalize($x), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))"""
+    def grams8 =
+      (1 to 8).map(k => s"$T[i+$k]").mkString(" || ' ' || ")
+    s"""nrm AS (SELECT doc_id, source, ${norm("text")} AS text FROM documents WHERE doc_id % 50 <> 0),
+          q AS (SELECT doc_id, source, text FROM (
+                  SELECT doc_id, source, text,
+                    CAST(len($T) AS BIGINT) AS nt,
+                    length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len($T) AS mtl,
+                    len(list_filter($T, t -> t IN ('the','a','an','and','of','to','in','is','it','for'))) * 1.0 / len($T) AS sw,
+                    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text) AS pr
+                  FROM nrm)
+                WHERE nt BETWEEN 5 AND 100000 AND mtl BETWEEN 1.0 AND 20.0 AND pr <= 0.5 AND sw >= 0.0),
+          ex AS (SELECT q.* FROM q JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) k USING (doc_id)),
+          sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(len($T) - 1), i -> $T[i+1] || ' ' || $T[i+2]))) AS s
+                 FROM ex WHERE len($T) >= 2),
+          th AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+          p AS (SELECT id_a, id_b FROM (
+                  SELECT id_a, id_b,
+                    len(list_intersect(x.s, y.s)) * 1.0 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+                  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+                WHERE jac >= 0.8),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+          reach AS (SELECT src AS id, dst AS r FROM edges
+                    UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+          lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+          near AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)),
+          bn AS (SELECT ${norm("text")} AS text FROM documents WHERE doc_id % 50 = 0),
+          tr8 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len($T) - 7), i -> $grams8))) AS g FROM near),
+          be8 AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len($T) - 7), i -> $grams8))) AS g FROM bn),
+          cont AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN be8 USING (g)),
+          clean AS (SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM cont))"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -1558,47 +1626,8 @@ object TextQueries {
     // not just each stage — is hash-checked.
     "q88_corpus_pipeline" -> {
       val T = """string_split_regex(text, '\s+')"""
-      def norm(x: String) =
-        s"""lower(trim(regexp_replace(regexp_replace(nfc_normalize($x), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))"""
-      def grams8 =
-        (1 to 8).map(k => s"$T[i+$k]").mkString(" || ' ' || ")
       s"""WITH RECURSIVE
-          nrm AS (SELECT doc_id, source, ${norm("text")} AS text FROM documents WHERE doc_id % 50 <> 0),
-          q AS (SELECT doc_id, source, text FROM (
-                  SELECT doc_id, source, text,
-                    CAST(len($T) AS BIGINT) AS nt,
-                    length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len($T) AS mtl,
-                    len(list_filter($T, t -> t IN ('the','a','an','and','of','to','in','is','it','for'))) * 1.0 / len($T) AS sw,
-                    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text) AS pr
-                  FROM nrm)
-                WHERE nt BETWEEN 5 AND 100000 AND mtl BETWEEN 1.0 AND 20.0 AND pr <= 0.5 AND sw >= 0.0),
-          ex AS (SELECT q.* FROM q JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) k USING (doc_id)),
-          sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(len($T) - 1), i -> $T[i+1] || ' ' || $T[i+2]))) AS s
-                 FROM ex WHERE len($T) >= 2),
-          th AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647 AS h
-                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
-          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
-                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
-          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
-          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
-                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-                   FROM band a JOIN band c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
-          p AS (SELECT id_a, id_b FROM (
-                  SELECT id_a, id_b,
-                    len(list_intersect(x.s, y.s)) * 1.0 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
-                  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
-                WHERE jac >= 0.8),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-          reach AS (SELECT src AS id, dst AS r FROM edges
-                    UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
-          lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
-          near AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)),
-          bn AS (SELECT ${norm("text")} AS text FROM documents WHERE doc_id % 50 = 0),
-          tr8 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len($T) - 7), i -> $grams8))) AS g FROM near),
-          be8 AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len($T) - 7), i -> $grams8))) AS g FROM bn),
-          cont AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN be8 USING (g)),
-          clean AS (SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+          $corpusChainSql,
           sp AS (SELECT doc_id, source,
                    CASE WHEN sb < 900000 THEN 'train' WHEN sb < 950000 THEN 'val' ELSE 'test' END AS split,
                    CAST(len($T) AS BIGINT) AS n_tokens
@@ -1607,6 +1636,19 @@ object TextQueries {
             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
           FROM sp ORDER BY doc_id"""
     },
+    // funnel replay: the SAME chain, one count per stage.
+    "q314_pipeline_funnel" ->
+      s"""WITH RECURSIVE
+          $corpusChainSql
+          SELECT stage, n_docs FROM (
+            SELECT '1_input' AS stage,
+              CAST((SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS BIGINT) AS n_docs
+            UNION ALL SELECT '2_normalized', CAST((SELECT count(*) FROM nrm) AS BIGINT)
+            UNION ALL SELECT '3_quality', CAST((SELECT count(*) FROM q) AS BIGINT)
+            UNION ALL SELECT '4_exact_dedup', CAST((SELECT count(*) FROM ex) AS BIGINT)
+            UNION ALL SELECT '5_near_dedup', CAST((SELECT count(*) FROM near) AS BIGINT)
+            UNION ALL SELECT '6_decontaminated', CAST((SELECT count(*) FROM clean) AS BIGINT))
+          ORDER BY stage""",
     // Estimator-audit replay: q36's chain + one zip over the signatures.
     "q261_minhash_estimate" ->
       s"""WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(len($tokSql) - 1), i -> $tokSql[i+1] || ' ' || $tokSql[i+2]))) AS s FROM documents WHERE len($tokSql) >= 2),
