@@ -81,6 +81,11 @@ object QueryCleanup {
     all.foreach(f => Try(f()))
   }
 
+  /** The query scope active on the calling thread ([[Unscoped]] outside
+    * any [[scoped]] block) — lets side-channel registries ([[Provenance]])
+    * key by the same scope without re-threading the name. */
+  private[graft] def activeScope: String = current.get
+
   /** Number of hooks currently registered under `name` (test hook). */
   private[graft] def pending(name: String): Int =
     synchronized { hooks.get(name).map(_.size).getOrElse(0) }

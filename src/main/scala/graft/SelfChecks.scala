@@ -30,6 +30,23 @@ object SelfChecks {
     * checks the same artifact the dump wrote. */
   val checks: Map[String, (SparkSession, String) => Result] = Map(
 
+    // Gate-environment canary: the collected rows' canonical md5 must
+    // equal the pinned literal — an in-JVM witness that the produced
+    // frame is the one the oracle replays. If the DRIVER's gate row for
+    // q000 is red while this passes, the dump/compare path is proven
+    // guilty for that run (and other red rows are quarantined).
+    "q000_canary" -> ((s, dir) => {
+      val rows = SparkEntry.queries("q000_canary")(s, dir)
+        .orderBy("id").collect()
+      val canon = rows.map(r => s"${r.getLong(0)}|${r.getString(1)}|${r.getDouble(2)}")
+        .mkString("\n")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = "2d65ca40a7b4c914ec4444d6291e8bbe"
+      Result(rows.length == 10 && md5 == want,
+        s"canary rows ${rows.length}==10, md5 $md5 ${if (md5 == want) "==" else "!="} $want")
+    }),
+
     // KMeans generalization (E2): every input row survives, clusters
     // respect the requested k as an upper bound, and each cluster
     // carries exactly ONE generalized range (the defining property of
@@ -231,7 +248,9 @@ object SelfChecks {
       val out = SparkEntry.queries("q184_ivfpq_incremental")(s, dir)
         .collect().toSeq
       val e = Tables.embeddings(s, dir)
-      val idxDir = s"/tmp/graft_ivfpq_incr_${dir.hashCode.toHexString}"
+      // the Scratch dir the query invocation above just minted (same
+      // scope, not yet drained) — no fixed cross-process path
+      val idxDir = graft.queries.VectorEventQueries.lastIndexDir.get("incr")
       val (codes, cents, pq) = Similarity.loadIvfPqIndex(s, idxDir)
       val full = Similarity.encodeWithStoredIndex(e, "vec_id", "embedding",
           cents, pq)
@@ -263,7 +282,8 @@ object SelfChecks {
       val out = SparkEntry.queries("q185_ivfpq_drift")(s, dir)
       val psi = out.select("psi_micro").head().getLong(0)
       val e = Tables.embeddings(s, dir)
-      val idxDir = s"/tmp/graft_ivfpq_drift_${dir.hashCode.toHexString}"
+      // Scratch dir minted by the query invocation above (same scope)
+      val idxDir = graft.queries.VectorEventQueries.lastIndexDir.get("drift")
       val (codes, cents, pq) = Similarity.loadIvfPqIndex(s, idxDir)
       val dayZero = graft.sources.SnapshotStore
         .readVersion(s, s"$idxDir/codes", 1L)

@@ -17,6 +17,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Atomic dump publish: stage each query's parquet in a fresh
+    // UUID-keyed temp dir, then rename(2) it into place. The old
+    // `write.mode("overwrite").parquet(target)` staged INSIDE the target
+    // dir, so a retried/concurrent gate run interleaving two writers
+    // produced a readable-but-mixed `*.parquet` glob — right schema,
+    // plausible rows, wrong hash (the r11–r13 q198 gate signature). With
+    // rename the target is always a complete dump from exactly one
+    // writer; a racing process merely last-writes a CONSISTENT one.
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -24,8 +39,15 @@ object Verify {
       // the drain then releases ONLY this query's caches/scratch — never
       // another in-flight query's (the q198 gate-only poisoning channel)
       try QueryCleanup.scoped(name) {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val tmp = s"$outDir/.stage_${name}_" +
+          java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val target = Paths.get(s"$outDir/$name")
+        deleteRec(target)
+        Files.move(Paths.get(tmp), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Provenance.drain(name).foreach(p =>
+          Files.writeString(Paths.get(s"$outDir/$name.provenance.json"), p))
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

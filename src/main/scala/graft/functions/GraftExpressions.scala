@@ -230,6 +230,65 @@ object TextHashImpl {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Spark-`round(x, 0)` semantics on a double (BigDecimal HALF_UP over
+    * the shortest decimal representation) — the exact pairing the repo's
+    * micro protocols have proven against DuckDB's `round(x, 0)`. */
+  private def roundHalfUp(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Per-term micro-quantized dot product: Σ_i round(a_i·b_i·1e8) as a
+    * LONG — integer addition is associative, so the result is identical
+    * under ANY fold/partition order and replayable by any SQL engine as
+    * an integer sum (the q80 protocol, lifted to vectors). This is the
+    * determinism-safe replacement for raw-double dot folds whose 6-dp
+    * edge rounding can flip on last-ulp associativity differences
+    * between engines (the r13 q299 gate-red channel). Null (boxed) on
+    * null elements; dimension mismatch throws. */
+  def dotMicro8(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dotMicro8: dimension mismatch ${n} vs ${b.numElements()}")
+    if (hasNullElement(a) || hasNullElement(b)) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += roundHalfUp(x * y * 1e8)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** [[dotMicro8]]'s cosine sibling: micro-quantized dot AND squared-norm
+    * integer sums, then ONE double division/sqrt at the edge, rounded to
+    * 6 dp — order-free by construction, so the value is bit-identical on
+    * any engine that replays `round(term·1e8)` integer sums (no reliance
+    * on a SQL builtin's fold order). Null (boxed) on null elements or a
+    * zero-norm side; dimension mismatch throws. */
+  def cosineMicro8(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosineMicro8: dimension mismatch ${n} vs ${b.numElements()}")
+    if (hasNullElement(a) || hasNullElement(b)) return null
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += roundHalfUp(x * y * 1e8)
+      na += roundHalfUp(x * x * 1e8)
+      nb += roundHalfUp(y * y * 1e8)
+      i += 1
+    }
+    if (na == 0L || nb == 0L) return null
+    val c = (dot.toDouble / 1e8) /
+      (math.sqrt(na.toDouble / 1e8) * math.sqrt(nb.toDouble / 1e8))
+    java.lang.Double.valueOf(java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
   /** MinHash constants mirrored from Dedup (kept here so the compiled
     * kernel has no Column-world dependency). */
   object Dedup16 {
@@ -416,6 +475,67 @@ case class GraftCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** See [[TextHashImpl.dotMicro8]] — the order-free integer-micro dot. */
+case class GraftDotMicro8(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  private def isFloatArr(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case org.apache.spark.sql.types.FloatType => true
+      case org.apache.spark.sql.types.DoubleType => false
+      case other => throw new IllegalArgumentException(
+        s"graft_dot_micro8 expects array<float|double>, got array<$other>")
+    }
+  private lazy val leftFloat: Boolean = isFloatArr(left)
+  private lazy val rightFloat: Boolean = isFloatArr(right)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.dotMicro8(a.asInstanceOf[ArrayData], leftFloat,
+      b.asInstanceOf[ArrayData], rightFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.TextHashImpl.dotMicro8($a, $leftFloat, $b, $rightFloat);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftDotMicro8 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** See [[TextHashImpl.cosineMicro8]] — the order-free integer-micro
+  * cosine (6-dp, engine-replayable as integer sums). */
+case class GraftCosineMicro8(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  private def isFloatArr(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case org.apache.spark.sql.types.FloatType => true
+      case org.apache.spark.sql.types.DoubleType => false
+      case other => throw new IllegalArgumentException(
+        s"graft_cosine_micro8 expects array<float|double>, got array<$other>")
+    }
+  private lazy val leftFloat: Boolean = isFloatArr(left)
+  private lazy val rightFloat: Boolean = isFloatArr(right)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.cosineMicro8(a.asInstanceOf[ArrayData], leftFloat,
+      b.asInstanceOf[ArrayData], rightFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.TextHashImpl.cosineMicro8($a, $leftFloat, $b, $rightFloat);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? Double.NaN : $boxed.doubleValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftCosineMicro8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaro–Winkler similarity (Winkler 1990), the record-linkage standard:
   * Jaro match-window similarity plus a 0.1-per-char boost for up to 4
   * common prefix chars, applied only above the classic 0.7 threshold.
@@ -548,6 +668,8 @@ object GraftFunctions {
     "graft_minhash_sig" -> (args => GraftMinHashSig(args.head)),
     "graft_simhash" -> (args => GraftSimHash(args.head)),
     "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
+    "graft_dot_micro8" -> (args => GraftDotMicro8(args(0), args(1))),
+    "graft_cosine_micro8" -> (args => GraftCosineMicro8(args(0), args(1))),
     "graft_jaccard_sorted" -> (args => GraftJaccardSorted(args(0), args(1))),
     "graft_poisson_weights" -> (args => GraftPoissonWeights(args(0), args(1), args(2))),
     "graft_normalize_text" -> (args => GraftNormalizeText(args.head)),
@@ -573,6 +695,8 @@ object GraftFunctions {
   def minhashSigNative(hashes: Column): Column = call_function("graft_minhash_sig", hashes)
   def simhashNative(hashes: Column): Column = call_function("graft_simhash", hashes)
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def dotMicro8Native(a: Column, b: Column): Column = call_function("graft_dot_micro8", a, b)
+  def cosineMicro8Native(a: Column, b: Column): Column = call_function("graft_cosine_micro8", a, b)
   def jaccardSortedNative(a: Column, b: Column): Column =
     call_function("graft_jaccard_sorted", a, b)
   def poissonWeightsNative(salt: Column, id: Column, b: Column): Column =

@@ -78,7 +78,8 @@ object ClusteringAnonymizer {
   def anonymizeDeterministic(df: DataFrame, numericCols: Seq[String],
                              categoricalCols: Seq[String], nClusters: Int,
                              iters: Int = 8,
-                             generalizeColsOpt: Option[Seq[String]] = None): ClusteringResult = {
+                             generalizeColsOpt: Option[Seq[String]] = None,
+                             memoKey: Option[String] = None): ClusteringResult = {
     var encoded = df
     categoricalCols.foreach { c =>
       val codes = df.select(col(c)).distinct()
@@ -90,7 +91,8 @@ object ClusteringAnonymizer {
     val features = numericCols ++ categoricalCols.map(c => s"__idx_$c")
     val genCols = generalizeColsOpt.getOrElse(numericCols)
     val dropCols = categoricalCols.map(c => s"__idx_$c").filterNot(genCols.contains)
-    val clustered = DeterministicKMeans.assign(encoded, features, nClusters, iters)
+    val clustered = DeterministicKMeans.assign(encoded, features, nClusters,
+        iters, memoKey)
       .drop(dropCols: _*)
     ClusteringResult(clustered,
       Generalization.generalize(clustered, "cluster", genCols))

@@ -1378,16 +1378,29 @@ object DataQuality {
   def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
     def side(df: DataFrame, tag: String): DataFrame = {
       val fields = df.schema.fields
-      val aggs = count(lit(1)).as("__n") +: fields.map(f =>
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"))
-      val stackArgs = fields.map(f =>
-        s"'${f.name}', '${f.dataType.simpleString}', `__nn_${f.name}`")
-        .mkString(", ")
+      // exact-name resolution (backticks doubled inside a quoted
+      // identifier) — col("a.b") would otherwise parse the dot as a
+      // struct path; and POSITIONAL internal aliases, so a data column
+      // literally named __nn_x / __n can never collide with the
+      // aggregate's own bookkeeping names
+      def exact(name: String): Column = col(s"`${name.replace("`", "``")}`")
+      val aggs = count(lit(1)).as("__gsd_n") +: fields.zipWithIndex.map {
+        case (f, i) =>
+          sum(when(exact(f.name).isNull, 1L).otherwise(0L)).as(s"__gsd_nn_$i")
+      }.toSeq
+      // field names/types enter as LITERAL VALUES in typed structs, never
+      // spliced into parsed SQL text — a quote or backtick in a column
+      // name can't break parsing or mislabel the report
+      val pairs = fields.zipWithIndex.map { case (f, i) =>
+        struct(lit(f.name).as("column"),
+          lit(f.dataType.simpleString).as("dtype"),
+          col(s"__gsd_nn_$i").as("nn"))
+      }
       df.agg(aggs.head, aggs.tail: _*)
-        .selectExpr("__n",
-          s"stack(${fields.length}, $stackArgs) AS (column, dtype_$tag, __nn)")
-        .select(col("column"), col(s"dtype_$tag"),
-          round(col("__nn").cast("double") / col("__n").cast("double"), 6)
+        .select(col("__gsd_n"), explode(array(pairs.toSeq: _*)).as("__kv"))
+        .select(col("__kv.column").as("column"),
+          col("__kv.dtype").as(s"dtype_$tag"),
+          round(col("__kv.nn").cast("double") / col("__gsd_n").cast("double"), 6)
             .as(s"null_rate_$tag"))
     }
     side(a, "a").join(side(b, "b"), Seq("column"), "full_outer")
@@ -1431,11 +1444,17 @@ object DataQuality {
         count(lit(1)).as("__k"),
         sum(col("__n")).as("__nt"),
         sum(col("__s").cast("decimal(28,6)")).cast("double").as("__st"),
-        // per-group between/within terms in exact micro-units
-        sum(round(col("__s") * col("__s") / col("__n") * 1e6, 0).cast("long")).as("__bm"),
-        sum(round(col("__ss") * 1e6, 0).cast("long")).as("__ssm"))
+        // per-group between/within terms in exact micro-units, summed as
+        // decimal(38,0): n·value² micro-terms pass 9.2e18 long micros at
+        // ~1e12 rows × value~100, where Spark's double→long cast would
+        // saturate silently while DuckDB BIGINT errors — decimal/HUGEINT
+        // keeps both engines exact (and both error at 1e38, identically)
+        sum(round(col("__s") * col("__s") / col("__n") * 1e6, 0)
+          .cast("decimal(38,0)")).as("__bm"),
+        sum(round(col("__ss") * 1e6, 0).cast("decimal(38,0)")).as("__ssm"))
       .filter(col("__k") >= 2 && col("__nt") > col("__k"))
-      .withColumn("__cf", round(col("__st") * col("__st") / col("__nt") * 1e6, 0).cast("long"))
+      .withColumn("__cf", round(col("__st") * col("__st") / col("__nt") * 1e6, 0)
+        .cast("decimal(38,0)"))
       .withColumn("__ssb", (col("__bm") - col("__cf")).cast("double") / 1e6)
       .withColumn("__ssw", (col("__ssm") - col("__bm")).cast("double") / 1e6)
       .withColumn("__sst", (col("__ssm") - col("__cf")).cast("double") / 1e6)

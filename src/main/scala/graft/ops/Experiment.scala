@@ -63,17 +63,24 @@ object Experiment {
       .filter(col("__n") > 1)
       .withColumn("mean", round(col("__s") / col("__n"), 6))
     val wAll = Window.partitionBy()
+    // cross-group micro sums as decimal(38,0), not long: the per-group
+    // pooled-variance micro term is n·value²-scaled and the others grow
+    // with the group count, so a web-scale input would silently saturate
+    // Spark's double→long cast while DuckDB BIGINT errors — decimal
+    // mirrors HUGEINT exactly (both exact to 1e38, both error past it)
     val stats = g
       .withColumn("__k", count(lit(1)).over(wAll))
-      .withColumn("__gm", round(sum(round(col("mean") * 1e6, 0).cast("long"))
+      .withColumn("__gm", round(sum(round(col("mean") * 1e6, 0)
+        .cast("decimal(38,0)"))
         .over(wAll).cast("double") / col("__k") / 1e6, 6))
       .withColumn("__pv", sum(round((col("__ss") - col("__s") * col("__s") / col("__n"))
-        * 1e6, 0).cast("long")).over(wAll).cast("double") / 1e6
+        * 1e6, 0).cast("decimal(38,0)")).over(wAll).cast("double") / 1e6
         / sum(col("__n") - 1).over(wAll).cast("double"))
-      .withColumn("__invn", sum(round(lit(1e9) / col("__n"), 0).cast("long"))
+      .withColumn("__invn", sum(round(lit(1e9) / col("__n"), 0)
+        .cast("decimal(38,0)"))
         .over(wAll).cast("double") / col("__k") / 1e9)
       .withColumn("__ssb", sum(round((col("mean") - col("__gm"))
-        * (col("mean") - col("__gm")) * 1e6, 0).cast("long"))
+        * (col("mean") - col("__gm")) * 1e6, 0).cast("decimal(38,0)"))
         .over(wAll).cast("double") / 1e6)
     val b = when(col("__k") <= 3, lit(1.0))
       .when(col("__ssb") <= 0, lit(0.0))

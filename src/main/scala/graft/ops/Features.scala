@@ -61,7 +61,12 @@ object Features {
               / (col("__gn") - col("__fn")).cast("double")))
           / ((col("__tn") - col("__n")).cast("double") + lit(smoothing)), 6)
           .as("te"))
-    rows.join(enc, Seq("__cat", "fold"))
+    // null-SAFE join back: a NULL category is a legitimate "missing"
+    // level (groupBy/windows above already pool nulls into one cell), so
+    // it must get an encode too — a plain equi-join would silently drop
+    // every null-category input row from the output
+    rows.join(enc.withColumnsRenamed(Map("__cat" -> "__ecat", "fold" -> "__efold")),
+        col("__cat") <=> col("__ecat") && col("fold") === col("__efold"))
       .select(col(keyCol), col("__cat").as(catCol), col("fold"), col("te"))
   }
 }

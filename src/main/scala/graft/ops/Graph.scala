@@ -104,9 +104,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    // the edge table is joined on dst EVERY round — shuffle it onto dst
+    // once and let the cached partitioning serve all rounds (only the
+    // node-sized label table moves per round); same play as bfsHops'
+    // src-partitioned edges
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -328,30 +333,72 @@ object Graph {
     cleanups += (() => dir.unpersist())
     // living nodes with their degree in the living subgraph; eager
     // localCheckpoint per round keeps the lineage a leaf (the round
-    // references deg twice: filter + survivor side)
-    var deg = dir.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("__d"))
-      .localCheckpoint(true)
+    // references deg twice: filter + survivor side). The below-k
+    // convergence probe rides the SAME materialization job as an
+    // observed metric (CollectMetrics accumulators fill while the
+    // checkpoint writes — Dataset.checkpoint runs through withAction, so
+    // Observation sees it), making each round ONE job instead of
+    // checkpoint + leaf-scan probe — the only lever serial-round wall
+    // time has left in local mode; at cluster scale it also halves the
+    // scheduler round-trips.
+    var obsId = 0
+    def checkpointWithStats(plan: DataFrame): (DataFrame, Long, Long) = {
+      obsId += 1
+      val obs = org.apache.spark.sql.Observation(
+        s"kcore_below_${java.util.UUID.randomUUID.toString.take(8)}_$obsId")
+      val cp = plan.observe(obs,
+          sum(when(col("__d") < k, 1L).otherwise(0L)).as("below"),
+          count(lit(1)).as("living"))
+        .localCheckpoint(true)
+      // obs.get blocks on ASYNC listener delivery — drain the bus so the
+      // metric arrives now instead of a bus-flush-interval later (the
+      // whole point is fewer serial stalls per round)
+      graft.SparkInternals.flushListenerBus(plan.sparkSession.sparkContext)
+      def metric(name: String): Long = obs.get.get(name) match {
+        case Some(null) | None => 0L // empty degree table: sum is null
+        case Some(v) => v.asInstanceOf[Long]
+      }
+      (cp, metric("below"), metric("living"))
+    }
+    // Per-round plans over a SMALL living-node table pay more in AQE
+    // query-stage scheduling (each round's join materializes 3-4 stage
+    // jobs) than they gain from runtime re-planning — once the observed
+    // living count is driver-known and small, run the remaining rounds
+    // with AQE off (one job per round). Big state keeps AQE (skew-join,
+    // broadcast conversion) — the 100 TB path is unchanged.
+    val spark = edges.sparkSession
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val SmallState = 2000000L
+    def roundConf[T](living: Long)(body: => T): T = {
+      val prev = spark.conf.getOption(AqeKey)
+      if (living < SmallState) spark.conf.set(AqeKey, "false")
+      try body
+      finally prev match {
+        case Some(p) => spark.conf.set(AqeKey, p)
+        case None => spark.conf.unset(AqeKey)
+      }
+    }
+    var (deg, below, living) = checkpointWithStats(
+      dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d")))
     cleanups += { val d = deg; () => d.unpersist() }
     var rounds = 0
-    // one probe job per round (a leaf-scan count on the checkpointed
-    // degree table), one checkpoint job for the round's update
-    var converged = deg.filter(col("__d") < k).isEmpty
-    while (!converged && rounds < maxRounds) {
+    while (below > 0 && rounds < maxRounds) {
       rounds += 1
       val removed = deg.filter(col("__d") < k)
       val dec = dir
         .join(removed.select(col("node").as("src")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__dec"))
-      val next = deg.filter(col("__d") >= k)
-        .join(dec, Seq("node"), "left")
-        .select(col("node"),
-          (col("__d") - coalesce(col("__dec"), lit(0L))).as("__d"))
-        .localCheckpoint(true)
+      val (next, b, l) = roundConf(living)(checkpointWithStats(
+        deg.filter(col("__d") >= k)
+          .join(dec, Seq("node"), "left")
+          .select(col("node"),
+            (col("__d") - coalesce(col("__dec"), lit(0L))).as("__d"))))
       cleanups += (() => next.unpersist())
       deg = next
-      converged = deg.filter(col("__d") < k).isEmpty
+      below = b
+      living = l
     }
+    val converged = below == 0L
     require(converged,
       s"kCore: no fixpoint after $maxRounds rounds — raise maxRounds " +
         s"(the oracle unroll must be raised with it)")

@@ -413,19 +413,22 @@ object Sampling {
                        budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"neymanAllocation: budget=$budget must be >= 1")
-    val g = df.select(col(stratumCol).as("__h"), col(valueCol).cast("double").as("__v"))
+    val all = df.select(col(stratumCol).as("__h"), col(valueCol).cast("double").as("__v"))
       .filter(col("__h").isNotNull && col("__v").isNotNull)
       .groupBy(col("__h")).agg(
         count(lit(1)).as("__n"),
         sum(col("__v").cast("decimal(28,6)")).cast("double").as("__s"),
         sum((col("__v") * col("__v")).cast("decimal(38,12)")).cast("double").as("__ss"))
-      .filter(col("__n") > 1)
-      .withColumn("sd", round(sqrt((col("__ss") - col("__s") * col("__s") / col("__n"))
-        / (col("__n") - 1)), 6))
+      // sd needs n >= 2; a single-row stratum still appears in the
+      // report (sd null, n_alloc 0) instead of silently vanishing
+      .withColumn("sd", when(col("__n") > 1,
+        round(sqrt((col("__ss") - col("__s") * col("__s") / col("__n"))
+          / (col("__n") - 1)), 6)))
+    val g = all.filter(col("__n") > 1)
       .withColumn("__w", round(col("__n") * col("sd") * 1e6, 0).cast("decimal(28,0)"))
     val wAll = Window.partitionBy()
     val wRem = Window.orderBy(col("__rem").desc, col("__h"))
-    g.withColumn("__wt", sum(col("__w")).over(wAll))
+    val alloc = g.withColumn("__wt", sum(col("__w")).over(wAll))
       .filter(col("__wt") > 0)
       // exact rational quota: integral (budget·w) div Σw and its exact
       // remainder — all decimal, no float quotient near-integer hazard
@@ -434,8 +437,14 @@ object Sampling {
       .withColumn("__rem", col("__bw") - col("__q") * col("__wt"))
       .withColumn("__left", lit(budget.toLong) - sum(col("__q")).over(wAll))
       .withColumn("__rk", row_number().over(wRem))
-      .select(col("__h").as(stratumCol), col("__n").as("n_rows"), col("sd"),
+      .select(col("__h"),
         least(col("__q") + when(col("__rk") <= col("__left"), 1L).otherwise(0L),
-          col("__n")).as("n_alloc"))
+          col("__n")).as("__alloc"))
+    // every stratum reports: excluded ones (n=1, or an all-zero-sd
+    // weight table) carry n_alloc 0 — dropped cases are visible, never
+    // silently redistributed
+    all.join(alloc, Seq("__h"), "left")
+      .select(col("__h").as(stratumCol), col("__n").as("n_rows"), col("sd"),
+        coalesce(col("__alloc"), lit(0L)).as("n_alloc"))
   }
 }

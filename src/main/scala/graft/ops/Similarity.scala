@@ -314,6 +314,55 @@ object Similarity {
       .select(col(idCol), col("qvec"), round(col("__mx"), 6).as("max_abs"))
   }
 
+  /** 1-bit (sign) quantization of an embedding column into two packed
+    * 32-bit words — the most aggressive embedding compression tier
+    * (64× vs float32; below [[quantizeInt8]]'s 4× and PQ's ~32×):
+    * bit i = 1 iff x_i > 0. Hamming distance between sign patterns is a
+    * monotone proxy for angular distance (Charikar 2002 SimHash
+    * argument), so a packed-bit scan is the cheapest possible first-pass
+    * filter over a web-scale corpus. Packed as two NON-NEGATIVE 32-bit
+    * halves (lo = dims 1..32, hi = dims 33..64) so any 64-bit SQL engine
+    * replays the packing and XOR/popcount exactly — the same split the
+    * aHash Hamming oracle uses. Dims beyond 64 are rejected; dims short
+    * of 64 leave high bits 0.
+    *
+    * Exact and deterministic end to end: comparisons and bit arithmetic
+    * only, no floats anywhere. */
+  def signBits(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"signBits: dim=$dim out of [1, 64]")
+    def pack(lo: Int, hi: Int): Column =
+      (lo until math.min(hi, dim)).map(i =>
+        when(element_at(col(vecCol), i + 1) > 0f, lit(1L << (i - lo)))
+          .otherwise(lit(0L)))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+    corpus.select(col(idCol), pack(0, 32).as("bits_lo"), pack(32, 64).as("bits_hi"))
+  }
+
+  /** Exact Hamming top-k over [[signBits]] patterns: per query, the k
+    * corpus vectors with the fewest sign disagreements (ties to the
+    * smallest id). XOR + popcount on two packed words per pair — integer
+    * only, codegen'd, no similarity floats — making the ANN first-pass
+    * tier itself hash-checkable by an external engine. Queries broadcast
+    * (bounded query set), one corpus scan, per-query top-k window. */
+  def knnHamming(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, dim: Int, k: Int): DataFrame = {
+    val c = signBits(corpus, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "vec_id")
+    val q = signBits(queries, idCol, vecCol, dim)
+      .select(col(idCol).as("qid"), col("bits_lo").as("__qlo"),
+        col("bits_hi").as("__qhi"))
+    val dist = (bit_count(col("bits_lo").bitwiseXOR(col("__qlo"))) +
+      bit_count(col("bits_hi").bitwiseXOR(col("__qhi")))).cast("long")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("vec_id"))
+    c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), dist.as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "hamming")
+  }
+
   /** Exact brute-force top-k over the int8-quantized corpus — the
     * memory-bound variant of [[knnBruteForce]]. Ranks differ from the
     * float path only where quantization noise crosses a similarity gap;
@@ -971,24 +1020,27 @@ object Similarity {
 
   /** Exact brute-force top-k by raw DOT PRODUCT (no normalization) —
     * [[knnBruteForce]]'s unnormalized sibling; the ranking differs from
-    * cosine exactly where vector norms differ, which is what makes it a
-    * useful second voice in rank fusion. Index-ordered fold (`aggregate`
-    * evaluates left-to-right), rounded 6 dp before ranking. */
+    * cosine exactly where norms differ, which is what makes it a useful
+    * second voice in rank fusion. The score is the per-term integer-micro
+    * dot (Σ round(aᵢ·bᵢ·1e8) as LONG, the q80 protocol via the codegen'd
+    * [[graft.functions.GraftDotMicro8]] kernel): order-free, so ranking
+    * can never flip on engine/version fold-order differences — the r13
+    * q299 gate-red channel the old 6-dp double fold sat on. `sim` is the
+    * micro sum scaled back once at the edge (exact division, 6 dp). */
   def knnBruteForceDot(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"),
-      col(vecCol).cast("array<double>").as("__qv"))
-    val c = corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
-    val dot = round(aggregate(zip_with(col("__qv"), col("__cv"), _ * _),
-      lit(0.0), _ + _), 6)
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
+      .orderBy(col("__dm").desc, col("vec_id"))
     c.join(broadcast(q), col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), dot.as("sim"))
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.dotMicro8Native(col("__qv"), col("__cv")).as("__dm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("__dm").cast("double") / lit(1e8), 6).as("sim"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of several ranked

@@ -531,6 +531,50 @@ object TextAnalysis {
         / sum("__c").cast("double"), 6).as("dup_share"))
   }
 
+  /** Corpus-linguistic term dispersion DP ("deviation of proportions",
+    * Gries 2008): for each term, 0.5·Σ_sources |v_i/f − s_i|, where v_i
+    * is the term's count in source i, f its corpus count, and s_i the
+    * source's share of all tokens. DP ≈ 0 means the term is spread
+    * across sources exactly like the corpus itself; DP → 1 means it
+    * lives in one source — the signal that separates genuine vocabulary
+    * from source-local artifacts (boilerplate, site chrome, code) when
+    * curating a training corpus, which raw frequency alone cannot see.
+    * Sources a term never touches contribute |0 − s_i| — absence IS
+    * dispersion evidence, so the grid is completed, not inner-joined.
+    *
+    * Determinism: v, f, source totals are exact longs; each per-source
+    * term quantizes |v/f − s| to integer micro-units before the
+    * source-count-bounded sum; one edge division rounds to 6 dp.
+    *
+    * Scale: tokens reduce to (term, source) cells on the first exchange
+    * (map-side combined). The source-total table is registry-sized (a
+    * corpus has bounded ingestion sources — this is NOT the vocabulary),
+    * so completing the grid is a broadcast cross of the REDUCED term
+    * table with a few rows; everything after is term-keyed. */
+  def termDispersion(docs: DataFrame, sourceCol: String,
+                     textCol: String = "text",
+                     minCount: Long = 50): DataFrame = {
+    val tk = docs
+      .select(col(sourceCol).as("__src"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val cell = tk.groupBy(col("term"), col("__src")).agg(count(lit(1)).as("__v"))
+    val srcTot = tk.groupBy(col("__src")).agg(count(lit(1)).as("__st"))
+      .withColumn("__T", sum(col("__st"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val terms = cell.groupBy(col("term")).agg(sum(col("__v")).as("__f"))
+      .filter(col("__f") >= minCount)
+    terms.crossJoin(broadcast(srcTot))
+      .join(cell, Seq("term", "__src"), "left")
+      .select(col("term"), col("__f"),
+        round(abs(coalesce(col("__v"), lit(0L)).cast("double") / col("__f")
+            - col("__st").cast("double") / col("__T")) * 1e6, 0)
+          .cast("long").as("__dt"))
+      .groupBy(col("term"), col("__f"))
+      .agg(sum(col("__dt")).as("__s"))
+      .select(col("term"), col("__f").as("n_total"),
+        round(col("__s").cast("double") / 2000000.0, 6).as("dp"))
+  }
+
   /** Top-k TF-IDF terms per document — the classic salience ranking
     * (tf · ln(N/df), raw counts, no smoothing: every term scored has
     * df >= 1 by construction). The workhorse behind keyword extraction

@@ -1034,19 +1034,24 @@ object CurationQueries {
               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS s,
               CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS ss
             FROM orders GROUP BY o_orderpriority),
-          w AS (SELECT h, n, round(sqrt((ss - s * s / n) / (n - 1)), 6) AS sd
-                FROM g WHERE n > 1),
+          a0 AS (SELECT h, n,
+                   CASE WHEN n > 1 THEN round(sqrt((ss - s * s / n) / (n - 1)), 6) END AS sd
+                 FROM g),
           w2 AS (SELECT h, n, sd,
-                   CAST(round(n * sd * 1000000, 0) AS HUGEINT) AS wm FROM w),
+                   CAST(round(n * sd * 1000000, 0) AS HUGEINT) AS wm
+                 FROM a0 WHERE n > 1),
           t AS (SELECT h, n, sd, wm, sum(wm) OVER () AS wt FROM w2),
           q AS (SELECT h, n, sd, (1000 * wm) // wt AS q,
                   (1000 * wm) % wt AS rem FROM t WHERE wt > 0),
           fin AS (SELECT h, n, sd, q, rem,
                     1000 - sum(q) OVER () AS leftover,
-                    row_number() OVER (ORDER BY rem DESC, h) AS rk FROM q)
-          SELECT h AS o_orderpriority, CAST(n AS BIGINT) AS n_rows, sd,
-            CAST(least(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n) AS BIGINT) AS n_alloc
-          FROM fin ORDER BY o_orderpriority""",
+                    row_number() OVER (ORDER BY rem DESC, h) AS rk FROM q),
+          al AS (SELECT h,
+                   least(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n) AS alloc
+                 FROM fin)
+          SELECT a0.h AS o_orderpriority, CAST(a0.n AS BIGINT) AS n_rows, a0.sd,
+            CAST(coalesce(al.alloc, 0) AS BIGINT) AS n_alloc
+          FROM a0 LEFT JOIN al ON a0.h = al.h ORDER BY o_orderpriority""",
     // oofTargetEncode replay: md5 fold assignment, (cat, fold) cells,
     // cat/fold/global marginal windows, the identical smoothed-mean
     // expression shape.
@@ -1070,7 +1075,7 @@ object CurationQueries {
                   / (CAST(tn - n AS DOUBLE) + 20.0), 6) AS te FROM m)
           SELECT r.o_orderkey, r.cat AS o_orderpriority,
             CAST(r.fold AS BIGINT) AS fold, e.te
-          FROM r JOIN e ON r.cat = e.cat AND r.fold = e.fold
+          FROM r JOIN e ON r.cat IS NOT DISTINCT FROM e.cat AND r.fold = e.fold
           ORDER BY r.o_orderkey"""
     },
     // isotonicCalibration replay: q218's score/label hashes, 20 bins,

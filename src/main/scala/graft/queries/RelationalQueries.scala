@@ -21,6 +21,19 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Gate-environment canary: 10 fixed literal rows, no table input, no
+    // shuffle, no scratch — nothing in this query can legitimately vary.
+    // It flows through the SAME Verify dump + DuckDB compare path as every
+    // other query, so a red canary row in a driver gate proves the
+    // dump/compare environment (not engine algebra) guilty for that run
+    // and quarantines the round's other red rows. SelfChecks pins the
+    // canonical md5 of the collected rows as a second, in-JVM witness.
+    "q000_canary" -> ((s, dir) => {
+      import s.implicits._
+      (0 until 10).map(i => (i.toLong, s"c$i", i * 0.125))
+        .toDF("id", "tag", "val").orderBy("id")
+    }),
+
     // A1/A2: hash aggregate with partial (map-side) combine — TPC-H Q1 shape.
     // Edit-distance-1 self-join over distinct part names via SymSpell
     // deletion-neighborhood blocking — lossless for ed <= 1, verified
@@ -520,6 +533,12 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Canary replay: the same 10 literal rows from range(); i*0.125 is an
+    // exact binary fraction on both engines.
+    "q000_canary" ->
+      """SELECT CAST(range AS BIGINT) AS id, 'c' || range AS tag,
+                CAST(range * 0.125 AS DOUBLE) AS val
+         FROM range(10) ORDER BY id""",
     // The bucketed layout changes the PLAN, never the result: the oracle
     // is the plain join+agg over the raw tables.
     "q193_bucketed_join" ->

@@ -361,6 +361,21 @@ object StatsQueries {
       require(viewTotal == corpusTotal,
         s"q198: merged view covers $viewTotal rows but the corpus has " +
           s"$corpusTotal — an append/refresh was lost (poisoned scratch chain?)")
+      // Provenance sidecar (written by Verify beside the dump): chain
+      // manifest + canonical md5 of THESE collected rows. A future red
+      // gate row is then attributable in one read — if this md5 matches
+      // the oracle's values but the dumped parquet doesn't, the
+      // dump/compare path (not the view algebra) is guilty.
+      val canon = rows.map(_.toSeq.mkString("|")).mkString("\n")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val batches = Seq(0, 1, 2).map(b =>
+        o.filter(col("o_orderkey") % 3 === b).count())
+      graft.Provenance.record(
+        s"""{"query": "q198_incremental_view", "table_dir": "$table",
+           | "view_dir": "$view", "batch_rows": [${batches.mkString(", ")}],
+           | "corpus_rows": $corpusTotal, "view_rows_sum": $viewTotal,
+           | "n_keys": ${rows.length}, "rows_md5": "$md5"}""".stripMargin)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
@@ -952,17 +967,17 @@ object StatsQueries {
             GROUP BY c_nationkey HAVING count(*) > 1),
           m AS (SELECT g, n, s, ss, round(s / n, 6) AS mean FROM g),
           a AS (SELECT count(*) AS k,
-                  sum(CAST(round(mean * 1000000, 0) AS BIGINT)) AS sm,
-                  sum(CAST(round((ss - s * s / n) * 1000000, 0) AS BIGINT)) AS pvn,
+                  sum(CAST(round(mean * 1000000, 0) AS HUGEINT)) AS sm,
+                  sum(CAST(round((ss - s * s / n) * 1000000, 0) AS HUGEINT)) AS pvn,
                   sum(n - 1) AS pvd,
-                  sum(CAST(round(1000000000.0 / n, 0) AS BIGINT)) AS invn
+                  sum(CAST(round(1000000000.0 / n, 0) AS HUGEINT)) AS invn
                 FROM m),
           gm AS (SELECT k, round(CAST(sm AS DOUBLE) / k / 1000000.0, 6) AS gm,
                    CAST(pvn AS DOUBLE) / 1000000.0 / pvd AS pv,
                    CAST(invn AS DOUBLE) / k / 1000000000.0 AS invm
                  FROM a),
           sb AS (SELECT sum(CAST(round((m.mean - gm.gm) * (m.mean - gm.gm)
-                   * 1000000, 0) AS BIGINT)) AS sb
+                   * 1000000, 0) AS HUGEINT)) AS sb
                  FROM m, gm),
           bb AS (SELECT gm.gm,
                    CASE WHEN gm.k <= 3 THEN 1.0
@@ -984,12 +999,12 @@ object StatsQueries {
             GROUP BY event_type),
           a AS (SELECT count(*) AS k, sum(n) AS nt,
               CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS st,
-              sum(CAST(round(s * s / n * 1000000, 0) AS BIGINT)) AS bm,
-              sum(CAST(round(ss * 1000000, 0) AS BIGINT)) AS ssm FROM g),
+              sum(CAST(round(s * s / n * 1000000, 0) AS HUGEINT)) AS bm,
+              sum(CAST(round(ss * 1000000, 0) AS HUGEINT)) AS ssm FROM g),
           d AS (SELECT k, nt,
-              CAST(bm - CAST(round(st * st / nt * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS ssb,
+              CAST(bm - CAST(round(st * st / nt * 1000000, 0) AS HUGEINT) AS DOUBLE) / 1000000.0 AS ssb,
               CAST(ssm - bm AS DOUBLE) / 1000000.0 AS ssw,
-              CAST(ssm - CAST(round(st * st / nt * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS sst
+              CAST(ssm - CAST(round(st * st / nt * 1000000, 0) AS HUGEINT) AS DOUBLE) / 1000000.0 AS sst
             FROM a WHERE k >= 2 AND nt > k)
           SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
             round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f,

@@ -693,6 +693,18 @@ object TextQueries {
         .orderBy("doc_id", "term")
     }),
 
+    // Gries DP term dispersion across ingestion sources: |v_i/f − s_i|
+    // summed over the source registry — separates real vocabulary
+    // (spread like the corpus) from source-local artifacts (boilerplate,
+    // site chrome) that raw frequency can't distinguish. Absent sources
+    // count as |0 − s_i|: absence IS dispersion evidence. Distinct from
+    // q232's Fano factor (volume burstiness over TIME, not sources).
+    "q316_term_dispersion" -> ((s, dir) => {
+      TextAnalysis.termDispersion(Tables.documents(s, dir), "source",
+          minCount = 50)
+        .orderBy("term")
+    }),
+
     // BM25 retrieval against a fixed query-term set: top-20 docs by Okapi
     // score (k1=1.2, b=0.75), query-term filter applied before any
     // aggregation so tf tables stay |query|-bounded per doc.
@@ -2217,6 +2229,26 @@ object TextQueries {
                  FROM sc)
           SELECT doc_id, term, round(score, 6) AS score FROM rk WHERE rn <= 3
           ORDER BY doc_id, term""",
+    // termDispersion replay: (term, source) cells, registry-sized source
+    // totals, per-source |v/f − s| micro-quantized before the bounded
+    // sum, one edge division.
+    "q316_term_dispersion" ->
+      s"""WITH tk AS (SELECT source AS src, unnest($tokSql) AS term
+                FROM documents),
+          tk2 AS (SELECT * FROM tk WHERE term <> ''),
+          cell AS (SELECT term, src, count(*) AS v FROM tk2 GROUP BY term, src),
+          st AS (SELECT src, count(*) AS stc,
+                   sum(count(*)) OVER () AS tt FROM tk2 GROUP BY src),
+          terms AS (SELECT term, CAST(sum(v) AS BIGINT) AS f FROM cell
+                    GROUP BY term HAVING sum(v) >= 50),
+          d AS (SELECT t.term, t.f,
+                  CAST(round(abs(coalesce(c.v, 0) * 1.0 / t.f
+                    - s.stc * 1.0 / s.tt) * 1000000, 0) AS BIGINT) AS dt
+                FROM terms t CROSS JOIN st s
+                LEFT JOIN cell c ON c.term = t.term AND c.src = s.src)
+          SELECT term, f AS n_total,
+            round(CAST(sum(dt) AS DOUBLE) / 2000000.0, 6) AS dp
+          FROM d GROUP BY term, f ORDER BY term""",
     "q103_bm25" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
           t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),

@@ -67,15 +67,27 @@ object VectorEventQueries {
   private val ivfIncrCache =
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
 
+  /** Last stored-index location minted by each stored-index query in THIS
+    * JVM, keyed by kind ("stored" / "incr" / "drift"). The index dirs used
+    * to be FIXED per (query, sfDir) — `/tmp/graft_ivfpq_*_${dir.hashCode}`
+    * — so two concurrent processes (driver verify alongside its bench, or
+    * a retried gate) would delete/commit under each other mid-read: the
+    * r13 q185 gate-red channel, verbatim the disease [[graft.util.Scratch]]
+    * documents. Every invocation now mints a fresh UUID-keyed Scratch dir;
+    * self-checks re-read the artifacts the query just wrote through this
+    * map instead of re-deriving a shared path. Harness runs queries
+    * sequentially per JVM, so last-write-wins is safe. */
+  private[graft] val lastIndexDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q184's fixture: a fresh stored index whose artifacts are trained on
     * the even-id half of the corpus ("day 0") and whose `codes` v1 is
-    * that half's encode. Deleted and rebuilt per run so a regenerated
-    * dataset can never serve a stale index. Shared with the SelfCheck. */
+    * that half's encode. A fresh Scratch dir per run, so a regenerated
+    * dataset can never serve a stale index and concurrent processes can
+    * never collide. Shared with the SelfCheck via [[lastIndexDir]]. */
   private[graft] def incrementalIndexDir(s: SparkSession, dir: String): String = {
-    val idxDir = s"/tmp/graft_ivfpq_incr_${dir.hashCode.toHexString}"
-    val fs = new org.apache.hadoop.fs.Path(idxDir)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+    val idxDir = graft.util.Scratch.dir(s, "ivfpq_incr")
+    lastIndexDir.put("incr", idxDir)
     val base = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
     val pq = pqIncrCache.computeIfAbsent(dir,
       _ => Similarity.trainPqDeterministic(base, "embedding", m = 8, ksub = 16))
@@ -118,6 +130,18 @@ object VectorEventQueries {
       val e = Tables.embeddings(s, dir)
       Similarity.knnBruteForce(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K)
+        .orderBy("qid", "rank")
+    }),
+
+    // 1-bit sign quantization (64x compression) + exact Hamming top-10:
+    // the cheapest ANN first-pass tier, below int8 (q73) and PQ (q114).
+    // Pure integer bit arithmetic end to end — packing, XOR, popcount —
+    // so unlike every float scorer the quantized tier itself
+    // hash-matches an external engine with no rounding protocol at all.
+    "q315_sign_hamming" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnHamming(e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", dim = 64, k = K)
         .orderBy("qid", "rank")
     }),
 
@@ -289,8 +313,12 @@ object VectorEventQueries {
     // SimilaritySpec still bands recall@k against brute force.
     "q67_knn_ivf_trained" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val idx = Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
-        nlist = 10)
+      // train once per (dir, params) — the index is an offline artifact;
+      // the timed path is routing + cell scan, as in production (shares
+      // the q160 cache: same corpus, same nlist, same deterministic fit)
+      val idx = ivfIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
+          nlist = 10))
       Similarity.knnIvfTrained(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", idx, K, nprobe = 2)
         .orderBy("qid", "rank")
@@ -349,10 +377,8 @@ object VectorEventQueries {
     // row-identical to q160's in-process path.
     "q167_knn_ivfpq_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val idxDir = s"/tmp/graft_ivfpq_${dir.hashCode.toHexString}"
-      val fs = new org.apache.hadoop.fs.Path(idxDir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      val idxDir = graft.util.Scratch.dir(s, "ivfpq_stored")
+      lastIndexDir.put("stored", idxDir)
       val pq = pqIndexCache.computeIfAbsent(dir,
         _ => Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16))
       val ivf = ivfIndexCache.computeIfAbsent(dir,
@@ -399,10 +425,8 @@ object VectorEventQueries {
     // geometry, so refine is still exact — only cell balance degrades).
     "q185_ivfpq_drift" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val idxDir = s"/tmp/graft_ivfpq_drift_${dir.hashCode.toHexString}"
-      val fs = new org.apache.hadoop.fs.Path(idxDir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      val idxDir = graft.util.Scratch.dir(s, "ivfpq_drift")
+      lastIndexDir.put("drift", idxDir)
       val pq = pqIndexCache.computeIfAbsent(dir,
         _ => Similarity.trainPqDeterministic(e, "embedding", m = 8, ksub = 16))
       val ivf = ivfIndexCache.computeIfAbsent(dir,
@@ -1236,9 +1260,11 @@ object VectorEventQueries {
           SELECT CAST(rank AS BIGINT) AS rank, user_id
           FROM r WHERE rank <= 10 ORDER BY rank"""
     },
-    // rrfFusion replay: q38's cosine ranks + the same shape with a raw
-    // dot product (both sequential left-to-right folds on both engines),
-    // integer micro 1/(60+rank) contributions, item-asc ties.
+    // rrfFusion replay: q38's cosine ranks + the raw-dot ranks scored as
+    // per-term integer-micro sums (round(aᵢ·bᵢ·1e8) BIGINT, exactly the
+    // engine's GraftDotMicro8 kernel — order-free, no reliance on any
+    // builtin's fold order), integer micro 1/(60+rank) contributions,
+    // item-asc ties.
     "q299_rank_fusion" ->
       s"""WITH $knnCore,
           csc AS (SELECT qid, e.vec_id,
@@ -1248,10 +1274,12 @@ object VectorEventQueries {
                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
                  FROM csc),
           dsc AS (SELECT qid, e.vec_id,
-                    round(list_dot_product(qv, e.embedding::DOUBLE[]), 6) AS sim
+                    CAST(list_sum(list_transform(range(1, len(qv) + 1), i ->
+                      CAST(round(qv[i] * (e.embedding::DOUBLE[])[i] * 100000000.0, 0) AS BIGINT)))
+                      AS BIGINT) AS dm
                   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           dr AS (SELECT qid, vec_id,
-                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                   row_number() OVER (PARTITION BY qid ORDER BY dm DESC, vec_id) AS rank
                  FROM dsc),
           rr AS (SELECT qid, vec_id, rank FROM cr WHERE rank <= $K
                  UNION ALL SELECT qid, vec_id, rank FROM dr WHERE rank <= $K),
@@ -1321,6 +1349,25 @@ object VectorEventQueries {
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    // signBits/knnHamming replay: identical bit packing (two 32-bit
+    // halves — 64-bit-safe in any engine), XOR + popcount distance,
+    // (hamming asc, id asc) ties.
+    "q315_sign_hamming" ->
+      s"""WITH b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(1, 33), i ->
+                CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+              CAST(list_sum(list_transform(range(33, 65), i ->
+                CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+            FROM embeddings),
+          q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM b WHERE vec_id < $NQueries),
+          sc AS (SELECT qid, b.vec_id,
+                   CAST(bit_count(xor(b.lo, qlo)) + bit_count(xor(b.hi, qhi)) AS BIGINT) AS hamming
+                 FROM q CROSS JOIN b WHERE b.vec_id <> qid),
+          r AS (SELECT qid, vec_id, hamming,
+                  row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rank
+                FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, hamming
+          FROM r WHERE rank <= $K ORDER BY qid, rank""",
     // Plane-cell assignment (q65's plane replay, one table), exact
     // within-cell top-10, label-disagreement share.
     "q279_label_noise" ->

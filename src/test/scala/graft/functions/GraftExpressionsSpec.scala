@@ -86,6 +86,37 @@ class GraftExpressionsSpec extends SparkSpec {
     rows.foreach { case (n, d, m) => assert(n == d && m == d) }
   }
 
+  test("dotMicro8 / cosineMicro8 match the declarative micro protocol") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.5f)),
+      (Array(0.1f, 0.0f, -0.7f), Array(0.1f, 0.0f, -0.7f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+    GraftFunctions.ensureRegistered(spark)
+    // declarative replay of the same protocol: per-term HALF_UP micro
+    // rounding, integer sum — the oracle-side SQL in Scala clothing
+    val declDot = aggregate(
+      zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => round(x * y * lit(1e8), 0).cast("long")),
+      lit(0L), _ + _)
+    val rows = vecs.select(
+      GraftFunctions.dotMicro8Native(col("a"), col("b")).as("native"),
+      declDot.as("decl"),
+      GraftFunctions.cosineMicro8Native(col("a"), col("b")).as("cosm"),
+      round(GraftFunctions.cosineNative(col("a"), col("b")), 6).as("cosref"))
+      .as[(Long, Long, Double, Double)].collect()
+    rows.foreach { case (n, d, cm, cr) =>
+      assert(n == d, s"dot micro $n != declarative $d")
+      // micro cosine agrees with the raw-double cosine to 1 ulp of 6 dp
+      assert(math.abs(cm - cr) <= 1e-6 + 1e-12, s"cosineMicro8 $cm vs $cr")
+    }
+    // zero-norm side -> null (not NaN/divide error); orthogonal -> 0.0
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(GraftFunctions.cosineMicro8Native(col("a"), col("b")).as("c"))
+      .head()
+    assert(z.isNullAt(0))
+  }
+
   test("null array elements propagate to a null result (SQL surface)") {
     GraftFunctions.ensureRegistered(spark)
     // Arbitrary SQL can hand any array<...> with null elements to the

@@ -714,6 +714,20 @@ class DataQualitySpec extends SparkSpec {
       false, None, Some(0.0))), got(2).toString)
   }
 
+  test("schemaDrift: hostile column names (quotes, backticks, dots, __n collisions)") {
+    // names that used to break the spliced-SQL stack() form, plus data
+    // columns squatting on the old internal aliases
+    val a = Seq((1L, "x", 2.0, 3L)).toDF("it's", "we`ird", "a.b", "__n")
+    val b = Seq((Some(1L), "x", 2.0, 3L)).toDF("it's", "we`ird", "a.b", "__n")
+    val got = DataQuality.schemaDrift(a, b).orderBy("column")
+      .select("column", "in_a", "in_b", "type_changed").collect()
+    assert(got.length == 4, got.mkString(", "))
+    assert(got.map(_.getString(0)).toSeq.sorted ==
+      Seq("__n", "a.b", "it's", "we`ird"), got.mkString(", "))
+    assert(got.forall(r => r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3)),
+      got.mkString(", "))
+  }
+
   test("quarantineReport: first-match priority and ok fallthrough") {
     val df = Seq(("1.5", "2026-01-01 00:00:00"), ("N/A", "2026-01-01 00:00:00"),
       ("2.0", "junk"), ("N/A", "junk")).toDF("p", "d")

@@ -42,4 +42,17 @@ class FeaturesSpec extends graft.SparkSpec {
     val byFold = got.groupBy(r => (r._2, r._3)).view.mapValues(_.head._4)
     assert(byFold.values.toSeq.distinct.size > 1)
   }
+
+  test("oofTargetEncode: NULL categories form a real level and every row survives") {
+    val df = (1 to 120).map { i =>
+      (i.toLong, if (i % 4 == 0) null else s"cat${i % 2}", i % 3 == 0)
+    }.toDF("k", "cat", "y")
+    val got = Features.oofTargetEncode(df, "k", "cat", col("y"), k = 4, smoothing = 5.0)
+      .select("k", "cat", "te").collect()
+    // no input row vanishes (the old equi-join dropped null-cat rows)
+    assert(got.length == 120, s"rows ${got.length} != 120")
+    val nullRows = got.filter(_.isNullAt(1))
+    assert(nullRows.length == 30 && nullRows.forall(!_.isNullAt(2)),
+      "null-category rows must carry a (non-null) encode")
+  }
 }

@@ -285,5 +285,18 @@ class SamplingPackingSpec extends SparkSpec {
     val got2 = Sampling.neymanAllocation(ab, "h", "v", budget = 5)
       .orderBy("h").select("h", "n_alloc").as[(String, Long)].collect()
     assert(got2.toSeq == Seq(("A", 2L), ("B", 0L)), got2.mkString(", "))
+    // a single-row stratum stays IN the report (sd null, n_alloc 0)
+    // instead of silently vanishing; an all-degenerate table (every
+    // stratum n=1 or sd=0) reports zero allocations, not an empty frame
+    val withSingleton = Seq(("A", 0.0), ("A", 10.0), ("S", 7.0)).toDF("h", "v")
+    val got3 = Sampling.neymanAllocation(withSingleton, "h", "v", budget = 2)
+      .orderBy("h").select("h", "n_rows", "sd", "n_alloc").collect()
+    assert(got3.length == 2 &&
+      got3(1).getString(0) == "S" && got3(1).getLong(1) == 1L &&
+      got3(1).isNullAt(2) && got3(1).getLong(3) == 0L, got3.mkString(", "))
+    val degenerate = Seq(("A", 5.0), ("A", 5.0), ("S", 7.0)).toDF("h", "v")
+    val got4 = Sampling.neymanAllocation(degenerate, "h", "v", budget = 2)
+      .orderBy("h").select("h", "n_alloc").as[(String, Long)].collect()
+    assert(got4.toSeq == Seq(("A", 0L), ("S", 0L)), got4.mkString(", "))
   }
 }

@@ -26,6 +26,35 @@ class SimilaritySpec extends SparkSpec {
     assert(c(0L) == 1.0 && c(3L) == 0.0)
   }
 
+  test("signBits packs sign patterns into two 32-bit halves") {
+    // dims 1 and 33+ exercise BOTH halves; negatives and zeros pack as 0
+    val v = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0 || i == 32 || i == 63) 1.0f else -1.0f)),
+      (1L, Array.fill(64)(0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.signBits(v, "vec_id", "embedding", dim = 64)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect()
+    assert(got(0) == ((0L, 1L, 1L | (1L << 31))), got(0).toString)
+    assert(got(1) == ((1L, 0L, 0L)), got(1).toString)
+  }
+
+  test("knnHamming: exact Hamming order with id tiebreak, query excluded") {
+    // 4-dim: patterns 1000, 1100, 0011, 1000 (dup of query pattern)
+    val v = Seq(
+      (0L, Array(1.0f, -1.0f, -1.0f, -1.0f)),
+      (1L, Array(1.0f, 1.0f, -1.0f, -1.0f)),
+      (2L, Array(-1.0f, -1.0f, 1.0f, 1.0f)),
+      (3L, Array(1.0f, -0.5f, -0.1f, -9.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnHamming(v, v.filter($"vec_id" === 0),
+        "vec_id", "embedding", dim = 4, k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    // id 3 has the identical sign pattern (dist 0), id 1 differs by 1 bit,
+    // id 2 by 3 bits; the query itself never appears
+    assert(got.toSeq == Seq((0L, 1L, 3L, 0L), (0L, 2L, 1L, 1L), (0L, 3L, 2L, 3L)),
+      got.mkString(", "))
+  }
+
   test("knnBruteForce ranks by similarity with id tiebreak") {
     val q = vecs.filter($"vec_id" === 0)
     val got = Similarity.knnBruteForce(vecs, q, "vec_id", "embedding", 3)
