@@ -230,12 +230,27 @@ object TextHashImpl {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  /** Spark-`round(x, 0)` semantics on a double (BigDecimal HALF_UP over
-    * the shortest decimal representation) — the exact pairing the repo's
-    * micro protocols have proven against DuckDB's `round(x, 0)`. */
-  private def roundHalfUp(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  /** Spark-`round(x, 0)` semantics on a double — bit-identical to
+    * `BigDecimal.valueOf(v).setScale(0, HALF_UP)` but allocation-free
+    * (the BigDecimal form routes through Double.toString per call and
+    * took a 64-dim pair from sub-µs to ~30× that — q119 0.8→23 s).
+    * Why it's exactly equivalent: `v - floor(v)` is EXACT for |v| < 2^52
+    * (the fractional part of a double is a dyadic rational whose bits
+    * fit the mantissa), |v| ≥ 2^52 is already integral, and the only
+    * values whose shortest-decimal rendering ends in ".5" are the
+    * exactly-representable halves — so the decimal-string HALF_UP
+    * (away-from-zero at ties) and this binary test decide identically
+    * on every double. The same reasoning pairs it with DuckDB's
+    * `round(x, 0)` (half away from zero on the binary value), the
+    * pairing every existing micro protocol has proven in production. */
+  private def roundHalfUp(v: Double): Long = {
+    val f = Math.floor(v)
+    val diff = v - f
+    if (diff > 0.5) f.toLong + 1
+    else if (diff < 0.5) f.toLong
+    else if (v >= 0) f.toLong + 1 // exact tie: away from zero
+    else f.toLong                 // negative tie: floor IS away from zero
+  }
 
   /** Per-term micro-quantized dot product: Σ_i round(a_i·b_i·1e8) as a
     * LONG — integer addition is associative, so the result is identical

@@ -46,22 +46,57 @@ object Similarity {
   def cosineDeclarative(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
-  /** Cosine similarity rounded to 6dp (rank-stable across engines),
-    * computed by the native compiled kernel (bit-identical to
-    * [[cosineDeclarative]] — same index-ordered double accumulation).
-    * Requires GraftFunctions.ensureRegistered on the session. */
+  /** Cosine similarity, 6 dp, computed by the ORDER-FREE integer-micro
+    * kernel (GraftCosineMicro8): per-term dot and squared-norm terms
+    * quantize to round(t·1e8) longs, integer-sum (associative — no
+    * fold-order dependence), one IEEE division/sqrt at the edge. Any SQL
+    * engine replays it as integer sums — no reliance on a builtin's
+    * accumulation order, which is the channel that let a DuckDB-version
+    * change flip a 6-dp boundary under the old raw-double kernel (the
+    * r13 q299 gate mode). Values differ from the raw kernel by < 1e-6
+    * (one 6-dp ulp) on unit-scale vectors. Requires
+    * GraftFunctions.ensureRegistered on the session. */
   def cosine(a: Column, b: Column): Column =
+    GraftFunctions.cosineMicro8Native(a, b)
+
+  /** The RAW index-ordered double cosine (GraftCosine kernel), 6 dp —
+    * kept for SIGN-ONLY uses (hyperplane side tests), whose oracles
+    * replay the raw-double dot; [[cosine]] is the protocol for anything
+    * whose VALUE reaches a result. */
+  private[graft] def cosineRaw(a: Column, b: Column): Column =
     round(GraftFunctions.cosineNative(a, b), 6)
+
+  /** Squared-norm micro sum Σ round(x_i²·1e8) — a PER-ROW constant, so
+    * pair scorers compute it once per vector instead of re-deriving both
+    * norms inside every pair (the [[cosine]] kernel's 3-loops-per-pair
+    * becomes 1: the r14 q119 hot-path fix). */
+  private[graft] def normMicro8(v: Column): Column =
+    GraftFunctions.dotMicro8Native(v, v)
+
+  /** [[cosine]]'s value from precomputed micro parts — BIT-IDENTICAL to
+    * GraftCosineMicro8 (same integer sums, same edge division/sqrt
+    * chain, 6 dp, null on a zero norm), so oracles replaying the kernel
+    * protocol need no change when a scorer uses the decomposed form. */
+  private[graft] def cosineFromMicro(dm: Column, nam: Column, nbm: Column): Column =
+    when(nam > 0 && nbm > 0,
+      round((dm.cast("double") / lit(1e8)) /
+        (sqrt(nam.cast("double") / lit(1e8)) * sqrt(nbm.cast("double") / lit(1e8))), 6))
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be broadcast-small; output (qid, rank, vec_id, sim). */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+    // norms are per-ROW constants: compute each side's micro norm once
+    // before the join so the pair loop is one kernel pass, not three
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      normMicro8(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+      normMicro8(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .select(col("qid"), col("vec_id"),
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__qv"), col("__cv")),
+          col("__qn"), col("__cn")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -118,13 +153,14 @@ object Similarity {
                     labelCol: String, vecCol: String, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(labelCol).as("__ql"),
-      col(vecCol).as("__qv"))
+      col(vecCol).as("__qv"), normMicro8(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("__cl"),
-      col(vecCol).as("__cv"))
+      col(vecCol).as("__cv"), normMicro8(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q),
         col("qid") =!= col("vec_id") && col("__ql") =!= col("__cl"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__qv"), col("__cv")),
+          col("__qn"), col("__cn")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -227,18 +263,22 @@ object Similarity {
                         vecCol: String, cents: DataFrame, k: Int,
                         nprobe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(c.sparkSession)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      normMicro8(col(vecCol)).as("__qn"))
     val routed = q.join(broadcast(cents))
-      .select(col("qid"), col("__qv"), col("cell"),
+      .select(col("qid"), col("__qv"), col("__qn"), col("cell"),
         cosine(col("__qv"), col("centroid")).as("__csim"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("__csim").desc, col("cell"))
     val best = routed.withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
-      .select(col("qid"), col("__qv"), col("cell"))
-    val scored = c.join(broadcast(best), Seq("cell"))
+      .select(col("qid"), col("__qv"), col("__qn"), col("cell"))
+    val scored = c.withColumn("__cn", normMicro8(col("__cv")))
+      .join(broadcast(best), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .select(col("qid"), col("vec_id"),
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__qv"), col("__cv")),
+          col("__qn"), col("__cn")).as("sim"))
     // rank via the bounded-heap aggregate: map-side partial top-k per
     // query, so the exchange carries <= k rows per (map, query) instead
     // of every scored row (see knnBruteForceAgg; identical ordering
@@ -279,10 +319,14 @@ object Similarity {
   def knnBruteForceAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      normMicro8(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+      normMicro8(col(vecCol)).as("__cn"))
     c.join(broadcast(q), col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), cosine(col("__qv"), col("__cv")).as("sim"))
+      .select(col("qid"), col("vec_id"),
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__qv"), col("__cv")),
+          col("__qn"), col("__cn")).as("sim"))
       .groupBy(col("qid"))
       .agg(GraftFunctions.topKNative(col("sim"), col("vec_id"), k).as("__tk"))
       .select(col("qid"), posexplode(col("__tk")).as(Seq("__r", "__p")))
@@ -803,7 +847,7 @@ object Similarity {
     // one struct per table: cell = Σ_b 2^b · [cos(v, w_tb) ≥ 0]
     val tableCells = (0 until nTables).map { t =>
       val bits = (0 until nPlanes).map { b =>
-        when(cosine(col("__v"), typedLit(planes(t)(b).toSeq)) >= 0,
+        when(cosineRaw(col("__v"), typedLit(planes(t)(b).toSeq)) >= 0,
           lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("__t"), bits.as("__cell"))
@@ -818,9 +862,13 @@ object Similarity {
       .select("id_a", "id_b")
       .distinct()
     cand
-      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
-      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va"),
+        normMicro8(col("__v")).as("__na")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        normMicro8(col("__v")).as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__va"), col("__vb")),
+          col("__na"), col("__nb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -848,7 +896,7 @@ object Similarity {
     val u = a.select(col(vecCol).as("__v")).withColumn("__side", lit(0))
       .unionAll(b.select(col(vecCol).as("__v")).withColumn("__side", lit(1)))
     val cell = (0 until nPlanes).map { p =>
-      when(cosine(col("__v"), typedLit(planes(p).toSeq)) >= 0,
+      when(cosineRaw(col("__v"), typedLit(planes(p).toSeq)) >= 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val counts = u.select(cell.as("bin"), col("__side"))
@@ -890,12 +938,14 @@ object Similarity {
                     cellCol: String, threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
+      col(vecCol).as("__va"), normMicro8(col(vecCol)).as("__na"))
     val r = corpus.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
+      col(vecCol).as("__vb"), normMicro8(col(vecCol)).as("__nb"))
     c.join(r, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__va"), col("__vb")),
+          col("__na"), col("__nb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -921,9 +971,9 @@ object Similarity {
                          cellCol: String, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val a = corpus.select(col(cellCol).as("cell"), col(idCol).as("qid"),
-      col(vecCol).as("__qv"))
+      col(vecCol).as("__qv"), normMicro8(col(vecCol)).as("__qn"))
     val b = corpus.select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
-      col(vecCol).as("__cv"))
+      col(vecCol).as("__cv"), normMicro8(col(vecCol)).as("__cn"))
     // window keyed (cell, qid), not qid alone: qid is cell-functional, and
     // prefixing the cell lets the window REUSE the join's hash
     // partitioning (HashPartitioning(cell) satisfies the clustered
@@ -933,7 +983,8 @@ object Similarity {
     a.join(b, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("cell"), col("qid"), col("vec_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__qv"), col("__cv")),
+          col("__qn"), col("__cn")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "sim")
@@ -962,7 +1013,7 @@ object Similarity {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val planes = hyperplanes(tag, 1, nPlanes, dim).head
     val cell = (0 until nPlanes).map { p =>
-      when(cosine(col(vecCol), typedLit(planes(p).toSeq)) >= 0,
+      when(cosineRaw(col(vecCol), typedLit(planes(p).toSeq)) >= 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     // double-widen once (exact for float inputs) so plane and neighbor

@@ -897,6 +897,22 @@ object VectorEventQueries {
   private val knnCore =
     s"""q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NQueries)"""
 
+  /** Order-free micro-cosine SQL, mirroring the engine's
+    * GraftCosineMicro8 kernel exactly: per-term round(t·1e8) BIGINT sums
+    * for the dot and both squared norms (integer addition — no
+    * fold-order dependence in either engine), then ONE double
+    * division/sqrt chain, 6 dp. Replaces `round(list_cosine_similarity
+    * (...), 6)`, whose result hung off the builtin's accumulation order —
+    * the DuckDB-version-sensitive channel VERDICT r13 flagged. Args must
+    * be repeatable expressions (each appears in several terms). */
+  private def cosMicroSql(a: String, b: String): String = {
+    def s2(x: String, y: String) =
+      s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST(round(($x)[i] * ($y)[i] * 100000000.0, 0) AS BIGINT))) AS DOUBLE)"
+    s"round((${s2(a, b)} / 100000000.0) / (sqrt(${s2(a, a)} / 100000000.0) " +
+      s"* sqrt(${s2(b, b)} / 100000000.0)), 6)"
+  }
+
   /** Shared q294/q306 power-iteration CTE chain: x/xj + v0 seed + three
     * unrolled v ← Xᵀ(Xv)/‖·‖ steps (1e-8/1e-6 term quantization, HUGEINT
     * norm squares, 9-dp v), ending at v3/n3. */
@@ -1222,13 +1238,13 @@ object VectorEventQueries {
       s"""WITH ${ivfFitSql(k = 10, iters = 8)},
           $knnCore,
           routed AS (SELECT q.qid, q.qv, c.cell,
-                       round(list_cosine_similarity(q.qv, c.centroid), 6) AS csim
+                       ${cosMicroSql("q.qv", "c.centroid")} AS csim
                      FROM q CROSS JOIN cent c),
           best AS (SELECT qid, qv, cell FROM (
             SELECT *, row_number() OVER (PARTITION BY qid
               ORDER BY csim DESC, cell) AS r FROM routed) WHERE r <= 2),
           sc AS (SELECT b.qid, a.vec_id,
-                   round(list_cosine_similarity(b.qv, e.embedding::DOUBLE[]), 6) AS sim
+                   ${cosMicroSql("b.qv", "e.embedding::DOUBLE[]")} AS sim
                  FROM best b JOIN asgf a ON a.cell = b.cell
                  JOIN embeddings e ON e.vec_id = a.vec_id
                  WHERE a.vec_id <> b.qid),
@@ -1239,7 +1255,7 @@ object VectorEventQueries {
           FROM r WHERE rank <= $K ORDER BY qid, rank""",
     "q119_knn_join_cells" ->
       s"""WITH sc AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
-                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+                 ${cosMicroSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS sim
                FROM embeddings a JOIN embeddings b
                  ON a.label = b.label AND a.vec_id <> b.vec_id),
           r AS (SELECT qid, vec_id, sim,
@@ -1268,7 +1284,7 @@ object VectorEventQueries {
     "q299_rank_fusion" ->
       s"""WITH $knnCore,
           csc AS (SELECT qid, e.vec_id,
-                    round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+                    ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
                   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           cr AS (SELECT qid, vec_id,
                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
@@ -1328,7 +1344,7 @@ object VectorEventQueries {
       s"""WITH q AS (SELECT vec_id AS qid, label AS qlab,
                 embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 40),
           sc AS (SELECT qid, qlab, e.vec_id, e.label AS nl,
-                   round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+                   ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           r AS (SELECT qid, CASE WHEN nl = qlab THEN 1 ELSE 0 END AS rel,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
@@ -1345,7 +1361,7 @@ object VectorEventQueries {
     },
     "q38_knn_bruteforce" ->
       s"""WITH $knnCore,
-          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+          sc AS (SELECT qid, e.vec_id, ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
@@ -1371,7 +1387,7 @@ object VectorEventQueries {
     // Plane-cell assignment (q65's plane replay, one table), exact
     // within-cell top-10, label-disagreement share.
     "q279_label_noise" ->
-      """WITH planes AS (
+      s"""WITH planes AS (
             SELECT b, list(w ORDER BY j) AS w FROM (
               SELECT b.range AS b, j.range AS j,
                      CAST('0x' || substr(md5('graft-noise|0|' || b.range || '|' || j.range), 1, 15) AS BIGINT)
@@ -1385,7 +1401,7 @@ object VectorEventQueries {
                                  THEN CAST(1 AS BIGINT) << p.b ELSE 0 END) AS BIGINT) AS cell
             FROM v c CROSS JOIN planes p GROUP BY c.vec_id),
           sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-                   round(list_cosine_similarity(x.v, y.v), 6) AS sim
+                   ${cosMicroSql("x.v", "y.v")} AS sim
                  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
                  JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id),
           r AS (SELECT qid, nid,
@@ -1402,12 +1418,12 @@ object VectorEventQueries {
         s"""$cte AS (SELECT qid, vec_id FROM (
               SELECT qid, e.vec_id,
                 row_number() OVER (PARTITION BY qid
-                  ORDER BY round($simExpr, 6) DESC, e.vec_id) AS rk
+                  ORDER BY $simExpr DESC, e.vec_id) AS rk
               FROM mq CROSS JOIN embeddings e WHERE e.vec_id <> qid)
             WHERE rk <= 10)"""
-      val fullSim = "list_cosine_similarity(qv, e.embedding::DOUBLE[])"
+      val fullSim = cosMicroSql("qv", "e.embedding::DOUBLE[]")
       def dimSim(d: Int) =
-        s"list_cosine_similarity(qv[1:$d], (e.embedding::DOUBLE[])[1:$d])"
+        cosMicroSql(s"qv[1:$d]", s"(e.embedding::DOUBLE[])[1:$d]")
       val dimCtes = Seq(8, 16, 32)
         .map(d => topk(s"t$d", dimSim(d))).mkString(",\n          ")
       val legs = Seq(8, 16, 32).map(d =>
@@ -1436,14 +1452,14 @@ object VectorEventQueries {
     "q262_hard_negatives" ->
       s"""WITH ql AS (SELECT vec_id AS qid, label AS qlab, embedding::DOUBLE[] AS qv
                       FROM embeddings WHERE vec_id < $NQueries),
-          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+          sc AS (SELECT qid, e.vec_id, ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
                  FROM ql CROSS JOIN embeddings e
                  WHERE e.vec_id <> qid AND e.label <> qlab),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
     "q82_knn_topk_agg" ->
       s"""WITH $knnCore,
-          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+          sc AS (SELECT qid, e.vec_id, ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
@@ -1453,11 +1469,11 @@ object VectorEventQueries {
               SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) AS p
               FROM embeddings) GROUP BY label, p) GROUP BY label),
           $knnCore,
-          routed AS (SELECT qid, qv, label, round(list_cosine_similarity(qv, centroid), 6) AS csim
+          routed AS (SELECT qid, qv, label, ${cosMicroSql("qv", "centroid")} AS csim
                      FROM q CROSS JOIN cent),
           best AS (SELECT qid, qv, label FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, label) AS r FROM routed) WHERE r = 1),
-          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+          sc AS (SELECT qid, e.vec_id, ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
                  FROM best b JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
@@ -1467,11 +1483,11 @@ object VectorEventQueries {
               SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) AS p
               FROM embeddings) GROUP BY label, p) GROUP BY label),
           $knnCore,
-          routed AS (SELECT qid, qv, label, round(list_cosine_similarity(qv, centroid), 6) AS csim
+          routed AS (SELECT qid, qv, label, ${cosMicroSql("qv", "centroid")} AS csim
                      FROM q CROSS JOIN cent),
           best AS (SELECT qid, qv, label FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, label) AS r FROM routed) WHERE r <= 2),
-          sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+          sc AS (SELECT qid, e.vec_id, ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
                  FROM best b JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
@@ -1486,12 +1502,13 @@ object VectorEventQueries {
             FROM (SELECT vec_id AS oid, label, CAST(unnest(embedding) AS DOUBLE) AS x,
                          generate_subscripts(embedding, 1) AS j
                   FROM embeddings WHERE vec_id < $NPlanted)
-            GROUP BY oid, label)
+            GROUP BY oid, label),
+          dup AS (SELECT DISTINCT c.vec_id
+                  FROM corpus o JOIN corpus c
+                    ON o.label = c.label AND o.vec_id < c.vec_id
+                  WHERE ${cosMicroSql("o.v", "c.v")} >= $SemThreshold)
           SELECT c.vec_id, c.label FROM corpus c
-          WHERE NOT EXISTS (
-            SELECT 1 FROM corpus o
-            WHERE o.label = c.label AND o.vec_id < c.vec_id
-              AND round(list_cosine_similarity(o.v, c.v), 6) >= $SemThreshold)
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM dup)
           ORDER BY vec_id""",
     "q65_cosine_lsh_neardup" ->
       s"""WITH corpus AS (
@@ -1519,12 +1536,12 @@ object VectorEventQueries {
             FROM corpus c CROSS JOIN planes p GROUP BY c.vec_id, p.t),
           cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                    FROM cells a JOIN cells b ON a.t = b.t AND a.cell = b.cell AND a.vec_id < b.vec_id),
-          sc AS (SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 6) AS sim
+          sc AS (SELECT id_a, id_b, ${cosMicroSql("x.v", "y.v")} AS sim
                  FROM cand JOIN corpus x ON x.vec_id = cand.id_a JOIN corpus y ON y.vec_id = cand.id_b)
           SELECT id_a, id_b, sim FROM sc WHERE sim >= $LshThreshold ORDER BY id_a, id_b""",
     "q56_cosine_near_dup" ->
-      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ${cosMicroSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS sim
               FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
           SELECT id_a, id_b, sim FROM p WHERE sim >= 0.44 ORDER BY id_a, id_b""",
     "q73_knn_quantized" ->
@@ -1537,7 +1554,7 @@ object VectorEventQueries {
                          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
                   FROM embeddings)),
           q AS (SELECT vec_id AS qid, qvec AS qv FROM qn WHERE vec_id < $NQueries),
-          sc AS (SELECT qid, c.vec_id, round(list_cosine_similarity(qv, c.qvec), 6) AS sim
+          sc AS (SELECT qid, c.vec_id, ${cosMicroSql("qv", "c.qvec")} AS sim
                  FROM q CROSS JOIN qn c WHERE c.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
