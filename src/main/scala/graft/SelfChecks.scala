@@ -169,9 +169,12 @@ object SelfChecks {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
-      val d2 = round(aggregate(zip_with(col("__qv").cast("array<double>"),
-          col("__cv").cast("array<double>"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 9)
+      // the engine's exact integer-micro L2 (GraftL2Micro8), scaled back
+      // once — comparing 6-dp values derived from the SAME protocol, so
+      // no knife-edge between a raw-double fold and the micro sum
+      val d2 = round(graft.functions.GraftFunctions.l2Micro8Native(
+          col("__qv").cast("array<double>"), col("__cv").cast("array<double>"))
+        .cast("double") / lit(1e8), 9)
       val trueD = e.select(col("vec_id"), col("embedding").as("__cv"))
         .join(broadcast(q), col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), d2.as("__d2"))
@@ -201,9 +204,12 @@ object SelfChecks {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
-      val d2 = round(aggregate(zip_with(col("__qv").cast("array<double>"),
-          col("__cv").cast("array<double>"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 9)
+      // the engine's exact integer-micro L2 (GraftL2Micro8), scaled back
+      // once — comparing 6-dp values derived from the SAME protocol, so
+      // no knife-edge between a raw-double fold and the micro sum
+      val d2 = round(graft.functions.GraftFunctions.l2Micro8Native(
+          col("__qv").cast("array<double>"), col("__cv").cast("array<double>"))
+        .cast("double") / lit(1e8), 9)
       val trueD = e.select(col("vec_id"), col("embedding").as("__cv"))
         .join(broadcast(q), col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), d2.as("__d2"))
@@ -295,9 +301,12 @@ object SelfChecks {
         .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
       val got = Similarity.knnIvfPqRefined(codes, grown, grown.filter(col("vec_id") < 8),
         "vec_id", "embedding", cents, pq, 5, nprobe = 4, shortlist = 40)
-      val d2 = round(aggregate(zip_with(col("__qv").cast("array<double>"),
-          col("__cv").cast("array<double>"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 9)
+      // the engine's exact integer-micro L2 (GraftL2Micro8), scaled back
+      // once — comparing 6-dp values derived from the SAME protocol, so
+      // no knife-edge between a raw-double fold and the micro sum
+      val d2 = round(graft.functions.GraftFunctions.l2Micro8Native(
+          col("__qv").cast("array<double>"), col("__cv").cast("array<double>"))
+        .cast("double") / lit(1e8), 9)
       val trueD = grown.select(col("vec_id"), col("embedding").as("__cv"))
         .join(broadcast(q), col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), d2.as("__d2"))

@@ -276,6 +276,29 @@ object TextHashImpl {
     java.lang.Long.valueOf(s)
   }
 
+  /** [[dotMicro8]]'s squared-L2 sibling: Σ_i round((a_i − b_i)²·1e8) as
+    * a LONG — the order-free integer protocol for distance chains (PQ
+    * sub-distances, IVF routing, exact refine), replacing 9-dp-rounded
+    * double folds whose last-ulp accumulation order two engines can
+    * disagree about. Null (boxed) on null elements; dimension mismatch
+    * throws. */
+  def l2Micro8(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"l2Micro8: dimension mismatch ${n} vs ${b.numElements()}")
+    if (hasNullElement(a) || hasNullElement(b)) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += roundHalfUp(d * d * 1e8)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** [[dotMicro8]]'s cosine sibling: micro-quantized dot AND squared-norm
     * integer sums, then ONE double division/sqrt at the edge, rounded to
     * 6 dp — order-free by construction, so the value is bit-identical on
@@ -520,6 +543,37 @@ case class GraftDotMicro8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** See [[TextHashImpl.l2Micro8]] — the order-free integer-micro
+  * squared L2. */
+case class GraftL2Micro8(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  private def isFloatArr(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case org.apache.spark.sql.types.FloatType => true
+      case org.apache.spark.sql.types.DoubleType => false
+      case other => throw new IllegalArgumentException(
+        s"graft_l2_micro8 expects array<float|double>, got array<$other>")
+    }
+  private lazy val leftFloat: Boolean = isFloatArr(left)
+  private lazy val rightFloat: Boolean = isFloatArr(right)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.l2Micro8(a.asInstanceOf[ArrayData], leftFloat,
+      b.asInstanceOf[ArrayData], rightFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.TextHashImpl.l2Micro8($a, $leftFloat, $b, $rightFloat);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GraftL2Micro8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** See [[TextHashImpl.cosineMicro8]] — the order-free integer-micro
   * cosine (6-dp, engine-replayable as integer sums). */
 case class GraftCosineMicro8(left: Expression, right: Expression)
@@ -684,6 +738,7 @@ object GraftFunctions {
     "graft_simhash" -> (args => GraftSimHash(args.head)),
     "graft_cosine" -> (args => GraftCosine(args(0), args(1))),
     "graft_dot_micro8" -> (args => GraftDotMicro8(args(0), args(1))),
+    "graft_l2_micro8" -> (args => GraftL2Micro8(args(0), args(1))),
     "graft_cosine_micro8" -> (args => GraftCosineMicro8(args(0), args(1))),
     "graft_jaccard_sorted" -> (args => GraftJaccardSorted(args(0), args(1))),
     "graft_poisson_weights" -> (args => GraftPoissonWeights(args(0), args(1), args(2))),
@@ -711,6 +766,7 @@ object GraftFunctions {
   def simhashNative(hashes: Column): Column = call_function("graft_simhash", hashes)
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dotMicro8Native(a: Column, b: Column): Column = call_function("graft_dot_micro8", a, b)
+  def l2Micro8Native(a: Column, b: Column): Column = call_function("graft_l2_micro8", a, b)
   def cosineMicro8Native(a: Column, b: Column): Column = call_function("graft_cosine_micro8", a, b)
   def jaccardSortedNative(a: Column, b: Column): Column =
     call_function("graft_jaccard_sorted", a, b)

@@ -477,36 +477,40 @@ object Similarity {
     PqIndex(books, m, ksub, subDim)
   }
 
-  /** Squared L2 between a sliced subvector and a literal centroid. */
-  private def subDist2(vec: Column, j: Int, centroid: Seq[Double], subDim: Int): Column = {
-    val s = slice(vec, j * subDim + 1, subDim).cast("array<double>")
-    aggregate(zip_with(s, typedLit(centroid), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-  }
+  /** Squared L2 between a sliced subvector and a literal centroid, as
+    * the order-free integer-micro sum Σ round((a−b)²·1e8) (the
+    * GraftL2Micro8 kernel) — argmins and rankings over these longs can
+    * never flip on an engine's fold order, which is what the old
+    * 9-dp-rounded double fold left exposed. */
+  private def subDist2Micro(vec: Column, j: Int, centroid: Seq[Double], subDim: Int): Column =
+    GraftFunctions.l2Micro8Native(
+      slice(vec, j * subDim + 1, subDim).cast("array<double>"),
+      typedLit(centroid))
 
   /** Encode every vector as `m` centroid codes: per subspace, the argmin
     * over the LITERAL codebook — per-row expressions only, entirely
     * inside codegen, no join and no shuffle. */
   def encodePq(corpus: DataFrame, idCol: String, vecCol: String,
                index: PqIndex): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val codes = (0 until index.m).map { j =>
+      // integer-micro distances: any engine's argmin agrees exactly;
+      // ties break to the SMALLEST code via array_position's
+      // first-match contract
       val dists = array(index.codebooks(j).map(c =>
-        round(subDist2(col(vecCol), j, c, index.subDim), 9)): _*)
-      // round to 1e-9 before the argmin so a last-ulp sum difference in
-      // a replaying engine picks the same code; ties break to the
-      // SMALLEST code via array_position's first-match contract
+        subDist2Micro(col(vecCol), j, c, index.subDim)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     corpus.select(col(idCol), array(codes: _*).as("pq_codes"))
   }
 
   /** Per-query m×ksub ADC lookup table over the LITERAL codebooks:
-    * exact subspace distances from `vecCol` to every centroid, 9dp
-    * rounded. Per-row expressions only — no join, no shuffle. */
+    * exact integer-micro subspace distances from `vecCol` to every
+    * centroid. Per-row expressions only — no join, no shuffle. */
   private def adcLut(vecCol: String, index: PqIndex): Column =
     array((0 until index.m).map { j =>
       array(index.codebooks(j).map(c =>
-        round(subDist2(col(vecCol), j, c, index.subDim), 9)): _*)
+        subDist2Micro(col(vecCol), j, c, index.subDim)): _*)
     }: _*)
 
   /** Heap-aggregate top-k over ADC-scored rows (qid, vec_id, __d2).
@@ -514,19 +518,21 @@ object Similarity {
     * positive distance back, rank 1 = nearest. */
   private def adcTopK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("__neg", round(-col("__d2"), 9))
+      // __d2 is an exact micro LONG; the heap ranks on its (exact)
+      // double image and the emitted distance scales back at the edge
+      .withColumn("__neg", (-col("__d2")).cast("double"))
       .groupBy(col("qid"))
       .agg(GraftFunctions.topKNative(col("__neg"), col("vec_id"), k).as("__tk"))
       .select(col("qid"), posexplode(col("__tk")).as(Seq("__r", "__p")))
       .select(col("qid"), (col("__r") + 1).cast("long").as("rank"),
         col("__p.vec_id").as("vec_id"),
-        round(-col("__p.sim"), 6).as("adc_dist"))
+        round(-col("__p.sim") / lit(1e8), 6).as("adc_dist"))
 
   /** ADC code-to-LUT distance: m table lookups summed — no vector
     * arithmetic in the corpus pass at all. */
   private def adcDist(codes: Column, lut: Column): Column =
     aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+      lit(0L), (acc, x) => acc + x)
 
   /** ADC (asymmetric distance) top-k over PQ codes: each query builds an
     * m×ksub lookup table of exact subspace distances to every centroid
@@ -586,9 +592,8 @@ object Similarity {
     // 9dp-rounded (ties break to the smallest cell id)
     val routed = q.join(broadcast(cents))
       .select(col("qid"), col("__lut"), col("cell"),
-        round(aggregate(zip_with(col("__qv"), col("centroid"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 9)
-          .as("__cd2"))
+        GraftFunctions.l2Micro8Native(col("__qv"),
+          col("centroid").cast("array<double>")).as("__cd2"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("__cd2"), col("cell"))
     val best = routed.withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
@@ -656,13 +661,13 @@ object Similarity {
     * (idCol, cell). */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
                   cents: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
     val scored = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .join(broadcast(cents))
       .select(col(idCol), col("cell"),
-        round(aggregate(zip_with(col("__v"), col("centroid"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 9)
-          .as("__d2"))
+        GraftFunctions.l2Micro8Native(col("__v"),
+          col("centroid").cast("array<double>")).as("__d2"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__d2"), col("cell"))
     scored.withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
@@ -807,15 +812,15 @@ object Similarity {
       .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv")), Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
-        round(aggregate(zip_with(col("__qv").cast("array<double>"),
-            col("__cv").cast("array<double>"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x), 9).as("__d2"))
+        GraftFunctions.l2Micro8Native(col("__qv").cast("array<double>"),
+          col("__cv").cast("array<double>")).as("__d2"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("__d2"), col("vec_id"))
     exact.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
       .select(col("qid"), col("__r").cast("long").as("rank"),
-        col("vec_id"), round(col("__d2"), 6).as("l2_dist"))
+        col("vec_id"),
+        round(col("__d2").cast("double") / lit(1e8), 6).as("l2_dist"))
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane (SimHash-style)

@@ -1057,8 +1057,8 @@ object VectorEventQueries {
   private val pqEncodeSql: String =
     s"""cdist AS MATERIALIZED (
           SELECT s.vec_id, s.j, b.cid,
-                 round(list_sum(list_transform(list_zip(s.sub, b.bc),
-                   x -> (x[1] - x[2]) * (x[1] - x[2]))), 9) AS d
+                 CAST(list_sum(list_transform(list_zip(s.sub, b.bc),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 100000000.0, 0) AS BIGINT))) AS BIGINT) AS d
           FROM psub s JOIN book b ON b.j = s.j),
         codes AS MATERIALIZED (
           SELECT vec_id, j, cid FROM (
@@ -1076,13 +1076,12 @@ object VectorEventQueries {
           SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
                    row_number() OVER (PARTITION BY qid
-                     ORDER BY round(d2, 9), vec_id) AS rk
+                     ORDER BY d2, vec_id) AS rk
             FROM adc) WHERE rk <= $shortlist),
         refine AS MATERIALIZED (
           SELECT s.qid, s.vec_id,
-                 round(list_sum(list_transform(
-                   list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
-                   x -> (x[1] - x[2]) * (x[1] - x[2]))), 9) AS d2
+                 CAST(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 100000000.0, 0) AS BIGINT))) AS BIGINT) AS d2
           FROM short s
           JOIN embeddings q ON q.vec_id = s.qid
           JOIN embeddings e ON e.vec_id = s.vec_id),
@@ -1090,14 +1089,14 @@ object VectorEventQueries {
                  row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
                FROM refine)
         SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
-               round(d2, 6) AS l2_dist
+               round(CAST(d2 AS DOUBLE) / 100000000.0, 6) AS l2_dist
         FROM rr WHERE rank <= $k ORDER BY qid, rank"""
 
   /** The flat-PQ ADC scan: every non-self corpus vector is a candidate. */
   private val pqFullScanAdc: String =
     s"""adc AS MATERIALIZED (
           SELECT l.qid, c.vec_id,
-                 list_sum(list(l.ld ORDER BY l.j)) AS d2
+                 CAST(list_sum(list(l.ld ORDER BY l.j)) AS BIGINT) AS d2
           FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.cid
           WHERE l.qid <> c.vec_id
           GROUP BY l.qid, c.vec_id)"""
@@ -1109,9 +1108,8 @@ object VectorEventQueries {
   private def pqIvfRoutedAdc(nprobe: Int, asgRel: String = "asgf"): String =
     s"""ivfroute AS MATERIALIZED (
           SELECT q.vec_id AS qid, c.cell,
-                 round(list_sum(list_transform(
-                   list_zip(q.embedding::DOUBLE[], c.centroid),
-                   x -> (x[1] - x[2]) * (x[1] - x[2]))), 9) AS cd2
+                 CAST(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.centroid),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 100000000.0, 0) AS BIGINT))) AS BIGINT) AS cd2
           FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < $NQueries),
         probed AS MATERIALIZED (
           SELECT qid, cell FROM (
@@ -1120,7 +1118,7 @@ object VectorEventQueries {
             FROM ivfroute) WHERE r <= $nprobe),
         adc AS MATERIALIZED (
           SELECT l.qid, c.vec_id,
-                 list_sum(list(l.ld ORDER BY l.j)) AS d2
+                 CAST(list_sum(list(l.ld ORDER BY l.j)) AS BIGINT) AS d2
           FROM codes c
           JOIN $asgRel a ON a.vec_id = c.vec_id
           JOIN probed p ON p.cell = a.cell
@@ -1151,9 +1149,8 @@ object VectorEventQueries {
           SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                     round(list_sum(list_transform(
-                       list_zip(e.embedding::DOUBLE[], c.centroid),
-                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 9), c.cell) AS r
+                     CAST(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.centroid),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 100000000.0, 0) AS BIGINT))) AS BIGINT), c.cell) AS r
             FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
         ${pqIvfRoutedAdc(nprobe = 4, asgRel = "asgall")},
         ${pqRefineSql(k = K, shortlist = 8 * K)}"""
@@ -1173,9 +1170,8 @@ object VectorEventQueries {
           SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                     round(list_sum(list_transform(
-                       list_zip(e.embedding::DOUBLE[], c.centroid),
-                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 9), c.cell) AS r
+                     CAST(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.centroid),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 100000000.0, 0) AS BIGINT))) AS BIGINT), c.cell) AS r
             FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
         counta AS MATERIALIZED (
           SELECT cell, count(*) AS count_a FROM asgall GROUP BY cell),
@@ -1196,8 +1192,8 @@ object VectorEventQueries {
           SELECT vec_id, r, cell FROM (
             SELECT d.vec_id, d.r, c.cell,
                    row_number() OVER (PARTITION BY d.vec_id, d.r ORDER BY
-                     round(list_sum(list_transform(list_zip(d.v, c.centroid),
-                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 9), c.cell) AS rk
+                     CAST(list_sum(list_transform(list_zip(d.v, c.centroid),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 100000000.0, 0) AS BIGINT))) AS BIGINT), c.cell) AS rk
             FROM drift d CROSS JOIN cent c) WHERE rk = 1),
         countb AS MATERIALIZED (
           SELECT cell, count(*) AS count_b FROM (
