@@ -82,6 +82,69 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002 topic-sensitive form) on the
+    * same un-normalized micro-unit fixed-point as [[pageRankFixedPoint]],
+    * but with the teleport mass restricted to a SEED set:
+    *
+    *   rank'(v) = (1-d)·1e6·[v ∈ seeds] + d · Σ_{u→v} rank(u) div outdeg(u)
+    *
+    * starting from rank₀(v) = 1e6·[v ∈ seeds]. Mass diffuses outward from
+    * the seeds only, so the score ranks nodes by proximity/connectivity
+    * TO the seed set — the "related entities" primitive behind
+    * recommendation seeds, fraud-ring expansion, and local community
+    * scoring, where global PageRank would just re-find the hubs.
+    *
+    * Determinism: identical integer protocol to [[pageRankFixedPoint]]
+    * (micro units, integer multiply-then-div damping) — exact on any
+    * engine, unrolled by the oracle round for round.
+    *
+    * Scale: same topology — the out-degree-annotated edge list shuffles
+    * once and persists; each round moves only the node-sized rank table.
+    * The seed flag is a node-keyed left join computed once (seeds may be
+    * corpus-sized; nothing broadcasts by hint). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int = 3,
+                           dampNumer: Int = 850, dampDenom: Int = 1000,
+                           initMicro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNumer > 0 && dampNumer < dampDenom,
+      s"damping $dampNumer/$dampDenom must lie in (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val withDeg = e
+      .repartition(col("src"))
+      .withColumn("__outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedFlag = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("__seed", lit(1L))
+    val nodes = withDeg.select(col("src").as("node"))
+      .union(withDeg.select(col("dst").as("node")))
+      .distinct()
+      .join(seedFlag, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
+    var ranks = nodes.select(col("node"),
+      (col("__seed") * initMicro).as("rank"))
+    for (_ <- 1 to iterations) {
+      val inbound = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
+        .groupBy("node")
+        .agg(sum("__contrib").as("__in"))
+      ranks = nodes
+        .join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (col("__seed") * teleportMicro +
+            expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+    }
+    graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
+    ranks
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for `rounds`
     * fixed iterations with a DETERMINISTIC tie rule: every node adopts
     * the most frequent label among its neighbors, ties broken by the

@@ -140,6 +140,38 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Recall audit of the 1-bit Hamming tier ([[knnHamming]]) against the
+    * exact cosine top-k, per cutoff k — the measurement that decides how
+    * big a Hamming shortlist must be before the exact re-rank, exactly
+    * like [[matryoshkaRecall]] decides prefix dims. One row per k:
+    * |hamming-top-k ∩ exact-top-k| / (|queries|·k). Both rankings are
+    * already exact-integer protocols, so the audit itself hash-checks.
+    *
+    * Scale: both top-k tables are |queries|·kMax rows (bounded); each
+    * leg is one bounded join + a 1-row aggregate. */
+  def hammingRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, dim: Int, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"hammingRecall: bad ks $ks")
+    val kMax = ks.max
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    val exact = knnBruteForce(corpus, queries, idCol, vecCol, kMax)
+      .select(col("qid"), col("rank").as("__er"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ham = knnHamming(corpus, queries, idCol, vecCol, dim, kMax)
+      .select(col("qid"), col("rank").as("__hr"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { exact.unpersist(); ham.unpersist() })
+    ks.map { k =>
+      exact.filter(col("__er") <= k)
+        .join(ham.filter(col("__hr") <= k), Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(k.toLong).as("k"),
+          round(col("__hits") / (col("__nq") * k).cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Contrastive HARD-negative mining: for each query, the top-k most
     * similar corpus vectors with a DIFFERENT label — the negatives that
     * actually move a contrastive loss (random negatives, q246, are

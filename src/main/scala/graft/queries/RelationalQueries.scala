@@ -396,6 +396,28 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Personalized PageRank from customers {1,2,3} over the q125 trade
+    // graph: teleport mass restricted to the seeds, so the score ranks
+    // suppliers/customers by connectivity TO the seed set — the
+    // related-entities primitive global PageRank can't give (it just
+    // re-finds hubs). Identical integer-micro protocol, oracle-unrolled.
+    "q317_personalized_pagerank" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      import s.implicits._
+      val seeds = Seq(1L, 2L, 3L).toDF("node")
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds,
+          "node", iterations = 3)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .filter(col("rank_micro") > 0)
+        .orderBy("node")
+    }),
+
     // Synchronous label propagation (3 fixed rounds, min-label ties)
     // over the q125 trade graph: the cheap community detector between
     // CC's pure reachability and modularity methods. Deterministic by
@@ -732,6 +754,25 @@ object RelationalQueries {
           i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
           SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
+    // personalizedPageRank replay: q125's unrolled integer rounds with
+    // the teleport (and r0 mass) gated on the seed set; zero-mass nodes
+    // are filtered like the engine does.
+    "q317_personalized_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          n AS (SELECT node, CASE WHEN node IN (1, 2, 3) THEN 1 ELSE 0 END AS sd
+                FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(sd * 1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, n.sd * 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, n.sd * 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, n.sd * 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
+          SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
+          FROM r3 WHERE r > 0 ORDER BY node""",
     // q127's canonical edges doubled into directed instances; exact
     // HUGEINT moment sums, one Pearson double at the edge.
     "q231_assortativity" ->

@@ -145,6 +145,18 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Recall of the 1-bit Hamming tier vs the exact cosine top-k, per
+    // cutoff k — how big a sign-bit shortlist must be before exact
+    // re-ranking (the q274 matryoshka question asked of the q315 tier).
+    // Both rankings are exact-integer protocols, so the audit itself is
+    // hash-checked, not just banded.
+    "q318_hamming_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hammingRecall(e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", dim = 64, ks = Seq(1, 5, 10))
+        .orderBy("k")
+    }),
+
     // kNN label-noise audit: hyperplane cells (2^3), exact top-10
     // same-cell neighbors, disagreement = share with a different label.
     "q279_label_noise" -> ((s, dir) => {
@@ -1361,6 +1373,38 @@ object VectorEventQueries {
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
           r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sc)
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM r WHERE rank <= $K ORDER BY qid, rank""",
+    // hammingRecall replay: q315's bit ranking ∩ q38's micro-cosine
+    // ranking, per cutoff k — both exact-integer protocols.
+    "q318_hamming_recall" -> {
+      val legs = Seq(1, 5, 10).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+              round((SELECT count(*) FROM hr JOIN cr USING (qid, vec_id)
+                     WHERE hr.rank <= $k AND cr.rank <= $k) * 1.0
+                    / ((SELECT count(*) FROM q) * $k), 6) AS recall""")
+        .mkString("\n          UNION ALL ")
+      s"""WITH b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(1, 33), i ->
+                CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+              CAST(list_sum(list_transform(range(33, 65), i ->
+                CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+            FROM embeddings),
+          qb AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM b WHERE vec_id < $NQueries),
+          hsc AS (SELECT qid, b.vec_id,
+                    bit_count(xor(b.lo, qlo)) + bit_count(xor(b.hi, qhi)) AS hd
+                  FROM qb CROSS JOIN b WHERE b.vec_id <> qid),
+          hr AS (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS rank
+                 FROM hsc),
+          $knnCore,
+          csc AS (SELECT qid, e.vec_id,
+                    ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+          cr AS (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                 FROM csc)
+          $legs
+          ORDER BY k"""
+    },
     // signBits/knnHamming replay: identical bit packing (two 32-bit
     // halves — 64-bit-safe in any engine), XOR + popcount distance,
     // (hamming asc, id asc) ties.

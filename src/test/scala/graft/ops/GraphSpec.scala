@@ -24,6 +24,30 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
   }
 
+  test("personalizedPageRank: hand-computed seed-restricted fixed point") {
+    // seeds = {1}: r0 = (1e6, 0, 0); teleport only at node 1.
+    // iter1: in(1)=0, in(2)=5e5, in(3)=5e5 -> r1 = (150000, 425000, 425000)
+    // iter2: in(1)=425000, in(2)=75000, in(3)=75000+425000
+    //   r2(1)=150000+850*425000 div 1000 = 511250
+    //   r2(2)=850*75000 div 1000         = 63750
+    //   r2(3)=850*500000 div 1000        = 425000
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(asym, "src", "dst", seeds, "node",
+        iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r == Map(1L -> 511250L, 2L -> 63750L, 3L -> 425000L), r.toString)
+  }
+
+  test("personalizedPageRank: nodes unreachable from the seeds score 0") {
+    val e = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst") // two components
+    val r = Graph.personalizedPageRank(e, "src", "dst",
+        Seq(1L).toDF("node"), "node", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r(3L) == 0L && r(4L) == 0L && r(1L) > 0L && r(2L) > 0L, r.toString)
+  }
+
   test("a node with no in-edges converges to the bare teleport term") {
     val e = Seq((7L, 8L)).toDF("src", "dst") // 8 is dangling, 7 unreferenced
     val r = Graph.pageRankFixedPoint(e, "src", "dst", iterations = 3)

@@ -89,7 +89,12 @@ def run_stress():
         "--conf", "spark.driver.memory=32g",
         "-i", os.path.join(REPO, "tools/stress10x.scala"),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    # the REPL slurps the -i script with the platform charset: on a
+    # LANG-less host that is POSIX/ASCII and the UTF-8 comments in the
+    # script raise MalformedInputException BEFORE any op runs (the r14
+    # vacuous-pass incident) — pin UTF-8 explicitly
+    env = dict(os.environ, LANG="C.UTF-8", LC_ALL="C.UTF-8")
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     times = {}
     for line in out.stdout.splitlines():
         m = re.match(r"STRESS (\S+) ([0-9.]+) s", line)
@@ -109,6 +114,12 @@ def main():
     out_path = args.out or os.path.join(REPO, f"STRESS_r{n:02d}.json")
     times = run_stress()
     ops = sorted({re.sub(r"_(1x|10x)$", "", k) for k in times})
+    # a partial run (ops without both legs) must FAIL, not pass vacuously
+    paired = [op for op in ops
+              if times.get(f"{op}_1x") is not None
+              and times.get(f"{op}_10x") is not None]
+    if not paired:
+        raise SystemExit("no (1x, 10x) op pairs parsed — stress run incomplete")
     report, failures = {}, []
     for op in ops:
         t1, t10 = times.get(f"{op}_1x"), times.get(f"{op}_10x")
