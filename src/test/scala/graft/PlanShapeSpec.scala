@@ -555,4 +555,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(__v"), p)
     assert(p.contains("windowspecdefinition(__psb"), p)
   }
+
+  test("labelPropagation (q290): the edge table is cached pre-partitioned on the join key") {
+    val und = (0L until 400L).map(i => (i % 57, (i * 31) % 57 + 60L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val p = plan(Graph.labelPropagation(edges, "src", "dst", rounds = 2))
+    graft.QueryCleanup.drain()
+    assertNoQuadratic(p)
+    // the r14 fix: edges shuffle onto dst ONCE into the cache; each
+    // round's label join reads the InMemoryRelation — only the
+    // node-sized label table moves per round
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+  }
+
+  test("personalizedPageRank (q317): same cached-topology contract as pageRank") {
+    val edges = (0L until 400L).map(i => (i % 57, (i * 31) % 57)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val p = plan(Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      iterations = 2))
+    graft.QueryCleanup.drain()
+    assertNoQuadratic(p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+  }
+
+  test("knnBruteForce / knnHamming: the QUERY side broadcasts (intended BNLJ), corpus scans once") {
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat - 5f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 4)
+    // qid =!= vec_id is a non-equi predicate, so the INTENDED plan is a
+    // BroadcastNestedLoopJoin with the bounded query set broadcast — one
+    // corpus pass per query batch, never a shuffle of the corpus and
+    // never a CartesianProduct (which would mean the broadcast was lost)
+    val pb = plan(Similarity.knnBruteForce(vecs, q, "vec_id", "embedding", 3))
+    assert(pb.contains("BroadcastNestedLoopJoin") &&
+      !pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct"), pb)
+    val ph = plan(Similarity.knnHamming(vecs, q, "vec_id", "embedding", dim = 8, k = 3))
+    assert(ph.contains("BroadcastNestedLoopJoin") &&
+      !ph.contains("SortMergeJoin") && !ph.contains("CartesianProduct"), ph)
+  }
 }
