@@ -41,7 +41,29 @@ object Verify {
       try QueryCleanup.scoped(name) {
         val tmp = s"$outDir/.stage_${name}_" +
           java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val df = fn(spark, sfDir)
+        // Dump-type gate (round 15): the driver reads dumps with pyarrow,
+        // which turns a DECIMAL parquet column into Decimal objects that
+        // hash `123.450000` vs the oracle's float64 `123.45` — the q198
+        // 4-round red channel. Fail HERE, loudly, before a dump that can
+        // never hash-match ships. CalendarInterval never round-trips
+        // either; everything else the suite emits is pyarrow-stable.
+        import org.apache.spark.sql.types._
+        def hasDecimal(dt: DataType): Boolean = dt match {
+          case _: DecimalType => true
+          case s: StructType  => s.fields.exists(f => hasDecimal(f.dataType))
+          case a: ArrayType   => hasDecimal(a.elementType)
+          case m: MapType     => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+          case _ => false
+        }
+        df.schema.fields.foreach { f =>
+          require(!hasDecimal(f.dataType),
+            s"$name: dump column '${f.name}' is ${f.dataType.sql} — " +
+              "DECIMAL dumps read back as pyarrow Decimal objects and " +
+              "can never hash-match a float oracle; cast('double') (or " +
+              "long for exact integers) at the output projection")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         val target = Paths.get(s"$outDir/$name")
         deleteRec(target)
         Files.move(Paths.get(tmp), target,

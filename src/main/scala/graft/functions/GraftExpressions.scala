@@ -234,14 +234,19 @@ object TextHashImpl {
     * `BigDecimal.valueOf(v).setScale(0, HALF_UP)` but allocation-free
     * (the BigDecimal form routes through Double.toString per call and
     * took a 64-dim pair from sub-µs to ~30× that — q119 0.8→23 s).
-    * Why it's exactly equivalent: `v - floor(v)` is EXACT for |v| < 2^52
-    * (the fractional part of a double is a dyadic rational whose bits
-    * fit the mantissa), |v| ≥ 2^52 is already integral, and the only
-    * values whose shortest-decimal rendering ends in ".5" are the
-    * exactly-representable halves — so the decimal-string HALF_UP
-    * (away-from-zero at ties) and this binary test decide identically
-    * on every double. The same reasoning pairs it with DuckDB's
-    * `round(x, 0)` (half away from zero on the binary value), the
+    * Why it's exactly equivalent: `v - floor(v)` is EXACT everywhere
+    * EXCEPT v ∈ (−0.5, 0) — Sterbenz (b/2 ≤ a ≤ 2b ⇒ a−b exact) covers
+    * v ≥ 0 (v and floor(v) share high bits) and v ≤ −0.5 (there
+    * floor(v) ≥ 2v), but for v ∈ (−0.5, 0) the true fraction 1+v lies
+    * in (0.5, 1) and the computed sum can round DOWN to exactly 0.5
+    * (e.g. v = −0.49999999999999994 → diff = 0.5 while the true
+    * fraction is 0.5 + 2⁻⁵³), which would take the tie branch and
+    * return −1 where DuckDB's `round(x, 0)` (half away from zero on
+    * the binary value) returns 0. That one region is handled by an
+    * exact comparison: any v > −0.5 with a seeming tie is really
+    * above-half and rounds to 0. Outside it, diff is exact, |v| ≥ 2^52
+    * is already integral, and the binary tie test matches decimal
+    * HALF_UP (the only doubles rendering "….5" are exact halves) — the
     * pairing every existing micro protocol has proven in production. */
   private def roundHalfUp(v: Double): Long = {
     val f = Math.floor(v)
@@ -249,6 +254,8 @@ object TextHashImpl {
     if (diff > 0.5) f.toLong + 1
     else if (diff < 0.5) f.toLong
     else if (v >= 0) f.toLong + 1 // exact tie: away from zero
+    else if (v > -0.5) 0L         // inexact-subtraction region: true
+                                  // fraction > 0.5, rounds up to 0
     else f.toLong                 // negative tie: floor IS away from zero
   }
 

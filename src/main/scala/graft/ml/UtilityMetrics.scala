@@ -44,22 +44,43 @@ object UtilityMetrics {
     val pipeline = new Pipeline().setStages((indexers :+ assembler :+ rf).toArray)
 
     val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed) // M4
-    val model = pipeline.fit(train)
-    val predictions = model.transform(test)
-    val accuracy = new MulticlassClassificationEvaluator()
-      .setLabelCol(s"__idx_$labelCol").setPredictionCol("prediction")
-      .setMetricName("accuracy") // M6
-      .evaluate(predictions)
-    UtilityReport(accuracy, train.count(), test.count())
+    // The pipeline re-reads its input once per stage fit (each indexer,
+    // the RF's internal RDD build) plus transform/evaluate/counts —
+    // 6+ scans of an uncached randomSplit each re-running the upstream
+    // plan. Persist both splits for the fit's lifetime.
+    train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    test.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = pipeline.fit(train)
+      val predictions = model.transform(test)
+      val accuracy = new MulticlassClassificationEvaluator()
+        .setLabelCol(s"__idx_$labelCol").setPredictionCol("prediction")
+        .setMetricName("accuracy") // M6
+        .evaluate(predictions)
+      UtilityReport(accuracy, train.count(), test.count())
+    } finally {
+      train.unpersist()
+      test.unpersist()
+    }
   }
 
   /** The reference's headline comparison: accuracy on original vs
-    * anonymized data (same label/features/config). */
+    * anonymized data (same label/features/config). The two fits are
+    * independent (separate inputs, separate models) and individually far
+    * from saturating a cluster's task slots, so they run CONCURRENTLY —
+    * Spark's scheduler interleaves their jobs; on local[32] this
+    * reclaims the serial fit's idle cores. Results are deterministic
+    * either way (each fit is seeded and self-contained). */
   def accuracyDrop(original: DataFrame, anonymized: DataFrame, labelCol: String,
                    featureCols: Seq[String], numTrees: Int = 100,
                    seed: Long = 42L): (UtilityReport, UtilityReport, Double) = {
-    val o = rfAccuracy(original, labelCol, featureCols, numTrees, seed)
-    val a = rfAccuracy(anonymized, labelCol, featureCols, numTrees, seed)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val of = Future(rfAccuracy(original, labelCol, featureCols, numTrees, seed))
+    val af = Future(rfAccuracy(anonymized, labelCol, featureCols, numTrees, seed))
+    val o = Await.result(of, Duration.Inf)
+    val a = Await.result(af, Duration.Inf)
     (o, a, o.accuracy - a.accuracy)
   }
 }

@@ -184,6 +184,54 @@ object Dedup {
 
   /** Exploded LSH band keys (__id, __bidx, __bkey) from the minhash
     * signature of a shingle relation. */
+  /** BANDING-recall audit of the MinHash+LSH tier — [[minhashLsh]]'s
+    * probabilistic stage measured against exact ground truth, the dedup
+    * twin of the ANN tier's recall audit: how many truly-near-duplicate
+    * pairs (exact n-gram Jaccard ≥ threshold, the [[ngramJaccardPairs]]
+    * inverted-index set) ever share an LSH band? A missed pair is one
+    * the full [[minhashLsh]] pipeline can NEVER emit no matter how the
+    * verification stage is tuned — banding is its candidate ceiling —
+    * so a sagging band_recall is the signal to re-band (more bands,
+    * shorter rows) or re-shingle BEFORE the dedup rate silently drops.
+    * The truth side carries `partitionCols` scoping (exact all-pairs
+    * needs the same blocking discipline as q35); the band side is the
+    * corpus-wide tier as deployed. Both sides are deterministic, so the
+    * audit hash-checks externally. Output: one row
+    * (n_true, n_caught, n_missed, band_recall 6 dp).
+    *
+    * Scale: truth is the inverted-index join (blocked, df-bounded by
+    * `partitionCols`); the band side re-runs [[minhashLsh]]'s only
+    * O(data) shuffle; the audit join moves id pairs only. */
+  def lshBandRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, threshold: Double,
+                         partitionCols: Seq[String]): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val truth = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold,
+        partitionCols)
+      .select("id_a", "id_b")
+    val toks = shingleToks(df, idCol, textCol, shingleN)
+    val banded = bandedKeys(toks)
+    // the tier's candidate surface, minus the size-ratio gate: the gate
+    // is exactness-preserving (a true pair always passes it), so the
+    // caught count is identical with or without it — omit it and the
+    // audit measures pure BANDING recall
+    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nCaught = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    nTrue.crossJoin(nCaught)
+      .select(col("n_true"), col("n_caught"),
+        (col("n_true") - col("n_caught")).as("n_missed"),
+        when(col("n_true") > 0,
+          round(col("n_caught").cast("double") / col("n_true").cast("double"), 6))
+          .as("band_recall"))
+  }
+
   /** Estimator-quality audit of the MinHash signature itself: for every
     * banded candidate pair, the SIGNATURE Jaccard estimate (agreeing
     * positions / 16) next to the exact shingle Jaccard and their

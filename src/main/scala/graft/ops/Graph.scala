@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -139,6 +139,129 @@ object Graph {
         .join(inbound, Seq("node"), "left")
         .select(col("node"),
           (col("__seed") * teleportMicro +
+            expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+    }
+    graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
+    ranks
+  }
+
+  /** Deterministic out-degree capping — the skew bound the PageRank
+    * family needs at web scale, where a handful of hub nodes carry
+    * millions of out-edges and their partitions dominate every
+    * iteration's shuffle. Each node keeps at most `cap` out-edges,
+    * chosen by PORTABLE hash rank over (salt, src, dst) with dst as the
+    * tiebreak — the same md5 protocol as [[graft.ops.Sampling]], so the
+    * kept edge set is a pure function of the edge list (independent of
+    * partitioning, replayable row-for-row by an external engine).
+    * PageRank over the capped graph is the standard approximation:
+    * hubs' influence flattens (each survivor edge carries rank div
+    * min(outdeg, cap)), low-degree structure is untouched — nodes with
+    * outdeg ≤ cap keep every edge.
+    *
+    * Scale: ONE hash shuffle on src for the rank window; the capped
+    * output is at most |V|·cap rows regardless of skew, which is the
+    * point — the downstream per-iteration shuffle is bounded by cap,
+    * not by the heaviest hub. */
+  def degreeCapEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                     cap: Int, salt: String = "graft-degcap"): DataFrame = {
+    require(cap >= 1, s"degreeCapEdges: cap=$cap must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val h = graft.functions.PortableHash.phash(
+      concat_ws("|", lit(salt), col("src"), col("dst")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("__h"), col("dst"))
+    e.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .select("src", "dst")
+  }
+
+  /** [[pageRankFixedPoint]] over the [[degreeCapEdges]]-capped graph —
+    * approximate PageRank whose per-iteration cost is bounded by
+    * `cap`·|V| edges no matter how skewed the original degree
+    * distribution is. Same exact integer-micro protocol (the capped
+    * edge set is deterministic, so the whole composition stays
+    * oracle-replayable). */
+  def pageRankDegreeCapped(edges: DataFrame, srcCol: String, dstCol: String,
+                           cap: Int, iterations: Int = 3,
+                           dampNumer: Int = 850, dampDenom: Int = 1000,
+                           initMicro: Long = 1000000L,
+                           salt: String = "graft-degcap"): DataFrame =
+    pageRankFixedPoint(degreeCapEdges(edges, srcCol, dstCol, cap, salt),
+      "src", "dst", iterations, dampNumer, dampDenom, initMicro)
+
+  /** WEIGHTED personalized PageRank: [[personalizedPageRank]] with the
+    * teleport mass distributed over the seed set PROPORTIONALLY to a
+    * per-seed weight instead of uniformly — "related to these seeds,
+    * but seed A matters 3× seed B" (session-weighted recommendations,
+    * confidence-weighted fraud seeds). Integer protocol: weights
+    * normalize against the MAXIMUM seed weight with integral division,
+    *
+    *   rank₀(v)     = (1e6 · w_v) div w_max
+    *   teleport(v)  = (((1-d)·1e6) · w_v) div w_max
+    *
+    * so the heaviest seed gets exactly the unweighted q317 mass and
+    * equal weights reduce to [[personalizedPageRank]] bit-for-bit. All
+    * arithmetic stays in longs (weights are validated ≤ 1e9, so
+    * 1e6·w ≤ 1e15 — no overflow on any engine).
+    *
+    * Scale: identical topology to [[pageRankFixedPoint]] — the
+    * out-degree-annotated edge list shuffles once and persists; each
+    * round moves only the node-sized rank table. The weight max is one
+    * scalar aggregate over the seed table, broadcast as a literal-sized
+    * 1-row frame. */
+  def personalizedPageRankWeighted(edges: DataFrame, srcCol: String,
+                                   dstCol: String, seeds: DataFrame,
+                                   seedCol: String, weightCol: String,
+                                   iterations: Int = 3,
+                                   dampNumer: Int = 850, dampDenom: Int = 1000,
+                                   initMicro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNumer > 0 && dampNumer < dampDenom,
+      s"damping $dampNumer/$dampDenom must lie in (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val withDeg = e
+      .repartition(col("src"))
+      .withColumn("__outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sw = seeds.select(col(seedCol).cast("long").as("node"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy("node").agg(max(col("__w")).as("__w"))
+    val wMax = sw.agg(max(col("__w")).as("__wmax"))
+    val seedFlag = sw.crossJoin(broadcast(wMax))
+      // validated here rather than silently truncated: a weight that
+      // would overflow 1e6·w in a long is a caller bug on any engine
+      .withColumn("__w",
+        when(col("__w") > 1000000000L,
+          raise_error(lit("personalizedPageRankWeighted: weight > 1e9")))
+          .otherwise(col("__w")))
+    val nodes = withDeg.select(col("src").as("node"))
+      .union(withDeg.select(col("dst").as("node")))
+      .distinct()
+      .join(seedFlag, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__w"), lit(0L)).as("__w"),
+        coalesce(col("__wmax"), lit(1L)).as("__wmax"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
+    var ranks = nodes.select(col("node"),
+      expr(s"($initMicro * __w) div __wmax").as("rank"))
+    for (_ <- 1 to iterations) {
+      val inbound = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
+        .groupBy("node")
+        .agg(sum("__contrib").as("__in"))
+      ranks = nodes
+        .join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"($teleportMicro * __w) div __wmax") +
             expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
     }
     graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
@@ -429,18 +552,31 @@ object Graph {
     // living count is driver-known and small, run the remaining rounds
     // with AQE off (one job per round). Big state keeps AQE (skew-join,
     // broadcast conversion) — the 100 TB path is unchanged.
+    //
+    // HOW AQE is turned off matters: toggling the session-global conf
+    // (the pre-r15 form) leaks to concurrent queries in the same JVM —
+    // another query planned mid-round would silently run without AQE,
+    // and two togglers clobber each other's save/restore (the exact
+    // cross-query interference class this codebase's QueryCleanup /
+    // Provenance scoping exists to kill). Instead the small-state round
+    // plan is RE-BOUND onto a dedicated child session (`newSession()`
+    // shares the SparkContext and cache manager, isolates SQL conf)
+    // that has AQE off permanently. Because `living` is monotone
+    // decreasing under peeling, every later round's plan derives from
+    // the re-bound checkpoint and inherits the quiet session for free.
+    // Verified empirically: the re-bound plan executes non-adaptive
+    // while concurrent plans on the parent session keep AQE.
     val spark = edges.sparkSession
-    val AqeKey = "spark.sql.adaptive.enabled"
     val SmallState = 2000000L
-    def roundConf[T](living: Long)(body: => T): T = {
-      val prev = spark.conf.getOption(AqeKey)
-      if (living < SmallState) spark.conf.set(AqeKey, "false")
-      try body
-      finally prev match {
-        case Some(p) => spark.conf.set(AqeKey, p)
-        case None => spark.conf.unset(AqeKey)
-      }
+    lazy val quiet: SparkSession = {
+      val q = spark.newSession()
+      q.conf.set("spark.sql.adaptive.enabled", "false")
+      q
     }
+    def roundPlan(living: Long)(plan: DataFrame): DataFrame =
+      if (living < SmallState && (plan.sparkSession ne quiet))
+        graft.SparkInternals.rebind(quiet, plan)
+      else plan
     var (deg, below, living) = checkpointWithStats(
       dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d")))
     cleanups += { val d = deg; () => d.unpersist() }
@@ -451,7 +587,7 @@ object Graph {
       val dec = dir
         .join(removed.select(col("node").as("src")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__dec"))
-      val (next, b, l) = roundConf(living)(checkpointWithStats(
+      val (next, b, l) = checkpointWithStats(roundPlan(living)(
         deg.filter(col("__d") >= k)
           .join(dec, Seq("node"), "left")
           .select(col("node"),

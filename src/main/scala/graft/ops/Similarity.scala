@@ -172,6 +172,52 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Two-stage retrieve-then-rerank AUDIT — the cross-encoder serving
+    * pattern measured end to end: the cheap 1-bit Hamming tier
+    * ([[knnHamming]]) retrieves a `shortlist` of candidates per query,
+    * the expensive exact scorer (the integer-micro cosine kernel, the
+    * stand-in for a cross-encoder whose cost forbids full-corpus
+    * application) re-ranks ONLY that shortlist, and the audit reports
+    * where the final top-k actually came from: each surviving row
+    * carries its tier rank and its displacement, so "the re-ranker
+    * rescued rank-17 to position 1" is visible per query rather than
+    * averaged away. Both stages are exact-integer protocols —
+    * bit-packed Hamming, micro-unit cosine — so the audit hash-matches
+    * an external engine row for row.
+    *
+    * Output: (qid, final_rank ≤ k, vec_id, tier_rank ≤ shortlist, sim,
+    * moved = tier_rank − final_rank; positive = the re-ranker promoted).
+    *
+    * Scale: the expensive scorer touches |queries|·shortlist rows — the
+    * whole point of the tier; the shortlist join back to vectors is a
+    * bounded semi-join (ids), never a second corpus scan of pairs. */
+  def hammingRerankAudit(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, dim: Int,
+                         shortlist: Int, k: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"hammingRerankAudit: need shortlist=$shortlist >= k=$k >= 1")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val tier = knnHamming(corpus, queries, idCol, vecCol, dim, shortlist)
+      .select(col("qid"), col("vec_id"), col("rank").as("tier_rank"))
+    val cand = tier.join(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+        normMicro8(col(vecCol)).as("__cn")),
+      Seq("vec_id"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      normMicro8(col(vecCol)).as("__qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("tier_rank"),
+        cosineFromMicro(GraftFunctions.dotMicro8Native(col("__qv"), col("__cv")),
+          col("__qn"), col("__cn")).as("sim"))
+      .withColumn("final_rank", row_number().over(w).cast("long"))
+      .filter(col("final_rank") <= k)
+      .select(col("qid"), col("final_rank"), col("vec_id"),
+        col("tier_rank"), col("sim"),
+        (col("tier_rank") - col("final_rank")).as("moved"))
+  }
+
   /** Contrastive HARD-negative mining: for each query, the top-k most
     * similar corpus vectors with a DIFFERENT label — the negatives that
     * actually move a contrastive loss (random negatives, q246, are
@@ -769,7 +815,7 @@ object Similarity {
     val counts = base.groupBy(col("cell")).agg(count(lit(1)).as("count_a"))
       .join(curr.groupBy(col("cell")).agg(count(lit(1)).as("count_b")),
         Seq("cell"), "full_outer")
-      .select(col("cell").as("bin"),
+      .select(col("cell").cast("long").as("bin"),
         coalesce(col("count_a"), lit(0L)).as("count_a"),
         coalesce(col("count_b"), lit(0L)).as("count_b"))
     DataQuality.psiTermsFromCounts(counts, nlist)

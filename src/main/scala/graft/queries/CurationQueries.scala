@@ -711,12 +711,12 @@ object CurationQueries {
                   c_acctbal AS bal_b, c_mktsegment AS seg_b, c_nationkey,
                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_block FROM customer),
           p AS (SELECT id_a, id_b,
-                  round((CASE WHEN substr(name_a, 1, 17) = substr(name_b, 1, 17)
+                  CAST(round((CASE WHEN substr(name_a, 1, 17) = substr(name_b, 1, 17)
                               THEN ${f1.agreeWeight} ELSE ${f1.disagreeWeight} END)
                       + (CASE WHEN abs(bal_a - bal_b) < 0.005
                               THEN ${f2.agreeWeight} ELSE ${f2.disagreeWeight} END)
                       + (CASE WHEN seg_a = seg_b
-                              THEN ${f3.agreeWeight} ELSE ${f3.disagreeWeight} END), 6) AS fs_score
+                              THEN ${f3.agreeWeight} ELSE ${f3.disagreeWeight} END), 6) AS DOUBLE) AS fs_score
                 FROM a JOIN b USING (c_nationkey, bal_block))
           SELECT id_a, id_b, fs_score,
                  CASE WHEN fs_score >= 12.0 THEN 'link'

@@ -130,10 +130,10 @@ object MlQueries {
         "CAST(min(c_acctbal) AS VARCHAR) || '-' || CAST(max(c_acctbal) AS VARCHAR) AS r0"
     val finalSelect =
       if (multiCol)
-        """SELECT f.c_custkey, f.cid AS cluster, r.r0 AS c_acctbal,
+        """SELECT f.c_custkey, CAST(f.cid AS INTEGER) AS cluster, r.r0 AS c_acctbal,
                   r.r1 AS mktsegment_range"""
       else
-        "SELECT f.c_custkey, f.cid AS cluster, r.r0 AS c_acctbal"
+        "SELECT f.c_custkey, CAST(f.cid AS INTEGER) AS cluster, r.r0 AS c_acctbal"
     s"""WITH codes AS MATERIALIZED (
           SELECT c_mktsegment,
                  CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS DOUBLE) AS idx

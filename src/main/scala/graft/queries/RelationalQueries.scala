@@ -418,6 +418,48 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Degree-capped PageRank over the q125 trade graph (cap 8): the
+    // skew bound hubs need at web scale — each node keeps at most 8
+    // out-edges by portable hash rank, so the per-iteration shuffle is
+    // bounded by cap·|V| regardless of how heavy the heaviest hub is.
+    // The capped edge set is a deterministic function of the edge list,
+    // so the whole approximation is oracle-replayable edge for edge.
+    "q319_pagerank_capped" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.ops.Graph.pageRankDegreeCapped(edges, "src", "dst",
+          cap = 8, iterations = 3)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .orderBy("node")
+    }),
+
+    // Weighted personalized PageRank: q317's seed set with teleport mass
+    // 3:2:1 — "related to these seeds, but seed 1 matters 3x seed 3".
+    // Weights normalize against the max by integral division, so the
+    // heaviest seed carries exactly q317's mass and the protocol stays
+    // integer-exact end to end.
+    "q320_weighted_ppr" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      import s.implicits._
+      val seeds = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("node", "w")
+      graft.ops.Graph.personalizedPageRankWeighted(edges, "src", "dst",
+          seeds, "node", "w", iterations = 3)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .filter(col("rank_micro") > 0)
+        .orderBy("node")
+    }),
+
     // Synchronous label propagation (3 fixed rounds, min-label ties)
     // over the q125 trade graph: the cheap community detector between
     // CC's pure reachability and modularity methods. Deterministic by
@@ -771,6 +813,51 @@ object RelationalQueries {
           r2 AS (SELECT n.node, n.sd * 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
           i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r3 AS (SELECT n.node, n.sd * 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
+          SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
+          FROM r3 WHERE r > 0 ORDER BY node""",
+    // pageRankDegreeCapped replay: the portable-hash rank cap (md5
+    // protocol, dst tiebreak, rn <= 8) then q125's unrolled integer
+    // rounds over the CAPPED edge set — node universe included (the
+    // engine derives nodes from the capped edges).
+    "q319_pagerank_capped" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e0 AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          eh AS (SELECT src, dst,
+                   CAST('0x' || substr(md5('graft-degcap|' || src || '|' || dst), 1, 15) AS BIGINT) AS h
+                 FROM e0),
+          e AS (SELECT src, dst FROM (
+                  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+                  FROM eh) WHERE rn <= 8),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
+          SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
+    // personalizedPageRankWeighted replay: q317's unrolled rounds with
+    // per-seed weights 3:2:1 normalized by integral division against
+    // the max weight (wmax = 3); zero-mass nodes filtered like the
+    // engine.
+    "q320_weighted_ppr" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          n AS (SELECT node,
+                  CASE node WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END AS w
+                FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 * w AS BIGINT) // 3 AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, CAST(150000 * n.w AS BIGINT) // 3 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, CAST(150000 * n.w AS BIGINT) // 3 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, CAST(150000 * n.w AS BIGINT) // 3 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
           SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
           FROM r3 WHERE r > 0 ORDER BY node""",
     // q127's canonical edges doubled into directed instances; exact

@@ -342,9 +342,14 @@ object StatsQueries {
       IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
       SnapshotStore.commitAppend(o.filter(col("o_orderkey") % 3 === 2), table, "b2")
       IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
+      // Cast the exact decimal(38,6) sum to double ONCE at the edge —
+      // the dump otherwise carries the suite's only DECIMAL parquet
+      // column, which pyarrow reads as Decimal objects while the
+      // oracle's collapses to float64 (the 4-round gate-red channel).
+      // Both engines convert the same exact decimal → IEEE-identical.
       val out = IncrementalView.read(s, view)
         .select(col("o_orderstatus"), col("o_orderpriority"), col("n_rows"),
-          col("sum_o_totalprice"))
+          col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
         .orderBy("o_orderstatus", "o_orderpriority")
       // The view is group-sized (|statuses| × |priorities| keys), so pin
       // the rows HERE, while this invocation's scratch chain is known
@@ -1089,7 +1094,7 @@ object StatsQueries {
           mk AS (SELECT u, v FROM s ORDER BY u, v LIMIT 256),
           r AS (SELECT v, row_number() OVER (ORDER BY v, u) AS rn,
                   count(*) OVER () AS n FROM mk),
-          qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+          qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
           est AS (SELECT q, round(min(v), 6) AS q_est
                   FROM qs JOIN r ON r.rn = greatest(1, CAST(ceil(q * r.n) AS BIGINT))
                   GROUP BY q),
@@ -1701,7 +1706,8 @@ object StatsQueries {
                   row_number() OVER (PARTITION BY g, bar_start ORDER BY ts, v) AS rn_a,
                   row_number() OVER (PARTITION BY g, bar_start ORDER BY ts DESC, v DESC) AS rn_d
                 FROM b)
-          SELECT g AS event_type, bar_start, count(*) AS n_ticks,
+          SELECT g AS event_type, CAST(bar_start AS TIMESTAMP) AS bar_start,
+                 count(*) AS n_ticks,
                  min(CASE WHEN rn_a = 1 THEN v END) AS open,
                  max(v) AS high, min(v) AS low,
                  min(CASE WHEN rn_d = 1 THEN v END) AS close
@@ -1875,7 +1881,7 @@ object StatsQueries {
     // all of orders — count plus exact decimal sum.
     "q198_incremental_view" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
-                sum(CAST(o_totalprice AS DECIMAL(28,6))) AS sum_o_totalprice
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_o_totalprice
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     // Same daily-mean construction, pairwise slopes on the group-equi
     // join, explicit rank-selection median — no engine quantile
@@ -2234,7 +2240,7 @@ object StatsQueries {
                  WHERE rn <= 128),
           r AS (SELECT g, u, v, row_number() OVER (PARTITION BY g ORDER BY v, u) AS rn,
                   count(*) OVER (PARTITION BY g) AS n FROM mk),
-          qs AS (SELECT unnest([0.5, 0.9]) AS q),
+          qs AS (SELECT unnest([0.5, 0.9]::DOUBLE[]) AS q),
           est AS (SELECT g, q, round(min(v), 6) AS q_est
                   FROM qs JOIN r ON r.rn = greatest(1, CAST(ceil(q * r.n) AS BIGINT))
                   GROUP BY g, q),

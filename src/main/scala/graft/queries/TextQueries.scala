@@ -138,6 +138,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Banding-recall audit of the q36 LSH tier against q35's exact
+    // within-source pair set: a true pair that never shares a band is
+    // one the tier can NEVER emit — the dedup twin of q318's ANN recall
+    // audit, and the signal to re-band before the dedup rate silently
+    // sags. Both sides deterministic, so the audit hash-checks.
+    "q322_lsh_recall" -> ((s, dir) => {
+      Dedup.lshBandRecallAudit(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.3, partitionCols = Seq("source"))
+    }),
+
     // Cross-corpus near-dup: incoming batch (odd doc_ids) vs existing
     // corpus (even doc_ids), banding each side separately — the A×B-only
     // candidate surface of Dedup.crossNearDup; same minhash parameters
@@ -1483,6 +1493,28 @@ object TextQueries {
     "q36_minhash_lsh" ->
       s"""WITH $minhashPairsCte
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    // lshBandRecallAudit replay: q35's exact within-source pair CTE as
+    // truth, q36's band-candidate CTE as the tier; counts are plain
+    // BIGINTs, one 6-dp recall at the edge.
+    "q322_lsh_recall" ->
+      s"""WITH $minhashPairsCte,
+          shq AS (SELECT doc_id, source, $shingleSql AS s FROM documents),
+          inv AS (SELECT doc_id, source, n, ${phashSql("g")} AS g
+                  FROM (SELECT doc_id, source, len(s) AS n, unnest(s) AS g FROM shq)),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                       any_value(a.n) AS na, any_value(b.n) AS nb
+                FROM inv a JOIN inv b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          t AS (SELECT id_a, id_b FROM p
+                WHERE round(shared * 1.0 / (na + nb - shared), 6) >= 0.3),
+          caught AS (SELECT count(*) AS n_caught FROM t
+                     WHERE EXISTS (SELECT 1 FROM cand c
+                                   WHERE c.id_a = t.id_a AND c.id_b = t.id_b)),
+          tot AS (SELECT count(*) AS n_true FROM t)
+          SELECT n_true, n_caught, n_true - n_caught AS n_missed,
+                 CASE WHEN n_true > 0
+                      THEN round(n_caught * 1.0 / n_true, 6) END AS band_recall
+          FROM tot CROSS JOIN caught""",
     // Same signature/band chain; only the candidate stage differs —
     // A-side (even ids) bands join B-side (odd ids) bands, no ordering
     // constraint between the sides.

@@ -145,6 +145,19 @@ object VectorEventQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Retrieve-then-rerank audit (the cross-encoder serving pattern):
+    // the q315 Hamming tier shortlists 20 candidates per query, the
+    // exact integer-micro cosine re-ranks ONLY those, and each final
+    // top-5 row carries its tier rank + displacement — "the re-ranker
+    // rescued rank-17 to position 1" visible per query. Both stages are
+    // exact-integer protocols, so the audit hash-matches row for row.
+    "q321_rerank_audit" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hammingRerankAudit(e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", dim = 64, shortlist = 20, k = 5)
+        .orderBy("qid", "final_rank")
+    }),
+
     // Recall of the 1-bit Hamming tier vs the exact cosine top-k, per
     // cutoff k — how big a sign-bit shortlist must be before exact
     // re-ranking (the q274 matryoshka question asked of the q315 tier).
@@ -918,8 +931,13 @@ object VectorEventQueries {
     * the DuckDB-version-sensitive channel VERDICT r13 flagged. Args must
     * be repeatable expressions (each appears in several terms). */
   private def cosMicroSql(a: String, b: String): String = {
+    // range over $x's OWN length (not the outer $a's): with unequal-length
+    // args len($a) would make s2(b,b) index past b and silently drop the
+    // NULL terms — a wrong norm where the engine kernel throws. Using the
+    // operand's length keeps the oracle's failure mode aligned (the dot
+    // term still NULLs out on mismatch rather than inventing a value).
     def s2(x: String, y: String) =
-      s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST(list_sum(list_transform(range(1, len($x) + 1), i -> " +
         s"CAST(round(($x)[i] * ($y)[i] * 100000000.0, 0) AS BIGINT))) AS DOUBLE)"
     s"round((${s2(a, b)} / 100000000.0) / (sqrt(${s2(a, a)} / 100000000.0) " +
       s"* sqrt(${s2(b, b)} / 100000000.0)), 6)"
@@ -1225,8 +1243,8 @@ object VectorEventQueries {
                      - ${mn("na * 2 + 10")} + ${mn("nb * 2 + 10")}) AS DOUBLE), 0) AS BIGINT)
                    AS term_micro
           FROM counts CROSS JOIN tot)
-        SELECT bin, count_a, count_b, term_micro,
-               sum(term_micro) OVER () AS psi_micro
+        SELECT CAST(bin AS BIGINT) AS bin, count_a, count_b, term_micro,
+               CAST(sum(term_micro) OVER () AS BIGINT) AS psi_micro
         FROM terms ORDER BY bin"""
   }
 
@@ -1308,7 +1326,7 @@ object VectorEventQueries {
           rr AS (SELECT qid, vec_id, rank FROM cr WHERE rank <= $K
                  UNION ALL SELECT qid, vec_id, rank FROM dr WHERE rank <= $K),
           sc AS (SELECT qid, vec_id,
-                   sum(CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT)) AS rrf_micro
+                   CAST(sum(CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT)) AS BIGINT) AS rrf_micro
                  FROM rr GROUP BY qid, vec_id),
           f AS (SELECT qid, vec_id, rrf_micro,
                   row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, vec_id) AS fused_rank
@@ -1320,7 +1338,7 @@ object VectorEventQueries {
     // 9-dp re-quantized v per step.
     "q294_pca_power" ->
       s"""WITH $pcaChainSql
-          SELECT v3.idx, v3.v AS loading,
+          SELECT CAST(v3.idx AS INTEGER) AS idx, v3.v AS loading,
             (SELECT round(sqrt(CAST(n2 AS DOUBLE)) / 1000000.0, 6) FROM n3) AS op_norm
           FROM v3 ORDER BY v3.idx""",
     // anisotropyResidual replay: the q294 chain + integer-micro mean,
@@ -1405,6 +1423,37 @@ object VectorEventQueries {
           $legs
           ORDER BY k"""
     },
+    // hammingRerankAudit replay: q315's bit-packed tier shortlists 20,
+    // the micro-cosine kernel re-ranks the shortlist only, integer rank
+    // displacement at the edge. No window sums — every column is a
+    // row_number BIGINT, an integer difference, or the 6-dp kernel sim.
+    "q321_rerank_audit" ->
+      s"""WITH b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(1, 33), i ->
+                CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+              CAST(list_sum(list_transform(range(33, 65), i ->
+                CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+            FROM embeddings),
+          qb AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM b WHERE vec_id < $NQueries),
+          hsc AS (SELECT qid, b.vec_id,
+                    bit_count(xor(b.lo, qlo)) + bit_count(xor(b.hi, qhi)) AS hd
+                  FROM qb CROSS JOIN b WHERE b.vec_id <> qid),
+          hr AS (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS tier_rank
+                 FROM hsc),
+          $knnCore,
+          sc AS (SELECT hr.qid, hr.vec_id, hr.tier_rank,
+                   ${cosMicroSql("q.qv", "e.embedding::DOUBLE[]")} AS sim
+                 FROM hr JOIN embeddings e ON e.vec_id = hr.vec_id
+                 JOIN q ON q.qid = hr.qid
+                 WHERE hr.tier_rank <= 20),
+          f AS (SELECT qid, vec_id, tier_rank, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS final_rank
+                FROM sc)
+          SELECT qid, CAST(final_rank AS BIGINT) AS final_rank, vec_id,
+                 CAST(tier_rank AS BIGINT) AS tier_rank, sim,
+                 CAST(tier_rank - final_rank AS BIGINT) AS moved
+          FROM f WHERE final_rank <= 5 ORDER BY qid, final_rank""",
     // signBits/knnHamming replay: identical bit packing (two 32-bit
     // halves — 64-bit-safe in any engine), XOR + popcount distance,
     // (hamming asc, id asc) ties.
@@ -1784,7 +1833,7 @@ object VectorEventQueries {
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
                     FROM events GROUP BY user_id),
           a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
-          SELECT cohort_week,
+          SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
                  CAST(floor(date_diff('day', cohort_week, aw) / 7) AS BIGINT) AS week_offset,
                  count(DISTINCT user_id) AS n_active
           FROM a JOIN f USING (user_id)

@@ -632,4 +632,26 @@ class DedupSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
+
+  test("lshBandRecallAudit: exact truth counts and recall arithmetic") {
+    import org.apache.spark.sql.functions.lit
+    val d = docs.withColumn("source", lit("s"))
+    val r = Dedup.lshBandRecallAudit(d, "doc_id", "text", shingleN = 2,
+      threshold = 0.3, partitionCols = Seq("source")).collect().head
+    val (nTrue, nCaught, nMissed) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // exact bigram truth at 0.3: (1,2) J=1, (1,3) and (2,3) at J=0.6
+    assert(nTrue == 3L, s"nTrue=$nTrue")
+    // the identical pair shares every band deterministically
+    assert(nCaught >= 1L && nCaught <= nTrue)
+    assert(nMissed == nTrue - nCaught)
+    val recall = r.getDouble(3)
+    assert(recall ==
+      BigDecimal(nCaught.toDouble / nTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"recall=$recall caught=$nCaught")
+    // determinism: the audit is a pure function of the corpus
+    val again = Dedup.lshBandRecallAudit(d, "doc_id", "text", shingleN = 2,
+      threshold = 0.3, partitionCols = Seq("source")).collect().head
+    assert(again.getLong(1) == nCaught)
+  }
 }

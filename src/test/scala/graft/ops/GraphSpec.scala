@@ -263,4 +263,57 @@ class GraphSpec extends SparkSpec {
     graft.QueryCleanup.drain()
     assert(kc1 == kc2 && kc1.nonEmpty)
   }
+
+  test("degreeCapEdges: caps out-degree, keeps low-degree nodes untouched") {
+    // node 1 has 5 out-edges, node 2 has 1
+    val e = (Seq((2L, 1L)) ++ (2L to 6L).map(d => (1L, d))).toDF("src", "dst")
+    val capped = Graph.degreeCapEdges(e, "src", "dst", cap = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(capped.count(_._1 == 1L) == 3, capped.toString)
+    assert(capped.contains((2L, 1L)), "below-cap node lost an edge")
+    // deterministic: a second run keeps the identical edge set
+    val again = Graph.degreeCapEdges(e, "src", "dst", cap = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(capped.toSet == again.toSet)
+    // kept set is hash-selected, not prefix-by-dst: widening the cap only
+    // ADDS edges (rank stability of the hash order)
+    val wider = Graph.degreeCapEdges(e, "src", "dst", cap = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.toSet.subsetOf(wider))
+  }
+
+  test("pageRankDegreeCapped: cap >= max outdeg is exactly pageRank") {
+    val full = Graph.pageRankFixedPoint(asym, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    val capped = Graph.pageRankDegreeCapped(asym, "src", "dst", cap = 10,
+        iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(capped == full)
+  }
+
+  test("personalizedPageRankWeighted: equal weights reduce to the unweighted form") {
+    val seeds = Seq(1L, 3L).toDF("node")
+    val wseeds = Seq((1L, 7L), (3L, 7L)).toDF("node", "w")
+    val u = Graph.personalizedPageRank(asym, "src", "dst", seeds, "node",
+        iterations = 2).as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    val w = Graph.personalizedPageRankWeighted(asym, "src", "dst", wseeds,
+        "node", "w", iterations = 2).as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(u == w, s"unweighted=$u weighted=$w")
+  }
+
+  test("personalizedPageRankWeighted: hand-computed 2:1 teleport split") {
+    // seeds {1: w=2, 2: w=1}, wmax=2 -> r0 = (1e6, 5e5, 0),
+    // teleports (150000, 75000, 0). outdeg: 1->2, 2->1, 3->1.
+    // iter1: in(1)=0 (3 has rank 0), in(2)=5e5, in(3)=5e5+5e5
+    //   r1(1)=150000; r1(2)=75000+425000=500000; r1(3)=0+850000=850000
+    val wseeds = Seq((1L, 2L), (2L, 1L)).toDF("node", "w")
+    val r = Graph.personalizedPageRankWeighted(asym, "src", "dst", wseeds,
+        "node", "w", iterations = 1).as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r == Map(1L -> 150000L, 2L -> 500000L, 3L -> 850000L), r.toString)
+  }
 }

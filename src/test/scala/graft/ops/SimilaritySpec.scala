@@ -736,4 +736,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11L, 833333L), (2L, 10L, 500000L),
       (3L, 12L, 333333L)), got.mkString(", "))
   }
+
+  test("hammingRerankAudit: full-corpus shortlist reproduces exact cosine top-k") {
+    val q = vecs.filter($"vec_id" < 2)
+    val exact = Similarity.knnBruteForce(vecs, q, "vec_id", "embedding", 3)
+      .select("qid", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // shortlist covers every non-query candidate, so the re-rank IS the
+    // exact ranking and the audit's final order must coincide
+    val audit = Similarity.hammingRerankAudit(vecs, q, "vec_id", "embedding",
+        dim = 3, shortlist = 10, k = 3)
+    val got = audit.select("qid", "final_rank", "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == exact, s"got=$got exact=$exact")
+    // displacement arithmetic: moved = tier_rank - final_rank on every row
+    val rows = audit.select("final_rank", "tier_rank", "moved")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (f, t, m) => m == t - f })
+    assert(rows.forall { case (_, t, _) => t >= 1 && t <= 10 })
+  }
+
+  test("hammingRerankAudit: rejects a shortlist smaller than k") {
+    intercept[IllegalArgumentException] {
+      Similarity.hammingRerankAudit(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", dim = 3, shortlist = 2, k = 5)
+    }
+  }
 }

@@ -72,6 +72,20 @@ BOUNDS = {
     "q290_labelprop": 5.0,
 }
 
+# Every op stress10x.scala emits (both legs). A run that crashes midway
+# parses a PREFIX of this list — before r15 any op past the crash was
+# silently skipped and the gate could pass with bounded ops unchecked
+# (the `if not paired` guard only caught a FULLY empty run). The gate
+# now requires this exact set; extend it when stress10x.scala grows.
+EXPECTED_OPS = {
+    "q36_minhash", "q64_prefix", "q77_decontam", "q97_cc_star",
+    "q114_pq_train", "q114_pq_search", "q138_mondrian",
+    "q160_ivfpq_search", "q168_plain_semi", "q168_bloom_semi",
+    "q171_phash", "q173_epoch_shuffle", "q174_entity_res",
+    "q179_token_drift", "q202_km", "q206_assoc", "q208_bfs",
+    "q278_kcore", "q290_labelprop",
+}
+
 
 def current_round():
     files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
@@ -114,16 +128,21 @@ def main():
     out_path = args.out or os.path.join(REPO, f"STRESS_r{n:02d}.json")
     times = run_stress()
     ops = sorted({re.sub(r"_(1x|10x)$", "", k) for k in times})
-    # a partial run (ops without both legs) must FAIL, not pass vacuously
-    paired = [op for op in ops
-              if times.get(f"{op}_1x") is not None
-              and times.get(f"{op}_10x") is not None]
-    if not paired:
-        raise SystemExit("no (1x, 10x) op pairs parsed — stress run incomplete")
+    # A partial run must FAIL, not pass vacuously. Two channels:
+    #   - an op with exactly one leg parsed (crash between its legs)
+    #   - ops missing entirely (crash before them) — caught by requiring
+    #     the parsed op set to equal the pinned EXPECTED_OPS list
     report, failures = {}, []
+    for op in sorted(EXPECTED_OPS - set(ops)):
+        failures.append(f"{op}: emitted no STRESS lines — run incomplete")
+    for op in sorted(set(ops) - EXPECTED_OPS):
+        failures.append(f"{op}: not in EXPECTED_OPS — update the pinned "
+                        f"list when stress10x.scala grows")
     for op in ops:
         t1, t10 = times.get(f"{op}_1x"), times.get(f"{op}_10x")
         if t1 is None or t10 is None:
+            failures.append(f"{op}: only one leg parsed "
+                            f"(1x={t1}, 10x={t10}) — run incomplete")
             continue
         growth = round(t10 / t1, 2) if t1 > 0 else None
         bound = BOUNDS.get(op)
