@@ -172,6 +172,36 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Cell-BALANCE audit of a coarse quantizer — the index-health number
+    * next to [[ivfPqOccupancyDrift]]'s distributional one: IVF search
+    * cost is driven by the cells the router probes, so one bloated cell
+    * (bad fit, duplicated content, collapsed embeddings) silently turns
+    * "probe 2 of 10 cells" into "scan a third of the corpus". One row:
+    * cell count, corpus size, max/min occupancy, HHI concentration with
+    * its effective-cell inverse, and max-over-mean skew — the numbers a
+    * retrain gate thresholds on. Exact-integer counts, two IEEE
+    * divisions at the edge, so the audit hash-checks externally.
+    *
+    * Scale: one groupBy over the (id, cell) code table to ≤ nlist rows,
+    * then a scalar aggregate. */
+  def ivfCellBalance(index: IvfIndex): DataFrame = {
+    val counts = index.assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"))
+    counts.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("__n")).as("n_vecs"),
+        max(col("__n")).as("max_cell"),
+        min(col("__n")).as("min_cell"),
+        sum(col("__n") * col("__n")).as("__sq"))
+      .select(col("n_cells"), col("n_vecs"), col("max_cell"), col("min_cell"),
+        round(col("__sq").cast("double")
+          / (col("n_vecs") * col("n_vecs")).cast("double"), 6).as("hhi"),
+        round((col("n_vecs") * col("n_vecs")).cast("double")
+          / col("__sq").cast("double"), 6).as("effective_cells"),
+        round(col("max_cell").cast("double") * col("n_cells").cast("double")
+          / col("n_vecs").cast("double"), 6).as("max_over_mean"))
+  }
+
   /** Two-stage retrieve-then-rerank AUDIT — the cross-encoder serving
     * pattern measured end to end: the cheap 1-bit Hamming tier
     * ([[knnHamming]]) retrieves a `shortlist` of candidates per query,

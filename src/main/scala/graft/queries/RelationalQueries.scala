@@ -438,6 +438,26 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Edge-weighted PageRank over the trade graph with weight = number
+    // of distinct orders linking each supplier-customer pair: frequent
+    // trading partners attract proportionally more rank than one-off
+    // ones — the unweighted q125 treats both alike. Integral-division
+    // split keeps the protocol exact.
+    "q323_pagerank_weighted" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pw = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("l_suppkey") + lit(10000000L)).as("s"),
+          col("o_custkey").as("c"))
+        .agg(countDistinct(col("l_orderkey")).as("w"))
+      val edges = pw.select(col("s").as("src"), col("c").as("dst"), col("w"))
+        .unionByName(pw.select(col("c").as("src"), col("s").as("dst"), col("w")))
+      graft.ops.Graph.pageRankEdgeWeighted(edges, "src", "dst", "w",
+          iterations = 3)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .orderBy("node")
+    }),
+
     // Weighted personalized PageRank: q317's seed set with teleport mass
     // 3:2:1 — "related to these seeds, but seed 1 matters 3x seed 3".
     // Weights normalize against the max by integral division, so the
@@ -837,6 +857,24 @@ object RelationalQueries {
           i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
           i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
+          SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
+    // pageRankEdgeWeighted replay: q125's unrolled rounds with each
+    // contribution (r·w) // wout; weights are distinct-order counts per
+    // pair, out-weight sums CAST back to BIGINT (HUGEINT rule).
+    "q323_pagerank_weighted" ->
+      """WITH pw AS (SELECT l_suppkey + 10000000 AS s, o_custkey AS c,
+                 count(DISTINCT l_orderkey) AS w
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+          e AS (SELECT s AS src, c AS dst, w FROM pw UNION ALL SELECT c, s, w FROM pw),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          d AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM((r.r * e.w) // d.wout) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM((r.r * e.w) // d.wout) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM((r.r * e.w) // d.wout) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
           SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
     // personalizedPageRankWeighted replay: q317's unrolled rounds with

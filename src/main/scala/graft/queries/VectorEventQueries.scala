@@ -336,6 +336,19 @@ object VectorEventQueries {
     // trained search is hash-checked end to end (it was rows-only for
     // 12 rounds because MLlib's k-means|| seeding is engine-private).
     // SimilaritySpec still bands recall@k against brute force.
+    // Cell-balance audit of the q67/q160 coarse quantizer: HHI /
+    // effective-cells / max-over-mean skew of the cell occupancy — the
+    // one-row index-health readout a retrain gate thresholds on (one
+    // bloated cell turns "probe 2 of 10" into "scan a third of the
+    // corpus"). Shares the memoized deterministic fit.
+    "q324_ivf_balance" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = ivfIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvfDeterministic(e, "vec_id", "embedding",
+          nlist = 10))
+      Similarity.ivfCellBalance(idx)
+    }),
+
     "q67_knn_ivf_trained" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // train once per (dir, params) — the index is an offline artifact;
@@ -1250,6 +1263,21 @@ object VectorEventQueries {
 
   val oracles: Map[String, String] = Map(
     "q185_ivfpq_drift" -> ivfPqDriftOracle,
+    // ivfCellBalance replay: the q67 fit chain's asgf code table,
+    // occupancy counts, exact-integer moments, two double divisions at
+    // the edge (sums CAST back from HUGEINT per the type-class rule).
+    "q324_ivf_balance" ->
+      s"""WITH ${ivfFitSql(k = 10, iters = 8)},
+          c AS (SELECT cell, count(*) AS n FROM asgf GROUP BY cell),
+          a AS (SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs,
+                       max(n) AS max_cell, min(n) AS min_cell,
+                       CAST(sum(n * n) AS BIGINT) AS sq FROM c)
+          SELECT n_cells, n_vecs, max_cell, min_cell,
+                 round(CAST(sq AS DOUBLE) / CAST(n_vecs * n_vecs AS DOUBLE), 6) AS hhi,
+                 round(CAST(n_vecs * n_vecs AS DOUBLE) / CAST(sq AS DOUBLE), 6) AS effective_cells,
+                 round(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
+                       / CAST(n_vecs AS DOUBLE), 6) AS max_over_mean
+          FROM a""",
     "q114_knn_pq" ->
       s"""WITH ${pqFitSql(m = 8, subDim = 8, ksub = 16, iters = 8)},
           $pqEncodeSql,

@@ -316,4 +316,31 @@ class GraphSpec extends SparkSpec {
     graft.QueryCleanup.drain()
     assert(r == Map(1L -> 150000L, 2L -> 500000L, 3L -> 850000L), r.toString)
   }
+
+  test("pageRankEdgeWeighted: unit weights reduce to pageRankFixedPoint") {
+    val weighted = asym.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val u = Graph.pageRankFixedPoint(asym, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    val w = Graph.pageRankEdgeWeighted(weighted, "src", "dst", "w",
+        iterations = 2).as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(u == w, s"unweighted=$u weighted=$w")
+  }
+
+  test("pageRankEdgeWeighted: hand-computed proportional split + multi-edge merge") {
+    // 1->2 carries 3x the weight of 1->3 (split as two parallel 1->2
+    // edges w=2 and w=1 to exercise the merge); wout(1)=4.
+    // iter1: contrib 1->2 = (1e6*3)div4 = 750000, 1->3 = 250000,
+    //        2->3 = 1e6, 3->1 = 1e6
+    //   r1(1)=150000+850000=1000000
+    //   r1(2)=150000+(850*750000)div1000=787500
+    //   r1(3)=150000+(850*1250000)div1000=1212500
+    val e = Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRankEdgeWeighted(e, "src", "dst", "w", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    graft.QueryCleanup.drain()
+    assert(r == Map(1L -> 1000000L, 2L -> 787500L, 3L -> 1212500L), r.toString)
+  }
 }

@@ -762,4 +762,15 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", dim = 3, shortlist = 2, k = 5)
     }
   }
+
+  test("ivfCellBalance: exact concentration arithmetic") {
+    val asg = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("vec_id", "cell")
+    val idx = Similarity.IvfIndex(asg, spark.emptyDataFrame)
+    val r = Similarity.ivfCellBalance(idx).collect().head
+    // cell0=3, cell1=1: hhi=(9+1)/16=0.625, effective=1.6, skew=3*2/4=1.5
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L &&
+      r.getLong(2) == 3L && r.getLong(3) == 1L, r.toString)
+    assert(r.getDouble(4) == 0.625 && r.getDouble(5) == 1.6 &&
+      r.getDouble(6) == 1.5, r.toString)
+  }
 }
