@@ -332,6 +332,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-split CONTAMINATION audit — train/eval leakage through
+    * near-duplicates, the failure [[crossNearDup]] exists to prevent:
+    * a held-out document whose near-twin sits in train is not held out,
+    * and a random split of a deduplicated-but-not-perfectly corpus
+    * always leaks some. Splits by the engine's own deterministic hash
+    * protocol ([[graft.ops.Sampling]] — same keys in, same split out),
+    * then runs the A×B-only band topology between the sides. One row:
+    * split sizes, leaking pair count, distinct eval docs with a train
+    * near-twin, and the eval leak rate — the number that decides
+    * whether an eval set needs decontamination before anyone trusts a
+    * loss curve on it.
+    *
+    * Scale: the band join is [[crossNearDup]]'s (A-bands × B-bands
+    * only); split membership is a scan-side hash predicate, never a
+    * materialized id list. */
+  def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, threshold: Double,
+                        trainFraction: Double = 0.8,
+                        salt: String = "graft-sample"): DataFrame = {
+    require(trainFraction > 0 && trainFraction < 1,
+      s"splitLeakageAudit: trainFraction=$trainFraction outside (0,1)")
+    val cut = (trainFraction * 1000000L).toLong
+    val b = Sampling.bucket(col(idCol), salt)
+    val train = df.filter(b < cut)
+    val test = df.filter(b >= cut)
+    val leaks = crossNearDup(train, test, idCol, textCol, shingleN, threshold)
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val nTest = test.agg(count(lit(1)).as("n_test"))
+    val leakAgg = leaks.agg(count(lit(1)).as("n_leak_pairs"),
+      countDistinct(col("id_b")).as("n_test_leaked"))
+    nTrain.crossJoin(nTest).crossJoin(leakAgg)
+      .select(col("n_train"), col("n_test"), col("n_leak_pairs"),
+        col("n_test_leaked"),
+        when(col("n_test") > 0,
+          round(col("n_test_leaked").cast("double")
+            / col("n_test").cast("double"), 6)).as("leak_rate"))
+  }
+
   /** One persistent near-dup index row per document: (id, toks, bands),
     * where `bands` is the array of (band_idx, band_key) structs from the
     * doc's MinHash signature. This is the projection

@@ -298,8 +298,15 @@ object Graph {
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
       .groupBy("node").agg(max(col("__w")).as("__w"))
-    val wMax = sw.agg(max(col("__w")).as("__wmax"))
-    val seedFlag = sw.crossJoin(broadcast(wMax))
+    // max-normalization rides ONE unpartitioned window over the SEED
+    // table (the q185 counts-table idiom): seeds are a curated set by
+    // this variant's contract — weighting only makes sense for a seed
+    // list someone authored — so the single-partition pass is bounded.
+    // (A 1-row crossJoin/constant-key join plans as BNLJ — the shape
+    // the repo's no-quadratic plan pin refuses.) For corpus-sized
+    // uniform seed sets use [[personalizedPageRank]].
+    val seedFlag = sw.withColumn("__wmax",
+      max(col("__w")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       // validated here rather than silently truncated: a weight that
       // would overflow 1e6·w in a long is a caller bug on any engine
       .withColumn("__w",
@@ -330,6 +337,53 @@ object Graph {
     }
     graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
     ranks
+  }
+
+  /** Per-node NEIGHBORHOOD features — the tabular feature block a
+    * graph-ML training pipeline materializes before any model sees the
+    * graph: out-degree, sum of out-neighbor out-degrees (the 2-hop mass
+    * proxy), and the count of distinct nodes at EXACTLY two hops
+    * (reachable via an out-neighbor, not an out-neighbor itself, not
+    * self). The input is taken as the DIRECTED adjacency exactly as
+    * given (deduped, self-loops dropped) — symmetrize BEFORE calling
+    * for undirected semantics. All integer counts — deterministic,
+    * replayable by joins.
+    *
+    * Scale: the 2-hop stage is a wedge join — output-quadratic in
+    * degree on hubs, THE reason to compose with [[degreeCapEdges]]
+    * first. Directedness is what makes the cap bound real: each wedge
+    * u→v→w spends one of v's ≤ cap out-edges, so wedges ≤ cap·|E| ≤
+    * |V|·cap². (Re-symmetrizing AFTER capping would re-inflate hubs
+    * through their in-edges and void the bound — this op deliberately
+    * does not do that.) The degree table is node-sized; everything
+    * joins on node keys. */
+  def neighborhoodFeatures(edges: DataFrame, srcCol: String,
+                           dstCol: String): DataFrame = {
+    val dir = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { dir.unpersist(); () })
+    val deg = dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val sumNbr = dir
+      .join(deg.select(col("node").as("dst"), col("degree").as("__nd")), Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("__nd")).as("sum_nbr_degree"))
+    val twoHopAll = dir.select(col("src").as("u"), col("dst").as("v"))
+      .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+      .filter(col("w") =!= col("u"))
+      .select("u", "w").distinct()
+    val twoHopOnly = twoHopAll
+      .join(dir.select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"), "left_anti")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("n_2hop"))
+    deg
+      .join(sumNbr, Seq("node"))
+      .join(twoHopOnly, Seq("node"), "left")
+      .select(col("node"), col("degree"), col("sum_nbr_degree"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) for `rounds`

@@ -480,6 +480,26 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Per-node neighborhood features (degree, 2-hop mass proxy, exact
+    // 2-hop frontier size) over the degree-capped trade graph — the
+    // tabular block a graph-ML pipeline materializes before training.
+    // The cap is what makes the wedge join safe: uncapped, one hub
+    // supplier generates a partition-killing wedge set (q319's skew
+    // argument applied to features instead of rank).
+    "q326_neighborhood_features" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.ops.Graph.neighborhoodFeatures(
+          graft.ops.Graph.degreeCapEdges(edges, "src", "dst", cap = 8),
+          "src", "dst")
+        .orderBy("node")
+    }),
+
     // Synchronous label propagation (3 fixed rounds, min-label ties)
     // over the q125 trade graph: the cheap community detector between
     // CC's pure reachability and modularity methods. Deterministic by
@@ -859,6 +879,32 @@ object RelationalQueries {
           i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
           SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
+    // neighborhoodFeatures replay: q319's hash-rank cap chain, then the
+    // symmetrized simple graph's degree / neighbor-degree-sum / exact
+    // 2-hop-only frontier via joins (sums CAST per the HUGEINT rule).
+    "q326_neighborhood_features" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e0 AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          eh AS (SELECT src, dst,
+                   CAST('0x' || substr(md5('graft-degcap|' || src || '|' || dst), 1, 15) AS BIGINT) AS h
+                 FROM e0),
+          dir AS (SELECT src, dst FROM (
+                  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+                  FROM eh) WHERE rn <= 8),
+          deg AS (SELECT src AS node, count(*) AS degree FROM dir GROUP BY src),
+          sn AS (SELECT d.src AS node, CAST(sum(g.degree) AS BIGINT) AS sum_nbr_degree
+                 FROM dir d JOIN deg g ON g.node = d.dst GROUP BY d.src),
+          th2 AS (SELECT DISTINCT x.src AS u, y.dst AS w
+                  FROM dir x JOIN dir y ON y.src = x.dst WHERE y.dst <> x.src),
+          t2 AS (SELECT u AS node, count(*) AS n_2hop FROM th2
+                 WHERE NOT EXISTS (SELECT 1 FROM dir d
+                                   WHERE d.src = th2.u AND d.dst = th2.w)
+                 GROUP BY u)
+          SELECT CAST(deg.node AS BIGINT) AS node, degree, sum_nbr_degree,
+                 CAST(COALESCE(t2.n_2hop, 0) AS BIGINT) AS n_2hop
+          FROM deg JOIN sn USING (node) LEFT JOIN t2 USING (node)
+          ORDER BY node""",
     // pageRankEdgeWeighted replay: q125's unrolled rounds with each
     // contribution (r·w) // wout; weights are distinct-order counts per
     // pair, out-weight sums CAST back to BIGINT (HUGEINT rule).

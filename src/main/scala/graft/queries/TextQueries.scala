@@ -138,6 +138,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Train/eval contamination audit: hash-split the corpus 80/20 with
+    // the engine's own deterministic sampling protocol, then count eval
+    // documents whose near-twin (bigram Jaccard >= 0.3 via the q150
+    // cross-corpus band topology) sits in train — the leak rate that
+    // decides whether the eval set can be trusted at all.
+    "q325_split_leakage" -> ((s, dir) => {
+      Dedup.splitLeakageAudit(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.3, trainFraction = 0.8)
+    }),
+
     // Banding-recall audit of the q36 LSH tier against q35's exact
     // within-source pair set: a true pair that never shares a band is
     // one the tier can NEVER emit — the dedup twin of q318's ANN recall
@@ -1493,6 +1503,40 @@ object TextQueries {
     "q36_minhash_lsh" ->
       s"""WITH $minhashPairsCte
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    // splitLeakageAudit replay: q150's cross-corpus band chain with the
+    // even/odd predicates swapped for the engine's hash-bucket split
+    // (md5 protocol, cut at 800000 of 1e6); exact counts, one 6-dp rate.
+    "q325_split_leakage" ->
+      s"""WITH bkt AS (SELECT doc_id,
+                CAST('0x' || substr(md5('graft-sample|' || doc_id), 1, 15) AS BIGINT)
+                  % 1000000 AS u
+              FROM documents),
+          sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
+          th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
+                 FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+          mh AS (SELECT doc_id, j, min(((2*j + 1001) * h + (3*j + 17)) % 2147483647) AS m
+                 FROM th CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j),
+          sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM mh GROUP BY doc_id),
+          band AS (SELECT doc_id, b, md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS bk
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM band a JOIN bkt ba ON ba.doc_id = a.doc_id
+                   JOIN band c ON a.b = c.b AND a.bk = c.bk
+                   JOIN bkt bc ON bc.doc_id = c.doc_id
+                   WHERE ba.u < 800000 AND bc.u >= 800000),
+          j AS (SELECT id_a, id_b,
+                  round(len(list_intersect(x.s, y.s)) * 1.0
+                        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+                FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+          l AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+          la AS (SELECT count(*) AS n_leak_pairs,
+                        count(DISTINCT id_b) AS n_test_leaked FROM l),
+          sz AS (SELECT count(*) FILTER (u < 800000) AS n_train,
+                        count(*) FILTER (u >= 800000) AS n_test FROM bkt)
+          SELECT n_train, n_test, n_leak_pairs, n_test_leaked,
+                 CASE WHEN n_test > 0
+                      THEN round(n_test_leaked * 1.0 / n_test, 6) END AS leak_rate
+          FROM sz CROSS JOIN la""",
     // lshBandRecallAudit replay: q35's exact within-source pair CTE as
     // truth, q36's band-candidate CTE as the tier; counts are plain
     // BIGINTs, one 6-dp recall at the edge.

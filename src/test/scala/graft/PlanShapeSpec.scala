@@ -596,4 +596,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(ph.contains("BroadcastNestedLoopJoin") &&
       !ph.contains("SortMergeJoin") && !ph.contains("CartesianProduct"), ph)
   }
+
+  test("pageRankEdgeWeighted / personalizedPageRankWeighted (q320/q323): cached-topology contract") {
+    val edges = (0L until 400L).map(i => (i % 57, (i * 31) % 57)).toDF("src", "dst")
+    val weighted = edges.withColumn("w", (col("src") % 3 + 1).cast("long"))
+    val pw = plan(Graph.pageRankEdgeWeighted(weighted, "src", "dst", "w",
+      iterations = 2))
+    graft.QueryCleanup.drain()
+    assertNoQuadratic(pw)
+    // the weight-annotated edge table shuffles once into the cache;
+    // each round's rank join reads the InMemoryRelation
+    assert(pw.contains("InMemoryTableScan"), pw)
+    assert(pw.contains("REPARTITION_BY_COL"), pw)
+    val seeds = Seq((1L, 3L), (2L, 1L)).toDF("node", "w")
+    val ps = plan(Graph.personalizedPageRankWeighted(edges, "src", "dst",
+      seeds, "node", "w", iterations = 2))
+    graft.QueryCleanup.drain()
+    assertNoQuadratic(ps)
+    assert(ps.contains("InMemoryTableScan"), ps)
+    assert(ps.contains("REPARTITION_BY_COL"), ps)
+  }
+
+  test("neighborhoodFeatures (q326): node-keyed joins only, never all-pairs") {
+    val und = (0L until 400L).map(i => (i % 57, (i * 31) % 57 + 60L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val p = plan(Graph.neighborhoodFeatures(edges, "src", "dst"))
+    graft.QueryCleanup.drain()
+    assertNoQuadratic(p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
 }

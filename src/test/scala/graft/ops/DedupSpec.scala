@@ -654,4 +654,25 @@ class DedupSpec extends SparkSpec {
       threshold = 0.3, partitionCols = Seq("source")).collect().head
     assert(again.getLong(1) == nCaught)
   }
+
+  test("splitLeakageAudit: identical docs straddling the hash split all leak") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 40L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val r = Dedup.splitLeakageAudit(corpus, "doc_id", "text", shingleN = 2,
+      threshold = 0.3, trainFraction = 0.8).collect().head
+    // derive the split from the engine's own hash protocol
+    val buckets = corpus.select(col("doc_id"),
+        Sampling.bucket(col("doc_id"), "graft-sample").as("b"))
+      .as[(Long, Long)].collect()
+    val nTrain = buckets.count(_._2 < 800000L).toLong
+    val nTest = buckets.count(_._2 >= 800000L).toLong
+    assert(nTrain > 0 && nTest > 0, s"degenerate split $nTrain/$nTest")
+    assert(r.getLong(0) == nTrain && r.getLong(1) == nTest, r.toString)
+    // every cross pair is an identical-doc pair (J = 1): all leak
+    assert(r.getLong(2) == nTrain * nTest, r.toString)
+    assert(r.getLong(3) == nTest, r.toString)
+    assert(r.getDouble(4) == 1.0, r.toString)
+  }
 }

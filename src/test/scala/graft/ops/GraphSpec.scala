@@ -343,4 +343,35 @@ class GraphSpec extends SparkSpec {
     graft.QueryCleanup.drain()
     assert(r == Map(1L -> 1000000L, 2L -> 787500L, 3L -> 1212500L), r.toString)
   }
+
+  test("neighborhoodFeatures: hand-computed symmetrized path graph 1-2-3-4") {
+    // deg: (1,1)(2,2)(3,2)(4,1); nbr-deg sums: 2,3,3,2;
+    // exactly-2-hop counts: each end sees one node, middles see one.
+    // Input is DIRECTED by contract — pass both directions.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.neighborhoodFeatures(e, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.QueryCleanup.drain()
+    assert(r == Set((1L, 1L, 2L, 1L), (2L, 2L, 3L, 1L),
+      (3L, 2L, 3L, 1L), (4L, 1L, 2L, 1L)), r.toString)
+  }
+
+  test("neighborhoodFeatures: triangle has no exactly-2-hop nodes; directed path drops sinks") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.neighborhoodFeatures(e, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.QueryCleanup.drain()
+    assert(r == Set((1L, 2L, 4L, 0L), (2L, 2L, 4L, 0L), (3L, 2L, 4L, 0L)),
+      r.toString)
+    // directed 1->2->3: node 3 is a sink (no out-degree) and 2's only
+    // neighbor (3) has no out-edges, so only node 1 survives the
+    // feature join: deg 1, nbr-deg sum 1, exactly-2-hop {3}
+    val d = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rd = Graph.neighborhoodFeatures(d, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.QueryCleanup.drain()
+    assert(rd == Set((1L, 1L, 1L, 1L)), rd.toString)
+  }
 }
