@@ -447,4 +447,66 @@ object Sampling {
       .select(col("__h").as(stratumCol), col("__n").as("n_rows"), col("sd"),
         coalesce(col("__alloc"), lit(0L)).as("n_alloc"))
   }
+
+  /** Mixture ALLOCATION under availability caps — deterministic
+    * water-filling: given per-domain availability `a` (tokens) and
+    * target mixture shares `t` (micro-units of 1e6), split a budget
+    * T = Σa · budgetMicroOfTotal / 1e6 so each domain gets
+    * x = min(a, λ·t) with Σx ≈ T — the planning step a training-data
+    * mixer runs BEFORE drawing anything ("we want 30% web / 20% code /
+    * … but code only has 40B tokens — who absorbs the slack?"). Domains
+    * whose availability binds are `capped` and surrender their slack to
+    * the rest proportionally by target share.
+    *
+    * Exact-integer protocol: domains sort by the integer quotient
+    * (a·1e6) div t (scarcity order, domain-asc ties); a domain is
+    * capped iff a·(1e6 − cumT) ≤ (T − cumA)·t over the strictly-prior
+    * prefix (cross-multiplied — no float λ ever materializes); uncapped
+    * domains get (t·(T − Σ_capped a)) div (1e6 − Σ_capped t), clamped
+    * to [0, a]. Every step is integer arithmetic over the pinned order,
+    * so the allocation replays bit-for-bit externally. Floor losses
+    * leave Σx ≤ T by at most one token per domain. Contract:
+    * Σ availability ≤ 1e12 (keeps every cross-product inside a long).
+    *
+    * Scale: the windows run over the DOMAIN table (a curated mixture
+    * spec — tens to thousands of rows), never over data; availability
+    * aggregation upstream is the caller's one data-sized pass. */
+  def mixtureAllocation(avail: DataFrame, domainCol: String, availCol: String,
+                        targets: DataFrame, targetMicroCol: String,
+                        budgetMicroOfTotal: Long): DataFrame = {
+    require(budgetMicroOfTotal > 0 && budgetMicroOfTotal <= 1000000L,
+      s"mixtureAllocation: budgetMicroOfTotal=$budgetMicroOfTotal outside (0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val d = avail
+      .select(col(domainCol).as("domain"), col(availCol).cast("long").as("__a"))
+      .filter(col("__a") >= 0)
+      .join(targets.select(col(domainCol).as("domain"),
+        col(targetMicroCol).cast("long").as("__t")), Seq("domain"))
+      .filter(col("__t") > 0)
+    val wAll = Window.partitionBy()
+    val ord = Window.partitionBy()
+      .orderBy(expr("(__a * 1000000) div __t"), col("domain"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = d
+      // NB: "__bud", not "__T" — Spark resolves column names
+      // case-insensitively, so "__T" would silently REPLACE "__t"
+      .withColumn("__bud",
+        expr(s"(sum(__a) over ()) * $budgetMicroOfTotal div 1000000"))
+      .withColumn("__cumA", coalesce(sum(col("__a")).over(prior), lit(0L)))
+      .withColumn("__cumT", coalesce(sum(col("__t")).over(prior), lit(0L)))
+      .withColumn("capped",
+        col("__a") * (lit(1000000L) - col("__cumT")) <=
+          (col("__bud") - col("__cumA")) * col("__t"))
+    flagged
+      .withColumn("__capA",
+        coalesce(sum(when(col("capped"), col("__a"))).over(wAll), lit(0L)))
+      .withColumn("__capT",
+        coalesce(sum(when(col("capped"), col("__t"))).over(wAll), lit(0L)))
+      .select(col("domain"), col("__a").as("available"),
+        col("__t").as("target_micro"), col("capped"),
+        when(col("capped"), col("__a"))
+          .otherwise(least(col("__a"), greatest(lit(0L),
+            expr("(__t * (__bud - __capA)) div greatest(1000000 - __capT, 1)"))))
+          .as("allocated"))
+  }
 }

@@ -952,6 +952,24 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Mixture allocation under availability caps (water-filling): given
+    // per-source char counts and a skewed target mix (share of src_i
+    // proportional to i+1), split a 60%-of-total budget so each source
+    // gets min(availability, lambda*target) — the planning step a data
+    // mixer runs before drawing anything. Pure integer protocol over
+    // the 20-row domain table; constants inlined into both engines.
+    "q327_mixture_allocation" -> ((s, dir) => {
+      import s.implicits._
+      val avail = Tables.documents(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .groupBy(col("source").as("domain"))
+        .agg(sum(col("n_chars")).as("avail"))
+      val targets = mixTargets.toDF("domain", "t_micro")
+      Sampling.mixtureAllocation(avail, "domain", "avail",
+          targets, "t_micro", budgetMicroOfTotal = 600000L)
+        .orderBy("domain")
+    }),
+
     // Per-domain token quota (no source may contribute > 800 tokens):
     // docs rank by portable hash within their source; the kept prefix's
     // inclusive running token total must stay within budget.
@@ -1154,6 +1172,13 @@ object TextQueries {
   /** q36's MinHash-LSH candidate+verify pipeline as a reusable CTE chain
     * (ends at `j` = verified pairs with exact jaccard); shared by the q36
     * and q76 oracles so both replay the identical pair set. */
+  /** q327's target mixture: share of src_i ∝ (i+1), in micro-units with
+    * driver-side integer division — the SAME constants are inlined into
+    * the Spark plan and the oracle's VALUES list (the discountMicros
+    * protocol), so neither engine ever re-derives them. */
+  private val mixTargets: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", (i + 1).toLong * 1000000L / 210L))
+
   private val minhashPairsCte =
     s"""sh AS (SELECT doc_id, $shingleSql AS s FROM documents WHERE len($tokSql) >= 2),
           th AS (SELECT doc_id, ${phashSql("g")} % 2147483647 AS h
@@ -1503,6 +1528,37 @@ object TextQueries {
     "q36_minhash_lsh" ->
       s"""WITH $minhashPairsCte
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+    // mixtureAllocation replay: identical integer water-filling over
+    // the 20-row domain table — same scarcity order, same
+    // cross-multiplied cap test, same floor divisions; the target
+    // shares are the SAME driver-side constants inlined as VALUES.
+    "q327_mixture_allocation" -> {
+      val values = mixTargets
+        .map { case (d, t) => s"('$d', $t)" }.mkString(", ")
+      s"""WITH av AS (SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS a
+                  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          tg AS (SELECT * FROM (VALUES $values) AS t(domain, tm)),
+          d AS (SELECT domain, a, CAST(tm AS BIGINT) AS t
+                FROM av JOIN tg USING (domain) WHERE tm > 0 AND a >= 0),
+          f AS (SELECT domain, a, t,
+                  CAST(sum(a) OVER () AS BIGINT) * 600000 // 1000000 AS bud,
+                  CAST(COALESCE(sum(a) OVER (ORDER BY (a * 1000000) // t, domain
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cuma,
+                  CAST(COALESCE(sum(t) OVER (ORDER BY (a * 1000000) // t, domain
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumt
+                FROM d),
+          g AS (SELECT *, a * (1000000 - cumt) <= (bud - cuma) * t AS capped FROM f),
+          h AS (SELECT *,
+                  CAST(COALESCE(sum(CASE WHEN capped THEN a END) OVER (), 0) AS BIGINT) AS capa,
+                  CAST(COALESCE(sum(CASE WHEN capped THEN t END) OVER (), 0) AS BIGINT) AS capt
+                FROM g)
+          SELECT domain, a AS available, t AS target_micro, capped,
+                 CASE WHEN capped THEN a
+                      ELSE least(a, greatest(0, (t * (bud - capa))
+                                               // greatest(1000000 - capt, 1))) END
+                   AS allocated
+          FROM h ORDER BY domain"""
+    },
     // splitLeakageAudit replay: q150's cross-corpus band chain with the
     // even/odd predicates swapped for the engine's hash-bucket split
     // (md5 protocol, cut at 800000 of 1e6); exact counts, one 6-dp rate.

@@ -299,4 +299,28 @@ class SamplingPackingSpec extends SparkSpec {
       .orderBy("h").select("h", "n_alloc").as[(String, Long)].collect()
     assert(got4.toSeq == Seq(("A", 0L), ("S", 0L)), got4.mkString(", "))
   }
+
+  test("mixtureAllocation: hand-computed water-filling, caps bind scarce domains") {
+    // targets 0.5/0.3/0.2; avail 10/100/100; budget = 60% of 210 = 126.
+    // A is scarce (capped at 10); B gets (3e5*116)//5e5 = 69,
+    // C gets (2e5*116)//5e5 = 46; total 125 <= 126 (floor loss).
+    val avail = Seq(("A", 10L), ("B", 100L), ("C", 100L)).toDF("domain", "avail")
+    val targets = Seq(("A", 500000L), ("B", 300000L), ("C", 200000L))
+      .toDF("domain", "t_micro")
+    val r = Sampling.mixtureAllocation(avail, "domain", "avail",
+        targets, "t_micro", budgetMicroOfTotal = 600000L)
+      .as[(String, Long, Long, Boolean, Long)].collect().toSet
+    assert(r == Set(("A", 10L, 500000L, true, 10L),
+      ("B", 100L, 300000L, false, 69L),
+      ("C", 100L, 200000L, false, 46L)), r.toString)
+  }
+
+  test("mixtureAllocation: full budget caps everything at availability") {
+    val avail = Seq(("A", 10L), ("B", 100L)).toDF("domain", "avail")
+    val targets = Seq(("A", 500000L), ("B", 500000L)).toDF("domain", "t_micro")
+    val r = Sampling.mixtureAllocation(avail, "domain", "avail",
+        targets, "t_micro", budgetMicroOfTotal = 1000000L)
+      .as[(String, Long, Long, Boolean, Long)].collect().toSet
+    assert(r.forall(x => x._4 && x._5 == x._2), r.toString)
+  }
 }
