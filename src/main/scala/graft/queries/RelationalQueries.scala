@@ -438,6 +438,28 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Fidelity of the degree-capped PageRank (q319) against the exact
+    // one (q125): top-100 overlap and Spearman-footrule displacement —
+    // the audit that prices the skew bound before anyone ships the
+    // cheaper variant. Both rankings are exact-integer protocols, so
+    // the audit itself hash-checks.
+    "q328_capped_rank_fidelity" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.QueryCleanup.register(() => { edges.unpersist(); () })
+      val full = graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst",
+        iterations = 3)
+      val capped = graft.ops.Graph.pageRankDegreeCapped(edges, "src", "dst",
+        cap = 8, iterations = 3)
+      graft.ops.Graph.rankFidelityAudit(full, capped, "node", "rank", k = 100)
+    }),
+
     // Edge-weighted PageRank over the trade graph with weight = number
     // of distinct orders linking each supplier-customer pair: frequent
     // trading partners attract proportionally more rank than one-off
@@ -879,6 +901,47 @@ object RelationalQueries {
           i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
           r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node))
           SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY node""",
+    // rankFidelityAudit replay: q125's exact unroll + q319's capped
+    // unroll (c-prefixed CTEs), both ranked (micro-rank desc, node),
+    // exact counts and footrule with one 6-dp division at the edge.
+    "q328_capped_rank_fidelity" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node)),
+          eh AS (SELECT src, dst,
+                   CAST('0x' || substr(md5('graft-degcap|' || src || '|' || dst), 1, 15) AS BIGINT) AS h
+                 FROM e),
+          ce AS (SELECT src, dst FROM (
+                  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+                  FROM eh) WHERE rn <= 8),
+          cn AS (SELECT src AS node FROM ce UNION SELECT dst FROM ce),
+          cd AS (SELECT src, count(*) AS od FROM ce GROUP BY src),
+          cr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM cn),
+          ci1 AS (SELECT ce.dst AS node, SUM(r.r // cd.od) AS m FROM ce JOIN cr0 r ON ce.src = r.node JOIN cd ON ce.src = cd.src GROUP BY ce.dst),
+          cr1 AS (SELECT cn.node, 150000 + CAST(850 * COALESCE(ci1.m, 0) AS BIGINT) // 1000 AS r FROM cn LEFT JOIN ci1 USING (node)),
+          ci2 AS (SELECT ce.dst AS node, SUM(r.r // cd.od) AS m FROM ce JOIN cr1 r ON ce.src = r.node JOIN cd ON ce.src = cd.src GROUP BY ce.dst),
+          cr2 AS (SELECT cn.node, 150000 + CAST(850 * COALESCE(ci2.m, 0) AS BIGINT) // 1000 AS r FROM cn LEFT JOIN ci2 USING (node)),
+          ci3 AS (SELECT ce.dst AS node, SUM(r.r // cd.od) AS m FROM ce JOIN cr2 r ON ce.src = r.node JOIN cd ON ce.src = cd.src GROUP BY ce.dst),
+          cr3 AS (SELECT cn.node, 150000 + CAST(850 * COALESCE(ci3.m, 0) AS BIGINT) // 1000 AS r FROM cn LEFT JOIN ci3 USING (node)),
+          fr AS (SELECT node, row_number() OVER (ORDER BY r DESC, node) AS re FROM r3),
+          cra AS (SELECT node, row_number() OVER (ORDER BY r DESC, node) AS ra FROM cr3),
+          j AS (SELECT fr.node, re, ra FROM fr JOIN cra USING (node))
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(CASE WHEN re <= 100 AND ra <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS topk_overlap,
+                 CAST(sum(abs(re - ra)) AS BIGINT) AS footrule_sum,
+                 CASE WHEN count(*) > 0
+                      THEN round(CAST(sum(abs(re - ra)) AS DOUBLE) / count(*), 6)
+                 END AS mean_displacement
+          FROM j""",
     // neighborhoodFeatures replay: q319's hash-rank cap chain, then the
     // symmetrized simple graph's degree / neighbor-degree-sum / exact
     // 2-hop-only frontier via joins (sums CAST per the HUGEINT rule).

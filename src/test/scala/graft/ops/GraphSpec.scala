@@ -374,4 +374,24 @@ class GraphSpec extends SparkSpec {
     graft.QueryCleanup.drain()
     assert(rd == Set((1L, 1L, 1L, 1L)), rd.toString)
   }
+
+  test("rankFidelityAudit: identical inputs give zero displacement, full overlap") {
+    val r = Graph.pageRankFixedPoint(asym, "src", "dst", iterations = 2)
+    val a = Graph.rankFidelityAudit(r, r, "node", "rank", k = 2).collect().head
+    graft.QueryCleanup.drain()
+    assert(a.getLong(0) == 3L && a.getLong(1) == 2L && a.getLong(2) == 0L
+      && a.getDouble(3) == 0.0, a.toString)
+  }
+
+  test("rankFidelityAudit: hand-computed swap of two ranks") {
+    // exact order: 1,2,3 ; approx order: 2,1,3 -> footrule |1-2|+|2-1| = 2
+    val exact = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("node", "rank")
+    val approx = Seq((1L, 20L), (2L, 30L), (3L, 10L)).toDF("node", "rank")
+    val a = Graph.rankFidelityAudit(exact, approx, "node", "rank", k = 1)
+      .collect().head
+    assert(a.getLong(0) == 3L && a.getLong(1) == 0L && a.getLong(2) == 2L,
+      a.toString)
+    assert(a.getDouble(3) == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, a.toString)
+  }
 }
