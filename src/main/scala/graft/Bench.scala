@@ -3,6 +3,40 @@ import org.apache.spark.sql.SparkSession
 import scala.util.{Failure, Success, Try}
 
 object Bench {
+
+  /** Per-query medians from a prior round's `bench_detail.json` line —
+    * the cross-round reference the drift detector compares against.
+    * Tolerant: a missing/corrupt file returns empty (first round, or a
+    * format change) rather than failing the bench. */
+  def parsePriorMedians(json: String): Map[String, Double] = {
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(json) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Queries whose in-bench median regressed vs the prior round by more
+    * than `factor` — the channel the rep-spread requeue structurally
+    * cannot see (uniformly slow reps look calm; r15 shipped q296
+    * 0.49->3.54 s and q297 0.91->6.04 s unflagged that way). The
+    * absolute floor keeps sub-noise queries (0.1->0.3 s) from burning
+    * 9-rep re-measures. Deterministic order (name asc). */
+  def driftCandidates(current: Map[String, Double], prior: Map[String, Double],
+                      factor: Double = 2.5,
+                      floorSec: Double = 0.5): Seq[String] =
+    current.toSeq.sortBy(_._1).collect {
+      case (name, med) if med >= floorSec && prior.get(name).exists(p =>
+        p > 0 && med > factor * p) => name
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,13 +72,14 @@ object Bench {
     // of specific queries without the 177-query run around them
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def timeQuery(name: String,
-                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  nReps: Int = reps)
         : (String, Option[Double], Seq[Option[Double]], BenchMetrics.ResourceSnapshot) = {
       SparkInternals.flushListenerBus(spark.sparkContext)
       metricsListener.resetPeak()
       val before = metricsListener.totals
       val beforeCommitSec = graft.sources.SnapshotStore.commitSeconds
-      val runs = (1 to reps).map { _ =>
+      val runs = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         // Execute the query's own physical plan (all output columns
         // materialized). A bare .count() would let Catalyst prune every
@@ -62,16 +97,16 @@ object Bench {
       }
       val snap = BenchMetrics.snapshot(spark.sparkContext, metricsListener, before,
         commitSec =
-          (graft.sources.SnapshotStore.commitSeconds - beforeCommitSec) / reps)
+          (graft.sources.SnapshotStore.commitSeconds - beforeCommitSec) / nReps)
       // Additive counters accumulated across `reps` executions — divide to
       // a per-execution figure (peak and RSS are maxima, left as-is).
       val perExec = snap.copy(
-        shuffleReadMb = snap.shuffleReadMb / reps,
-        shuffleWriteMb = snap.shuffleWriteMb / reps,
-        inputMb = snap.inputMb / reps,
-        spillMb = snap.spillMb / reps)
+        shuffleReadMb = snap.shuffleReadMb / nReps,
+        shuffleWriteMb = snap.shuffleWriteMb / nReps,
+        inputMb = snap.inputMb / nReps,
+        spillMb = snap.spillMb / nReps)
       val ok = runs.flatten.sorted
-      (name, if (ok.size == reps) Some(ok(ok.size / 2)) else None, runs, perExec)
+      (name, if (ok.size == nReps) Some(ok(ok.size / 2)) else None, runs, perExec)
     }
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -95,9 +130,11 @@ object Bench {
     val requeueMedians =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     // Sub-3s queries flip on smaller absolute hiccups (r14: q26 drifted
-    // 0.84->2.31 s with spread 2.2x, under the 3x trigger), so the
-    // spread threshold tightens to 2x below 1 s median.
-    def spreadLimit(med: Double): Double = if (med < 1.0) 2.0 else 3.0
+    // 0.84->2.31 s with spread 2.2x, under the 3x trigger — its drifted
+    // median sat in [1,3) s, so the tighter limit must cover the whole
+    // sub-3s band, not just sub-1s), so the spread threshold tightens
+    // to 2x below a 3 s median.
+    def spreadLimit(med: Double): Double = if (med < 3.0) 2.0 else 3.0
     val timed = firstPass.map { t =>
       val (name, med, runs, _) = t
       if (med.exists(_ > 0.25) && repSpread(runs) > spreadLimit(med.get)) {
@@ -112,6 +149,33 @@ object Bench {
       } else t
     }
     val medians = timed.collect { case (k, Some(v), _, _) => k -> v }
+    // Cross-round drift detection: the rep-spread requeue only sees
+    // INTRA-run noise — a query that runs uniformly slow (all reps
+    // consistent, just 3-6x the prior round) sails through it, which is
+    // exactly how r15 shipped q296 0.49->3.54 s, q297 0.91->6.04 s and
+    // q293 unflagged. So after the sweep, compare each median to the
+    // previous round's committed bench_detail.json; any median > 2.5x
+    // its prior (and >= 0.5 s absolute) is re-measured at 9 reps in the
+    // calm post-sweep tail and BOTH numbers publish side by side in the
+    // `drift` section — the in-bench median stays authoritative in
+    // `queries`, the drift row is the attribution. Skipped for filtered
+    // probe runs (SPARK_GRAFT_ONLY) — no stable prior mapping there.
+    val priorMedians: Map[String, Double] =
+      if (only.isDefined) Map.empty
+      else {
+        val f = java.nio.file.Paths.get("bench_detail.json")
+        if (java.nio.file.Files.exists(f))
+          parsePriorMedians(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+        else Map.empty
+      }
+    val driftRows = driftCandidates(medians.toMap, priorMedians).map { name =>
+      val inBench = medians.toMap.apply(name)
+      val prior = priorMedians(name)
+      System.err.println(f"[bench] $name drifted ${inBench / prior}%.1fx vs " +
+        f"prior round ($prior%.2f -> $inBench%.2f s) — 9-rep post-sweep re-measure")
+      val iso = timeQuery(name, SparkEntry.queries(name), nReps = 9)
+      (name, prior, inBench, iso._2.getOrElse(-1.0))
+    }
     val failed = timed.collect { case (k, None, _, _) => k }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
@@ -132,8 +196,12 @@ object Bench {
     val rqm = requeueMedians.map { case (k, first, retry) =>
       "\"" + k + "\":[" + first + "," + retry + "]"
     }.mkString("{", ",", "}")
+    val driftFull = driftRows.map { case (k, prior, inBench, iso) =>
+      "\"" + k + "\":{\"prior\":" + prior + ",\"in_bench\":" + inBench +
+        ",\"postsweep_9rep\":" + iso + "}"
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_sec":$rs,"resources":$res,"failed":$fs,"requeued":$rq,"requeue_medians":$rqm,"load_avg_end":$loadAvg,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_sec":$rs,"resources":$res,"failed":$fs,"requeued":$rq,"requeue_medians":$rqm,"drift":$driftFull,"load_avg_end":$loadAvg,"reps":$reps,"sf":"$sfDir"}"""
     // a filtered run (SPARK_GRAFT_ONLY) is an iteration probe — writing
     // its 2-query detail over the round artifact silently destroys the
     // full suite's record (it did, once); route it to a side file
@@ -150,7 +218,12 @@ object Bench {
     val qs = medians.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fsShort = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fsShort,"reps":$reps,"sf":"$sfDir"}""")
+    // compact drift echo on stdout: [prior, in_bench, postsweep_9rep] —
+    // a handful of entries at most, so it fits the 2000-char tail
+    val driftShort = driftRows.map { case (k, prior, inBench, iso) =>
+      "\"" + short(k) + f"""\":[$prior%.3f,$inBench%.3f,$iso%.3f]"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fsShort,"drift":$driftShort,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -267,21 +267,49 @@ object Graph {
     * row: n_nodes (shared), topk_overlap, footrule_sum,
     * mean_displacement (6 dp). Integer-exact except the one division.
     *
-    * Scale: two node-sized rank windows and a node-keyed join; nothing
-    * edge-sized enters. Ranking windows are unpartitioned over the NODE
-    * table — at true web scale swap row_number for the engine's
-    * bucketed rank scheme; node tables up to ~1e8 rows sort fine. */
+    * Scores must be INTEGRAL (the engine's micro-unit long protocol —
+    * every rank producer here emits those); a fractional score column
+    * is rejected rather than silently truncated, because truncation
+    * can reorder or tie rows and skew the audit. Quantize upstream
+    * (micro-round) if the protocol isn't already integer.
+    *
+    * Scale: both rankings use the rank-offset scheme
+    * ([[Ranking.globalRowNumber]]) — in-bucket ranks over a 1024-way
+    * monotone score bucketing (bounds from a 1-row probe), a
+    * bucket-count-sized offset prefix sum (the only serial step),
+    * broadcast back. No data-sized single-partition sort anywhere;
+    * the final audit is one scalar aggregate over the node join. */
   def rankFidelityAudit(exact: DataFrame, approx: DataFrame,
                         nodeCol: String, scoreCol: String,
                         k: Int = 100): DataFrame = {
     require(k >= 1, s"rankFidelityAudit: k=$k must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").desc, col("node"))
-    def ranked(df: DataFrame, rankName: String) = df
-      .select(col(nodeCol).cast("long").as("node"),
-        col(scoreCol).cast("long").as("__s"))
-      .withColumn(rankName, row_number().over(w).cast("long"))
-      .drop("__s")
+    def ranked(df: DataFrame, rankName: String): DataFrame = {
+      val ok = df.schema(scoreCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok, s"rankFidelityAudit: score column '$scoreCol' is " +
+        s"${df.schema(scoreCol).dataType.simpleString} — scores must be " +
+        "integral (micro-unit longs); quantize upstream")
+      // descending score = ascending negated score; (score, node) is a
+      // total order so ranks are deterministic
+      val s = df.select(col(nodeCol).cast("long").as("node"),
+        (-col(scoreCol).cast("long")).as("__negs"))
+      val bounds = s.agg(min(col("__negs")).as("__bmn"),
+        max(col("__negs")).as("__bmx"))
+      val withB = s.crossJoin(broadcast(bounds))
+      val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+      // monotone coarse prefix of the (__negs, node) order — the
+      // globalRowNumber contract; degenerate one-value domains → bucket 0
+      val bucket = when(bWidth > 0,
+        least(floor((col("__negs") - col("__bmn")) / bWidth), lit(1023L)))
+        .otherwise(lit(0L))
+      Ranking.globalRowNumber(withB, Seq("__negs", "node"), bucket, rankName)
+        .select(col("node"), col(rankName).cast("long").as(rankName))
+    }
     val joined = ranked(exact, "__re").join(ranked(approx, "__ra"), Seq("node"))
     joined.agg(
         count(lit(1)).as("n_nodes"),
@@ -810,5 +838,130 @@ object Graph {
       col("n_nodes"),
       expr("__m div 2").as("m_edges"),
       when(venJ > 0 && venK > 0, round(num / sqrt(venJ * venK), 6)).as("r"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) in exact integer
+    * arithmetic: the classic mutual-reinforcement iteration
+    *
+    *   a'(v) = Σ_{u→v} h(u)      h'(u) = Σ_{u→v} a'(v)
+    *
+    * with each half-step L∞-normalized — scores rescale so the maximum
+    * is exactly 1e6, via integer multiply-then-div:
+    * s'(v) = (s(v)·1e6) div max(s). L∞ instead of the textbook L2 keeps
+    * every value a long (no sqrt anywhere), preserves the ranking
+    * (normalization is monotone), and replays bit-for-bit in an
+    * external engine's unrolled CTEs. Completes the link-analysis
+    * family beside [[pageRankFixedPoint]]: PR prices global random-walk
+    * visitation; HITS prices the hub/authority duality (a node can be a
+    * great directory without being a popular destination).
+    *
+    * Output: (node, hub_micro, auth_micro), max of each column = 1e6
+    * (on any graph with at least one edge). Overflow contract: raw
+    * authority mass is ≤ 1e6·indeg, and the normalization multiplies by
+    * 1e6 — in-degree (and out-degree) must stay ≤ ~9e6; violations
+    * raise rather than wrap.
+    *
+    * Scale: identical topology to [[pageRankFixedPoint]] — the edge
+    * list shuffles once and persists; each half-step is one
+    * map-side-combined sum onto the opposite endpoint plus a node-sized
+    * left join. The L∞ max is a 1-row aggregate broadcast back (bounded
+    * — never a data-sized window). */
+  def hitsScores(edges: DataFrame, srcCol: String, dstCol: String,
+                 iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      // guard BEFORE the 1e6 multiply: past 9e12 the rescale would wrap
+      val guarded = raw.withColumn(valCol,
+        when(col(valCol) > 9000000000000L,
+          raise_error(lit("hitsScores: raw score > 9e12 — degree contract")))
+          .otherwise(col(valCol)))
+      val mx = guarded.agg(max(col(valCol)).as("__mx"))
+      nodes.join(guarded, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__mx") > 0,
+            expr(s"(coalesce($valCol, 0L) * 1000000) div __mx"))
+            .otherwise(lit(0L)).as(valCol))
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      auth = normalized(araw, "a")
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      hub = normalized(hraw, "h")
+    }
+    graft.QueryCleanup.register(() => { e.unpersist(); nodes.unpersist(); () })
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+  }
+
+  /** SALSA hubs-and-authorities (Lempel & Moran 2000): HITS's
+    * mutual-reinforcement structure but with RANDOM-WALK (stochastic)
+    * normalization instead of mass amplification — each node forwards
+    * its score SPLIT across its edges rather than copied along them:
+    *
+    *   a'(v) = Σ_{u→v} h(u) div outdeg(u)
+    *   h'(u) = Σ_{u→v} a'(v) div indeg(v)
+    *
+    * the degree-division that makes SALSA robust to the tightly-knit-
+    * community effect that inflates HITS (a dense clique amplifies
+    * itself quadratically under HITS; under SALSA its mass is split on
+    * every hop). No per-step normalization is needed — mass is
+    * approximately conserved (integral division loses < 1 unit per
+    * edge) — so the whole run is pure long arithmetic, replayable as
+    * unrolled CTEs. Init h₀ = 1e6.
+    *
+    * Output: (node, hub_micro, auth_micro). Scale: the edge list with
+    * both degrees attached shuffles once and persists; each half-step
+    * moves only the node-sized score table. */
+  def salsaScores(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    // both degree annotations ride the SAME src-keyed exchange: outdeg
+    // as a window over the repartition, indeg joined from a dst-keyed
+    // count (one extra shuffle of (dst, count) pairs — node-sized)
+    val indeg = e0.groupBy(col("dst")).agg(count(lit(1)).as("__indeg"))
+    val e = e0
+      .repartition(col("src"))
+      .withColumn("__outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .join(indeg, Seq("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("h div __outdeg").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("a"))
+      auth = nodes.join(araw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), expr("a div __indeg").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("h"))
+      hub = nodes.join(hraw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+    }
+    graft.QueryCleanup.register(() => { e.unpersist(); nodes.unpersist(); () })
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
   }
 }

@@ -465,8 +465,12 @@ object Sampling {
     * domains get (t·(T − Σ_capped a)) div (1e6 − Σ_capped t), clamped
     * to [0, a]. Every step is integer arithmetic over the pinned order,
     * so the allocation replays bit-for-bit externally. Floor losses
-    * leave Σx ≤ T by at most one token per domain. Contract:
-    * Σ availability ≤ 1e12 (keeps every cross-product inside a long).
+    * leave Σx ≤ T by at most one token per domain. Contracts are
+    * ENFORCED, not assumed: per-domain and total target ≤ 1e6,
+    * per-domain and total availability ≤ 1e12 (keeps every
+    * cross-product inside a long) all raise on violation, and
+    * duplicate target rows dedup by max instead of fanning out the
+    * join.
     *
     * Scale: the windows run over the DOMAIN table (a curated mixture
     * spec — tens to thousands of rows), never over data; availability
@@ -477,17 +481,48 @@ object Sampling {
     require(budgetMicroOfTotal > 0 && budgetMicroOfTotal <= 1000000L,
       s"mixtureAllocation: budgetMicroOfTotal=$budgetMicroOfTotal outside (0, 1e6]")
     import org.apache.spark.sql.expressions.Window
+    // enforce the documented contracts instead of assuming them (the
+    // pageRankEdgeWeighted pattern): duplicate target rows would fan out
+    // the join (dedup by max), a target > 1e6 makes (1e6 - cumT) go
+    // negative and silently flips the cross-multiplied cap test, and
+    // availability past 1e12 overflows the (__a * 1e6) scarcity quotient
+    val t1 = targets
+      .select(col(domainCol).as("domain"),
+        col(targetMicroCol).cast("long").as("__t"))
+      .groupBy("domain").agg(max(col("__t")).as("__t"))
+      .withColumn("__t",
+        when(col("__t") > 1000000L,
+          raise_error(lit("mixtureAllocation: target_micro > 1e6")))
+          .otherwise(col("__t")))
     val d = avail
       .select(col(domainCol).as("domain"), col(availCol).cast("long").as("__a"))
       .filter(col("__a") >= 0)
-      .join(targets.select(col(domainCol).as("domain"),
-        col(targetMicroCol).cast("long").as("__t")), Seq("domain"))
+      .withColumn("__a",
+        when(col("__a") > 1000000000000L,
+          raise_error(lit("mixtureAllocation: availability > 1e12")))
+          .otherwise(col("__a")))
+      .join(t1, Seq("domain"))
       .filter(col("__t") > 0)
     val wAll = Window.partitionBy()
     val ord = Window.partitionBy()
       .orderBy(expr("(__a * 1000000) div __t"), col("domain"))
     val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
     val flagged = d
+      // total-contract guards (window sums over the domain table —
+      // metadata scale): Σtargets beyond 1e6 breaks the water-filling
+      // algebra; Σavailability beyond 1e12 overflows the budget
+      // cross-products
+      .withColumn("__tt", sum(col("__t")).over(wAll))
+      .withColumn("__t",
+        when(col("__tt") > 1000000L,
+          raise_error(lit("mixtureAllocation: sum of target_micro > 1e6")))
+          .otherwise(col("__t")))
+      .withColumn("__at", sum(col("__a")).over(wAll))
+      .withColumn("__a",
+        when(col("__at") > 1000000000000L,
+          raise_error(lit("mixtureAllocation: sum of availability > 1e12")))
+          .otherwise(col("__a")))
+      .drop("__tt", "__at")
       // NB: "__bud", not "__T" — Spark resolves column names
       // case-insensitively, so "__T" would silently REPLACE "__t"
       .withColumn("__bud",
@@ -509,4 +544,79 @@ object Sampling {
             expr("(__t * (__bud - __capA)) div greatest(1000000 - __capT, 1)"))))
           .as("allocated"))
   }
+
+  /** DoReMi-style domain-weight update (Xie et al. 2023, "DoReMi"), the
+    * LEARNING step beside [[mixtureAllocation]]'s planning step: given
+    * current domain weights and each domain's EXCESS LOSS (how much
+    * worse the proxy model does there than the reference — the signal
+    * that the domain is under-trained), up-weight the hard domains
+    * multiplicatively and renormalize. DoReMi's update is
+    * w'(d) ∝ w(d)·exp(η·excess(d)); this uses the LINEARIZED
+    * multiplicative-weights form of the same Hedge family,
+    *
+    *   m(d) = w(d) · (1e6 + (η_micro·excess_micro(d)) div 1e6)
+    *
+    * because exp is a libm call whose last-ulp behavior differs across
+    * engines while the linear factor is exact long arithmetic (for the
+    * small per-step η these updates run at, exp(x) ≈ 1+x anyway).
+    * Renormalization to Σ = 1e6 is the exact largest-remainder method
+    * ([[neymanAllocation]]'s idiom): quota q(d) = (m(d)·1e6) div Σm,
+    * exact remainder r(d) = m(d)·1e6 − q(d)·Σm, and the
+    * 1e6 − Σq leftover units go to the largest remainders (domain-asc
+    * ties) — so the output shares are integers summing to EXACTLY 1e6,
+    * bit-replayable externally.
+    *
+    * Inputs: `weights` (domain, w — any nonneg integer scale, it is
+    * renormalized), `losses` (domain, excess micro-units; domains
+    * absent from `losses` count as excess 0; duplicates dedup by max).
+    * Contracts enforced: 0 ≤ η_micro ≤ 1e6, excess_micro ≤ 1e6, w ≤
+    * 1e12 (keeps m·1e6 inside a long). Output: (domain, w_in,
+    * excess_micro, w_new_micro), Σ w_new_micro = 1e6.
+    *
+    * Scale: everything windows over the DOMAIN table (a mixture spec —
+    * tens to thousands of rows); the data-sized loss aggregation
+    * upstream is the caller's pass. */
+  def mixtureWeightUpdate(weights: DataFrame, domainCol: String, wCol: String,
+                          losses: DataFrame, excessMicroCol: String,
+                          etaMicro: Long): DataFrame = {
+    require(etaMicro >= 0 && etaMicro <= 1000000L,
+      s"mixtureWeightUpdate: etaMicro=$etaMicro outside [0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val ls = losses
+      .select(col(domainCol).as("domain"),
+        col(excessMicroCol).cast("long").as("__x"))
+      .groupBy("domain").agg(max(col("__x")).as("__x"))
+      .withColumn("__x",
+        when(col("__x") > 1000000L,
+          raise_error(lit("mixtureWeightUpdate: excess_micro > 1e6")))
+          .otherwise(greatest(col("__x"), lit(0L))))
+    val d = weights
+      .select(col(domainCol).as("domain"), col(wCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__w",
+        when(col("__w") > 1000000000000L,
+          raise_error(lit("mixtureWeightUpdate: weight > 1e12")))
+          .otherwise(col("__w")))
+      .join(ls, Seq("domain"), "left")
+      .withColumn("__x", coalesce(col("__x"), lit(0L)))
+      // factor ≤ 2e6, w ≤ 1e12 → m ≤ 2e18? no: m·1e6 is the hazard —
+      // bound m by rescaling is the caller's job; with w ≤ 1e12 and
+      // factor ≤ 2e6 the product m = w·factor div 1e6 ≤ 2e12, and
+      // m·1e6 ≤ 2e18 stays inside a long
+      .withColumn("__m",
+        expr(s"(__w * (1000000 + ($etaMicro * __x) div 1000000)) div 1000000"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("__rem").desc, col("domain"))
+    d.withColumn("__s", sum(col("__m")).over(wAll))
+      .filter(col("__s") > 0)
+      .withColumn("__q", expr("(__m * 1000000) div __s"))
+      .withColumn("__rem", col("__m") * 1000000L - col("__q") * col("__s"))
+      .withColumn("__left", lit(1000000L) - sum(col("__q")).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .select(col("domain"), col("__w").as("w_in"),
+        col("__x").as("excess_micro"),
+        (col("__q") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("w_new_micro"))
+  }
+
 }

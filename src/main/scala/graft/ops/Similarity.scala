@@ -398,6 +398,74 @@ object Similarity {
         col("__p.vec_id").as("vec_id"), col("__p.sim").as("sim"))
   }
 
+  /** Grouped IVF recall CURVE — recall@k vs nprobe in ONE query: the
+    * tuning table an index operator actually reads before picking the
+    * scan-vs-recall knob, operationalizing the q160/q318/q322
+    * single-point audits. For every (nprobe, k) pair: what fraction of
+    * the EXACT cosine top-k lands in the union of the query's `nprobe`
+    * nearest coarse cells — candidate recall, the quantity that bounds
+    * any exact re-ranked IVF search from above (a neighbor in an
+    * unprobed cell is unrecoverable downstream; [[knnIvfPqRefined]]'s
+    * recall = this curve × PQ shortlist effects).
+    *
+    * One pass computes the whole grid: each exact top-kmax neighbor
+    * joins its home cell's ROUTING RANK for its query (the position of
+    * that cell in the query's nearest-cell order — the same 9-dp-exact
+    * squared-L2 protocol [[knnIvfPq]] routes by, cell-asc ties), and a
+    * neighbor is recalled at (nprobe, k) iff rank ≤ k AND cellrank ≤
+    * nprobe. No per-nprobe re-search: the grid is a literal broadcast
+    * and the counting is one aggregation.
+    *
+    * Determinism: ground-truth ranks are [[knnBruteForce]]'s (6-dp
+    * rounded sim, id ties); cell ranks are integer-micro L2 with cell
+    * ties — both exact protocols, so the curve hash-checks; the single
+    * double division is rounded to 6 dp.
+    *
+    * Scale: ground truth is one brute pass with the query set broadcast
+    * (swap in the routed searcher at corpus scale — the audit algebra
+    * is unchanged); everything after is |queries|·kmax rows joined to
+    * bounded (query × cell) routing and 1-row-per-vector assignments. */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, index: IvfIndex,
+                     nprobes: Seq[Int], ks: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && ks.nonEmpty, "need at least one nprobe and one k")
+    require(nprobes.forall(_ >= 1) && ks.forall(_ >= 1),
+      "nprobe and k values must be >= 1")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val kMax = ks.max
+    val truth = knnBruteForce(corpus, queries, idCol, vecCol, kMax)
+      .select(col("qid"), col("vec_id"), col("rank"))
+    // routing rank of every cell for every query — |queries| x nlist
+    // rows, the same integer-micro L2 + cell-asc protocol knnIvfPq
+    // routes by
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val routed = q.join(broadcast(index.centroids))
+      .select(col("qid"), col("cell"),
+        GraftFunctions.l2Micro8Native(col("__qv"),
+          col("centroid").cast("array<double>")).as("__cd2"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("__cd2"), col("cell"))
+    val cellRank = routed.withColumn("cellrank", row_number().over(wq).cast("long"))
+      .select("qid", "cell", "cellrank")
+    val homed = truth
+      .join(index.assignments.select(col(idCol).as("vec_id"), col("cell")),
+        Seq("vec_id"))
+      .join(cellRank, Seq("qid", "cell"))
+    val grid = nprobes.flatMap(p => ks.map(kk => (p.toLong, kk.toLong)))
+      .toDF("nprobe", "k")
+    val nq = truth.agg(countDistinct(col("qid")).as("n_queries"))
+    homed.crossJoin(broadcast(grid))
+      .groupBy(col("nprobe"), col("k"))
+      .agg(sum(when(col("rank") <= col("k") &&
+          col("cellrank") <= col("nprobe"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("k"), col("n_queries"), col("hits"),
+        round(col("hits").cast("double")
+          / (col("k") * col("n_queries")).cast("double"), 6).as("recall"))
+  }
+
   /** 2^59 — maps the 60-bit portable hash onto [0, 2) so `h/2^59 - 1`
     * is a deterministic uniform in [-1, 1). Exactly representable as a
     * double, so the division is a single correctly-rounded IEEE op in

@@ -460,6 +460,63 @@ object RelationalQueries {
       graft.ops.Graph.rankFidelityAudit(full, capped, "node", "rank", k = 100)
     }),
 
+    // Fidelity of the WEIGHTED PageRank (q323) against the unit-weight
+    // one (q125) on the same trade graph: what the order-count edge
+    // weighting actually changes in the ranking — top-100 overlap +
+    // Spearman footrule via the same audit that priced q319's degree
+    // cap (q328). Both rankings are exact-integer protocols.
+    "q329_weighted_rank_fidelity" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pw = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("l_suppkey") + lit(10000000L)).as("s"),
+          col("o_custkey").as("c"))
+        .agg(countDistinct(col("l_orderkey")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.QueryCleanup.register(() => { pw.unpersist(); () })
+      val uEdges = pw.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pw.select(col("c").as("src"), col("s").as("dst")))
+      val wEdges = pw.select(col("s").as("src"), col("c").as("dst"), col("w"))
+        .unionByName(pw.select(col("c").as("src"), col("s").as("dst"), col("w")))
+      val unit = graft.ops.Graph.pageRankFixedPoint(uEdges, "src", "dst",
+        iterations = 3)
+      val wtd = graft.ops.Graph.pageRankEdgeWeighted(wEdges, "src", "dst", "w",
+        iterations = 3)
+      graft.ops.Graph.rankFidelityAudit(unit, wtd, "node", "rank", k = 100)
+    }),
+
+    // HITS hubs-and-authorities over the DIRECTED trade graph
+    // (supplier -> customer): PR prices random-walk visitation; HITS
+    // prices the hub/authority duality. Exact-integer L-infinity
+    // normalization (max rescales to exactly 1e6 by integral division)
+    // keeps every half-step long arithmetic — unrolled by the oracle.
+    "q330_hits" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      graft.ops.Graph.hitsScores(edges, "src", "dst", iterations = 2)
+        .orderBy("node")
+    }),
+
+    // SALSA on the same directed trade graph: HITS's structure with
+    // random-walk (degree-split) normalization — robust to the
+    // tightly-knit-community amplification that inflates HITS. Pure
+    // long arithmetic (score div degree per hop), no normalization
+    // step, oracle-unrolled round for round.
+    "q331_salsa" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      graft.ops.Graph.salsaScores(edges, "src", "dst", iterations = 2)
+        .orderBy("node")
+    }),
+
     // Edge-weighted PageRank over the trade graph with weight = number
     // of distinct orders linking each supplier-customer pair: frequent
     // trading partners attract proportionally more rank than one-off
@@ -971,6 +1028,90 @@ object RelationalQueries {
     // pageRankEdgeWeighted replay: q125's unrolled rounds with each
     // contribution (r·w) // wout; weights are distinct-order counts per
     // pair, out-weight sums CAST back to BIGINT (HUGEINT rule).
+    // rankFidelityAudit replay for the weighted-vs-unit pricing: q125's
+    // unit unroll (r CTEs) and q323's weighted unroll (w CTEs) over the
+    // SAME pw-derived edge set, ranked (micro desc, node), exact counts
+    // and footrule with one 6-dp division at the edge (q328's tail).
+    "q329_weighted_rank_fidelity" ->
+      """WITH pw AS (SELECT l_suppkey + 10000000 AS s, o_custkey AS c,
+                 count(DISTINCT l_orderkey) AS w
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+          e AS (SELECT s AS src, c AS dst, w FROM pw UNION ALL SELECT c, s, w FROM pw),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node)),
+          wd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+          w0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          j1 AS (SELECT e.dst AS node, SUM((r.r * e.w) // wd.wout) AS m FROM e JOIN w0 r ON e.src = r.node JOIN wd ON e.src = wd.src GROUP BY e.dst),
+          w1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(j1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN j1 USING (node)),
+          j2 AS (SELECT e.dst AS node, SUM((r.r * e.w) // wd.wout) AS m FROM e JOIN w1 r ON e.src = r.node JOIN wd ON e.src = wd.src GROUP BY e.dst),
+          w2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(j2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN j2 USING (node)),
+          j3 AS (SELECT e.dst AS node, SUM((r.r * e.w) // wd.wout) AS m FROM e JOIN w2 r ON e.src = r.node JOIN wd ON e.src = wd.src GROUP BY e.dst),
+          w3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(j3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN j3 USING (node)),
+          fr AS (SELECT node, row_number() OVER (ORDER BY r DESC, node) AS re FROM r3),
+          wra AS (SELECT node, row_number() OVER (ORDER BY r DESC, node) AS ra FROM w3),
+          j AS (SELECT fr.node, re, ra FROM fr JOIN wra USING (node))
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(CASE WHEN re <= 100 AND ra <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS topk_overlap,
+                 CAST(sum(abs(re - ra)) AS BIGINT) AS footrule_sum,
+                 CASE WHEN count(*) > 0
+                      THEN round(CAST(sum(abs(re - ra)) AS DOUBLE) / count(*), 6)
+                 END AS mean_displacement
+          FROM j""",
+    // hitsScores replay, 2 unrolled iterations: each half-step sums the
+    // opposite endpoint's score over the directed edges (HUGEINT sums
+    // cast back) then L-infinity renormalizes by integral division
+    // against the 1-row max.
+    "q330_hits" ->
+      """WITH pe AS (SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          n AS (SELECT src AS node FROM pe UNION SELECT dst FROM pe),
+          h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+          a1r AS (SELECT pe.dst AS node, CAST(sum(h.h) AS BIGINT) AS a FROM pe JOIN h0 h ON pe.src = h.node GROUP BY pe.dst),
+          a1m AS (SELECT max(a) AS m FROM a1r),
+          a1 AS (SELECT n.node, CASE WHEN m > 0 THEN (COALESCE(a, 0) * 1000000) // m ELSE CAST(0 AS BIGINT) END AS a FROM n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+          h1r AS (SELECT pe.src AS node, CAST(sum(a.a) AS BIGINT) AS h FROM pe JOIN a1 a ON pe.dst = a.node GROUP BY pe.src),
+          h1m AS (SELECT max(h) AS m FROM h1r),
+          h1 AS (SELECT n.node, CASE WHEN m > 0 THEN (COALESCE(h, 0) * 1000000) // m ELSE CAST(0 AS BIGINT) END AS h FROM n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+          a2r AS (SELECT pe.dst AS node, CAST(sum(h.h) AS BIGINT) AS a FROM pe JOIN h1 h ON pe.src = h.node GROUP BY pe.dst),
+          a2m AS (SELECT max(a) AS m FROM a2r),
+          a2 AS (SELECT n.node, CASE WHEN m > 0 THEN (COALESCE(a, 0) * 1000000) // m ELSE CAST(0 AS BIGINT) END AS a FROM n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+          h2r AS (SELECT pe.src AS node, CAST(sum(a.a) AS BIGINT) AS h FROM pe JOIN a2 a ON pe.dst = a.node GROUP BY pe.src),
+          h2m AS (SELECT max(h) AS m FROM h2r),
+          h2 AS (SELECT n.node, CASE WHEN m > 0 THEN (COALESCE(h, 0) * 1000000) // m ELSE CAST(0 AS BIGINT) END AS h FROM n LEFT JOIN h2r USING (node) CROSS JOIN h2m)
+          SELECT CAST(n.node AS BIGINT) AS node, CAST(h2.h AS BIGINT) AS hub_micro,
+                 CAST(a2.a AS BIGINT) AS auth_micro
+          FROM n JOIN h2 USING (node) JOIN a2 USING (node) ORDER BY node""",
+    // salsaScores replay, 2 unrolled iterations: score div degree per
+    // hop (out-degree forward, in-degree backward), no normalization —
+    // pure BIGINT arithmetic throughout.
+    "q331_salsa" ->
+      """WITH pe AS (SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          n AS (SELECT src AS node FROM pe UNION SELECT dst FROM pe),
+          od AS (SELECT src, count(*) AS odg FROM pe GROUP BY src),
+          ig AS (SELECT dst, count(*) AS idg FROM pe GROUP BY dst),
+          h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+          a1r AS (SELECT pe.dst AS node, CAST(sum(h.h // od.odg) AS BIGINT) AS a
+                  FROM pe JOIN h0 h ON pe.src = h.node JOIN od ON pe.src = od.src GROUP BY pe.dst),
+          a1 AS (SELECT n.node, CAST(COALESCE(a, 0) AS BIGINT) AS a FROM n LEFT JOIN a1r USING (node)),
+          h1r AS (SELECT pe.src AS node, CAST(sum(a.a // ig.idg) AS BIGINT) AS h
+                  FROM pe JOIN a1 a ON pe.dst = a.node JOIN ig ON pe.dst = ig.dst GROUP BY pe.src),
+          h1 AS (SELECT n.node, CAST(COALESCE(h, 0) AS BIGINT) AS h FROM n LEFT JOIN h1r USING (node)),
+          a2r AS (SELECT pe.dst AS node, CAST(sum(h.h // od.odg) AS BIGINT) AS a
+                  FROM pe JOIN h1 h ON pe.src = h.node JOIN od ON pe.src = od.src GROUP BY pe.dst),
+          a2 AS (SELECT n.node, CAST(COALESCE(a, 0) AS BIGINT) AS a FROM n LEFT JOIN a2r USING (node)),
+          h2r AS (SELECT pe.src AS node, CAST(sum(a.a // ig.idg) AS BIGINT) AS h
+                  FROM pe JOIN a2 a ON pe.dst = a.node JOIN ig ON pe.dst = ig.dst GROUP BY pe.src),
+          h2 AS (SELECT n.node, CAST(COALESCE(h, 0) AS BIGINT) AS h FROM n LEFT JOIN h2r USING (node))
+          SELECT CAST(n.node AS BIGINT) AS node, h2.h AS hub_micro, a2.a AS auth_micro
+          FROM n JOIN h2 USING (node) JOIN a2 USING (node) ORDER BY node""",
     "q323_pagerank_weighted" ->
       """WITH pw AS (SELECT l_suppkey + 10000000 AS s, o_custkey AS c,
                  count(DISTINCT l_orderkey) AS w

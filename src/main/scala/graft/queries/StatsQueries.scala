@@ -342,14 +342,16 @@ object StatsQueries {
       IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
       SnapshotStore.commitAppend(o.filter(col("o_orderkey") % 3 === 2), table, "b2")
       IncrementalView.refresh(s, table, view, keys, Seq("o_totalprice"))
-      // Cast the exact decimal(38,6) sum to double ONCE at the edge —
-      // the dump otherwise carries the suite's only DECIMAL parquet
-      // column, which pyarrow reads as Decimal objects while the
-      // oracle's collapses to float64 (the 4-round gate-red channel).
-      // Both engines convert the same exact decimal → IEEE-identical.
+      // Emit the exact integer CENT sum, never a double: the r15 edge
+      // cast to double assumed Spark's one-rounding Decimal.toDouble
+      // and DuckDB's two-rounding int128->double-then-divide agree,
+      // which holds only while the micro sum stays under 2^53 (fails
+      // ~sf1 by 1 ulp). o_totalprice is a 2-dp amount, so decimal
+      // sum x 100 is an exact integer on both engines at every SF —
+      // no IEEE conversion anywhere in the dumped column.
       val out = IncrementalView.read(s, view)
         .select(col("o_orderstatus"), col("o_orderpriority"), col("n_rows"),
-          col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
+          (col("sum_o_totalprice") * 100).cast("long").as("sum_cents"))
         .orderBy("o_orderstatus", "o_orderpriority")
       // The view is group-sized (|statuses| × |priorities| keys), so pin
       // the rows HERE, while this invocation's scratch chain is known
@@ -1878,10 +1880,11 @@ object StatsQueries {
           FROM p JOIN den ON den.g = p.g
           GROUP BY p.g, p.lag, den.d ORDER BY event_type, lag""",
     // The view the incremental path must equal: one full GROUP BY over
-    // all of orders — count plus exact decimal sum.
+    // all of orders — count plus the exact decimal sum emitted as an
+    // integer BIGINT cent total (2-dp amounts x 100; no double anywhere).
     "q198_incremental_view" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_o_totalprice
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) * 100 AS BIGINT) AS sum_cents
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     // Same daily-mean construction, pairwise slopes on the group-equi
     // join, explicit rank-selection median — no engine quantile

@@ -970,6 +970,25 @@ object TextQueries {
         .orderBy("domain")
     }),
 
+    // DoReMi-style mixture-weight update beside q327's water-filling —
+    // the mixer's LEARNING loop: per-source weights (doc counts) are
+    // up-weighted by each source's excess-loss proxy (share of short
+    // docs, n_chars < 250, in micro by integral division) via the
+    // linearized multiplicative-weights step, then renormalized to
+    // exactly 1e6 by largest remainder. Pure integer protocol over the
+    // 20-row domain table.
+    "q332_doremi_update" -> ((s, dir) => {
+      val agg = Tables.documents(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).as("w"),
+          expr("(1000000 * sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END))" +
+            " div count(1)").as("excess_micro"))
+      Sampling.mixtureWeightUpdate(agg, "domain", "w",
+          agg, "excess_micro", etaMicro = 500000L)
+        .orderBy("domain")
+    }),
+
     // Per-domain token quota (no source may contribute > 800 tokens):
     // docs rank by portable hash within their source; the kept prefix's
     // inclusive running token total must stay within budget.
@@ -1559,6 +1578,26 @@ object TextQueries {
                    AS allocated
           FROM h ORDER BY domain"""
     },
+    // mixtureWeightUpdate replay: same per-source counts and short-doc
+    // excess proxy, the linearized factor (eta 0.5 in micro), and the
+    // exact largest-remainder renormalization to 1e6 — all BIGINT (window
+    // sums cast back per the HUGEINT rule).
+    "q332_doremi_update" ->
+      """WITH agg AS (SELECT source AS domain, CAST(count(*) AS BIGINT) AS w,
+                  (1000000 * CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS BIGINT))
+                    // count(*) AS x
+                FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          m AS (SELECT domain, w, x,
+                  (w * (1000000 + (500000 * x) // 1000000)) // 1000000 AS m
+                FROM agg WHERE w > 0),
+          t AS (SELECT *, CAST(sum(m) OVER () AS BIGINT) AS s FROM m),
+          qd AS (SELECT *, (m * 1000000) // s AS q,
+                    m * 1000000 - ((m * 1000000) // s) * s AS rem FROM t),
+          fin AS (SELECT *, 1000000 - CAST(sum(q) OVER () AS BIGINT) AS leftq,
+                    row_number() OVER (ORDER BY rem DESC, domain) AS rk FROM qd)
+          SELECT domain, w AS w_in, x AS excess_micro,
+                 CAST(q + CASE WHEN rk <= leftq THEN 1 ELSE 0 END AS BIGINT) AS w_new_micro
+          FROM fin ORDER BY domain""",
     // splitLeakageAudit replay: q150's cross-corpus band chain with the
     // even/odd predicates swapped for the engine's hash-bucket split
     // (md5 protocol, cut at 800000 of 1e6); exact counts, one 6-dp rate.

@@ -170,6 +170,23 @@ object VectorEventQueries {
         .orderBy("k")
     }),
 
+    // Grouped IVF recall CURVE — recall@k vs nprobe in one query, the
+    // tuning table an index operator reads before picking the
+    // scan-vs-recall knob (operationalizes the q160/q318/q322 audits):
+    // candidate recall of the trained coarse quantizer's top-nprobe
+    // cells against the exact cosine top-k, for the full
+    // {1,2,4,8} x {1,5,10} grid in one pass. Exact-integer routing and
+    // ground truth, so the curve hash-checks.
+    "q333_ivf_recall_curve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ivf = ivfIndexCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvfDeterministic(e, "vec_id", "embedding", nlist = 10))
+      Similarity.ivfRecallCurve(e, e.filter(col("vec_id") < NQueries),
+          "vec_id", "embedding", ivf, nprobes = Seq(1, 2, 4, 8),
+          ks = Seq(1, 5, 10))
+        .orderBy("nprobe", "k")
+    }),
+
     // kNN label-noise audit: hyperplane cells (2^3), exact top-10
     // same-cell neighbors, disagreement = share with a different label.
     "q279_label_noise" -> ((s, dir) => {
@@ -1287,6 +1304,42 @@ object VectorEventQueries {
     // in-process search (q160) — one oracle text, two queries
     "q160_knn_ivfpq" -> ivfPqOracle,
     "q167_knn_ivfpq_stored" -> ivfPqOracle,
+    // ivfRecallCurve replay: the deterministic IVF fit (cent + asgf),
+    // q38's exact micro-cosine top-10 ground truth, the 1e-8-quantized
+    // L2 cell routing knnIvfPq uses (cell-asc ties), and one grouped
+    // count over the literal (nprobe, k) grid.
+    "q333_ivf_recall_curve" ->
+      s"""WITH ${ivfFitSql(k = 10, iters = 8)},
+          $knnCore,
+          csc AS (SELECT qid, e.vec_id,
+                    ${cosMicroSql("qv", "e.embedding::DOUBLE[]")} AS sim
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+          truth AS (SELECT qid, vec_id, rank FROM (
+                      SELECT qid, vec_id,
+                             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                      FROM csc) WHERE rank <= 10),
+          rt AS (SELECT q.qid, c.cell,
+                   CAST(list_sum(list_transform(list_zip(q.qv, c.centroid),
+                     x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 100000000.0, 0) AS BIGINT))) AS BIGINT) AS d2
+                 FROM q CROSS JOIN cent c),
+          crk AS (SELECT qid, cell,
+                    row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS cellrank
+                  FROM rt),
+          hm AS (SELECT t.qid, t.rank, k.cellrank
+                 FROM truth t JOIN asgf a ON a.vec_id = t.vec_id
+                              JOIN crk k ON k.qid = t.qid AND k.cell = a.cell),
+          grid AS (SELECT p.np, kk.kk FROM (VALUES (1), (2), (4), (8)) p(np)
+                   CROSS JOIN (VALUES (1), (5), (10)) kk(kk)),
+          nn AS (SELECT count(*) AS n FROM q)
+          SELECT CAST(g.np AS BIGINT) AS nprobe, CAST(g.kk AS BIGINT) AS k,
+                 CAST(nn.n AS BIGINT) AS n_queries,
+                 CAST(sum(CASE WHEN hm.rank <= g.kk AND hm.cellrank <= g.np
+                               THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                 round(CAST(sum(CASE WHEN hm.rank <= g.kk AND hm.cellrank <= g.np
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / (g.kk * nn.n), 6) AS recall
+          FROM grid g CROSS JOIN nn CROSS JOIN hm
+          GROUP BY g.np, g.kk, nn.n ORDER BY nprobe, k""",
     "q184_ivfpq_incremental" -> ivfPqIncrementalOracle,
     "q67_knn_ivf_trained" ->
       s"""WITH ${ivfFitSql(k = 10, iters = 8)},

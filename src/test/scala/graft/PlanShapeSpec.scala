@@ -625,4 +625,35 @@ class PlanShapeSpec extends SparkSpec {
     assertNoQuadratic(p)
     assert(p.contains("InMemoryTableScan"), p)
   }
+
+  test("rankFidelityAudit (q328): no unpartitioned data-sized window in ops/Graph") {
+    val exact = (1L to 500L).map(i => (i, i * 1000L)).toDF("node", "rank")
+    val approx = (1L to 500L).map(i => (i, (i * 37 % 500) * 1000L))
+      .toDF("node", "rank")
+    val p = plan(Graph.rankFidelityAudit(exact, approx, "node", "rank", k = 50))
+    // the r15 form ranked both sides with row_number() OVER (ORDER BY
+    // __s DESC, node) — a single-partition sort of the whole node
+    // table and the last data-sized unpartitioned window in a flagship
+    // family. The rank-offset form windows only inside score buckets:
+    // a data-sized window would print a spec leading with the order
+    // key (__negs); every in-bucket window leads with the bucket
+    // (__rkb) and the only unpartitioned windows run over the
+    // <=1024-row offset tables.
+    assert(!p.contains("windowspecdefinition(__negs"), p)
+    assert(!p.contains("windowspecdefinition(__s"), p)
+    assert(p.contains("windowspecdefinition(__rkb"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are 1-row bounds-probe broadcasts
+    // feeding the bucket width: one per side, replayed once more in
+    // each side's offsets branch (2 sides x 2 consumers)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("rankFidelityAudit rejects fractional score columns instead of truncating") {
+    val frac = Seq((1L, 1.5), (2L, 1.4)).toDF("node", "rank")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.rankFidelityAudit(frac, frac, "node", "rank")
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
+  }
 }

@@ -383,6 +383,26 @@ class GraphSpec extends SparkSpec {
       && a.getDouble(3) == 0.0, a.toString)
   }
 
+  test("hitsScores: hand-computed 2-iteration L-inf-normalized run") {
+    // 1->3, 2->3, 2->4: node 2 is the better hub (links both
+    // authorities), node 3 the better authority (linked by both hubs)
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = Graph.hitsScores(e, "src", "dst", iterations = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.QueryCleanup.drain()
+    assert(r == Set((1L, 625000L, 0L), (2L, 1000000L, 0L),
+      (3L, 0L, 1000000L), (4L, 0L, 600000L)), r.toString)
+  }
+
+  test("salsaScores: hand-computed 2-iteration degree-split run") {
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = Graph.salsaScores(e, "src", "dst", iterations = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.QueryCleanup.drain()
+    assert(r == Set((1L, 687500L, 0L), (2L, 1312500L, 0L),
+      (3L, 0L, 1375000L), (4L, 0L, 625000L)), r.toString)
+  }
+
   test("rankFidelityAudit: hand-computed swap of two ranks") {
     // exact order: 1,2,3 ; approx order: 2,1,3 -> footrule |1-2|+|2-1| = 2
     val exact = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("node", "rank")

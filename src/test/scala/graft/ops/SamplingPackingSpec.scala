@@ -323,4 +323,89 @@ class SamplingPackingSpec extends SparkSpec {
       .as[(String, Long, Long, Boolean, Long)].collect().toSet
     assert(r.forall(x => x._4 && x._5 == x._2), r.toString)
   }
+
+  test("mixtureAllocation: duplicate target rows dedup instead of fanning out") {
+    val avail = Seq(("A", 10L), ("B", 100L), ("C", 100L)).toDF("domain", "avail")
+    val dupTargets = Seq(("A", 500000L), ("A", 500000L), ("B", 300000L),
+      ("C", 200000L)).toDF("domain", "t_micro")
+    val r = Sampling.mixtureAllocation(avail, "domain", "avail",
+        dupTargets, "t_micro", budgetMicroOfTotal = 600000L)
+      .as[(String, Long, Long, Boolean, Long)].collect().toSet
+    // identical to the single-row-per-domain hand-computed case above
+    assert(r == Set(("A", 10L, 500000L, true, 10L),
+      ("B", 100L, 300000L, false, 69L),
+      ("C", 100L, 200000L, false, 46L)), r.toString)
+  }
+
+  test("mixtureWeightUpdate: hand-computed linearized MW step") {
+    // A carries full excess (1e6), eta 0.5 -> factor 1.5e6: m = (150, 100),
+    // shares = (600000, 400000) with zero remainders
+    val w = Seq(("A", 100L), ("B", 100L)).toDF("domain", "w")
+    val x = Seq(("A", 1000000L), ("B", 0L)).toDF("domain", "x")
+    val r = Sampling.mixtureWeightUpdate(w, "domain", "w", x, "x",
+        etaMicro = 500000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r == Set(("A", 100L, 1000000L, 600000L),
+      ("B", 100L, 0L, 400000L)), r.toString)
+  }
+
+  test("mixtureWeightUpdate: largest-remainder makes shares sum to exactly 1e6") {
+    // three equal domains, zero excess: 333333 each + 1 leftover unit
+    // to the first domain by the (rem desc, domain asc) tiebreak
+    val w = Seq(("A", 7L), ("B", 7L), ("C", 7L)).toDF("domain", "w")
+    val x = Seq.empty[(String, Long)].toDF("domain", "x")
+    val r = Sampling.mixtureWeightUpdate(w, "domain", "w", x, "x",
+        etaMicro = 500000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r == Set(("A", 7L, 0L, 333334L), ("B", 7L, 0L, 333333L),
+      ("C", 7L, 0L, 333333L)), r.toString)
+    assert(r.toSeq.map(_._4).sum == 1000000L)
+  }
+
+  test("mixtureWeightUpdate: contract violations raise") {
+    val w = Seq(("A", 10L), ("B", 10L)).toDF("domain", "w")
+    val badX = Seq(("A", 2000000L)).toDF("domain", "x")
+    val e1 = intercept[Exception] {
+      Sampling.mixtureWeightUpdate(w, "domain", "w", badX, "x", 500000L).collect()
+    }
+    assert(e1.getMessage.contains("excess_micro > 1e6"), e1.getMessage)
+    val badW = Seq(("A", 2000000000000L), ("B", 10L)).toDF("domain", "w")
+    val okX = Seq(("A", 0L)).toDF("domain", "x")
+    val e2 = intercept[Exception] {
+      Sampling.mixtureWeightUpdate(badW, "domain", "w", okX, "x", 500000L).collect()
+    }
+    assert(e2.getMessage.contains("weight > 1e12"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.mixtureWeightUpdate(w, "domain", "w", okX, "x", -1L)
+    }
+    assert(e3.getMessage.contains("etaMicro"), e3.getMessage)
+  }
+
+  test("mixtureAllocation: contract violations raise instead of corrupting") {
+    val avail = Seq(("A", 10L), ("B", 100L)).toDF("domain", "avail")
+    // per-domain target > 1e6 would make (1e6 - cumT) negative and
+    // silently flip the cross-multiplied cap test
+    val badT = Seq(("A", 2000000L), ("B", 300000L)).toDF("domain", "t_micro")
+    val e1 = intercept[Exception] {
+      Sampling.mixtureAllocation(avail, "domain", "avail",
+        badT, "t_micro", budgetMicroOfTotal = 500000L).collect()
+    }
+    assert(e1.getMessage.contains("target_micro > 1e6"), e1.getMessage)
+    // total target > 1e6
+    val badTot = Seq(("A", 600000L), ("B", 600000L)).toDF("domain", "t_micro")
+    val e2 = intercept[Exception] {
+      Sampling.mixtureAllocation(avail, "domain", "avail",
+        badTot, "t_micro", budgetMicroOfTotal = 500000L).collect()
+    }
+    assert(e2.getMessage.contains("sum of target_micro"), e2.getMessage)
+    // availability past 1e12 overflows the (__a * 1e6) scarcity quotient
+    val badA = Seq(("A", 2000000000000L), ("B", 100L)).toDF("domain", "avail")
+    val ok = Seq(("A", 500000L), ("B", 500000L)).toDF("domain", "t_micro")
+    val e3 = intercept[Exception] {
+      Sampling.mixtureAllocation(badA, "domain", "avail",
+        ok, "t_micro", budgetMicroOfTotal = 500000L).collect()
+    }
+    assert(e3.getMessage.contains("availability > 1e12"), e3.getMessage)
+  }
+
 }

@@ -763,6 +763,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfRecallCurve: full probe = recall 1, recall monotone in nprobe") {
+    val ivf = Similarity.trainIvfDeterministic(vecs, "vec_id", "embedding",
+      nlist = 2, iters = 4)
+    val r = Similarity.ivfRecallCurve(vecs, vecs, "vec_id", "embedding", ivf,
+        nprobes = Seq(1, 2), ks = Seq(1, 3))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => ((x._1, x._2), (x._3, x._4, x._5))).toMap
+    assert(r.size == 4, r.toString)
+    // probing every cell makes the candidate set the whole corpus:
+    // every exact neighbor is recalled, at every k
+    assert(r((2L, 1L))._3 == 1.0 && r((2L, 3L))._3 == 1.0, r.toString)
+    // fewer probes can only lose candidates
+    assert(r((1L, 1L))._3 <= r((2L, 1L))._3 &&
+      r((1L, 3L))._3 <= r((2L, 3L))._3, r.toString)
+    // hits are exact counts over 6 queries
+    assert(r.values.forall(v => v._1 == 6L && v._2 >= 0L && v._2 <= 18L),
+      r.toString)
+  }
+
   test("ivfCellBalance: exact concentration arithmetic") {
     val asg = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("vec_id", "cell")
     val idx = Similarity.IvfIndex(asg, spark.emptyDataFrame)
