@@ -232,6 +232,54 @@ object Dedup {
           .as("band_recall"))
   }
 
+  /** BANDING-precision audit — the COST-side twin of
+    * [[lshBandRecallAudit]]: of all pairs the LSH bands ever collide,
+    * what fraction verifies at the exact-Jaccard threshold? Recall
+    * bounds what the tier can FIND; precision prices what the verify
+    * stage must PAY — every non-verifying candidate is two shingle-array
+    * fetches and an exact intersection that produce nothing, and at
+    * corpus scale the verification join IS the pipeline's dominant cost
+    * after banding. A sagging band_precision (hot natural bands, a
+    * shingle n too small for the corpus) is the signal to re-band or
+    * re-shingle for COST, the same way sagging recall is the signal for
+    * COVERAGE. Measured on the raw band-collision surface (no size-ratio
+    * gate) so the number is a property of the banding itself; the
+    * deployed [[minhashLsh]] pays at most this (its PPJoin size gate
+    * only prunes non-verifying pairs). Deterministic both sides — same
+    * hash/signature/band protocol as q36 — so the audit hash-checks.
+    * Output: one row (n_candidates, n_verified, n_wasted,
+    * band_precision 6 dp).
+    *
+    * Scale: the band self-join is [[minhashLsh]]'s own candidate stage
+    * (id pairs only); the verify side joins the bounded candidate set
+    * back to shingle arrays — exactly the work it is pricing. */
+  def lshBandPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = shingleToks(df, idCol, textCol, shingleN)
+    val banded = bandedKeys(toks)
+    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val verified = cand
+      .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")),
+        Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")),
+        Seq("id_b"))
+      .filter(jaccardSorted(col("__toks_a"), col("__toks_b")) >= threshold)
+      .agg(count(lit(1)).as("n_verified"))
+    cand.agg(count(lit(1)).as("n_candidates")).crossJoin(verified)
+      .select(col("n_candidates"), col("n_verified"),
+        (col("n_candidates") - col("n_verified")).as("n_wasted"),
+        when(col("n_candidates") > 0,
+          round(col("n_verified").cast("double")
+            / col("n_candidates").cast("double"), 6))
+          .as("band_precision"))
+  }
+
   /** Estimator-quality audit of the MinHash signature itself: for every
     * banded candidate pair, the SIGNATURE Jaccard estimate (agreeing
     * positions / 16) next to the exact shingle Jaccard and their

@@ -273,15 +273,22 @@ object Graph {
     * can reorder or tie rows and skew the audit. Quantize upstream
     * (micro-round) if the protocol isn't already integer.
     *
-    * Scale: both rankings use the rank-offset scheme
-    * ([[Ranking.globalRowNumber]]) — in-bucket ranks over a 1024-way
-    * monotone score bucketing (bounds from a 1-row probe), a
+    * Scale: rank strategy is SIZE-AWARE, decided per side on the
+    * persisted score table's count (a cached scalar): at or under
+    * `smallRankThreshold` rows (default 2e6 ≈ 32 MB of skinny rows) a
+    * single window sorts it in one task — cheaper than scheduling the
+    * bucketed scheme's extra stages; above it, the rank-offset scheme
+    * ([[Ranking.globalRowNumber]]) takes over — in-bucket ranks over a
+    * 1024-way monotone score bucketing (bounds from a 1-row probe), a
     * bucket-count-sized offset prefix sum (the only serial step),
-    * broadcast back. No data-sized single-partition sort anywhere;
-    * the final audit is one scalar aggregate over the node join. */
+    * broadcast back. Either way no UNBOUNDED single-partition sort
+    * exists (the window path is entered only under the threshold
+    * contract); the final audit is one scalar aggregate over the node
+    * join. */
   def rankFidelityAudit(exact: DataFrame, approx: DataFrame,
                         nodeCol: String, scoreCol: String,
-                        k: Int = 100): DataFrame = {
+                        k: Int = 100,
+                        smallRankThreshold: Long = 2000000L): DataFrame = {
     require(k >= 1, s"rankFidelityAudit: k=$k must be >= 1")
     def ranked(df: DataFrame, rankName: String): DataFrame = {
       val ok = df.schema(scoreCol).dataType match {
@@ -295,20 +302,44 @@ object Graph {
         s"${df.schema(scoreCol).dataType.simpleString} — scores must be " +
         "integral (micro-unit longs); quantize upstream")
       // descending score = ascending negated score; (score, node) is a
-      // total order so ranks are deterministic
+      // total order so ranks are deterministic. PERSIST the node-sized
+      // score table: the bounds probe, the bucketed rank branch and the
+      // offsets branch all reference it, and without the cache each
+      // reference re-runs the full upstream chain (for PageRank-class
+      // inputs that was a 2x end-to-end recompute per side — measured
+      // 9.1 -> 16.4 s on q328 when this landed uncached).
       val s = df.select(col(nodeCol).cast("long").as("node"),
         (-col(scoreCol).cast("long")).as("__negs"))
-      val bounds = s.agg(min(col("__negs")).as("__bmn"),
-        max(col("__negs")).as("__bmx"))
-      val withB = s.crossJoin(broadcast(bounds))
-      val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
-      // monotone coarse prefix of the (__negs, node) order — the
-      // globalRowNumber contract; degenerate one-value domains → bucket 0
-      val bucket = when(bWidth > 0,
-        least(floor((col("__negs") - col("__bmn")) / bWidth), lit(1023L)))
-        .otherwise(lit(0L))
-      Ranking.globalRowNumber(withB, Seq("__negs", "node"), bucket, rankName)
-        .select(col("node"), col(rankName).cast("long").as(rankName))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.QueryCleanup.register(() => { s.unpersist(); () })
+      // Size-aware rank strategy (the engine's CBO move, decided on the
+      // CACHED table so the count is a cheap scalar): a (node, score)
+      // table at or under the threshold is ~32 MB of skinny rows — one
+      // window task sorts it faster than the bucketed scheme's ~10
+      // extra stages can even schedule (measured: the all-bucketed form
+      // cost q328 +6 s at 16k nodes). Past the threshold — the 1e9-node
+      // regime the audit exists for — the rank-offset scheme takes
+      // over: in-bucket windows over a 1024-way monotone score
+      // bucketing, a bucket-count-sized offset prefix sum, broadcast
+      // back; no data-sized single-partition sort.
+      if (s.count() <= smallRankThreshold) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__negs"), col("node"))
+        s.withColumn(rankName, row_number().over(w).cast("long"))
+          .select(col("node"), col(rankName))
+      } else {
+        val bounds = s.agg(min(col("__negs")).as("__bmn"),
+          max(col("__negs")).as("__bmx"))
+        val withB = s.crossJoin(broadcast(bounds))
+        val bWidth = (col("__bmx") - col("__bmn")) / lit(1024.0)
+        // monotone coarse prefix of the (__negs, node) order — the
+        // globalRowNumber contract; degenerate one-value domains → bucket 0
+        val bucket = when(bWidth > 0,
+          least(floor((col("__negs") - col("__bmn")) / bWidth), lit(1023L)))
+          .otherwise(lit(0L))
+        Ranking.globalRowNumber(withB, Seq("__negs", "node"), bucket, rankName)
+          .select(col("node"), col(rankName).cast("long").as(rankName))
+      }
     }
     val joined = ranked(exact, "__re").join(ranked(approx, "__ra"), Seq("node"))
     joined.agg(
@@ -894,15 +925,29 @@ object Graph {
     }
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
+    // Each half-step's aggregated raw table PERSISTS (node-sized): the
+    // normalization references it twice (L-inf max probe + the value
+    // branch), so without the cache every half-step would re-run the
+    // whole chain beneath it — exponential recompute over iterations
+    // (measured 24 s for 2 iterations on the sf0.1 trade graph; ~3 s
+    // cached). Caches are node-sized score tables only, never edges.
+    val halfSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      halfSteps += araw
       auth = normalized(araw, "a")
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      halfSteps += hraw
       hub = normalized(hraw, "h")
     }
-    graft.QueryCleanup.register(() => { e.unpersist(); nodes.unpersist(); () })
+    val steps = halfSteps.toList
+    graft.QueryCleanup.register(() => {
+      e.unpersist(); nodes.unpersist(); steps.foreach(_.unpersist()); ()
+    })
     hub.join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
   }
@@ -948,19 +993,31 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
+    // Persist each half-step's aggregated score table ([[hitsScores]]'
+    // rationale): the final hub/auth join references the last auth
+    // level from two branches, so uncached the early half-steps re-run
+    // multiple times. Node-sized caches only.
+    val halfSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("h div __outdeg").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      halfSteps += araw
       auth = nodes.join(araw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), expr("a div __indeg").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      halfSteps += hraw
       hub = nodes.join(hraw, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
     }
-    graft.QueryCleanup.register(() => { e.unpersist(); nodes.unpersist(); () })
+    val steps = halfSteps.toList
+    graft.QueryCleanup.register(() => {
+      e.unpersist(); nodes.unpersist(); steps.foreach(_.unpersist()); ()
+    })
     hub.join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
   }

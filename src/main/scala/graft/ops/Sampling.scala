@@ -619,4 +619,87 @@ object Sampling {
           .as("w_new_micro"))
   }
 
+  /** Data-constrained EPOCH (repetition) allocation — the accounting
+    * step from the data-constrained-scaling literature (Muennighoff et
+    * al. 2023): when the training budget exceeds what a domain can
+    * supply in unique tokens, the domain repeats — and the planner
+    * needs to see, per domain, how many epochs that is and how much of
+    * its target went unserved, BEFORE the run starts. Completes the
+    * mixture family: [[mixtureAllocation]] splits a budget under
+    * availability caps at ≤ 1 epoch, [[mixtureWeightUpdate]] learns the
+    * shares; this one prices the multi-epoch regime.
+    *
+    * Exact-integer protocol (all micro-unit longs, integral division):
+    *
+    *   budget  = (Σa · budgetMicroOfAvail) div 1e6   (tokens)
+    *   want(d) = (budget · t(d)) div 1e6
+    *   cap(d)  = (a(d) · maxEpochsMicro) div 1e6
+    *   served  = min(want, cap);   epochs_micro = (served·1e6) div a
+    *
+    * repeated = served − min(a, served) (tokens past the first pass),
+    * shortfall = want − served (target tokens the cap refused). The
+    * budget is expressed as micro-units OF TOTAL AVAILABILITY (3e6 =
+    * "train for 3× the corpus") so the capped/uncapped mix is
+    * scale-invariant — the same spec exercises both branches at any SF.
+    *
+    * Contracts ENFORCED ([[mixtureAllocation]]'s discipline): targets
+    * dedup by max, per-domain/total target ≤ 1e6, per-domain/total
+    * availability ≤ 1e12, budgetMicroOfAvail and maxEpochsMicro in
+    * (0, 8e6] — every cross-product then stays ≤ 8e18, inside a long.
+    * Output: (domain, available, target_micro, want_tokens,
+    * served_tokens, epochs_micro, repeated_tokens, shortfall_tokens).
+    *
+    * Scale: pure arithmetic over the DOMAIN table (a mixture spec);
+    * the availability aggregation upstream is the caller's one
+    * data-sized pass. */
+  def epochAllocation(avail: DataFrame, domainCol: String, availCol: String,
+                      targets: DataFrame, targetMicroCol: String,
+                      budgetMicroOfAvail: Long, maxEpochsMicro: Long): DataFrame = {
+    require(budgetMicroOfAvail > 0 && budgetMicroOfAvail <= 8000000L,
+      s"epochAllocation: budgetMicroOfAvail=$budgetMicroOfAvail outside (0, 8e6]")
+    require(maxEpochsMicro > 0 && maxEpochsMicro <= 8000000L,
+      s"epochAllocation: maxEpochsMicro=$maxEpochsMicro outside (0, 8e6]")
+    import org.apache.spark.sql.expressions.Window
+    val t1 = targets
+      .select(col(domainCol).as("domain"),
+        col(targetMicroCol).cast("long").as("__t"))
+      .groupBy("domain").agg(max(col("__t")).as("__t"))
+      .withColumn("__t",
+        when(col("__t") > 1000000L,
+          raise_error(lit("epochAllocation: target_micro > 1e6")))
+          .otherwise(col("__t")))
+    val wAll = Window.partitionBy()
+    avail
+      .select(col(domainCol).as("domain"), col(availCol).cast("long").as("__a"))
+      .filter(col("__a") >= 0)
+      .withColumn("__a",
+        when(col("__a") > 1000000000000L,
+          raise_error(lit("epochAllocation: availability > 1e12")))
+          .otherwise(col("__a")))
+      .join(t1, Seq("domain"))
+      .filter(col("__t") > 0)
+      .withColumn("__tt", sum(col("__t")).over(wAll))
+      .withColumn("__t",
+        when(col("__tt") > 1000000L,
+          raise_error(lit("epochAllocation: sum of target_micro > 1e6")))
+          .otherwise(col("__t")))
+      .withColumn("__at", sum(col("__a")).over(wAll))
+      .withColumn("__a",
+        when(col("__at") > 1000000000000L,
+          raise_error(lit("epochAllocation: sum of availability > 1e12")))
+          .otherwise(col("__a")))
+      .withColumn("__bud",
+        expr(s"((sum(__a) over ()) * $budgetMicroOfAvail) div 1000000"))
+      .withColumn("__want", expr("(__bud * __t) div 1000000"))
+      .withColumn("__cap", expr(s"(__a * $maxEpochsMicro) div 1000000"))
+      .withColumn("__served", least(col("__want"), col("__cap")))
+      .select(col("domain"), col("__a").as("available"),
+        col("__t").as("target_micro"), col("__want").as("want_tokens"),
+        col("__served").as("served_tokens"),
+        when(col("__a") > 0, expr("(__served * 1000000) div __a"))
+          .otherwise(lit(0L)).as("epochs_micro"),
+        (col("__served") - least(col("__a"), col("__served")))
+          .as("repeated_tokens"),
+        (col("__want") - col("__served")).as("shortfall_tokens"))
+  }
 }

@@ -517,6 +517,31 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Does HITS's mutual reinforcement actually reorder anything vs
+    // plain in-degree counting? The q328/q329 audit applied to the
+    // oldest question in link analysis — authority (q330) ranked
+    // against the trivial baseline every engine already has. Both
+    // scores are exact longs, so the audit hash-checks.
+    "q336_authority_rank_fidelity" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.QueryCleanup.register(() => { edges.unpersist(); () })
+      val auth = graft.ops.Graph.hitsScores(edges, "src", "dst", iterations = 2)
+        .select(col("node"), col("auth_micro").as("score"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val indeg = nodes
+        .join(edges.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).as("__c")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__c"), lit(0L)).as("score"))
+      graft.ops.Graph.rankFidelityAudit(auth, indeg, "node", "score", k = 100)
+    }),
+
     // Edge-weighted PageRank over the trade graph with weight = number
     // of distinct orders linking each supplier-customer pair: frequent
     // trading partners attract proportionally more rank than one-off
@@ -1112,6 +1137,36 @@ object RelationalQueries {
           h2 AS (SELECT n.node, CAST(COALESCE(h, 0) AS BIGINT) AS h FROM n LEFT JOIN h2r USING (node))
           SELECT CAST(n.node AS BIGINT) AS node, h2.h AS hub_micro, a2.a AS auth_micro
           FROM n JOIN h2 USING (node) JOIN a2 USING (node) ORDER BY node""",
+    // rankFidelityAudit replay for authority-vs-indegree: q330's HITS
+    // unroll (authority side only), plain in-degree with 0 for
+    // never-cited nodes, ranked (score desc, node), q329's exact
+    // count/footrule tail.
+    "q336_authority_rank_fidelity" ->
+      """WITH pe AS (SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          n AS (SELECT src AS node FROM pe UNION SELECT dst FROM pe),
+          h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+          a1r AS (SELECT pe.dst AS node, CAST(sum(h.h) AS BIGINT) AS a FROM pe JOIN h0 h ON pe.src = h.node GROUP BY pe.dst),
+          a1m AS (SELECT max(a) AS m FROM a1r),
+          a1 AS (SELECT n.node, CASE WHEN m > 0 THEN (COALESCE(a, 0) * 1000000) // m ELSE CAST(0 AS BIGINT) END AS a FROM n LEFT JOIN a1r USING (node) CROSS JOIN a1m),
+          h1r AS (SELECT pe.src AS node, CAST(sum(a.a) AS BIGINT) AS h FROM pe JOIN a1 a ON pe.dst = a.node GROUP BY pe.src),
+          h1m AS (SELECT max(h) AS m FROM h1r),
+          h1 AS (SELECT n.node, CASE WHEN m > 0 THEN (COALESCE(h, 0) * 1000000) // m ELSE CAST(0 AS BIGINT) END AS h FROM n LEFT JOIN h1r USING (node) CROSS JOIN h1m),
+          a2r AS (SELECT pe.dst AS node, CAST(sum(h.h) AS BIGINT) AS a FROM pe JOIN h1 h ON pe.src = h.node GROUP BY pe.dst),
+          a2m AS (SELECT max(a) AS m FROM a2r),
+          a2 AS (SELECT n.node, CASE WHEN m > 0 THEN (COALESCE(a, 0) * 1000000) // m ELSE CAST(0 AS BIGINT) END AS a FROM n LEFT JOIN a2r USING (node) CROSS JOIN a2m),
+          ind AS (SELECT n.node, CAST(COALESCE(c.c, 0) AS BIGINT) AS s
+                  FROM n LEFT JOIN (SELECT dst AS node, count(*) AS c FROM pe GROUP BY dst) c USING (node)),
+          fr AS (SELECT node, row_number() OVER (ORDER BY a DESC, node) AS re FROM a2),
+          ar AS (SELECT node, row_number() OVER (ORDER BY s DESC, node) AS ra FROM ind),
+          j AS (SELECT fr.node, re, ra FROM fr JOIN ar USING (node))
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(CASE WHEN re <= 100 AND ra <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS topk_overlap,
+                 CAST(sum(abs(re - ra)) AS BIGINT) AS footrule_sum,
+                 CASE WHEN count(*) > 0
+                      THEN round(CAST(sum(abs(re - ra)) AS DOUBLE) / count(*), 6)
+                 END AS mean_displacement
+          FROM j""",
     "q323_pagerank_weighted" ->
       """WITH pw AS (SELECT l_suppkey + 10000000 AS s, o_custkey AS c,
                  count(DISTINCT l_orderkey) AS w

@@ -970,6 +970,36 @@ object TextQueries {
         .orderBy("domain")
     }),
 
+    // Data-constrained epoch allocation beside q327's water-filling:
+    // train for 3x the corpus (budget = 3e6 micro of total availability)
+    // with repetition capped at 4 epochs — per source, how many tokens
+    // its target share wants, how many the cap serves, the implied
+    // epoch count, and the repeated/shortfall split. Budget expressed
+    // in micro of total availability so both branches (capped big
+    // targets, uncapped small ones) appear at every SF.
+    "q334_epoch_allocation" -> ((s, dir) => {
+      import s.implicits._
+      val avail = Tables.documents(s, dir)
+        .filter(col("n_chars").isNotNull)
+        .groupBy(col("source").as("domain"))
+        .agg(sum(col("n_chars")).as("avail"))
+      val targets = mixTargets.toDF("domain", "t_micro")
+      Sampling.epochAllocation(avail, "domain", "avail",
+          targets, "t_micro", budgetMicroOfAvail = 3000000L,
+          maxEpochsMicro = 4000000L)
+        .orderBy("domain")
+    }),
+
+    // Banding-PRECISION audit — the cost twin of q322's recall: of all
+    // pairs the q36 LSH bands ever collide, what fraction verifies at
+    // exact Jaccard >= 0.3? Every non-verifying candidate is wasted
+    // verification work (two array fetches + an exact intersection),
+    // and at corpus scale the verify join dominates the tier's cost.
+    "q335_lsh_precision" -> ((s, dir) => {
+      Dedup.lshBandPrecisionAudit(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+    }),
+
     // DoReMi-style mixture-weight update beside q327's water-filling —
     // the mixer's LEARNING loop: per-source weights (doc counts) are
     // up-weighted by each source's excess-loss proxy (share of short
@@ -1578,6 +1608,44 @@ object TextQueries {
                    AS allocated
           FROM h ORDER BY domain"""
     },
+    // epochAllocation replay: same availability agg and target VALUES
+    // table as q327, then pure BIGINT budget/want/cap/served arithmetic
+    // (window sum cast back per the HUGEINT rule).
+    "q334_epoch_allocation" -> {
+      val values = mixTargets
+        .map { case (d, t) => s"('$d', $t)" }.mkString(", ")
+      s"""WITH av AS (SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS a
+                  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+          tg AS (SELECT * FROM (VALUES $values) AS t(domain, tm)),
+          d AS (SELECT domain, a, CAST(tm AS BIGINT) AS t
+                FROM av JOIN tg USING (domain) WHERE tm > 0 AND a >= 0),
+          f AS (SELECT *, (CAST(sum(a) OVER () AS BIGINT) * 3000000) // 1000000 AS bud
+                FROM d),
+          g AS (SELECT domain, a, t, (bud * t) // 1000000 AS want,
+                  (a * 4000000) // 1000000 AS cap FROM f),
+          h AS (SELECT *, least(want, cap) AS served FROM g)
+          SELECT domain, a AS available, t AS target_micro,
+                 want AS want_tokens, served AS served_tokens,
+                 CASE WHEN a > 0 THEN (served * 1000000) // a
+                      ELSE CAST(0 AS BIGINT) END AS epochs_micro,
+                 served - least(a, served) AS repeated_tokens,
+                 want - served AS shortfall_tokens
+          FROM h ORDER BY domain"""
+    },
+    // lshBandPrecisionAudit replay: q36's full CTE chain (cand = raw
+    // band collisions, j = exact jaccard per candidate) already IS the
+    // audit's two sides — just count them.
+    "q335_lsh_precision" ->
+      s"""WITH $minhashPairsCte,
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+          ver AS (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM j
+                  WHERE jaccard >= 0.3)
+          SELECT n_candidates, n_verified,
+                 n_candidates - n_verified AS n_wasted,
+                 CASE WHEN n_candidates > 0
+                      THEN round(n_verified * 1.0 / n_candidates, 6)
+                 END AS band_precision
+          FROM tot CROSS JOIN ver""",
     // mixtureWeightUpdate replay: same per-source counts and short-doc
     // excess proxy, the linearized factor (eta 0.5 in micro), and the
     // exact largest-remainder renormalization to 1e6 — all BIGINT (window

@@ -630,7 +630,11 @@ class PlanShapeSpec extends SparkSpec {
     val exact = (1L to 500L).map(i => (i, i * 1000L)).toDF("node", "rank")
     val approx = (1L to 500L).map(i => (i, (i * 37 % 500) * 1000L))
       .toDF("node", "rank")
-    val p = plan(Graph.rankFidelityAudit(exact, approx, "node", "rank", k = 50))
+    // force the large-table path (smallRankThreshold = 0) — production
+    // inputs over the threshold must never see an unbounded
+    // single-partition sort
+    val p = plan(Graph.rankFidelityAudit(exact, approx, "node", "rank", k = 50,
+      smallRankThreshold = 0L))
     // the r15 form ranked both sides with row_number() OVER (ORDER BY
     // __s DESC, node) — a single-partition sort of the whole node
     // table and the last data-sized unpartitioned window in a flagship
@@ -647,6 +651,19 @@ class PlanShapeSpec extends SparkSpec {
     // feeding the bucket width: one per side, replayed once more in
     // each side's offsets branch (2 sides x 2 consumers)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+    // under the threshold the size-aware switch takes the bounded
+    // single-window fast path instead (<= 2e6 skinny rows by contract)
+    val pSmall = plan(Graph.rankFidelityAudit(exact, approx, "node", "rank",
+      k = 50))
+    assert(pSmall.contains("windowspecdefinition(__negs"), pSmall)
+    assert(!pSmall.contains("windowspecdefinition(__rkb"), pSmall)
+    // both paths agree row for row — the switch is strategy, not
+    // semantics
+    val big = Graph.rankFidelityAudit(exact, approx, "node", "rank", k = 50,
+      smallRankThreshold = 0L).collect().toSeq
+    val small = Graph.rankFidelityAudit(exact, approx, "node", "rank", k = 50)
+      .collect().toSeq
+    assert(big == small, s"$big vs $small")
   }
 
   test("rankFidelityAudit rejects fractional score columns instead of truncating") {

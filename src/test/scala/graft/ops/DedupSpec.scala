@@ -655,6 +655,27 @@ class DedupSpec extends SparkSpec {
     assert(again.getLong(1) == nCaught)
   }
 
+  test("lshBandPrecisionAudit: counts consistent and verified == minhashLsh pairs") {
+    val r = Dedup.lshBandPrecisionAudit(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.3).collect().head
+    val (nCand, nVer, nWasted) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nCand >= nVer && nWasted == nCand - nVer, r.toString)
+    // identical docs collide in every band, so the candidate surface
+    // and the verified set are both non-empty on this fixture
+    assert(nVer >= 1L, r.toString)
+    // the deployed tier's output pairs ARE the verified candidates
+    // (its size-ratio gate only prunes non-verifying pairs), so the
+    // audit's n_verified must equal minhashLsh's pair count exactly
+    val lshPairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.3).count()
+    assert(nVer == lshPairs, s"n_verified=$nVer lsh=$lshPairs")
+    val precision = r.getDouble(3)
+    assert(precision ==
+      BigDecimal(nVer.toDouble / nCand)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"precision=$precision")
+  }
+
   test("splitLeakageAudit: identical docs straddling the hash split all leak") {
     import org.apache.spark.sql.functions.col
     val corpus = (1L to 40L)

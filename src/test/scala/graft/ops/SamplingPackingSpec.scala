@@ -408,4 +408,55 @@ class SamplingPackingSpec extends SparkSpec {
     assert(e3.getMessage.contains("availability > 1e12"), e3.getMessage)
   }
 
+  test("epochAllocation: hand-computed multi-epoch accounting") {
+    val avail = Seq(("A", 100L), ("B", 900L)).toDF("domain", "avail")
+    val targets = Seq(("A", 500000L), ("B", 500000L)).toDF("domain", "t_micro")
+    // budget = 2x total avail = 2000; want = 1000 each; cap = 4 epochs
+    val got = Sampling.epochAllocation(avail, "domain", "avail",
+        targets, "t_micro", budgetMicroOfAvail = 2000000L,
+        maxEpochsMicro = 4000000L)
+      .orderBy("domain").collect()
+    val a = got(0); val b = got(1)
+    // A: cap = 400 binds; 4.0 epochs exactly; 300 repeated, 600 short
+    assert(a.getAs[Long]("want_tokens") == 1000L, a.toString)
+    assert(a.getAs[Long]("served_tokens") == 400L, a.toString)
+    assert(a.getAs[Long]("epochs_micro") == 4000000L, a.toString)
+    assert(a.getAs[Long]("repeated_tokens") == 300L, a.toString)
+    assert(a.getAs[Long]("shortfall_tokens") == 600L, a.toString)
+    // B: want = 1000 < cap = 3600; 1000*1e6 div 900 epochs; 100 repeated
+    assert(b.getAs[Long]("served_tokens") == 1000L, b.toString)
+    assert(b.getAs[Long]("epochs_micro") == 1111111L, b.toString)
+    assert(b.getAs[Long]("repeated_tokens") == 100L, b.toString)
+    assert(b.getAs[Long]("shortfall_tokens") == 0L, b.toString)
+  }
+
+  test("epochAllocation: contract violations raise; duplicate targets dedup") {
+    val avail = Seq(("A", 100L), ("B", 900L)).toDF("domain", "avail")
+    val ok = Seq(("A", 500000L), ("B", 500000L)).toDF("domain", "t_micro")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(avail, "domain", "avail", ok, "t_micro",
+        budgetMicroOfAvail = 9000000L, maxEpochsMicro = 4000000L)
+    }
+    assert(e1.getMessage.contains("budgetMicroOfAvail"), e1.getMessage)
+    val badT = Seq(("A", 2000000L), ("B", 300000L)).toDF("domain", "t_micro")
+    val e2 = intercept[Exception] {
+      Sampling.epochAllocation(avail, "domain", "avail", badT, "t_micro",
+        budgetMicroOfAvail = 1000000L, maxEpochsMicro = 4000000L).collect()
+    }
+    assert(e2.getMessage.contains("target_micro > 1e6"), e2.getMessage)
+    val badTot = Seq(("A", 600000L), ("B", 600000L)).toDF("domain", "t_micro")
+    val e3 = intercept[Exception] {
+      Sampling.epochAllocation(avail, "domain", "avail", badTot, "t_micro",
+        budgetMicroOfAvail = 1000000L, maxEpochsMicro = 4000000L).collect()
+    }
+    assert(e3.getMessage.contains("sum of target_micro"), e3.getMessage)
+    // a duplicated target row must not fan out the domain join
+    val dup = Seq(("A", 500000L), ("A", 400000L), ("B", 500000L))
+      .toDF("domain", "t_micro")
+    val got = Sampling.epochAllocation(avail, "domain", "avail", dup,
+        "t_micro", budgetMicroOfAvail = 2000000L, maxEpochsMicro = 4000000L)
+      .orderBy("domain").collect()
+    assert(got.length == 2, got.mkString(";"))
+    assert(got(0).getAs[Long]("served_tokens") == 400L, got(0).toString)
+  }
 }
