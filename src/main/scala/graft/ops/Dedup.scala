@@ -280,6 +280,61 @@ object Dedup {
           .as("band_precision"))
   }
 
+  /** Dedup threshold-sensitivity CURVE — pair count (and total
+    * similarity mass) at each candidate Jaccard threshold in ONE pass:
+    * the tuning table for the dedup aggressiveness knob, the way
+    * [[graft.ops.Similarity.ivfRecallCurve]] tunes `nprobe` and
+    * [[graft.ops.Graph.pageRankConvergence]] tunes `iterations`.
+    * Raising the threshold from 0.3 to 0.7 changes how much of the
+    * corpus a near-dup pass removes — this query shows the whole
+    * trade-off before anyone commits to a threshold, from ONE exact
+    * verification pass: the banded candidate pairs and their exact
+    * Jaccard are computed once, then counted against a literal
+    * broadcast threshold grid. Per threshold: n_pairs (candidates at
+    * or above it) and sum_jaccard_micro (their exact 6-dp similarity
+    * mass as longs — n_pairs and the mean similarity in one number).
+    *
+    * Measured on the raw band-collision surface (the tier's candidate
+    * ceiling, same as [[lshBandPrecisionAudit]]); thresholds are
+    * micro-units, compared as t/1e6 — an exact IEEE division both
+    * engines round identically, so the curve hash-checks.
+    *
+    * Scale: one banding pass + one verification join (the same work a
+    * single-threshold dedup already pays); the grid multiply touches
+    * only the bounded candidate-pair relation. */
+  def dedupThresholdCurve(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int,
+                          thresholdsMicro: Seq[Long]): DataFrame = {
+    require(thresholdsMicro.nonEmpty, "need at least one threshold")
+    require(thresholdsMicro.forall(t => t > 0 && t <= 1000000L),
+      s"thresholds $thresholdsMicro must lie in (0, 1e6]")
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = shingleToks(df, idCol, textCol, shingleN)
+    val banded = bandedKeys(toks)
+    val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__bidx", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val j = cand
+      .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")),
+        Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__toks").as("__toks_b")),
+        Seq("id_b"))
+      .select(jaccardSorted(col("__toks_a"), col("__toks_b")).as("__j"))
+    val grid = thresholdsMicro.sorted.toDF("threshold_micro")
+    val hit = col("__j") >= col("threshold_micro").cast("double") / lit(1000000.0)
+    j.crossJoin(broadcast(grid))
+      .groupBy("threshold_micro")
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(hit, round(col("__j") * lit(1000000.0), 0).cast("long"))
+          .otherwise(0L)).as("sum_jaccard_micro"))
+      .orderBy("threshold_micro")
+  }
+
   /** Estimator-quality audit of the MinHash signature itself: for every
     * banded candidate pair, the SIGNATURE Jaccard estimate (agreeing
     * positions / 16) next to the exact shingle Jaccard and their

@@ -1021,4 +1021,77 @@ object Graph {
     hub.join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
   }
+
+  /** PageRank CONVERGENCE CURVE — per-iteration score movement of
+    * [[pageRankFixedPoint]]'s exact fixed point, the tuning table for
+    * the `iterations` knob the way [[graft.ops.Similarity.ivfRecallCurve]]
+    * tunes `nprobe`: every extra iteration is a full edge-sized
+    * propagation pass at corpus scale, and this query shows exactly
+    * what each one still buys. Per iteration i: l1_delta = Σ|r_i −
+    * r_{i−1}| (total mass still moving), max_delta (the worst single
+    * node), moved_nodes (how many changed at all) — all exact long
+    * arithmetic on the micro-unit protocol, so the curve replays as
+    * unrolled CTEs and hash-checks.
+    *
+    * Output: (iter, l1_delta, max_delta, moved_nodes), one row per
+    * iteration, iter ascending.
+    *
+    * Scale: identical topology to [[pageRankFixedPoint]] (out-degree
+    * rides the one src shuffle, edges persist); each iteration's rank
+    * table PERSISTS (node-sized — the [[hitsScores]] rationale: the
+    * diff agg and the next round both reference it) and the diff is a
+    * node-keyed join aggregated to ONE row per iteration. */
+  def pageRankConvergence(edges: DataFrame, srcCol: String, dstCol: String,
+                          iterations: Int = 4,
+                          dampNumer: Int = 850, dampDenom: Int = 1000,
+                          initMicro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNumer > 0 && dampNumer < dampDenom,
+      s"damping $dampNumer/$dampDenom must lie in (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val withDeg = e
+      .repartition(col("src"))
+      .withColumn("__outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = withDeg.select(col("src").as("node"))
+      .union(withDeg.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
+    var ranks = nodes.select(col("node"), lit(initMicro).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to iterations) {
+      val inbound = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
+        .groupBy("node")
+        .agg(sum("__contrib").as("__in"))
+      val next = nodes
+        .join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleportMicro) +
+            expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += next
+      rounds += ranks.select(col("node"), col("rank").as("__prev"))
+        .join(next, Seq("node"))
+        .agg(sum(abs(col("rank") - col("__prev"))).as("l1_delta"),
+          max(abs(col("rank") - col("__prev"))).as("max_delta"),
+          sum(when(col("rank") =!= col("__prev"), 1L).otherwise(0L))
+            .as("moved_nodes"))
+        .select(lit(i.toLong).as("iter"), col("l1_delta"), col("max_delta"),
+          col("moved_nodes"))
+      ranks = next
+    }
+    val caches = cached.toList
+    graft.QueryCleanup.register(() => {
+      withDeg.unpersist(); nodes.unpersist(); caches.foreach(_.unpersist()); ()
+    })
+    rounds.reduce(_.unionByName(_)).orderBy("iter")
+  }
 }

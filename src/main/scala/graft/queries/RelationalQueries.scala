@@ -542,6 +542,22 @@ object RelationalQueries {
       graft.ops.Graph.rankFidelityAudit(auth, indeg, "node", "score", k = 100)
     }),
 
+    // PageRank convergence curve over the trade graph: per-iteration
+    // L1/max score movement and moved-node count for 4 rounds — the
+    // tuning table for the iterations knob (every extra round is a
+    // full edge-sized pass at corpus scale; this shows what each one
+    // still buys). Exact long protocol, unrolled by the oracle.
+    "q337_pagerank_convergence" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.ops.Graph.pageRankConvergence(edges, "src", "dst", iterations = 4)
+    }),
+
     // Edge-weighted PageRank over the trade graph with weight = number
     // of distinct orders linking each supplier-customer pair: frequent
     // trading partners attract proportionally more rank than one-off
@@ -1167,6 +1183,48 @@ object RelationalQueries {
                       THEN round(CAST(sum(abs(re - ra)) AS DOUBLE) / count(*), 6)
                  END AS mean_displacement
           FROM j""",
+    // pageRankConvergence replay: q125's unrolled integer rounds
+    // extended to r4, then one diff row per round — exact L1/max/moved
+    // over the node-keyed join of consecutive rank tables.
+    "q337_pagerank_convergence" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS (SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs),
+          n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          d AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+          i1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r1 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i1.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i1 USING (node)),
+          i2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r2 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i2.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i2 USING (node)),
+          i3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r3 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i3.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i3 USING (node)),
+          i4 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS m FROM e JOIN r3 r ON e.src = r.node JOIN d ON e.src = d.src GROUP BY e.dst),
+          r4 AS (SELECT n.node, 150000 + CAST(850 * COALESCE(i4.m, 0) AS BIGINT) // 1000 AS r FROM n LEFT JOIN i4 USING (node))
+          SELECT CAST(1 AS BIGINT) AS iter,
+                 CAST(sum(abs(b.r - a.r)) AS BIGINT) AS l1_delta,
+                 CAST(max(abs(b.r - a.r)) AS BIGINT) AS max_delta,
+                 CAST(sum(CASE WHEN b.r <> a.r THEN 1 ELSE 0 END) AS BIGINT) AS moved_nodes
+          FROM r0 a JOIN r1 b USING (node)
+          UNION ALL
+          SELECT CAST(2 AS BIGINT),
+                 CAST(sum(abs(b.r - a.r)) AS BIGINT),
+                 CAST(max(abs(b.r - a.r)) AS BIGINT),
+                 CAST(sum(CASE WHEN b.r <> a.r THEN 1 ELSE 0 END) AS BIGINT)
+          FROM r1 a JOIN r2 b USING (node)
+          UNION ALL
+          SELECT CAST(3 AS BIGINT),
+                 CAST(sum(abs(b.r - a.r)) AS BIGINT),
+                 CAST(max(abs(b.r - a.r)) AS BIGINT),
+                 CAST(sum(CASE WHEN b.r <> a.r THEN 1 ELSE 0 END) AS BIGINT)
+          FROM r2 a JOIN r3 b USING (node)
+          UNION ALL
+          SELECT CAST(4 AS BIGINT),
+                 CAST(sum(abs(b.r - a.r)) AS BIGINT),
+                 CAST(max(abs(b.r - a.r)) AS BIGINT),
+                 CAST(sum(CASE WHEN b.r <> a.r THEN 1 ELSE 0 END) AS BIGINT)
+          FROM r3 a JOIN r4 b USING (node)
+          ORDER BY iter""",
     "q323_pagerank_weighted" ->
       """WITH pw AS (SELECT l_suppkey + 10000000 AS s, o_custkey AS c,
                  count(DISTINCT l_orderkey) AS w

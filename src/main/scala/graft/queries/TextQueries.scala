@@ -1000,6 +1000,17 @@ object TextQueries {
         shingleN = 2, threshold = 0.3)
     }),
 
+    // Dedup threshold-sensitivity curve: pair count + exact similarity
+    // mass at thresholds {0.2, 0.3, 0.5, 0.7} from ONE banding +
+    // verification pass — the aggressiveness tuning table a dedup
+    // operator reads before committing to a threshold (q335's audit
+    // family, operationalized the way q333 does for nprobe).
+    "q338_dedup_threshold_curve" -> ((s, dir) => {
+      Dedup.dedupThresholdCurve(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2,
+        thresholdsMicro = Seq(200000L, 300000L, 500000L, 700000L))
+    }),
+
     // DoReMi-style mixture-weight update beside q327's water-filling —
     // the mixer's LEARNING loop: per-source weights (doc counts) are
     // up-weighted by each source's excess-loss proxy (share of short
@@ -1646,6 +1657,21 @@ object TextQueries {
                       THEN round(n_verified * 1.0 / n_candidates, 6)
                  END AS band_precision
           FROM tot CROSS JOIN ver""",
+    // dedupThresholdCurve replay: q36's candidate+jaccard chain, then
+    // the literal threshold grid cross-joined and counted — the t/1e6
+    // division is a single correctly-rounded IEEE op on both engines.
+    "q338_dedup_threshold_curve" ->
+      s"""WITH $minhashPairsCte,
+          g AS (SELECT * FROM (VALUES (200000), (300000), (500000), (700000))
+                AS t(threshold_micro))
+          SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
+                 CAST(sum(CASE WHEN j.jaccard >= threshold_micro / 1000000.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN j.jaccard >= threshold_micro / 1000000.0
+                               THEN CAST(round(j.jaccard * 1000000, 0) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS sum_jaccard_micro
+          FROM j CROSS JOIN g
+          GROUP BY threshold_micro ORDER BY threshold_micro""",
     // mixtureWeightUpdate replay: same per-source counts and short-doc
     // excess proxy, the linearized factor (eta 0.5 in micro), and the
     // exact largest-remainder renormalization to 1e6 — all BIGINT (window

@@ -676,6 +676,26 @@ class DedupSpec extends SparkSpec {
       s"precision=$precision")
   }
 
+  test("dedupThresholdCurve: monotone, consistent with the precision audit") {
+    val r = Dedup.dedupThresholdCurve(docs, "doc_id", "text", shingleN = 2,
+      thresholdsMicro = Seq(300000L, 700000L, 1000000L)).collect()
+    assert(r.length == 3, r.mkString(";"))
+    // n_pairs non-increasing in threshold
+    assert(r(0).getLong(1) >= r(1).getLong(1) &&
+      r(1).getLong(1) >= r(2).getLong(1), r.mkString(";"))
+    // the 0.3 point must equal the precision audit's n_verified (same
+    // candidate surface, same verification)
+    val ver = Dedup.lshBandPrecisionAudit(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.3).collect().head.getLong(1)
+    assert(r(0).getLong(1) == ver, s"curve=${r(0)} audit=$ver")
+    // the identical pair (J = 1.0) survives even threshold 1.0
+    assert(r(2).getLong(1) >= 1L, r(2).toString)
+    // each counted pair contributes at least its threshold in micro
+    r.foreach(row => assert(
+      row.getLong(2) >= row.getLong(1) * row.getLong(0) / 1000000L,
+      row.toString))
+  }
+
   test("splitLeakageAudit: identical docs straddling the hash split all leak") {
     import org.apache.spark.sql.functions.col
     val corpus = (1L to 40L)

@@ -414,4 +414,29 @@ class GraphSpec extends SparkSpec {
     assert(a.getDouble(3) == BigDecimal(2.0 / 3)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, a.toString)
   }
+
+  test("pageRankConvergence: rows agree with successive fixed-point runs") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val curve = Graph.pageRankConvergence(edges, "src", "dst", iterations = 3)
+      .collect()
+    assert(curve.length == 3, curve.mkString(";"))
+    assert(curve.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), curve.mkString(";"))
+    // the iter-2 row must equal the diff of two explicit fixed-point runs
+    val r1 = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 1)
+      .withColumnRenamed("rank", "r1")
+    val r2 = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 2)
+      .withColumnRenamed("rank", "r2")
+    val d = r1.join(r2, "node")
+      .agg(sum(abs(col("r2") - col("r1"))).as("l1"),
+        max(abs(col("r2") - col("r1"))).as("mx"),
+        sum(when(col("r2") =!= col("r1"), 1L).otherwise(0L)).as("mv"))
+      .collect().head
+    assert(curve(1).getLong(1) == d.getLong(0), s"${curve(1)} vs $d")
+    assert(curve(1).getLong(2) == d.getLong(1), s"${curve(1)} vs $d")
+    assert(curve(1).getLong(3) == d.getLong(2), s"${curve(1)} vs $d")
+    // iteration 1 must move mass on any non-degenerate graph
+    assert(curve(0).getLong(1) > 0L, curve(0).toString)
+  }
 }
