@@ -12,6 +12,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Eagerly localCheckpoint a node-sized iteration state, truncating its
+    * lineage to a leaf (optimization-guide §3.3/§7.3: materialize an
+    * intermediate to cut the plan). Persisted-but-unckeckpointed iteration
+    * state keeps the FULL logical subtree alive under every cache
+    * reference — the r16 baseline measured q330's final plan at 689
+    * Exchange nodes / 4082 explain lines for 2 HITS iterations and q337's
+    * at 775/6117, and AQE re-optimizes that whole tree after every query
+    * stage, so planning dominated execution. With per-iteration leaves the
+    * plan stays constant-size in the iteration count. Execution work is
+    * unchanged — the same state was materialized into the cache before;
+    * it now materializes into checkpoint storage instead. */
+  private def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Free a checkpointed frame's RDD blocks — Dataset.unpersist can't
+    * reach them (no CacheManager entry); same walk as Dedup's private
+    * unpersistCheckpoint. Only safe once nothing references the leaf. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** PageRank in FIXED-POINT integer arithmetic (micro-rank units), so
     * the result is bit-identical on every engine: long addition commutes
     * exactly (no float summation-order drift — the q80 lesson) and
@@ -62,7 +84,14 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
     var ranks = nodes.select(col("node"), lit(initMicro).as("rank"))
-    for (_ <- 1 to iterations) {
+    // Intermediate iteration states are CHECKPOINTED (lineage leaf, r16 —
+    // see [[truncate]]); the final iteration stays lazy so the returned
+    // plan still carries the cached-topology markers (one cache read per
+    // reference) and the caller's action drives it. A superseded
+    // checkpoint is released as soon as its successor is materialized —
+    // at most two node-sized leaves live at once.
+    var prevCp: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val inbound = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
@@ -73,12 +102,22 @@ object Graph {
         .select(col("node"),
           (lit(teleportMicro) +
             expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+      if (i < iterations) {
+        val cp = truncate(ranks)
+        prevCp.foreach(releaseCheckpoint)
+        prevCp = Some(cp)
+        ranks = cp
+      }
     }
-    // Both caches are referenced `iterations` times by the returned plan;
-    // they materialize on first use within the caller's action and are
-    // released by the harness once the result is consumed (QueryCleanup
-    // ordering contract — plain caches, safe to recompute if drained early).
-    graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
+    // Both caches are referenced by the returned plan; they materialize on
+    // first use and are released by the harness once the result is
+    // consumed (QueryCleanup ordering contract — plain caches, safe to
+    // recompute if drained early). The surviving checkpoint leaf is
+    // released with them.
+    val lastCp = prevCp
+    graft.QueryCleanup.register(() => {
+      withDeg.unpersist(); nodes.unpersist(); lastCp.foreach(releaseCheckpoint)
+    })
     ranks
   }
 
@@ -129,7 +168,10 @@ object Graph {
     val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
     var ranks = nodes.select(col("node"),
       (col("__seed") * initMicro).as("rank"))
-    for (_ <- 1 to iterations) {
+    // Intermediate states checkpoint, final iteration lazy — see
+    // [[pageRankFixedPoint]] (r16 lineage truncation).
+    var prevCp: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val inbound = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
@@ -140,8 +182,17 @@ object Graph {
         .select(col("node"),
           (col("__seed") * teleportMicro +
             expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+      if (i < iterations) {
+        val cp = truncate(ranks)
+        prevCp.foreach(releaseCheckpoint)
+        prevCp = Some(cp)
+        ranks = cp
+      }
     }
-    graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
+    val lastCp = prevCp
+    graft.QueryCleanup.register(() => {
+      withDeg.unpersist(); nodes.unpersist(); lastCp.foreach(releaseCheckpoint)
+    })
     ranks
   }
 
@@ -240,7 +291,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
     var ranks = nodes.select(col("node"), lit(initMicro).as("rank"))
-    for (_ <- 1 to iterations) {
+    // Intermediate states checkpoint, final iteration lazy — see
+    // [[pageRankFixedPoint]] (r16 lineage truncation).
+    var prevCp: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val inbound = withW
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -252,8 +306,17 @@ object Graph {
         .select(col("node"),
           (lit(teleportMicro) +
             expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+      if (i < iterations) {
+        val cp = truncate(ranks)
+        prevCp.foreach(releaseCheckpoint)
+        prevCp = Some(cp)
+        ranks = cp
+      }
     }
-    graft.QueryCleanup.register(() => { withW.unpersist(); nodes.unpersist() })
+    val lastCp = prevCp
+    graft.QueryCleanup.register(() => {
+      withW.unpersist(); nodes.unpersist(); lastCp.foreach(releaseCheckpoint)
+    })
     ranks
   }
 
@@ -302,16 +365,20 @@ object Graph {
         s"${df.schema(scoreCol).dataType.simpleString} — scores must be " +
         "integral (micro-unit longs); quantize upstream")
       // descending score = ascending negated score; (score, node) is a
-      // total order so ranks are deterministic. PERSIST the node-sized
-      // score table: the bounds probe, the bucketed rank branch and the
-      // offsets branch all reference it, and without the cache each
+      // total order so ranks are deterministic. CHECKPOINT the
+      // node-sized score table (lineage leaf, r16 — see [[truncate]]):
+      // the bounds probe, the bucketed rank branch and the offsets
+      // branch all reference it, and without materialization each
       // reference re-runs the full upstream chain (for PageRank-class
       // inputs that was a 2x end-to-end recompute per side — measured
-      // 9.1 -> 16.4 s on q328 when this landed uncached).
-      val s = df.select(col(nodeCol).cast("long").as("node"),
-        (-col(scoreCol).cast("long")).as("__negs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      graft.QueryCleanup.register(() => { s.unpersist(); () })
+      // 9.1 -> 16.4 s on q328 when this landed uncached). The r15 form
+      // persisted + count()ed — same materialization cost — but every
+      // reference then inlined the producer's full logical subtree
+      // (q336's final plan was a 26 MB explain string over two HITS
+      // chains); as a leaf the audit's plan is audit-sized.
+      val s = truncate(df.select(col(nodeCol).cast("long").as("node"),
+        (-col(scoreCol).cast("long")).as("__negs")))
+      graft.QueryCleanup.register(() => releaseCheckpoint(s))
       // Size-aware rank strategy (the engine's CBO move, decided on the
       // CACHED table so the count is a cheap scalar): a (node, score)
       // table at or under the threshold is ~32 MB of skinny rows — one
@@ -419,7 +486,10 @@ object Graph {
     val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
     var ranks = nodes.select(col("node"),
       expr(s"($initMicro * __w) div __wmax").as("rank"))
-    for (_ <- 1 to iterations) {
+    // Intermediate states checkpoint, final iteration lazy — see
+    // [[pageRankFixedPoint]] (r16 lineage truncation).
+    var prevCp: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val inbound = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
@@ -430,8 +500,17 @@ object Graph {
         .select(col("node"),
           (expr(s"($teleportMicro * __w) div __wmax") +
             expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
+      if (i < iterations) {
+        val cp = truncate(ranks)
+        prevCp.foreach(releaseCheckpoint)
+        prevCp = Some(cp)
+        ranks = cp
+      }
     }
-    graft.QueryCleanup.register(() => { withDeg.unpersist(); nodes.unpersist() })
+    val lastCp = prevCp
+    graft.QueryCleanup.register(() => {
+      withDeg.unpersist(); nodes.unpersist(); lastCp.foreach(releaseCheckpoint)
+    })
     ranks
   }
 
@@ -519,7 +598,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     graft.QueryCleanup.register(() => { e.unpersist(); nodes.unpersist() })
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
+    // Intermediate rounds checkpoint, final round lazy — see
+    // [[pageRankFixedPoint]] (r16 lineage truncation).
+    var prevCp: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
       // "most frequent label, min-label ties" as max(struct(count,
       // -label)) — a second hash aggregation instead of a node-keyed
       // SORT window (same semantics, no sort; the r13 bench measured the
@@ -536,7 +618,15 @@ object Graph {
       labels = nodes.join(picked, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("label"), col("node")).as("label"))
+      if (r < rounds) {
+        val cp = truncate(labels)
+        prevCp.foreach(releaseCheckpoint)
+        prevCp = Some(cp)
+        labels = cp
+      }
     }
+    val lastCp = prevCp
+    graft.QueryCleanup.register(() => lastCp.foreach(releaseCheckpoint))
     labels
   }
 
@@ -655,24 +745,31 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit](
       () => e.unpersist())
-    var frontier = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cleanups += (() => frontier.unpersist())
+    // Each frontier level is CHECKPOINTED (lineage leaf, r16 — see
+    // [[truncate]]): the next level's anti-join references the growing
+    // visited union and the expansion join references the frontier, so
+    // under plain persist() level L's plan inlined every earlier level's
+    // construction subtree (O(levels^2) plan growth). The isEmpty probe
+    // already materialized each level; as leaves the final plan is a
+    // union of leaf scans. All levels stay referenced by the output, so
+    // leaves release only at cleanup.
+    val frontier0 = truncate(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct())
+    cleanups += (() => releaseCheckpoint(frontier0))
+    var frontier = frontier0
     var visited = frontier.withColumn("hops", lit(0L))
     var level = 0L
     var done = frontier.isEmpty
     while (!done && level < maxHops) {
       level += 1
       val hop = level
-      val next = frontier
+      val next = truncate(frontier
         .withColumnRenamed("node", "src")
         .join(e, "src")
         .select(col("dst").as("node"))
         .distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cleanups += (() => next.unpersist())
+        .join(visited.select("node"), Seq("node"), "left_anti"))
+      cleanups += (() => releaseCheckpoint(next))
       done = next.isEmpty
       if (!done) {
         visited = visited.unionByName(next.withColumn("hops", lit(hop)))
@@ -925,28 +1022,32 @@ object Graph {
     }
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
-    // Each half-step's aggregated raw table PERSISTS (node-sized): the
-    // normalization references it twice (L-inf max probe + the value
-    // branch), so without the cache every half-step would re-run the
-    // whole chain beneath it — exponential recompute over iterations
-    // (measured 24 s for 2 iterations on the sf0.1 trade graph; ~3 s
-    // cached). Caches are node-sized score tables only, never edges.
+    // Each half-step's aggregated raw table is eagerly CHECKPOINTED
+    // (node-sized): the normalization references it twice (L-inf max
+    // probe + the value branch), and downstream half-steps reference the
+    // normalized form again — under plain persist() every reference kept
+    // the FULL logical subtree alive (the r16 baseline plan: 689
+    // Exchange nodes / 4082 explain lines for 2 iterations, re-optimized
+    // by AQE after every stage; 8.5 s at sf0.1). As lineage leaves the
+    // plan stays half-step-sized and planning cost is constant per
+    // half-step. The normalized form itself stays lazy — it is one
+    // cache⋈leaf⋈broadcast join, cheap to replay per reference.
     val halfSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
-      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val araw = truncate(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")))
       halfSteps += araw
       auth = normalized(araw, "a")
-      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hraw = truncate(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")))
       halfSteps += hraw
       hub = normalized(hraw, "h")
     }
     val steps = halfSteps.toList
     graft.QueryCleanup.register(() => {
-      e.unpersist(); nodes.unpersist(); steps.foreach(_.unpersist()); ()
+      e.unpersist(); nodes.unpersist(); steps.foreach(releaseCheckpoint); ()
     })
     hub.join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
@@ -993,30 +1094,32 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
-    // Persist each half-step's aggregated score table ([[hitsScores]]'
-    // rationale): the final hub/auth join references the last auth
-    // level from two branches, so uncached the early half-steps re-run
-    // multiple times. Node-sized caches only.
+    // Each half-step's aggregated score table eagerly CHECKPOINTS
+    // ([[hitsScores]]' r16 rationale: persist kept the full logical
+    // subtree under every reference — 269 Exchange nodes / 1925 explain
+    // lines at 2 iterations — and AQE re-optimized it per stage; as
+    // lineage leaves the plan is constant per half-step). The dense
+    // hub/auth forms stay lazy (one cache⋈leaf join each).
     val halfSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
-      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("h div __outdeg").as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("a"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val araw = truncate(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("h div __outdeg").as("__c"))
+          .groupBy("node").agg(sum(col("__c")).as("a")))
       halfSteps += araw
       auth = nodes.join(araw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
-      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), expr("a div __indeg").as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hraw = truncate(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), expr("a div __indeg").as("__c"))
+          .groupBy("node").agg(sum(col("__c")).as("h")))
       halfSteps += hraw
       hub = nodes.join(hraw, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
     }
     val steps = halfSteps.toList
     graft.QueryCleanup.register(() => {
-      e.unpersist(); nodes.unpersist(); steps.foreach(_.unpersist()); ()
+      e.unpersist(); nodes.unpersist(); steps.foreach(releaseCheckpoint); ()
     })
     hub.join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
@@ -1061,9 +1164,15 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val teleportMicro = initMicro * (dampDenom - dampNumer) / dampDenom
-    var ranks = nodes.select(col("node"), lit(initMicro).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
+    // Every rank level is CHECKPOINTED (lineage leaf, r16 — see
+    // [[truncate]]): the diff agg and the next round both reference each
+    // level, and under plain persist() every reference inlined the full
+    // logical subtree (the r16 baseline measured q337's final plan at
+    // 775 Exchange nodes / 6117 explain lines for 4 iterations). All
+    // levels stay referenced by the output union, so leaves release only
+    // at cleanup.
+    var ranks = truncate(nodes.select(col("node"), lit(initMicro).as("rank")))
+    val leaves = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iterations) {
       val inbound = withDeg
@@ -1071,13 +1180,12 @@ object Graph {
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
         .groupBy("node")
         .agg(sum("__contrib").as("__in"))
-      val next = nodes
+      val next = truncate(nodes
         .join(inbound, Seq("node"), "left")
         .select(col("node"),
           (lit(teleportMicro) +
-            expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cached += next
+            expr(s"($dampNumer * coalesce(__in, 0L)) div $dampDenom")).as("rank")))
+      leaves += next
       rounds += ranks.select(col("node"), col("rank").as("__prev"))
         .join(next, Seq("node"))
         .agg(sum(abs(col("rank") - col("__prev"))).as("l1_delta"),
@@ -1088,9 +1196,10 @@ object Graph {
           col("moved_nodes"))
       ranks = next
     }
-    val caches = cached.toList
+    val snapshot = leaves.toList
     graft.QueryCleanup.register(() => {
-      withDeg.unpersist(); nodes.unpersist(); caches.foreach(_.unpersist()); ()
+      withDeg.unpersist(); nodes.unpersist()
+      snapshot.foreach(releaseCheckpoint)
     })
     rounds.reduce(_.unionByName(_)).orderBy("iter")
   }
