@@ -606,6 +606,12 @@ object DataQuality {
         sum(when(both, dec(y * y))).as(s"__syy_$p"),
         sum(when(both, dec(x * y))).as(s"__sxy_$p"))
     }
+    // NOTE (r16, measured): do NOT materialize this 1-row aggregate to
+    // share it across the per-pair union branches. Each branch's select
+    // prunes the aggregate to ITS pair's 6 sums, so the per-branch
+    // aggregations stay small and codegen-friendly; checkpointing the
+    // full 36-aggregate pass instead measured q211 3.5 -> 10.3 s at
+    // sf0.1 (one giant aggregate loses to six pruned ones).
     val wide = df.agg(exprs.head, exprs.tail: _*)
     pairs.zipWithIndex.map { case ((a, b), p) =>
       val n = col(s"__n_$p").cast("double")

@@ -154,7 +154,12 @@ object Dedup {
     // the 10× stress leg).
     val toks = shingleToks(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The band relation is ALSO staged (r16): both sides of the band
+    // self-join read it, so unstaged the per-shingle hash + minhash
+    // signature kernel would run twice from the toks cache. Band rows
+    // are four small columns per (doc, band) — far lighter than toks.
     val banded = bandedKeys(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"),
         col("__sz").as("__sza"))
       .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b"),
@@ -169,7 +174,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("__toks_a"), col("__toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (pairs, () => { toks.unpersist(); () })
+    (pairs, () => { toks.unpersist(); banded.unpersist(); () })
   }
 
   /** Shingle relation (__id, __toks) — the staged projection feeding both
@@ -210,7 +215,11 @@ object Dedup {
         partitionCols)
       .select("id_a", "id_b")
     val toks = shingleToks(df, idCol, textCol, shingleN)
+    // staged: both self-join sides read the band relation (r16 — the
+    // minhashLshReleasable rationale)
     val banded = bandedKeys(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { banded.unpersist(); () })
     // the tier's candidate surface, minus the size-ratio gate: the gate
     // is exactness-preserving (a true pair always passes it), so the
     // caught count is identical with or without it — omit it and the
@@ -256,14 +265,24 @@ object Dedup {
   def lshBandPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
+    // staged (r16): toks feeds banding + two verify join-backs; banded
+    // feeds both self-join sides; cand feeds the verify branch AND the
+    // candidate count — unstaged, each extra reference re-runs the whole
+    // chain beneath it (the minhashLshReleasable rationale)
     val toks = shingleToks(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedKeys(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
       .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
         Seq("__bidx", "__bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => {
+      toks.unpersist(); banded.unpersist(); cand.unpersist()
+    })
     val verified = cand
       .join(toks.select(col("__id").as("id_a"), col("__toks").as("__toks_a")),
         Seq("id_a"))
@@ -311,8 +330,13 @@ object Dedup {
     GraftFunctions.ensureRegistered(df.sparkSession)
     val spark = df.sparkSession
     import spark.implicits._
+    // staged (r16): toks feeds banding + two verify join-backs, banded
+    // feeds both self-join sides (the minhashLshReleasable rationale)
     val toks = shingleToks(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedKeys(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { toks.unpersist(); banded.unpersist() })
     val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"))
       .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b")),
         Seq("__bidx", "__bkey"))
@@ -347,12 +371,21 @@ object Dedup {
   def minhashEstimateError(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
+    // staged (r16): toks feeds sigs + banding + two verify join-backs,
+    // sigs feeds both estimate join sides, banded both self-join sides
+    // (the minhashLshReleasable rationale)
     val toks = shingleToks(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = toks
       .withColumn("__h", GraftFunctions.phashModArr(col("__toks")))
       .withColumn("__sig", GraftFunctions.minhashSigNative(col("__h")))
       .select(col("__id"), col("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedKeys(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => {
+      toks.unpersist(); sigs.unpersist(); banded.unpersist()
+    })
     val cand = banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_a"),
         col("__sz").as("__sza"))
       .join(banded.select(col("__bidx"), col("__bkey"), col("__id").as("id_b"),
@@ -417,8 +450,14 @@ object Dedup {
   def crossNearDup(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(a.sparkSession)
+    // staged (r16): each side's shingle relation feeds its banding AND
+    // its verify join-back — unstaged, the tokenize+shingle kernel runs
+    // twice per side (the minhashLshReleasable rationale)
     val ta = shingleToks(a, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tb = shingleToks(b, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { ta.unpersist(); tb.unpersist() })
     val cand = bandedKeys(ta)
       .withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza")
       .join(bandedKeys(tb)
@@ -579,6 +618,10 @@ object Dedup {
           call_function("shiftright", col("__sh"), b * 8).bitwiseAND(lit(255L)).as("bkey")))).as("__b"))
       .select(col("__id"), col("__sh"),
         col("__b.bidx").as("__bidx"), col("__b.bkey").as("__bkey"))
+      // staged (r16): both self-join sides read the band relation —
+      // unstaged, the tokenize+simhash kernel runs twice over the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { banded.unpersist(); () })
     val l = banded.select(col("__bidx"), col("__bkey"),
       col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val r = banded.select(col("__bidx"), col("__bkey"),
@@ -996,11 +1039,17 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4, minShared: Int = 2,
                          maxDf: Int = 50): DataFrame = {
+    // Staged (r16): both self-join sides read the fingerprint index, so
+    // without the persist the whole winnow chain (gram explode + two
+    // doc windows + df/count windows) runs twice over the corpus. Index
+    // rows are two longs per retained fingerprint — compact.
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__df") <= maxDf)
       .withColumn("__nf", count(lit(1)).over(Window.partitionBy(col("__id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { fp.unpersist(); () })
     val a = fp.select(col("__id").as("id_a"), col("__h"), col("__nf").as("__na"))
     val b = fp.select(col("__id").as("id_b"), col("__h"), col("__nf").as("__nb"))
     a.join(b, Seq("__h")).filter(col("id_a") < col("id_b"))
@@ -1085,9 +1134,18 @@ object Dedup {
     * would keep most of each set anyway) or sets overlap densely. */
   def ngramJaccardPairsCount(df: DataFrame, idCol: String, textCol: String,
                              n: Int, threshold: Double,
-                             partitionCols: Seq[String] = Nil): DataFrame =
-    countTopology(shingleHashes(df, idCol, textCol, n, partitionCols),
-      threshold, partitionCols)
+                             partitionCols: Seq[String] = Nil): DataFrame = {
+    // Stage the shingle-hash table (r16): the count topology's self-join
+    // reads it on BOTH sides, so without the persist the tokenize +
+    // shingle + hash kernel chain runs twice over the full corpus — the
+    // same rationale (and storage level) as the prefix path's staging
+    // persist. Corpus-sized but compact (8-byte hashes, no strings);
+    // MEMORY_AND_DISK blocks are evictable, worst case is recompute.
+    val sh = shingleHashes(df, idCol, textCol, n, partitionCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { sh.unpersist(); () })
+    countTopology(sh, threshold, partitionCols)
+  }
 
   private[ops] def countTopology(sh: DataFrame, threshold: Double,
                                  partitionCols: Seq[String]): DataFrame = {
@@ -1132,7 +1190,11 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        partitionCols: Seq[String] = Nil): DataFrame = {
+    // Staged for the same both-sides-of-the-self-join reason as
+    // [[ngramJaccardPairsCount]] (r16).
     val sh = shingleHashes(df, idCol, textCol, n, partitionCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { sh.unpersist(); () })
     val inv = sh.select((col("__id") +: col("__n") +: partitionCols.map(col)) :+
       explode(col("__sh")).as("__s"): _*)
     val keys = "__s" +: partitionCols
@@ -1374,7 +1436,11 @@ object Dedup {
       if (maxDist == 1) array_union(array(s), d1)
       else array_distinct(concat(array(s), d1,
         flatten(transform(d1, t => delsOf(t)))))
+    // staged (r16): both self-join sides read the delete-key expansion —
+    // unstaged, the SymSpell key generation runs twice over the dictionary
     val keyed = names.select(s, length(s).as("__len"), explode(keys).as("__k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { keyed.unpersist(); () })
     keyed.as("a").join(keyed.as("b"),
         col("a.__k") === col("b.__k") && col("a.__s") < col("b.__s") &&
           abs(col("a.__len") - col("b.__len")) <= maxDist)
@@ -1433,6 +1499,11 @@ object Dedup {
         .as("__w"))
       .select(col("__id"), col("__w.pos").as("__pos"), col("__w.h").as("__h"),
         (col("__id").cast("long") * lit(1L << 20) + col("__w.pos")).as("__k"))
+      // staged (r16): the first-occurrence aggregation and the join back
+      // both read the window relation — unstaged, the tokenize + window
+      // explode + hash kernel runs twice over the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { wins.unpersist(); () })
     val firsts = wins.groupBy("__h").agg(min("__k").as("__first"))
     wins.join(firsts, Seq("__h"))
       .groupBy(col("__id").as("id"))
@@ -1457,9 +1528,13 @@ object Dedup {
   def jaroWinklerDictJoin(df: DataFrame, nameCol: String,
                           threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
+    // staged (r16): both block-join sides read the distinct dictionary —
+    // unstaged, the corpus scan + distinct exchange runs twice
     val dict = df.select(col(nameCol).as("name_a")).filter(col("name_a").isNotNull)
       .distinct()
       .withColumn("__blk", substring_index(col("name_a"), " ", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { dict.unpersist(); () })
     val other = dict.select(col("name_a").as("name_b"), col("__blk"))
     dict.join(other, Seq("__blk"))
       .filter(col("name_a") < col("name_b"))

@@ -1401,13 +1401,26 @@ object Similarity {
   }
 
   /** The v ← Xᵀ(Xv)/‖·‖ loop over a cached exploded table; returns the
-    * final (idx, __v) direction and the 1-row (__n2) norm table. */
+    * final (idx, __v) direction and the 1-row (__n2) norm table.
+    *
+    * Each round's dim-row accumulate table `u` is eagerly
+    * localCheckpoint'ed (lineage leaf — optimization-guide §3.3/§7.3):
+    * `u` is referenced twice (the norm probe and the value branch) and
+    * each next round's score pass references v again, so without a
+    * materialization boundary the corpus-sized (s, u) aggregations nest
+    * one level deeper per round and every reference re-plans (and,
+    * where exchange reuse misses, re-runs) the whole chain beneath it —
+    * the r16 baseline measured q294 at 4.4 s / q306 at 5.9 s for
+    * 3 rounds over a 134 MB cache. As leaves, each round is exactly two
+    * corpus passes over the cached explode and the plan stays
+    * round-local. The leaf is dim rows (≤ 4096) — trivially small. */
   private def pc1Core(spark: org.apache.spark.sql.SparkSession, xj: DataFrame,
                       dim: Int, rounds: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     var v = (0 until dim).map(j => (j.toLong, if (j == 0) 1.0 else 0.0))
       .toDF("idx", "__v")
     var lastNorm: DataFrame = null
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
       val s = xj.join(broadcast(v), col("__j") === col("idx"))
         .groupBy(col("__id"))
@@ -1416,6 +1429,8 @@ object Similarity {
         .groupBy(col("__j"))
         .agg(sum(round((col("__s") / 1e8) * col("__xv") * 1e6, 0).cast("long"))
           .as("__u"))
+        .localCheckpoint(true)
+      leaves += u
       val n2 = u.agg(sum(col("__u").cast("decimal(28,0)") * col("__u")).as("__n2"))
       lastNorm = n2
       v = u.crossJoin(broadcast(n2))
@@ -1423,6 +1438,9 @@ object Similarity {
           round(col("__u").cast("double") / sqrt(col("__n2").cast("double")), 9)
             .as("__v"))
     }
+    val snapshot = leaves.toList
+    graft.QueryCleanup.register(() =>
+      snapshot.foreach(graft.SparkInternals.releaseCheckpoint))
     (v, lastNorm)
   }
 }

@@ -748,14 +748,23 @@ object TextAnalysis {
     require(norm.nonEmpty, "phraseMatch needs at least one non-empty phrase")
     val spark = docs.sparkSession
     import spark.implicits._
-    val byLen = norm.groupBy(_.length).toSeq.sortBy(_._1)
-    byLen.map { case (n, ps) =>
-        val ptab = broadcast(ps.map(_.mkString(" ")).toDF("phrase"))
-        docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
-          .join(ptab, col("__g") === col("phrase"))
-          .select(col("phrase"), col(idCol))
-      }
-      .reduce(_.unionByName(_))
+    // ONE corpus pass for ALL phrase lengths (r16, guide §2.4 "do fewer
+    // passes"): an n-token shingle has exactly n−1 spaces, so it can
+    // only equal an n-token phrase — the per-length shingle arrays can
+    // be concatenated and joined against the WHOLE phrase dictionary in
+    // a single broadcast hash join with identical match semantics to
+    // the old per-length scan+union (previously: one full tokenize +
+    // explode pass per distinct length). Tokens stage as an attribute
+    // (`__tk`) so the lambda-bearing shingle transforms don't re-split
+    // the text per length (the minhashFromHashes lesson).
+    val lens = norm.map(_.length).distinct.sorted
+    val ptab = broadcast(norm.map(_.mkString(" ")).toDF("phrase"))
+    val grams = lens.map(n => Dedup.shinglesOfTokens(col("__tk"), n))
+      .reduce(concat(_, _))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(grams).as("__g"))
+      .join(ptab, col("__g") === col("phrase"))
+      .select(col("phrase"), col(idCol))
       .distinct()
   }
 

@@ -141,12 +141,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("phraseMatch: dictionary broadcasts per length, one match-sized distinct exchange") {
+  test("phraseMatch: ONE corpus pass — one dictionary broadcast, one match-sized distinct exchange") {
     val p = plan(TextAnalysis.phraseMatch(docs, "doc_id", "text",
       Seq("alpha beta", "beta gamma", "gamma delta epsilon")))
     assertNoQuadratic(p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert("BroadcastExchange".r.findAllIn(p).length == 2, p) // one per phrase length
+    // r16: all phrase lengths fuse into one scan + one broadcast hash
+    // join (an n-token shingle can only equal an n-token phrase, so the
+    // whole dictionary joins the concatenated per-length shingle arrays)
+    assert("BroadcastExchange".r.findAllIn(p).length == 1, p)
+    assert("Generate explode".r.findAllIn(p).length == 1, p) // one corpus pass
     assert(exchanges(p) == 1, p)
   }
 
