@@ -222,9 +222,15 @@ object Generalization {
     // sf0.1 lesson): summation order can flip a 6dp round otherwise
     def microMean(c: Column) = round(
       sum(round(c * 1000000).cast("long")) / (count(lit(1)) * 1000000.0), 6)
+    // staged (r16): the cross-group target aggregation and the final
+    // join both read the per-(group, tile) table — unstaged, the
+    // data-sized ntile sort window beneath it runs twice. The staged
+    // table is |groups|·nTiles rows.
     val perGroup = tiled.groupBy(col(groupCol), col("tile"))
       .agg(microMean(col(valueCol)).as("tile_avg_raw"),
         count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.QueryCleanup.register(() => { perGroup.unpersist(); () })
     val target = perGroup.groupBy(col("tile"))
       .agg(microMean(col("tile_avg_raw")).as("target"))
     perGroup.join(broadcast(target), Seq("tile"))

@@ -288,6 +288,10 @@ object TextAnalysis {
                        textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scores = bigramLogProb(docs, idCol, textCol)
+    // NOTE (r16, measured): do NOT persist this two-consumer table —
+    // exchange reuse already dedupes the two identical subtrees, and a
+    // staging persist measured q292 2.85 -> 3.80 s at sf0.1 (pure cache
+    // write/read overhead on top of the same single computation).
     val sc = scores.join(docs.select(col(idCol), col(stratumCol)), Seq(idCol))
     val counts = sc.groupBy(col(stratumCol), col("mean_logprob"))
       .agg(count(lit(1)).as("__cnt"))

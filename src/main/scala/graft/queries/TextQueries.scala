@@ -799,6 +799,11 @@ object TextQueries {
               i => graft.functions.PortableHash.phash(
                 concat_ws(" ", (0 until 8).map(o => element_at(tk, i + o)): _*)))))
             .otherwise(array().cast("array<long>"))).as("g"))
+        // staged (r16): the first-owner aggregation and the join back
+        // both read the gram relation — unstaged, the tokenize +
+        // 8-gram hash explode runs twice (the duplicateSpans fix)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.QueryCleanup.register(() => { grams.unpersist(); () })
       val first = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
       grams.join(first, Seq("g"))
         .groupBy("doc_id")
