@@ -26,13 +26,10 @@ object Graph {
   private def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Free a checkpointed frame's RDD blocks — Dataset.unpersist can't
-    * reach them (no CacheManager entry); same walk as Dedup's private
-    * unpersistCheckpoint. Only safe once nothing references the leaf. */
+    * reach them (no CacheManager entry). Only safe once nothing
+    * references the leaf. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.SparkInternals.releaseCheckpoint(df)
 
   /** PageRank in FIXED-POINT integer arithmetic (micro-rank units), so
     * the result is bit-identical on every engine: long addition commutes
