@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Eagerly localCheckpoint a node-sized iteration state, truncating its
+  /** Eagerly checkpoint a node-sized iteration state, truncating its
     * lineage to a leaf (optimization-guide §3.3/§7.3: materialize an
     * intermediate to cut the plan). Persisted-but-unckeckpointed iteration
     * state keeps the FULL logical subtree alive under every cache
@@ -22,8 +22,13 @@ object Graph {
     * stage, so planning dominated execution. With per-iteration leaves the
     * plan stays constant-size in the iteration count. Execution work is
     * unchanged — the same state was materialized into the cache before;
-    * it now materializes into checkpoint storage instead. */
-  private def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    * it now materializes into checkpoint storage instead.
+    *
+    * Checkpoint STORAGE is strategy-selected by [[graft.util.Truncate]]
+    * (r17): executor-local in local mode, reliable (durable-storage)
+    * checkpoint on a real cluster, where an unreplicated local checkpoint
+    * would make one executor loss fail the whole iterative query. */
+  private def truncate(df: DataFrame): DataFrame = graft.util.Truncate(df)
 
   /** Free a checkpointed frame's RDD blocks — Dataset.unpersist can't
     * reach them (no CacheManager entry). Only safe once nothing
@@ -405,7 +410,14 @@ object Graph {
           .select(col("node"), col(rankName).cast("long").as(rankName))
       }
     }
-    val joined = ranked(exact, "__re").join(ranked(approx, "__ra"), Seq("node"))
+    // The two sides are INDEPENDENT rank chains over (usually) the same
+    // cached topology, and each side's truncate + count is an eager
+    // driver-blocking action — overlap them (guide §2.6 / the q46
+    // concurrent-build precedent) so the audit pays max(side), not
+    // sum(sides). Results are integer-exact either way.
+    val (re, ra) = graft.util.Concurrent.both(
+      ranked(exact, "__re"), ranked(approx, "__ra"))
+    val joined = re.join(ra, Seq("node"))
     joined.agg(
         count(lit(1)).as("n_nodes"),
         sum(when(col("__re") <= k && col("__ra") <= k, 1L).otherwise(0L))
@@ -840,10 +852,9 @@ object Graph {
       obsId += 1
       val obs = org.apache.spark.sql.Observation(
         s"kcore_below_${java.util.UUID.randomUUID.toString.take(8)}_$obsId")
-      val cp = plan.observe(obs,
+      val cp = graft.util.Truncate(plan.observe(obs,
           sum(when(col("__d") < k, 1L).otherwise(0L)).as("below"),
-          count(lit(1)).as("living"))
-        .localCheckpoint(true)
+          count(lit(1)).as("living")))
       // obs.get blocks on ASYNC listener delivery — drain the bus so the
       // metric arrives now instead of a bus-flush-interval later (the
       // whole point is fewer serial stalls per round)
@@ -876,30 +887,64 @@ object Graph {
     // while concurrent plans on the parent session keep AQE.
     val spark = edges.sparkSession
     val SmallState = 2000000L
+    // Small-state rounds also shrink exchange partitioning: < SmallState
+    // rows is ≤ ~32 MB of skinny (node, degree) rows, so 8 partitions of
+    // ≤ 4 MB replace the session's data-scale default (guide §2.2 —
+    // fewer, larger partitions; AQE would coalesce the same way but is
+    // deliberately off here, see below). Sized by the OBSERVED living
+    // count, never by the local core count, so the gate fires — and the
+    // plan it produces — identically on a cluster.
+    val SmallParts = 8
     lazy val quiet: SparkSession = {
       val q = spark.newSession()
       q.conf.set("spark.sql.adaptive.enabled", "false")
+      q.conf.set("spark.sql.shuffle.partitions", SmallParts.toString)
       q
     }
     def roundPlan(living: Long)(plan: DataFrame): DataFrame =
       if (living < SmallState && (plan.sparkSession ne quiet))
         graft.SparkInternals.rebind(quiet, plan)
       else plan
+    // one peel LEVEL: drop below-k nodes, decrement the survivors'
+    // degrees by their edges into the removal set. `dirActive` starts as
+    // the full cached symmetrized edge table and is swapped for a
+    // src-partitioned small copy once the living state is observed small
+    // (below).
+    var dirActive = dir
+    def peelOnce(d: DataFrame): DataFrame = {
+      val removed = d.filter(col("__d") < k)
+      val dec = dirActive
+        .join(removed.select(col("node").as("src")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__dec"))
+      d.filter(col("__d") >= k)
+        .join(dec, Seq("node"), "left")
+        .select(col("node"),
+          (col("__d") - coalesce(col("__dec"), lit(0L))).as("__d"))
+    }
     var (deg, below, living) = checkpointWithStats(
       dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d")))
     cleanups += { val d = deg; () => d.unpersist() }
     var rounds = 0
     while (below > 0 && rounds < maxRounds) {
       rounds += 1
-      val removed = deg.filter(col("__d") < k)
-      val dec = dir
-        .join(removed.select(col("node").as("src")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__dec"))
-      val (next, b, l) = checkpointWithStats(roundPlan(living)(
-        deg.filter(col("__d") >= k)
-          .join(dec, Seq("node"), "left")
-          .select(col("node"),
-            (col("__d") - coalesce(col("__dec"), lit(0L))).as("__d"))))
+      if ((dirActive eq dir) && living < SmallState) {
+        // Small living state makes the remaining rounds scheduling-floor
+        // bound, and the dominant per-round stage was re-shuffling the
+        // (unpartitioned) cached edge table into the removal-set join —
+        // an edge-sized exchange every round. Re-stage the edges ONCE,
+        // hash-partitioned on src at the quiet session's partition count,
+        // so every remaining round's join probes an already-partitioned
+        // cache with no edge-sized exchange (guide §2.4: establish the
+        // partitioning once; the [[pageRankFixedPoint]] topology play).
+        // Gated on the OBSERVED living count — at 100 TB the gate never
+        // fires and the adaptive path above is unchanged.
+        val small = graft.SparkInternals.rebind(quiet, dir)
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cleanups += (() => { small.unpersist(); () })
+        dirActive = small
+      }
+      val (next, b, l) = checkpointWithStats(roundPlan(living)(peelOnce(deg)))
       cleanups += (() => next.unpersist())
       deg = next
       below = b

@@ -1425,11 +1425,13 @@ object Similarity {
       val s = xj.join(broadcast(v), col("__j") === col("idx"))
         .groupBy(col("__id"))
         .agg(sum(round(col("__xv") * col("__v") * 1e8, 0).cast("long")).as("__s"))
-      val u = xj.join(s, Seq("__id"))
+      // checkpoint storage strategy-selected (graft.util.Truncate, r17):
+      // local blocks in local mode, reliable on a cluster — an
+      // unreplicated local checkpoint chain dies with its executor.
+      val u = graft.util.Truncate(xj.join(s, Seq("__id"))
         .groupBy(col("__j"))
         .agg(sum(round((col("__s") / 1e8) * col("__xv") * 1e6, 0).cast("long"))
-          .as("__u"))
-        .localCheckpoint(true)
+          .as("__u")))
       leaves += u
       val n2 = u.agg(sum(col("__u").cast("decimal(28,0)") * col("__u")).as("__n2"))
       lastNorm = n2

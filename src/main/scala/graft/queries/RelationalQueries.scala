@@ -453,10 +453,17 @@ object RelationalQueries {
         .unionByName(pairs.select(col("c").as("src"), col("s").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.QueryCleanup.register(() => { edges.unpersist(); () })
-      val full = graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst",
-        iterations = 3)
-      val capped = graft.ops.Graph.pageRankDegreeCapped(edges, "src", "dst",
-        cap = 8, iterations = 3)
+      // the two chains are independent iterative builds over the SAME
+      // cached edge table — overlap their per-round checkpoint jobs
+      // (r17, guide §2.6): audit cost ≈ max(chain), not sum(chains).
+      // Fill the shared cache BEFORE forking: two racing first-jobs would
+      // each compute the full upstream join+distinct into it.
+      edges.count()
+      val (full, capped) = graft.util.Concurrent.both(
+        graft.ops.Graph.pageRankFixedPoint(edges, "src", "dst",
+          iterations = 3),
+        graft.ops.Graph.pageRankDegreeCapped(edges, "src", "dst",
+          cap = 8, iterations = 3))
       graft.ops.Graph.rankFidelityAudit(full, capped, "node", "rank", k = 100)
     }),
 
@@ -478,10 +485,15 @@ object RelationalQueries {
         .unionByName(pw.select(col("c").as("src"), col("s").as("dst")))
       val wEdges = pw.select(col("s").as("src"), col("c").as("dst"), col("w"))
         .unionByName(pw.select(col("c").as("src"), col("s").as("dst"), col("w")))
-      val unit = graft.ops.Graph.pageRankFixedPoint(uEdges, "src", "dst",
-        iterations = 3)
-      val wtd = graft.ops.Graph.pageRankEdgeWeighted(wEdges, "src", "dst", "w",
-        iterations = 3)
+      // independent chains over the same cached pair-weight table —
+      // overlapped (r17, guide §2.6): see q328. Cache filled before the
+      // fork so the chains don't both compute the groupBy into it.
+      pw.count()
+      val (unit, wtd) = graft.util.Concurrent.both(
+        graft.ops.Graph.pageRankFixedPoint(uEdges, "src", "dst",
+          iterations = 3),
+        graft.ops.Graph.pageRankEdgeWeighted(wEdges, "src", "dst", "w",
+          iterations = 3))
       graft.ops.Graph.rankFidelityAudit(unit, wtd, "node", "rank", k = 100)
     }),
 
