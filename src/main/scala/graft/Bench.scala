@@ -37,6 +37,23 @@ object Bench {
         p > 0 && med > factor * p) => name
     }
 
+  /** For drift-flagged queries, the PUBLISHED median is the post-sweep
+    * 9-rep re-measure, UNCONDITIONALLY (r17, closing the r16 verdict's
+    * "What's wrong #3": the r16 artifact published q275 = 1.833 s in
+    * `queries` while its own drift row showed 0.205/0.475 s — every
+    * consumer of the map, including the next round's PERF comparison,
+    * read a phantom 4–9x regression). Unconditional — not min-of-the-two
+    * — keeps the r15 rule that banned one-sided selection: a query whose
+    * calm re-measure is SLOWER publishes the slower number too. Both
+    * values stay side by side in the `drift` section, so the artifact
+    * remains self-attributing. A failed re-measure (iso <= 0) keeps the
+    * in-bench median. */
+  def publishDriftMedians(medians: Seq[(String, Double)],
+                          driftIso: Map[String, Double]): Seq[(String, Double)] =
+    medians.map { case (k, v) =>
+      k -> driftIso.get(k).filter(_ > 0).getOrElse(v)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,6 +71,19 @@ object Bench {
     // 5-31x slower than the identical code one round earlier.
     Seq("orders", "lineitem", "events", "documents", "embeddings").foreach { t =>
       Try(spark.read.parquet(s"$sfDir/$t.parquet").count())
+    }
+    // Opt-in scaling-sentinel mode (r17, closing the r16 verdict's "sf0.1
+    // cannot demonstrate parallelism"): SPARK_GRAFT_SCALING_SET=<k> benches
+    // the fixed heavy-operator sentinel set over inputs amplified k-fold
+    // in-flight and prints its own one-line JSON INSTEAD of the main
+    // suite (run it at two SPARK_GRAFT_CPUS values and compare). Without
+    // the env var this block is inert and the bench below is unchanged.
+    sys.env.get("SPARK_GRAFT_SCALING_SET").map(_.trim).filter(_.nonEmpty) match {
+      case Some(kStr) =>
+        BenchScaling.run(spark, sfDir, kStr.toInt, reps)
+        spark.stop()
+        return
+      case None => ()
     }
     // Each query runs `reps` times and reports the MEDIAN, so a one-off
     // JIT/GC/IO hiccup can't masquerade as a regression between rounds. A
@@ -178,13 +208,18 @@ object Bench {
     }
     val failed = timed.collect { case (k, None, _, _) => k }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = medians.map(_._2).sum
+    // drift-flagged queries publish their calm post-sweep re-measure as
+    // the primary median (see [[publishDriftMedians]]); the in-bench
+    // median stays visible in the drift section
+    val published = publishDriftMedians(medians,
+      driftRows.map { case (k, _, _, iso) => k -> iso }.toMap)
+    val total = published.map(_._2).sum
     // Full-fidelity report (long names, full-precision medians, per-rep
     // arrays) goes to a FILE: the harness that collects stdout keeps only
     // the last ~2000 characters, and an 88-query JSON line with long keys
     // blows past that — every earlier round's report arrived decapitated
     // (BENCH_r0{1..7}.json "parsed": null, tail starting mid-line).
-    val qsFull = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsFull = published.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rs = timed.map { case (k, _, runs, _) =>
       "\"" + k + "\":" + runs.map(_.fold("null")(_.toString)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -215,7 +250,7 @@ object Bench {
     // the full names are in bench_detail.json and SparkEntry.queries) and
     // millisecond precision. ~1.2 KB for 88 queries.
     def short(name: String): String = name.takeWhile(_ != '_')
-    val qs = medians.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+    val qs = published.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fsShort = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     // compact drift echo on stdout: [prior, in_bench, postsweep_9rep] —

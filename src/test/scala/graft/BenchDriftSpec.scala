@@ -47,6 +47,22 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.parsePriorMedians("""{"metric":"total"}""").isEmpty)
   }
 
+  test("publishDriftMedians: drift-flagged queries publish the post-sweep " +
+    "re-measure unconditionally; others untouched; order preserved") {
+    val medians = Seq("qa" -> 1.833, "qb" -> 0.5, "qc" -> 0.3)
+    // qa re-measured faster, qc re-measured SLOWER — both publish the
+    // re-measure (no one-sided min selection)
+    val out = Bench.publishDriftMedians(medians,
+      Map("qa" -> 0.475, "qc" -> 0.9))
+    assert(out == Seq("qa" -> 0.475, "qb" -> 0.5, "qc" -> 0.9))
+  }
+
+  test("publishDriftMedians: a failed re-measure (iso <= 0) keeps in-bench") {
+    val out = Bench.publishDriftMedians(Seq("qa" -> 1.833),
+      Map("qa" -> -1.0))
+    assert(out == Seq("qa" -> 1.833))
+  }
+
   test("end to end: prior detail line + synthetic regression -> candidate list") {
     val priorLine = """{"queries":{"q296_auc_roc_by_segment":0.49,"q05_anti":0.2}}"""
     val prior = Bench.parsePriorMedians(priorLine)
