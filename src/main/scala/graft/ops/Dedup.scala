@@ -786,26 +786,44 @@ object Dedup {
       // joining the un-checkpointed plan would recompute the
       // labels-join-nbrMin-least work on BOTH sides of the self-join —
       // one extra small checkpoint per round buys half the round's work.
+      // `__old` (the pre-round label) rides along so the convergence
+      // probe below can be OBSERVED during the next checkpoint's own
+      // materialization instead of costing a separate join job per round
+      // (r17, the kCore observed-metric pattern — one fewer serial
+      // driver stall per round; the loop is round-count × job-floor
+      // bound, not data bound).
       val hooked = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
       // shortcut: label(v) <- min(label(v), label(label(v))). Left join —
       // every label value is a node id present in the table, but the
       // coalesce keeps the plan total rather than proving it to Catalyst.
-      val next = hooked.join(
+      val next0 = hooked.join(
           hooked.select(col("id").as("label"), col("label").as("__ll")),
           Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+          col("__old"))
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_changed_${java.util.UUID.randomUUID.toString.take(8)}_$i")
+      val next = next0.observe(obs,
+          sum(when(col("label") =!= col("__old"), 1L).otherwise(0L))
+            .as("changed"))
         .localCheckpoint(true)
+      // NO flushListenerBus here (unlike kCore): waitUntilEmpty drains
+      // EVERY listener queue, and in pipeline callers (q88/q314) the
+      // metrics listener still holds the task-event backlog of the huge
+      // upstream LSH job — the flush stalled ~0.5 s/query where obs.get
+      // only needs its own event, which the finished checkpoint job has
+      // already posted (measured r17: flush 4.26->5.00 s on q88).
+      val changed = obs.get.get("changed") match {
+        case Some(null) | None => false // empty label table: sum is null
+        case Some(v) => v.asInstanceOf[Long] > 0L
+      }
       unpersistCheckpoint(hooked) // round-local; next is materialized
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
-        .filter(col("label") =!= col("__old"))
-        .take(1).nonEmpty
       unpersistCheckpoint(labels) // superseded; next is materialized
-      labels = next
+      labels = next.drop("__old")
       converged = !changed
       i += 1
     }
@@ -866,13 +884,24 @@ object Dedup {
   def dedupClustersStarReleasable(pairs: DataFrame, idA: String = "id_a",
                                   idB: String = "id_b",
                                   maxIterations: Int = 50): (DataFrame, () => Unit) = {
+    // Row counts are OBSERVED during each checkpoint's own
+    // materialization (r17, the kCore observed-metric pattern) instead of
+    // costing a separate count job per table per round; the previous
+    // round's count is reused as this round's `edges.count()` — the loop
+    // is round-count × job-floor bound, not data bound.
+    def observedCount(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"star_${tag}_${java.util.UUID.randomUUID.toString.take(8)}")
+      // no flushListenerBus — see dedupClustersReleasable's loop note
+      val cp = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      (cp, obs.get("n").asInstanceOf[Long])
+    }
     // canonical hi -> lo orientation, self-pairs dropped
-    var edges = pairs
+    var (edges, edgesN) = observedCount(pairs
       .select(greatest(col(idA), col(idB)).as("hi"),
         least(col(idA), col(idB)).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), "init")
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -890,19 +919,20 @@ object Dedup {
       // small-star on the canonical orientation: per hi, every smaller
       // neighbor and hi itself link to the smallest neighbor
       val smins = large.groupBy("hi").agg(min("lo").as("m"))
-      val small = large.join(smins, Seq("hi"))
+      val (small, smallN) = observedCount(large.join(smins, Seq("hi"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
         .unionByName(smins.select(col("hi"), col("m").as("lo")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct(), s"round$i")
       unpersistCheckpoint(large) // round-local; small is materialized
       // fixpoint = the round rewired nothing: same distinct-set size and
-      // an empty one-sided difference imply set equality
-      converged = small.count() == edges.count() &&
+      // an empty one-sided difference imply set equality (the exceptAll
+      // probe only runs when the counts already match — near fixpoint)
+      converged = smallN == edgesN &&
         small.exceptAll(edges).take(1).isEmpty
       unpersistCheckpoint(edges)
       edges = small
+      edgesN = smallN
       i += 1
     }
     if (!converged) {

@@ -30,6 +30,33 @@ object Graph {
     * would make one executor loss fail the whole iterative query. */
   private def truncate(df: DataFrame): DataFrame = graft.util.Truncate(df)
 
+  /** The NODE-SIZED side of each per-round join AGAINST THE CACHED EDGE
+    * TABLE, hinted to a SHUFFLED HASH join (guide §3.1: pick the
+    * strategy deliberately). Unhinted, the planner falls back to
+    * sort-merge for these joins (the rank/label leaf's size is unknown
+    * pre-execution), which re-SORTS the cached edge table's partitions
+    * every single round — measured 17% of q125-shape iteration wall at
+    * sf0.1, and at 100 TB a per-round sort of the edge side, the exact
+    * cost the once-shuffled topology cache exists to avoid.
+    * Shuffled-hash instead streams the (already partitioned) edge cache
+    * and builds the per-partition hash on the node-sized side —
+    * |V|/numPartitions rows, the standard fit. Broadcast would be
+    * marginally faster at sf0.1 but cannot hold a 100 TB graph's node
+    * table; shuffled-hash wins at both scales (probe: base 2.14 s /
+    * shuffle_hash 1.78 s / broadcast 2.08 s for 3 iterations, identical
+    * checksums).
+    *
+    * Deliberately NOT applied to the node⋈node joins (nodes⋈inbound,
+    * diff probes, normalization): both sides there are node-sized, AQE
+    * broadcast-converts the smaller at runtime, and a same-JVM
+    * interleaved A/B of hinting them too came out slower on several
+    * queries — the hint would also deny AQE the choice at scale for no
+    * sort saving (neither side is the edge cache). Final interleaved
+    * A/B over the 12 declared graph queries (7 reps, variants
+    * alternated per rep): total ratio 0.98, q319 0.91 / q320 0.90 /
+    * q330 0.93, worst q328 1.05. */
+  private def nodeSide(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+
   /** Free a checkpointed frame's RDD blocks — Dataset.unpersist can't
     * reach them (no CacheManager entry). Only safe once nothing
     * references the leaf. */
@@ -95,7 +122,7 @@ object Graph {
     var prevCp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val inbound = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
         .groupBy("node")
         .agg(sum("__contrib").as("__in"))
@@ -175,7 +202,7 @@ object Graph {
     var prevCp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val inbound = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
         .groupBy("node")
         .agg(sum("__contrib").as("__in"))
@@ -298,7 +325,7 @@ object Graph {
     var prevCp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val inbound = withW
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr("(rank * __w) div __wout").as("__contrib"))
         .groupBy("node")
@@ -500,7 +527,7 @@ object Graph {
     var prevCp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val inbound = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
         .groupBy("node")
         .agg(sum("__contrib").as("__in"))
@@ -616,7 +643,7 @@ object Graph {
       // SORT window (same semantics, no sort; the r13 bench measured the
       // window variant 1.5× slower over 3 rounds)
       val picked = e
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(nodeSide(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
         .groupBy(col("node"))
@@ -772,8 +799,8 @@ object Graph {
     while (!done && level < maxHops) {
       level += 1
       val hop = level
-      val next = truncate(frontier
-        .withColumnRenamed("node", "src")
+      val next = truncate(nodeSide(frontier
+        .withColumnRenamed("node", "src"))
         .join(e, "src")
         .select(col("dst").as("node"))
         .distinct()
@@ -936,9 +963,19 @@ object Graph {
         // so every remaining round's join probes an already-partitioned
         // cache with no edge-sized exchange (guide §2.4: establish the
         // partitioning once; the [[pageRankFixedPoint]] topology play).
-        // Gated on the OBSERVED living count — at 100 TB the gate never
-        // fires and the adaptive path above is unchanged.
+        // Gated on the OBSERVED living count — the adaptive path above is
+        // what runs while the state is big.
+        //
+        // The staged copy is RESTRICTED to edges whose src is still
+        // living: every future removal set is a subset of today's living
+        // nodes (deg only ever shrinks), so edges out of already-peeled
+        // nodes can never match the probe again. Without the semi-join
+        // the staging step would re-shuffle the FULL edge table — which
+        // at 100 TB can still be petabyte-sized when only 2M nodes
+        // remain alive — into 8 partitions. With it, the staged table is
+        // bounded by the living subgraph (≤ Σ living out-degrees).
         val small = graft.SparkInternals.rebind(quiet, dir)
+          .join(deg.select(col("node").as("src")), Seq("src"), "left_semi")
           .repartition(col("src"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         cleanups += (() => { small.unpersist(); () })
@@ -1077,12 +1114,12 @@ object Graph {
     val halfSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val araw = truncate(
-        e.join(hub.withColumnRenamed("node", "src"), "src")
+        e.join(nodeSide(hub.withColumnRenamed("node", "src")), "src")
           .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")))
       halfSteps += araw
       auth = normalized(araw, "a")
       val hraw = truncate(
-        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        e.join(nodeSide(auth.withColumnRenamed("node", "dst")), "dst")
           .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")))
       halfSteps += hraw
       hub = normalized(hraw, "h")
@@ -1145,14 +1182,14 @@ object Graph {
     val halfSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val araw = truncate(
-        e.join(hub.withColumnRenamed("node", "src"), "src")
+        e.join(nodeSide(hub.withColumnRenamed("node", "src")), "src")
           .select(col("dst").as("node"), expr("h div __outdeg").as("__c"))
           .groupBy("node").agg(sum(col("__c")).as("a")))
       halfSteps += araw
       auth = nodes.join(araw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
       val hraw = truncate(
-        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        e.join(nodeSide(auth.withColumnRenamed("node", "dst")), "dst")
           .select(col("src").as("node"), expr("a div __indeg").as("__c"))
           .groupBy("node").agg(sum(col("__c")).as("h")))
       halfSteps += hraw
@@ -1218,7 +1255,7 @@ object Graph {
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iterations) {
       val inbound = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(nodeSide(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("rank div __outdeg").as("__contrib"))
         .groupBy("node")
         .agg(sum("__contrib").as("__in"))
