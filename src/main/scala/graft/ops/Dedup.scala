@@ -1073,6 +1073,12 @@ object Dedup {
     // without the persist the whole winnow chain (gram explode + two
     // doc windows + df/count windows) runs twice over the corpus. Index
     // rows are two longs per retained fingerprint — compact.
+    // Measured and rejected (r17): re-staging the index with
+    // repartition(__h) before the persist — so both self-join sides read
+    // an already-__h-partitioned cache with no exchange — came out 3%
+    // SLOWER in a same-JVM interleaved A/B (q197 ratio 1.03, control
+    // 1.02): the two saved exchanges are node-sized and cheaper than the
+    // extra staging exchange plus the lost AQE coalescing on the join.
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))

@@ -121,6 +121,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("REPARTITION_BY_COL"), p)
   }
 
+  test("pageRank: the per-round edge join is shuffled-hash, not sort-merge " +
+    "(r17 — SMJ re-sorted the cached edge table every round)") {
+    val edges = (0L until 400L).map(i => (i % 57, (i * 31) % 57)).toDF("src", "dst")
+    val pr = Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 2)
+    val p = plan(pr)
+    graft.QueryCleanup.drain()
+    // the final (lazy) iteration's edge-cache join carries the
+    // shuffle_hash hint — the plan must show ShuffledHashJoin; the
+    // node-vs-node joins stay strategy-free for AQE
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("triangleCounts: canonical and oriented edges cached, no quadratic join") {
     val edges = (0L until 300L).map(i => (i % 40, (i * 17) % 40)).toDF("src", "dst")
     val p = plan(Graph.triangleCounts(edges, "src", "dst"))
